@@ -1,13 +1,346 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.ChangesetSchema
+import graft.operators.{Checksum, Materializer, Pipeline, Stages, TableFilters}
+import graft.sources.{Changelog, Replay, Tables}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY §2 that is implemented has (a) a `queries`
+  * entry exercising the library code and (b) an `oracleSql` entry with
+  * equivalent DuckDB SQL over the same parquet tables. Column names and
+  * deterministic ordering match on both sides.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q1Agg(spark, "/root/testdata/sf0.001")
+
+  // ---- shared bits -------------------------------------------------------
+
+  private def events(s: SparkSession, dir: String) = Tables.load(s, dir, "events")
+
+  /** Changeset-stream payload fields decoded back out of new_values JSON. */
+  private def decodedPayload(df: DataFrame): DataFrame = df.select(
+    col("id"),
+    unix_micros(col("ts")).as("ts_us"),
+    col("action"), col("schema_name"), col("table_name"),
+    get_json_object(col("new_values"), "$.k").cast("int").as("k"),
+    get_json_object(col("new_values"), "$.value").cast("double").as("value"))
+
+  private val eventsOracleCte =
+    """WITH cs AS (
+      |  SELECT event_id AS id, epoch_us(ts) AS ts_us,
+      |         CASE WHEN event_type = 'signup' THEN 'INSERT'
+      |              WHEN event_type = 'error' THEN 'DELETE'
+      |              ELSE 'UPDATE' END AS action,
+      |         CASE WHEN user_id % 2 = 0 THEN 'public' ELSE 'app' END AS schema_name,
+      |         event_type AS table_name, user_id,
+      |         CASE WHEN event_type = 'error' THEN NULL
+      |              ELSE CAST(json_extract_string(props, '$.k') AS INTEGER) END AS k,
+      |         CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value
+      |  FROM events)
+      |""".stripMargin
+
+  private val ordersRowSchema = StructType(Seq(
+    StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType),
+    StructField("o_orderpriority", StringType)))
+
+  private def customerRowHash(): Column = Checksum.rowHash(
+    col("c_custkey"), col("c_name"), col("c_nationkey"),
+    col("c_acctbal").cast("decimal(12,2)"), col("c_mktsegment"))
+
+  private val customerRowHashSql =
+    "md5(concat_ws('|', c_custkey, c_name, c_nationkey, " +
+      "CAST(c_acctbal AS DECIMAL(12,2)), c_mktsegment))"
+
+  private def q1Agg(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty",
+        col("sum_qty").cast("double") / col("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  // ---- the contract ------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S3 — historical replay since id (changeset_store.go:114-150)
+    "s3_replay_since_id" -> ((s, dir) =>
+      decodedPayload(Replay.sinceId(Changelog.fromEvents(s, dir), 500L))),
+
+    // S4 — historical replay since timestamp (changeset_store.go:153-189)
+    "s4_replay_since_ts" -> ((s, dir) =>
+      decodedPayload(Replay.sinceTimestamp(Changelog.fromEvents(s, dir),
+        lit("2024-01-20 00:00:00").cast("timestamp")))
+        .drop("value")),
+
+    // S5 — point lookup by id (changeset_store.go:67-78)
+    "s5_point_lookup" -> ((s, dir) =>
+      decodedPayload(Replay.byId(Changelog.fromEvents(s, dir), 123L))),
+
+    // T3+T4 — whitelist then ignore table filters (warp_pipe.go:97-144)
+    "t3_t4_table_filters" -> ((s, dir) =>
+      Pipeline(
+        TableFilters.whitelist(Seq("public.click", "app.*", "view")),
+        TableFilters.ignore(Seq("app.error")))(Changelog.fromEvents(s, dir))
+        .groupBy(col("schema_name"), col("table_name"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("schema_name"), col("table_name"))),
+
+    // T6+T7+T8 — the reference's canonical pipeline stages
+    // (pipeline_test.go:15-40): project away a column, rewrite a field,
+    // drop by payload predicate.
+    "t6_t7_t8_stage_pipeline" -> ((s, dir) =>
+      Pipeline(
+        Stages.removeColumn("value"),
+        Stages.mapColumn("table_name", upper),
+        Stages.dropWhere(Stages.newValue("k").cast("int") > 90))(
+        Changelog.fromEvents(s, dir))
+        .select(
+          col("id"), col("table_name"),
+          Stages.newValue("user_id").cast("bigint").as("payload_user_id"),
+          Stages.newValue("event_type").as("payload_event_type"),
+          Stages.newValue("k").cast("int").as("k"),
+          Stages.newValue("value").as("removed_value"))
+        .orderBy(col("id"))),
+
+    // T10 — kind normalization (changeset.go:21-33)
+    "t10_kind_normalize" -> ((s, dir) => {
+      val raw = Changelog.fromEvents(s, dir).withColumn("action",
+        when(col("table_name") === "signup", "insert")
+          .when(col("table_name") === "click", "UPDATE")
+          .when(col("table_name") === "view", "DeLeTe")
+          .otherwise(col("table_name")))
+      Stages.normalizeKind(raw)
+        .groupBy(col("action")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("action"))
+    }),
+
+    // K6 — materialize: latest change per key (axon.go:277-286 dispatch →
+    // window dedup per SURVEY §4)
+    "k6_materialize_latest" -> ((s, dir) => {
+      val cs = Changelog.fromEvents(s, dir).withColumn("__uid",
+        coalesce(Stages.newValue("user_id"), Stages.oldValue("user_id")))
+      Materializer.latestPerKey(cs, Seq(col("__uid")))
+        .select(col("__uid").cast("bigint").as("user_id"),
+          col("id").as("last_id"), col("action").as("last_action"),
+          col("table_name").as("last_table"))
+        .orderBy(col("user_id"))
+    }),
+
+    // K3+K4+K5 — full changelog apply: insert/upsert/delete → final state
+    "k3k4k5_apply_merge" -> ((s, dir) =>
+      Materializer.materialize(Changelog.ordersScript(s, dir), "o_orderkey",
+        ordersRowSchema).orderBy(col("o_orderkey"))),
+
+    // K3/K4/K5 incremental merge into existing state, incl. duplicate-insert
+    // skip (axon_sql.go:133-146) and insert of brand-new keys
+    "merge_incremental" -> ((s, dir) => {
+      val state = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderpriority"))
+      val script = Changelog.ordersScript(s, dir)
+      val updDel = script.filter(col("action") =!= "INSERT")
+      val o = Tables.load(s, dir, "orders")
+      val dupIns = o.filter(col("o_orderkey") % 5 === 0).select(
+        (col("o_orderkey") * 3).as("id"), col("o_orderdate").as("ts"),
+        lit("INSERT").as("action"), lit("public").as("schema_name"),
+        lit("orders").as("table_name"), lit(16390L).as("relid"),
+        to_json(struct(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), lit(-1.0).as("o_totalprice"),
+          col("o_orderpriority"))).as("new_values"),
+        lit(null).cast("string").as("old_values"))
+      val newIns = o.filter(col("o_orderkey") % 11 === 0).select(
+        ((col("o_orderkey") + 10000000L) * 3).as("id"),
+        col("o_orderdate").as("ts"),
+        lit("INSERT").as("action"), lit("public").as("schema_name"),
+        lit("orders").as("table_name"), lit(16390L).as("relid"),
+        to_json(struct((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          col("o_custkey"), col("o_orderstatus"),
+          (col("o_totalprice") + 5.0).as("o_totalprice"),
+          col("o_orderpriority"))).as("new_values"),
+        lit(null).cast("string").as("old_values"))
+      val batch = updDel.unionByName(dupIns).unionByName(newIns)
+      Materializer.merge(state, batch, "o_orderkey", ordersRowSchema)
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // K10 — completion detection: max id (warp_pipe.go:169-190)
+    "k10_max_id" -> ((s, dir) =>
+      Replay.maxId(Changelog.fromEvents(s, dir))),
+
+    // K11 — retention (changeset_store.go:191-207; implemented for real)
+    "k11_retention" -> ((s, dir) =>
+      Replay.retainFromId(Changelog.fromEvents(s, dir), 800L)
+        .agg(count(lit(1)).as("cnt"), min(col("id")).as("min_id"),
+          max(col("id")).as("max_id"))),
+
+    // V1 — md5 concat step / row canonicalization (db/schema.go:296-309)
+    "v1_row_hash" -> ((s, dir) =>
+      Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), customerRowHash().as("row_md5"))
+        .orderBy(col("c_custkey"))),
+
+    // V2 — exact ordered md5 chain checksum (db/schema.go:311-326)
+    "v2_checksum_ordered" -> ((s, dir) =>
+      Checksum.orderedChecksum(Tables.load(s, dir, "customer"),
+        col("c_custkey"), customerRowHash())),
+
+    // V2 scale path — commutative checksum (sum/xor/count of row hashes)
+    "v2b_checksum_commutative" -> ((s, dir) =>
+      Checksum.commutativeChecksum(Tables.load(s, dir, "customer"),
+        customerRowHash())),
+
+    // V4 — two-sided table checksum compare (axon.go:181-270): materialized
+    // changelog state vs its expected final state
+    "v4_checksum_compare" -> ((s, dir) => {
+      val target = Materializer.materialize(Changelog.ordersScript(s, dir),
+        "o_orderkey", ordersRowSchema)
+      val source = Tables.load(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        when(col("o_orderkey") % 3 === 0, "U").otherwise(col("o_orderstatus"))
+          .as("o_orderstatus"),
+        when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 1000.0)
+          .otherwise(col("o_totalprice")).as("o_totalprice"),
+        col("o_orderpriority"))
+        .filter(col("o_orderkey") % 7 =!= 0)
+      def h = Checksum.rowHash(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice").cast("decimal(18,2)"),
+        col("o_orderpriority"))
+      Checksum.compare(source, target, col("o_orderkey"), h)
+    }),
+
+    // V5 — source stats: changeset count (axon_schema.go:52-60)
+    "v5_source_stats" -> ((s, dir) =>
+      events(s, dir).agg(count(lit(1)).as("changeset_count"))),
+
+    // Flagship TPC-H-style aggregation (capability query, SURVEY §2.5)
+    "q1_agg" -> ((s, dir) => q1Agg(s, dir))
+  )
+
+  /** DuckDB oracle SQL per query (same tables, same column names/order). */
+  def oracleSql: Map[String, String] = Map(
+    "s3_replay_since_id" ->
+      (eventsOracleCte +
+        "SELECT id, ts_us, action, schema_name, table_name, k, value " +
+        "FROM cs WHERE id >= 500 ORDER BY id"),
+
+    "s4_replay_since_ts" ->
+      (eventsOracleCte +
+        "SELECT id, ts_us, action, schema_name, table_name, k FROM cs " +
+        "WHERE ts_us >= epoch_us(TIMESTAMP '2024-01-20 00:00:00') " +
+        "ORDER BY ts_us, id"),
+
+    "s5_point_lookup" ->
+      (eventsOracleCte +
+        "SELECT id, ts_us, action, schema_name, table_name, k, value " +
+        "FROM cs WHERE id = 123"),
+
+    "t3_t4_table_filters" ->
+      (eventsOracleCte +
+        "SELECT schema_name, table_name, CAST(count(*) AS BIGINT) AS cnt FROM cs " +
+        "WHERE ((schema_name = 'public' AND table_name = 'click') " +
+        "  OR schema_name = 'app' OR table_name = 'view') " +
+        "  AND NOT (schema_name = 'app' AND table_name = 'error') " +
+        "GROUP BY schema_name, table_name ORDER BY schema_name, table_name"),
+
+    "t6_t7_t8_stage_pipeline" ->
+      (eventsOracleCte +
+        "SELECT id, upper(table_name) AS table_name, " +
+        "  CASE WHEN action = 'DELETE' THEN NULL ELSE user_id END AS payload_user_id, " +
+        "  CASE WHEN action = 'DELETE' THEN NULL ELSE table_name END AS payload_event_type, " +
+        "  k, CAST(NULL AS VARCHAR) AS removed_value " +
+        "FROM cs WHERE action = 'DELETE' OR k <= 90 ORDER BY id"),
+
+    "t10_kind_normalize" ->
+      (eventsOracleCte +
+        "SELECT CASE WHEN table_name = 'signup' THEN 'INSERT' " +
+        "            WHEN table_name = 'click' THEN 'UPDATE' " +
+        "            WHEN table_name = 'view' THEN 'DELETE' " +
+        "            ELSE '' END AS action, " +
+        "CAST(count(*) AS BIGINT) AS cnt " +
+        "FROM cs GROUP BY 1 ORDER BY action"),
+
+    "k6_materialize_latest" ->
+      ("SELECT user_id, event_id AS last_id, " +
+        "CASE WHEN event_type = 'signup' THEN 'INSERT' " +
+        "     WHEN event_type = 'error' THEN 'DELETE' ELSE 'UPDATE' END AS last_action, " +
+        "event_type AS last_table FROM (" +
+        "  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn " +
+        "  FROM events) t WHERE rn = 1 ORDER BY user_id"),
+
+    "k3k4k5_apply_merge" ->
+      ("SELECT o_orderkey, o_custkey, " +
+        "CASE WHEN o_orderkey % 3 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus, " +
+        "CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice, " +
+        "o_orderpriority FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey"),
+
+    "merge_incremental" ->
+      ("SELECT o_orderkey, o_custkey, " +
+        "  CASE WHEN o_orderkey % 3 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus, " +
+        "  CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice, " +
+        "  o_orderpriority FROM orders WHERE o_orderkey % 7 <> 0 " +
+        "UNION ALL " +
+        "SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, " +
+        "  o_totalprice + 5.0, o_orderpriority FROM orders WHERE o_orderkey % 11 = 0 " +
+        "ORDER BY o_orderkey"),
+
+    "k10_max_id" ->
+      "SELECT max(event_id) AS max_id FROM events",
+
+    "k11_retention" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS cnt, min(event_id) AS min_id, " +
+        "max(event_id) AS max_id FROM events WHERE event_id >= 800"),
+
+    "v1_row_hash" ->
+      (s"SELECT c_custkey, $customerRowHashSql AS row_md5 " +
+        "FROM customer ORDER BY c_custkey"),
+
+    "v2_checksum_ordered" ->
+      (s"WITH h AS (SELECT c_custkey AS k, $customerRowHashSql AS h FROM customer) " +
+        "SELECT list_reduce(list_prepend('', list(h ORDER BY k)), " +
+        "(s, x) -> md5(s || x)) AS checksum FROM h"),
+
+    "v2b_checksum_commutative" ->
+      (s"WITH h AS (SELECT $customerRowHashSql AS h FROM customer) " +
+        "SELECT CAST(SUM(CAST('0x' || substring(h, 1, 8) AS BIGINT)) AS BIGINT) AS hash_sum, " +
+        "CAST(bit_xor(CAST('0x' || substring(h, 1, 15) AS BIGINT)) AS BIGINT) AS hash_xor, " +
+        "CAST(count(*) AS BIGINT) AS row_count FROM h"),
+
+    "v4_checksum_compare" ->
+      ("WITH fin AS (SELECT o_orderkey, o_custkey, " +
+        "  CASE WHEN o_orderkey % 3 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus, " +
+        "  CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice, " +
+        "  o_orderpriority FROM orders WHERE o_orderkey % 7 <> 0), " +
+        "h AS (SELECT o_orderkey AS k, md5(concat_ws('|', o_orderkey, o_custkey, " +
+        "  o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)), o_orderpriority)) AS h FROM fin), " +
+        "c AS (SELECT list_reduce(list_prepend('', list(h ORDER BY k)), " +
+        "  (s, x) -> md5(s || x)) AS checksum FROM h) " +
+        "SELECT checksum AS source_checksum, checksum AS target_checksum, " +
+        "checksum = checksum AS consistent FROM c"),
+
+    "v5_source_stats" ->
+      "SELECT CAST(count(*) AS BIGINT) AS changeset_count FROM events",
+
+    "q1_agg" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, " +
+        "CAST(count(*) AS BIGINT) AS count_order, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty " +
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus")
+  )
 }

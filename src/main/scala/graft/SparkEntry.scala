@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.model.ChangesetSchema
+import graft.functions.{Dedup, Multimodal, Similarity, TextFns}
 import graft.operators.{Checksum, Materializer, Pipeline, Stages, TableFilters}
 import graft.sources.{Changelog, Replay, Tables}
 
@@ -75,7 +76,7 @@ object SparkEntry {
 
   // ---- the contract ------------------------------------------------------
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map[String, (SparkSession, String) => DataFrame](
     // S3 — historical replay since id (changeset_store.go:114-150)
     "s3_replay_since_id" -> ((s, dir) =>
       decodedPayload(Replay.sinceId(Changelog.fromEvents(s, dir), 500L))),
@@ -228,6 +229,112 @@ object SparkEntry {
 
     // Flagship TPC-H-style aggregation (capability query, SURVEY §2.5)
     "q1_agg" -> ((s, dir) => q1Agg(s, dir))
+  ) ++ extensionQueries
+
+  // ---- SURVEY §2.6 extension operators: training-data-pipeline ops ------
+
+  private def documents(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+  private def embeddings(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+
+  private def extensionQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // T9 — by-name payload column lookup via the map view (changeset.go:46-74)
+    "t9_column_lookup" -> ((s, dir) =>
+      Changelog.fromEvents(s, dir)
+        .filter(col("table_name") === "click")
+        .select(col("id"),
+          element_at(Stages.newValuesMap, "k").cast("int").as("k"),
+          element_at(Stages.newValuesMap, "value").cast("double").as("value"))
+        .orderBy(col("id"))),
+
+    // Exact dedup: hash-groupBy, min-id representative, copy count
+    "dedup_exact" -> ((s, dir) => {
+      val d = documents(s, dir).select(col("doc_id"), col("text"))
+      val withDups = d.unionByName(
+        d.filter(col("doc_id") % 3 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000L))
+      Dedup.exact(withDups, "doc_id", "text").orderBy(col("keeper_id"))
+    }),
+
+    // Near-dup via MinHash + LSH banding, exact-Jaccard verified
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashDedup(documents(s, dir), "doc_id", "text", 0.8)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // Near-dup candidates via 16-bit SimHash signature equality
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // Exact n-gram Jaccard via inverted shingle index
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(documents(s, dir), "doc_id", "text", 0.8)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // Brute-force cosine top-k (probe = vec 0, k = 10)
+    "embed_cosine_topk" -> ((s, dir) =>
+      Similarity.cosineTopK(embeddings(s, dir), "vec_id", "embedding", 0L, 10)),
+
+    // LSH-bucketed ANN (probe's bucket only, k = 5)
+    "embed_ann_lsh" -> ((s, dir) =>
+      Similarity.lshTopK(embeddings(s, dir), "vec_id", "embedding", 0L, 5)),
+
+    // IVF-style per-label centroid components (first 4 dims)
+    "embed_centroid" -> ((s, dir) =>
+      Similarity.centroidComponents(embeddings(s, dir), "label", "vec_id",
+        "embedding", 4).orderBy(col("label"), col("pos"))),
+
+    // Language id (stopword-profile argmax heuristic)
+    "text_langid" -> ((s, dir) =>
+      documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          TextFns.langId(col("text")).as("pred_lang"))
+        .orderBy(col("doc_id"))),
+
+    // Quality scoring: length/punct/stopword ratios + composite score
+    "text_quality" -> ((s, dir) =>
+      documents(s, dir).select(col("doc_id"),
+        length(col("text")).as("n_chars_calc"),
+        size(TextFns.words(col("text"))).as("n_words"),
+        TextFns.avgWordLen(col("text")).as("avg_word_len"),
+        TextFns.punctRatio(col("text")).as("punct_ratio"),
+        TextFns.stopwordRatio(col("text"), TextFns.EnStop).as("stop_ratio"),
+        TextFns.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))),
+
+    // Token counting: whitespace + BPE-ish regex + distinct ratio
+    "text_tokens" -> ((s, dir) =>
+      documents(s, dir).select(col("doc_id"),
+        size(TextFns.words(col("text"))).as("ws_tokens"),
+        size(TextFns.regexTokens(col("text"))).as("re_tokens"),
+        (size(array_distinct(TextFns.words(col("text")))).cast("double") /
+          size(TextFns.words(col("text")))).as("distinct_ratio"))
+        .orderBy(col("doc_id"))),
+
+    // Document fingerprint: winnowing-style min-hash + 2-band signature
+    "text_fingerprint" -> ((s, dir) => {
+      val fp = documents(s, dir).select(col("doc_id"),
+        TextFns.fingerprint(col("text")).as("fp"))
+      val sig = Dedup.minhashSignature(documents(s, dir), "doc_id", "text", 2)
+        .select(col("doc_id"),
+          concat(substring(col("m0"), 1, 8), substring(col("m1"), 1, 8))
+            .as("sig16"))
+      fp.join(sig, "doc_id").orderBy(col("doc_id"))
+    }),
+
+    // Multimodal: opaque-binary media table → partition-parallel (stub)
+    // decode → typed features
+    "mm_media_meta" -> ((s, dir) => {
+      val media = Multimodal.asMedia(documents(s, dir), "doc_id", "text")
+      Multimodal.decodeFeatures(s, media).toDF()
+        .select(col("docId").as("doc_id"), col("kind"), col("byteLen").as("byte_len"),
+          col("width"), col("height"), col("fingerprint"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Multimodal: frame sampling over the payload
+    "mm_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(documents(s, dir), "doc_id", col("text"), 64)
+        .orderBy(col("doc_id"), col("frame_idx")))
   )
 
   /** DuckDB oracle SQL per query (same tables, same column names/order). */
@@ -342,5 +449,165 @@ object SparkEntry {
         "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty " +
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
         "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus")
+  ) ++ extensionOracles
+
+  // shingle-set CTE shared by the dedup oracles (3-word shingles, distinct)
+  private val shingleCte =
+    "WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+      "sets AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1), " +
+      "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM w), " +
+      "sh AS (SELECT doc_id, unnest(s) AS sg FROM sets)"
+
+  /** DuckDB dot product matching [[Similarity.dot]] exactly (double-promoted
+    * elements, sequential accumulation). */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
+
+  private def cosSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  private val enListSql = TextFns.EnStop.map(w => s"'$w'").mkString("(", ",", ")")
+
+  private def extensionOracles: Map[String, String] = Map(
+    "t9_column_lookup" ->
+      (eventsOracleCte +
+        "SELECT id, k, value FROM cs WHERE table_name = 'click' ORDER BY id"),
+
+    "dedup_exact" ->
+      ("WITH all_docs AS (SELECT doc_id, text FROM documents UNION ALL " +
+        "SELECT doc_id + 100000, text FROM documents WHERE doc_id % 3 = 0) " +
+        "SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, " +
+        "CAST(count(*) AS BIGINT) AS copies FROM all_docs " +
+        "GROUP BY md5(text) ORDER BY keeper_id"),
+
+    "dedup_minhash_lsh" ->
+      (shingleCte + ", " +
+        "sig AS (SELECT doc_id, " +
+        (0 until 8).map(i => s"min(md5('$i|' || sg)) AS m$i").mkString(", ") +
+        " FROM sh GROUP BY doc_id), " +
+        "bands AS (" +
+        (0 until 4).map(i =>
+          s"SELECT doc_id, $i AS band, md5(m${2 * i} || m${2 * i + 1}) AS bkey FROM sig")
+          .mkString(" UNION ALL ") + "), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+        "FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey " +
+        "AND a.doc_id < b.doc_id), " +
+        "j AS (SELECT doc_a, doc_b, " +
+        "CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / " +
+        "len(list_distinct(x.s || y.s)) AS jac " +
+        "FROM cand JOIN sets x ON x.doc_id = cand.doc_a " +
+        "JOIN sets y ON y.doc_id = cand.doc_b) " +
+        "SELECT doc_a, doc_b, jac FROM j WHERE jac >= 0.8 ORDER BY doc_a, doc_b"),
+
+    "dedup_simhash" ->
+      ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "dw AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1), " +
+        "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS dw FROM w), " +
+        "sim AS (SELECT doc_id, CAST(" +
+        (0 until 24).map { j =>
+          s"(CASE WHEN 2 * len(list_filter(dw, x -> substr(md5(x), ${j + 1}, 1) IN " +
+            s"('8','9','a','b','c','d','e','f'))) > len(dw) THEN ${1 << j} ELSE 0 END)"
+        }.mkString(" + ") +
+        " AS INTEGER) AS simhash FROM dw) " +
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS simhash " +
+        "FROM sim a JOIN sim b ON a.simhash = b.simhash AND a.doc_id < b.doc_id " +
+        "ORDER BY doc_a, doc_b"),
+
+    "dedup_ngram_jaccard" ->
+      (shingleCte + ", " +
+        "pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "CAST(count(*) AS BIGINT) AS inter FROM sh a JOIN sh b " +
+        "ON a.sg = b.sg AND a.doc_id < b.doc_id GROUP BY 1, 2 " +
+        "HAVING count(*) >= 2), " +
+        "sz AS (SELECT doc_id, len(s) AS n FROM sets), " +
+        "j AS (SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / " +
+        "(x.n + y.n - inter) AS jac FROM pr " +
+        "JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b) " +
+        "SELECT doc_a, doc_b, jac FROM j WHERE jac >= 0.8 ORDER BY doc_a, doc_b"),
+
+    "embed_cosine_topk" ->
+      ("WITH e AS (SELECT * FROM embeddings), " +
+        "p AS (SELECT embedding AS pv FROM e WHERE vec_id = 0) " +
+        s"SELECT vec_id, ${cosSql("embedding", "pv")} AS cos FROM e, p " +
+        "WHERE vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10"),
+
+    "embed_ann_lsh" ->
+      ("WITH e AS (SELECT *, (" +
+        (0 until 4).map(i =>
+          s"CASE WHEN embedding[${i + 1}] > embedding[${i + 33}] THEN ${1 << i} ELSE 0 END")
+          .mkString(" + ") +
+        ") AS bucket FROM embeddings), " +
+        "p AS (SELECT embedding AS pv, bucket AS pb FROM e WHERE vec_id = 0) " +
+        s"SELECT vec_id, ${cosSql("embedding", "pv")} AS cos FROM e, p " +
+        "WHERE bucket = pb AND vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 5"),
+
+    "embed_centroid" ->
+      ("WITH x AS (SELECT label, vec_id, CAST(i AS INTEGER) - 1 AS pos, " +
+        "embedding[i]::DOUBLE AS v FROM embeddings, " +
+        "(SELECT unnest(range(1, 5)) AS i) idx) " +
+        "SELECT label, pos, list_reduce(list_prepend(0.0, list(v ORDER BY vec_id)), " +
+        "(s, x) -> s + x) / CAST(count(*) AS BIGINT) AS dim_avg " +
+        "FROM x GROUP BY label, pos ORDER BY label, pos"),
+
+    "text_langid" -> {
+      def listSql(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ",", ")")
+      "WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents), " +
+        "r AS (SELECT doc_id, lang, " +
+        s"CAST(len(list_filter(w, x -> x IN ${listSql(TextFns.EnStop)})) AS DOUBLE)/len(w) AS s_en, " +
+        s"CAST(len(list_filter(w, x -> x IN ${listSql(TextFns.DeStop)})) AS DOUBLE)/len(w) AS s_de, " +
+        s"CAST(len(list_filter(w, x -> x IN ${listSql(TextFns.EsStop)})) AS DOUBLE)/len(w) AS s_es, " +
+        s"CAST(len(list_filter(w, x -> x IN ${listSql(TextFns.FrStop)})) AS DOUBLE)/len(w) AS s_fr " +
+        "FROM w) " +
+        "SELECT doc_id, lang, CASE " +
+        "WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= 0.03 THEN 'en' " +
+        "WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= 0.03 THEN 'de' " +
+        "WHEN s_es >= s_fr AND s_es >= 0.03 THEN 'es' " +
+        "WHEN s_fr >= 0.03 THEN 'fr' ELSE 'und' END AS pred_lang " +
+        "FROM r ORDER BY doc_id"
+    },
+
+    "text_quality" ->
+      ("SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars_calc, " +
+        "CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words, " +
+        "CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS DOUBLE) " +
+        "/ len(string_split(text, ' ')) AS avg_word_len, " +
+        "CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio, " +
+        s"CAST(len(list_filter(string_split(text, ' '), x -> x IN $enListSql)) AS DOUBLE) " +
+        "/ len(string_split(text, ' ')) AS stop_ratio, " +
+        s"CAST(len(list_filter(string_split(text, ' '), x -> x IN $enListSql)) AS DOUBLE) " +
+        "/ len(string_split(text, ' ')) * 0.3 " +
+        "+ least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.3 " +
+        "+ CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE) / length(text) * 0.4 " +
+        "AS quality FROM documents ORDER BY doc_id"),
+
+    "text_tokens" ->
+      ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens, " +
+        s"CAST(len(regexp_extract_all(text, '${TextFns.TokenPattern}')) AS INTEGER) AS re_tokens, " +
+        "CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) " +
+        "/ len(string_split(text, ' ')) AS distinct_ratio " +
+        "FROM documents ORDER BY doc_id"),
+
+    "text_fingerprint" ->
+      (shingleCte + ", " +
+        "sig AS (SELECT doc_id, min(md5('0|' || sg)) AS m0, min(md5('1|' || sg)) AS m1 " +
+        "FROM sh GROUP BY doc_id), " +
+        "fp AS (SELECT doc_id, list_min(list_transform(s, x -> md5(x))) AS fp FROM sets) " +
+        "SELECT fp.doc_id AS doc_id, fp.fp AS fp, " +
+        "substring(m0, 1, 8) || substring(m1, 1, 8) AS sig16 " +
+        "FROM fp JOIN sig ON sig.doc_id = fp.doc_id ORDER BY doc_id"),
+
+    "mm_media_meta" ->
+      ("SELECT doc_id, 'text/plain' AS kind, " +
+        "CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, " +
+        "CAST(octet_length(encode(text)) % 640 + 64 AS INTEGER) AS width, " +
+        "CAST(octet_length(encode(text)) % 480 + 48 AS INTEGER) AS height, " +
+        "md5(text) AS fingerprint FROM documents ORDER BY doc_id"),
+
+    "mm_frame_sample" ->
+      ("WITH f AS (SELECT doc_id, text, " +
+        "unnest(range(0, octet_length(encode(text)) // 64)) AS i FROM documents) " +
+        "SELECT doc_id, CAST(i AS INTEGER) AS frame_idx, " +
+        "md5(substr(text, CAST(i * 64 + 1 AS INTEGER), 64)) AS frame_hash " +
+        "FROM f ORDER BY doc_id, frame_idx")
   )
 }

@@ -310,14 +310,12 @@ object SparkEntry {
           size(TextFns.words(col("text")))).as("distinct_ratio"))
         .orderBy(col("doc_id"))),
 
-    // Document fingerprint: winnowing-style min-hash + 2-band signature
+    // Document fingerprint: winnowing-style min-hash + 2-hash signature
     "text_fingerprint" -> ((s, dir) => {
       val fp = documents(s, dir).select(col("doc_id"),
         TextFns.fingerprint(col("text")).as("fp"))
       val sig = Dedup.minhashSignature(documents(s, dir), "doc_id", "text", 2)
-        .select(col("doc_id"),
-          concat(substring(col("m0"), 1, 8), substring(col("m1"), 1, 8))
-            .as("sig16"))
+        .select(col("doc_id"), col("m0").as("sig_a"), col("m1").as("sig_b"))
       fp.join(sig, "doc_id").orderBy(col("doc_id"))
     }),
 
@@ -482,12 +480,13 @@ object SparkEntry {
 
     "dedup_minhash_lsh" ->
       (shingleCte + ", " +
+        s"sh2 AS (SELECT doc_id, ${Dedup.hash28Sql("sg")} AS hh FROM sh), " +
         "sig AS (SELECT doc_id, " +
-        (0 until 8).map(i => s"min(md5('$i|' || sg)) AS m$i").mkString(", ") +
-        " FROM sh GROUP BY doc_id), " +
+        (0 until 8).map(i => s"min(${Dedup.affineSql(i, "hh")}) AS m$i").mkString(", ") +
+        " FROM sh2 GROUP BY doc_id), " +
         "bands AS (" +
         (0 until 4).map(i =>
-          s"SELECT doc_id, $i AS band, md5(m${2 * i} || m${2 * i + 1}) AS bkey FROM sig")
+          s"SELECT doc_id, $i AS band, md5(concat_ws('|', m${2 * i}, m${2 * i + 1})) AS bkey FROM sig")
           .mkString(" UNION ALL ") + "), " +
         "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
         "FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey " +
@@ -589,11 +588,12 @@ object SparkEntry {
 
     "text_fingerprint" ->
       (shingleCte + ", " +
-        "sig AS (SELECT doc_id, min(md5('0|' || sg)) AS m0, min(md5('1|' || sg)) AS m1 " +
-        "FROM sh GROUP BY doc_id), " +
+        s"sh2 AS (SELECT doc_id, ${Dedup.hash28Sql("sg")} AS hh FROM sh), " +
+        s"sig AS (SELECT doc_id, min(${Dedup.affineSql(0, "hh")}) AS m0, " +
+        s"min(${Dedup.affineSql(1, "hh")}) AS m1 FROM sh2 GROUP BY doc_id), " +
         "fp AS (SELECT doc_id, list_min(list_transform(s, x -> md5(x))) AS fp FROM sets) " +
         "SELECT fp.doc_id AS doc_id, fp.fp AS fp, " +
-        "substring(m0, 1, 8) || substring(m1, 1, 8) AS sig16 " +
+        "m0 AS sig_a, m1 AS sig_b " +
         "FROM fp JOIN sig ON sig.doc_id = fp.doc_id ORDER BY doc_id"),
 
     "mm_media_meta" ->

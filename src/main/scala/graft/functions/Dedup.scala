@@ -12,23 +12,42 @@ import org.apache.spark.sql.functions._
  *    map-side partial aggregation, single shuffle keyed by a 128-bit hash,
  *    uniformly distributed (no skew by construction).
  *  - MinHash-LSH is the 100 TB near-dup path: per-document signatures are
- *    narrow map work; candidate generation shuffles only (band, key) pairs
- *    (docs × bands rows, NOT docs² pairs); the exact-Jaccard verify runs
- *    only on candidates. This is the shingle→minhash→band→bucket-join
- *    pipeline of Broder-style near-dup detection.
- *  - SimHash buckets docs by a short locality-sensitive bit signature —
- *    equal signatures are candidate near-dups; one groupBy/self-join on a
- *    16-bit key.
+ *    narrow map work (ONE md5 per shingle; the hash family is affine
+ *    transforms of that one digest, so adding hash functions is ~free);
+ *    candidate generation shuffles only (band, key) pairs (docs × bands
+ *    rows, NOT docs² pairs); the exact-Jaccard verify runs only on
+ *    candidates. This is the shingle→minhash→band→bucket-join pipeline of
+ *    Broder-style near-dup detection.
+ *  - SimHash is computed relationally (explode shingles → 24 conditional
+ *    sums → bits), one md5 per shingle, one map-side-combinable shuffle.
  *  - n-gram-Jaccard "exact" mode uses an inverted shingle index join (pairs
  *    that share ≥1 shingle), not a cross join — still superlinear in the
  *    worst case, which is why LSH is the default at scale.
  */
 object Dedup {
 
-  /** md5 hash-family member: h_i(s) = md5(i || '|' || s), compared as hex
-    * strings (lexicographic order ≡ unsigned numeric order for hex). */
-  private def saltedHash(i: Int, s: Column): Column =
-    md5(concat(lit(i.toString), lit("|"), s))
+  /** 28-bit integer hash of a shingle: prefix of its md5. One digest per
+    * shingle; all derived hash functions reuse it. */
+  private def hash28(s: Column): Column =
+    conv(substring(md5(s), 1, 7), 16, 10).cast("long")
+
+  // Affine hash family over hash28: h_i(x) = (A(i)·x + B(i)) mod P.
+  // P is the Mersenne prime 2^31-1; A·x stays well under 2^63.
+  val P = 2147483647L
+  private val A = Seq(1299721L, 15485863L, 32452843L, 49979687L,
+    67867967L, 86028121L, 104395301L, 122949823L)
+  private val B = Seq(104729L, 1299709L, 15485857L, 32452841L,
+    49979693L, 67867979L, 86028157L, 104395303L)
+
+  private def affine(i: Int, x: Column): Column =
+    pmod(lit(A(i)) * x + lit(B(i)), lit(P))
+
+  /** SQL rendering of the same family for the DuckDB oracles. */
+  def affineSql(i: Int, x: String): String =
+    s"(${A(i)} * $x + ${B(i)}) % $P"
+
+  def hash28Sql(s: String): String =
+    s"CAST('0x' || substring(md5($s), 1, 7) AS BIGINT)"
 
   /**
    * Exact dedup: group by content hash, keep the smallest id as the
@@ -39,18 +58,19 @@ object Dedup {
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("copies"))
 
   /**
-   * Per-document MinHash band minima. `numHashes` salted-md5 hash functions;
-   * one groupBy computes all minima in a single pass (map-side combinable).
-   * Returns (idCol, m0..m{n-1}).
+   * Per-document MinHash signature: minima of `numHashes` affine hashes of
+   * the 28-bit shingle digests. One groupBy computes all minima in a single
+   * pass (map-side combinable). Returns (idCol, m0..m{n-1}) as longs.
    */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
                        numHashes: Int = 8): DataFrame = {
     val sh = df.select(col(idCol),
       explode(TextFns.shingles(col(textCol))).as("s"))
+      .withColumn("hh", hash28(col("s")))
     sh.groupBy(col(idCol))
-      .agg(min(saltedHash(0, col("s"))).as("m0"),
+      .agg(min(affine(0, col("hh"))).as("m0"),
         (1 until numHashes).map(i =>
-          min(saltedHash(i, col("s"))).as(s"m$i")): _*)
+          min(affine(i, col("hh"))).as(s"m$i")): _*)
   }
 
   /**
@@ -62,11 +82,11 @@ object Dedup {
                     numBands: Int = 4): DataFrame = {
     val sig = minhashSignature(df, idCol, textCol, numBands * 2)
     val bands = array((0 until numBands).map(i =>
-      md5(concat(col(s"m${2 * i}"), col(s"m${2 * i + 1}")))): _*)
-    val keyed = sig.select(col(idCol), posexplode(bands).as(Seq("band", "key")))
-    val a = keyed.select(col(idCol).as("doc_a"), col("band"), col("key"))
-    val b = keyed.select(col(idCol).as("doc_b"), col("band"), col("key"))
-    a.join(b, Seq("band", "key"))
+      md5(concat_ws("|", col(s"m${2 * i}"), col(s"m${2 * i + 1}")))): _*)
+    val keyed = sig.select(col(idCol), posexplode(bands).as(Seq("band", "bkey")))
+    val a = keyed.select(col(idCol).as("doc_a"), col("band"), col("bkey"))
+    val b = keyed.select(col(idCol).as("doc_b"), col("band"), col("bkey"))
+    a.join(b, Seq("band", "bkey"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
   }
@@ -91,29 +111,36 @@ object Dedup {
   }
 
   /**
-   * 24-bit SimHash over the distinct shingles of a document. Bit j is set
-   * when more shingles hash to 1 than to -1 in that position (position =
-   * j-th hex digit of the shingle's md5, high bit of the digit). Documents
-   * with equal signatures are near-dup candidates. Shingles (not bare
-   * words) keep the signature discriminative on small-vocabulary corpora.
+   * Relational SimHash signatures: explode shingles, hash each ONCE, then
+   * `bits` conditional ±1 sums (bit j from the j-th hex digit's high bit of
+   * the shingle md5); signature bit j set when the sum is positive.
+   * One map-side-combinable shuffle on the doc id.
    */
-  def simhash(text: Column, bits: Int = 24): Column = {
-    val dw = TextFns.shingles(text)
-    val terms = (0 until bits).map { j =>
-      val ones = size(filter(dw, w =>
-        substring(md5(w), j + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f")))
-      when(ones * 2 > size(dw), lit(1 << j)).otherwise(lit(0))
-    }
-    terms.reduce(_ + _).cast("int")
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        bits: Int = 24): DataFrame = {
+    val sh = df.select(col(idCol),
+      explode(TextFns.shingles(col(textCol))).as("s"))
+      .withColumn("h", md5(col("s")))
+    val sums = sh.groupBy(col(idCol)).agg(
+      sum(bitTerm(0)).as("s0"),
+      (1 until bits).map(j => sum(bitTerm(j)).as(s"s$j")): _*)
+    sums.select(col(idCol),
+      (0 until bits).map(j =>
+        when(col(s"s$j") > 0, lit(1 << j)).otherwise(lit(0)))
+        .reduce(_ + _).cast("int").as("simhash"))
   }
+
+  private def bitTerm(j: Int): Column =
+    when(substring(col("h"), j + 1, 1)
+      .isin("8", "9", "a", "b", "c", "d", "e", "f"), lit(1)).otherwise(lit(-1))
 
   /** SimHash bucket pairs: documents sharing an identical signature. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sh = df.select(col(idCol), simhash(col(textCol)).as("sim"))
-    val a = sh.select(col(idCol).as("doc_a"), col("sim"))
-    val b = sh.select(col(idCol).as("doc_b"), col("sim"))
-    a.join(b, "sim").filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sim").as("simhash"))
+    val sh = simhashSignatures(df, idCol, textCol)
+    val a = sh.select(col(idCol).as("doc_a"), col("simhash"))
+    val b = sh.select(col(idCol).as("doc_b"), col("simhash"))
+    a.join(b, "simhash").filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("simhash"))
   }
 
   /**

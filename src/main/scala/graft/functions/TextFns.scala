@@ -27,12 +27,20 @@ object TextFns {
   /**
    * Distinct word n-gram shingles (default 3). Guarded so documents shorter
    * than n words yield an empty set rather than a bad sequence.
+   *
+   * Built by zipping the word array with its own shifted slices — O(words)
+   * per row. (The naive `transform(sequence(...), i -> element_at(w, i))`
+   * form re-inlines the split into every element lookup — HOF lambdas
+   * don't CSE outer expressions — making it O(words²) per row; measured
+   * 7s vs 0.5s on 5k docs.)
    */
   def shingles(text: Column, n: Int = 3): Column = {
     val w = words(text)
-    when(size(w) >= n,
-      array_distinct(transform(sequence(lit(1), size(w) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(o => element_at(w, i + o)): _*))))
+    val joined = (1 until n).foldLeft(w) { (acc, o) =>
+      zip_with(acc, slice(w, lit(o + 1), size(w) - o),
+        (x, y) => concat(x, lit(" "), y))
+    }
+    when(size(w) >= n, array_distinct(filter(joined, x => x.isNotNull)))
       .otherwise(array().cast("array<string>"))
   }
 

@@ -332,7 +332,22 @@ object SparkEntry {
     // Multimodal: frame sampling over the payload
     "mm_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(documents(s, dir), "doc_id", col("text"), 64)
-        .orderBy(col("doc_id"), col("frame_idx")))
+        .orderBy(col("doc_id"), col("frame_idx"))),
+
+    // Streaming capability: event-time tumbling-window aggregation (same
+    // code path as the streaming query, run over the batch frame)
+    "stream_window_agg" -> ((s, dir) =>
+      graft.streaming.ChangesetStream.windowedCounts(
+        Changelog.fromEvents(s, dir))
+        .orderBy(col("window_start_us"), col("table_name"))),
+
+    // Streaming capability: gap-based sessionization (batch/window path;
+    // the flatMapGroupsWithState path shares semantics — see StreamingSpec)
+    "stream_sessionize" -> ((s, dir) =>
+      graft.streaming.Sessionize.byWindows(
+        events(s, dir).select(col("user_id"),
+          expr("ts div 1000").as("ts_us")), 30)
+        .orderBy(col("user_id"), col("session_id")))
   )
 
   /** DuckDB oracle SQL per query (same tables, same column names/order). */
@@ -608,6 +623,25 @@ object SparkEntry {
         "unnest(range(0, octet_length(encode(text)) // 64)) AS i FROM documents) " +
         "SELECT doc_id, CAST(i AS INTEGER) AS frame_idx, " +
         "md5(substr(text, CAST(i * 64 + 1 AS INTEGER), 64)) AS frame_hash " +
-        "FROM f ORDER BY doc_id, frame_idx")
+        "FROM f ORDER BY doc_id, frame_idx"),
+
+    "stream_window_agg" ->
+      (eventsOracleCte +
+        "SELECT ts_us - ts_us % 3600000000 AS window_start_us, table_name, " +
+        "CAST(count(*) AS BIGINT) AS cnt FROM cs " +
+        "GROUP BY 1, 2 ORDER BY window_start_us, table_name"),
+
+    "stream_sessionize" ->
+      ("WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events), " +
+        "x AS (SELECT user_id, ts_us, lag(ts_us) OVER " +
+        "(PARTITION BY user_id ORDER BY ts_us) AS prev FROM e), " +
+        "y AS (SELECT user_id, ts_us, CASE WHEN prev IS NULL " +
+        "OR ts_us - prev > 1800000000 THEN 1 ELSE 0 END AS ns FROM x), " +
+        "z AS (SELECT user_id, ts_us, CAST(sum(ns) OVER " +
+        "(PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS BIGINT) " +
+        "AS session_id FROM y) " +
+        "SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events, " +
+        "min(ts_us) AS start_us, max(ts_us) AS end_us FROM z " +
+        "GROUP BY user_id, session_id ORDER BY user_id, session_id")
   )
 }

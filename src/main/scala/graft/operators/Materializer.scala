@@ -56,6 +56,85 @@ object Materializer {
       .select(col("r.*"))
   }
 
+  /** Internal state columns for [[mergeVersioned]]. */
+  val VersionCol = "__graft_v"
+  val TombstoneCol = "__graft_tombstone"
+
+  /**
+   * Versioned merge for at-least-once / possibly out-of-order micro-batches
+   * (the streaming sink path). State rows carry the changeset id that
+   * produced them ([[VersionCol]]) and deletes are kept as tombstones
+   * ([[TombstoneCol]]) so that:
+   *   - re-applying a batch is a no-op (idempotent at-least-once),
+   *   - a batch that arrives late (lower ids) can never overwrite newer
+   *     state — the reference gets this by being strictly serial; we get it
+   *     by comparing versions,
+   *   - INSERT on a live key is skipped (reference dup-skip,
+   *     axon_sql.go:133-146) but INSERT after a tombstoned DELETE with a
+   *     newer id re-creates the row.
+   *
+   * `state` must carry rowSchema + version/tombstone columns (bootstrap with
+   * [[emptyVersionedState]]); read the user view with [[currentView]].
+   */
+  def mergeVersioned(state: DataFrame, batch: DataFrame, pkCol: String,
+                     rowSchema: StructType): DataFrame = {
+    val keyed = batch.withColumn("__pk",
+      coalesce(get_json_object(col("new_values"), s"$$.$pkCol"),
+               get_json_object(col("old_values"), s"$$.$pkCol")))
+    val latest = latestPerKey(keyed, Seq(col("__pk")))
+    val pkType = rowSchema(pkCol).dataType
+    val decoded = latest.select(
+      col("__pk").cast(pkType).as("__key"),
+      col("action").as("__action"),
+      col("id").as("__bv"),
+      from_json(col("new_values"), rowSchema).as("__row"))
+
+    val joined = state.alias("s").join(
+      decoded.alias("c"), col("s." + pkCol) === col("__key"), "full_outer")
+    val stateStruct = struct(
+      (rowSchema.fieldNames.map(c => col("s." + c)) :+
+        col("s." + VersionCol).as(VersionCol) :+
+        col("s." + TombstoneCol).as(TombstoneCol)): _*)
+    val batchStruct = struct(
+      (rowSchema.fieldNames.map(c =>
+        when(col("__action") === "DELETE",
+          // tombstones must keep the key even when there was no prior
+          // state row for it (delete-before-insert arrival order)
+          if (c == pkCol) coalesce(col("s." + c), col("__key"))
+          else col("s." + c))
+          .otherwise(col("__row." + c)).as(c)) :+
+        col("__bv").as(VersionCol) :+
+        (col("__action") === "DELETE").as(TombstoneCol)): _*)
+    val live = col("s." + pkCol).isNotNull && !col("s." + TombstoneCol)
+    val takeBatch =
+      col("s." + pkCol).isNull ||
+        (col("__bv") > col("s." + VersionCol) &&
+          // dup-skip: INSERT does not touch a live row
+          !(col("__action") === "INSERT" && live))
+    joined.select(
+      when(col("__key").isNull, stateStruct)
+        .when(takeBatch, batchStruct)
+        .otherwise(stateStruct).as("r"))
+      .select(col("r.*"))
+  }
+
+  def emptyVersionedState(spark: org.apache.spark.sql.SparkSession,
+                          rowSchema: StructType): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      versionedSchema(rowSchema))
+
+  def versionedSchema(rowSchema: StructType): StructType =
+    StructType(rowSchema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField(VersionCol,
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField(TombstoneCol,
+        org.apache.spark.sql.types.BooleanType, nullable = true)))
+
+  /** User-facing view of a versioned state table: live rows, user columns. */
+  def currentView(state: DataFrame): DataFrame =
+    state.filter(!col(TombstoneCol)).drop(VersionCol, TombstoneCol)
+
   /**
    * K3/K4/K5 batch merge: apply one micro-batch of changes to an existing
    * state table. Insert semantics skip duplicate PKs already in the state
@@ -63,7 +142,8 @@ object Materializer {
    * (axon_sql.go:77-106), delete removes by PK (axon_sql.go:108-122).
    *
    * state and the returned DataFrame share `rowSchema`; `pkCol` names the PK
-   * column in the state and in the decoded payload.
+   * column in the state and in the decoded payload. For out-of-order /
+   * at-least-once micro-batch streams use [[mergeVersioned]].
    */
   def merge(state: DataFrame, batch: DataFrame, pkCol: String,
             rowSchema: StructType): DataFrame = {

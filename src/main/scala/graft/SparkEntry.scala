@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.model.ChangesetSchema
 import graft.functions.{Dedup, Multimodal, Similarity, TextFns}
-import graft.operators.{Checksum, Materializer, Pipeline, Stages, TableFilters}
+import graft.operators.{AsOfJoin, Checksum, Materializer, Pipeline, Stages, TableFilters}
 import graft.sources.{Changelog, Replay, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -347,7 +347,94 @@ object SparkEntry {
       graft.streaming.Sessionize.byWindows(
         events(s, dir).select(col("user_id"),
           expr("ts div 1000").as("ts_us")), 30)
-        .orderBy(col("user_id"), col("session_id")))
+        .orderBy(col("user_id"), col("session_id"))),
+
+    // As-of join (merge-based union+window; no range-join explosion):
+    // each click joined to the user's latest signup at or before it
+    "join_asof" -> ((s, dir) => {
+      val e = events(s, dir).select(col("event_id").as("id"), col("user_id"),
+        expr("ts div 1000").as("ts_us"), col("event_type"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("id"), col("user_id"), col("ts_us"))
+      val signups = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts_us"), col("ts_us").as("signup_ts"))
+      AsOfJoin.lastValue(clicks, signups, Seq("user_id"), "ts_us", "ts_us",
+        "signup_ts")
+        .select(col("id"), col("user_id"), col("ts_us"),
+          col("asof_signup_ts"))
+        .orderBy(col("id"))
+    }),
+
+    // Join + group + top-k (TPC-H Q3 flavor); dimension side broadcast
+    "q3_join_topk" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.load(s, dir, "orders")
+      val l = Tables.load(s, dir, "lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,6)")).cast("double").as("revenue"),
+          max(col("o_totalprice")).as("o_totalprice"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // Multi-way join over the star schema (TPC-H Q5 flavor); small dims
+    // broadcast, revenue per nation
+    "q5_multijoin" -> ((s, dir) => {
+      val r = Tables.load(s, dir, "region")
+      val n = Tables.load(s, dir, "nation")
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+      val l = Tables.load(s, dir, "lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,6)")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // Window top-k per group
+    "window_topk_per_group" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.load(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    // Set operations + semi/anti joins
+    "setops_semi_anti" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+      val su = Tables.load(s, dir, "supplier")
+      val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .agg(count(lit(1)).as("cnt")).select(lit("cust_with_orders").as("label"), col("cnt"))
+      val withoutOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("cnt")).select(lit("cust_without_orders").as("label"), col("cnt"))
+      val shared = c.select(col("c_nationkey")).distinct()
+        .intersect(su.select(col("s_nationkey").as("c_nationkey")).distinct())
+        .agg(count(lit(1)).as("cnt")).select(lit("nations_shared").as("label"), col("cnt"))
+      val custOnly = c.select(col("c_nationkey")).distinct()
+        .except(su.select(col("s_nationkey").as("c_nationkey")).distinct())
+        .agg(count(lit(1)).as("cnt")).select(lit("nations_customer_only").as("label"), col("cnt"))
+      withOrders.unionByName(withoutOrders).unionByName(shared)
+        .unionByName(custOnly).orderBy(col("label"))
+    }),
+
+    // Grouping sets / rollup
+    "agg_rollup" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")))
   )
 
   /** DuckDB oracle SQL per query (same tables, same column names/order). */
@@ -642,6 +729,64 @@ object SparkEntry {
         "AS session_id FROM y) " +
         "SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events, " +
         "min(ts_us) AS start_us, max(ts_us) AS end_us FROM z " +
-        "GROUP BY user_id, session_id ORDER BY user_id, session_id")
+        "GROUP BY user_id, session_id ORDER BY user_id, session_id"),
+
+    "join_asof" ->
+      ("WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type " +
+        "FROM events), " +
+        "t AS (SELECT user_id, ts_us AS tt, 0 AS side, ts_us AS val, " +
+        "CAST(NULL AS BIGINT) AS id, CAST(NULL AS BIGINT) AS lts " +
+        "FROM e WHERE event_type = 'signup' " +
+        "UNION ALL SELECT user_id, ts_us, 1, NULL, event_id, ts_us " +
+        "FROM e WHERE event_type = 'click'), " +
+        "m AS (SELECT *, last_value(val IGNORE NULLS) OVER " +
+        "(PARTITION BY user_id ORDER BY tt, side " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_signup_ts " +
+        "FROM t) " +
+        "SELECT id, user_id, lts AS ts_us, asof_signup_ts FROM m " +
+        "WHERE side = 1 ORDER BY id"),
+
+    "q3_join_topk" ->
+      ("SELECT l_orderkey, " +
+        "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue, " +
+        "max(o_totalprice) AS o_totalprice " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "WHERE c_mktsegment = 'BUILDING' " +
+        "GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10"),
+
+    "q5_multijoin" ->
+      ("SELECT r_name, n_name, " +
+        "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY r_name, n_name ORDER BY revenue DESC, n_name"),
+
+    "window_topk_per_group" ->
+      ("SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (" +
+        "SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "CAST(row_number() OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn FROM orders) t " +
+        "WHERE rn <= 3 ORDER BY o_custkey, rn"),
+
+    "setops_semi_anti" ->
+      ("SELECT 'cust_with_orders' AS label, CAST((SELECT count(*) FROM customer c " +
+        "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS BIGINT) AS cnt " +
+        "UNION ALL SELECT 'cust_without_orders', CAST((SELECT count(*) FROM customer c " +
+        "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS BIGINT) " +
+        "UNION ALL SELECT 'nations_shared', (SELECT CAST(count(*) AS BIGINT) FROM " +
+        "(SELECT DISTINCT c_nationkey FROM customer INTERSECT " +
+        "SELECT DISTINCT s_nationkey FROM supplier) q) " +
+        "UNION ALL SELECT 'nations_customer_only', (SELECT CAST(count(*) AS BIGINT) FROM " +
+        "(SELECT DISTINCT c_nationkey FROM customer EXCEPT " +
+        "SELECT DISTINCT s_nationkey FROM supplier) q) " +
+        "ORDER BY label"),
+
+    "agg_rollup" ->
+      ("SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt " +
+        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST")
   )
 }

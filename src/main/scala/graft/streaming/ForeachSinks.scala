@@ -1,0 +1,45 @@
+package graft.streaming
+
+import org.apache.spark.sql.{ForeachWriter, Row}
+
+/**
+ * K2 — per-event push sink (reference: the demo websocket broadcaster,
+ * build/demo-service/main.go:60-66). A `ForeachWriter` is Spark's shape
+ * for per-row push delivery: one writer instance per partition per epoch,
+ * `open/process/close` lifecycle.
+ *
+ * The transport is pluggable; [[CollectingWriter]] is the in-memory test
+ * transport standing in for a websocket/HTTP client (none exists in this
+ * environment).
+ */
+object ForeachSinks {
+
+  /** Serialize a changeset row as the reference CLI does (JSON per event,
+    * internal/cli/warp_pipe.go:100-114). */
+  def toJsonLine(r: Row): String = {
+    val fields = r.schema.fieldNames.zipWithIndex.map { case (f, i) =>
+      val v = r.get(i)
+      val vs = v match {
+        case null => "null"
+        case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+        case other => other.toString
+      }
+      "\"" + f + "\":" + vs
+    }
+    fields.mkString("{", ",", "}")
+  }
+
+  /** A push writer with a pluggable send function. */
+  class PushWriter(send: String => Unit) extends ForeachWriter[Row] {
+    override def open(partitionId: Long, epochId: Long): Boolean = true
+    override def process(r: Row): Unit = send(toJsonLine(r))
+    override def close(errorOrNull: Throwable): Unit = ()
+  }
+
+  /** Test transport: accumulates lines in a static buffer (per JVM — fine
+    * for local-mode tests). */
+  object CollectingWriter {
+    val buffer = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def writer: ForeachWriter[Row] = new PushWriter(s => { buffer.add(s); () })
+  }
+}

@@ -1,9 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StructType}
 
 /**
  * Change application / materialization (reference: axon.go — the `axon` sync
@@ -11,23 +11,36 @@ import org.apache.spark.sql.types.StructType
  * INSERT / upsert / DELETE, dispatched per event kind, axon.go:277-286).
  *
  * The reference applies serially, row-at-a-time, one sync SQL round-trip per
- * event. The Spark-native equivalent is the standard CDC materialize
- * pattern (SURVEY §2 K6): within a batch, reduce to the LATEST event per
- * primary key (window over id desc), then apply upserts and deletes in one
- * set-oriented operation. Per-key ordering — the one semantic the reference
- * gets for free by being serial — is restored explicitly by the window.
+ * event. The Spark-native equivalent reduces each micro-batch to ONE
+ * per-key outcome and applies it set-oriented against the state table. The
+ * reduction is an exact per-key ordered fold of the reference's serial
+ * semantics (INSERT skips live keys, UPDATE upserts, DELETE removes) — a
+ * plain latest-event-per-key window is NOT sufficient: an INSERT arriving
+ * after an UPDATE of the same key within one batch must still be skipped
+ * (dup-skip is state-dependent). Property-tested against a serial-apply
+ * model in MergeProperties.
  *
- * Scale notes: `latestPerKey` is one hash-partitioned shuffle on the PK; AQE
- * handles skewed keys. `merge` is a full-outer join of state×changes on the
- * PK — at 100 TB both sides hash-partition on the same key, and if state is
- * bucketed by PK the shuffle on the state side disappears entirely.
+ * Delivery contract: with batches applied in stream order (what the
+ * checkpointed source provides), the materialized state is exactly the
+ * serial-apply state for ANY changelog. Replayed batches are no-ops, and a
+ * stale batch arriving after a newer one can never regress newer state
+ * (version guard); pathological cross-batch reorderings involving
+ * dup-skipped INSERTs converge but may keep the insert the serial order
+ * would have skipped — the reference offers nothing at all here (it
+ * replays from the slot-creation LSN and trusts idempotent upserts,
+ * lr_listener.go:284-299).
+ *
+ * Scale notes: the fold is one hash-partitioned shuffle on the PK with
+ * per-key event counts bounded by batch size; AQE handles skew. `merge` is
+ * a full-outer join of state×outcomes on the PK — at 100 TB both sides
+ * hash-partition on the same key, and if state is bucketed by PK the
+ * shuffle on the state side disappears entirely.
  */
 object Materializer {
 
   /**
-   * K6 core: latest event per (schema, table, pk) by changeset id.
-   * Uses max_by-style reduction via window row_number; ties broken by id —
-   * ids are unique (BIGSERIAL in the reference audit table).
+   * K6 core: latest event per key by changeset id (window row_number; ids
+   * are unique — BIGSERIAL in the reference audit table).
    */
   def latestPerKey(changelog: DataFrame, keyCols: Seq[Column]): DataFrame = {
     val w = Window.partitionBy(keyCols: _*).orderBy(col("id").desc)
@@ -37,97 +50,116 @@ object Materializer {
       .drop("__rn")
   }
 
-  /**
-   * Materialize the final state of ONE table from its full changelog:
-   * keep the latest event per PK, drop keys whose latest event is DELETE,
-   * and decode `new_values` into typed columns with `from_json`.
-   *
-   * @param pkJsonPath JSON field in new/old_values holding the PK
-   * @param rowSchema  typed schema of the table's payload
-   */
-  def materialize(changelog: DataFrame, pkJsonPath: String,
-                  rowSchema: StructType): DataFrame = {
-    val keyed = changelog.withColumn("__pk",
-      coalesce(get_json_object(col("new_values"), s"$$.$pkJsonPath"),
-               get_json_object(col("old_values"), s"$$.$pkJsonPath")))
-    latestPerKey(keyed, Seq(col("__pk")))
-      .filter(col("action") =!= "DELETE")
-      .select(from_json(col("new_values"), rowSchema).as("r"))
-      .select(col("r.*"))
-  }
-
-  /** Internal state columns for [[mergeVersioned]]. */
+  /** Internal state columns for versioned state tables. */
   val VersionCol = "__graft_v"
   val TombstoneCol = "__graft_tombstone"
 
+  /** One prefix INSERT (before the batch's first non-INSERT for the key). */
+  case class PrefixIns(id: Long, nv: String)
+
+  /** Per-key fold outcome of one batch. */
+  case class Reduced(pk: String, determined: Boolean, present: Boolean,
+                     value: String, version: Long, prefixIns: Seq[PrefixIns])
+
   /**
-   * Versioned merge for at-least-once / possibly out-of-order micro-batches
-   * (the streaming sink path). State rows carry the changeset id that
-   * produced them ([[VersionCol]]) and deletes are kept as tombstones
-   * ([[TombstoneCol]]) so that:
-   *   - re-applying a batch is a no-op (idempotent at-least-once),
-   *   - a batch that arrives late (lower ids) can never overwrite newer
-   *     state — the reference gets this by being strictly serial; we get it
-   *     by comparing versions,
-   *   - INSERT on a live key is skipped (reference dup-skip,
-   *     axon_sql.go:133-146) but INSERT after a tombstoned DELETE with a
-   *     newer id re-creates the row.
-   *
-   * `state` must carry rowSchema + version/tombstone columns (bootstrap with
-   * [[emptyVersionedState]]); read the user view with [[currentView]].
+   * Exact per-key ordered fold of a batch's events (serial semantics).
+   * Events whose outcome depends on prior state (a leading run of INSERTs)
+   * are carried as `prefixIns` and resolved against the state at merge
+   * time; everything from the first UPDATE/DELETE on is state-independent.
+   */
+  private def reduceBatch(spark: SparkSession, batch: DataFrame,
+                          pkCol: String): DataFrame = {
+    import spark.implicits._
+    val keyed = batch
+      .withColumn("__pk",
+        coalesce(get_json_object(col("new_values"), s"$$.$pkCol"),
+                 get_json_object(col("old_values"), s"$$.$pkCol")))
+      .filter(col("__pk").isNotNull)
+      .select(col("__pk").as[String], col("id").as[Long],
+        col("action").as[String], col("new_values").as[String])
+    keyed.groupByKey(_._1).mapGroups { (pk, it) =>
+      val evs = it.toSeq.sortBy(_._2)
+      var determined = false
+      var present = false
+      var value: String = null
+      var version = -1L
+      val prefix = Seq.newBuilder[PrefixIns]
+      evs.foreach { case (_, id, action, nv) =>
+        if (!determined) action match {
+          case "INSERT" => prefix += PrefixIns(id, nv)
+          case "UPDATE" =>
+            determined = true; present = true; value = nv; version = id
+          case "DELETE" =>
+            determined = true; present = false; value = null; version = id
+          case _ => ()
+        } else action match {
+          case "INSERT" =>
+            if (!present) { present = true; value = nv; version = id }
+          case "UPDATE" => present = true; value = nv; version = id
+          case "DELETE" => present = false; value = null; version = id
+          case _ => ()
+        }
+      }
+      Reduced(pk, determined, present, value, version, prefix.result())
+    }.toDF()
+  }
+
+  /**
+   * Versioned merge: apply one batch to a versioned state table
+   * (rowSchema + [[VersionCol]] + [[TombstoneCol]]; bootstrap with
+   * [[emptyVersionedState]], read with [[currentView]]).
    */
   def mergeVersioned(state: DataFrame, batch: DataFrame, pkCol: String,
                      rowSchema: StructType): DataFrame = {
-    val keyed = batch.withColumn("__pk",
-      coalesce(get_json_object(col("new_values"), s"$$.$pkCol"),
-               get_json_object(col("old_values"), s"$$.$pkCol")))
-    val latest = latestPerKey(keyed, Seq(col("__pk")))
+    val spark = batch.sparkSession
     val pkType = rowSchema(pkCol).dataType
-    val decoded = latest.select(
-      col("__pk").cast(pkType).as("__key"),
-      col("action").as("__action"),
-      col("id").as("__bv"),
-      from_json(col("new_values"), rowSchema).as("__row"))
+    val reduced = reduceBatch(spark, batch, pkCol)
+      .withColumn("__key", col("pk").cast(pkType))
 
     val joined = state.alias("s").join(
-      decoded.alias("c"), col("s." + pkCol) === col("__key"), "full_outer")
+      reduced.alias("c"), col("s." + pkCol) === col("__key"), "full_outer")
+
+    val sv = coalesce(col("s." + VersionCol), lit(-1L))
+    val sLive = col("s." + pkCol).isNotNull &&
+      !coalesce(col("s." + TombstoneCol), lit(true))
+    // first prefix INSERT newer than the state version (serial position)
+    val firstIns = element_at(
+      filter(col("prefixIns"), x => x.getField("id") > sv), 1)
+
+    def outRow(value: Column, version: Column, tomb: Column) = struct(
+      (rowSchema.fieldNames.map { c =>
+        if (c == pkCol)
+          coalesce(col("s." + c), col("__key")).as(c)
+        else
+          when(tomb, col("s." + c))
+            .otherwise(from_json(value, rowSchema).getField(c)).as(c)
+      } :+ version.as(VersionCol) :+ tomb.as(TombstoneCol)): _*)
+
     val stateStruct = struct(
       (rowSchema.fieldNames.map(c => col("s." + c)) :+
         col("s." + VersionCol).as(VersionCol) :+
         col("s." + TombstoneCol).as(TombstoneCol)): _*)
-    val batchStruct = struct(
-      (rowSchema.fieldNames.map(c =>
-        when(col("__action") === "DELETE",
-          // tombstones must keep the key even when there was no prior
-          // state row for it (delete-before-insert arrival order)
-          if (c == pkCol) coalesce(col("s." + c), col("__key"))
-          else col("s." + c))
-          .otherwise(col("__row." + c)).as(c)) :+
-        col("__bv").as(VersionCol) :+
-        (col("__action") === "DELETE").as(TombstoneCol)): _*)
-    val live = col("s." + pkCol).isNotNull && !col("s." + TombstoneCol)
-    val takeBatch =
-      col("s." + pkCol).isNull ||
-        (col("__bv") > col("s." + VersionCol) &&
-          // dup-skip: INSERT does not touch a live row
-          !(col("__action") === "INSERT" && live))
+
     joined.select(
-      when(col("__key").isNull, stateStruct)
-        .when(takeBatch, batchStruct)
-        .otherwise(stateStruct).as("r"))
+      when(col("__key").isNull, stateStruct) // untouched state
+        .when(col("determined") && col("version") > sv,
+          outRow(col("value"), col("version"), !col("present")))
+        .when(!col("determined") && !sLive && firstIns.isNotNull,
+          outRow(firstIns.getField("nv"), firstIns.getField("id"), lit(false)))
+        .when(col("s." + pkCol).isNotNull, stateStruct) // stale/dup-skip
+        .otherwise(lit(null)).as("r"))
+      .filter(col("r").isNotNull)
       .select(col("r.*"))
   }
 
-  def emptyVersionedState(spark: org.apache.spark.sql.SparkSession,
-                          rowSchema: StructType): DataFrame =
+  def emptyVersionedState(spark: SparkSession, rowSchema: StructType): DataFrame =
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       versionedSchema(rowSchema))
 
   def versionedSchema(rowSchema: StructType): StructType =
     StructType(rowSchema.fields ++ Seq(
-      org.apache.spark.sql.types.StructField(VersionCol,
-        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField(VersionCol, LongType, nullable = true),
       org.apache.spark.sql.types.StructField(TombstoneCol,
         org.apache.spark.sql.types.BooleanType, nullable = true)))
 
@@ -136,41 +168,26 @@ object Materializer {
     state.filter(!col(TombstoneCol)).drop(VersionCol, TombstoneCol)
 
   /**
-   * K3/K4/K5 batch merge: apply one micro-batch of changes to an existing
-   * state table. Insert semantics skip duplicate PKs already in the state
-   * (reference: dup-key skip, axon_sql.go:133-146), update is an upsert
+   * K3/K4/K5 batch merge against a plain (unversioned) state table:
+   * insert skips duplicate PKs (axon_sql.go:133-146), update upserts
    * (axon_sql.go:77-106), delete removes by PK (axon_sql.go:108-122).
-   *
-   * state and the returned DataFrame share `rowSchema`; `pkCol` names the PK
-   * column in the state and in the decoded payload. For out-of-order /
-   * at-least-once micro-batch streams use [[mergeVersioned]].
+   * Exact serial semantics via the versioned path with state at version -1.
    */
   def merge(state: DataFrame, batch: DataFrame, pkCol: String,
             rowSchema: StructType): DataFrame = {
-    val latest = {
-      val keyed = batch.withColumn("__pk",
-        coalesce(get_json_object(col("new_values"), s"$$.$pkCol"),
-                 get_json_object(col("old_values"), s"$$.$pkCol")))
-      latestPerKey(keyed, Seq(col("__pk")))
-    }
-    val pkType = rowSchema(pkCol).dataType
-    val decoded = latest.select(
-      col("__pk").cast(pkType).as("__key"),
-      col("action"),
-      from_json(col("new_values"), rowSchema).as("__row"))
-
-    // upserts replace matching state rows; deletes drop them; untouched
-    // state rows pass through. INSERT on an existing key keeps the state row
-    // (dup-skip); UPDATE on a missing key inserts it (upsert).
-    val joined = state.alias("s").join(
-      decoded.alias("c"), col("s." + pkCol) === col("__key"), "full_outer")
-    joined.select(
-      when(col("__key").isNull, struct(state.columns.map(c => col("s." + c)): _*))
-        .when(col("action") === "DELETE", lit(null))
-        .when(col("action") === "INSERT" && col("s." + pkCol).isNotNull,
-          struct(state.columns.map(c => col("s." + c)): _*))
-        .otherwise(col("__row")).as("r"))
-      .filter(col("r").isNotNull)
-      .select(col("r.*"))
+    val versioned = state
+      .withColumn(VersionCol, lit(-1L))
+      .withColumn(TombstoneCol, lit(false))
+    currentView(mergeVersioned(versioned, batch, pkCol, rowSchema))
   }
+
+  /**
+   * Materialize the final state of one table from its full changelog
+   * (exact serial semantics from an empty state).
+   */
+  def materialize(changelog: DataFrame, pkJsonPath: String,
+                  rowSchema: StructType): DataFrame =
+    currentView(mergeVersioned(
+      emptyVersionedState(changelog.sparkSession, rowSchema),
+      changelog, pkJsonPath, rowSchema))
 }

@@ -109,12 +109,15 @@ object SparkEntry {
         Stages.mapColumn("table_name", upper),
         Stages.dropWhere(Stages.newValue("k").cast("int") > 90))(
         Changelog.fromEvents(s, dir))
+        // parse the payload once; CollapseProject keeps non-cheap producer
+        // expressions in their own projection, so the map is built one time
+        .withColumn("__p", Stages.newValuesMap)
         .select(
           col("id"), col("table_name"),
-          Stages.newValue("user_id").cast("bigint").as("payload_user_id"),
-          Stages.newValue("event_type").as("payload_event_type"),
-          Stages.newValue("k").cast("int").as("k"),
-          Stages.newValue("value").as("removed_value"))
+          element_at(col("__p"), "user_id").cast("bigint").as("payload_user_id"),
+          element_at(col("__p"), "event_type").as("payload_event_type"),
+          element_at(col("__p"), "k").cast("int").as("k"),
+          element_at(col("__p"), "value").as("removed_value"))
         .orderBy(col("id"))),
 
     // T10 — kind normalization (changeset.go:21-33)

@@ -54,54 +54,55 @@ object Materializer {
   val VersionCol = "__graft_v"
   val TombstoneCol = "__graft_tombstone"
 
-  /** One prefix INSERT (before the batch's first non-INSERT for the key). */
-  case class PrefixIns(id: Long, nv: String)
-
-  /** Per-key fold outcome of one batch. */
-  case class Reduced(pk: String, determined: Boolean, present: Boolean,
-                     value: String, version: Long, prefixIns: Seq[PrefixIns])
-
   /**
-   * Exact per-key ordered fold of a batch's events (serial semantics).
-   * Events whose outcome depends on prior state (a leading run of INSERTs)
-   * are carried as `prefixIns` and resolved against the state at merge
-   * time; everything from the first UPDATE/DELETE on is state-independent.
+   * Exact per-key ordered reduction of a batch's events to one outcome,
+   * entirely in aggregate expressions (no per-row JVM objects):
+   *
+   * Let B be the key's LAST non-INSERT event (max id of UPDATE/DELETE).
+   * Serial semantics imply:
+   *  - no B (only INSERTs): outcome depends on prior state — carry the
+   *    sorted insert list (`prefixIns`) and resolve at merge time (the
+   *    first insert newer than the state version applies iff the key is
+   *    not live);
+   *  - B is UPDATE: key is live with B's payload; every later INSERT is
+   *    dup-skipped → outcome (present, B.value, B.id);
+   *  - B is DELETE: the first INSERT after B (if any) re-creates the key →
+   *    (present, ins.value, ins.id); otherwise (absent, B.id).
+   *
+   * One shuffle on the key: the window and the groupBy share the hash
+   * partitioning, and all aggregates are min/max/collect — map-side
+   * combinable.
    */
   private def reduceBatch(spark: SparkSession, batch: DataFrame,
                           pkCol: String): DataFrame = {
-    import spark.implicits._
     val keyed = batch
       .withColumn("__pk",
         coalesce(get_json_object(col("new_values"), s"$$.$pkCol"),
                  get_json_object(col("old_values"), s"$$.$pkCol")))
       .filter(col("__pk").isNotNull)
-      .select(col("__pk").as[String], col("id").as[Long],
-        col("action").as[String], col("new_values").as[String])
-    keyed.groupByKey(_._1).mapGroups { (pk, it) =>
-      val evs = it.toSeq.sortBy(_._2)
-      var determined = false
-      var present = false
-      var value: String = null
-      var version = -1L
-      val prefix = Seq.newBuilder[PrefixIns]
-      evs.foreach { case (_, id, action, nv) =>
-        if (!determined) action match {
-          case "INSERT" => prefix += PrefixIns(id, nv)
-          case "UPDATE" =>
-            determined = true; present = true; value = nv; version = id
-          case "DELETE" =>
-            determined = true; present = false; value = null; version = id
-          case _ => ()
-        } else action match {
-          case "INSERT" =>
-            if (!present) { present = true; value = nv; version = id }
-          case "UPDATE" => present = true; value = nv; version = id
-          case "DELETE" => present = false; value = null; version = id
-          case _ => ()
-        }
-      }
-      Reduced(pk, determined, present, value, version, prefix.result())
-    }.toDF()
+    val w = Window.partitionBy(col("__pk"))
+    val withB = keyed.withColumn("__bid",
+      max(when(col("action") =!= "INSERT", col("id"))).over(w))
+    val agged = withB.groupBy(col("__pk").as("pk")).agg(
+      max(when(col("action") =!= "INSERT",
+        struct(col("id").as("id"), col("action").as("action"),
+          col("new_values").as("nv")))).as("b"),
+      min(when(col("action") === "INSERT" && col("id") > col("__bid"),
+        struct(col("id").as("id"), col("new_values").as("nv")))).as("postIns"),
+      sort_array(collect_list(
+        when(col("action") === "INSERT" && col("__bid").isNull,
+          struct(col("id").as("id"), col("new_values").as("nv")))))
+        .as("prefixIns"))
+    agged.select(
+      col("pk"),
+      col("b").isNotNull.as("determined"),
+      (col("b.action") === "UPDATE" || col("postIns").isNotNull).as("present"),
+      when(col("b.action") === "UPDATE", col("b.nv"))
+        .when(col("postIns").isNotNull, col("postIns.nv")).as("value"),
+      when(col("b.action") === "UPDATE", col("b.id"))
+        .when(col("postIns").isNotNull, col("postIns.id"))
+        .otherwise(col("b.id")).as("version"),
+      col("prefixIns"))
   }
 
   /**

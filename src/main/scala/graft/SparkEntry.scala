@@ -437,7 +437,21 @@ object SparkEntry {
       Tables.load(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("cnt"))
-        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
+    // Exact interpolated quantiles per group
+    "agg_quantiles" -> ((s, dir) =>
+      events(s, dir).groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.95)").as("p95"))
+        .orderBy(col("event_type"))),
+
+    // Heavy hitters: top users by event volume
+    "topk_heavy_hitters" -> ((s, dir) =>
+      events(s, dir).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("user_id"))
+        .limit(5))
   )
 
   /** DuckDB oracle SQL per query (same tables, same column names/order). */
@@ -790,6 +804,15 @@ object SparkEntry {
     "agg_rollup" ->
       ("SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt " +
         "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) " +
-        "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST")
+        "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
+
+    "agg_quantiles" ->
+      ("SELECT event_type, quantile_cont(value, 0.5) AS p50, " +
+        "quantile_cont(value, 0.95) AS p95 FROM events " +
+        "GROUP BY event_type ORDER BY event_type"),
+
+    "topk_heavy_hitters" ->
+      ("SELECT user_id, CAST(count(*) AS BIGINT) AS cnt FROM events " +
+        "GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT 5")
   )
 }

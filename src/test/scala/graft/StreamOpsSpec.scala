@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Changelog
+import graft.streaming.{ChangesetStream, StreamOps}
+
+class StreamOpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("watermark dedup drops redelivered events on a live stream") {
+    val cs = Changelog.fromEvents(spark, sfDir).limit(200)
+    val logDir = Files.createTempDirectory("graft-dup").toString
+    // simulate at-least-once redelivery: the same events written twice
+    cs.coalesce(1).write.mode("append").parquet(logDir)
+    cs.coalesce(1).write.mode("append").parquet(logDir)
+
+    val stream = ChangesetStream.fromFiles(spark, logDir, maxFilesPerTrigger = 1)
+    val deduped = StreamOps.dedupWithinWatermark(stream, "1 hour")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    val n = spark.table("dedup_out").select("id").distinct().count()
+    val total = spark.table("dedup_out").count()
+    assert(n == 200 && total == 200, s"distinct=$n total=$total")
+  }
+
+  test("interval join matches its batch equivalent on a live stream") {
+    val ev = sources.Tables.load(spark, sfDir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("event_id").as("signup_id"))
+
+    val batchResult = StreamOps.intervalJoin(clicks, signups, "user_id", 60)
+      .select(col("l.event_id"), col("r.signup_id"))
+      .orderBy("event_id", "signup_id").collect().toSeq
+
+    val dirL = Files.createTempDirectory("graft-ij-l").toString
+    val dirR = Files.createTempDirectory("graft-ij-r").toString
+    clicks.write.mode("append").parquet(dirL)
+    signups.write.mode("append").parquet(dirR)
+    val sl = spark.readStream.schema(clicks.schema).parquet(dirL)
+      .withWatermark("ts", "2 hours")
+    val sr = spark.readStream.schema(signups.schema).parquet(dirR)
+      .withWatermark("ts", "2 hours")
+    val q = StreamOps.intervalJoin(sl, sr, "user_id", 60)
+      .select(col("l.event_id"), col("r.signup_id"))
+      .writeStream.format("memory").queryName("ij_out").outputMode("append")
+      .start()
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    val streamed = spark.table("ij_out")
+      .orderBy("event_id", "signup_id").collect().toSeq
+    assert(streamed == batchResult && batchResult.nonEmpty)
+  }
+}

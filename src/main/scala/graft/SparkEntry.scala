@@ -281,6 +281,11 @@ object SparkEntry {
     "embed_ann_lsh" -> ((s, dir) =>
       Similarity.lshTopK(embeddings(s, dir), "vec_id", "embedding", 0L, 5)),
 
+    // Embedding-cosine near-dup pairs (LSH-bucketed candidates)
+    "embed_cosine_neardup" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(embeddings(s, dir), "vec_id",
+        "embedding", 0.3).orderBy(col("vec_a"), col("vec_b"))),
+
     // IVF-style per-label centroid components (first 4 dims)
     "embed_centroid" -> ((s, dir) =>
       Similarity.centroidComponents(embeddings(s, dir), "label", "vec_id",
@@ -658,6 +663,19 @@ object SparkEntry {
         "p AS (SELECT embedding AS pv, bucket AS pb FROM e WHERE vec_id = 0) " +
         s"SELECT vec_id, ${cosSql("embedding", "pv")} AS cos FROM e, p " +
         "WHERE bucket = pb AND vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 5"),
+
+    "embed_cosine_neardup" ->
+      ("WITH e AS (SELECT *, (" +
+        (0 until 4).map(i =>
+          s"CASE WHEN embedding[${i + 1}] > embedding[${i + 33}] THEN ${1 << i} ELSE 0 END")
+          .mkString(" + ") +
+        ") AS bucket FROM embeddings), " +
+        "j AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
+        "list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / " +
+        "(sqrt(list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) * " +
+        "sqrt(list_sum(list_transform(range(1, 65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) AS cos " +
+        "FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) " +
+        "SELECT vec_a, vec_b, cos FROM j WHERE cos >= 0.3 ORDER BY vec_a, vec_b"),
 
     "embed_centroid" ->
       ("WITH x AS (SELECT label, vec_id, CAST(i AS INTEGER) - 1 AS pos, " +

@@ -78,6 +78,28 @@ object Similarity {
   }
 
   /**
+   * Embedding-cosine near-duplicate pairs: candidate pairs share a rank-LSH
+   * bucket (so the join emits bucket-local pairs, not n² pairs), then exact
+   * cosine filters at `threshold`. The LSH prefilter trades recall for a
+   * ~2^bits reduction of the pair space — the standard near-dup shape at
+   * corpus scale.
+   */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double): DataFrame = {
+    val bucketed = df.select(col(idCol), col(vecCol),
+      rankLshBucket(col(vecCol)).as("__bucket"))
+    val a = bucketed.select(col(idCol).as("vec_a"),
+      col(vecCol).as("__va"), col("__bucket"))
+    val b = bucketed.select(col(idCol).as("vec_b"),
+      col(vecCol).as("__vb"), col("__bucket"))
+    a.join(b, "__bucket")
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", cosine(col("__va"), col("__vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+
+  /**
    * Per-label centroid components (IVF-style coarse quantizer statistics).
    * The per-dimension sum is folded over a sorted array so the double
    * accumulation order is deterministic (same result on any cluster layout —

@@ -3,6 +3,39 @@ package graft.model
 import org.apache.spark.sql.types._
 
 /**
+ * Typed changeset row (reference: changeset.go:36-44). Payloads stay raw
+ * JSON (see [[ChangesetSchema]]); by-name access mirrors
+ * GetNewColumnValue / GetPreviousColumnValue (changeset.go:46-74).
+ */
+case class Changeset(
+    id: Long,
+    ts: Option[java.sql.Timestamp],
+    action: String,
+    schema_name: String,
+    table_name: String,
+    relid: Option[Long],
+    new_values: Option[String],
+    old_values: Option[String]) {
+
+  private def field(json: Option[String], name: String): Option[String] =
+    json.flatMap { j =>
+      val p = ("\"" + java.util.regex.Pattern.quote(name) +
+        "\"\\s*:\\s*(\"((?:[^\"\\\\]|\\\\.)*)\"|[^,}]+)").r
+      p.findFirstMatchIn(j).map { m =>
+        Option(m.group(2)).getOrElse(m.group(1).trim)
+      }.filterNot(_ == "null")
+    }
+
+  /** GetNewColumnValue (changeset.go:46-54). */
+  def newValue(column: String): Option[String] = field(new_values, column)
+
+  /** GetPreviousColumnValue (changeset.go:66-74). */
+  def oldValue(column: String): Option[String] = field(old_values, column)
+
+  def kind: String = ChangesetSchema.normalizeKind(action)
+}
+
+/**
  * Core data model of the engine: the change-data-capture event ("changeset").
  *
  * Mirrors the reference semantics (reference: changeset.go:36-44 — one event

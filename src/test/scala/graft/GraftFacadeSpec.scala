@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Stages
+import graft.sources.Changelog
+
+class GraftFacadeSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("facade wires whitelist → ignore → user stages with resume point") {
+    val pipe = Graft(spark)
+      .whitelistTables("public.click", "app.*", "view")
+      .ignoreTables("app.error")
+      .startFromId(500)
+      .withStage(Stages.mapColumn("table_name", upper))
+    val out = pipe.replay(Changelog.fromEvents(spark, sfDir))
+    val rows = out.select("id", "schema_name", "table_name").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(0) >= 500))
+    assert(rows.forall(r => r.getString(2) == r.getString(2).toUpperCase))
+    assert(!rows.exists(r =>
+      r.getString(1) == "app" && r.getString(2) == "ERROR"))
+  }
+
+  test("typed changes expose by-name payload access") {
+    val pipe = Graft(spark).whitelistTables("signup")
+    val typed = pipe.typedChanges(Changelog.fromEvents(spark, sfDir))
+    val first = typed.orderBy("id").head()
+    assert(first.kind == "INSERT")
+    assert(first.newValue("user_id").exists(_.nonEmpty))
+    assert(first.newValue("no_such_column").isEmpty)
+    assert(first.oldValue("user_id").isEmpty) // INSERT has no old values
+  }
+
+  test("facade streams through the same transform") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-facade").toString
+    Changelog.fromEvents(spark, sfDir).limit(100)
+      .write.mode("append").parquet(dir)
+    val pipe = Graft(spark).whitelistTables("public.*")
+    val q = pipe.changes(dir).writeStream.format("memory")
+      .queryName("facade_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("facade_out")
+    assert(got.count() > 0)
+    assert(got.select("schema_name").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("public"))
+  }
+}

@@ -191,4 +191,23 @@ object Materializer {
     currentView(mergeVersioned(
       emptyVersionedState(changelog.sparkSession, rowSchema),
       changelog, pkJsonPath, rowSchema))
+
+  /** Per-table spec for [[materializeAll]]. */
+  case class TableSpec(pkCol: String, rowSchema: StructType)
+
+  /**
+   * Materialize EVERY table of a mixed changelog (the axon worker's whole
+   * job, axon.go:49-173: replay one audit stream, apply per table).
+   * Returns (schema, table) → final state. Each table's slice filters by
+   * (schema_name, table_name) — the filter pushes into the shared scan, so
+   * tables materialize independently and in parallel.
+   */
+  def materializeAll(changelog: DataFrame,
+                     tables: Map[(String, String), TableSpec])
+      : Map[(String, String), DataFrame] =
+    tables.map { case ((schema, table), spec) =>
+      val slice = changelog.filter(
+        col("schema_name") === schema && col("table_name") === table)
+      (schema, table) -> materialize(slice, spec.pkCol, spec.rowSchema)
+    }
 }

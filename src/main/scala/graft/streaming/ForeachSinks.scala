@@ -22,7 +22,10 @@ object ForeachSinks {
       val vs = v match {
         case null => "null"
         case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-        case other => other.toString
+        case b: java.lang.Boolean => b.toString
+        case n: java.lang.Number => n.toString
+        case other => // timestamps, dates, anything else → JSON string
+          "\"" + other.toString.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
       }
       "\"" + f + "\":" + vs
     }

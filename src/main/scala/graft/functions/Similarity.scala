@@ -86,15 +86,19 @@ object Similarity {
    */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double): DataFrame = {
+    // norms computed once per vector (not once per pair) — the join then
+    // evaluates a single dot product per candidate pair
     val bucketed = df.select(col(idCol), col(vecCol),
-      rankLshBucket(col(vecCol)).as("__bucket"))
+      rankLshBucket(col(vecCol)).as("__bucket"),
+      norm(col(vecCol)).as("__norm"))
     val a = bucketed.select(col(idCol).as("vec_a"),
-      col(vecCol).as("__va"), col("__bucket"))
+      col(vecCol).as("__va"), col("__bucket"), col("__norm").as("__na"))
     val b = bucketed.select(col(idCol).as("vec_b"),
-      col(vecCol).as("__vb"), col("__bucket"))
+      col(vecCol).as("__vb"), col("__bucket"), col("__norm").as("__nb"))
     a.join(b, "__bucket")
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos", cosine(col("__va"), col("__vb")))
+      .withColumn("cos",
+        dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }

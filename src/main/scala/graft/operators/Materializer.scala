@@ -183,14 +183,25 @@ object Materializer {
   }
 
   /**
-   * Materialize the final state of one table from its full changelog
-   * (exact serial semantics from an empty state).
+   * Materialize the final state of one table from its full changelog —
+   * exact serial semantics from an empty state. With no prior state the
+   * per-key outcomes resolve directly (no state join): a determined
+   * present key keeps its payload; an all-INSERT key keeps its FIRST
+   * insert (later ones are dup-skipped against it).
    */
   def materialize(changelog: DataFrame, pkJsonPath: String,
-                  rowSchema: StructType): DataFrame =
-    currentView(mergeVersioned(
-      emptyVersionedState(changelog.sparkSession, rowSchema),
-      changelog, pkJsonPath, rowSchema))
+                  rowSchema: StructType): DataFrame = {
+    val reduced = reduceBatch(changelog.sparkSession, changelog, pkJsonPath)
+    reduced
+      .select(
+        when(col("determined") && col("present"), col("value"))
+          .when(!col("determined") && size(col("prefixIns")) > 0,
+            element_at(col("prefixIns"), 1).getField("nv"))
+          .as("__v"))
+      .filter(col("__v").isNotNull)
+      .select(from_json(col("__v"), rowSchema).as("r"))
+      .select(col("r.*"))
+  }
 
   /** Per-table spec for [[materializeAll]]. */
   case class TableSpec(pkCol: String, rowSchema: StructType)

@@ -318,6 +318,15 @@ object SparkEntry {
           size(TextFns.words(col("text")))).as("distinct_ratio"))
         .orderBy(col("doc_id"))),
 
+    // Corpus term statistics: tokenize → groupBy term (map-side combine)
+    "text_term_stats" -> ((s, dir) =>
+      documents(s, dir)
+        .select(explode(TextFns.words(col("text"))).as("term"))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term"))
+        .limit(20)),
+
     // Document fingerprint: winnowing-style min-hash + 2-hash signature
     "text_fingerprint" -> ((s, dir) => {
       val fp = documents(s, dir).select(col("doc_id"),
@@ -722,6 +731,11 @@ object SparkEntry {
         "CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) " +
         "/ len(string_split(text, ' ')) AS distinct_ratio " +
         "FROM documents ORDER BY doc_id"),
+
+    "text_term_stats" ->
+      ("SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM " +
+        "(SELECT unnest(string_split(text, ' ')) AS term FROM documents) t " +
+        "GROUP BY term ORDER BY cnt DESC, term LIMIT 20"),
 
     "text_fingerprint" ->
       (shingleCte + ", " +

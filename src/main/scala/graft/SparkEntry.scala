@@ -346,6 +346,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Multimodal: deterministic resize/downsample stub (every 4th token)
+    "mm_resize" -> ((s, dir) => {
+      val resized = Multimodal.downsample(col("text"), 4)
+      documents(s, dir).select(col("doc_id"),
+        length(col("text")).as("orig_len"),
+        length(resized).as("resized_len"),
+        md5(resized).as("resized_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Multimodal: frame sampling over the payload
     "mm_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(documents(s, dir), "doc_id", col("text"), 64)
@@ -753,6 +763,14 @@ object SparkEntry {
         "CAST(octet_length(encode(text)) % 640 + 64 AS INTEGER) AS width, " +
         "CAST(octet_length(encode(text)) % 480 + 48 AS INTEGER) AS height, " +
         "md5(text) AS fingerprint FROM documents ORDER BY doc_id"),
+
+    "mm_resize" ->
+      ("WITH r AS (SELECT doc_id, length(text) AS orig_len, " +
+        "array_to_string(list_filter(string_split(text, ' '), " +
+        "(x, i) -> i % 4 = 1), ' ') AS resized FROM documents) " +
+        "SELECT doc_id, CAST(orig_len AS INTEGER) AS orig_len, " +
+        "CAST(length(resized) AS INTEGER) AS resized_len, " +
+        "md5(resized) AS resized_md5 FROM r ORDER BY doc_id"),
 
     "mm_frame_sample" ->
       ("WITH f AS (SELECT doc_id, text, " +

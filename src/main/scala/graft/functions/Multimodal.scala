@@ -75,6 +75,16 @@ object Multimodal {
   }
 
   /**
+   * Resize / downsample stub: keep every k-th token of the payload — the
+   * deterministic stand-in for image resize / audio downsampling (the
+   * real kernel would run in [[decodeFeatures]]'s partition loop; the
+   * Spark-side shape — payload in, smaller payload + metadata out — is
+   * what this exercises).
+   */
+  def downsample(payload: Column, k: Int): Column =
+    array_join(filter(split(payload, " "), (_, i) => i % k === 0), " ")
+
+  /**
    * Frame sampling: split the payload into fixed-size frames and emit
    * (doc_id, frame_idx, frame_hash) — pure Column work, fully codegen'd.
    * Stands in for video frame extraction / audio windowing. `payload` is

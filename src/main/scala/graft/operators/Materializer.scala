@@ -128,7 +128,7 @@ object Materializer {
       filter(col("prefixIns"), x => x.getField("id") > sv), 1)
 
     def outRow(value: Column, version: Column, tomb: Column) = struct(
-      (rowSchema.fieldNames.map { c =>
+      (rowSchema.fieldNames.toSeq.map { c =>
         if (c == pkCol)
           coalesce(col("s." + c), col("__key")).as(c)
         else
@@ -137,7 +137,7 @@ object Materializer {
       } :+ version.as(VersionCol) :+ tomb.as(TombstoneCol)): _*)
 
     val stateStruct = struct(
-      (rowSchema.fieldNames.map(c => col("s." + c)) :+
+      (rowSchema.fieldNames.toSeq.map(c => col("s." + c)) :+
         col("s." + VersionCol).as(VersionCol) :+
         col("s." + TombstoneCol).as(TombstoneCol)): _*)
 

@@ -27,9 +27,10 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** 28-bit integer hash of a shingle: prefix of its md5. One digest per
-    * shingle; all derived hash functions reuse it. */
-  private def hash28(s: Column): Column =
-    conv(substring(md5(s), 1, 7), 16, 10).cast("long")
+    * shingle; all derived hash functions reuse it. Native codegen'd
+    * expression ([[Md5Prefix28]]) — value-identical to
+    * `conv(substring(md5(s), 1, 7), 16, 10)`, which the oracles use. */
+  private def hash28(s: Column): Column = Md5Prefix28(s)
 
   // Affine hash family over hash28: h_i(x) = (A(i)·x + B(i)) mod P.
   // P is the Mersenne prime 2^31-1; A·x stays well under 2^63.

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Md5Prefix28
+
+class Md5Prefix28Spec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("native expression equals the hex-string formulation on real data") {
+    val d = sources.Tables.load(spark, sfDir, "documents")
+    val cmp = d.select(
+      Md5Prefix28(col("text")).as("native"),
+      conv(substring(md5(col("text")), 1, 7), 16, 10).cast("long").as("hex"))
+    assert(cmp.filter(col("native") =!= col("hex")).count() == 0)
+    // and over short/empty-ish strings incl. unicode
+    import spark.implicits._
+    val edge = Seq("", "a", "é", "é中文", "x" * 1000).toDF("s")
+    val cmp2 = edge.select(
+      Md5Prefix28(col("s")).as("native"),
+      conv(substring(md5(col("s")), 1, 7), 16, 10).cast("long").as("hex"))
+    assert(cmp2.filter(col("native") =!= col("hex")).count() == 0)
+  }
+
+  test("expression survives whole-stage codegen and null input") {
+    import spark.implicits._
+    val df = Seq(Some("abc"), None, Some("def")).toDF("s")
+      .select(Md5Prefix28(col("s")).as("h"))
+    val rows = df.collect()
+    assert(rows.count(_.isNullAt(0)) == 1)
+    assert(rows.filterNot(_.isNullAt(0)).forall(_.getLong(0) >= 0))
+  }
+}

@@ -23,6 +23,15 @@ class Md5Prefix28Spec extends AnyFunSuite {
     assert(cmp2.filter(col("native") =!= col("hex")).count() == 0)
   }
 
+  test("SQL registration via extensions hook") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT md5_prefix28('abc') AS h, " +
+      "CAST(conv(substring(md5('abc'), 1, 7), 16, 10) AS BIGINT) AS hex")
+      .collect().head
+    assert(r.getLong(0) == r.getLong(1))
+  }
+
   test("expression survives whole-stage codegen and null input") {
     import spark.implicits._
     val df = Seq(Some("abc"), None, Some("def")).toDF("s")

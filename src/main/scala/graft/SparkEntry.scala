@@ -475,7 +475,21 @@ object SparkEntry {
       events(s, dir).groupBy(col("user_id"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("user_id"))
-        .limit(5))
+        .limit(5)),
+
+    // Exact distinct counts per group (oracle-checked)
+    "agg_distinct_exact" -> ((s, dir) =>
+      events(s, dir).groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          countDistinct(col("user_id"), col("event_type")).as("n_pairs"))
+        .orderBy(col("event_type"))),
+
+    // HLL sketch distinct (the 100 TB path; approximate → rows-only check,
+    // no oracle SQL entry by design)
+    "sketch_approx_distinct" -> ((s, dir) =>
+      events(s, dir).groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy(col("event_type")))
   )
 
   /** DuckDB oracle SQL per query (same tables, same column names/order). */
@@ -863,6 +877,13 @@ object SparkEntry {
 
     "topk_heavy_hitters" ->
       ("SELECT user_id, CAST(count(*) AS BIGINT) AS cnt FROM events " +
-        "GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT 5")
+        "GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT 5"),
+
+    "agg_distinct_exact" ->
+      ("SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, " +
+        "CAST(count(DISTINCT (user_id, event_type)) AS BIGINT) AS n_pairs " +
+        "FROM events GROUP BY event_type ORDER BY event_type")
+    // sketch_approx_distinct intentionally has NO oracle entry: HLL
+    // estimates are engine-specific → driver records a rows-only check
   )
 }

@@ -76,6 +76,9 @@ object Materializer {
   private def reduceBatch(spark: SparkSession, batch: DataFrame,
                           pkCol: String): DataFrame = {
     val keyed = batch
+      // unknown kinds are skipped, as the reference's dispatcher does
+      // (axon.go:277-286 default case logs and drops the event)
+      .filter(col("action").isin("INSERT", "UPDATE", "DELETE"))
       .withColumn("__pk",
         coalesce(get_json_object(col("new_values"), s"$$.$pkCol"),
                  get_json_object(col("old_values"), s"$$.$pkCol")))

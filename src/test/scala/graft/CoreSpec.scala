@@ -118,6 +118,21 @@ class CoreSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, "a"), (3L, "c"), (4L, "new")))
   }
 
+  test("merge skips unknown kinds like the reference dispatcher") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    import scala.jdk.CollectionConverters._
+    val state = spark.createDataFrame(
+      Seq(org.apache.spark.sql.Row(1L, "a")).asJava, schema)
+    val batch = changesets(
+      (10L, "TRUNCATE", "p", "t", """{"id":1,"v":"zap"}""", null),
+      (11L, "", "p", "t", """{"id":2,"v":"junk"}""", null),
+      (12L, "UPDATE", "p", "t", """{"id":1,"v":"b"}""", """{"id":1}"""))
+    val out = Materializer.merge(state, batch, "id", schema)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((1L, "b")))
+  }
+
   test("merge applied twice ≡ applied once (idempotent at-least-once)") {
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("v", StringType)))

@@ -172,6 +172,15 @@ object Materializer {
     state.filter(!col(TombstoneCol)).drop(VersionCol, TombstoneCol)
 
   /**
+   * State compaction (the state-side complement of K11 retention):
+   * tombstones older than `horizon` can be garbage-collected once no
+   * in-flight batch can carry an event with a smaller id — they exist only
+   * to fence stale re-deliveries. Live rows are never dropped.
+   */
+  def compactState(state: DataFrame, horizon: Long): DataFrame =
+    state.filter(!col(TombstoneCol) || col(VersionCol) >= horizon)
+
+  /**
    * K3/K4/K5 batch merge against a plain (unversioned) state table:
    * insert skips duplicate PKs (axon_sql.go:133-146), update upserts
    * (axon_sql.go:77-106), delete removes by PK (axon_sql.go:108-122).

@@ -80,6 +80,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(view(replayed) == expect)
   }
 
+  test("state compaction drops only expired tombstones") {
+    val rowSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("o_orderkey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("o_totalprice",
+        org.apache.spark.sql.types.DoubleType)))
+    val script = Changelog.ordersScript(spark, sfDir)
+    val st = Materializer.mergeVersioned(
+      Materializer.emptyVersionedState(spark, rowSchema),
+      script, "o_orderkey", rowSchema)
+    val tombs = st.filter(col(Materializer.TombstoneCol)).count()
+    assert(tombs > 0)
+    val live = Materializer.currentView(st).count()
+    // horizon above every id → all tombstones dropped, live rows intact
+    val compacted = Materializer.compactState(st, Long.MaxValue)
+    assert(compacted.filter(col(Materializer.TombstoneCol)).count() == 0)
+    assert(Materializer.currentView(compacted).count() == live)
+    // horizon 0 → nothing dropped
+    assert(Materializer.compactState(st, 0L).count() == st.count())
+  }
+
   test("streaming sessionization closes the same sessions as the window path") {
     import spark.implicits._
     val ev = sources.Tables.load(spark, sfDir, "events")

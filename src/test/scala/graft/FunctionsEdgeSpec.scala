@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Dedup, Similarity, TextFns}
+
+class FunctionsEdgeSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("shingles guard: short docs yield empty sets, not errors") {
+    import spark.implicits._
+    val df = Seq("one two", "one", "", "a b c", "a b c d").toDF("text")
+    val got = df.select(TextFns.shingles(col("text")).as("s"))
+      .collect().map(_.getSeq[String](0).toList)
+    assert(got(0) == Nil && got(1) == Nil && got(2) == Nil)
+    assert(got(3) == List("a b c"))
+    assert(got(4).toSet == Set("a b c", "b c d"))
+  }
+
+  test("langId falls back to 'und' below threshold") {
+    import spark.implicits._
+    val df = Seq(
+      "the cat sat on the mat and the dog",  // plenty of en stopwords
+      "zzz qqq www rrr ttt yyy uuu iii ooo ppp" // none
+    ).toDF("text")
+    val got = df.select(TextFns.langId(col("text")).as("l"))
+      .collect().map(_.getString(0))
+    assert(got(0) == "en" && got(1) == "und")
+  }
+
+  test("exact dedup groups identical texts across ids") {
+    import spark.implicits._
+    val df = Seq((1L, "same text here"), (2L, "same text here"),
+      (3L, "different")).toDF("doc_id", "text")
+    val got = Dedup.exact(df, "doc_id", "text")
+      .orderBy("keeper_id").collect()
+    assert(got.length == 2)
+    assert(got(0).getAs[Long]("keeper_id") == 1L &&
+      got(0).getAs[Long]("copies") == 2L)
+  }
+
+  test("minhash signatures are stable and identical for identical docs") {
+    import spark.implicits._
+    val df = Seq((1L, "w1 w2 w3 w4 w5 w6"), (2L, "w1 w2 w3 w4 w5 w6"))
+      .toDF("doc_id", "text")
+    val sig = Dedup.minhashSignature(df, "doc_id", "text", 4)
+      .orderBy("doc_id").collect()
+    assert((1 to 4).forall(i => sig(0).getAs[Long](s"m${i - 1}") ==
+      sig(1).getAs[Long](s"m${i - 1}")))
+  }
+
+  test("cosine of identical vectors is exactly 1 within fold error") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("id", "v")
+    val c = df.select(Similarity.cosine(col("v"), col("v")).as("c"))
+      .collect().head.getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+}

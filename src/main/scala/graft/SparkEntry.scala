@@ -263,7 +263,12 @@ object SparkEntry {
       Dedup.minhashDedup(documents(s, dir), "doc_id", "text", 0.8)
         .orderBy(col("doc_a"), col("doc_b"))),
 
-    // Near-dup candidates via 16-bit SimHash signature equality
+    // Full dedup cascade: exact-group → near-dup graph → connected
+    // components → cluster id per document
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.nearDupClusters(documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", 0.8).orderBy(col("doc_id"))),
+
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(documents(s, dir), "doc_id", "text")
         .orderBy(col("doc_a"), col("doc_b"))),
@@ -607,11 +612,33 @@ object SparkEntry {
   ) ++ extensionOracles
 
   // shingle-set CTE shared by the dedup oracles (3-word shingles, distinct)
-  private val shingleCte =
-    "WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+  private val shingleCteBody =
+    "w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
       "sets AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1), " +
       "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM w), " +
       "sh AS (SELECT doc_id, unnest(s) AS sg FROM sets)"
+
+  private val shingleCte = "WITH " + shingleCteBody
+
+  // MinHash-LSH pair pipeline (through the verified-Jaccard CTE `j`)
+  private val minhashPairCtes =
+    shingleCteBody + ", " +
+      s"sh2 AS (SELECT doc_id, ${Dedup.hash28Sql("sg")} AS hh FROM sh), " +
+      "sig AS (SELECT doc_id, " +
+      (0 until 8).map(i => s"min(${Dedup.affineSql(i, "hh")}) AS m$i").mkString(", ") +
+      " FROM sh2 GROUP BY doc_id), " +
+      "bands AS (" +
+      (0 until 4).map(i =>
+        s"SELECT doc_id, $i AS band, md5(concat_ws('|', m${2 * i}, m${2 * i + 1})) AS bkey FROM sig")
+        .mkString(" UNION ALL ") + "), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+      "FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey " +
+      "AND a.doc_id < b.doc_id), " +
+      "j AS (SELECT doc_a, doc_b, " +
+      "CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / " +
+      "len(list_distinct(x.s || y.s)) AS jac " +
+      "FROM cand JOIN sets x ON x.doc_id = cand.doc_a " +
+      "JOIN sets y ON y.doc_id = cand.doc_b)"
 
   /** DuckDB dot product matching [[Similarity.dot]] exactly (double-promoted
     * elements, sequential accumulation). */
@@ -636,24 +663,18 @@ object SparkEntry {
         "GROUP BY md5(text) ORDER BY keeper_id"),
 
     "dedup_minhash_lsh" ->
-      (shingleCte + ", " +
-        s"sh2 AS (SELECT doc_id, ${Dedup.hash28Sql("sg")} AS hh FROM sh), " +
-        "sig AS (SELECT doc_id, " +
-        (0 until 8).map(i => s"min(${Dedup.affineSql(i, "hh")}) AS m$i").mkString(", ") +
-        " FROM sh2 GROUP BY doc_id), " +
-        "bands AS (" +
-        (0 until 4).map(i =>
-          s"SELECT doc_id, $i AS band, md5(concat_ws('|', m${2 * i}, m${2 * i + 1})) AS bkey FROM sig")
-          .mkString(" UNION ALL ") + "), " +
-        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
-        "FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey " +
-        "AND a.doc_id < b.doc_id), " +
-        "j AS (SELECT doc_a, doc_b, " +
-        "CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / " +
-        "len(list_distinct(x.s || y.s)) AS jac " +
-        "FROM cand JOIN sets x ON x.doc_id = cand.doc_a " +
-        "JOIN sets y ON y.doc_id = cand.doc_b) " +
+      ("WITH " + minhashPairCtes + " " +
         "SELECT doc_a, doc_b, jac FROM j WHERE jac >= 0.8 ORDER BY doc_a, doc_b"),
+
+    "dedup_clusters" ->
+      ("WITH RECURSIVE " + minhashPairCtes + ", " +
+        "pr AS (SELECT doc_a, doc_b FROM j WHERE jac >= 0.8), " +
+        "edges AS (SELECT doc_a AS a, doc_b AS b FROM pr " +
+        "UNION ALL SELECT doc_b, doc_a FROM pr), " +
+        "cc AS (SELECT doc_id AS node, doc_id AS label FROM documents " +
+        "UNION SELECT e.a, cc.label FROM edges e JOIN cc ON cc.node = e.b) " +
+        "SELECT node AS doc_id, min(label) AS cluster_id FROM cc " +
+        "GROUP BY node ORDER BY doc_id"),
 
     "dedup_simhash" ->
       ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +

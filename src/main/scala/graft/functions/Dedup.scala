@@ -145,6 +145,67 @@ object Dedup {
   }
 
   /**
+   * Full dedup cascade → cluster assignment per document. This is the
+   * operator a training-data pipeline actually runs to DROP duplicates:
+   *
+   *  1. exact dedup: identical texts collapse to one representative
+   *     (cheap hash groupBy — at web scale this removes the bulk);
+   *  2. near-dup pairs between representatives (MinHash-LSH + exact
+   *     Jaccard verify — the expensive step now runs on unique texts);
+   *  3. connected components over the near-dup graph (iterative min-label
+   *     propagation; near-dup clusters are small cliques, so convergence
+   *     takes O(cluster diameter) ≈ 2-3 rounds);
+   *  4. every document (including exact copies) maps to its cluster's
+   *     minimum doc id — keep rows where doc_id == cluster_id, drop the
+   *     rest.
+   *
+   * Returns (idCol, cluster_id).
+   */
+  def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
+                      minJaccard: Double = 0.8,
+                      maxIterations: Int = 10): DataFrame = {
+    // 1. exact groups: every doc → representative (min id of its text)
+    val withHash = df.select(col(idCol), md5(col(textCol)).as("__h"))
+    val reps = withHash.groupBy("__h").agg(min(col(idCol)).as("__rep"))
+    val docToRep = withHash.join(reps, "__h")
+      .select(col(idCol), col("__rep"))
+
+    // 2. near-dup pairs between representatives only
+    val repDocs = df.join(
+      reps.select(col("__rep").as(idCol)), Seq(idCol), "left_semi")
+    val pairs = minhashDedup(repDocs, idCol, textCol, minJaccard)
+      .select(col("doc_a"), col("doc_b"))
+
+    // 3. min-label propagation over the undirected pair graph
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .cache()
+    var labels = repDocs.select(col(idCol).as("node"), col(idCol).as("label"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIterations) {
+      val neighborMin = edges
+        .join(labels, edges("doc_b") === labels("node"))
+        .groupBy(col("doc_a").as("node0"))
+        .agg(min(col("label")).as("nmin"))
+      val next = labels.join(neighborMin,
+        labels("node") === col("node0"), "left")
+        .select(col("node"), least(col("label"),
+          coalesce(col("nmin"), col("label"))).as("label"))
+        .cache()
+      val changed = next.alias("n").join(labels.alias("o"), "node")
+        .filter(col("n.label") =!= col("o.label")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+
+    // 4. copies inherit their representative's cluster
+    docToRep.join(labels, docToRep("__rep") === labels("node"))
+      .select(col(idCol), col("label").as("cluster_id"))
+  }
+
+  /**
    * Exact n-gram-Jaccard near-dup pairs via an inverted shingle index:
    * pairs sharing at least `minShared` shingles are scored exactly.
    */

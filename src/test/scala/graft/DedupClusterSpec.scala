@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Dedup
+
+class DedupClusterSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("cascade clusters exact copies with their near-dup representatives") {
+    import spark.implicits._
+    val base = sources.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text")
+    // add exact copies of every 10th doc under shifted ids
+    val copies = base.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000L)
+    val corpus = base.unionByName(copies)
+
+    val clusters = Dedup.nearDupClusters(corpus, "doc_id", "text", 0.8)
+    val m = clusters.as[(Long, Long)].collect().toMap
+
+    // every doc got a cluster; cluster ids are cluster minima
+    assert(m.size == corpus.count())
+    assert(m.forall { case (doc, c) => c <= doc })
+
+    // exact copies land in their original's cluster
+    assert(m.filter(_._1 >= 100000L)
+      .forall { case (copy, c) => c == m(copy - 100000L) })
+
+    // known near-dup pairs (from the oracle-checked pair query) share a cluster
+    val pairs = Dedup.minhashDedup(base, "doc_id", "text", 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b) => m(a) == m(b) })
+
+    // dedup keep-rule sanity: keeping doc_id == cluster_id keeps exactly
+    // one representative per cluster
+    val kept = m.count { case (doc, c) => doc == c }
+    assert(kept == m.values.toSet.size)
+  }
+}

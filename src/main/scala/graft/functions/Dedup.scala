@@ -176,11 +176,14 @@ object Dedup {
     val pairs = minhashDedup(repDocs, idCol, textCol, minJaccard)
       .select(col("doc_a"), col("doc_b"))
 
-    // 3. min-label propagation over the undirected pair graph
+    // 3. min-label propagation over the undirected pair graph — only nodes
+    // that actually have an edge iterate (the overwhelming majority of
+    // docs are singleton clusters and skip straight to step 4)
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .cache()
-    var labels = repDocs.select(col(idCol).as("node"), col(idCol).as("label"))
+    var labels = edges.select(col("doc_a").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
@@ -200,9 +203,12 @@ object Dedup {
       i += 1
     }
 
-    // 4. copies inherit their representative's cluster
-    docToRep.join(labels, docToRep("__rep") === labels("node"))
-      .select(col(idCol), col("label").as("cluster_id"))
+    // 4. every doc resolves through its representative: edge-connected
+    // reps carry their propagated label, singleton reps label themselves;
+    // exact copies inherit whatever their representative resolved to
+    docToRep.join(labels, docToRep("__rep") === labels("node"), "left")
+      .select(col(idCol),
+        coalesce(col("label"), col("__rep")).as("cluster_id"))
   }
 
   /**

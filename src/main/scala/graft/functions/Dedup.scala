@@ -176,32 +176,55 @@ object Dedup {
     val pairs = minhashDedup(repDocs, idCol, textCol, minJaccard)
       .select(col("doc_a"), col("doc_b"))
 
-    // 3. min-label propagation over the undirected pair graph — only nodes
-    // that actually have an edge iterate (the overwhelming majority of
-    // docs are singleton clusters and skip straight to step 4)
-    val edges = pairs
-      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .cache()
-    var labels = edges.select(col("doc_a").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIterations) {
-      val neighborMin = edges
-        .join(labels, edges("doc_b") === labels("node"))
-        .groupBy(col("doc_a").as("node0"))
-        .agg(min(col("label")).as("nmin"))
-      val next = labels.join(neighborMin,
-        labels("node") === col("node0"), "left")
-        .select(col("node"), least(col("label"),
-          coalesce(col("nmin"), col("label"))).as("label"))
-        .cache()
-      val changed = next.alias("n").join(labels.alias("o"), "node")
-        .filter(col("n.label") =!= col("o.label")).limit(1).count()
-      labels = next
-      converged = changed == 0
-      i += 1
-    }
+    // 3. connected components over the pair graph. The edge set is tiny
+    // relative to the corpus (only verified near-dup pairs), so the
+    // default path collects it and runs union-find on the driver — exact,
+    // one broadcast join, no iteration overhead. Graphs too big to
+    // collect fall back to distributed min-label propagation.
+    val spark = df.sparkSession
+    val nEdges = pairs.count()
+    val labels: DataFrame =
+      if (nEdges <= 1000000L) {
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        pairs.collect().foreach { row =>
+          val (a, b) = (row.getLong(0), row.getLong(1))
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val resolved = parent.keys.map(k => (k, find(k))).toSeq
+        import spark.implicits._
+        broadcast(resolved.toDF("node", "label"))
+      } else {
+        val edges = pairs.unionByName(
+          pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).cache()
+        var ls = edges.select(col("doc_a").as("node")).distinct()
+          .select(col("node"), col("node").as("label"))
+        var converged = false
+        var i = 0
+        while (!converged && i < maxIterations) {
+          val neighborMin = edges
+            .join(ls, edges("doc_b") === ls("node"))
+            .groupBy(col("doc_a").as("node0"))
+            .agg(min(col("label")).as("nmin"))
+          val next = ls.join(neighborMin, ls("node") === col("node0"), "left")
+            .select(col("node"), least(col("label"),
+              coalesce(col("nmin"), col("label"))).as("label"))
+            .cache()
+          val changed = next.alias("n").join(ls.alias("o"), "node")
+            .filter(col("n.label") =!= col("o.label")).limit(1).count()
+          ls = next
+          converged = changed == 0
+          i += 1
+        }
+        ls
+      }
 
     // 4. every doc resolves through its representative: edge-connected
     // reps carry their propagated label, singleton reps label themselves;

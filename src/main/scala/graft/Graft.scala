@@ -54,9 +54,15 @@ final case class Graft(
       TableFilters.whitelist(config.whitelistTables),
       TableFilters.ignore(config.ignoreTables)) ++ stages): _*)
 
-  /** Batch replay of a changelog (resume point from config). */
+  def startFromTimestamp(ts: String): Graft =
+    copy(config = config.copy(startFromTs = Some(ts)))
+
+  /** Batch replay of a changelog (resume point from config: id wins over
+    * timestamp, mirroring the reference's flag precedence). */
   def replay(changelog: DataFrame): DataFrame = {
     val from = config.startFromId.map(Replay.sinceId(changelog, _))
+      .orElse(config.startFromTs.map(ts =>
+        Replay.sinceTimestamp(changelog, lit(ts).cast("timestamp"))))
       .getOrElse(changelog.orderBy(col("id")))
     transform(from)
   }

@@ -582,7 +582,7 @@ object SparkEntry {
 
     "v2b_checksum_commutative" ->
       (s"WITH h AS (SELECT $customerRowHashSql AS h FROM customer) " +
-        "SELECT CAST(SUM(CAST('0x' || substring(h, 1, 8) AS BIGINT)) AS BIGINT) AS hash_sum, " +
+        "SELECT CAST(SUM(CAST('0x' || substring(h, 1, 5) AS BIGINT)) AS BIGINT) AS hash_sum, " +
         "CAST(bit_xor(CAST('0x' || substring(h, 1, 15) AS BIGINT)) AS BIGINT) AS hash_xor, " +
         "CAST(count(*) AS BIGINT) AS row_count FROM h"),
 

@@ -182,6 +182,8 @@ object Dedup {
     // one broadcast join, no iteration overhead. Graphs too big to
     // collect fall back to distributed min-label propagation.
     val spark = df.sparkSession
+    pairs.cache() // count() + collect() below must not recompute the
+                  // whole LSH/verify pipeline twice
     val nEdges = pairs.count()
     val labels: DataFrame =
       if (nEdges <= 1000000L) {
@@ -223,6 +225,12 @@ object Dedup {
           converged = changed == 0
           i += 1
         }
+        if (!converged)
+          System.err.println(
+            s"[graft] nearDupClusters: label propagation did not converge " +
+              s"in $maxIterations iterations — a component with diameter > " +
+              s"$maxIterations exists and its cluster ids are PARTIAL; " +
+              "raise maxIterations")
         ls
       }
 

@@ -49,15 +49,16 @@ object Checksum {
         (state, x) => md5(concat(state, x.getField("h")))).as("checksum"))
 
   /**
-   * Scale-path commutative checksum: (sum of 32-bit hash prefixes,
-   * bit_xor of 60-bit hash prefixes, count). 32-bit prefixes keep the sum
-   * well inside BIGINT for trillions of rows; the xor covers the full-width
-   * entropy. Map-side combinable → one tiny shuffle.
+   * Scale-path commutative checksum: (sum of 20-bit hash prefixes,
+   * bit_xor of 60-bit hash prefixes, count). 20-bit summands keep the sum
+   * inside BIGINT (no ANSI overflow) up to ~8.8e12 rows — comfortably past
+   * a 100 TB table; the xor covers the full-width entropy. Map-side
+   * combinable → one tiny shuffle.
    */
   def commutativeChecksum(df: DataFrame, rowHash: Column): DataFrame =
     df.select(rowHash.as("h"))
       .agg(
-        sum(conv(substring(col("h"), 1, 8), 16, 10).cast("long")).as("hash_sum"),
+        sum(conv(substring(col("h"), 1, 5), 16, 10).cast("long")).as("hash_sum"),
         expr("bit_xor(cast(conv(substring(h, 1, 15), 16, 10) as bigint))").as("hash_xor"),
         count(lit(1)).as("row_count"))
 

@@ -41,8 +41,11 @@ object Wal2Json {
       .select(col("id"), col("m.nextlsn").as("lsn"),
         posexplode(col("m.change")).as(Seq("chg_idx", "c")))
       .select(
-        // sub-ordering: one message can carry many changes
-        (col("id") * 1000 + col("chg_idx")).as("id"),
+        // sub-ordering: one message can carry many changes. 2^20 changes
+        // per message keeps composite ids unique and ordered for message
+        // ids up to 2^43 (a transaction touching >1M rows in one wal2json
+        // message would need chunked output upstream anyway).
+        (shiftleft(col("id"), 20) + col("chg_idx")).as("id"),
         lit(null).cast("timestamp").as("ts"),
         upper(col("c.kind")).as("action"),
         col("c.schema").as("schema_name"),

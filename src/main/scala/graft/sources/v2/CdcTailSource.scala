@@ -150,6 +150,11 @@ final class CdcRangeReader(p: CdcRangePartition)
   private val it = TailFeed.lookup(p.feedName).range(p.lo, p.hi)
   private var cur: TailFeed.Change = _
   override def next(): Boolean = { val has = it.hasNext; if (has) cur = it.next(); has }
+  // release feed resources even when the task is cancelled mid-range
+  private def closeUnderlying(): Unit = it match {
+    case c: AutoCloseable => try c.close() catch { case _: Throwable => () }
+    case _ => ()
+  }
   override def get(): InternalRow = {
     def s(x: String) = if (x == null) null else UTF8String.fromString(x)
     new GenericInternalRow(Array[Any](
@@ -158,7 +163,7 @@ final class CdcRangeReader(p: CdcRangePartition)
       s(cur.action), s(cur.schemaName), s(cur.tableName),
       cur.relid, s(cur.newValues), s(cur.oldValues)))
   }
-  override def close(): Unit = ()
+  override def close(): Unit = closeUnderlying()
 }
 
 /**
@@ -223,12 +228,17 @@ final class JdbcTailFeed(url: String, table: String) extends TailFeed {
          |WHERE id > ? AND id <= ? ORDER BY id""".stripMargin)
     ps.setLong(1, lo); ps.setLong(2, hi)
     val rs = ps.executeQuery()
-    new Iterator[TailFeed.Change] {
+    new Iterator[TailFeed.Change] with AutoCloseable {
       private var advanced = false
       private var has = false
+      private var closed = false
+      override def close(): Unit =
+        if (!closed) { closed = true; try rs.close() finally conn.close() }
       override def hasNext: Boolean = {
-        if (!advanced) { has = rs.next(); advanced = true
-          if (!has) conn.close() }
+        if (!advanced) {
+          if (closed) { has = false; advanced = true }
+          else { has = rs.next(); advanced = true; if (!has) close() }
+        }
         has
       }
       override def next(): TailFeed.Change = {

@@ -71,23 +71,33 @@ object ChangesetStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val dst = new org.apache.hadoop.fs.Path(statePath)
+        val next = new org.apache.hadoop.fs.Path(statePath + "__next")
+        val old = new org.apache.hadoop.fs.Path(statePath + "__old")
+        // crash recovery: a completed __next with no dst means a previous
+        // swap died between renames — finish it instead of starting empty
+        if (!fs.exists(dst) && fs.exists(next)) {
+          if (!fs.rename(next, dst))
+            sys.error(s"state recovery rename failed: $next -> $dst")
+        }
         val state =
-          try spark.read.parquet(statePath)
-          catch { case _: Throwable =>
-            Materializer.emptyVersionedState(spark, rowSchema)
-          }
+          if (fs.exists(dst)) spark.read.parquet(statePath)
+          else Materializer.emptyVersionedState(spark, rowSchema)
         // versioned merge: idempotent under batch replay AND safe under
         // out-of-order batch delivery (file discovery order is mod-time
         // based, not id based)
         val merged = Materializer.mergeVersioned(state, batch, pkCol, rowSchema)
-        // write-then-swap so a mid-write crash never corrupts current state
-        val tmp = statePath + "__next"
-        merged.write.mode("overwrite").parquet(tmp)
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
-        val dst = new org.apache.hadoop.fs.Path(statePath)
-        fs.delete(dst, true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+        // write-then-swap; every rename checked, and the crash window
+        // between the two renames is recoverable (see above)
+        merged.write.mode("overwrite").parquet(next.toString)
+        fs.delete(old, true)
+        if (fs.exists(dst) && !fs.rename(dst, old))
+          sys.error(s"state swap rename failed: $dst -> $old")
+        if (!fs.rename(next, dst))
+          sys.error(s"state swap rename failed: $next -> $dst")
+        fs.delete(old, true)
         ()
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)

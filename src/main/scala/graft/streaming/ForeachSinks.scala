@@ -16,18 +16,30 @@ object ForeachSinks {
 
   /** Serialize a changeset row as the reference CLI does (JSON per event,
     * internal/cli/warp_pipe.go:100-114). */
+  /** JSON string escape incl. all control characters (a raw newline in a
+    * captured text column must not break the line protocol). */
+  private def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
   def toJsonLine(r: Row): String = {
     val fields = r.schema.fieldNames.zipWithIndex.map { case (f, i) =>
       val v = r.get(i)
       val vs = v match {
         case null => "null"
-        case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+        case s: String => "\"" + esc(s) + "\""
         case b: java.lang.Boolean => b.toString
         case n: java.lang.Number => n.toString
         case other => // timestamps, dates, anything else → JSON string
-          "\"" + other.toString.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+          "\"" + esc(other.toString) + "\""
       }
-      "\"" + f + "\":" + vs
+      "\"" + esc(f) + "\":" + vs
     }
     fields.mkString("{", ",", "}")
   }

@@ -89,14 +89,23 @@ object JdbcApplySink {
              exec: Seq[Statement] => Unit): (DataFrame, Long) => Unit =
     (batch, _) => exec(statementsFor(batch, pks, seqCols))
 
-  // -- minimal JSON helpers (payloads are flat row_to_json objects) -------
+  // -- JSON helpers over flat row_to_json objects (Jackson — a regex
+  // would misread escaped quotes inside string values) -------------------
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   private[streaming] def jsonKeys(json: String): Seq[String] =
     if (json == null) Nil
-    else "\"([^\"]+)\"\\s*:".r.findAllMatchIn(json).map(_.group(1)).toSeq.distinct
+    else {
+      val node = mapper.readTree(json)
+      val it = node.fieldNames()
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
 
   private[streaming] def jsonLong(json: String, field: String): Option[Long] =
     if (json == null) None
-    else ("\"" + java.util.regex.Pattern.quote(field) + "\"\\s*:\\s*(-?\\d+)").r
-      .findFirstMatchIn(json).map(_.group(1).toLong)
+    else Option(mapper.readTree(json).get(field))
+      .filter(_.canConvertToLong).map(_.asLong())
 }

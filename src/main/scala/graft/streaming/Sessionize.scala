@@ -47,8 +47,13 @@ object Sessionize {
 
   /**
    * Streaming sessionization: per-key state = the open session; events
-   * extend it while they arrive within the gap; a gap boundary (or event-time
-   * timeout) closes and emits it.
+   * extend it while they arrive within the gap; the NEXT gap boundary for
+   * that key closes and emits it.
+   *
+   * Contract: a key's final still-open session stays in state and is not
+   * emitted until a later event closes it — tail-flush on watermark expiry
+   * (GroupStateTimeout.EventTimeTimeout) is the production follow-up; for
+   * complete-history results use [[byWindows]], which emits every session.
    */
   def streaming(spark: SparkSession, events: DataFrame,
                 gapMinutes: Int = 30): Dataset[Session] = {

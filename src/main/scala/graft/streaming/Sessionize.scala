@@ -87,4 +87,59 @@ object Sessionize {
           closed.result().iterator
       }
   }
+
+  /**
+   * Streaming sessionization WITH tail flush: like [[streaming]], but a
+   * still-open session is emitted once the event-time watermark passes its
+   * gap boundary (GroupStateTimeout.EventTimeTimeout) — no key waits
+   * forever for a next event that may never come.
+   *
+   * `events` must carry a `ts` TimestampType column WITH a watermark
+   * (`withWatermark("ts", ...)`) plus `user_id`.
+   */
+  def streamingWithTimeout(spark: SparkSession, events: DataFrame,
+                           gapMinutes: Int = 30): Dataset[Session] = {
+    import spark.implicits._
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+
+    // the watermarked `ts` attribute must survive into the stateful
+    // operator's child plan, so carry it alongside the long view
+    events.select(col("user_id").cast("long"),
+      unix_micros(col("ts")).cast("long"), col("ts"))
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Open), Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+         state: GroupState[(Long, Open)]) =>
+          if (state.hasTimedOut) {
+            // watermark passed the open session's gap boundary → flush
+            val (id, o) = state.get
+            state.remove()
+            Iterator.single(Session(uid, id, o.n, o.startUs, o.endUs))
+          } else {
+            val sorted = rows.map(_._2).toSeq.sorted
+            var (nextId, open) = state.getOption
+              .map { case (id, o) => (id, Option(o)) }.getOrElse((1L, None))
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { ts =>
+              open = open match {
+                case Some(o) if ts - o.endUs <= gapUs =>
+                  Some(o.copy(n = o.n + 1, endUs = ts))
+                case Some(o) =>
+                  closed += Session(uid, o.sessionId, o.n, o.startUs, o.endUs)
+                  nextId += 1
+                  Some(Open(nextId, 1, ts, ts))
+                case None => Some(Open(nextId, 1, ts, ts))
+              }
+            }
+            open.foreach { o =>
+              state.update((nextId, o))
+              // flush when event time passes end-of-session + gap
+              state.setTimeoutTimestamp((o.endUs + gapUs) / 1000)
+            }
+            closed.result().iterator
+          }
+      }
+  }
 }

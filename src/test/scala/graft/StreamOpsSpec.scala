@@ -28,6 +28,39 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(n == 200 && total == 200, s"distinct=$n total=$total")
   }
 
+  test("sessionize tail flush: watermark expiry emits the open session") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess").toString
+    // batch 1: user 1 has a burst at t0; batch 2: user 2 events much later
+    // (advancing the watermark past user 1's gap boundary)
+    val t0 = 1700000000000000L
+    Seq((1L, t0), (1L, t0 + 60L * 1000000), (1L, t0 + 120L * 1000000))
+      .toDF("user_id", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .coalesce(1).write.mode("append").parquet(dir)
+    val later = t0 + 5L * 3600 * 1000000
+    Seq((2L, later), (2L, later + 1000000L))
+      .toDF("user_id", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .coalesce(1).write.mode("append").parquet(dir)
+
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .withWatermark("ts", "10 minutes")
+    val q = graft.streaming.Sessionize
+      .streamingWithTimeout(spark, stream, 30)
+      .writeStream.format("memory").queryName("sess_flush")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    val got = spark.table("sess_flush")
+      .select("user_id", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // user 1's session (3 events) must have been flushed by the watermark
+    // advance from user 2's batch even though no user-1 event closed it
+    assert(got.contains((1L, 3L)), s"got: $got")
+  }
+
   test("interval join matches its batch equivalent on a live stream") {
     val ev = sources.Tables.load(spark, sfDir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))

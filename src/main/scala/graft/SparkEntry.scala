@@ -692,14 +692,14 @@ object SparkEntry {
 
     "dedup_ngram_jaccard" ->
       (shingleCte + ", " +
-        "pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
-        "CAST(count(*) AS BIGINT) AS inter FROM sh a JOIN sh b " +
-        "ON a.sg = b.sg AND a.doc_id < b.doc_id GROUP BY 1, 2 " +
-        "HAVING count(*) >= 2), " +
-        "sz AS (SELECT doc_id, len(s) AS n FROM sets), " +
-        "j AS (SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / " +
-        "(x.n + y.n - inter) AS jac FROM pr " +
-        "JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b) " +
+        s"inv AS (SELECT doc_id, ${Dedup.hash28Sql("sg")} AS h FROM sh), " +
+        "pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+        "FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "j AS (SELECT doc_a, doc_b, " +
+        "CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / " +
+        "len(list_distinct(x.s || y.s)) AS jac FROM pr " +
+        "JOIN sets x ON x.doc_id = doc_a JOIN sets y ON y.doc_id = doc_b) " +
         "SELECT doc_a, doc_b, jac FROM j WHERE jac >= 0.8 ORDER BY doc_a, doc_b"),
 
     "embed_cosine_topk" ->

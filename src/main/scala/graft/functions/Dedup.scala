@@ -243,23 +243,29 @@ object Dedup {
   }
 
   /**
-   * Exact n-gram-Jaccard near-dup pairs via an inverted shingle index:
-   * pairs sharing at least `minShared` shingles are scored exactly.
+   * Exact n-gram-Jaccard near-dup pairs via an inverted shingle index.
+   * Candidate generation joins on 28-bit shingle hashes (8-byte shuffle
+   * keys instead of shingle strings; a rare hash collision can only ADD a
+   * candidate, never lose one); the final Jaccard is computed exactly
+   * from the full shingle sets of each candidate pair.
    */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    minJaccard: Double = 0.8, minShared: Int = 2): DataFrame = {
     val sets = df.select(col(idCol), TextFns.shingles(col(textCol)).as("sset"))
-    val inv = sets.select(col(idCol), explode(col("sset")).as("s"))
-    val shared = inv.select(col(idCol).as("doc_a"), col("s"))
-      .join(inv.select(col(idCol).as("doc_b"), col("s")), Seq("s"))
+    val inv = sets.select(col(idCol),
+      explode(col("sset")).as("s"))
+      .select(col(idCol), hash28(col("s")).as("h"))
+    val cand = inv.select(col(idCol).as("doc_a"), col("h"))
+      .join(inv.select(col(idCol).as("doc_b"), col("h")), Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-      .filter(col("inter") >= minShared)
-    shared
-      .join(sets.select(col(idCol).as("doc_a"), size(col("sset")).as("na")), "doc_a")
-      .join(sets.select(col(idCol).as("doc_b"), size(col("sset")).as("nb")), "doc_b")
-      .withColumn("jac", col("inter").cast("double") /
-        (col("na") + col("nb") - col("inter")))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter_approx"))
+      .filter(col("inter_approx") >= minShared)
+    cand
+      .join(sets.select(col(idCol).as("doc_a"), col("sset").as("sa")), "doc_a")
+      .join(sets.select(col(idCol).as("doc_b"), col("sset").as("sb")), "doc_b")
+      .withColumn("jac",
+        size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))))
       .filter(col("jac") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("jac"))
   }

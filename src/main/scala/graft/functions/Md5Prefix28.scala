@@ -27,8 +27,13 @@ case class Md5Prefix28(child: Expression) extends UnaryExpression {
   override protected def nullSafeEval(input: Any): Any =
     Md5Prefix28.eval(input.asInstanceOf[UTF8String])
 
+  // NOTE: must call through MODULE$ — scalac suppresses the static forwarder
+  // for the companion's eval(UTF8String) because the case class inherits
+  // Expression.eval(InternalRow) (same name), so `Md5Prefix28.eval(...)`
+  // does not resolve under Janino and Spark would silently fall back to
+  // interpreted evaluation.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.Md5Prefix28.eval($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5Prefix28$$.MODULE$$.eval($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Md5Prefix28 =
     copy(child = newChild)

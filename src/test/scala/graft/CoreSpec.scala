@@ -16,6 +16,12 @@ object SparkTestSession {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Fail loudly (instead of silently interpreting) if any generated
+      // code — ours included — does not compile. Round-1 verdict: the
+      // Md5Prefix28 codegen bug was invisible precisely because these
+      // default to permissive fallback.
+      .config("spark.sql.codegen.fallback", "false")
+      .config("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

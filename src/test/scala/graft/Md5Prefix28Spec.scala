@@ -40,4 +40,31 @@ class Md5Prefix28Spec extends AnyFunSuite {
     assert(rows.count(_.isNullAt(0)) == 1)
     assert(rows.filterNot(_.isNullAt(0)).forall(_.getLong(0) >= 0))
   }
+
+  test("generated code actually compiles (no silent interpreter fallback)") {
+    // The session runs with spark.sql.codegen.fallback=false and
+    // factoryMode=CODEGEN_ONLY, so a Janino failure would throw here
+    // rather than silently degrade. Round 1 shipped exactly that bug:
+    // the generated call `Md5Prefix28.eval(...)` had no static forwarder.
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    // spark.range (not a local Seq): ConvertToLocalRelation would fold a
+    // LocalRelation projection at optimization time and skip codegen entirely
+    val df = spark.range(64)
+      .select(Md5Prefix28(concat(lit("doc-"), col("id").cast("string"))).as("h"))
+    // 1) the plan is inside a WholeStageCodegen span
+    val hasWscg = df.queryExecution.executedPlan.exists {
+      case _: WholeStageCodegenExec => true
+      case _ => false
+    }
+    assert(hasWscg, "Md5Prefix28 projection should run inside WholeStageCodegen")
+    // 2) the generated source references the companion-object call that
+    //    Janino can resolve, and compiles + evaluates
+    val wscg = df.queryExecution.executedPlan.collectFirst {
+      case w: WholeStageCodegenExec => w
+    }.get
+    val (_, source) = wscg.doCodeGen()
+    assert(source.body.contains("Md5Prefix28$.MODULE$.eval"),
+      "generated code must call through the MODULE$ forwarder")
+    assert(df.collect().length == 64)
+  }
 }

@@ -104,20 +104,20 @@ object SparkEntry {
     // (pipeline_test.go:15-40): project away a column, rewrite a field,
     // drop by payload predicate.
     "t6_t7_t8_stage_pipeline" -> ((s, dir) =>
+      // fused payload domain: ONE from_json for the whole stage chain and
+      // the downstream projection — no per-stage parse→serialize round-trip
       Pipeline(
+        Stages.openPayload,
         Stages.removeColumn("value"),
         Stages.mapColumn("table_name", upper),
-        Stages.dropWhere(Stages.newValue("k").cast("int") > 90))(
+        Stages.dropWhereValue("k")(_.cast("int") > 90))(
         Changelog.fromEvents(s, dir))
-        // parse the payload once; CollapseProject keeps non-cheap producer
-        // expressions in their own projection, so the map is built one time
-        .withColumn("__p", Stages.newValuesMap)
         .select(
           col("id"), col("table_name"),
-          element_at(col("__p"), "user_id").cast("bigint").as("payload_user_id"),
-          element_at(col("__p"), "event_type").as("payload_event_type"),
-          element_at(col("__p"), "k").cast("int").as("k"),
-          element_at(col("__p"), "value").as("removed_value"))
+          element_at(col(Stages.PayloadCol), "user_id").cast("bigint").as("payload_user_id"),
+          element_at(col(Stages.PayloadCol), "event_type").as("payload_event_type"),
+          element_at(col(Stages.PayloadCol), "k").cast("int").as("k"),
+          element_at(col(Stages.PayloadCol), "value").as("removed_value"))
         .orderBy(col("id"))),
 
     // T10 — kind normalization (changeset.go:21-33)

@@ -64,7 +64,12 @@ object TableFilters {
  */
 object Stages {
 
+  import org.apache.spark.sql.DataFrame
   import org.apache.spark.sql.types.{MapType, StringType}
+
+  /** Working column that holds the parsed payload while the "payload
+   *  domain" is open (see [[openPayload]]). */
+  val PayloadCol = "__payload"
 
   /** new_values as map<string,string> for by-name access (T9). */
   def newValuesMap: Column =
@@ -79,15 +84,72 @@ object Stages {
   /** GetPreviousColumnValue(name) (changeset.go:66-74). */
   def oldValue(name: String): Column = get_json_object(col("old_values"), s"$$.$name")
 
+  // ---- fused payload domain -------------------------------------------
+  // k stacked payload stages used to cost k parse→serialize JSON
+  // round-trips per row (round-1 verdict). Open the domain once (ONE
+  // from_json), run every payload stage against the parsed
+  // map<string,string>, close it once (ONE to_json). Stages detect the
+  // open domain and operate on the map; outside the domain they keep the
+  // standalone parse/serialize behavior, so each stage stays correct in
+  // isolation (pipeline_test.go:15-40 contract).
+
+  private def payloadOpen(df: DataFrame): Boolean = df.columns.contains(PayloadCol)
+
+  // Keys already rewritten/removed by a stage in the open domain, carried
+  // as metadata on the payload column. A predicate over an UNtouched key
+  // can read the original JSON string with a cheap single-key
+  // get_json_object instead of referencing the map — which matters
+  // because Catalyst pushes filter predicates through the projection by
+  // inlining the alias: a map-column predicate would duplicate the full
+  // from_json into the Filter for every input row.
+  private val TouchedKey = "graft.payload.touched"
+
+  private def touched(df: DataFrame): Set[String] =
+    df.schema.find(_.name == PayloadCol) match {
+      case Some(f) if f.metadata.contains(TouchedKey) =>
+        f.metadata.getStringArray(TouchedKey).toSet
+      case _ => Set.empty
+    }
+
+  private def setPayload(df: DataFrame, c: Column, touchedNames: Set[String]): DataFrame = {
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .putStringArray(TouchedKey, touchedNames.toArray.sorted).build()
+    df.withColumn(PayloadCol, c.as(PayloadCol, md))
+  }
+
+  /** Enter the payload domain: parse new_values ONCE into a map column. */
+  def openPayload: Pipeline.Stage = df =>
+    if (payloadOpen(df)) df else setPayload(df, newValuesMap, Set.empty)
+
+  /** Leave the payload domain: serialize the map back ONCE.
+   *  to_json(null map) is null, matching the standalone stages'
+   *  null-payload passthrough. */
+  def closePayload: Pipeline.Stage = df =>
+    if (!payloadOpen(df)) df
+    else df.withColumn("new_values", to_json(col(PayloadCol))).drop(PayloadCol)
+
+  /** Payload value accessor that is fusion-aware at stage-apply time:
+   *  untouched keys read the original string (cheap, pushdown-friendly);
+   *  touched keys must read the transformed map. */
+  private def valueOf(df: DataFrame, name: String): Column =
+    if (payloadOpen(df) && touched(df).contains(name))
+      element_at(col(PayloadCol), name)
+    else newValue(name)
+
   /**
    * T6 — projection: remove a column from the payload (the reference's
    * `remove_pii` stage, pipeline_test.go:15-26). Done with `map_filter`, a
-   * built-in higher-order function.
+   * built-in higher-order function. Inside an open payload domain this is
+   * a pure map op — no JSON round-trip.
    */
   def removeColumn(name: String): Pipeline.Stage = df =>
-    df.withColumn("new_values",
-      when(col("new_values").isNotNull,
-        to_json(map_filter(newValuesMap, (k, _) => k =!= name))))
+    if (payloadOpen(df))
+      setPayload(df, map_filter(col(PayloadCol), (k, _) => k =!= name),
+        touched(df) + name)
+    else
+      df.withColumn("new_values",
+        when(col("new_values").isNotNull,
+          to_json(map_filter(newValuesMap, (k, _) => k =!= name))))
 
   /**
    * T7 — value map: rewrite a top-level changeset field (the reference's
@@ -103,6 +165,28 @@ object Stages {
    */
   def dropWhere(pred: Column): Pipeline.Stage =
     df => df.filter(!coalesce(pred, lit(false)))
+
+  /**
+   * T8, fusion-aware form: the predicate is built from the payload value
+   * column at stage-apply time — `element_at` on the parsed map inside an
+   * open payload domain (no re-parse), `get_json_object` outside it.
+   * Identical semantics: both yield the value as a string, null when the
+   * key is absent or JSON-null.
+   */
+  def dropWhereValue(name: String)(pred: Column => Column): Pipeline.Stage =
+    df => df.filter(!coalesce(pred(valueOf(df, name)), lit(false)))
+
+  /** T7 over a payload value: rewrite one key's value in place. Map op
+   *  inside an open payload domain; standalone parse→serialize otherwise. */
+  def mapValue(name: String, f: Column => Column): Pipeline.Stage = { df =>
+    def rewrite(m: Column): Column =
+      transform_values(m, (k, v) => when(k === name, f(v)).otherwise(v))
+    if (payloadOpen(df))
+      setPayload(df, rewrite(col(PayloadCol)), touched(df) + name)
+    else
+      df.withColumn("new_values",
+        when(col("new_values").isNotNull, to_json(rewrite(newValuesMap))))
+  }
 
   /** T10 — kind normalization (changeset.go:21-33): case-insensitive
    *  INSERT/UPDATE/DELETE, unknown → ''. */

@@ -64,6 +64,56 @@ class CoreSpec extends AnyFunSuite {
     assert(r.getAs[String]("new_values").contains("last_name"))
   }
 
+  test("fused payload domain == standalone stages; one from_json; touched-key filters") {
+    val in = changesets(
+      (1L, "INSERT", "public", "users",
+        """{"first_name":"Bob","last_name":"Ross","is_test":"FALSE","score":"10"}""", null),
+      (2L, "INSERT", "public", "users",
+        """{"first_name":"Eve","last_name":"Nope","is_test":"TRUE","score":"99"}""", null),
+      (3L, "DELETE", "public", "users", null, """{"first_name":"Old"}"""))
+    def run(stages: Pipeline.Stage*): Seq[(Long, String, String)] =
+      Pipeline(stages: _*)(in)
+        .select(col("id"), col("table_name"), col("new_values"))
+        .collect().toSeq.map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .sortBy(_._1)
+    val standalone = run(
+      Stages.removeColumn("first_name"),
+      Stages.mapValue("last_name", upper),
+      Stages.mapColumn("table_name", upper),
+      Stages.dropWhere(Stages.newValue("is_test") === "TRUE"))
+    val fused = run(
+      Stages.openPayload,
+      Stages.removeColumn("first_name"),
+      Stages.mapValue("last_name", upper),
+      Stages.mapColumn("table_name", upper),
+      Stages.dropWhereValue("is_test")(_ === "TRUE"),
+      Stages.closePayload)
+    assert(fused == standalone)
+    assert(fused.exists { case (_, _, nv) =>
+      nv != null && nv.contains("ROSS") && !nv.contains("first_name") })
+    // null payload (DELETE) passes through as null in both paths
+    assert(fused.exists { case (id, _, nv) => id == 3L && nv == null })
+
+    // filter on a REMOVED key must see the transformed payload (null ⇒ kept)
+    val filteredOnRemoved = run(
+      Stages.openPayload,
+      Stages.removeColumn("is_test"),
+      Stages.dropWhereValue("is_test")(_ === "TRUE"),
+      Stages.closePayload)
+    assert(filteredOnRemoved.map(_._1) == Seq(1L, 2L, 3L))
+
+    // plan shape on a real file source: exactly one full-payload from_json
+    val ev = sources.Changelog.fromEvents(spark, sfDir)
+    val fusedPlan = Pipeline(
+      Stages.openPayload,
+      Stages.removeColumn("value"),
+      Stages.dropWhereValue("k")(_.cast("int") > 90),
+      Stages.closePayload)(ev)
+    val planStr = fusedPlan.queryExecution.executedPlan.toString
+    assert("from_json".r.findAllIn(planStr).length == 1,
+      "fused payload pipeline must parse new_values exactly once")
+  }
+
   test("whitelist patterns: schema.table, schema.*, bare table; ignore wins") {
     val in = changesets(
       (1L, "INSERT", "public", "users", "{}", null),

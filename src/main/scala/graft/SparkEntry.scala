@@ -719,16 +719,23 @@ object SparkEntry {
         "WHERE bucket = pb AND vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 5"),
 
     "embed_cosine_neardup" ->
-      ("WITH e AS (SELECT *, (" +
-        (0 until 4).map(i =>
-          s"CASE WHEN embedding[${i + 1}] > embedding[${i + 33}] THEN ${1 << i} ELSE 0 END")
-          .mkString(" + ") +
-        ") AS bucket FROM embeddings), " +
-        "j AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
+      // banded sign-LSH candidates generated from the SAME comparison table
+      // as the Spark path (Similarity.bandPairs) — oracle and engine cannot
+      // drift on the band structure
+      ("WITH e AS (SELECT * FROM embeddings), s AS (" +
+        Similarity.bandPairs(8, 8, 64).map { case (band, pairs) =>
+          val sig = pairs.zipWithIndex.map { case ((p, q), j) =>
+            s"CASE WHEN embedding[$p] > embedding[$q] THEN ${1 << j} ELSE 0 END"
+          }.mkString(" + ")
+          s"SELECT vec_id, $band AS band, ($sig) AS sig FROM e"
+        }.mkString(" UNION ALL ") +
+        "), cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b " +
+        "FROM s x JOIN s y ON x.band = y.band AND x.sig = y.sig AND x.vec_id < y.vec_id), " +
+        "j AS (SELECT vec_a, vec_b, " +
         "list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / " +
         "(sqrt(list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) * " +
         "sqrt(list_sum(list_transform(range(1, 65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) AS cos " +
-        "FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) " +
+        "FROM cand JOIN e a ON a.vec_id = vec_a JOIN e b ON b.vec_id = vec_b) " +
         "SELECT vec_a, vec_b, cos FROM j WHERE cos >= 0.3 ORDER BY vec_a, vec_b"),
 
     "embed_centroid" ->

@@ -77,26 +77,71 @@ object Similarity {
       .limit(k)
   }
 
+  // ---- banded sign-LSH for near-dup pairs ------------------------------
+  // Round-1 design was a single 4-bit signature = 16 global buckets, so the
+  // bucket-local pair space was still O(n²/16) — a scale-killer. The banded
+  // scheme below mirrors the MinHash path (Dedup.scala): `bands` independent
+  // `bits`-bit sign signatures; a pair is a candidate iff it agrees on ALL
+  // bits of at least ONE band. Bucket count per band is 2^bits, so the
+  // candidate probability decays geometrically with angular distance and
+  // the join shuffles (band, sig) keys, never the n² pair space.
+
   /**
-   * Embedding-cosine near-duplicate pairs: candidate pairs share a rank-LSH
-   * bucket (so the join emits bucket-local pairs, not n² pairs), then exact
-   * cosine filters at `threshold`. The LSH prefilter trades recall for a
-   * ~2^bits reduction of the pair space — the standard near-dup shape at
-   * corpus scale.
+   * Deterministic per-band comparison table: band `i`, bit `j` compares
+   * dims (1-based) `p = ((j*bands + i) mod dims) + 1` vs `q = p + gap_i`
+   * (wrapped). Distinct per-band gap keeps the bands' comparison sets
+   * disjoint (no complementary-bit degeneracy); everything is
+   * data-independent and engine-reproducible — the moral equivalent of
+   * shared random hyperplanes without shared RNG state. The DuckDB oracle
+   * SQL is generated from this same table.
+   */
+  def bandPairs(bands: Int, bits: Int, dims: Int): Seq[(Int, Seq[(Int, Int)])] = {
+    val gaps = Seq(3, 5, 7, 11, 13, 19, 23, 29, 31, 37, 41, 43)
+    (0 until bands).map { i =>
+      val g = gaps(i % gaps.length)
+      i -> (0 until bits).map { j =>
+        val p = (j * bands + i) % dims
+        val q = (p + g) % dims
+        (p + 1, q + 1)
+      }
+    }
+  }
+
+  /** Array of (band, sig) structs for one vector — explode to LSH keys. */
+  def bandSignatures(vec: Column, bands: Int, bits: Int, dims: Int): Column =
+    array(bandPairs(bands, bits, dims).map { case (band, pairs) =>
+      val sig = pairs.zipWithIndex.map { case ((p, q), j) =>
+        when(element_at(vec, p) > element_at(vec, q), lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _)
+      struct(lit(band).as("band"), sig.cast("int").as("sig"))
+    }: _*)
+
+  /**
+   * Embedding-cosine near-duplicate pairs, banded: explode each vector to
+   * `bands` (band, sig) keys, self-join on the key (bucket-local pairs
+   * only), distinct the candidate id pairs, then fetch vectors by id and
+   * verify with exact cosine at `threshold`. Only (id, band, sig) rows —
+   * not the vectors — travel through the candidate join, exactly like the
+   * MinHash-LSH shape.
    */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                         threshold: Double): DataFrame = {
-    // norms computed once per vector (not once per pair) — the join then
-    // evaluates a single dot product per candidate pair
-    val bucketed = df.select(col(idCol), col(vecCol),
-      rankLshBucket(col(vecCol)).as("__bucket"),
-      norm(col(vecCol)).as("__norm"))
-    val a = bucketed.select(col(idCol).as("vec_a"),
-      col(vecCol).as("__va"), col("__bucket"), col("__norm").as("__na"))
-    val b = bucketed.select(col(idCol).as("vec_b"),
-      col(vecCol).as("__vb"), col("__bucket"), col("__norm").as("__nb"))
-    a.join(b, "__bucket")
-      .filter(col("vec_a") < col("vec_b"))
+                         threshold: Double, bands: Int = 8, bits: Int = 8,
+                         dims: Int = 64): DataFrame = {
+    // norms computed once per vector (not once per pair); vectors join back
+    // by id only for verified candidates
+    val base = df.select(col(idCol), col(vecCol), norm(col(vecCol)).as("__norm"))
+    val sig = df.select(col(idCol),
+      explode(bandSignatures(col(vecCol), bands, bits, dims)).as("__bs"))
+    val cand = sig.as("x")
+      .join(sig.as("y"),
+        col("x.__bs") === col("y.__bs") && col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("vec_a"), col(s"y.$idCol").as("vec_b"))
+      .distinct()
+    cand
+      .join(base.select(col(idCol).as("vec_a"), col(vecCol).as("__va"),
+        col("__norm").as("__na")), "vec_a")
+      .join(base.select(col(idCol).as("vec_b"), col(vecCol).as("__vb"),
+        col("__norm").as("__nb")), "vec_b")
       .withColumn("cos",
         dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
       .filter(col("cos") >= threshold)

@@ -739,12 +739,19 @@ object SparkEntry {
         "SELECT vec_a, vec_b, cos FROM j WHERE cos >= 0.3 ORDER BY vec_a, vec_b"),
 
     "embed_centroid" ->
+      // two-phase chunked fold — identical bracketing to the Spark path:
+      // per-chunk sequential sum in id order, then sequential sum of the
+      // partials in chunk order
       ("WITH x AS (SELECT label, vec_id, CAST(i AS INTEGER) - 1 AS pos, " +
-        "embedding[i]::DOUBLE AS v FROM embeddings, " +
-        "(SELECT unnest(range(1, 5)) AS i) idx) " +
-        "SELECT label, pos, list_reduce(list_prepend(0.0, list(v ORDER BY vec_id)), " +
-        "(s, x) -> s + x) / CAST(count(*) AS BIGINT) AS dim_avg " +
-        "FROM x GROUP BY label, pos ORDER BY label, pos"),
+        "embedding[i]::DOUBLE AS v, vec_id // 1024 AS chunk FROM embeddings, " +
+        "(SELECT unnest(range(1, 5)) AS i) idx), " +
+        "p AS (SELECT label, pos, chunk, " +
+        "list_reduce(list_prepend(0.0, list(v ORDER BY vec_id)), (s, x) -> s + x) AS psum, " +
+        "count(*) AS n FROM x GROUP BY label, pos, chunk) " +
+        "SELECT label, pos, " +
+        "list_reduce(list_prepend(0.0, list(psum ORDER BY chunk)), (s, x) -> s + x) " +
+        "/ CAST(sum(n) AS BIGINT) AS dim_avg " +
+        "FROM p GROUP BY label, pos ORDER BY label, pos"),
 
     "text_langid" -> {
       def listSql(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ",", ")")

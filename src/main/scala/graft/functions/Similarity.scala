@@ -149,21 +149,44 @@ object Similarity {
   }
 
   /**
-   * Per-label centroid components (IVF-style coarse quantizer statistics).
-   * The per-dimension sum is folded over a sorted array so the double
-   * accumulation order is deterministic (same result on any cluster layout —
-   * and in any other engine).
+   * Per-label centroid components (IVF-style coarse quantizer statistics),
+   * deterministic AND scale-safe.
+   *
+   * Round-1 design collected EVERY (id, value) of a (label, pos) group into
+   * one sorted array to fix the double-summation order — one hot label at
+   * corpus scale = one giant array on one task. This is the two-phase
+   * replacement: rows are assigned to fixed id-range chunks
+   * (`chunk_id = id div chunkSize` — data-independent, so the bracketing
+   * never depends on physical partitioning), each chunk folds its ≤chunkSize
+   * values in id order into a partial sum, and the partials are folded in
+   * chunk order. Arrays are bounded (≤chunkSize values, ≤idRange/chunkSize
+   * partials); both folds are sequential, so the result is bit-reproducible
+   * on any cluster layout — the DuckDB oracle reproduces the identical
+   * chunked bracketing.
    */
   def centroidComponents(df: DataFrame, labelCol: String, idCol: String,
-                         vecCol: String, dims: Int): DataFrame =
-    df.select(col(labelCol), col(idCol),
+                         vecCol: String, dims: Int,
+                         chunkSize: Int = 1024): DataFrame = {
+    val x = df.select(col(labelCol), col(idCol),
       posexplode(col(vecCol)).as(Seq("pos", "v")))
       .filter(col("pos") < dims)
-      .groupBy(col(labelCol), col("pos"))
+      .withColumn("__chunk", floor(col(idCol) / chunkSize))
+    val partials = x
+      .groupBy(col(labelCol), col("pos"), col("__chunk"))
       .agg(sort_array(collect_list(struct(col(idCol).as("k"),
         col("v").cast("double").as("v")))).as("vs"),
         count(lit(1)).as("n"))
+      .select(col(labelCol), col("pos"), col("__chunk"),
+        aggregate(col("vs"), lit(0.0), (acc, e) => acc + e.getField("v"))
+          .as("psum"),
+        col("n"))
+    partials
+      .groupBy(col(labelCol), col("pos"))
+      .agg(sort_array(collect_list(struct(col("__chunk").as("c"),
+        col("psum").as("p")))).as("ps"),
+        sum(col("n")).as("n"))
       .select(col(labelCol), col("pos"),
-        (aggregate(col("vs"), lit(0.0), (acc, x) => acc + x.getField("v")) /
+        (aggregate(col("ps"), lit(0.0), (acc, e) => acc + e.getField("p")) /
           col("n")).as("dim_avg"))
+  }
 }

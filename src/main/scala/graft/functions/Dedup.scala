@@ -176,63 +176,8 @@ object Dedup {
     val pairs = minhashDedup(repDocs, idCol, textCol, minJaccard)
       .select(col("doc_a"), col("doc_b"))
 
-    // 3. connected components over the pair graph. The edge set is tiny
-    // relative to the corpus (only verified near-dup pairs), so the
-    // default path collects it and runs union-find on the driver — exact,
-    // one broadcast join, no iteration overhead. Graphs too big to
-    // collect fall back to distributed min-label propagation.
-    val spark = df.sparkSession
-    pairs.cache() // count() + collect() below must not recompute the
-                  // whole LSH/verify pipeline twice
-    val nEdges = pairs.count()
-    val labels: DataFrame =
-      if (nEdges <= 1000000L) {
-        val parent = scala.collection.mutable.Map.empty[Long, Long]
-        def find(x: Long): Long = {
-          var r = x
-          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-          var c = x
-          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-          r
-        }
-        pairs.collect().foreach { row =>
-          val (a, b) = (row.getLong(0), row.getLong(1))
-          val (ra, rb) = (find(a), find(b))
-          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-        }
-        val resolved = parent.keys.map(k => (k, find(k))).toSeq
-        import spark.implicits._
-        broadcast(resolved.toDF("node", "label"))
-      } else {
-        val edges = pairs.unionByName(
-          pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).cache()
-        var ls = edges.select(col("doc_a").as("node")).distinct()
-          .select(col("node"), col("node").as("label"))
-        var converged = false
-        var i = 0
-        while (!converged && i < maxIterations) {
-          val neighborMin = edges
-            .join(ls, edges("doc_b") === ls("node"))
-            .groupBy(col("doc_a").as("node0"))
-            .agg(min(col("label")).as("nmin"))
-          val next = ls.join(neighborMin, ls("node") === col("node0"), "left")
-            .select(col("node"), least(col("label"),
-              coalesce(col("nmin"), col("label"))).as("label"))
-            .cache()
-          val changed = next.alias("n").join(ls.alias("o"), "node")
-            .filter(col("n.label") =!= col("o.label")).limit(1).count()
-          ls = next
-          converged = changed == 0
-          i += 1
-        }
-        if (!converged)
-          System.err.println(
-            s"[graft] nearDupClusters: label propagation did not converge " +
-              s"in $maxIterations iterations — a component with diameter > " +
-              s"$maxIterations exists and its cluster ids are PARTIAL; " +
-              "raise maxIterations")
-        ls
-      }
+    // 3. connected components over the pair graph
+    val labels = connectedComponents(pairs, maxIterations)
 
     // 4. every doc resolves through its representative: edge-connected
     // reps carry their propagated label, singleton reps label themselves;
@@ -240,6 +185,87 @@ object Dedup {
     docToRep.join(labels, docToRep("__rep") === labels("node"), "left")
       .select(col(idCol),
         coalesce(col("label"), col("__rep")).as("cluster_id"))
+  }
+
+  /**
+   * Connected components over an undirected edge list (doc_a, doc_b) →
+   * (node, label) with label = the component's minimum node id.
+   *
+   * The edge set is tiny relative to the corpus (only verified near-dup
+   * pairs), so the default path collects it and runs union-find on the
+   * driver — exact, one broadcast join, no iteration overhead. Graphs
+   * bigger than `driverEdgeLimit` fall back to distributed min-label
+   * propagation with strict loop hygiene: every iterate is
+   * `localCheckpoint`ed (truncated lineage — no plan-depth blowup across
+   * iterations) and the superseded iterate's backing RDD is unpersisted
+   * as soon as the next one is materialized, so storage stays O(1) in the
+   * iteration count.
+   */
+  def connectedComponents(pairs: DataFrame, maxIterations: Int = 10,
+                          driverEdgeLimit: Long = 1000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    pairs.cache() // count() + collect()/reuse below must not recompute the
+                  // whole LSH/verify pipeline twice
+    val nEdges = pairs.count()
+    if (nEdges <= driverEdgeLimit) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      pairs.collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      pairs.unpersist(false)
+      val resolved = parent.keys.map(k => (k, find(k))).toSeq
+      import spark.implicits._
+      broadcast(resolved.toDF("node", "label"))
+    } else {
+      // localCheckpoint (eager) materializes AND truncates lineage; the
+      // LogicalRDD backing lets us release the superseded iterate
+      // deterministically instead of waiting for GC-driven cleanup.
+      import org.apache.spark.sql.execution.LogicalRDD
+      def backingRdd(d: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+        d.queryExecution.analyzed.collectFirst { case l: LogicalRDD => l.rdd }
+      val edges = pairs.unionByName(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .localCheckpoint()
+      pairs.unpersist(false) // edges checkpoint holds the data now
+      var ls = edges.select(col("doc_a").as("node")).distinct()
+        .select(col("node"), col("node").as("label"))
+        .localCheckpoint()
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIterations) {
+        val neighborMin = edges
+          .join(ls, edges("doc_b") === ls("node"))
+          .groupBy(col("doc_a").as("node0"))
+          .agg(min(col("label")).as("nmin"))
+        val next = ls.join(neighborMin, ls("node") === col("node0"), "left")
+          .select(col("node"), least(col("label"),
+            coalesce(col("nmin"), col("label"))).as("label"))
+          .localCheckpoint() // eager: materialized before the old ls goes away
+        val changed = next.alias("n").join(ls.alias("o"), "node")
+          .filter(col("n.label") =!= col("o.label")).limit(1).count()
+        backingRdd(ls).foreach(_.unpersist(false))
+        ls = next
+        converged = changed == 0
+        i += 1
+      }
+      backingRdd(edges).foreach(_.unpersist(false))
+      if (!converged)
+        System.err.println(
+          s"[graft] connectedComponents: label propagation did not converge " +
+            s"in $maxIterations iterations — a component with diameter > " +
+            s"$maxIterations exists and its cluster ids are PARTIAL; " +
+            "raise maxIterations")
+      ls
+    }
   }
 
   /**

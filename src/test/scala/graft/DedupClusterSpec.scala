@@ -39,4 +39,26 @@ class DedupClusterSpec extends AnyFunSuite {
     val kept = m.count { case (doc, c) => doc == c }
     assert(kept == m.values.toSet.size)
   }
+
+  test("distributed label propagation: >3 iterations, O(1) persisted storage") {
+    import spark.implicits._
+    // path graph 0-1-2-…-8 (diameter 8 ⇒ min-label propagation needs ~8
+    // rounds) plus a disjoint triangle; driverEdgeLimit=0 forces the
+    // distributed path that the default driver union-find would bypass
+    val edges = ((0L until 8L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (101L, 102L), (100L, 102L))).toDF("doc_a", "doc_b")
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
+    val labels = Dedup.connectedComponents(edges, maxIterations = 20,
+      driverEdgeLimit = 0L)
+    val m = labels.as[(Long, Long)].collect().toMap
+    assert((0L to 8L).forall(m(_) == 0L), "path component labels to its min")
+    assert(Seq(100L, 101L, 102L).forall(m(_) == 100L))
+    // loop hygiene: superseded iterates and the edge checkpoint are
+    // unpersisted — storage does not grow with the iteration count
+    // (final iterate + at most a couple of transient entries may remain)
+    val persistedAfter = spark.sparkContext.getPersistentRDDs.size
+    assert(persistedAfter - persistedBefore <= 2,
+      s"persisted RDDs grew by ${persistedAfter - persistedBefore} — " +
+        "iterates are leaking cache")
+  }
 }

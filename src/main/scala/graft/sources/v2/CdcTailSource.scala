@@ -57,7 +57,7 @@ final class CdcTable(options: CaseInsensitiveStringMap)
     s"graft-cdc-tail(${options.getOrDefault("feed", "?")})"
   override def schema(): StructType = ChangesetSchema.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new CdcScan(opts)
@@ -72,6 +72,29 @@ final class CdcScan(options: CaseInsensitiveStringMap) extends Scan {
       options.getLong("startFromId", 0L),
       options.getLong("maxIdsPerTrigger", Long.MaxValue),
       options.getInt("partitions", 4))
+
+  /** Batch replay over the same feed: one scan covers
+   *  (startFromId, endId ?: currentMaxId], tiled like a micro-batch —
+   *  S2/S3 batch replay and the streaming tail share one source. */
+  override def toBatch: Batch = {
+    val feedName = options.getOrDefault("feed", "")
+    val lo = options.getLong("startFromId", 0L)
+    val hi =
+      if (options.containsKey("endId")) options.getLong("endId", Long.MaxValue)
+      else TailFeed.lookup(feedName).currentMaxId
+    new CdcBatch(feedName, lo, hi, options.getInt("partitions", 4))
+  }
+}
+
+final class CdcBatch(feedName: String, lo: Long, hi: Long, partitions: Int)
+    extends Batch {
+  override def planInputPartitions(): Array[InputPartition] =
+    CdcRangePartition.tile(feedName, lo, hi, partitions)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new CdcRangeReader(p.asInstanceOf[CdcRangePartition])
+    }
 }
 
 /** Offset = highest changeset id emitted (total order ≅ LSN). */
@@ -118,17 +141,14 @@ final class CdcMicroBatchStream(feedName: String, startFromId: Long,
   override def deserializeOffset(json: String): Offset = IdOffset(json.toLong)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    // Trust the (start, end] range exactly as checkpointed: the read limit
+    // is applied ONLY in latestOffset. Re-clamping here with the current
+    // maxIdsPerTrigger would silently skip events in a checkpointed batch
+    // when the limit is lowered across a restart — the offset log already
+    // marks that whole range processed.
     val lo = start.asInstanceOf[IdOffset].maxId
-    val hi0 = end.asInstanceOf[IdOffset].maxId
-    val hi = math.min(hi0, cap(lo))
-    if (hi <= lo) Array.empty
-    else {
-      val span = hi - lo
-      val step = math.max(1L, span / partitions)
-      (lo until hi by step).map { s =>
-        CdcRangePartition(feedName, s, math.min(s + step, hi)): InputPartition
-      }.toArray
-    }
+    val hi = end.asInstanceOf[IdOffset].maxId
+    CdcRangePartition.tile(feedName, lo, hi, partitions)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -144,6 +164,20 @@ final class CdcMicroBatchStream(feedName: String, startFromId: Long,
 /** (lo, hi]: a disjoint id range of one trigger. */
 case class CdcRangePartition(feedName: String, lo: Long, hi: Long)
     extends InputPartition
+
+object CdcRangePartition {
+  /** Tile (lo, hi] into ≤`partitions` disjoint ranges (empty when hi≤lo). */
+  def tile(feedName: String, lo: Long, hi: Long,
+           partitions: Int): Array[InputPartition] =
+    if (hi <= lo) Array.empty
+    else {
+      val span = hi - lo
+      val step = math.max(1L, span / partitions)
+      (lo until hi by step).map { s =>
+        CdcRangePartition(feedName, s, math.min(s + step, hi)): InputPartition
+      }.toArray
+    }
+}
 
 final class CdcRangeReader(p: CdcRangePartition)
     extends PartitionReader[InternalRow] {

@@ -57,6 +57,51 @@ class CdcTailSourceSpec extends AnyFunSuite {
     assert(got.filter(col("action") === "UPDATE").count() == 5)
   }
 
+  test("planInputPartitions honors the checkpointed range over the read limit") {
+    // Exactly-once contract: a batch recorded as (0, 20] in the offset log
+    // must be planned in full even if the query restarted with a LOWER
+    // maxIdsPerTrigger — the limit applies only when choosing latestOffset,
+    // never when re-planning a checkpointed batch (re-clamping here would
+    // silently skip ids 6..20 while the log marks them processed).
+    import graft.sources.v2.{CdcMicroBatchStream, CdcRangePartition, IdOffset}
+    val feed = new MemoryTailFeed
+    (1L to 20L).foreach(i => feed.append(change(i, "INSERT", "users")))
+    TailFeed.register("t4", feed)
+    val stream = new CdcMicroBatchStream("t4", 0L, maxIdsPerTrigger = 5L,
+      partitions = 3)
+    val parts = stream.planInputPartitions(IdOffset(0L), IdOffset(20L))
+      .map(_.asInstanceOf[CdcRangePartition]).sortBy(_.lo)
+    assert(parts.head.lo == 0L && parts.last.hi == 20L)
+    assert(parts.sliding(2).forall {
+      case Array(a, b) => a.hi == b.lo
+      case _ => true
+    }, "partitions must tile the checkpointed range without gaps")
+    // while latestOffset DOES apply the limit
+    val next = stream.latestOffset(IdOffset(0L), stream.getDefaultReadLimit)
+      .asInstanceOf[IdOffset]
+    assert(next.maxId == 5L)
+  }
+
+  test("BATCH_READ: batch replay shares the tail source") {
+    val feed = new MemoryTailFeed
+    (1L to 30L).foreach(i => feed.append(change(i, "INSERT", "users")))
+    TailFeed.register("t5", feed)
+
+    // full replay from an id watermark (S3 semantics)
+    val since = spark.read.format("graft.sources.v2.CdcTailProvider")
+      .option("feed", "t5").option("startFromId", "10")
+      .option("partitions", "4").load()
+    assert(since.select("id").collect().map(_.getLong(0)).sorted.toSeq
+      == (11L to 30L))
+
+    // bounded range replay (lo, hi]
+    val ranged = spark.read.format("graft.sources.v2.CdcTailProvider")
+      .option("feed", "t5").option("startFromId", "5").option("endId", "12")
+      .load()
+    assert(ranged.select("id").collect().map(_.getLong(0)).sorted.toSeq
+      == (6L to 12L))
+  }
+
   test("DSv2 tail source feeds the standard pipeline + materializer") {
     val feed = new MemoryTailFeed
     feed.append(change(1, "INSERT", "users"))

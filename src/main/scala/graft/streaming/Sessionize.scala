@@ -113,9 +113,15 @@ object Sessionize {
         (uid: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
          state: GroupState[(Long, Open)]) =>
           if (state.hasTimedOut) {
-            // watermark passed the open session's gap boundary → flush
+            // watermark passed the open session's gap boundary → flush.
+            // Keep the session counter (id+1, no open session) so a later
+            // event for this key continues the per-user id sequence instead
+            // of restarting at 1 and duplicating (user_id, session_id) keys.
+            // Counter-only state is 16 bytes/key — the same O(#users) bound
+            // as the NoTimeout variant — and no timeout is re-registered
+            // for it, so it never fires again on its own.
             val (id, o) = state.get
-            state.remove()
+            state.update((id + 1, null))
             Iterator.single(Session(uid, id, o.n, o.startUs, o.endUs))
           } else {
             val sorted = rows.map(_._2).toSeq.sorted

@@ -43,6 +43,17 @@ class StreamOpsSpec extends AnyFunSuite {
       .toDF("user_id", "ts_us")
       .withColumn("ts", timestamp_micros(col("ts_us")))
       .coalesce(1).write.mode("append").parquet(dir)
+    // batch 3: user 1 RETURNS after their first session was timeout-flushed
+    val t1 = later + 3600L * 1000000
+    Seq((1L, t1), (1L, t1 + 1000000L))
+      .toDF("user_id", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .coalesce(1).write.mode("append").parquet(dir)
+    // batch 4: far-future event advances the watermark past everything open
+    Seq((3L, t1 + 5L * 3600 * 1000000))
+      .toDF("user_id", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .coalesce(1).write.mode("append").parquet(dir)
 
     val schema = spark.read.parquet(dir).schema
     val stream = spark.readStream.schema(schema)
@@ -54,11 +65,18 @@ class StreamOpsSpec extends AnyFunSuite {
       .outputMode("append").start()
     q.processAllAvailable(); q.stop(); q.awaitTermination()
     val got = spark.table("sess_flush")
-      .select("user_id", "n_events").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    // user 1's session (3 events) must have been flushed by the watermark
-    // advance from user 2's batch even though no user-1 event closed it
-    assert(got.contains((1L, 3L)), s"got: $got")
+      .select("user_id", "session_id", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // user 1's first session (3 events) must have been flushed by the
+    // watermark advance from user 2's batch even though no user-1 event
+    // closed it
+    assert(got.contains((1L, 1L, 3L)), s"got: $got")
+    // and user 1's post-flush session continues the id sequence — a
+    // timeout flush must NOT restart ids at 1 (duplicate stream key)
+    assert(got.contains((1L, 2L, 2L)), s"got: $got")
+    val user1Ids = got.filter(_._1 == 1L).map(_._2)
+    assert(user1Ids.size == got.count(_._1 == 1L),
+      s"duplicate (user, session_id) emitted: $got")
   }
 
   test("interval join matches its batch equivalent on a live stream") {

@@ -17,13 +17,18 @@ case class Changeset(
     new_values: Option[String],
     old_values: Option[String]) {
 
+  // Real JSON parsing (Jackson, as in JdbcApplySink): a regex truncates
+  // nested object/array values (json/jsonb columns) at the first ',' or
+  // '}' and conflates the literal string "null" with JSON null.
   private def field(json: Option[String], name: String): Option[String] =
     json.flatMap { j =>
-      val p = ("\"" + java.util.regex.Pattern.quote(name) +
-        "\"\\s*:\\s*(\"((?:[^\"\\\\]|\\\\.)*)\"|[^,}]+)").r
-      p.findFirstMatchIn(j).map { m =>
-        Option(m.group(2)).getOrElse(m.group(1).trim)
-      }.filterNot(_ == "null")
+      try {
+        Option(Changeset.mapper.readTree(j).get(name)).flatMap { node =>
+          if (node.isNull) None // JSON null ≡ absent (changeset.go:46-54)
+          else if (node.isTextual) Some(node.textValue()) // "null" stays "null"
+          else Some(node.toString) // numbers/bools/objects/arrays: JSON text
+        }
+      } catch { case _: java.io.IOException => None }
     }
 
   /** GetNewColumnValue (changeset.go:46-54). */
@@ -33,6 +38,10 @@ case class Changeset(
   def oldValue(column: String): Option[String] = field(old_values, column)
 
   def kind: String = ChangesetSchema.normalizeKind(action)
+}
+
+object Changeset {
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 }
 
 /**

@@ -34,6 +34,25 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(first.oldValue("user_id").isEmpty) // INSERT has no old values
   }
 
+  test("typed accessors parse real JSON, not a regex approximation") {
+    import graft.model.Changeset
+    val cs = Changeset(1L, None, "UPDATE", "public", "t", None,
+      Some("""{"j":{"a":[1,2],"s":"x,y"},"arr":[1,{"b":2}],""" +
+        """"s":"null","n":null,"esc":"q\"uote, brace}","num":1.5}"""),
+      None)
+    // nested json/jsonb values come back as their full JSON text —
+    // the old regex truncated at the first ',' or '}'
+    assert(cs.newValue("j").contains("""{"a":[1,2],"s":"x,y"}"""))
+    assert(cs.newValue("arr").contains("""[1,{"b":2}]"""))
+    // a literal string "null" is NOT JSON null
+    assert(cs.newValue("s").contains("null"))
+    assert(cs.newValue("n").isEmpty) // JSON null ≡ absent
+    assert(cs.newValue("esc").contains("""q"uote, brace}"""))
+    assert(cs.newValue("num").contains("1.5"))
+    assert(Changeset(1L, None, "U", "p", "t", None,
+      Some("not json"), None).newValue("x").isEmpty)
+  }
+
   test("facade streams through the same transform") {
     val dir = java.nio.file.Files.createTempDirectory("graft-facade").toString
     Changelog.fromEvents(spark, sfDir).limit(100)

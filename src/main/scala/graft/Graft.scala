@@ -45,6 +45,11 @@ final case class Graft(
   def startFromId(id: Long): Graft =
     copy(config = config.copy(startFromId = Some(id)))
 
+  /** LR-mode resume point (config.go:39-41): keep changes from messages
+    * AFTER the one whose `nextlsn` equals the recorded token. */
+  def startFromLsn(lsn: String): Graft =
+    copy(config = config.copy(startFromLsn = Some(lsn)))
+
   /** Append a user pipeline stage (reference: RunWithPipeline, axon.go:176-179). */
   def withStage(stage: Pipeline.Stage): Graft = copy(stages = stages :+ stage)
 
@@ -57,19 +62,36 @@ final case class Graft(
   def startFromTimestamp(ts: String): Graft =
     copy(config = config.copy(startFromTs = Some(ts)))
 
-  /** Batch replay of a changelog (resume point from config: id wins over
-    * timestamp, mirroring the reference's flag precedence). */
+  /** Keep only changes strictly after the configured LSN token (LR-decoded
+    * changelogs carry an `lsn` column — Wal2Json.decode; a changelog
+    * without one ignores the LSN resume point, matching the reference
+    * where startFromLsn applies to LR mode only). */
+  private def afterLsn(changelog: DataFrame): DataFrame =
+    config.startFromLsn match {
+      case Some(l) if changelog.columns.contains("lsn") =>
+        changelog.filter(
+          sources.Wal2Json.lsnToLong(col("lsn")) >
+            sources.Wal2Json.lsnToLong(lit(l)))
+      case _ => changelog
+    }
+
+  /** Batch replay of a changelog (resume point from config: lsn [LR mode],
+    * then id, then timestamp — mirroring the reference's flag precedence). */
   def replay(changelog: DataFrame): DataFrame = {
-    val from = config.startFromId.map(Replay.sinceId(changelog, _))
-      .orElse(config.startFromTs.map(ts =>
-        Replay.sinceTimestamp(changelog, lit(ts).cast("timestamp"))))
-      .getOrElse(changelog.orderBy(col("id")))
+    val from =
+      if (config.startFromLsn.isDefined && changelog.columns.contains("lsn"))
+        afterLsn(changelog).orderBy(col("id"))
+      else config.startFromId.map(Replay.sinceId(changelog, _))
+        .orElse(config.startFromTs.map(ts =>
+          Replay.sinceTimestamp(changelog, lit(ts).cast("timestamp"))))
+        .getOrElse(changelog.orderBy(col("id")))
     transform(from)
   }
 
   /** Live micro-batch stream from a changelog directory. */
   def changes(changelogDir: String, maxFilesPerTrigger: Int = 10): DataFrame =
-    transform(ChangesetStream.fromFiles(spark, changelogDir, maxFilesPerTrigger)
+    transform(afterLsn(
+      ChangesetStream.fromFiles(spark, changelogDir, maxFilesPerTrigger))
       .filter(config.startFromId.map(col("id") >= _).getOrElse(lit(true))))
 
   /** Typed view of a change stream. */

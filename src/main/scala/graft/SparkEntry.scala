@@ -91,6 +91,33 @@ object SparkEntry {
     "s5_point_lookup" -> ((s, dir) =>
       decodedPayload(Replay.byId(Changelog.fromEvents(s, dir), 123L))),
 
+    // S1 — wal2json LR decode with typed, order-preserving column view
+    // (db/wal2json.go:4-26; changeset.go:77-81): messages synthesized from
+    // the events table, decoded, and projected at declared PG types via
+    // PgTypes.toSpark. The oracle recomputes the expectation directly.
+    "s1_wal2json_typed" -> ((s, dir) => {
+      import graft.sources.Wal2Json
+      val msg = concat(
+        lit("""{"change":[{"kind":"insert","schema":"public","table":"events",""" +
+          """"columnnames":["user_id","event_type","k","value"],""" +
+          """"columntypes":["bigint","text","integer","double precision"],""" +
+          """"columnvalues":["""),
+        col("user_id").cast("string"), lit(","),
+        Wal2Json.jsonStringLiteral(col("event_type")), lit(","),
+        coalesce(get_json_object(col("props"), "$.k"), lit("null")), lit(","),
+        col("value").cast("string"),
+        lit("""]}],"nextlsn":"0/"""),
+        lower(hex(col("event_id"))), lit("\"}"))
+      val raw = events(s, dir).select(col("event_id").as("seq"), msg.as("msg"))
+      Wal2Json.decodeTyped(raw, "seq", "msg")
+        .select(col("id"), col("action"), col("table_name"), col("lsn"),
+          Wal2Json.typedColumn(col("new_cols"), "user_id", "bigint").as("user_id"),
+          Wal2Json.typedColumn(col("new_cols"), "event_type", "text").as("event_type"),
+          Wal2Json.typedColumn(col("new_cols"), "k", "integer").as("k"),
+          Wal2Json.typedColumn(col("new_cols"), "value", "double precision").as("value"))
+        .orderBy(col("id"))
+    }),
+
     // T3+T4 — whitelist then ignore table filters (warp_pipe.go:97-144)
     "t3_t4_table_filters" -> ((s, dir) =>
       Pipeline(
@@ -514,6 +541,13 @@ object SparkEntry {
       (eventsOracleCte +
         "SELECT id, ts_us, action, schema_name, table_name, k, value " +
         "FROM cs WHERE id = 123"),
+
+    "s1_wal2json_typed" ->
+      ("SELECT CAST(event_id * 1048576 AS BIGINT) AS id, 'INSERT' AS action, " +
+        "'events' AS table_name, '0/' || lower(to_hex(event_id)) AS lsn, " +
+        "user_id, event_type, " +
+        "CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, value " +
+        "FROM events ORDER BY id"),
 
     "t3_t4_table_filters" ->
       (eventsOracleCte +

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -12,13 +12,21 @@ import org.apache.spark.sql.types._
  * a declarative transformation: a DataFrame of raw wal2json message strings
  * becomes a changeset-schema DataFrame.
  *
- * Values are re-encoded as a JSON object (name→value), matching the audit
- * shape ([[graft.model.ChangesetSchema.schema]]) so both capture modes
- * produce one stream shape — exactly the reference's design, where both
- * listeners emit the same Changeset struct.
+ * Two views:
+ *  - [[decode]]: payloads re-encoded as JSON objects, TYPE-AWARE — numeric/
+ *    boolean/json columns stay unquoted, so the result is byte-compatible
+ *    with audit-mode `row_to_json` payloads (both capture modes produce
+ *    type-identical streams, changeset.go:57-61).
+ *  - [[decodeTyped]]: additionally carries the order-preserving,
+ *    type-tagged `array<struct<column,value,type>>` view of each change
+ *    (changeset.go:77-81 `ChangesetColumn` parity) plus the message `lsn`,
+ *    feeding [[graft.model.PgTypes.toSpark]] for typed projections.
  *
- * Pure Column work: `from_json` → `explode` → `map_from_arrays` →
- * `to_json`; runs identically on batch frames and streaming micro-batches.
+ * Pure Column work: `from_json` → `posexplode` → per-entry encode →
+ * `concat`; runs identically on batch frames and streaming micro-batches.
+ * Note `from_json` with string-typed fields preserves raw JSON text for
+ * nested objects/arrays and the literal form of scalars, so no value
+ * information is lost before the type-aware re-encode.
  */
 object Wal2Json {
 
@@ -29,34 +37,103 @@ object Wal2Json {
       "oldkeys:struct<keynames:array<string>,keytypes:array<string>," +
       "keyvalues:array<string>>>>, nextlsn string")
 
+  /** Escape a string column into a JSON string literal (quotes included). */
+  def jsonStringLiteral(c: Column): Column = {
+    val arr = to_json(array(c)) // ["escaped"] — reuse Spark's JSON writer
+    arr.substr(lit(2), length(arr) - 2)
+  }
+
+  /** PG types whose JSON form is emitted raw (unquoted): numerics,
+   *  booleans, and json/jsonb (whose value text IS JSON already). */
+  private def rawJsonType(t: Column): Column = {
+    val lt = lower(t)
+    lt.isin("smallint", "integer", "int", "int2", "int4", "bigint", "int8",
+      "serial", "bigserial", "real", "float4", "double precision", "float8",
+      "boolean", "bool", "json", "jsonb") ||
+      lt.startsWith("numeric") || lt.startsWith("decimal")
+  }
+
+  /** Order-preserving type-tagged column view: (names, types, values) →
+   *  array<struct<column,value,type>> (changeset.go:77-81). */
+  private def colsView(names: Column, types: Column, values: Column): Column =
+    zip_with(names, zip_with(types, values, (t, v) => struct(t.as("t"), v.as("v"))),
+      (n, tv) => struct(n.as("column"), tv.getField("v").as("value"),
+        tv.getField("t").as("type")))
+
+  /** Re-encode a cols view as a row_to_json-compatible JSON object:
+   *  `{"name":value,…}` with values unquoted for numeric/boolean/json
+   *  types, JSON-escaped otherwise, and JSON null for null values. */
+  private def payloadJson(cols: Column): Column =
+    concat(lit("{"),
+      concat_ws(",", transform(cols, e =>
+        concat(jsonStringLiteral(e.getField("column")), lit(":"),
+          when(e.getField("value").isNull, lit("null"))
+            .when(rawJsonType(e.getField("type")), e.getField("value"))
+            .otherwise(jsonStringLiteral(e.getField("value")))))),
+      lit("}"))
+
+  /** Composite id: one message can carry many changes. 2^20 changes per
+   *  message keeps composite ids unique and ordered for message ids up to
+   *  2^43 (a transaction touching >1M rows in one wal2json message would
+   *  need chunked output upstream anyway). */
+  private def compositeId(msgId: Column, chgIdx: Column): Column =
+    shiftleft(msgId, 20) + chgIdx
+
   /**
-   * Decode a DataFrame with a raw wal2json message column (`msgCol`) and a
-   * monotonically increasing message id (`idCol` ≅ LSN order) into the
-   * changeset shape.
+   * Decode raw wal2json messages (`msgCol`, with monotonically increasing
+   * message id `idCol` ≅ LSN order) into the changeset shape + `lsn`
+   * (the message's nextlsn — the resume token for [[lsnToLong]] filters).
    */
-  def decode(raw: DataFrame, idCol: String, msgCol: String): DataFrame = {
+  def decode(raw: DataFrame, idCol: String, msgCol: String): DataFrame =
+    decodeTyped(raw, idCol, msgCol)
+      .drop("new_cols", "old_cols")
+
+  /**
+   * Decode with the order-preserving typed column views retained:
+   * changeset columns + `lsn` + `new_cols`/`old_cols` as
+   * `array<struct<column,value,type>>`. Use [[typedColumn]] to project a
+   * column at its declared PG type.
+   */
+  def decodeTyped(raw: DataFrame, idCol: String, msgCol: String): DataFrame = {
     val parsed = raw.select(col(idCol).cast("long").as("id"),
       from_json(col(msgCol), messageSchema).as("m"))
     parsed
       .select(col("id"), col("m.nextlsn").as("lsn"),
         posexplode(col("m.change")).as(Seq("chg_idx", "c")))
+      .withColumn("new_cols",
+        when(col("c.columnnames").isNotNull,
+          colsView(col("c.columnnames"), col("c.columntypes"),
+            col("c.columnvalues"))))
+      .withColumn("old_cols",
+        when(col("c.oldkeys.keynames").isNotNull,
+          colsView(col("c.oldkeys.keynames"), col("c.oldkeys.keytypes"),
+            col("c.oldkeys.keyvalues"))))
       .select(
-        // sub-ordering: one message can carry many changes. 2^20 changes
-        // per message keeps composite ids unique and ordered for message
-        // ids up to 2^43 (a transaction touching >1M rows in one wal2json
-        // message would need chunked output upstream anyway).
-        (shiftleft(col("id"), 20) + col("chg_idx")).as("id"),
+        compositeId(col("id"), col("chg_idx")).as("id"),
         lit(null).cast("timestamp").as("ts"),
         upper(col("c.kind")).as("action"),
         col("c.schema").as("schema_name"),
         col("c.table").as("table_name"),
         lit(0L).as("relid"),
-        when(col("c.columnnames").isNotNull,
-          to_json(map_from_arrays(col("c.columnnames"), col("c.columnvalues"))))
+        when(col("new_cols").isNotNull, payloadJson(col("new_cols")))
           .as("new_values"),
-        when(col("c.oldkeys.keynames").isNotNull,
-          to_json(map_from_arrays(col("c.oldkeys.keynames"),
-            col("c.oldkeys.keyvalues"))))
-          .as("old_values"))
+        when(col("old_cols").isNotNull, payloadJson(col("old_cols")))
+          .as("old_values"),
+        col("lsn"), col("new_cols"), col("old_cols"))
+  }
+
+  /** Project one column of a typed cols view at its declared PG type
+   *  (feeds [[graft.model.PgTypes.toSpark]]). */
+  def typedColumn(colsCol: Column, name: String, pgType: String): Column =
+    element_at(
+      map_from_entries(transform(colsCol, e =>
+        struct(e.getField("column"), e.getField("value")))), name)
+      .cast(graft.model.PgTypes.toSpark(pgType))
+
+  /** Parse a Postgres LSN string `hi/lo` (hex) into an orderable long. */
+  def lsnToLong(lsn: Column): Column = {
+    val parts = split(lsn, "/")
+    (conv(element_at(parts, 1), 16, 10).cast("long") * lit(4294967296L)) +
+      conv(element_at(parts, 2), 16, 10).cast("long")
   }
 }

@@ -33,11 +33,75 @@ class Wal2JsonSpec extends AnyFunSuite {
     assert(upd.getAs[String]("schema_name") == "public")
     assert(upd.getAs[String]("table_name") == "users")
     assert(upd.getAs[String]("new_values").contains("\"first_name\":\"Leia\""))
-    assert(upd.getAs[String]("old_values").contains("\"id\":\"2\""))
+    // integer-typed values are re-encoded UNQUOTED — audit-mode
+    // row_to_json parity (changeset.go:57-61)
+    assert(upd.getAs[String]("old_values").contains("\"id\":2"))
+    assert(upd.getAs[String]("new_values").contains("\"id\":2"))
+    assert(upd.getAs[String]("lsn") == "0/16B5A60")
     val ins = cs(1)
     assert(ins.getAs[String]("action") == "INSERT")
     assert(ins.getAs[String]("old_values") == null)
     assert(ins.getAs[String]("new_values").contains("\"name\":\"Rex\""))
+  }
+
+  test("typed view preserves column order, types, and value JSON") {
+    import spark.implicits._
+    // numeric/bool/json values unquoted + nested json carried verbatim
+    val msg =
+      """{"change":[{"kind":"insert","schema":"public","table":"t",
+        |"columnnames":["id","price","ok","meta","note"],
+        |"columntypes":["bigint","numeric(10,2)","boolean","jsonb","text"],
+        |"columnvalues":[9,12.5,true,{"tags":["a,b","c}"]},"he said \"hi\""]}],
+        |"nextlsn":"1/A0"}""".stripMargin.replace("\n", "")
+    val out = Wal2Json.decodeTyped(Seq((3L, msg)).toDF("seq", "msg"),
+      "seq", "msg").collect().head
+
+    // order-preserving array<struct<column,value,type>> (changeset.go:77-81)
+    val cols = out.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("new_cols").toSeq
+    assert(cols.map(_.getString(0)) == Seq("id", "price", "ok", "meta", "note"))
+    assert(cols.map(_.getString(2)) ==
+      Seq("bigint", "numeric(10,2)", "boolean", "jsonb", "text"))
+    assert(cols(3).getString(1) == """{"tags":["a,b","c}"]}""")
+
+    // payload JSON is typed: numbers/bools/json raw, strings escaped
+    val nv = out.getAs[String]("new_values")
+    assert(nv.contains("\"id\":9"))
+    assert(nv.contains("\"price\":12.5"))
+    assert(nv.contains("\"ok\":true"))
+    assert(nv.contains("\"meta\":{\"tags\":[\"a,b\",\"c}\"]}"))
+    assert(nv.contains("\"note\":\"he said \\\"hi\\\"\""))
+    // the typed payload is parseable and round-trips through a typed
+    // projection (PgTypes consumption)
+    import org.apache.spark.sql.functions.{col, get_json_object}
+    val typed = Wal2Json.decodeTyped(Seq((3L, msg)).toDF("seq", "msg"),
+      "seq", "msg")
+      .select(
+        Wal2Json.typedColumn(col("new_cols"), "id", "bigint").as("id2"),
+        Wal2Json.typedColumn(col("new_cols"), "price", "numeric(10,2)").as("p"),
+        Wal2Json.typedColumn(col("new_cols"), "ok", "boolean").as("ok"))
+      .collect().head
+    assert(typed.getLong(0) == 9L)
+    assert(typed.getDecimal(1) == new java.math.BigDecimal("12.50"))
+    assert(typed.getBoolean(2))
+    assert(get_json_object(org.apache.spark.sql.functions.lit(nv), "$.note") != null)
+  }
+
+  test("lsn resume ≡ id resume on a decoded stream (startFromLsn wiring)") {
+    import spark.implicits._
+    val raw = Seq((1L, updateMsg), (2L, insertMsg)).toDF("seq", "msg")
+    val decoded = Wal2Json.decode(raw, "seq", "msg")
+    // resume from message 1's nextlsn ≡ resume from message 2's first id
+    val byLsn = Graft(spark).startFromLsn("0/16B5A60").replay(decoded)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    val byId = Graft(spark).startFromId(2L << 20).replay(decoded)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(byLsn == byId && byLsn.nonEmpty)
+    // and lsn ordering is numeric, not lexicographic: "0/16B5A60" < "1/A0"
+    val cmp = spark.range(1).select(
+      (Wal2Json.lsnToLong(org.apache.spark.sql.functions.lit("1/A0")) >
+        Wal2Json.lsnToLong(org.apache.spark.sql.functions.lit("0/16B5A60")))
+        .as("gt")).collect().head.getBoolean(0)
+    assert(cmp)
   }
 
   test("decoded stream flows through the standard pipeline stages") {

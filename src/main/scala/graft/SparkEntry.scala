@@ -234,6 +234,12 @@ object SparkEntry {
       Checksum.commutativeChecksum(Tables.load(s, dir, "customer"),
         customerRowHash())),
 
+    // V2 scale path, order-sensitive — two-level chunked md5 chain
+    // (bounded arrays; no whole-table fold on one task)
+    "v2c_checksum_chunked" -> ((s, dir) =>
+      Checksum.orderedChecksumChunked(Tables.load(s, dir, "customer"),
+        col("c_custkey"), customerRowHash(), chunkSize = 256L)),
+
     // V4 — two-sided table checksum compare (axon.go:181-270): materialized
     // changelog state vs its expected final state
     "v4_checksum_compare" -> ((s, dir) => {
@@ -619,6 +625,14 @@ object SparkEntry {
         "SELECT CAST(SUM(CAST('0x' || substring(h, 1, 5) AS BIGINT)) AS BIGINT) AS hash_sum, " +
         "CAST(bit_xor(CAST('0x' || substring(h, 1, 15) AS BIGINT)) AS BIGINT) AS hash_xor, " +
         "CAST(count(*) AS BIGINT) AS row_count FROM h"),
+
+    "v2c_checksum_chunked" ->
+      (s"WITH h AS (SELECT c_custkey // 256 AS c, c_custkey AS k, " +
+        s"$customerRowHashSql AS h FROM customer), " +
+        "d AS (SELECT c, list_reduce(list_prepend('', list(h ORDER BY k)), " +
+        "(s, x) -> md5(s || x)) AS d FROM h GROUP BY c) " +
+        "SELECT list_reduce(list_prepend('', list(d ORDER BY c)), " +
+        "(s, x) -> md5(s || x)) AS checksum FROM d"),
 
     "v4_checksum_compare" ->
       ("WITH fin AS (SELECT o_orderkey, o_custkey, " +

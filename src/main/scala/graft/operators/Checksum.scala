@@ -49,6 +49,34 @@ object Checksum {
         (state, x) => md5(concat(state, x.getField("h")))).as("checksum"))
 
   /**
+   * V2 scale path with ORDER-SENSITIVE semantics: two-level chunked chain.
+   * Rows are assigned to fixed PK-range chunks (`chunk = floor(pk /
+   * chunkSize)` — data-independent, so the result never depends on
+   * physical partitioning); each chunk folds its ≤chunkSize row hashes in
+   * PK order from '' into a chunk digest, and the digests are folded in
+   * chunk order into the final checksum. Arrays are bounded (≤chunkSize
+   * rows, ≤pkRange/chunkSize digests) — no whole-table collect on one
+   * task, unlike [[orderedChecksum]].
+   *
+   * The chunked chain is a DIFFERENT (but equally order-sensitive and
+   * deterministic) value than the flat chain — md5 chaining cannot be
+   * re-bracketed — so both sides of a comparison must use the same scheme
+   * and chunk size, exactly as both sides must share the flat scheme
+   * today. Detects any row change, insertion, deletion, or reorder.
+   */
+  def orderedChecksumChunked(df: DataFrame, orderCol: Column, rowHash: Column,
+                             chunkSize: Long = 65536L): DataFrame =
+    df.select(floor(orderCol / chunkSize).as("c"),
+      struct(orderCol.as("k"), rowHash.as("h")).as("p"))
+      .groupBy(col("c"))
+      .agg(sort_array(collect_list(col("p"))).as("ps"))
+      .select(col("c"), aggregate(col("ps"), lit(""),
+        (state, x) => md5(concat(state, x.getField("h")))).as("d"))
+      .agg(sort_array(collect_list(struct(col("c"), col("d")))).as("ds"))
+      .select(aggregate(col("ds"), lit(""),
+        (state, x) => md5(concat(state, x.getField("d")))).as("checksum"))
+
+  /**
    * Scale-path commutative checksum: (sum of 20-bit hash prefixes,
    * bit_xor of 60-bit hash prefixes, count). 20-bit summands keep the sum
    * inside BIGINT (no ANSI overflow) up to ~8.8e12 rows — comfortably past

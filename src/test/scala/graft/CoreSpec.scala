@@ -234,6 +234,32 @@ class CoreSpec extends AnyFunSuite {
     assert(c1 == c3)
   }
 
+  test("chunked ordered checksum: partition-independent, tamper-sensitive") {
+    import spark.implicits._
+    val df = (1L to 1000L).map(i => (i, s"v$i")).toDF("k", "v")
+    val h = Checksum.rowHash(col("k"), col("v"))
+    // two-level chain reproduced by hand at chunkSize=64
+    def md5s(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val digests = (1L to 1000L).groupBy(_ / 64).toSeq.sortBy(_._1).map {
+      case (_, ks) => ks.sorted.foldLeft("")((st, k) => md5s(st + md5s(s"$k|v$k")))
+    }
+    val expect = digests.foldLeft("")((st, d) => md5s(st + d))
+    val got = Checksum.orderedChecksumChunked(df, col("k"), h, 64L)
+      .collect().head.getString(0)
+    assert(got == expect)
+    // physical layout must not matter
+    val got2 = Checksum.orderedChecksumChunked(
+      df.repartition(7, col("v")), col("k"), h, 64L).collect().head.getString(0)
+    assert(got2 == got)
+    // any row change flips it
+    val tampered = df.withColumn("v",
+      when(col("k") === 500L, "TAMPERED").otherwise(col("v")))
+    val got3 = Checksum.orderedChecksumChunked(tampered, col("k"), h, 64L)
+      .collect().head.getString(0)
+    assert(got3 != got)
+  }
+
   test("checksum compare: consistent tables agree, tampered tables do not") {
     import spark.implicits._
     val a = Seq((1L, "x"), (2L, "y")).toDF("k", "v")

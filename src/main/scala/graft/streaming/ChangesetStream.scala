@@ -66,7 +66,8 @@ object ChangesetStream {
    */
   def materializeTo(cs: DataFrame, statePath: String, checkpoint: String,
                     pkCol: String, rowSchema: StructType,
-                    availableNow: Boolean = true): StreamingQuery = {
+                    availableNow: Boolean = true,
+                    compactionLag: Option[Long] = None): StreamingQuery = {
     val writer = cs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -88,7 +89,22 @@ object ChangesetStream {
         // versioned merge: idempotent under batch replay AND safe under
         // out-of-order batch delivery (file discovery order is mod-time
         // based, not id based)
-        val merged = Materializer.mergeVersioned(state, batch, pkCol, rowSchema)
+        val merged0 = Materializer.mergeVersioned(state, batch, pkCol, rowSchema)
+        // wired-in state compaction: tombstones older than
+        // (this batch's min id - lag) are garbage-collected. Safe because
+        // the checkpointed source can only redeliver the CURRENT batch —
+        // ids below its min never reappear, so a dropped tombstone can no
+        // longer be needed to fence a stale event. Leave None when batches
+        // may arrive out of stream order.
+        val merged = compactionLag match {
+          case Some(lag) =>
+            Option(batch.agg(min(col("id"))).head().get(0)) match {
+              case Some(minId: java.lang.Long) =>
+                Materializer.compactState(merged0, minId - lag)
+              case _ => merged0 // empty batch
+            }
+          case None => merged0
+        }
         // write-then-swap; every rename checked, and the crash window
         // between the two renames is recoverable (see above)
         merged.write.mode("overwrite").parquet(next.toString)

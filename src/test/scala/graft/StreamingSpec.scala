@@ -136,6 +136,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(Materializer.compactState(st, 0L).count() == st.count())
   }
 
+  test("wired compaction: sink GCs old tombstones, final state unchanged") {
+    val script = Changelog.ordersScript(spark, sfDir)
+    val rowSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("o_orderkey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("o_totalprice",
+        org.apache.spark.sql.types.DoubleType)))
+    // ID-ORDERED segments — compaction's contract is in-stream-order
+    // delivery (the checkpointed source can only redeliver the current
+    // batch, so ids below its min never reappear)
+    val m = script.agg(max(col("id"))).head().getLong(0)
+    val (c1, c2) = (m / 3, 2 * m / 3)
+    val logDir = tmp("graft-log-c")
+    script.filter(col("id") <= c1).coalesce(1).write.mode("append").parquet(logDir)
+    script.filter(col("id") > c1 && col("id") <= c2).coalesce(1)
+      .write.mode("append").parquet(logDir)
+    script.filter(col("id") > c2).coalesce(1).write.mode("append").parquet(logDir)
+
+    val statePath = tmp("graft-state-c") + "/state"
+    val q = ChangesetStream.materializeTo(
+      ChangesetStream.fromFiles(spark, logDir, maxFilesPerTrigger = 1),
+      statePath, tmp("graft-ckpt-c"), "o_orderkey", rowSchema,
+      compactionLag = Some(0L))
+    q.awaitTermination()
+
+    // tombstones below the last batch's min id were garbage-collected
+    val state = spark.read.parquet(statePath)
+    val lastMin = c2 + 1
+    assert(state.filter(col(Materializer.TombstoneCol) &&
+      col(Materializer.VersionCol) < lastMin).count() == 0,
+      "old tombstones must be compacted away")
+    // and the live view still equals the batch materialization
+    val streamed = ChangesetStream.readState(spark, statePath)
+      .orderBy("o_orderkey").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val batch = Materializer.materialize(script, "o_orderkey", rowSchema)
+      .orderBy("o_orderkey").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(streamed.sameElements(batch))
+  }
+
   test("streaming sessionization closes the same sessions as the window path") {
     import spark.implicits._
     val ev = sources.Tables.load(spark, sfDir, "events")

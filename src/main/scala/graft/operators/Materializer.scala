@@ -120,40 +120,71 @@ object Materializer {
     val reduced = reduceBatch(spark, batch, pkCol)
       .withColumn("__key", col("pk").cast(pkType))
 
-    val joined = state.alias("s").join(
-      reduced.alias("c"), col("s." + pkCol) === col("__key"), "full_outer")
-
     val sv = coalesce(col("s." + VersionCol), lit(-1L))
     val sLive = col("s." + pkCol).isNotNull &&
       !coalesce(col("s." + TombstoneCol), lit(true))
-    // first prefix INSERT newer than the state version (serial position)
-    val firstIns = element_at(
-      filter(col("prefixIns"), x => x.getField("id") > sv), 1)
 
-    def outRow(value: Column, version: Column, tomb: Column) = struct(
-      (rowSchema.fieldNames.toSeq.map { c =>
-        if (c == pkCol)
-          coalesce(col("s." + c), col("__key")).as(c)
-        else
-          when(tomb, col("s." + c))
-            .otherwise(from_json(value, rowSchema).getField(c)).as(c)
-      } :+ version.as(VersionCol) :+ tomb.as(TombstoneCol)): _*)
+    // Parse each payload ONCE into an aliased struct column — referencing
+    // `from_json(...).getField(c)` per output field would inline one full
+    // JSON parse per column into the projection (round-2 plan audit found
+    // 24 from_json calls here). CollapseProject keeps non-cheap producers
+    // referenced more than once in their own projection, so each row now
+    // parses at most two payloads (outcome value + serial-position insert).
+    val joined = state.alias("s").join(
+      reduced.alias("c"), col("s." + pkCol) === col("__key"), "full_outer")
+      // first prefix INSERT newer than the state version (serial position);
+      // try_element_at: the filtered array is legitimately empty when every
+      // insert is stale, and this column is evaluated for every row
+      .withColumn("__firstIns",
+        try_element_at(filter(col("prefixIns"), x => x.getField("id") > sv),
+          lit(1)))
+      .withColumn("__valRow", from_json(col("value"), rowSchema))
+      .withColumn("__insRow",
+        from_json(col("__firstIns").getField("nv"), rowSchema))
 
-    val stateStruct = struct(
-      (rowSchema.fieldNames.toSeq.map(c => col("s." + c)) :+
-        col("s." + VersionCol).as(VersionCol) :+
-        col("s." + TombstoneCol).as(TombstoneCol)): _*)
+    // Branch conditions (evaluation order is the serial-apply contract).
+    val untouched = col("__key").isNull // untouched state row
+    val applies = col("determined") && col("version") > sv
+    val insertApplies =
+      !col("determined") && !sLive && col("__firstIns").isNotNull
+    val stale = col("s." + pkCol).isNotNull // stale batch / dup-skip
 
-    joined.select(
-      when(col("__key").isNull, stateStruct) // untouched state
-        .when(col("determined") && col("version") > sv,
-          outRow(col("value"), col("version"), !col("present")))
-        .when(!col("determined") && !sLive && firstIns.isNotNull,
-          outRow(firstIns.getField("nv"), firstIns.getField("id"), lit(false)))
-        .when(col("s." + pkCol).isNotNull, stateStruct) // stale/dup-skip
-        .otherwise(lit(null)).as("r"))
-      .filter(col("r").isNotNull)
-      .select(col("r.*"))
+    // Row-kept predicate stated over the CHEAP branch conditions. A
+    // batch-only key (no state row) always resolves when it is determined
+    // or has a serial-position insert (state version is -1 there, so
+    // `version > sv` always holds).
+    val keep = untouched || stale || col("determined") ||
+      col("__firstIns").isNotNull
+
+    // Output columns as PER-COLUMN scalar CASE chains instead of one
+    // struct-valued CASE: extraction does not push through CaseWhen, so a
+    // downstream filter on e.g. the tombstone column would otherwise
+    // inline the whole struct CASE — json parses included — into its
+    // Filter node and evaluate it twice per row (currentView does exactly
+    // that filter).
+    def outCol(c: String): Column =
+      when(untouched, col("s." + c))
+        .when(applies,
+          if (c == pkCol) coalesce(col("s." + c), col("__key"))
+          else when(!col("present"), col("s." + c))
+            .otherwise(col("__valRow").getField(c)))
+        .when(insertApplies,
+          if (c == pkCol) coalesce(col("s." + c), col("__key"))
+          else col("__insRow").getField(c))
+        .when(stale, col("s." + c))
+
+    val versionOut = when(untouched, col("s." + VersionCol))
+      .when(applies, col("version"))
+      .when(insertApplies, col("__firstIns").getField("id"))
+      .when(stale, col("s." + VersionCol))
+    val tombOut = when(untouched, col("s." + TombstoneCol))
+      .when(applies, !col("present"))
+      .when(insertApplies, lit(false))
+      .when(stale, col("s." + TombstoneCol))
+
+    joined.filter(keep).select(
+      (rowSchema.fieldNames.toSeq.map(c => outCol(c).as(c)) :+
+        versionOut.as(VersionCol) :+ tombOut.as(TombstoneCol)): _*)
   }
 
   def emptyVersionedState(spark: SparkSession, rowSchema: StructType): DataFrame =

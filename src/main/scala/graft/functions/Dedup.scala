@@ -64,9 +64,15 @@ object Dedup {
    * pass (map-side combinable). Returns (idCol, m0..m{n-1}) as longs.
    */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
-                       numHashes: Int = 8): DataFrame = {
-    val sh = df.select(col(idCol),
-      explode(TextFns.shingles(col(textCol))).as("s"))
+                       numHashes: Int = 8): DataFrame =
+    minhashSignatureFromSets(
+      df.select(col(idCol), TextFns.shingles(col(textCol)).as("sset")),
+      idCol, numHashes)
+
+  /** Signature from precomputed shingle sets (column `sset`). */
+  private def minhashSignatureFromSets(sets: DataFrame, idCol: String,
+                                       numHashes: Int): DataFrame = {
+    val sh = sets.select(col(idCol), explode(col("sset")).as("s"))
       .withColumn("hh", hash28(col("s")))
     sh.groupBy(col(idCol))
       .agg(min(affine(0, col("hh"))).as("m0"),
@@ -80,8 +86,14 @@ object Dedup {
    * candidates. P(candidate) = 1-(1-j²)^b — steep around j≈0.7 for b=4.
    */
   def lshCandidates(df: DataFrame, idCol: String, textCol: String,
-                    numBands: Int = 4): DataFrame = {
-    val sig = minhashSignature(df, idCol, textCol, numBands * 2)
+                    numBands: Int = 4): DataFrame =
+    lshCandidatesFromSets(
+      df.select(col(idCol), TextFns.shingles(col(textCol)).as("sset")),
+      idCol, numBands)
+
+  private def lshCandidatesFromSets(sets: DataFrame, idCol: String,
+                                    numBands: Int): DataFrame = {
+    val sig = minhashSignatureFromSets(sets, idCol, numBands * 2)
     val bands = array((0 until numBands).map(i =>
       md5(concat_ws("|", col(s"m${2 * i}"), col(s"m${2 * i + 1}")))): _*)
     val keyed = sig.select(col(idCol), posexplode(bands).as(Seq("band", "bkey")))
@@ -95,12 +107,17 @@ object Dedup {
   /**
    * MinHash-LSH near-dup pairs, verified: candidates from [[lshCandidates]],
    * then exact shingle-Jaccard computed ONLY on candidates; keep >= minJaccard.
+   * The shingle sets are lazily localCheckpoint'ed: they feed the signature
+   * pipeline AND both sides of the verify join, and Spark has no
+   * cross-branch CSE — without the checkpoint the shingle construction
+   * runs three times per execution.
    */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
                    minJaccard: Double = 0.8): DataFrame = {
     val sets = df.select(col(idCol),
       TextFns.shingles(col(textCol)).as("sset"))
-    val cands = lshCandidates(df, idCol, textCol)
+      .localCheckpoint(false)
+    val cands = lshCandidatesFromSets(sets, idCol, 4)
     cands
       .join(sets.select(col(idCol).as("doc_a"), col("sset").as("sa")), "doc_a")
       .join(sets.select(col(idCol).as("doc_b"), col("sset").as("sb")), "doc_b")
@@ -277,7 +294,13 @@ object Dedup {
    */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    minJaccard: Double = 0.8, minShared: Int = 2): DataFrame = {
+    // lazy localCheckpoint: the shingle sets feed the inverted index AND
+    // both sides of the exact-verify join — without it the whole
+    // shingle-construction subtree runs three times per execution (Spark
+    // has no cross-branch CSE). Materializes on first use, reused by the
+    // other branches, reclaimed by the context cleaner when unreferenced.
     val sets = df.select(col(idCol), TextFns.shingles(col(textCol)).as("sset"))
+      .localCheckpoint(false)
     val inv = sets.select(col(idCol),
       explode(col("sset")).as("s"))
       .select(col(idCol), hash28(col("s")).as("h"))

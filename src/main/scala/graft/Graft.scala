@@ -46,9 +46,11 @@ final case class Graft(
     copy(config = config.copy(startFromId = Some(id)))
 
   /** LR-mode resume point (config.go:39-41): keep changes from messages
-    * AFTER the one whose `nextlsn` equals the recorded token. */
+    * AFTER the one whose `nextlsn` equals the recorded token. Malformed
+    * tokens fail here, loudly, not silently inside a column expression. */
   def startFromLsn(lsn: String): Graft =
-    copy(config = config.copy(startFromLsn = Some(lsn)))
+    copy(config = config.copy(
+      startFromLsn = Some(sources.Wal2Json.requireValidLsn(lsn))))
 
   /** Append a user pipeline stage (reference: RunWithPipeline, axon.go:176-179). */
   def withStage(stage: Pipeline.Stage): Graft = copy(stages = stages :+ stage)
@@ -62,37 +64,54 @@ final case class Graft(
   def startFromTimestamp(ts: String): Graft =
     copy(config = config.copy(startFromTs = Some(ts)))
 
+  /** Whether the LSN resume point governs this changelog. */
+  private def lsnResumes(changelog: DataFrame): Boolean =
+    config.startFromLsn.isDefined && changelog.columns.contains("lsn")
+
   /** Keep only changes strictly after the configured LSN token (LR-decoded
     * changelogs carry an `lsn` column — Wal2Json.decode; a changelog
     * without one ignores the LSN resume point, matching the reference
-    * where startFromLsn applies to LR mode only). */
+    * where startFromLsn applies to LR mode only). Rows with a NULL or
+    * unparseable lsn are KEPT — a row that cannot be positioned must not
+    * be silently dropped (at-least-once bias; the id-based filters remain
+    * available for exact resumes). */
   private def afterLsn(changelog: DataFrame): DataFrame =
     config.startFromLsn match {
       case Some(l) if changelog.columns.contains("lsn") =>
-        changelog.filter(
-          sources.Wal2Json.lsnToLong(col("lsn")) >
-            sources.Wal2Json.lsnToLong(lit(l)))
+        val rowLsn = sources.Wal2Json.lsnToLong(col("lsn"))
+        changelog.filter(rowLsn.isNull ||
+          rowLsn > sources.Wal2Json.lsnToLong(lit(l)))
       case _ => changelog
     }
 
-  /** Batch replay of a changelog (resume point from config: lsn [LR mode],
-    * then id, then timestamp — mirroring the reference's flag precedence). */
+  /** Resume-point precedence, identical for batch and streaming: LSN when
+    * it governs (LR mode), else id, else timestamp — mirroring the
+    * reference's flag precedence. */
+  private def resume(changelog: DataFrame): DataFrame =
+    if (lsnResumes(changelog)) afterLsn(changelog)
+    else config.startFromId.map(id => changelog.filter(col("id") >= id))
+      .orElse(config.startFromTs.map(ts =>
+        changelog.filter(col("ts") >= lit(ts).cast("timestamp"))))
+      .getOrElse(changelog)
+
+  /** Batch replay of a changelog (ts resumes keep the reference's
+    * (ts, id) replay order, changeset_store.go:153-189; all others are
+    * id-ordered). */
   def replay(changelog: DataFrame): DataFrame = {
-    val from =
-      if (config.startFromLsn.isDefined && changelog.columns.contains("lsn"))
-        afterLsn(changelog).orderBy(col("id"))
-      else config.startFromId.map(Replay.sinceId(changelog, _))
-        .orElse(config.startFromTs.map(ts =>
-          Replay.sinceTimestamp(changelog, lit(ts).cast("timestamp"))))
-        .getOrElse(changelog.orderBy(col("id")))
-    transform(from)
+    val r = resume(changelog)
+    val ordered =
+      if (!lsnResumes(changelog) && config.startFromId.isEmpty &&
+        config.startFromTs.isDefined) r.orderBy(col("ts"), col("id"))
+      else r.orderBy(col("id"))
+    transform(ordered)
   }
 
-  /** Live micro-batch stream from a changelog directory. */
+  /** Live micro-batch stream from a changelog directory. The source reads
+    * the `lsn` column exactly when an LSN resume point is configured, so
+    * the same precedence applies as in [[replay]]. */
   def changes(changelogDir: String, maxFilesPerTrigger: Int = 10): DataFrame =
-    transform(afterLsn(
-      ChangesetStream.fromFiles(spark, changelogDir, maxFilesPerTrigger))
-      .filter(config.startFromId.map(col("id") >= _).getOrElse(lit(true))))
+    transform(resume(ChangesetStream.fromFiles(spark, changelogDir,
+      maxFilesPerTrigger, withLsn = config.startFromLsn.isDefined)))
 
   /** Typed view of a change stream. */
   def typedChanges(cs: DataFrame): Dataset[Changeset] = {

@@ -238,7 +238,7 @@ object SparkEntry {
     // (bounded arrays; no whole-table fold on one task)
     "v2c_checksum_chunked" -> ((s, dir) =>
       Checksum.orderedChecksumChunked(Tables.load(s, dir, "customer"),
-        col("c_custkey"), customerRowHash(), chunkSize = 256L)),
+        col("c_custkey"), customerRowHash(), numChunks = 64)),
 
     // V4 — two-sided table checksum compare (axon.go:181-270): materialized
     // changelog state vs its expected final state
@@ -627,7 +627,9 @@ object SparkEntry {
         "CAST(count(*) AS BIGINT) AS row_count FROM h"),
 
     "v2c_checksum_chunked" ->
-      (s"WITH h AS (SELECT c_custkey // 256 AS c, c_custkey AS k, " +
+      (s"WITH h AS (SELECT " +
+        "CAST('0x' || substring(md5(c_custkey::VARCHAR), 1, 7) AS BIGINT) % 64 AS c, " +
+        "c_custkey AS k, " +
         s"$customerRowHashSql AS h FROM customer), " +
         "d AS (SELECT c, list_reduce(list_prepend('', list(h ORDER BY k)), " +
         "(s, x) -> md5(s || x)) AS d FROM h GROUP BY c) " +
@@ -791,8 +793,9 @@ object SparkEntry {
       // per-chunk sequential sum in id order, then sequential sum of the
       // partials in chunk order
       ("WITH x AS (SELECT label, vec_id, CAST(i AS INTEGER) - 1 AS pos, " +
-        "embedding[i]::DOUBLE AS v, vec_id // 1024 AS chunk FROM embeddings, " +
-        "(SELECT unnest(range(1, 5)) AS i) idx), " +
+        "embedding[i]::DOUBLE AS v, " +
+        "CAST('0x' || substring(md5(vec_id::VARCHAR), 1, 7) AS BIGINT) % 1024 AS chunk " +
+        "FROM embeddings, (SELECT unnest(range(1, 5)) AS i) idx), " +
         "p AS (SELECT label, pos, chunk, " +
         "list_reduce(list_prepend(0.0, list(v ORDER BY vec_id)), (s, x) -> s + x) AS psum, " +
         "count(*) AS n FROM x GROUP BY label, pos, chunk) " +

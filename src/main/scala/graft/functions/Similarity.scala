@@ -155,22 +155,24 @@ object Similarity {
    * Round-1 design collected EVERY (id, value) of a (label, pos) group into
    * one sorted array to fix the double-summation order — one hot label at
    * corpus scale = one giant array on one task. This is the two-phase
-   * replacement: rows are assigned to fixed id-range chunks
-   * (`chunk_id = id div chunkSize` — data-independent, so the bracketing
-   * never depends on physical partitioning), each chunk folds its ≤chunkSize
-   * values in id order into a partial sum, and the partials are folded in
-   * chunk order. Arrays are bounded (≤chunkSize values, ≤idRange/chunkSize
-   * partials); both folds are sequential, so the result is bit-reproducible
-   * on any cluster layout — the DuckDB oracle reproduces the identical
-   * chunked bracketing.
+   * replacement: rows are assigned to one of `numChunks` chunks by a HASH
+   * of the id (md5-prefix mod numChunks — a deterministic function of the
+   * id set, independent of physical partitioning AND of id density; range
+   * chunking would degrade to one chunk per row on sparse id domains),
+   * each chunk folds its values in id order into a partial sum, and the
+   * partials fold in chunk order. Arrays are bounded (~groupSize/numChunks
+   * values, ≤numChunks partials); both folds are sequential, so the result
+   * is bit-reproducible on any cluster layout — the DuckDB oracle
+   * reproduces the identical chunked bracketing.
    */
   def centroidComponents(df: DataFrame, labelCol: String, idCol: String,
                          vecCol: String, dims: Int,
-                         chunkSize: Int = 1024): DataFrame = {
+                         numChunks: Int = 1024): DataFrame = {
     val x = df.select(col(labelCol), col(idCol),
       posexplode(col(vecCol)).as(Seq("pos", "v")))
       .filter(col("pos") < dims)
-      .withColumn("__chunk", floor(col(idCol) / chunkSize))
+      .withColumn("__chunk",
+        pmod(Md5Prefix28(col(idCol).cast("string")), lit(numChunks.toLong)))
     val partials = x
       .groupBy(col(labelCol), col("pos"), col("__chunk"))
       .agg(sort_array(collect_list(struct(col(idCol).as("k"),

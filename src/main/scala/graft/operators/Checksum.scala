@@ -50,23 +50,27 @@ object Checksum {
 
   /**
    * V2 scale path with ORDER-SENSITIVE semantics: two-level chunked chain.
-   * Rows are assigned to fixed PK-range chunks (`chunk = floor(pk /
-   * chunkSize)` — data-independent, so the result never depends on
-   * physical partitioning); each chunk folds its ≤chunkSize row hashes in
-   * PK order from '' into a chunk digest, and the digests are folded in
-   * chunk order into the final checksum. Arrays are bounded (≤chunkSize
-   * rows, ≤pkRange/chunkSize digests) — no whole-table collect on one
-   * task, unlike [[orderedChecksum]].
+   * Rows are assigned to one of `numChunks` chunks by a HASH of the PK
+   * (md5-prefix mod numChunks — deterministic for a given row set and
+   * independent of both physical partitioning AND PK density; range-based
+   * chunking would degrade to one chunk per row on sparse id domains like
+   * snowflake ids). Each chunk folds its row hashes in PK order from ''
+   * into a chunk digest; the digests fold in chunk order into the final
+   * checksum. Arrays are bounded (~n/numChunks rows per chunk, ≤numChunks
+   * digests) — no whole-table collect on one task, unlike
+   * [[orderedChecksum]]; size numChunks ≈ sqrt(n) and beyond that nest
+   * another level.
    *
-   * The chunked chain is a DIFFERENT (but equally order-sensitive and
-   * deterministic) value than the flat chain — md5 chaining cannot be
-   * re-bracketed — so both sides of a comparison must use the same scheme
-   * and chunk size, exactly as both sides must share the flat scheme
-   * today. Detects any row change, insertion, deletion, or reorder.
+   * The chunked chain is a DIFFERENT (but equally deterministic and
+   * difference-sensitive) value than the flat chain — md5 chaining cannot
+   * be re-bracketed — so both sides of a comparison must use the same
+   * scheme and numChunks, exactly as both sides must share the flat
+   * scheme today. Any row change, insertion, or deletion flips it.
    */
   def orderedChecksumChunked(df: DataFrame, orderCol: Column, rowHash: Column,
-                             chunkSize: Long = 65536L): DataFrame =
-    df.select(floor(orderCol / chunkSize).as("c"),
+                             numChunks: Int = 4096): DataFrame =
+    df.select(pmod(graft.functions.Md5Prefix28(orderCol.cast("string")),
+      lit(numChunks.toLong)).as("c"),
       struct(orderCol.as("k"), rowHash.as("h")).as("p"))
       .groupBy(col("c"))
       .agg(sort_array(collect_list(col("p"))).as("ps"))

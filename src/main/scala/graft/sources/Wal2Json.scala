@@ -43,15 +43,30 @@ object Wal2Json {
     arr.substr(lit(2), length(arr) - 2)
   }
 
-  /** PG types whose JSON form is emitted raw (unquoted): numerics,
-   *  booleans, and json/jsonb (whose value text IS JSON already). */
+  /** PG types whose JSON form is emitted raw (unquoted): numerics and
+   *  booleans — their parsed text is always a valid JSON literal. */
   private def rawJsonType(t: Column): Column = {
     val lt = lower(t)
     lt.isin("smallint", "integer", "int", "int2", "int4", "bigint", "int8",
       "serial", "bigserial", "real", "float4", "double precision", "float8",
-      "boolean", "bool", "json", "jsonb") ||
+      "boolean", "bool") ||
       lt.startsWith("numeric") || lt.startsWith("decimal")
   }
+
+  /** json/jsonb columns: the parsed value is the raw JSON text for
+   *  objects/arrays (from_json preserves the subtree), but a SCALAR
+   *  json value ("hello", 1.5, true) arrives unquoted-by-parsing, so
+   *  emitting it raw would produce invalid JSON for strings. Re-emit
+   *  raw only when the text is a self-evident JSON literal; re-escape
+   *  as a string otherwise. (A jsonb string that LOOKS like a number —
+   *  jsonb '"123"' — is indistinguishable on the wire after parsing and
+   *  re-encodes as a number; the quoting was lost upstream.) */
+  private def jsonTypeName(t: Column): Column = lower(t).isin("json", "jsonb")
+
+  private def jsonLiteralShaped(v: Column): Column =
+    v.startsWith("{") || v.startsWith("[") ||
+      v.rlike("^-?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?$") ||
+      v.isin("true", "false", "null")
 
   /** Order-preserving type-tagged column view: (names, types, values) →
    *  array<struct<column,value,type>> (changeset.go:77-81). */
@@ -69,6 +84,8 @@ object Wal2Json {
         concat(jsonStringLiteral(e.getField("column")), lit(":"),
           when(e.getField("value").isNull, lit("null"))
             .when(rawJsonType(e.getField("type")), e.getField("value"))
+            .when(jsonTypeName(e.getField("type")) &&
+              jsonLiteralShaped(e.getField("value")), e.getField("value"))
             .otherwise(jsonStringLiteral(e.getField("value")))))),
       lit("}"))
 
@@ -130,10 +147,25 @@ object Wal2Json {
         struct(e.getField("column"), e.getField("value")))), name)
       .cast(graft.model.PgTypes.toSpark(pgType))
 
-  /** Parse a Postgres LSN string `hi/lo` (hex) into an orderable long. */
+  /** Parse a Postgres LSN string `hi/lo` (hex) into an orderable number.
+   *  Decimal(20,0) arithmetic: hi can be the full 32 bits, so hi·2^32+lo
+   *  does not fit a signed long (ANSI would raise on overflow).
+   *  try_element_at: a malformed/partial token yields null, not an ANSI
+   *  array-index error killing the whole query. */
   def lsnToLong(lsn: Column): Column = {
     val parts = split(lsn, "/")
-    (conv(element_at(parts, 1), 16, 10).cast("long") * lit(4294967296L)) +
-      conv(element_at(parts, 2), 16, 10).cast("long")
+    (conv(try_element_at(parts, lit(1)), 16, 10).cast("decimal(20,0)") *
+      lit(4294967296L) +
+      conv(try_element_at(parts, lit(2)), 16, 10).cast("decimal(20,0)"))
+  }
+
+  private val LsnPattern = "^[0-9A-Fa-f]{1,8}/[0-9A-Fa-f]{1,8}$".r
+
+  /** Validate a user-supplied LSN resume token eagerly (fail loudly in the
+   *  driver, not silently in a column expression). */
+  def requireValidLsn(lsn: String): String = {
+    require(LsnPattern.matches(lsn),
+      s"malformed LSN '$lsn' — expected hex hi/lo like 0/16B5A60")
+    lsn
   }
 }

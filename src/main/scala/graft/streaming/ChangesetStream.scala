@@ -42,11 +42,20 @@ object ChangesetStream {
    * its 500-row replay page, changeset_store.go:16-18).
    */
   def fromFiles(spark: SparkSession, dir: String,
-                maxFilesPerTrigger: Int = 10): DataFrame =
+                maxFilesPerTrigger: Int = 10,
+                withLsn: Boolean = false): DataFrame = {
+    // withLsn: LR-decoded changelogs (Wal2Json.decode output) carry an
+    // `lsn` column; the pinned read schema must include it or an LSN
+    // resume filter downstream would silently see no such column
+    val schema =
+      if (withLsn) ChangesetSchema.schema.add("lsn",
+        org.apache.spark.sql.types.StringType, nullable = true)
+      else ChangesetSchema.schema
     spark.readStream
-      .schema(ChangesetSchema.schema)
+      .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(dir)
+  }
 
   /** K1 — console sink (reference: CLI stdout JSON, internal/cli/warp_pipe.go:100-114). */
   def consoleSink(cs: DataFrame): DataStreamWriter[org.apache.spark.sql.Row] =
@@ -70,7 +79,10 @@ object ChangesetStream {
                     compactionLag: Option[Long] = None): StreamingQuery = {
     val writer = cs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        // compaction adds a second consumer (min(id) agg) of the batch;
+        // cache it so the source files are not read and decoded twice
+        val batch = if (compactionLag.isDefined) batch0.cache() else batch0
         val spark = batch.sparkSession
         val fs = org.apache.hadoop.fs.FileSystem.get(
           spark.sparkContext.hadoopConfiguration)
@@ -114,6 +126,7 @@ object ChangesetStream {
         if (!fs.rename(next, dst))
           sys.error(s"state swap rename failed: $next -> $dst")
         fs.delete(old, true)
+        if (compactionLag.isDefined) batch.unpersist(false)
         ()
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)

@@ -98,9 +98,11 @@ object Sessionize {
    * (`withWatermark("ts", ...)`) plus `user_id`.
    */
   def streamingWithTimeout(spark: SparkSession, events: DataFrame,
-                           gapMinutes: Int = 30): Dataset[Session] = {
+                           gapMinutes: Int = 30,
+                           counterTtlGaps: Int = 100): Dataset[Session] = {
     import spark.implicits._
     val gapUs = gapMinutes.toLong * 60 * 1000000
+    val counterTtlUs = counterTtlGaps.toLong * gapUs
 
     // the watermarked `ts` attribute must survive into the stateful
     // operator's child plan, so carry it alongside the long view
@@ -113,16 +115,29 @@ object Sessionize {
         (uid: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
          state: GroupState[(Long, Open)]) =>
           if (state.hasTimedOut) {
-            // watermark passed the open session's gap boundary → flush.
-            // Keep the session counter (id+1, no open session) so a later
-            // event for this key continues the per-user id sequence instead
-            // of restarting at 1 and duplicating (user_id, session_id) keys.
-            // Counter-only state is 16 bytes/key — the same O(#users) bound
-            // as the NoTimeout variant — and no timeout is re-registered
-            // for it, so it never fires again on its own.
             val (id, o) = state.get
-            state.update((id + 1, null))
-            Iterator.single(Session(uid, id, o.n, o.startUs, o.endUs))
+            if (o == null) {
+              // the counter-only state's retention expired → reclaim. A
+              // user idle longer than counterTtlGaps×gap restarts at
+              // session 1 afterwards — the documented retention bound.
+              state.remove()
+              Iterator.empty
+            } else if (counterTtlGaps <= 0) {
+              // retention disabled: reclaim immediately (ids may restart)
+              state.remove()
+              Iterator.single(Session(uid, id, o.n, o.startUs, o.endUs))
+            } else {
+              // watermark passed the open session's gap boundary → flush.
+              // Keep the session counter (id+1, no open session) so a later
+              // event for this key continues the per-user id sequence
+              // instead of restarting at 1 and duplicating
+              // (user_id, session_id) keys — but bound it with an
+              // event-time TTL so the state store stays O(active users),
+              // not O(all users ever seen).
+              state.update((id + 1, null))
+              state.setTimeoutTimestamp((o.endUs + gapUs + counterTtlUs) / 1000)
+              Iterator.single(Session(uid, id, o.n, o.startUs, o.endUs))
+            }
           } else {
             val sorted = rows.map(_._2).toSeq.sorted
             var (nextId, open) = state.getOption

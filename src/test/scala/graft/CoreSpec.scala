@@ -236,26 +236,31 @@ class CoreSpec extends AnyFunSuite {
 
   test("chunked ordered checksum: partition-independent, tamper-sensitive") {
     import spark.implicits._
-    val df = (1L to 1000L).map(i => (i, s"v$i")).toDF("k", "v")
+    // SPARSE keys (stride 1e9, snowflake-style): hash chunking must keep
+    // chunk count bounded where range chunking would degrade to 1 row/chunk
+    val keys = (1L to 1000L).map(_ * 1000000000L)
+    val df = keys.map(i => (i, s"v$i")).toDF("k", "v")
     val h = Checksum.rowHash(col("k"), col("v"))
-    // two-level chain reproduced by hand at chunkSize=64
+    // two-level hash-chunked chain reproduced by hand at numChunks=64
     def md5s(s: String) = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val digests = (1L to 1000L).groupBy(_ / 64).toSeq.sortBy(_._1).map {
+    def chunkOf(k: Long): Long =
+      java.lang.Long.parseLong(md5s(k.toString).take(7), 16) % 64
+    val digests = keys.groupBy(chunkOf).toSeq.sortBy(_._1).map {
       case (_, ks) => ks.sorted.foldLeft("")((st, k) => md5s(st + md5s(s"$k|v$k")))
     }
     val expect = digests.foldLeft("")((st, d) => md5s(st + d))
-    val got = Checksum.orderedChecksumChunked(df, col("k"), h, 64L)
+    val got = Checksum.orderedChecksumChunked(df, col("k"), h, 64)
       .collect().head.getString(0)
     assert(got == expect)
     // physical layout must not matter
     val got2 = Checksum.orderedChecksumChunked(
-      df.repartition(7, col("v")), col("k"), h, 64L).collect().head.getString(0)
+      df.repartition(7, col("v")), col("k"), h, 64).collect().head.getString(0)
     assert(got2 == got)
     // any row change flips it
     val tampered = df.withColumn("v",
-      when(col("k") === 500L, "TAMPERED").otherwise(col("v")))
-    val got3 = Checksum.orderedChecksumChunked(tampered, col("k"), h, 64L)
+      when(col("k") === 500000000000L, "TAMPERED").otherwise(col("v")))
+    val got3 = Checksum.orderedChecksumChunked(tampered, col("k"), h, 64)
       .collect().head.getString(0)
     assert(got3 != got)
   }

@@ -49,18 +49,19 @@ class Wal2JsonSpec extends AnyFunSuite {
     // numeric/bool/json values unquoted + nested json carried verbatim
     val msg =
       """{"change":[{"kind":"insert","schema":"public","table":"t",
-        |"columnnames":["id","price","ok","meta","note"],
-        |"columntypes":["bigint","numeric(10,2)","boolean","jsonb","text"],
-        |"columnvalues":[9,12.5,true,{"tags":["a,b","c}"]},"he said \"hi\""]}],
+        |"columnnames":["id","price","ok","meta","note","jstr","jnum"],
+        |"columntypes":["bigint","numeric(10,2)","boolean","jsonb","text","jsonb","json"],
+        |"columnvalues":[9,12.5,true,{"tags":["a,b","c}"]},"he said \"hi\"","plain text",7]}],
         |"nextlsn":"1/A0"}""".stripMargin.replace("\n", "")
     val out = Wal2Json.decodeTyped(Seq((3L, msg)).toDF("seq", "msg"),
       "seq", "msg").collect().head
 
     // order-preserving array<struct<column,value,type>> (changeset.go:77-81)
     val cols = out.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("new_cols").toSeq
-    assert(cols.map(_.getString(0)) == Seq("id", "price", "ok", "meta", "note"))
+    assert(cols.map(_.getString(0)) ==
+      Seq("id", "price", "ok", "meta", "note", "jstr", "jnum"))
     assert(cols.map(_.getString(2)) ==
-      Seq("bigint", "numeric(10,2)", "boolean", "jsonb", "text"))
+      Seq("bigint", "numeric(10,2)", "boolean", "jsonb", "text", "jsonb", "json"))
     assert(cols(3).getString(1) == """{"tags":["a,b","c}"]}""")
 
     // payload JSON is typed: numbers/bools/json raw, strings escaped
@@ -70,6 +71,13 @@ class Wal2JsonSpec extends AnyFunSuite {
     assert(nv.contains("\"ok\":true"))
     assert(nv.contains("\"meta\":{\"tags\":[\"a,b\",\"c}\"]}"))
     assert(nv.contains("\"note\":\"he said \\\"hi\\\"\""))
+    // a jsonb SCALAR string must be re-escaped (raw would be invalid JSON);
+    // a json scalar number stays raw
+    assert(nv.contains("\"jstr\":\"plain text\""))
+    assert(nv.contains("\"jnum\":7"))
+    // the full payload stays parseable JSON
+    assert(graft.model.Changeset(1L, None, "INSERT", "public", "t", None,
+      Some(nv), None).newValue("jstr").contains("plain text"))
     // the typed payload is parseable and round-trips through a typed
     // projection (PgTypes consumption)
     import org.apache.spark.sql.functions.{col, get_json_object}
@@ -102,6 +110,25 @@ class Wal2JsonSpec extends AnyFunSuite {
         Wal2Json.lsnToLong(org.apache.spark.sql.functions.lit("0/16B5A60")))
         .as("gt")).collect().head.getBoolean(0)
     assert(cmp)
+    // malformed user tokens fail loudly at the facade, not in a column
+    intercept[IllegalArgumentException] {
+      Graft(spark).startFromLsn("16B5A60")
+    }
+    // full-32-bit hi must not overflow (decimal arithmetic)
+    val big = spark.range(1).select(
+      (Wal2Json.lsnToLong(org.apache.spark.sql.functions.lit("FFFFFFFF/FF")) >
+        Wal2Json.lsnToLong(org.apache.spark.sql.functions.lit("7FFFFFFF/FF")))
+        .as("gt")).collect().head.getBoolean(0)
+    assert(big)
+    // rows with NULL lsn are kept on an lsn resume (cannot be positioned —
+    // at-least-once bias, never silent loss)
+    import spark.implicits._
+    val mixed = Wal2Json.decode(raw, "seq", "msg")
+      .unionByName(Wal2Json.decode(raw, "seq", "msg")
+        .limit(1).withColumn("lsn",
+          org.apache.spark.sql.functions.lit(null).cast("string")))
+    val kept = Graft(spark).startFromLsn("0/16B5A60").replay(mixed).count()
+    assert(kept == byId.length + 1)
   }
 
   test("decoded stream flows through the standard pipeline stages") {

@@ -324,6 +324,12 @@ object SparkEntry {
       Similarity.cosineNearDupPairs(embeddings(s, dir), "vec_id",
         "embedding", 0.3).orderBy(col("vec_a"), col("vec_b"))),
 
+    // IVF ANN: label cells, deterministic centroid centers, probe scans
+    // the nProbe nearest cells only (the §2.6 "IVF variant" scale path)
+    "embed_ann_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(embeddings(s, dir), "vec_id", "embedding", "label",
+        0L, 5, nProbe = 2, dims = 64)),
+
     // IVF-style per-label centroid components (first 4 dims)
     "embed_centroid" -> ((s, dir) =>
       Similarity.centroidComponents(embeddings(s, dir), "label", "vec_id",
@@ -787,6 +793,27 @@ object SparkEntry {
         "sqrt(list_sum(list_transform(range(1, 65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) AS cos " +
         "FROM cand JOIN e a ON a.vec_id = vec_a JOIN e b ON b.vec_id = vec_b) " +
         "SELECT vec_a, vec_b, cos FROM j WHERE cos >= 0.3 ORDER BY vec_a, vec_b"),
+
+    "embed_ann_ivf" ->
+      // identical coarse quantizer: chunked centroid fold over all 64 dims,
+      // centers ranked by exact cosine to the probe, top-2 cells scanned
+      ("WITH x AS (SELECT label, vec_id, CAST(i AS INTEGER) - 1 AS pos, " +
+        "embedding[i]::DOUBLE AS v, " +
+        "CAST('0x' || substring(md5(vec_id::VARCHAR), 1, 7) AS BIGINT) % 1024 AS chunk " +
+        "FROM embeddings, (SELECT unnest(range(1, 65)) AS i) idx), " +
+        "p1 AS (SELECT label, pos, chunk, " +
+        "list_reduce(list_prepend(0.0, list(v ORDER BY vec_id)), (s, x) -> s + x) AS psum, " +
+        "count(*) AS n FROM x GROUP BY label, pos, chunk), " +
+        "cent AS (SELECT label, pos, " +
+        "list_reduce(list_prepend(0.0, list(psum ORDER BY chunk)), (s, x) -> s + x) " +
+        "/ CAST(sum(n) AS BIGINT) AS dim_avg FROM p1 GROUP BY label, pos), " +
+        "centers AS (SELECT label, list(dim_avg ORDER BY pos) AS c FROM cent GROUP BY label), " +
+        "probe AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0), " +
+        "cells AS (SELECT label FROM centers, probe " +
+        s"ORDER BY ${cosSql("c", "pv")} DESC, label LIMIT 2) " +
+        "SELECT vec_id, " + cosSql("embedding", "pv") + " AS cos " +
+        "FROM embeddings e JOIN cells USING (label), probe " +
+        "WHERE vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 5"),
 
     "embed_centroid" ->
       // two-phase chunked fold — identical bracketing to the Spark path:

@@ -149,6 +149,51 @@ object Similarity {
   }
 
   /**
+   * IVF-style ANN top-k: the coarse quantizer cells are the label
+   * partitions, with cell centers = the deterministic per-label centroids
+   * ([[centroidComponents]] — bit-reproducible, so engines agree on
+   * every assignment). The probe ranks cell centers by exact cosine,
+   * scans only the `nProbe` nearest cells' vectors (the inverted lists),
+   * and returns the exact top-k within them.
+   *
+   * Scale shape: centers are tiny (labels × dims) and broadcast both
+   * ways; the probe-side scan touches only nProbe/|cells| of the corpus —
+   * the IVF complement of the hash-bucketed [[lshTopK]]. A label column
+   * doubles as the natural partition/bucket key for the inverted lists
+   * on disk.
+   */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, labelCol: String,
+              probeId: Long, k: Int, nProbe: Int = 2,
+              dims: Int = 64): DataFrame = {
+    // cell centers as ordered arrays (label, array<double>)
+    val centers = centroidComponents(df, labelCol, idCol, vecCol, dims)
+      .groupBy(col(labelCol))
+      .agg(sort_array(collect_list(struct(col("pos"), col("dim_avg"))))
+        .as("ps"))
+      .select(col(labelCol).as("__cell"),
+        transform(col("ps"), p => p.getField("dim_avg")).as("__center"))
+    val probe = broadcast(
+      df.filter(col(idCol) === probeId)
+        .select(col(vecCol).as("__probe")))
+    // nProbe nearest cells by exact cosine (deterministic tiebreak on label)
+    val nearCells = broadcast(
+      centers.crossJoin(probe)
+        .select(col("__cell"),
+          (dot(col("__center"), col("__probe")) /
+            (norm(col("__center")) * norm(col("__probe")))).as("__ccos"))
+        .orderBy(col("__ccos").desc, col("__cell"))
+        .limit(nProbe)
+        .select(col("__cell")))
+    // exact top-k within the probed cells only
+    df.join(nearCells, df(labelCol) === nearCells("__cell"))
+      .crossJoin(probe)
+      .filter(col(idCol) =!= probeId)
+      .select(col(idCol), cosine(col(vecCol), col("__probe")).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /**
    * Per-label centroid components (IVF-style coarse quantizer statistics),
    * deterministic AND scale-safe.
    *

@@ -18,6 +18,23 @@ class FunctionsEdgeSpec extends AnyFunSuite {
     assert(got(4).toSet == Set("a b c", "b c d"))
   }
 
+  test("ivfTopK: probing every cell recovers the exact brute-force top-k") {
+    val emb = sources.Tables.load(spark, sfDir, "embeddings")
+    val nCells = emb.select("label").distinct().count().toInt
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val ivfAll = Similarity.ivfTopK(emb, "vec_id", "embedding", "label",
+      0L, 5, nProbe = nCells)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(ivfAll == exact, "nProbe=|cells| must equal brute force")
+    // nProbe=1 scans only the nearest cell: results come from one label
+    val oneCell = Similarity.ivfTopK(emb, "vec_id", "embedding", "label",
+      0L, 5, nProbe = 1)
+    val labels = oneCell.join(emb.select(col("vec_id"), col("label")), "vec_id")
+      .select("label").distinct().count()
+    assert(labels == 1)
+  }
+
   test("langId falls back to 'und' below threshold") {
     import spark.implicits._
     val df = Seq(

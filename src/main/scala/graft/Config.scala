@@ -28,7 +28,8 @@ object GraftConfig {
     GraftConfig(
       mode = get("MODE").map(_.toLowerCase).filter(Set("lr", "audit"))
         .getOrElse("audit"),
-      startFromLsn = get("START_FROM_LSN"),
+      startFromLsn = get("START_FROM_LSN")
+        .map(sources.Wal2Json.requireValidLsn), // fail loudly, not silently
       startFromId = get("START_FROM_ID").flatMap(s => s.toLongOption),
       startFromTs = get("START_FROM_TIMESTAMP"),
       whitelistTables = list("WHITELIST_TABLES"),

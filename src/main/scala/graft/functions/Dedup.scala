@@ -91,12 +91,23 @@ object Dedup {
       df.select(col(idCol), TextFns.shingles(col(textCol)).as("sset")),
       idCol, numBands)
 
-  private def lshCandidatesFromSets(sets: DataFrame, idCol: String,
-                                    numBands: Int): DataFrame = {
+  /** (id, band, bkey) LSH keys for precomputed shingle sets — the unit the
+   *  streaming dedup accumulates as its admitted-corpus index. */
+  def bandKeysFromSets(sets: DataFrame, idCol: String,
+                       numBands: Int = 4): DataFrame = {
     val sig = minhashSignatureFromSets(sets, idCol, numBands * 2)
     val bands = array((0 until numBands).map(i =>
       md5(concat_ws("|", col(s"m${2 * i}"), col(s"m${2 * i + 1}")))): _*)
-    val keyed = sig.select(col(idCol), posexplode(bands).as(Seq("band", "bkey")))
+    sig.select(col(idCol), posexplode(bands).as(Seq("band", "bkey")))
+  }
+
+  /** Shingle sets (id, sset) — shared shape between batch and streaming. */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), TextFns.shingles(col(textCol)).as("sset"))
+
+  private def lshCandidatesFromSets(sets: DataFrame, idCol: String,
+                                    numBands: Int): DataFrame = {
+    val keyed = bandKeysFromSets(sets, idCol, numBands)
     val a = keyed.select(col(idCol).as("doc_a"), col("band"), col("bkey"))
     val b = keyed.select(col(idCol).as("doc_b"), col("band"), col("bkey"))
     a.join(b, Seq("band", "bkey"))

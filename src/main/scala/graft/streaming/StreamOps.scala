@@ -2,6 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.functions.Dedup
 
 /**
  * Streaming relational capabilities over the changeset/event stream —
@@ -25,6 +28,91 @@ object StreamOps {
 
   /** Batch-equivalent dedup (same key). */
   def dedupBatch(cs: DataFrame): DataFrame = cs.dropDuplicates("id")
+
+  /**
+   * Streaming near-duplicate dedup at the ingest edge — the online form of
+   * [[graft.functions.Dedup.nearDupClusters]]: admit a document iff it is
+   * not a near-dup of anything already admitted.
+   *
+   * Per micro-batch:
+   *  1. the batch dedups against ITSELF with the full batch cascade
+   *     (exact groups → MinHash-LSH candidates → exact-Jaccard verify →
+   *     connected components; keep each component's min id);
+   *  2. surviving representatives verify against the ADMITTED corpus:
+   *     their LSH band keys join the accumulated key index (bucket-local —
+   *     never corpus × batch), and candidates exact-Jaccard against the
+   *     stored shingle sets; matches are dropped;
+   *  3. survivors append to `outPath`, and their (band, key) index rows +
+   *     shingle sets append to the state directory.
+   *
+   * Semantics note (documented divergence from the batch operator): this
+   * is the standard greedy online rule. For a chain A~B, B~C with A≁C
+   * arriving in different batches, batch connected-components keeps only
+   * A, while the greedy stream admits A and C (B dropped) — C matched no
+   * ADMITTED doc at its arrival. Within one batch the cascade applies, so
+   * a single-batch run equals the batch operator exactly.
+   *
+   * Scale shape: state is two append-only parquet tables (keys: 4 rows ×
+   * ~40 B per admitted doc; sets: the shingle arrays). The candidate join
+   * is (band, bkey)-bucketed — the natural on-disk partitioning for the
+   * key index at corpus scale.
+   */
+  def nearDupDedupTo(docs: DataFrame, outPath: String, statePath: String,
+                     checkpoint: String, idCol: String, textCol: String,
+                     minJaccard: Double = 0.8,
+                     availableNow: Boolean = true): StreamingQuery = {
+    val writer = docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val keysPath = s"$statePath/keys"
+        val setsPath = s"$statePath/sets"
+        val haveState = fs.exists(new org.apache.hadoop.fs.Path(keysPath))
+
+        // 1. batch-internal cascade (exact + near) → representatives
+        val reps = Dedup.nearDupClusters(batch, idCol, textCol, minJaccard)
+          .filter(col(idCol) === col("cluster_id")).select(col(idCol))
+        val repDocs = batch.join(reps, Seq(idCol), "left_semi")
+          .localCheckpoint() // reused: sets, keys, verify, output append
+        val repSets = Dedup.shingleSets(repDocs, idCol, textCol)
+          .localCheckpoint()
+        val repKeys = Dedup.bandKeysFromSets(repSets, idCol)
+
+        // 2. verify representatives against the admitted corpus
+        val dupIds =
+          if (!haveState) spark.emptyDataFrame.select(lit(0L).as(idCol)).limit(0)
+          else {
+            val stateKeys = spark.read.parquet(keysPath)
+            val stateSets = spark.read.parquet(setsPath)
+            val cand = repKeys
+              .join(stateKeys.select(col(idCol).as("__sid"),
+                col("band"), col("bkey")), Seq("band", "bkey"))
+              .select(col(idCol), col("__sid")).distinct()
+            cand
+              .join(repSets, Seq(idCol))
+              .join(stateSets.select(col(idCol).as("__sid"),
+                col("sset").as("__ss")), Seq("__sid"))
+              .filter(
+                size(array_intersect(col("sset"), col("__ss"))).cast("double") /
+                  size(array_union(col("sset"), col("__ss"))) >= minJaccard)
+              .select(col(idCol)).distinct()
+          }
+        // 3. append survivors + their index rows and shingle sets
+        // (sets derived from the already-built repSets — no re-shingling)
+        repDocs.join(dupIds, Seq(idCol), "left_anti")
+          .write.mode("append").parquet(outPath)
+        val admittedSets = repSets.join(dupIds, Seq(idCol), "left_anti")
+          .localCheckpoint()
+        Dedup.bandKeysFromSets(admittedSets, idCol)
+          .write.mode("append").parquet(keysPath)
+        admittedSets.write.mode("append").parquet(setsPath)
+        ()
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
 
   /**
    * Stream-stream interval join: enrich each event with the user's signup

@@ -79,6 +79,47 @@ class StreamOpsSpec extends AnyFunSuite {
       s"duplicate (user, session_id) emitted: $got")
   }
 
+  test("streaming near-dup dedup admits first arrivals, drops later near-dups") {
+    import spark.implicits._
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango"
+    val dir = Files.createTempDirectory("graft-snd-in").toString
+    // batch 1: A (1), B = near-dup of A (2), C distinct (3)
+    Seq(
+      (1L, base),
+      (2L, base.replace("echo", "zulu")), // 1-word edit → high jaccard
+      (3L, "one two three four five six seven eight nine ten eleven " +
+        "twelve thirteen fourteen fifteen sixteen"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(dir)
+    // batch 2: D near-dups A (4), E distinct (5), F exact copy of E (6)
+    val eText = "red orange yellow green blue indigo violet cyan magenta " +
+      "teal maroon olive navy silver golden crimson"
+    Seq(
+      (4L, base.replace("kilo", "xray")),
+      (5L, eText),
+      (6L, eText))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(dir)
+
+    val outDir = Files.createTempDirectory("graft-snd-out").toString + "/out"
+    val stateDir = Files.createTempDirectory("graft-snd-st").toString + "/state"
+    val schema = spark.read.parquet(dir).schema
+    val q = StreamOps.nearDupDedupTo(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dir),
+      outDir, stateDir, Files.createTempDirectory("graft-snd-ck").toString,
+      "doc_id", "text", 0.6)
+    q.awaitTermination()
+
+    val admitted = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // B dropped within batch 1; D dropped against the admitted corpus;
+    // F (exact copy) dropped within batch 2; first arrivals admitted
+    assert(admitted == Set(1L, 3L, 5L), s"admitted: $admitted")
+    // the state index grew only with admitted docs
+    val stateIds = spark.read.parquet(s"$stateDir/sets")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(stateIds == Set(1L, 3L, 5L))
+  }
+
   test("interval join matches its batch equivalent on a live stream") {
     val ev = sources.Tables.load(spark, sfDir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))

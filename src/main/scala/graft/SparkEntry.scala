@@ -306,6 +306,11 @@ object SparkEntry {
       Dedup.simhashPairs(documents(s, dir), "doc_id", "text")
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // SimHash hamming<=2 near-pairs via pigeonhole block LSH
+    "dedup_simhash_near" -> ((s, dir) =>
+      Dedup.simhashNearPairs(documents(s, dir), "doc_id", "text",
+        maxHamming = 2).orderBy(col("doc_a"), col("doc_b"))),
+
     // Exact n-gram Jaccard via inverted shingle index
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(documents(s, dir), "doc_id", "text", 0.8)
@@ -323,6 +328,13 @@ object SparkEntry {
     "embed_cosine_neardup" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(embeddings(s, dir), "vec_id",
         "embedding", 0.3).orderBy(col("vec_a"), col("vec_b"))),
+
+    // Symmetric int8 quantization of the embedding corpus (first 8 dims
+    // checked; engine-reproducible floor(+0.5) rounding)
+    "embed_quantize_int8" -> ((s, dir) =>
+      Similarity.quantizeInt8(embeddings(s, dir), "vec_id", "embedding")
+        .filter(col("pos") < 8)
+        .orderBy(col("vec_id"), col("pos"))),
 
     // IVF ANN: label cells, deterministic centroid centers, probe scans
     // the nProbe nearest cells only (the §2.6 "IVF variant" scale path)
@@ -746,6 +758,26 @@ object SparkEntry {
         "FROM sim a JOIN sim b ON a.simhash = b.simhash AND a.doc_id < b.doc_id " +
         "ORDER BY doc_a, doc_b"),
 
+    "dedup_simhash_near" ->
+      // same signature CTE as dedup_simhash; pigeonhole 3×8-bit blocks,
+      // exact bit_count(xor) <= 2 verify
+      ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "dw AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1), " +
+        "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS dw FROM w), " +
+        "sim AS (SELECT doc_id, CAST(" +
+        (0 until 24).map { j =>
+          s"(CASE WHEN 2 * len(list_filter(dw, x -> substr(md5(x), ${j + 1}, 1) IN " +
+            s"('8','9','a','b','c','d','e','f'))) > len(dw) THEN ${1 << j} ELSE 0 END)"
+        }.mkString(" + ") +
+        " AS INTEGER) AS simhash FROM dw), " +
+        "k AS (SELECT doc_id, simhash, b, (simhash >> (b * 8)) & 255 AS bval " +
+        "FROM sim, (SELECT unnest(range(0, 3)) AS b) blks), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "CAST(bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS INTEGER) AS hamming " +
+        "FROM k a JOIN k b ON a.b = b.b AND a.bval = b.bval AND a.doc_id < b.doc_id) " +
+        "SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 2 " +
+        "ORDER BY doc_a, doc_b"),
+
     "dedup_ngram_jaccard" ->
       (shingleCte + ", " +
         s"inv AS (SELECT doc_id, ${Dedup.hash28Sql("sg")} AS h FROM sh), " +
@@ -793,6 +825,17 @@ object SparkEntry {
         "sqrt(list_sum(list_transform(range(1, 65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) AS cos " +
         "FROM cand JOIN e a ON a.vec_id = vec_a JOIN e b ON b.vec_id = vec_b) " +
         "SELECT vec_a, vec_b, cos FROM j WHERE cos >= 0.3 ORDER BY vec_a, vec_b"),
+
+    "embed_quantize_int8" ->
+      ("WITH s AS (SELECT vec_id, " +
+        "list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale, " +
+        "embedding FROM embeddings) " +
+        "SELECT vec_id, CAST(i AS INTEGER) - 1 AS pos, " +
+        "CAST(CASE WHEN scale = 0 THEN 0 ELSE " +
+        "least(greatest(floor(embedding[i]::DOUBLE / scale + 0.5), -127), 127) " +
+        "END AS INTEGER) AS q, scale " +
+        "FROM s, (SELECT unnest(range(1, 9)) AS i) idx " +
+        "ORDER BY vec_id, pos"),
 
     "embed_ann_ivf" ->
       // identical coarse quantizer: chunked centroid fold over all 64 dims,

@@ -173,6 +173,38 @@ object Dedup {
   }
 
   /**
+   * SimHash near-pairs within hamming distance `maxHamming` — pigeonhole
+   * block LSH: the signature splits into maxHamming+1 equal blocks, and
+   * any pair within distance k must agree EXACTLY on at least one block
+   * (k flipped bits cannot touch all k+1 blocks). Candidates join on
+   * (block, value) — never the doc² pair space — then the exact
+   * `bit_count(xor)` verifies. The standard scalable form of "similar
+   * simhash" retrieval; [[simhashPairs]] is the maxHamming=0 special case.
+   */
+  def simhashNearPairs(df: DataFrame, idCol: String, textCol: String,
+                       maxHamming: Int = 2, bits: Int = 24): DataFrame = {
+    val blocks = maxHamming + 1
+    require(bits % blocks == 0,
+      s"bits=$bits must divide into maxHamming+1=$blocks equal blocks")
+    val width = bits / blocks
+    val sh = simhashSignatures(df, idCol, textCol, bits)
+    val keyed = sh.select(col(idCol), col("simhash"),
+      posexplode(array((0 until blocks).map(b =>
+        shiftright(col("simhash"), b * width)
+          .bitwiseAND(lit((1 << width) - 1))): _*)).as(Seq("blk", "bval")))
+    val a = keyed.select(col(idCol).as("doc_a"), col("simhash").as("__sa"),
+      col("blk"), col("bval"))
+    val b = keyed.select(col(idCol).as("doc_b"), col("simhash").as("__sb"),
+      col("blk"), col("bval"))
+    a.join(b, Seq("blk", "bval"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(__sa ^ __sb)").cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /**
    * Full dedup cascade → cluster assignment per document. This is the
    * operator a training-data pipeline actually runs to DROP duplicates:
    *

@@ -194,6 +194,28 @@ object Similarity {
   }
 
   /**
+   * Symmetric per-vector int8 quantization (the storage/bandwidth path for
+   * embedding corpora): scale = max|x|/127, q_i = floor(x_i/scale + 0.5)
+   * clamped to [-127, 127]. floor(+0.5) instead of round() because engines
+   * disagree on round-half semantics but agree bit-for-bit on floor over
+   * doubles — the quantized values are engine-reproducible. All-zero
+   * vectors quantize to zeros with scale 0. Returns (id, pos, q, scale)
+   * exploded to scalars.
+   */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val scale = array_max(transform(col(vecCol), x => abs(x.cast("double")))) /
+      lit(127.0)
+    df.select(col(idCol), col(vecCol), scale.as("scale"))
+      .select(col(idCol), col("scale"),
+        posexplode(transform(col(vecCol), x =>
+          when(col("scale") === 0.0, lit(0L))
+            .otherwise(least(greatest(
+              floor(x.cast("double") / col("scale") + 0.5), lit(-127L)),
+              lit(127L))).cast("int"))).as(Seq("pos", "q")))
+      .select(col(idCol), col("pos"), col("q"), col("scale"))
+  }
+
+  /**
    * Per-label centroid components (IVF-style coarse quantizer statistics),
    * deterministic AND scale-safe.
    *

@@ -47,9 +47,12 @@ final case class Graft(
 
   /** LR-mode resume point (config.go:39-41): keep changes from messages
     * AFTER the one whose `nextlsn` equals the recorded token. Malformed
-    * tokens fail here, loudly, not silently inside a column expression. */
+    * tokens fail here, loudly, not silently inside a column expression.
+    * Also selects LR mode — like the reference, the LSN resume point only
+    * governs logical-replication streams (an audit changelog configured
+    * with mode=audit ignores it and keeps its id/ts resume). */
   def startFromLsn(lsn: String): Graft =
-    copy(config = config.copy(
+    copy(config = config.copy(mode = "lr",
       startFromLsn = Some(sources.Wal2Json.requireValidLsn(lsn))))
 
   /** Append a user pipeline stage (reference: RunWithPipeline, axon.go:176-179). */
@@ -64,9 +67,14 @@ final case class Graft(
   def startFromTimestamp(ts: String): Graft =
     copy(config = config.copy(startFromTs = Some(ts)))
 
-  /** Whether the LSN resume point governs this changelog. */
+  /** Whether the LSN resume point governs this changelog: LR mode only
+    * (config.go:24-27 — startFromLsn is read in LR mode), with the lsn
+    * column present. Without the mode gate, the streaming source's
+    * lsn-aware read schema would manufacture a null lsn column for
+    * audit changelogs and silently disable the configured id/ts resume. */
   private def lsnResumes(changelog: DataFrame): Boolean =
-    config.startFromLsn.isDefined && changelog.columns.contains("lsn")
+    config.mode == "lr" && config.startFromLsn.isDefined &&
+      changelog.columns.contains("lsn")
 
   /** Keep only changes strictly after the configured LSN token (LR-decoded
     * changelogs carry an `lsn` column — Wal2Json.decode; a changelog
@@ -111,7 +119,8 @@ final case class Graft(
     * the same precedence applies as in [[replay]]. */
   def changes(changelogDir: String, maxFilesPerTrigger: Int = 10): DataFrame =
     transform(resume(ChangesetStream.fromFiles(spark, changelogDir,
-      maxFilesPerTrigger, withLsn = config.startFromLsn.isDefined)))
+      maxFilesPerTrigger,
+      withLsn = config.mode == "lr" && config.startFromLsn.isDefined)))
 
   /** Typed view of a change stream. */
   def typedChanges(cs: DataFrame): Dataset[Changeset] = {

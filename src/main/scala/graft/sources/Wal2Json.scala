@@ -63,10 +63,19 @@ object Wal2Json {
    *  re-encodes as a number; the quoting was lost upstream.) */
   private def jsonTypeName(t: Column): Column = lower(t).isin("json", "jsonb")
 
-  private def jsonLiteralShaped(v: Column): Column =
-    v.startsWith("{") || v.startsWith("[") ||
-      v.rlike("^-?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?$") ||
-      v.isin("true", "false", "null")
+  /** Is the value text itself a JSON literal? Object/array shapes are
+   *  PARSE-verified (a jsonb scalar string like "{not json" must be
+   *  re-escaped, not emitted raw); numbers/booleans/null match exactly.
+   *  Leading whitespace allowed — `json` columns preserve source text. */
+  private def jsonLiteralShaped(v: Column): Column = {
+    val t = ltrim(v)
+    (t.startsWith("{") &&
+      from_json(v, MapType(StringType, StringType)).isNotNull) ||
+      (t.startsWith("[") &&
+        from_json(v, ArrayType(StringType)).isNotNull) ||
+      t.rlike("^-?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?$") ||
+      t.isin("true", "false", "null")
+  }
 
   /** Order-preserving type-tagged column view: (names, types, values) →
    *  array<struct<column,value,type>> (changeset.go:77-81). */
@@ -154,9 +163,16 @@ object Wal2Json {
    *  array-index error killing the whole query. */
   def lsnToLong(lsn: Column): Column = {
     val parts = split(lsn, "/")
-    (conv(try_element_at(parts, lit(1)), 16, 10).cast("decimal(20,0)") *
-      lit(4294967296L) +
-      conv(try_element_at(parts, lit(2)), 16, 10).cast("decimal(20,0)"))
+    // hex-validate each part before conv: Spark's conv follows MySQL
+    // semantics and maps garbage to 0, which would make a corrupted token
+    // order as the SMALLEST lsn (silently dropped by resume filters)
+    // instead of null (kept)
+    def hexPart(i: Int): Column = {
+      val p = try_element_at(parts, lit(i))
+      when(p.rlike("^[0-9a-fA-F]{1,8}$"), conv(p, 16, 10)).otherwise(lit(null))
+    }
+    (hexPart(1).cast("decimal(20,0)") * lit(4294967296L) +
+      hexPart(2).cast("decimal(20,0)"))
   }
 
   private val LsnPattern = "^[0-9A-Fa-f]{1,8}/[0-9A-Fa-f]{1,8}$".r

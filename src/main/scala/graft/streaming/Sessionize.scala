@@ -135,7 +135,12 @@ object Sessionize {
               // event-time TTL so the state store stays O(active users),
               // not O(all users ever seen).
               state.update((id + 1, null))
-              state.setTimeoutTimestamp((o.endUs + gapUs + counterTtlUs) / 1000)
+              // clamp: with a bursty watermark jump the computed instant
+              // can already be in the past, and setTimeoutTimestamp
+              // throws for timestamps behind the watermark (query death)
+              state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs() + 1,
+                  (o.endUs + gapUs + counterTtlUs) / 1000))
               Iterator.single(Session(uid, id, o.n, o.startUs, o.endUs))
             }
           } else {
@@ -156,8 +161,12 @@ object Sessionize {
             }
             open.foreach { o =>
               state.update((nextId, o))
-              // flush when event time passes end-of-session + gap
-              state.setTimeoutTimestamp((o.endUs + gapUs) / 1000)
+              // flush when event time passes end-of-session + gap; clamped
+              // because an all-late batch can compute an instant behind
+              // the watermark, which setTimeoutTimestamp rejects fatally
+              state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs() + 1,
+                  (o.endUs + gapUs) / 1000))
             }
             closed.result().iterator
           }

@@ -42,8 +42,11 @@ object StreamOps {
    *     their LSH band keys join the accumulated key index (bucket-local —
    *     never corpus × batch), and candidates exact-Jaccard against the
    *     stored shingle sets; matches are dropped;
-   *  3. survivors append to `outPath`, and their (band, key) index rows +
-   *     shingle sets append to the state directory.
+   *  3. survivors land in `outPath`/`statePath` under a `batch=<epoch>`
+   *     subdirectory with overwrite — a crash-replayed micro-batch
+   *     rewrites its own epoch (no duplicate admissions), and the verify
+   *     step excludes the replayed epoch's own state rows (no
+   *     self-match drops). Effectively-once without a transaction.
    *
    * Semantics note (documented divergence from the batch operator): this
    * is the standard greedy online rule. For a chain A~B, B~C with A≁C
@@ -63,52 +66,69 @@ object StreamOps {
                      availableNow: Boolean = true): StreamingQuery = {
     val writer = docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val spark = batch0.sparkSession
         val fs = org.apache.hadoop.fs.FileSystem.get(
           spark.sparkContext.hadoopConfiguration)
         val keysPath = s"$statePath/keys"
         val setsPath = s"$statePath/sets"
-        val haveState = fs.exists(new org.apache.hadoop.fs.Path(keysPath))
+        // the batch feeds the cascade, the rep semi-join, and the epoch
+        // writes — cache it for the duration of the epoch
+        val batch = batch0.cache()
+        try {
+          val haveState = fs.exists(new org.apache.hadoop.fs.Path(keysPath))
 
-        // 1. batch-internal cascade (exact + near) → representatives
-        val reps = Dedup.nearDupClusters(batch, idCol, textCol, minJaccard)
-          .filter(col(idCol) === col("cluster_id")).select(col(idCol))
-        val repDocs = batch.join(reps, Seq(idCol), "left_semi")
-          .localCheckpoint() // reused: sets, keys, verify, output append
-        val repSets = Dedup.shingleSets(repDocs, idCol, textCol)
-          .localCheckpoint()
-        val repKeys = Dedup.bandKeysFromSets(repSets, idCol)
+          // 1. batch-internal cascade (exact + near) → representatives
+          val reps = Dedup.nearDupClusters(batch, idCol, textCol, minJaccard)
+            .filter(col(idCol) === col("cluster_id")).select(col(idCol))
+          val repDocs = batch.join(reps, Seq(idCol), "left_semi")
+            .localCheckpoint() // reused: sets, verify, output write
+          val repSets = Dedup.shingleSets(repDocs, idCol, textCol)
+            .localCheckpoint()
+          val repKeys = Dedup.bandKeysFromSets(repSets, idCol)
+            .localCheckpoint() // reused: candidate join + admitted write
 
-        // 2. verify representatives against the admitted corpus
-        val dupIds =
-          if (!haveState) spark.emptyDataFrame.select(lit(0L).as(idCol)).limit(0)
-          else {
-            val stateKeys = spark.read.parquet(keysPath)
-            val stateSets = spark.read.parquet(setsPath)
-            val cand = repKeys
-              .join(stateKeys.select(col(idCol).as("__sid"),
-                col("band"), col("bkey")), Seq("band", "bkey"))
-              .select(col(idCol), col("__sid")).distinct()
-            cand
-              .join(repSets, Seq(idCol))
-              .join(stateSets.select(col(idCol).as("__sid"),
-                col("sset").as("__ss")), Seq("__sid"))
-              .filter(
-                size(array_intersect(col("sset"), col("__ss"))).cast("double") /
-                  size(array_union(col("sset"), col("__ss"))) >= minJaccard)
-              .select(col(idCol)).distinct()
-          }
-        // 3. append survivors + their index rows and shingle sets
-        // (sets derived from the already-built repSets — no re-shingling)
-        repDocs.join(dupIds, Seq(idCol), "left_anti")
-          .write.mode("append").parquet(outPath)
-        val admittedSets = repSets.join(dupIds, Seq(idCol), "left_anti")
-          .localCheckpoint()
-        Dedup.bandKeysFromSets(admittedSets, idCol)
-          .write.mode("append").parquet(keysPath)
-        admittedSets.write.mode("append").parquet(setsPath)
-        ()
+          // 2. verify representatives against the admitted corpus.
+          // State rows of THIS epoch are excluded so a crash-replay of the
+          // batch does not match its docs against their own replayed index
+          // entries (which would silently drop them).
+          val dupIds =
+            (if (!haveState)
+              spark.range(0).select(col("id").as(idCol))
+            else {
+              val stateKeys = spark.read.parquet(keysPath)
+                .filter(col("batch") =!= batchId)
+              val stateSets = spark.read.parquet(setsPath)
+                .filter(col("batch") =!= batchId)
+              val cand = repKeys
+                .join(stateKeys.select(col(idCol).as("__sid"),
+                  col("band"), col("bkey")), Seq("band", "bkey"))
+                .select(col(idCol), col("__sid")).distinct()
+              cand
+                .join(repSets, Seq(idCol))
+                .join(stateSets.select(col(idCol).as("__sid"),
+                  col("sset").as("__ss")), Seq("__sid"))
+                .filter(
+                  size(array_intersect(col("sset"), col("__ss"))).cast("double") /
+                    size(array_union(col("sset"), col("__ss"))) >= minJaccard)
+                .select(col(idCol)).distinct()
+            }).localCheckpoint() // reused by the three anti-joins below
+
+          // 3. IDEMPOTENT per-epoch writes: every output lands in a
+          // batch=<epoch> subdirectory with overwrite, so a replayed batch
+          // rewrites its own epoch instead of appending duplicates
+          // (partition discovery exposes the epoch as the `batch` column
+          // that step 2's exclusion filter prunes on). Admitted keys/sets
+          // are anti-joined from the checkpointed rep frames — no
+          // re-shingling or re-hashing.
+          def anti(d: DataFrame) = d.join(dupIds, Seq(idCol), "left_anti")
+          anti(repDocs).write.mode("overwrite")
+            .parquet(s"$outPath/batch=$batchId")
+          anti(repKeys).write.mode("overwrite")
+            .parquet(s"$keysPath/batch=$batchId")
+          anti(repSets).write.mode("overwrite")
+            .parquet(s"$setsPath/batch=$batchId")
+        } finally { batch.unpersist(false); () }
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .start()

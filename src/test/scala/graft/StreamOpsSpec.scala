@@ -91,6 +91,9 @@ class StreamOpsSpec extends AnyFunSuite {
       (3L, "one two three four five six seven eight nine ten eleven " +
         "twelve thirteen fourteen fifteen sixteen"))
       .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(dir)
+    // distinct mtimes: FileStreamSource orders pending files by modTime,
+    // and two sub-second appends could otherwise tie and reorder batches
+    Thread.sleep(1100)
     // batch 2: D near-dups A (4), E distinct (5), F exact copy of E (6)
     val eText = "red orange yellow green blue indigo violet cyan magenta " +
       "teal maroon olive navy silver golden crimson"

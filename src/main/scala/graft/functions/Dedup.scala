@@ -180,6 +180,14 @@ object Dedup {
    * (block, value) — never the doc² pair space — then the exact
    * `bit_count(xor)` verifies. The standard scalable form of "similar
    * simhash" retrieval; [[simhashPairs]] is the maxHamming=0 special case.
+   *
+   * Scale sizing: each block has 2^(bits/(k+1)) buckets, so the
+   * bucket-local pair space is O(n²/2^width) per block — with the 24-bit
+   * default (8-bit blocks) buckets saturate beyond ~10^5 docs (10× probe:
+   * 10.3 s at 50k docs). At corpus scale use bits=30 with maxHamming=1
+   * (15-bit blocks, 32k buckets; the int-typed signature caps bits at 31
+   * — widening further means a long-typed signature over two md5 halves,
+   * a mechanical extension of [[simhashSignatures]]).
    */
   def simhashNearPairs(df: DataFrame, idCol: String, textCol: String,
                        maxHamming: Int = 2, bits: Int = 24): DataFrame = {

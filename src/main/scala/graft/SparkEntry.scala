@@ -109,12 +109,20 @@ object SparkEntry {
         lit("""]}],"nextlsn":"0/"""),
         lower(hex(col("event_id"))), lit("\"}"))
       val raw = events(s, dir).select(col("event_id").as("seq"), msg.as("msg"))
+      // build the name→value map ONCE (aliased; map_from_entries is
+      // non-cheap so CollapseProject keeps it out of the 4 projections)
       Wal2Json.decodeTyped(raw, "seq", "msg")
+        .withColumn("__m", map_from_entries(transform(col("new_cols"),
+          e => struct(e.getField("column"), e.getField("value")))))
         .select(col("id"), col("action"), col("table_name"), col("lsn"),
-          Wal2Json.typedColumn(col("new_cols"), "user_id", "bigint").as("user_id"),
-          Wal2Json.typedColumn(col("new_cols"), "event_type", "text").as("event_type"),
-          Wal2Json.typedColumn(col("new_cols"), "k", "integer").as("k"),
-          Wal2Json.typedColumn(col("new_cols"), "value", "double precision").as("value"))
+          element_at(col("__m"), "user_id")
+            .cast(graft.model.PgTypes.toSpark("bigint")).as("user_id"),
+          element_at(col("__m"), "event_type")
+            .cast(graft.model.PgTypes.toSpark("text")).as("event_type"),
+          element_at(col("__m"), "k")
+            .cast(graft.model.PgTypes.toSpark("integer")).as("k"),
+          element_at(col("__m"), "value")
+            .cast(graft.model.PgTypes.toSpark("double precision")).as("value"))
         .orderBy(col("id"))
     }),
 

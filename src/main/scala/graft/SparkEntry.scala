@@ -355,6 +355,11 @@ object SparkEntry {
       Similarity.centroidComponents(embeddings(s, dir), "label", "vec_id",
         "embedding", 4).orderBy(col("label"), col("pos"))),
 
+    // BM25-style ranked retrieval (rational idf — engine-identical scores)
+    "text_bm25" -> ((s, dir) =>
+      TextFns.bm25Rank(documents(s, dir), "doc_id", "text",
+        Seq("join", "hash", "merge"))),
+
     // Language id (stopword-profile argmax heuristic)
     "text_langid" -> ((s, dir) =>
       documents(s, dir)
@@ -919,6 +924,26 @@ object SparkEntry {
         "CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) " +
         "/ len(string_split(text, ' ')) AS distinct_ratio " +
         "FROM documents ORDER BY doc_id"),
+
+    "text_bm25" ->
+      // identical expression structure and evaluation order as the Spark
+      // path; all literals forced ::DOUBLE (DuckDB decimal-literal trap)
+      ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+        "dl AS (SELECT doc_id, len(ws) AS l FROM w), " +
+        "corpus AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(l) AS BIGINT) AS sl FROM dl), " +
+        "t AS (SELECT doc_id, unnest(ws) AS term FROM w), " +
+        "tfq AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t " +
+        "WHERE term IN ('join','hash','merge') GROUP BY 1, 2), " +
+        "dfq AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM t " +
+        "WHERE term IN ('join','hash','merge') GROUP BY 1), " +
+        "s AS (SELECT doc_id, term, " +
+        s"(n - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE) * (tf * ${1.2 + 1}::DOUBLE) / " +
+        s"(tf + ${1.2}::DOUBLE * (${1 - 0.75}::DOUBLE + ${0.75}::DOUBLE * " +
+        "(l / (CAST(sl AS DOUBLE) / n)))) AS sc " +
+        "FROM tfq JOIN dfq USING (term) JOIN dl USING (doc_id), corpus) " +
+        "SELECT doc_id, list_reduce(list_prepend(0.0, list(sc ORDER BY term)), " +
+        "(a, x) -> a + x) AS score " +
+        "FROM s GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10"),
 
     "text_term_stats" ->
       ("SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM " +

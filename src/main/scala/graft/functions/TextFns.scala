@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -23,6 +23,55 @@ object TextFns {
 
   def regexTokens(text: Column): Column =
     regexp_extract_all(text, lit(TokenPattern), lit(0))
+
+  /**
+   * BM25-style ranked retrieval over the corpus, with a RATIONAL idf —
+   * `(N - df + 0.5) / (df + 0.5)` instead of the logarithmic form: `ln`
+   * is not bit-reproducible across engines, while IEEE +,·,/ are, so
+   * scores (not just ranks) are engine-identical. idf stays monotone in
+   * df, so single-corpus ranking order matches classic BM25.
+   *
+   * Scale shape: one shuffle for per-(doc, term) tf over query terms only
+   * (the filter prunes before the shuffle), tiny df/corpus aggregates
+   * broadcast back, and the per-doc score folds its few term scores in
+   * lexicographic order — deterministic double summation. Top-N runs as
+   * per-partition partial top-N + single reduce.
+   */
+  def bm25Rank(df: DataFrame, idCol: String, textCol: String,
+               query: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+               topN: Int = 10): DataFrame = {
+    val terms = query.map(_.toLowerCase)
+    val docLens = df.select(col(idCol),
+      size(words(col(textCol))).cast("long").as("__len"))
+    // exact integer corpus stats (order-free): avgdl derived at use site
+    val corpus = docLens.agg(count(lit(1)).as("__n"), sum(col("__len")).as("__sl"))
+    val termRows = df.select(col(idCol),
+      explode(words(col(textCol))).as("term"))
+      .filter(col("term").isin(terms: _*))
+    val tf = termRows.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("__tf"))
+    val dfreq = termRows.distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val scored = tf
+      .join(broadcast(dfreq), "term")
+      .join(docLens, idCol)
+      .crossJoin(broadcast(corpus))
+      .withColumn("__s",
+        ((col("__n") - col("__df")).cast("double") + lit(0.5)) /
+          (col("__df").cast("double") + lit(0.5)) *
+          (col("__tf").cast("double") * lit(k1 + 1)) /
+          (col("__tf").cast("double") + lit(k1) *
+            (lit(1 - b) + lit(b) *
+              (col("__len").cast("double") /
+                (col("__sl").cast("double") / col("__n"))))))
+    scored.groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("term"), col("__s")))).as("ss"))
+      .select(col(idCol),
+        aggregate(col("ss"), lit(0.0), (acc, e) => acc + e.getField("__s"))
+          .as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topN)
+  }
 
   /**
    * Distinct word n-gram shingles (default 3). Guarded so documents shorter

@@ -112,8 +112,7 @@ object SparkEntry {
       // build the name→value map ONCE (aliased; map_from_entries is
       // non-cheap so CollapseProject keeps it out of the 4 projections)
       Wal2Json.decodeTyped(raw, "seq", "msg")
-        .withColumn("__m", map_from_entries(transform(col("new_cols"),
-          e => struct(e.getField("column"), e.getField("value")))))
+        .withColumn("__m", Wal2Json.colsMap(col("new_cols")))
         .select(col("id"), col("action"), col("table_name"), col("lsn"),
           element_at(col("__m"), "user_id")
             .cast(graft.model.PgTypes.toSpark("bigint")).as("user_id"),

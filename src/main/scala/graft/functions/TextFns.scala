@@ -28,8 +28,12 @@ object TextFns {
    * BM25-style ranked retrieval over the corpus, with a RATIONAL idf —
    * `(N - df + 0.5) / (df + 0.5)` instead of the logarithmic form: `ln`
    * is not bit-reproducible across engines, while IEEE +,·,/ are, so
-   * scores (not just ranks) are engine-identical. idf stays monotone in
-   * df, so single-corpus ranking order matches classic BM25.
+   * scores (not just ranks) are engine-identical. Each term's idf is
+   * monotone in df either way, but the rational form weights rare terms
+   * more aggressively than log-idf, so MULTI-term rankings can differ
+   * from classic BM25 when documents match different term subsets — this
+   * is a deliberate variant, not a drop-in BM25 replacement. Query terms
+   * match document tokens EXACTLY (no case folding on either side).
    *
    * Scale shape: one shuffle for per-(doc, term) tf over query terms only
    * (the filter prunes before the shuffle), tiny df/corpus aggregates
@@ -40,18 +44,19 @@ object TextFns {
   def bm25Rank(df: DataFrame, idCol: String, textCol: String,
                query: Seq[String], k1: Double = 1.2, b: Double = 0.75,
                topN: Int = 10): DataFrame = {
-    val terms = query.map(_.toLowerCase)
     val docLens = df.select(col(idCol),
       size(words(col(textCol))).cast("long").as("__len"))
     // exact integer corpus stats (order-free): avgdl derived at use site
     val corpus = docLens.agg(count(lit(1)).as("__n"), sum(col("__len")).as("__sl"))
-    val termRows = df.select(col(idCol),
+    val tf = df.select(col(idCol),
       explode(words(col(textCol))).as("term"))
-      .filter(col("term").isin(terms: _*))
-    val tf = termRows.groupBy(col(idCol), col("term"))
+      .filter(col("term").isin(query: _*))
+      .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("__tf"))
-    val dfreq = termRows.distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("__df"))
+      .localCheckpoint(false) // feeds dfreq AND the score join — one scan
+    // tf already has exactly one row per (doc, term) — derive df from it
+    // instead of re-scanning the corpus (no cross-branch CSE in Spark)
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("__df"))
     val scored = tf
       .join(broadcast(dfreq), "term")
       .join(docLens, idCol)

@@ -148,12 +148,17 @@ object Wal2Json {
         col("lsn"), col("new_cols"), col("old_cols"))
   }
 
+  /** A typed cols view as a name→value map — alias it once when
+   *  projecting several columns (map_from_entries is non-cheap, so
+   *  CollapseProject keeps the aliased map out of the projections). */
+  def colsMap(colsCol: Column): Column =
+    map_from_entries(transform(colsCol, e =>
+      struct(e.getField("column"), e.getField("value"))))
+
   /** Project one column of a typed cols view at its declared PG type
    *  (feeds [[graft.model.PgTypes.toSpark]]). */
   def typedColumn(colsCol: Column, name: String, pgType: String): Column =
-    element_at(
-      map_from_entries(transform(colsCol, e =>
-        struct(e.getField("column"), e.getField("value")))), name)
+    element_at(colsMap(colsCol), name)
       .cast(graft.model.PgTypes.toSpark(pgType))
 
   /** Parse a Postgres LSN string `hi/lo` (hex) into an orderable number.

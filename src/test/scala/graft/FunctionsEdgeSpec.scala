@@ -35,6 +35,35 @@ class FunctionsEdgeSpec extends AnyFunSuite {
     assert(labels == 1)
   }
 
+  test("bm25Rank edges: absent terms, single-term docs, deterministic ties") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "join join join filter scan"),   // tf saturation on 'join'
+      (2L, "join hash"),                     // short doc, two terms
+      (3L, "scan filter batch row column"),  // no query terms
+      (4L, "join hash"),                     // exact tie with doc 2
+      (5L, "hash")                           // single term
+    ).toDF("doc_id", "text")
+    val ranked = TextFns.bm25Rank(docs, "doc_id", "text",
+      Seq("join", "hash"), topN = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // only docs containing ≥1 query term rank
+    assert(ranked.map(_._1).toSet == Set(1L, 2L, 4L, 5L))
+    // tied docs (2, 4 share text) order by id; identical scores
+    val byId = ranked.toMap
+    assert(byId(2L) == byId(4L))
+    assert(ranked.map(_._1).indexOf(2L) < ranked.map(_._1).indexOf(4L))
+    // all scores positive, and ranking is score-descending
+    assert(ranked.forall(_._2 > 0))
+    assert(ranked.map(_._2).sliding(2).forall {
+      case Seq(a, b) => a >= b
+      case _ => true
+    })
+    // terms absent from the corpus match nothing
+    assert(TextFns.bm25Rank(docs, "doc_id", "text",
+      Seq("nonexistent")).count() == 0)
+  }
+
   test("langId falls back to 'und' below threshold") {
     import spark.implicits._
     val df = Seq(

@@ -86,6 +86,11 @@ final case class Graft(
   private def afterLsn(changelog: DataFrame): DataFrame =
     config.startFromLsn match {
       case Some(l) if changelog.columns.contains("lsn") =>
+        // re-validate here, not only in the setter: a GraftConfig built
+        // directly (bypassing startFromLsn) would otherwise parse to null
+        // and `rowLsn > null` silently drops every positioned row — the
+        // opposite of the keep-on-unparseable bias for ROW tokens
+        sources.Wal2Json.requireValidLsn(l)
         val rowLsn = sources.Wal2Json.lsnToLong(col("lsn"))
         changelog.filter(rowLsn.isNull ||
           rowLsn > sources.Wal2Json.lsnToLong(lit(l)))

@@ -103,16 +103,32 @@ object ChangesetStream {
         // based, not id based)
         val merged0 = Materializer.mergeVersioned(state, batch, pkCol, rowSchema)
         // wired-in state compaction: tombstones older than
-        // (this batch's min id - lag) are garbage-collected. Safe because
-        // the checkpointed source can only redeliver the CURRENT batch —
-        // ids below its min never reappear, so a dropped tombstone can no
-        // longer be needed to fence a stale event. Leave None when batches
-        // may arrive out of stream order.
+        // (this batch's min id - lag) are garbage-collected. Safe only
+        // under in-stream-order batch delivery — ids below the batch min
+        // never reappear, so a dropped tombstone can no longer be needed
+        // to fence a stale event. That constraint is ENFORCED, not
+        // assumed: the applied horizon persists next to the state, and a
+        // batch arriving below it (out-of-order source, e.g. mod-time
+        // file ordering with sub-second ties) fails the query loudly
+        // instead of silently resurrecting deleted rows.
         val merged = compactionLag match {
           case Some(lag) =>
             Option(batch.agg(min(col("id"))).head().get(0)) match {
               case Some(minId: java.lang.Long) =>
-                Materializer.compactState(merged0, minId - lag)
+                val persisted = readHorizon(fs, statePath)
+                if (minId < persisted)
+                  sys.error(
+                    s"compaction fence violated: batch min id $minId is " +
+                      s"below the persisted compaction horizon $persisted " +
+                      "— the source delivered a batch out of stream order " +
+                      "and tombstones needed to fence it may already be " +
+                      "GC'd. Use compactionLag = None with this source.")
+                val h = math.max(persisted, minId - lag)
+                // persist BEFORE the state swap: a crash between the two
+                // leaves the fence >= what was actually compacted
+                // (stricter on replay, never unsafe)
+                writeHorizon(fs, statePath, h)
+                Materializer.compactState(merged0, h)
               case _ => merged0 // empty batch
             }
           case None => merged0
@@ -136,6 +152,35 @@ object ChangesetStream {
   /** Read the user-facing view of a [[materializeTo]] state table. */
   def readState(spark: SparkSession, statePath: String): DataFrame =
     Materializer.currentView(spark.read.parquet(statePath))
+
+  /** The persisted compaction fence: the id below which tombstones may
+    * already be GC'd. Batches must never arrive below it. */
+  private def horizonPath(statePath: String) =
+    new org.apache.hadoop.fs.Path(statePath + "__horizon")
+
+  private def readHorizon(fs: org.apache.hadoop.fs.FileSystem,
+                          statePath: String): Long = {
+    val p = horizonPath(statePath)
+    if (!fs.exists(p)) Long.MinValue
+    else {
+      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      val in = fs.open(p)
+      try in.readFully(0, buf) finally in.close()
+      new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    }
+  }
+
+  private def writeHorizon(fs: org.apache.hadoop.fs.FileSystem,
+                           statePath: String, h: Long): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(statePath + "__horizon__tmp")
+    val out = fs.create(tmp, true)
+    try out.write(h.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dst = horizonPath(statePath)
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      sys.error(s"compaction horizon write failed: $tmp -> $dst")
+  }
 
   /**
    * Event-time windowed aggregation with watermark over the change stream —

@@ -96,9 +96,18 @@ object StreamOps {
             (if (!haveState)
               spark.range(0).select(col("id").as(idCol))
             else {
-              val stateKeys = spark.read.parquet(keysPath)
+              // explicit schemas (current epoch's frames + the batch
+              // partition column): a state dir left half-created by a crash
+              // (only _temporary, no committed files) must read as EMPTY
+              // state, not wedge every replay on schema inference
+              import org.apache.spark.sql.types.LongType
+              val stateKeys = spark.read
+                .schema(repKeys.schema.add("batch", LongType))
+                .parquet(keysPath)
                 .filter(col("batch") =!= batchId)
-              val stateSets = spark.read.parquet(setsPath)
+              val stateSets = spark.read
+                .schema(repSets.schema.add("batch", LongType))
+                .parquet(setsPath)
                 .filter(col("batch") =!= batchId)
               val cand = repKeys
                 .join(stateKeys.select(col(idCol).as("__sid"),

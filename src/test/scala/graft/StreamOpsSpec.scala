@@ -123,6 +123,34 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(stateIds == Set(1L, 3L, 5L))
   }
 
+  test("near-dup dedup: half-created state dir reads as empty, not a wedge") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-snd2-in").toString
+    Seq((1L, "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(dir)
+
+    val stateDir = Files.createTempDirectory("graft-snd2-st").toString + "/state"
+    // simulate a crash that created the keys dir but committed no parquet:
+    // only an uncommitted _temporary dir exists. Before the explicit-schema
+    // read this wedged every replay on schema inference.
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(stateDir, "keys", "batch=0", "_temporary"))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(stateDir, "sets", "batch=0", "_temporary"))
+
+    val outDir = Files.createTempDirectory("graft-snd2-out").toString + "/out"
+    val schema = spark.read.parquet(dir).schema
+    val q = StreamOps.nearDupDedupTo(
+      spark.readStream.schema(schema).parquet(dir),
+      outDir, stateDir, Files.createTempDirectory("graft-snd2-ck").toString,
+      "doc_id", "text", 0.6)
+    q.awaitTermination()
+    val admitted = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(1L), s"admitted: $admitted")
+  }
+
   test("interval join matches its batch equivalent on a live stream") {
     val ev = sources.Tables.load(spark, sfDir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -175,6 +175,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.sameElements(batch))
   }
 
+  test("compaction fence: a batch below the persisted horizon fails loudly") {
+    val rowSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("o_orderkey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("o_totalprice",
+        org.apache.spark.sql.types.DoubleType)))
+    val script = Changelog.ordersScript(spark, sfDir)
+    val m = script.agg(max(col("id"))).head().getLong(0)
+    val statePath = tmp("graft-state-f") + "/state"
+
+    // run 1: only the HIGH-id half — persists a horizon at its min id
+    val hiDir = tmp("graft-log-f-hi")
+    script.filter(col("id") > m / 2).coalesce(1)
+      .write.mode("append").parquet(hiDir)
+    ChangesetStream.materializeTo(
+      ChangesetStream.fromFiles(spark, hiDir),
+      statePath, tmp("graft-ckpt-f1"), "o_orderkey", rowSchema,
+      compactionLag = Some(0L)).awaitTermination()
+
+    // run 2 (fresh checkpoint = an out-of-stream-order delivery): the
+    // LOW-id half arrives below the fence → the query must fail, not
+    // silently resurrect deleted rows whose tombstones were GC'd
+    val loDir = tmp("graft-log-f-lo")
+    script.filter(col("id") <= m / 2).coalesce(1)
+      .write.mode("append").parquet(loDir)
+    val q2 = ChangesetStream.materializeTo(
+      ChangesetStream.fromFiles(spark, loDir),
+      statePath, tmp("graft-ckpt-f2"), "o_orderkey", rowSchema,
+      compactionLag = Some(0L))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.awaitTermination()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("compaction fence violated")),
+      s"unexpected failure: $ex")
+  }
+
   test("streaming sessionization closes the same sessions as the window path") {
     import spark.implicits._
     val ev = sources.Tables.load(spark, sfDir, "events")

@@ -72,9 +72,17 @@ object SparkEntry {
         count(lit(1)).as("count_order"))
       .withColumn("avg_qty",
         col("sum_qty").cast("double") / col("count_order"))
-      .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   // ---- the contract ------------------------------------------------------
+  //
+  // Contract outputs are UNORDERED row sets: the gate compares
+  // order-insensitively (tools/check.py sorts before hashing), and a
+  // trailing global sort is far from free — range-boundary sampling
+  // executes the child once more, so a map-only pipeline (no shuffle to
+  // reuse) runs TWICE for a sort nobody observes. Ordering appears below
+  // only where it is part of the operator's semantics (top-k limits,
+  // window specs); the user-facing ordered APIs (Graft.replay, Checksum's
+  // ordered chain) keep theirs.
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map[String, (SparkSession, String) => DataFrame](
     // S3 — historical replay since id (changeset_store.go:114-150)
@@ -122,7 +130,6 @@ object SparkEntry {
             .cast(graft.model.PgTypes.toSpark("integer")).as("k"),
           element_at(col("__m"), "value")
             .cast(graft.model.PgTypes.toSpark("double precision")).as("value"))
-        .orderBy(col("id"))
     }),
 
     // T3+T4 — whitelist then ignore table filters (warp_pipe.go:97-144)
@@ -132,7 +139,7 @@ object SparkEntry {
         TableFilters.ignore(Seq("app.error")))(Changelog.fromEvents(s, dir))
         .groupBy(col("schema_name"), col("table_name"))
         .agg(count(lit(1)).as("cnt"))
-        .orderBy(col("schema_name"), col("table_name"))),
+        ),
 
     // T6+T7+T8 — the reference's canonical pipeline stages
     // (pipeline_test.go:15-40): project away a column, rewrite a field,
@@ -152,7 +159,7 @@ object SparkEntry {
           element_at(col(Stages.PayloadCol), "event_type").as("payload_event_type"),
           element_at(col(Stages.PayloadCol), "k").cast("int").as("k"),
           element_at(col(Stages.PayloadCol), "value").as("removed_value"))
-        .orderBy(col("id"))),
+        ),
 
     // T10 — kind normalization (changeset.go:21-33)
     "t10_kind_normalize" -> ((s, dir) => {
@@ -163,7 +170,6 @@ object SparkEntry {
           .otherwise(col("table_name")))
       Stages.normalizeKind(raw)
         .groupBy(col("action")).agg(count(lit(1)).as("cnt"))
-        .orderBy(col("action"))
     }),
 
     // K6 — materialize: latest change per key (axon.go:277-286 dispatch →
@@ -175,13 +181,12 @@ object SparkEntry {
         .select(col("__uid").cast("bigint").as("user_id"),
           col("id").as("last_id"), col("action").as("last_action"),
           col("table_name").as("last_table"))
-        .orderBy(col("user_id"))
     }),
 
     // K3+K4+K5 — full changelog apply: insert/upsert/delete → final state
     "k3k4k5_apply_merge" -> ((s, dir) =>
       Materializer.materialize(Changelog.ordersScript(s, dir), "o_orderkey",
-        ordersRowSchema).orderBy(col("o_orderkey"))),
+        ordersRowSchema)),
 
     // K3/K4/K5 incremental merge into existing state, incl. duplicate-insert
     // skip (axon_sql.go:133-146) and insert of brand-new keys
@@ -212,7 +217,6 @@ object SparkEntry {
         lit(null).cast("string").as("old_values"))
       val batch = updDel.unionByName(dupIns).unionByName(newIns)
       Materializer.merge(state, batch, "o_orderkey", ordersRowSchema)
-        .orderBy(col("o_orderkey"))
     }),
 
     // K10 — completion detection: max id (warp_pipe.go:169-190)
@@ -229,7 +233,7 @@ object SparkEntry {
     "v1_row_hash" -> ((s, dir) =>
       Tables.load(s, dir, "customer")
         .select(col("c_custkey"), customerRowHash().as("row_md5"))
-        .orderBy(col("c_custkey"))),
+        ),
 
     // V2 — exact ordered md5 chain checksum (db/schema.go:311-326)
     "v2_checksum_ordered" -> ((s, dir) =>
@@ -287,7 +291,7 @@ object SparkEntry {
         .select(col("id"),
           element_at(Stages.newValuesMap, "k").cast("int").as("k"),
           element_at(Stages.newValuesMap, "value").cast("double").as("value"))
-        .orderBy(col("id"))),
+        ),
 
     // Exact dedup: hash-groupBy, min-id representative, copy count
     "dedup_exact" -> ((s, dir) => {
@@ -295,33 +299,33 @@ object SparkEntry {
       val withDups = d.unionByName(
         d.filter(col("doc_id") % 3 === 0)
           .withColumn("doc_id", col("doc_id") + 100000L))
-      Dedup.exact(withDups, "doc_id", "text").orderBy(col("keeper_id"))
+      Dedup.exact(withDups, "doc_id", "text")
     }),
 
     // Near-dup via MinHash + LSH banding, exact-Jaccard verified
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashDedup(documents(s, dir), "doc_id", "text", 0.8)
-        .orderBy(col("doc_a"), col("doc_b"))),
+        ),
 
     // Full dedup cascade: exact-group → near-dup graph → connected
     // components → cluster id per document
     "dedup_clusters" -> ((s, dir) =>
       Dedup.nearDupClusters(documents(s, dir).select(col("doc_id"), col("text")),
-        "doc_id", "text", 0.8).orderBy(col("doc_id"))),
+        "doc_id", "text", 0.8)),
 
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(documents(s, dir), "doc_id", "text")
-        .orderBy(col("doc_a"), col("doc_b"))),
+        ),
 
     // SimHash hamming<=2 near-pairs via pigeonhole block LSH
     "dedup_simhash_near" -> ((s, dir) =>
       Dedup.simhashNearPairs(documents(s, dir), "doc_id", "text",
-        maxHamming = 2).orderBy(col("doc_a"), col("doc_b"))),
+        maxHamming = 2)),
 
     // Exact n-gram Jaccard via inverted shingle index
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(documents(s, dir), "doc_id", "text", 0.8)
-        .orderBy(col("doc_a"), col("doc_b"))),
+        ),
 
     // Brute-force cosine top-k (probe = vec 0, k = 10)
     "embed_cosine_topk" -> ((s, dir) =>
@@ -334,14 +338,14 @@ object SparkEntry {
     // Embedding-cosine near-dup pairs (LSH-bucketed candidates)
     "embed_cosine_neardup" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(embeddings(s, dir), "vec_id",
-        "embedding", 0.3).orderBy(col("vec_a"), col("vec_b"))),
+        "embedding", 0.3)),
 
     // Symmetric int8 quantization of the embedding corpus (first 8 dims
     // checked; engine-reproducible floor(+0.5) rounding)
     "embed_quantize_int8" -> ((s, dir) =>
       Similarity.quantizeInt8(embeddings(s, dir), "vec_id", "embedding")
         .filter(col("pos") < 8)
-        .orderBy(col("vec_id"), col("pos"))),
+        ),
 
     // IVF ANN: label cells, deterministic centroid centers, probe scans
     // the nProbe nearest cells only (the §2.6 "IVF variant" scale path)
@@ -352,7 +356,7 @@ object SparkEntry {
     // IVF-style per-label centroid components (first 4 dims)
     "embed_centroid" -> ((s, dir) =>
       Similarity.centroidComponents(embeddings(s, dir), "label", "vec_id",
-        "embedding", 4).orderBy(col("label"), col("pos"))),
+        "embedding", 4)),
 
     // BM25-style ranked retrieval (rational idf — engine-identical scores)
     "text_bm25" -> ((s, dir) =>
@@ -364,7 +368,7 @@ object SparkEntry {
       documents(s, dir)
         .select(col("doc_id"), col("lang"),
           TextFns.langId(col("text")).as("pred_lang"))
-        .orderBy(col("doc_id"))),
+        ),
 
     // Quality scoring: length/punct/stopword ratios + composite score
     "text_quality" -> ((s, dir) =>
@@ -375,7 +379,7 @@ object SparkEntry {
         TextFns.punctRatio(col("text")).as("punct_ratio"),
         TextFns.stopwordRatio(col("text"), TextFns.EnStop).as("stop_ratio"),
         TextFns.qualityScore(col("text")).as("quality"))
-        .orderBy(col("doc_id"))),
+        ),
 
     // Token counting: whitespace + BPE-ish regex + distinct ratio
     "text_tokens" -> ((s, dir) =>
@@ -384,7 +388,7 @@ object SparkEntry {
         size(TextFns.regexTokens(col("text"))).as("re_tokens"),
         (size(array_distinct(TextFns.words(col("text")))).cast("double") /
           size(TextFns.words(col("text")))).as("distinct_ratio"))
-        .orderBy(col("doc_id"))),
+        ),
 
     // Corpus term statistics: tokenize → groupBy term (map-side combine)
     "text_term_stats" -> ((s, dir) =>
@@ -401,7 +405,7 @@ object SparkEntry {
         TextFns.fingerprint(col("text")).as("fp"))
       val sig = Dedup.minhashSignature(documents(s, dir), "doc_id", "text", 2)
         .select(col("doc_id"), col("m0").as("sig_a"), col("m1").as("sig_b"))
-      fp.join(sig, "doc_id").orderBy(col("doc_id"))
+      fp.join(sig, "doc_id")
     }),
 
     // Multimodal: opaque-binary media table → partition-parallel (stub)
@@ -411,7 +415,6 @@ object SparkEntry {
       Multimodal.decodeFeatures(s, media).toDF()
         .select(col("docId").as("doc_id"), col("kind"), col("byteLen").as("byte_len"),
           col("width"), col("height"), col("fingerprint"))
-        .orderBy(col("doc_id"))
     }),
 
     // Multimodal: deterministic resize/downsample stub (every 4th token)
@@ -421,20 +424,19 @@ object SparkEntry {
         length(col("text")).as("orig_len"),
         length(resized).as("resized_len"),
         md5(resized).as("resized_md5"))
-        .orderBy(col("doc_id"))
     }),
 
     // Multimodal: frame sampling over the payload
     "mm_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(documents(s, dir), "doc_id", col("text"), 64)
-        .orderBy(col("doc_id"), col("frame_idx"))),
+        ),
 
     // Streaming capability: event-time tumbling-window aggregation (same
     // code path as the streaming query, run over the batch frame)
     "stream_window_agg" -> ((s, dir) =>
       graft.streaming.ChangesetStream.windowedCounts(
         Changelog.fromEvents(s, dir))
-        .orderBy(col("window_start_us"), col("table_name"))),
+        ),
 
     // Streaming capability: gap-based sessionization (batch/window path;
     // the flatMapGroupsWithState path shares semantics — see StreamingSpec)
@@ -442,7 +444,7 @@ object SparkEntry {
       graft.streaming.Sessionize.byWindows(
         events(s, dir).select(col("user_id"),
           expr("ts div 1000").as("ts_us")), 30)
-        .orderBy(col("user_id"), col("session_id"))),
+        ),
 
     // As-of join (merge-based union+window; no range-join explosion):
     // each click joined to the user's latest signup at or before it
@@ -457,7 +459,6 @@ object SparkEntry {
         "signup_ts")
         .select(col("id"), col("user_id"), col("ts_us"),
           col("asof_signup_ts"))
-        .orderBy(col("id"))
     }),
 
     // Join + group + top-k (TPC-H Q3 flavor); dimension side broadcast
@@ -490,7 +491,6 @@ object SparkEntry {
         .groupBy(col("r_name"), col("n_name"))
         .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
           .cast("decimal(18,6)")).cast("double").as("revenue"))
-        .orderBy(col("revenue").desc, col("n_name"))
     }),
 
     // Window top-k per group
@@ -502,7 +502,6 @@ object SparkEntry {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
-        .orderBy(col("o_custkey"), col("rn"))
     }),
 
     // Set operations + semi/anti joins
@@ -521,7 +520,7 @@ object SparkEntry {
         .except(su.select(col("s_nationkey").as("c_nationkey")).distinct())
         .agg(count(lit(1)).as("cnt")).select(lit("nations_customer_only").as("label"), col("cnt"))
       withOrders.unionByName(withoutOrders).unionByName(shared)
-        .unionByName(custOnly).orderBy(col("label"))
+        .unionByName(custOnly)
     }),
 
     // Grouping sets / rollup
@@ -529,14 +528,14 @@ object SparkEntry {
       Tables.load(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("cnt"))
-        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+        ),
 
     // Exact interpolated quantiles per group
     "agg_quantiles" -> ((s, dir) =>
       events(s, dir).groupBy(col("event_type"))
         .agg(expr("percentile(value, 0.5)").as("p50"),
           expr("percentile(value, 0.95)").as("p95"))
-        .orderBy(col("event_type"))),
+        ),
 
     // Heavy hitters: top users by event volume
     "topk_heavy_hitters" -> ((s, dir) =>
@@ -550,14 +549,14 @@ object SparkEntry {
       events(s, dir).groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("n_users"),
           countDistinct(col("user_id"), col("event_type")).as("n_pairs"))
-        .orderBy(col("event_type"))),
+        ),
 
     // HLL sketch distinct (the 100 TB path; approximate → rows-only check,
     // no oracle SQL entry by design)
     "sketch_approx_distinct" -> ((s, dir) =>
       events(s, dir).groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id")).as("approx_users"))
-        .orderBy(col("event_type")))
+        )
   )
 
   /** DuckDB oracle SQL per query (same tables, same column names/order). */

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.model.ChangesetSchema
-import graft.functions.{Dedup, Multimodal, Similarity, TextFns}
+import graft.functions.{Dedup, Multimodal, Sampling, Similarity, TextClean, TextFns}
 import graft.operators.{AsOfJoin, Checksum, Materializer, Pipeline, Stages, TableFilters}
 import graft.sources.{Changelog, Replay, Tables}
 
@@ -556,7 +556,42 @@ object SparkEntry {
     "sketch_approx_distinct" -> ((s, dir) =>
       events(s, dir).groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id")).as("approx_users"))
-        )
+        ),
+
+    // SCD Type-2 history over the changelog: validity intervals per key
+    "scd2_history" -> ((s, dir) =>
+      Materializer.scd2History(Changelog.ordersScript(s, dir), "o_orderkey",
+        ordersRowSchema)),
+
+    // Text normalization + PII redaction (emails/IPs/digit runs injected
+    // deterministically so the redactor has real work to verify)
+    "text_normalize" -> ((s, dir) => {
+      val dirty = concat(
+        lit("  Contact USER"), col("doc_id"), lit("@Example.COM  via  10.0."),
+        col("doc_id") % 256, lit("."), col("doc_id") % 100,
+        lit(" ref 123456789   "), col("text"))
+      documents(s, dir).select(col("doc_id"),
+        md5(TextClean.normalize(dirty)).as("norm_md5"),
+        md5(TextClean.redactPii(TextClean.normalize(dirty))).as("redacted_md5"),
+        TextClean.countMatches(TextClean.normalize(dirty), TextClean.EmailRe)
+          .cast("bigint").as("n_emails"))
+    }),
+
+    // Deterministic ~10% universe sample (hash of the key, no seed/shuffle)
+    "sample_hash" -> ((s, dir) =>
+      Sampling.hashSample(documents(s, dir), col("doc_id"), 10)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("first_id"))),
+
+    // Stratified cap: at most 30 docs per language, chosen by key hash
+    "sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedCap(documents(s, dir), col("lang"), col("doc_id"), 30)
+        .select(col("doc_id"), col("lang"))),
+
+    // Int8-quantized ANN: integer-dot candidate rank + exact rescore
+    "embed_topk_quantized" -> ((s, dir) =>
+      Similarity.quantizedTopK(embeddings(s, dir), "vec_id", "embedding",
+        0L, 5, rerank = 20))
   )
 
   /** DuckDB oracle SQL per query (same tables, same column names/order). */
@@ -1069,7 +1104,68 @@ object SparkEntry {
     "agg_distinct_exact" ->
       ("SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, " +
         "CAST(count(DISTINCT (user_id, event_type)) AS BIGINT) AS n_pairs " +
-        "FROM events GROUP BY event_type ORDER BY event_type")
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+
+    "scd2_history" ->
+      // the ordersScript changelog reconstructed in SQL, then lead() over
+      // (key, id) closes each version's interval; DELETEs only terminate
+      ("WITH chg AS (" +
+        "SELECT o_orderkey*3 AS id, 'INSERT' AS action, o_orderkey, " +
+        "  o_custkey, o_orderstatus, o_totalprice, o_orderpriority FROM orders " +
+        "UNION ALL " +
+        "SELECT o_orderkey*3+1, 'UPDATE', o_orderkey, o_custkey, 'U', " +
+        "  o_totalprice + 1000.0, o_orderpriority FROM orders WHERE o_orderkey % 3 = 0 " +
+        "UNION ALL " +
+        "SELECT o_orderkey*3+2, 'DELETE', o_orderkey, NULL, NULL, NULL, NULL " +
+        "  FROM orders WHERE o_orderkey % 7 = 0), " +
+        "v AS (SELECT *, lead(id) OVER (PARTITION BY o_orderkey ORDER BY id) " +
+        "  AS valid_to FROM chg) " +
+        "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, " +
+        "o_orderpriority, id AS valid_from, valid_to, " +
+        "valid_to IS NULL AS is_current FROM v WHERE action <> 'DELETE'"),
+
+    "text_normalize" ->
+      // same injected PII, same normalize→redact pipeline; 'g' flag: DuckDB
+      // regexp_replace is first-match-only by default, Spark's replaces all
+      ("WITH d AS (SELECT doc_id, trim(regexp_replace(lower(" +
+        "'  Contact USER' || doc_id || '@Example.COM  via  10.0.' || " +
+        "(doc_id % 256) || '.' || (doc_id % 100) || ' ref 123456789   ' || text" +
+        "), '\\s+', ' ', 'g')) AS norm FROM documents) " +
+        "SELECT doc_id, md5(norm) AS norm_md5, " +
+        "md5(regexp_replace(regexp_replace(regexp_replace(norm, " +
+        s"'${TextClean.EmailRe}', '<EMAIL>', 'g'), " +
+        s"'${TextClean.Ipv4Re}', '<IP>', 'g'), " +
+        s"'${TextClean.LongNumRe}', '<NUM>', 'g')) AS redacted_md5, " +
+        s"CAST(len(regexp_extract_all(norm, '${TextClean.EmailRe}')) AS BIGINT) " +
+        "AS n_emails FROM d"),
+
+    "sample_hash" ->
+      (s"SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled, " +
+        "min(doc_id) AS first_id FROM documents " +
+        s"WHERE ${Dedup.hash28Sql("doc_id::VARCHAR")} % 100 < 10 GROUP BY lang"),
+
+    "sample_stratified" ->
+      ("SELECT doc_id, lang FROM (SELECT doc_id, lang, row_number() OVER (" +
+        s"PARTITION BY lang ORDER BY ${Dedup.hash28Sql("doc_id::VARCHAR")}, doc_id" +
+        ") AS rn FROM documents) t WHERE rn <= 30"),
+
+    "embed_topk_quantized" ->
+      // identical quantizer (floor(+0.5), clamp ±127), integer candidate
+      // dot, identical (qdot·scaleA)·scaleP bracketing, exact-cos rescore
+      ("WITH q AS (SELECT vec_id, embedding, " +
+        "list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale, " +
+        "list_transform(embedding, x -> CASE WHEN " +
+        "list_max(list_transform(embedding, y -> abs(y::DOUBLE))) = 0 THEN 0 " +
+        "ELSE CAST(least(greatest(floor(x::DOUBLE / " +
+        "(list_max(list_transform(embedding, y -> abs(y::DOUBLE))) / 127.0) " +
+        "+ 0.5), -127), 127) AS BIGINT) END) AS qv FROM embeddings), " +
+        "p AS (SELECT embedding AS pv, qv AS pq, scale AS pscale FROM q WHERE vec_id = 0), " +
+        "cand AS (SELECT vec_id, embedding, pv, " +
+        "CAST(list_sum(list_transform(range(1, 65), i -> qv[i] * pq[i])) AS DOUBLE) " +
+        "* scale * pscale AS approx FROM q, p WHERE vec_id <> 0 " +
+        "ORDER BY approx DESC, vec_id LIMIT 20) " +
+        s"SELECT vec_id, ${cosSql("embedding", "pv")} AS cos FROM cand " +
+        "ORDER BY cos DESC, vec_id LIMIT 5")
     // sketch_approx_distinct intentionally has NO oracle entry: HLL
     // estimates are engine-specific → driver records a rows-only check
   )

@@ -216,6 +216,45 @@ object Similarity {
   }
 
   /**
+   * Int8-quantized ANN with exact rescore — the memory-bound scale path:
+   * candidates rank by an INTEGER dot product over per-vector int8
+   * quantizations (the corpus scan touches 1 byte/dim instead of 4, and
+   * integer sums are exact, so the ranking is bit-deterministic on any
+   * engine — no float-association hazards in the wide scan), then only the
+   * top `rerank` candidates are rescored with the exact double cosine.
+   *
+   * The approximate score `qdot · scaleA · scaleP` is a fixed left-to-right
+   * multiply of one long and two doubles — reproducible, so the candidate
+   * cut is stable across engines (id tiebreak for exact ties). Uses the
+   * same floor(+0.5) quantizer as [[quantizeInt8]].
+   */
+  def quantizedTopK(df: DataFrame, idCol: String, vecCol: String,
+                    probeId: Long, k: Int, rerank: Int = 30): DataFrame = {
+    def scaleOf(v: Column): Column =
+      array_max(transform(v, x => abs(x.cast("double")))) / lit(127.0)
+    def quant(v: Column, s: Column): Column = transform(v, x =>
+      when(s === 0.0, lit(0L)).otherwise(
+        least(greatest(floor(x.cast("double") / s + 0.5), lit(-127L)),
+          lit(127L)).cast("long")))
+    val qd = df.withColumn("__scale", scaleOf(col(vecCol)))
+      .withColumn("__q", quant(col(vecCol), col("__scale")))
+    val probe = broadcast(qd.filter(col(idCol) === probeId)
+      .select(col(vecCol).as("__pv"), col("__q").as("__pq"),
+        col("__scale").as("__pscale")))
+    val qdot = aggregate(zip_with(col("__q"), col("__pq"), (x, y) => x * y),
+      lit(0L), (acc, x) => acc + x)
+    qd.crossJoin(probe)
+      .filter(col(idCol) =!= probeId)
+      .withColumn("__approx",
+        qdot.cast("double") * col("__scale") * col("__pscale"))
+      .orderBy(col("__approx").desc, col(idCol))
+      .limit(rerank)
+      .select(col(idCol), cosine(col(vecCol), col("__pv")).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /**
    * Per-label centroid components (IVF-style coarse quantizer statistics),
    * deterministic AND scale-safe.
    *

@@ -246,6 +246,46 @@ object Materializer {
       .select(col("r.*"))
   }
 
+  /**
+   * SCD Type-2 history: every applied change becomes a VERSION row with a
+   * validity interval in changeset-id space — the materialization a
+   * warehouse keeps when it wants point-in-time reads, not just current
+   * state (the reference only ever materializes current state; this is the
+   * natural extension over the same changelog).
+   *
+   *  - valid_from = the change's id; valid_to = the id of the key's next
+   *    change of ANY kind (a DELETE closes the last interval), null while
+   *    open; is_current marks open intervals.
+   *  - DELETE events emit no row themselves — they only terminate.
+   *  - This is the EVENT LOG's history: a duplicate INSERT on a live key
+   *    (which the serial apply dup-skips, axon_sql.go:133-146) still
+   *    appears as a version here. Run the changelog through
+   *    [[mergeVersioned]] first if dup-skipped events must not version.
+   *
+   * One shuffle on the PK (the lead window); the payload parses once per
+   * emitted row. Point-in-time query: `WHERE valid_from <= id AND
+   * (valid_to IS NULL OR id < valid_to)`.
+   */
+  def scd2History(changelog: DataFrame, pkCol: String,
+                  rowSchema: StructType): DataFrame = {
+    val keyed = changelog
+      .filter(col("action").isin("INSERT", "UPDATE", "DELETE"))
+      .withColumn("__pk",
+        coalesce(get_json_object(col("new_values"), s"$$.$pkCol"),
+                 get_json_object(col("old_values"), s"$$.$pkCol")))
+      .filter(col("__pk").isNotNull)
+    val w = Window.partitionBy(col("__pk")).orderBy(col("id"))
+    keyed
+      .withColumn("__valid_to", lead(col("id"), 1).over(w))
+      .filter(col("action") =!= "DELETE")
+      .withColumn("__r", from_json(col("new_values"), rowSchema))
+      .select((rowSchema.fieldNames.toSeq.map(c =>
+        col("__r").getField(c).as(c)) :+
+        col("id").as("valid_from") :+
+        col("__valid_to").as("valid_to") :+
+        col("__valid_to").isNull.as("is_current")): _*)
+  }
+
   /** Per-table spec for [[materializeAll]]. */
   case class TableSpec(pkCol: String, rowSchema: StructType)
 

@@ -591,7 +591,17 @@ object SparkEntry {
     // Int8-quantized ANN: integer-dot candidate rank + exact rescore
     "embed_topk_quantized" -> ((s, dir) =>
       Similarity.quantizedTopK(embeddings(s, dir), "vec_id", "embedding",
-        0L, 5, rerank = 20))
+        0L, 5, rerank = 20)),
+
+    // Fixed-window chunking (32-token windows, no overlap) — the pass
+    // that precedes sequence packing in a training pipeline
+    "text_chunk" -> ((s, dir) =>
+      documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(TextFns.chunks(col("text"), 32)))
+        .select(col("doc_id"), col("col.chunk_idx").as("chunk_idx"),
+          col("col.n_tokens").as("n_tokens"),
+          md5(col("col.chunk")).as("chunk_md5")))
   )
 
   /** DuckDB oracle SQL per query (same tables, same column names/order). */
@@ -1165,7 +1175,17 @@ object SparkEntry {
         "* scale * pscale AS approx FROM q, p WHERE vec_id <> 0 " +
         "ORDER BY approx DESC, vec_id LIMIT 20) " +
         s"SELECT vec_id, ${cosSql("embedding", "pv")} AS cos FROM cand " +
-        "ORDER BY cos DESC, vec_id LIMIT 5")
+        "ORDER BY cos DESC, vec_id LIMIT 5"),
+
+    "text_chunk" ->
+      // list_slice is 1-based inclusive on both ends; chunk starts while
+      // i*128 < len(w), and every doc emits at least chunk 0
+      ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents) " +
+        "SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx, " +
+        "CAST(len(list_slice(w, i*32+1, (i+1)*32)) AS INTEGER) AS n_tokens, " +
+        "md5(array_to_string(list_slice(w, i*32+1, (i+1)*32), ' ')) AS chunk_md5 " +
+        "FROM w, (SELECT unnest(range(0, 256)) AS i) idx " +
+        "WHERE i = 0 OR i*32 < len(w)")
     // sketch_approx_distinct intentionally has NO oracle entry: HLL
     // estimates are engine-specific → driver records a rows-only check
   )

@@ -98,6 +98,34 @@ object TextFns {
       .otherwise(array().cast("array<string>"))
   }
 
+  /**
+   * Fixed-size training windows: split a document into chunks of `win`
+   * tokens, consecutive chunks sharing `overlap` tokens (stride =
+   * win-overlap) — the chunking pass that precedes sequence packing in a
+   * training-data pipeline. Returns `array<struct<chunk_idx,n_tokens,
+   * chunk>>`; posexplode to rows.
+   *
+   * Pure Column work, no shuffle. Cost note: the word array re-inlines
+   * into each chunk's slice (HOF lambdas don't CSE outer expressions), so
+   * a row costs O(n_chunks · words) — fine for chunk counts in the tens;
+   * for huge documents split upstream first.
+   */
+  def chunks(text: Column, win: Int, overlap: Int = 0): Column = {
+    require(win > 0 && overlap >= 0 && overlap < win,
+      s"need 0 <= overlap < win, got win=$win overlap=$overlap")
+    val stride = win - overlap
+    val w = words(text)
+    // windows start at 0, stride, 2·stride, … while the start is inside
+    // the document; a doc shorter than one window still gets chunk 0
+    val nChunks = greatest(
+      ceil((size(w) - overlap).cast("double") / stride).cast("int"), lit(1))
+    transform(sequence(lit(0), nChunks - 1), i => {
+      val s = slice(w, i * stride + 1, lit(win))
+      struct(i.cast("int").as("chunk_idx"), size(s).as("n_tokens"),
+        array_join(s, " ").as("chunk"))
+    })
+  }
+
   /** Fraction of words that appear in `list` (a stopword table). */
   def stopwordRatio(text: Column, list: Seq[String]): Column = {
     val w = words(text)

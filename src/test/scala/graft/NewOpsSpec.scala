@@ -85,6 +85,28 @@ class NewOpsSpec extends AnyFunSuite {
     assert(capped.select("doc_id").collect().map(_.getLong(0)).toSet == cappedB)
   }
 
+  test("chunking: windows tile the doc, overlap carries tokens") {
+    import spark.implicits._
+    import graft.functions.TextFns
+    val doc = (1 to 10).map("w" + _).mkString(" ")
+    // overlap 1, win 4 → stride 3: starts 0,3,6 (a start at 9 would add
+    // nothing — w10 is already covered by the window starting at 6)
+    val withOverlap = Seq(doc).toDF("t")
+      .select(posexplode(TextFns.chunks(col("t"), 4, 1)))
+      .select("col.chunk").as[String].collect().toSeq
+    assert(withOverlap == Seq("w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10"))
+    // no overlap: exact tiling, short tail kept
+    val tiled = Seq(doc).toDF("t")
+      .select(posexplode(TextFns.chunks(col("t"), 4)))
+      .select("col.chunk").as[String].collect().toSeq
+    assert(tiled == Seq("w1 w2 w3 w4", "w5 w6 w7 w8", "w9 w10"))
+    // doc shorter than one window → exactly chunk 0
+    val short = Seq("a b").toDF("t")
+      .select(posexplode(TextFns.chunks(col("t"), 4)))
+      .select("col.chunk_idx", "col.n_tokens").as[(Int, Int)].collect().toSeq
+    assert(short == Seq((0, 2)))
+  }
+
   test("quantized top-k: high recall vs exact brute force") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 5)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.model.ChangesetSchema
-import graft.functions.{Dedup, Multimodal, Sampling, Similarity, TextClean, TextFns}
+import graft.functions.{Dedup, Multimodal, Packing, Sampling, Similarity, TextClean, TextFns}
 import graft.operators.{AsOfJoin, Checksum, Materializer, Pipeline, Stages, TableFilters}
 import graft.sources.{Changelog, Replay, Tables}
 
@@ -593,6 +593,13 @@ object SparkEntry {
       Similarity.quantizedTopK(embeddings(s, dir), "vec_id", "embedding",
         0L, 5, rerank = 20)),
 
+    // Sequence packing: contiguous token-stream offsets + training-window
+    // assignment via a two-phase distributed prefix sum (no global window)
+    "pack_offsets" -> ((s, dir) =>
+      Packing.packOffsets(documents(s, dir), col("doc_id"),
+        size(TextFns.words(col("text"))), buckets = 32, budget = 1024)
+        .withColumnRenamed("key", "doc_id")),
+
     // Fixed-window chunking (32-token windows, no overlap) — the pass
     // that precedes sequence packing in a training pipeline
     "text_chunk" -> ((s, dir) =>
@@ -1177,9 +1184,18 @@ object SparkEntry {
         s"SELECT vec_id, ${cosSql("embedding", "pv")} AS cos FROM cand " +
         "ORDER BY cos DESC, vec_id LIMIT 5"),
 
+    "pack_offsets" ->
+      // same (bucket, key) global order, one inclusive running sum
+      ("WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n, " +
+        s"${Dedup.hash28Sql("doc_id::VARCHAR")} % 32 AS b FROM documents), " +
+        "c AS (SELECT doc_id, n, CAST(sum(n) OVER (ORDER BY b, doc_id " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM t) " +
+        "SELECT doc_id, n AS n_tokens, cum - n AS start_tok, " +
+        "(cum - n) // 1024 AS bin_id FROM c"),
+
     "text_chunk" ->
       // list_slice is 1-based inclusive on both ends; chunk starts while
-      // i*128 < len(w), and every doc emits at least chunk 0
+      // i*32 < len(w), and every doc emits at least chunk 0
       ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents) " +
         "SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx, " +
         "CAST(len(list_slice(w, i*32+1, (i+1)*32)) AS INTEGER) AS n_tokens, " +

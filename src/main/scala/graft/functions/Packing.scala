@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Sequence packing for training pipelines: lay every document's tokens out
+ * on one contiguous stream (in a deterministic global order) and cut the
+ * stream every `budget` tokens — GPT-style packing, where documents
+ * straddle window boundaries and no padding is wasted. The operator
+ * computes each document's [start_tok, start_tok+n) span and the training
+ * window its first token lands in.
+ *
+ * The global running sum is built WITHOUT a global single-task window — the
+ * classic two-phase distributed prefix sum:
+ *
+ *  1. rows hash into `buckets` ordered buckets (md5 of the key — the same
+ *     engine-reproducible hash the dedup/sampling family uses); a window
+ *     per bucket computes within-bucket running sums (one shuffle, all
+ *     buckets in parallel);
+ *  2. the `buckets` bucket TOTALS — a tiny frame — prefix-sum on a single
+ *     task and broadcast back as per-bucket base offsets.
+ *
+ * Global order is (bucket, key): deterministic, layout-independent, and at
+ * 100 TB the only serial work is over `buckets` rows.
+ */
+object Packing {
+
+  def packOffsets(df: DataFrame, keyCol: Column, nTokCol: Column,
+                  buckets: Int = 32, budget: Int = 1024): DataFrame = {
+    require(buckets > 0 && budget > 0)
+    val base = df.select(keyCol.as("__k"), nTokCol.cast("long").as("__n"),
+      pmod(Md5Prefix28(keyCol.cast("string")), lit(buckets.toLong)).as("__b"))
+    // phase 1: within-bucket inclusive running sum
+    val w = Window.partitionBy(col("__b")).orderBy(col("__k"))
+    val cum = base.withColumn("__cum", sum(col("__n")).over(w))
+    // phase 2: bucket totals -> exclusive base offsets (tiny; broadcast)
+    val bases = base.groupBy(col("__b")).agg(sum(col("__n")).as("__t"))
+      .withColumn("__base",
+        coalesce(sum(col("__t")).over(Window.orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__b"), col("__base"))
+    cum.join(broadcast(bases), "__b")
+      .select(col("__k").as("key"), col("__n").as("n_tokens"),
+        (col("__base") + col("__cum") - col("__n")).as("start_tok"))
+      .withColumn("bin_id", (col("start_tok") / budget).cast("long"))
+  }
+}

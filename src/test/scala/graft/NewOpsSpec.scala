@@ -107,6 +107,29 @@ class NewOpsSpec extends AnyFunSuite {
     assert(short == Seq((0, 2)))
   }
 
+  test("packing: spans are contiguous, total-preserving, layout-independent") {
+    import graft.functions.Packing
+    val docs = Tables.load(spark, sfDir, "documents")
+    val nTok = size(split(col("text"), " "))
+    val packed = Packing.packOffsets(docs, col("doc_id"), nTok,
+      buckets = 8, budget = 256).cache()
+    val rows = packed.orderBy("start_tok")
+      .select("n_tokens", "start_tok").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // the token stream is gapless: each doc starts where the previous ended
+    rows.sliding(2).foreach {
+      case Array((n0, s0), (_, s1)) => assert(s0 + n0 == s1)
+      case _ => ()
+    }
+    assert(rows.head._2 == 0L)
+    // layout-independent: same spans after an arbitrary repartition
+    val packedB = Packing.packOffsets(docs.repartition(13), col("doc_id"),
+      nTok, buckets = 8, budget = 256)
+    assert(packed.exceptAll(packedB).count() == 0 &&
+      packedB.exceptAll(packed).count() == 0)
+    packed.unpersist()
+  }
+
   test("quantized top-k: high recall vs exact brute force") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 5)

@@ -76,8 +76,6 @@ object StreamOps {
         // writes — cache it for the duration of the epoch
         val batch = batch0.cache()
         try {
-          val haveState = fs.exists(new org.apache.hadoop.fs.Path(keysPath))
-
           // 1. batch-internal cascade (exact + near) → representatives
           val reps = Dedup.nearDupClusters(batch, idCol, textCol, minJaccard)
             .filter(col(idCol) === col("cluster_id")).select(col(idCol))
@@ -92,36 +90,39 @@ object StreamOps {
           // State rows of THIS epoch are excluded so a crash-replay of the
           // batch does not match its docs against their own replayed index
           // entries (which would silently drop them).
-          val dupIds =
-            (if (!haveState)
-              spark.range(0).select(col("id").as(idCol))
-            else {
-              // explicit schemas (current epoch's frames + the batch
-              // partition column): a state dir left half-created by a crash
-              // (only _temporary, no committed files) must read as EMPTY
-              // state, not wedge every replay on schema inference
-              import org.apache.spark.sql.types.LongType
-              val stateKeys = spark.read
-                .schema(repKeys.schema.add("batch", LongType))
-                .parquet(keysPath)
-                .filter(col("batch") =!= batchId)
-              val stateSets = spark.read
-                .schema(repSets.schema.add("batch", LongType))
-                .parquet(setsPath)
-                .filter(col("batch") =!= batchId)
-              val cand = repKeys
-                .join(stateKeys.select(col(idCol).as("__sid"),
-                  col("band"), col("bkey")), Seq("band", "bkey"))
-                .select(col(idCol), col("__sid")).distinct()
-              cand
-                .join(repSets, Seq(idCol))
-                .join(stateSets.select(col(idCol).as("__sid"),
-                  col("sset").as("__ss")), Seq("__sid"))
-                .filter(
-                  size(array_intersect(col("sset"), col("__ss"))).cast("double") /
-                    size(array_union(col("sset"), col("__ss"))) >= minJaccard)
-                .select(col(idCol)).distinct()
-            }).localCheckpoint() // reused by the three anti-joins below
+          //
+          // Each state table reads independently with an EXPLICIT schema
+          // (its epoch frame's schema + the batch partition column) and an
+          // absent-or-empty directory reads as EMPTY state: a crash at ANY
+          // point of the three epoch writes below (e.g. keys/ committed but
+          // sets/ not yet created, or only _temporary present) must replay
+          // cleanly, never wedge on path-not-found or schema inference.
+          import org.apache.spark.sql.types.LongType
+          def stateOrEmpty(path: String,
+                           schema: org.apache.spark.sql.types.StructType) = {
+            val full = schema.add("batch", LongType)
+            if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+              spark.read.schema(full).parquet(path)
+            else spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
+          }
+          val stateKeys = stateOrEmpty(keysPath, repKeys.schema)
+            .filter(col("batch") =!= batchId)
+          val stateSets = stateOrEmpty(setsPath, repSets.schema)
+            .filter(col("batch") =!= batchId)
+          val cand = repKeys
+            .join(stateKeys.select(col(idCol).as("__sid"),
+              col("band"), col("bkey")), Seq("band", "bkey"))
+            .select(col(idCol), col("__sid")).distinct()
+          val dupIds = cand
+            .join(repSets, Seq(idCol))
+            .join(stateSets.select(col(idCol).as("__sid"),
+              col("sset").as("__ss")), Seq("__sid"))
+            .filter(
+              size(array_intersect(col("sset"), col("__ss"))).cast("double") /
+                size(array_union(col("sset"), col("__ss"))) >= minJaccard)
+            .select(col(idCol)).distinct()
+            .localCheckpoint() // reused by the three anti-joins below
 
           // 3. IDEMPOTENT per-epoch writes: every output lands in a
           // batch=<epoch> subdirectory with overwrite, so a replayed batch

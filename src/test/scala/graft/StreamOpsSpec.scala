@@ -131,13 +131,13 @@ class StreamOpsSpec extends AnyFunSuite {
       .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(dir)
 
     val stateDir = Files.createTempDirectory("graft-snd2-st").toString + "/state"
-    // simulate a crash that created the keys dir but committed no parquet:
-    // only an uncommitted _temporary dir exists. Before the explicit-schema
-    // read this wedged every replay on schema inference.
+    // simulate a crash mid-epoch-write: the keys dir exists but committed
+    // no parquet (only an uncommitted _temporary dir), and the sets dir was
+    // never created at all. Both must read as EMPTY state — before the
+    // per-path explicit-schema reads, the first wedged every replay on
+    // schema inference and the second on path-not-found.
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(stateDir, "keys", "batch=0", "_temporary"))
-    java.nio.file.Files.createDirectories(
-      java.nio.file.Paths.get(stateDir, "sets", "batch=0", "_temporary"))
 
     val outDir = Files.createTempDirectory("graft-snd2-out").toString + "/out"
     val schema = spark.read.parquet(dir).schema

@@ -608,7 +608,42 @@ object SparkEntry {
           posexplode(TextFns.chunks(col("text"), 32)))
         .select(col("doc_id"), col("col.chunk_idx").as("chunk_idx"),
           col("col.n_tokens").as("n_tokens"),
-          md5(col("col.chunk")).as("chunk_md5")))
+          md5(col("col.chunk")).as("chunk_md5"))),
+
+    // Benchmark decontamination: per-train-doc n-gram overlap against the
+    // (hash-sampled) benchmark corpus' shingle universe
+    "dedup_decontaminate" -> ((s, dir) =>
+      Dedup.decontaminate(documents(s, dir), "doc_id", "text", 10, 0.5)),
+
+    // Containment near-dup pairs: prefix-truncated copies (18 words) are
+    // injected so subset-duplication has guaranteed positives that plain
+    // Jaccard misses
+    "dedup_containment" -> ((s, dir) => {
+      val d = documents(s, dir).select(col("doc_id"), col("text"))
+      val prefixes = d.filter(col("doc_id") % 29 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          array_join(slice(TextFns.words(col("text")), 1, 18), " ").as("text"))
+      Dedup.ngramContainment(d.unionByName(prefixes), "doc_id", "text", 0.9)
+    }),
+
+    // Gopher-style repetition stats (top word/bigram mass per document)
+    "text_repetition" -> ((s, dir) =>
+      TextFns.repetitionStats(documents(s, dir), "doc_id", "text")),
+
+    // Batch kNN join: every hash-sampled probe vector → exact top-3
+    // neighbors, via the bounded native TopKAgg (no per-group sort)
+    "knn_join" -> ((s, dir) =>
+      Similarity.knnJoin(embeddings(s, dir), "vec_id", "embedding",
+        probePct = 1, k = 3)),
+
+    // Deterministic train/val/test split: per-split corpus accounting
+    "split_train_valtest" -> ((s, dir) =>
+      documents(s, dir)
+        .select(Sampling.splitLabel(col("doc_id"), 80, 10).as("split"),
+          col("doc_id"), length(col("text")).cast("long").as("__len"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_id"),
+          sum(col("__len")).as("n_chars")))
   )
 
   /** DuckDB oracle SQL per query (same tables, same column names/order). */
@@ -1201,7 +1236,86 @@ object SparkEntry {
         "CAST(len(list_slice(w, i*32+1, (i+1)*32)) AS INTEGER) AS n_tokens, " +
         "md5(array_to_string(list_slice(w, i*32+1, (i+1)*32), ' ')) AS chunk_md5 " +
         "FROM w, (SELECT unnest(range(0, 256)) AS i) idx " +
-        "WHERE i = 0 OR i*32 < len(w)")
+        "WHERE i = 0 OR i*32 < len(w)"),
+
+    "dedup_decontaminate" ->
+      // same shingle hashes, same slot hash for the train/bench split
+      (shingleCte + ", " +
+        s"h AS (SELECT doc_id, ${Dedup.hash28Sql("sg")} AS h, " +
+        s"${Dedup.hash28Sql("doc_id::VARCHAR")} % 100 < 10 AS bench FROM sh), " +
+        "bh AS (SELECT DISTINCT h FROM h WHERE bench), " +
+        "t AS (SELECT doc_id, h.h, (bh.h IS NOT NULL) AS hit FROM h " +
+        "LEFT JOIN bh ON h.h = bh.h WHERE NOT bench) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles, " +
+        "CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap, " +
+        "CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS DOUBLE) / count(*) " +
+        "AS overlap_frac, " +
+        "CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS DOUBLE) / count(*) " +
+        ">= 0.5 AS contaminated " +
+        "FROM t GROUP BY doc_id ORDER BY doc_id"),
+
+    "dedup_containment" ->
+      // same corpus augmentation (18-word prefixes), same inverted-index
+      // candidates, containment = |A∩B| / min(|A|,|B|)
+      ("WITH all_docs AS (SELECT doc_id, text FROM documents UNION ALL " +
+        "SELECT doc_id + 200000, " +
+        "array_to_string(list_slice(string_split(text, ' '), 1, 18), ' ') " +
+        "FROM documents WHERE doc_id % 29 = 0), " +
+        "w AS (SELECT doc_id, string_split(text, ' ') AS w FROM all_docs), " +
+        "sets AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1), " +
+        "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM w), " +
+        "sh AS (SELECT doc_id, unnest(s) AS sg FROM sets), " +
+        s"inv AS (SELECT doc_id, ${Dedup.hash28Sql("sg")} AS h FROM sh), " +
+        "pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+        "FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "j AS (SELECT doc_a, doc_b, " +
+        "CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / " +
+        "least(len(x.s), len(y.s)) AS containment FROM pr " +
+        "JOIN sets x ON x.doc_id = doc_a JOIN sets y ON y.doc_id = doc_b) " +
+        "SELECT doc_a, doc_b, containment FROM j WHERE containment >= 0.9 " +
+        "ORDER BY doc_a, doc_b"),
+
+    "text_repetition" ->
+      // relational mode count (the HOF fold computes the same integer)
+      ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents " +
+        "WHERE len(string_split(text, ' ')) >= 2), " +
+        "tw AS (SELECT doc_id, unnest(w) AS t FROM w), " +
+        "wc AS (SELECT doc_id, t, count(*) AS c FROM tw GROUP BY 1, 2), " +
+        "wa AS (SELECT doc_id, max(c) AS topw, CAST(sum(c) AS BIGINT) AS nw " +
+        "FROM wc GROUP BY 1), " +
+        "bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), " +
+        "i -> w[i] || ' ' || w[i+1])) AS b FROM w), " +
+        "bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2), " +
+        "ba AS (SELECT doc_id, max(c) AS topb, CAST(sum(c) AS BIGINT) AS nb " +
+        "FROM bc GROUP BY 1) " +
+        "SELECT wa.doc_id AS doc_id, nw AS n_words, " +
+        "CAST(topw AS DOUBLE) / nw AS top_word_frac, " +
+        "nb AS n_bigrams, CAST(topb AS DOUBLE) / nb AS top_bigram_frac, " +
+        "(CAST(topw AS DOUBLE) / nw >= 0.3 OR " +
+        "CAST(topb AS DOUBLE) / nb >= 0.2) AS repetitive " +
+        "FROM wa JOIN ba ON wa.doc_id = ba.doc_id ORDER BY doc_id"),
+
+    "knn_join" ->
+      // same hash-sampled probe set, same cosine, same (cos DESC, id) order
+      (s"WITH p AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings " +
+        s"WHERE ${Dedup.hash28Sql("vec_id::VARCHAR")} % 100 < 1), " +
+        "s AS (SELECT probe_id, vec_id, " +
+        s"${cosSql("embedding", "pv")} AS cos " +
+        "FROM embeddings, p WHERE vec_id <> probe_id), " +
+        "r AS (SELECT probe_id, vec_id, cos, row_number() OVER (" +
+        "PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rn FROM s) " +
+        "SELECT probe_id, CAST(rn AS INTEGER) AS rank, vec_id AS neighbor_id, " +
+        "cos FROM r WHERE rn <= 3 ORDER BY probe_id, rank"),
+
+    "split_train_valtest" ->
+      (s"WITH s AS (SELECT doc_id, length(text) AS len, " +
+        s"${Dedup.hash28Sql("doc_id::VARCHAR")} % 100 AS slot FROM documents), " +
+        "t AS (SELECT CASE WHEN slot < 80 THEN 'train' " +
+        "WHEN slot < 90 THEN 'val' ELSE 'test' END AS split, doc_id, len FROM s) " +
+        "SELECT split, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "min(doc_id) AS first_id, CAST(sum(len) AS BIGINT) AS n_chars " +
+        "FROM t GROUP BY split ORDER BY split")
     // sketch_approx_distinct intentionally has NO oracle entry: HLL
     // estimates are engine-specific → driver records a rows-only check
   )

@@ -344,7 +344,33 @@ object Dedup {
    * from the full shingle sets of each candidate pair.
    */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
-                   minJaccard: Double = 0.8, minShared: Int = 2): DataFrame = {
+                   minJaccard: Double = 0.8, minShared: Int = 2): DataFrame =
+    verifiedPairs(df, idCol, textCol, minShared) { (sa, sb) =>
+      size(array_intersect(sa, sb)).cast("double") /
+        size(array_union(sa, sb))
+    }("jac", minJaccard)
+
+  /**
+   * N-gram CONTAINMENT near-dup pairs: score = |A∩B| / min(|A|,|B|).
+   * Catches subset duplication — a document embedded in (or truncated
+   * from) a longer one scores ~1.0 here while its Jaccard can be
+   * arbitrarily low, so [[ngramJaccard]] never sees it. Same inverted
+   * shingle index and candidates-only verify as the Jaccard path.
+   */
+  def ngramContainment(df: DataFrame, idCol: String, textCol: String,
+                       minContainment: Double = 0.9,
+                       minShared: Int = 2): DataFrame =
+    verifiedPairs(df, idCol, textCol, minShared) { (sa, sb) =>
+      size(array_intersect(sa, sb)).cast("double") /
+        least(size(sa), size(sb))
+    }("containment", minContainment)
+
+  /** Shared inverted-index candidate generation + exact verify on the full
+    * shingle sets; `score` computes the verify metric from (setA, setB). */
+  private def verifiedPairs(df: DataFrame, idCol: String, textCol: String,
+                            minShared: Int)(
+      score: (Column, Column) => Column)(
+      scoreName: String, minScore: Double): DataFrame = {
     // lazy localCheckpoint: the shingle sets feed the inverted index AND
     // both sides of the exact-verify join — without it the whole
     // shingle-construction subtree runs three times per execution (Spark
@@ -363,10 +389,50 @@ object Dedup {
     cand
       .join(sets.select(col(idCol).as("doc_a"), col("sset").as("sa")), "doc_a")
       .join(sets.select(col(idCol).as("doc_b"), col("sset").as("sb")), "doc_b")
-      .withColumn("jac",
-        size(array_intersect(col("sa"), col("sb"))).cast("double") /
-          size(array_union(col("sa"), col("sb"))))
-      .filter(col("jac") >= minJaccard)
-      .select(col("doc_a"), col("doc_b"), col("jac"))
+      .withColumn(scoreName, score(col("sa"), col("sb")))
+      .filter(col(scoreName) >= minScore)
+      .select(col("doc_a"), col("doc_b"), col(scoreName))
+  }
+
+  /**
+   * Benchmark decontamination — the pass a training pipeline runs so its
+   * corpus does not contain the evaluation sets: every TRAIN document is
+   * scored by the fraction of its shingles that appear anywhere in the
+   * BENCHMARK corpus' shingle universe (GPT-3-style n-gram overlap
+   * filtering). Here the benchmark side is a deterministic hash sample of
+   * the same table so oracles can reproduce it; in production it is the
+   * held-out eval suite.
+   *
+   * Scale shape: the benchmark n-gram universe is tiny relative to a
+   * 100 TB corpus (eval suites are fixed-size) — it broadcasts, so the
+   * train side never shuffles its shingles: one scan, a broadcast-hash
+   * probe per shingle, and a map-side-combinable count per document.
+   * Documents with fewer than 3 words have no shingles and drop out
+   * (nothing to test overlap on) — same on the oracle side.
+   *
+   * Returns (idCol, n_shingles, n_overlap, overlap_frac, contaminated).
+   */
+  def decontaminate(df: DataFrame, idCol: String, textCol: String,
+                    benchPct: Int = 10,
+                    maxOverlapFrac: Double = 0.5): DataFrame = {
+    require(benchPct >= 0 && benchPct <= 100, s"benchPct=$benchPct")
+    val isBench =
+      pmod(Md5Prefix28(col(idCol).cast("string")), lit(100L)) < benchPct
+    val hashes = df
+      .select(col(idCol), isBench.as("__bench"),
+        explode(TextFns.shingles(col(textCol))).as("s"))
+      .select(col(idCol), col("__bench"), hash28(col("s")).as("h"))
+      .localCheckpoint(false) // feeds both the bench universe and the probe
+    val benchH = broadcast(
+      hashes.filter(col("__bench")).select(col("h")).distinct()
+        .withColumn("__hit", lit(1)))
+    hashes.filter(!col("__bench"))
+      .join(benchH, Seq("h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__hit") === 1, 1L).otherwise(0L)).as("n_overlap"))
+      .withColumn("overlap_frac",
+        col("n_overlap").cast("double") / col("n_shingles"))
+      .withColumn("contaminated", col("overlap_frac") >= maxOverlapFrac)
   }
 }

@@ -48,4 +48,22 @@ object Sampling {
       .filter(col("__rn") <= k)
       .drop("__rn")
   }
+
+  /**
+   * Deterministic train/val/test assignment by key hash: slots [0,trainPct)
+   * → "train", [trainPct, trainPct+valPct) → "val", the rest → "test".
+   * The same universe-sampling properties as [[hashSample]] apply: the
+   * split is a pure function of the key — stable under repartition,
+   * engine-reproducible, and new rows never move old rows between splits
+   * (the property a growing corpus needs so val/test stay untouched).
+   * Pure map, no shuffle.
+   */
+  def splitLabel(keyCol: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"bad split: train=$trainPct val=$valPct")
+    val s = slot(keyCol)
+    when(s < trainPct, "train")
+      .when(s < trainPct + valPct, "val")
+      .otherwise("test")
+  }
 }

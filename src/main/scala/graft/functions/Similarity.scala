@@ -255,6 +255,37 @@ object Similarity {
   }
 
   /**
+   * Batch kNN join: for EVERY probe vector (a deterministic hash sample of
+   * the corpus — at 100 TB the probe set is "the new batch" or "the query
+   * workload", small relative to the corpus), the exact top-k cosine
+   * neighbors. The multi-probe generalization of [[cosineTopK]].
+   *
+   * Scale shape: probes broadcast (tiny side), the corpus is scanned ONCE
+   * computing scores per (row, probe), and the per-probe top-k runs as the
+   * bounded [[TopKAgg]] — map-side partial states of ≤k entries per probe,
+   * ONE shuffle that carries at most k·partitions rows per probe instead of
+   * the corpus×probes score space. No window, no per-group sort, no
+   * collect_list of a whole group.
+   */
+  def knnJoin(df: DataFrame, idCol: String, vecCol: String,
+              probePct: Int = 1, k: Int = 3): DataFrame = {
+    require(probePct >= 0 && probePct <= 100, s"probePct=$probePct")
+    val probes = broadcast(df
+      .filter(pmod(Md5Prefix28(col(idCol).cast("string")), lit(100L)) < probePct)
+      .select(col(idCol).as("probe_id"), col(vecCol).as("__pv")))
+    df.join(probes, col(idCol) =!= col("probe_id"))
+      .select(col("probe_id"), col(idCol),
+        cosine(col(vecCol), col("__pv")).as("cos"))
+      .groupBy(col("probe_id"))
+      .agg(TopKAgg(col("cos"), col(idCol).cast("long"), k).as("__top"))
+      .select(col("probe_id"), posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("probe_id"),
+        (col("__pos") + 1).cast("int").as("rank"),
+        col("__e.id").as("neighbor_id"),
+        col("__e.score").as("cos"))
+  }
+
+  /**
    * Per-label centroid components (IVF-style coarse quantizer statistics),
    * deterministic AND scale-safe.
    *

@@ -183,4 +183,53 @@ object TextFns {
    */
   def fingerprint(text: Column): Column =
     array_min(transform(shingles(text), s => md5(s)))
+
+  /** Non-distinct word bigrams ("a b"), in document order: n-1 items. */
+  def bigrams(text: Column): Column = {
+    val w = words(text)
+    zip_with(w, slice(w, lit(2), size(w) - 1), (x, y) => concat(x, lit(" "), y))
+  }
+
+  /** Count of the most frequent element of a string array — the array's
+    * mode count, computed per row by sorting the array and folding its
+    * longest equal run. O(n log n) per row, NO shuffle: the relational
+    * alternative (explode → two groupBys) shuffles the whole corpus'
+    * token stream twice; this stays a narrow map and runs at scan speed. */
+  def maxRepeat(arr: Column): Column =
+    aggregate(
+      sort_array(arr),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(acc.getField("prev") === x,
+          acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /**
+   * Gopher-style repetition stats — the quality signal that catches
+   * boilerplate and degenerate generations: the fraction of the document
+   * occupied by its single most frequent word and bigram. Documents with
+   * fewer than 2 words have no bigrams and are out of scope (filtered).
+   *
+   * Returns (idCol, n_words, top_word_frac, n_bigrams, top_bigram_frac,
+   * repetitive). Pure per-row map work — no shuffle (see [[maxRepeat]]).
+   */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+                      maxWordFrac: Double = 0.3,
+                      maxBigramFrac: Double = 0.2): DataFrame = {
+    val w = words(col(textCol))
+    df.filter(size(w) >= 2).select(
+      col(idCol),
+      size(w).cast("long").as("n_words"),
+      (maxRepeat(w).cast("double") / size(w)).as("top_word_frac"),
+      (size(w) - 1).cast("long").as("n_bigrams"),
+      (maxRepeat(bigrams(col(textCol))).cast("double") / (size(w) - 1))
+        .as("top_bigram_frac"))
+      .withColumn("repetitive",
+        col("top_word_frac") >= maxWordFrac ||
+          col("top_bigram_frac") >= maxBigramFrac)
+  }
 }

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Dedup, Md5Prefix28, Sampling, Similarity, TextFns, TopKAgg}
+import graft.sources.Tables
+
+/** Round-4 operators: bounded top-k aggregate, batch kNN join,
+  * containment dedup, benchmark decontamination, repetition stats,
+  * train/val/test split. */
+class Round4OpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("TopKAgg: exact top-k under (score DESC, id ASC), layout-independent") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "g1", 0.5), (2L, "g1", 0.9), (3L, "g1", 0.9), (4L, "g1", 0.1),
+      (5L, "g1", Double.NaN), // NaN has no place in the total order
+      (6L, "g2", 0.3))
+    def run(parts: Int) = rows.toDF("id", "g", "s").repartition(parts)
+      .groupBy(col("g"))
+      .agg(TopKAgg(col("s"), col("id"), 3).as("top"))
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(e =>
+          (e.getDouble(0), e.getLong(1))).toList).toMap
+    val expect = Map(
+      "g1" -> List((0.9, 2L), (0.9, 3L), (0.5, 1L)), // tie 0.9 → lower id first
+      "g2" -> List((0.3, 6L)))
+    assert(run(1) == expect)
+    assert(run(7) == expect, "merge order must not change the result")
+  }
+
+  test("knnJoin matches the window-ranked brute force") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val got = Similarity.knnJoin(emb, "vec_id", "embedding", probePct = 2, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+    val probes = emb.filter(
+      pmod(Md5Prefix28(col("vec_id").cast("string")), lit(100L)) < 2)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val expect = emb.crossJoin(probes)
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        Similarity.cosine(col("embedding"), col("pv")).as("cos"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    assert(got.nonEmpty && got == expect)
+  }
+
+  test("containment catches an embedded prefix that Jaccard misses") {
+    import spark.implicits._
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    val prefix = (1 to 12).map(i => s"w$i").mkString(" ")
+    val other = (100 to 130).map(i => s"x$i").mkString(" ")
+    val df = Seq((1L, long), (2L, prefix), (3L, other)).toDF("doc_id", "text")
+    val cont = Dedup.ngramContainment(df, "doc_id", "text", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cont.toList == List((1L, 2L, 1.0)), s"got: ${cont.toList}")
+    val jac = Dedup.ngramJaccard(df, "doc_id", "text", 0.8).count()
+    assert(jac == 0, "prefix pair must be invisible to Jaccard at 0.8")
+  }
+
+  test("decontaminate flags train docs overlapping the benchmark sample") {
+    import spark.implicits._
+    // pick real bench/train ids from the hash split the operator uses
+    val slots = (1L to 60L).map(i => i ->
+      spark.range(1).select(
+        pmod(Md5Prefix28(lit(i.toString)), lit(100L))).head().getLong(0))
+    val benchId = slots.find(_._2 < 10).get._1
+    val trainIds = slots.filter(_._2 >= 10).map(_._1).take(2)
+    val shared = (1 to 20).map(i => s"s$i").mkString(" ")
+    val distinct = (50 to 70).map(i => s"d$i").mkString(" ")
+    val df = Seq(
+      (benchId, shared),      // benchmark doc
+      (trainIds(0), shared),  // exact copy in train → 100% overlap
+      (trainIds(1), distinct) // clean train doc
+    ).toDF("doc_id", "text")
+    val got = Dedup.decontaminate(df, "doc_id", "text", 10, 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(3), r.getBoolean(4))).toMap
+    assert(!got.contains(benchId), "bench docs are not scored")
+    assert(got(trainIds(0)) == ((1.0, true)))
+    assert(got(trainIds(1)) == ((0.0, false)))
+  }
+
+  test("repetitionStats: mode counts over words and bigrams") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a a a b"),        // top word 3/4; bigrams: a a, a a, a b → 2/3
+      (2L, "p q r s"),        // all distinct → 1/4, 1/3
+      (3L, "solo")            // < 2 words → filtered out
+    ).toDF("doc_id", "text")
+    val got = TextFns.repetitionStats(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4),
+          r.getBoolean(5))).toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L) == ((4L, 0.75, 3L, 2.0 / 3.0, true)))
+    assert(got(2L) == ((4L, 0.25, 3L, 1.0 / 3.0, true)))
+  }
+
+  test("splitLabel partitions the corpus; train side == hashSample(80)") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val labeled = docs.select(col("doc_id"),
+      Sampling.splitLabel(col("doc_id"), 80, 10).as("split"))
+    val counts = labeled.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == docs.count())
+    val train = labeled.filter(col("split") === "train")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val sampled = Sampling.hashSample(docs, col("doc_id"), 80)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(train == sampled)
+  }
+}

@@ -643,7 +643,31 @@ object SparkEntry {
           col("doc_id"), length(col("text")).cast("long").as("__len"))
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_id"),
-          sum(col("__len")).as("n_chars")))
+          sum(col("__len")).as("n_chars"))),
+
+    // Wide SimHash near-pairs: 48-bit long signature, hamming<=2 via
+    // 16-bit pigeonhole blocks (65k buckets/block — the corpus-scale
+    // sizing of dedup_simhash_near)
+    "dedup_simhash_wide" -> ((s, dir) =>
+      Dedup.simhashNearPairs(documents(s, dir), "doc_id", "text",
+        maxHamming = 2, bits = 48)),
+
+    // Incremental cross-corpus dedup: a synthetic ingest batch (1-word
+    // edits of corpus docs + genuinely new docs) admitted against the
+    // corpus; near-dups resolve to their best corpus match
+    "dedup_against" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val w = TextFns.words(col("text"))
+      val nearDups = d.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 300000L).as("doc_id"),
+          concat(lit("zzz "),
+            array_join(slice(w, lit(2), size(w) - 1), " ")).as("text"))
+      val fresh = d.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 400000L).as("doc_id"),
+          array_join(transform(w, x => concat(lit("n"), x)), " ").as("text"))
+      Dedup.dedupAgainst(nearDups.unionByName(fresh),
+        d.select(col("doc_id"), col("text")), "doc_id", "text", 0.8)
+    })
   )
 
   /** DuckDB oracle SQL per query (same tables, same column names/order). */
@@ -805,6 +829,24 @@ object SparkEntry {
       "len(list_distinct(x.s || y.s)) AS jac " +
       "FROM cand JOIN sets x ON x.doc_id = cand.doc_a " +
       "JOIN sets y ON y.doc_id = cand.doc_b)"
+
+  /** MinHash band-key CTEs (8 affine minima, 4 two-minima bands) over any
+    * (doc_id, text) source CTE/table — prefix `p` namespaces the CTE chain
+    * so two corpora can band in one query (the cross-corpus dedup oracle).
+    * Mirrors [[Dedup.bandKeysFromSets]] exactly. */
+  private def bandKeyCtes(p: String, src: String): String =
+    s"${p}w AS (SELECT doc_id, string_split(text, ' ') AS w FROM $src), " +
+      s"${p}sets AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1), " +
+      s"i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM ${p}w), " +
+      s"${p}sh AS (SELECT doc_id, ${Dedup.hash28Sql("sg")} AS hh FROM " +
+      s"(SELECT doc_id, unnest(s) AS sg FROM ${p}sets) t), " +
+      s"${p}sig AS (SELECT doc_id, " +
+      (0 until 8).map(i => s"min(${Dedup.affineSql(i, "hh")}) AS m$i").mkString(", ") +
+      s" FROM ${p}sh GROUP BY doc_id), " +
+      s"${p}bands AS (" +
+      (0 until 4).map(i =>
+        s"SELECT doc_id, $i AS band, md5(concat_ws('|', m${2 * i}, m${2 * i + 1})) AS bkey FROM ${p}sig")
+        .mkString(" UNION ALL ") + ")"
 
   /** DuckDB dot product matching [[Similarity.dot]] exactly (double-promoted
     * elements, sequential accumulation). */
@@ -1315,7 +1357,53 @@ object SparkEntry {
         "WHEN slot < 90 THEN 'val' ELSE 'test' END AS split, doc_id, len FROM s) " +
         "SELECT split, CAST(count(*) AS BIGINT) AS n_docs, " +
         "min(doc_id) AS first_id, CAST(sum(len) AS BIGINT) AS n_chars " +
-        "FROM t GROUP BY split ORDER BY split")
+        "FROM t GROUP BY split ORDER BY split"),
+
+    "dedup_simhash_wide" ->
+      // 48-bit signature from the same single md5 per shingle (bit j reads
+      // hex digit j%32 against bit-table j/32); 3×16-bit pigeonhole blocks
+      ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "dw AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1), " +
+        "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS dw FROM w), " +
+        "sim AS (SELECT doc_id, CAST(" +
+        (0 until 48).map { j =>
+          val chars = Dedup.simhashBitChars(j / 32).map(c => s"'$c'").mkString(",")
+          s"(CASE WHEN 2 * len(list_filter(dw, x -> substr(md5(x), ${j % 32 + 1}, 1) IN " +
+            s"($chars))) > len(dw) THEN ${1L << j} ELSE 0 END)"
+        }.mkString(" + ") +
+        " AS BIGINT) AS simhash FROM dw), " +
+        "k AS (SELECT doc_id, simhash, b, (simhash >> CAST(b * 16 AS INTEGER)) & 65535 AS bval " +
+        "FROM sim, (SELECT unnest(range(0, 3)) AS b) blks), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming " +
+        "FROM k a JOIN k b ON a.b = b.b AND a.bval = b.bval AND a.doc_id < b.doc_id) " +
+        "SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 2 " +
+        "ORDER BY doc_a, doc_b"),
+
+    "dedup_against" ->
+      // same ingest-batch synthesis, same 8-minhash/4-band keys on both
+      // corpora, best match = (jac DESC, cid ASC) row 1
+      ("WITH nd0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents " +
+        "WHERE doc_id % 13 = 0), " +
+        "nd1 AS (SELECT doc_id + 300000 AS doc_id, " +
+        "'zzz ' || array_to_string(list_slice(w, 2, len(w)), ' ') AS text FROM nd0), " +
+        "nd2 AS (SELECT doc_id + 400000 AS doc_id, " +
+        "array_to_string(list_transform(string_split(text, ' '), x -> 'n' || x), ' ') " +
+        "AS text FROM documents WHERE doc_id % 17 = 0), " +
+        "nd AS (SELECT * FROM nd1 UNION ALL SELECT * FROM nd2), " +
+        bandKeyCtes("c", "documents") + ", " +
+        bandKeyCtes("n", "nd") + ", " +
+        "cand AS (SELECT DISTINCT n.doc_id AS nid, c.doc_id AS cid " +
+        "FROM nbands n JOIN cbands c ON n.band = c.band AND n.bkey = c.bkey), " +
+        "j AS (SELECT nid, cid, " +
+        "CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / " +
+        "len(list_distinct(x.s || y.s)) AS jac FROM cand " +
+        "JOIN nsets x ON x.doc_id = nid JOIN csets y ON y.doc_id = cid), " +
+        "best AS (SELECT nid, cid, jac, row_number() OVER (PARTITION BY nid " +
+        "ORDER BY jac DESC, cid) AS rn FROM j WHERE jac >= 0.8) " +
+        "SELECT nd.doc_id AS doc_id, best.cid AS dup_of, best.jac AS jac, " +
+        "best.cid IS NULL AS admitted FROM nd LEFT JOIN best " +
+        "ON best.nid = nd.doc_id AND best.rn = 1 ORDER BY doc_id")
     // sketch_approx_distinct intentionally has NO oracle entry: HLL
     // estimates are engine-specific → driver records a rows-only check
   )

@@ -140,13 +140,30 @@ object Dedup {
   }
 
   /**
+   * Hex characters whose nibble has bit (8 >> maskIdx) set — the per-bit
+   * membership tables for SimHash bit extraction. Bit j of a signature
+   * reads hex digit j%32 of the shingle md5 against table j/32, so up to
+   * 128 signature bits derive from ONE digest. Public because the DuckDB
+   * oracles generate the identical CASE tables from it.
+   */
+  val simhashBitChars: Seq[Seq[String]] = Seq(
+    Seq("8", "9", "a", "b", "c", "d", "e", "f"), // nibble bit 8
+    Seq("4", "5", "6", "7", "c", "d", "e", "f"), // nibble bit 4
+    Seq("2", "3", "6", "7", "a", "b", "e", "f"), // nibble bit 2
+    Seq("1", "3", "5", "7", "9", "b", "d", "f")) // nibble bit 1
+
+  /**
    * Relational SimHash signatures: explode shingles, hash each ONCE, then
-   * `bits` conditional ±1 sums (bit j from the j-th hex digit's high bit of
-   * the shingle md5); signature bit j set when the sum is positive.
-   * One map-side-combinable shuffle on the doc id.
+   * `bits` conditional ±1 sums (bit j reads hex digit j%32 of the shingle
+   * md5 against [[simhashBitChars]] table j/32); signature bit j set when
+   * the sum is positive. One map-side-combinable shuffle on the doc id.
+   * The signature column is INT for bits ≤ 31 (back-compatible) and LONG
+   * beyond — wide signatures are what keep the block-LSH buckets selective
+   * at corpus scale (see [[simhashNearPairs]]).
    */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         bits: Int = 24): DataFrame = {
+    require(bits >= 1 && bits <= 63, s"bits=$bits out of range")
     val sh = df.select(col(idCol),
       explode(TextFns.shingles(col(textCol))).as("s"))
       .withColumn("h", md5(col("s")))
@@ -155,13 +172,13 @@ object Dedup {
       (1 until bits).map(j => sum(bitTerm(j)).as(s"s$j")): _*)
     sums.select(col(idCol),
       (0 until bits).map(j =>
-        when(col(s"s$j") > 0, lit(1 << j)).otherwise(lit(0)))
-        .reduce(_ + _).cast("int").as("simhash"))
+        when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _).cast(if (bits <= 31) "int" else "long").as("simhash"))
   }
 
   private def bitTerm(j: Int): Column =
-    when(substring(col("h"), j + 1, 1)
-      .isin("8", "9", "a", "b", "c", "d", "e", "f"), lit(1)).otherwise(lit(-1))
+    when(substring(col("h"), j % 32 + 1, 1)
+      .isin(simhashBitChars(j / 32): _*), lit(1)).otherwise(lit(-1))
 
   /** SimHash bucket pairs: documents sharing an identical signature. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -184,10 +201,10 @@ object Dedup {
    * Scale sizing: each block has 2^(bits/(k+1)) buckets, so the
    * bucket-local pair space is O(n²/2^width) per block — with the 24-bit
    * default (8-bit blocks) buckets saturate beyond ~10^5 docs (10× probe:
-   * 10.3 s at 50k docs). At corpus scale use bits=30 with maxHamming=1
-   * (15-bit blocks, 32k buckets; the int-typed signature caps bits at 31
-   * — widening further means a long-typed signature over two md5 halves,
-   * a mechanical extension of [[simhashSignatures]]).
+   * 10.3 s at 50k docs). At corpus scale use a wide signature, e.g.
+   * bits=48 with maxHamming=2 (16-bit blocks, 65k buckets per block —
+   * long-typed signatures support up to 63 bits from the same single
+   * md5 digest).
    */
   def simhashNearPairs(df: DataFrame, idCol: String, textCol: String,
                        maxHamming: Int = 2, bits: Int = 24): DataFrame = {
@@ -199,7 +216,7 @@ object Dedup {
     val keyed = sh.select(col(idCol), col("simhash"),
       posexplode(array((0 until blocks).map(b =>
         shiftright(col("simhash"), b * width)
-          .bitwiseAND(lit((1 << width) - 1))): _*)).as(Seq("blk", "bval")))
+          .bitwiseAND(lit((1L << width) - 1))): _*)).as(Seq("blk", "bval")))
     val a = keyed.select(col(idCol).as("doc_a"), col("simhash").as("__sa"),
       col("blk"), col("bval"))
     val b = keyed.select(col(idCol).as("doc_b"), col("simhash").as("__sb"),
@@ -392,6 +409,48 @@ object Dedup {
       .withColumn(scoreName, score(col("sa"), col("sb")))
       .filter(col(scoreName) >= minScore)
       .select(col("doc_a"), col("doc_b"), col(scoreName))
+  }
+
+  /**
+   * Incremental cross-corpus dedup — the batch form of admitting a NEW
+   * batch of documents against an EXISTING corpus (the operator an
+   * ever-growing training corpus runs on every ingest; the streaming
+   * greedy form is [[graft.streaming.StreamOps.nearDupDedupTo]]).
+   *
+   * Every new document gets a verdict row: its BEST corpus near-dup
+   * (highest Jaccard, ties to the lower corpus id) when one clears
+   * `minJaccard`, else admitted. Candidates come from a MinHash band-key
+   * join between the two corpora — new×corpus pairs never materialize
+   * beyond shared LSH buckets — and the best match reduces through the
+   * bounded [[TopKAgg]] (k=1), so no per-doc sort or full match list.
+   *
+   * Returns (idCol, dup_of, jac, admitted).
+   */
+  def dedupAgainst(newDocs: DataFrame, corpus: DataFrame, idCol: String,
+                   textCol: String, minJaccard: Double = 0.8): DataFrame = {
+    val nSets = shingleSets(newDocs, idCol, textCol).localCheckpoint(false)
+    val cSets = shingleSets(corpus, idCol, textCol).localCheckpoint(false)
+    val nKeys = bandKeysFromSets(nSets, idCol)
+    val cKeys = bandKeysFromSets(cSets, idCol)
+    val cand = nKeys
+      .join(cKeys.select(col(idCol).as("__cid"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .select(col(idCol), col("__cid")).distinct()
+    val best = cand
+      .join(nSets, Seq(idCol))
+      .join(cSets.select(col(idCol).as("__cid"), col("sset").as("__cs")),
+        Seq("__cid"))
+      .withColumn("jac",
+        size(array_intersect(col("sset"), col("__cs"))).cast("double") /
+          size(array_union(col("sset"), col("__cs"))))
+      .filter(col("jac") >= minJaccard)
+      .groupBy(col(idCol))
+      .agg(TopKAgg(col("jac"), col("__cid").cast("long"), 1).as("__top"))
+      .select(col(idCol),
+        col("__top").getItem(0).getField("id").as("dup_of"),
+        col("__top").getItem(0).getField("score").as("jac"))
+    newDocs.select(col(idCol)).join(best, Seq(idCol), "left")
+      .withColumn("admitted", col("dup_of").isNull)
   }
 
   /**

@@ -103,6 +103,43 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(got(2L) == ((4L, 0.25, 3L, 1.0 / 3.0, true)))
   }
 
+  test("wide simhash: 48-bit signature extends the 24-bit one bit-for-bit") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(50)
+    val s24 = Dedup.simhashSignatures(docs, "doc_id", "text", 24)
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val s48 = Dedup.simhashSignatures(docs, "doc_id", "text", 48)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s24.keySet == s48.keySet)
+    // bits 0..23 read the same hex digits against the same table, so the
+    // wide signature's low 24 bits must equal the narrow signature
+    s24.foreach { case (id, s) => assert((s48(id) & 0xffffff) == s) }
+    // block-LSH at 48 bits still finds all exact-text pairs (hamming 0)
+    import spark.implicits._
+    val base = (1 to 30).map(i => s"t$i").mkString(" ")
+    val dup = Seq((1L, base), (2L, base), (3L, (40 to 70).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearPairs(dup, "doc_id", "text", 2, 48)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toList == List((1L, 2L, 0)))
+  }
+
+  test("dedupAgainst: near-dups resolve to their best corpus match") {
+    import spark.implicits._
+    val a = (1 to 30).map(i => s"a$i").mkString(" ")
+    val b = (100 to 130).map(i => s"b$i").mkString(" ")
+    val corpus = Seq((10L, a), (11L, a), (20L, b)).toDF("doc_id", "text")
+    val incoming = Seq(
+      (501L, a.replace("a5", "q5")), // near-dup of 10 AND 11 → lower id wins
+      (502L, (200 to 230).map(i => s"c$i").mkString(" "))) // fresh
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupAgainst(incoming, corpus, "doc_id", "text", 0.8)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Long]),
+          r.getBoolean(3))).toMap
+    assert(got(501L) == ((Some(10L), false)), s"got: $got")
+    assert(got(502L) == ((None, true)))
+  }
+
   test("splitLabel partitions the corpus; train side == hashSample(80)") {
     val docs = Tables.load(spark, sfDir, "documents")
     val labeled = docs.select(col("doc_id"),

@@ -811,16 +811,10 @@ object SparkEntry {
   private val shingleCte = "WITH " + shingleCteBody
 
   // MinHash-LSH pair pipeline (through the verified-Jaccard CTE `j`)
-  private val minhashPairCtes =
-    shingleCteBody + ", " +
-      s"sh2 AS (SELECT doc_id, ${Dedup.hash28Sql("sg")} AS hh FROM sh), " +
-      "sig AS (SELECT doc_id, " +
-      (0 until 8).map(i => s"min(${Dedup.affineSql(i, "hh")}) AS m$i").mkString(", ") +
-      " FROM sh2 GROUP BY doc_id), " +
-      "bands AS (" +
-      (0 until 4).map(i =>
-        s"SELECT doc_id, $i AS band, md5(concat_ws('|', m${2 * i}, m${2 * i + 1})) AS bkey FROM sig")
-        .mkString(" UNION ALL ") + "), " +
+  // single source of truth for the 8-minima/4-band key chain: bandKeyCtes
+  // (also used, prefixed, by the cross-corpus dedup_against oracle)
+  private def minhashPairCtes =
+    bandKeyCtes("", "documents") + ", " +
       "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
       "FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey " +
       "AND a.doc_id < b.doc_id), " +
@@ -893,7 +887,7 @@ object SparkEntry {
           s"(CASE WHEN 2 * len(list_filter(dw, x -> substr(md5(x), ${j + 1}, 1) IN " +
             s"('8','9','a','b','c','d','e','f'))) > len(dw) THEN ${1 << j} ELSE 0 END)"
         }.mkString(" + ") +
-        " AS INTEGER) AS simhash FROM dw) " +
+        " AS INTEGER) AS simhash FROM dw WHERE len(dw) > 0) " +
         "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS simhash " +
         "FROM sim a JOIN sim b ON a.simhash = b.simhash AND a.doc_id < b.doc_id " +
         "ORDER BY doc_a, doc_b"),
@@ -909,7 +903,7 @@ object SparkEntry {
           s"(CASE WHEN 2 * len(list_filter(dw, x -> substr(md5(x), ${j + 1}, 1) IN " +
             s"('8','9','a','b','c','d','e','f'))) > len(dw) THEN ${1 << j} ELSE 0 END)"
         }.mkString(" + ") +
-        " AS INTEGER) AS simhash FROM dw), " +
+        " AS INTEGER) AS simhash FROM dw WHERE len(dw) > 0), " +
         "k AS (SELECT doc_id, simhash, b, (simhash >> (b * 8)) & 255 AS bval " +
         "FROM sim, (SELECT unnest(range(0, 3)) AS b) blks), " +
         "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
@@ -1345,8 +1339,11 @@ object SparkEntry {
         "s AS (SELECT probe_id, vec_id, " +
         s"${cosSql("embedding", "pv")} AS cos " +
         "FROM embeddings, p WHERE vec_id <> probe_id), " +
+        // NOT isnan: TopKAgg excludes NaN scores (zero-norm vectors) from
+        // its total order; the oracle's rank must exclude them too
         "r AS (SELECT probe_id, vec_id, cos, row_number() OVER (" +
-        "PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rn FROM s) " +
+        "PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rn FROM s " +
+        "WHERE NOT isnan(cos)) " +
         "SELECT probe_id, CAST(rn AS INTEGER) AS rank, vec_id AS neighbor_id, " +
         "cos FROM r WHERE rn <= 3 ORDER BY probe_id, rank"),
 
@@ -1371,7 +1368,7 @@ object SparkEntry {
           s"(CASE WHEN 2 * len(list_filter(dw, x -> substr(md5(x), ${j % 32 + 1}, 1) IN " +
             s"($chars))) > len(dw) THEN ${1L << j} ELSE 0 END)"
         }.mkString(" + ") +
-        " AS BIGINT) AS simhash FROM dw), " +
+        " AS BIGINT) AS simhash FROM dw WHERE len(dw) > 0), " +
         "k AS (SELECT doc_id, simhash, b, (simhash >> CAST(b * 16 AS INTEGER)) & 65535 AS bval " +
         "FROM sim, (SELECT unnest(range(0, 3)) AS b) blks), " +
         "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, " +

@@ -266,6 +266,9 @@ object Similarity {
    * ONE shuffle that carries at most k·partitions rows per probe instead of
    * the corpus×probes score space. No window, no per-group sort, no
    * collect_list of a whole group.
+   *
+   * Rows whose cosine is NaN (zero-norm vectors) are excluded — TopKAgg
+   * admits only a total order, and engines disagree on NaN ranking.
    */
   def knnJoin(df: DataFrame, idCol: String, vecCol: String,
               probePct: Int = 1, k: Int = 3): DataFrame = {

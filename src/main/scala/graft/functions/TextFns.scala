@@ -184,10 +184,14 @@ object TextFns {
   def fingerprint(text: Column): Column =
     array_min(transform(shingles(text), s => md5(s)))
 
-  /** Non-distinct word bigrams ("a b"), in document order: n-1 items. */
+  /** Non-distinct word bigrams ("a b"), in document order: n-1 items.
+    * zip_with pads the shorter side with null (concat → null) — filtered,
+    * as [[shingles]] does. */
   def bigrams(text: Column): Column = {
     val w = words(text)
-    zip_with(w, slice(w, lit(2), size(w) - 1), (x, y) => concat(x, lit(" "), y))
+    filter(
+      zip_with(w, slice(w, lit(2), size(w) - 1), (x, y) => concat(x, lit(" "), y)),
+      x => x.isNotNull)
   }
 
   /** Count of the most frequent element of a string array — the array's

@@ -6,6 +6,7 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -42,6 +43,14 @@ case class TopKAgg(
   require(k > 0, s"k must be positive, got $k")
 
   override def children: Seq[Expression] = Seq(scoreExpr, idExpr)
+  // analysis-time contract: a wrong-typed score/id fails in the analyzer
+  // instead of a ClassCastException deep in executor tasks
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (scoreExpr.dataType == DoubleType && idExpr.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (double, bigint) inputs, got " +
+        s"(${scoreExpr.dataType.simpleString}, ${idExpr.dataType.simpleString})")
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(
     StructType(Seq(

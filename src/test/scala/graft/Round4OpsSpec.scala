@@ -32,6 +32,15 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(run(7) == expect, "merge order must not change the result")
   }
 
+  test("TopKAgg rejects wrong-typed inputs at analysis time") {
+    import spark.implicits._
+    val df = Seq((1, "g", 1.0f)).toDF("id", "g", "s") // float score, int id
+    val ex = intercept[Exception] {
+      df.groupBy(col("g")).agg(TopKAgg(col("s"), col("id"), 2)).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("topk_agg"), ex.getMessage)
+  }
+
   test("knnJoin matches the window-ranked brute force") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val got = Similarity.knnJoin(emb, "vec_id", "embedding", probePct = 2, k = 3)
@@ -46,6 +55,7 @@ class Round4OpsSpec extends AnyFunSuite {
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
         Similarity.cosine(col("embedding"), col("pv")).as("cos"))
+      .filter(!isnan(col("cos"))) // knnJoin's NaN-exclusion contract
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
       .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
     assert(got.nonEmpty && got == expect)

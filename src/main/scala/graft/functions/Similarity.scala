@@ -273,10 +273,18 @@ object Similarity {
   def knnJoin(df: DataFrame, idCol: String, vecCol: String,
               probePct: Int = 1, k: Int = 3): DataFrame = {
     require(probePct >= 0 && probePct <= 100, s"probePct=$probePct")
-    val probes = broadcast(df
-      .filter(pmod(Md5Prefix28(col(idCol).cast("string")), lit(100L)) < probePct)
-      .select(col(idCol).as("probe_id"), col(vecCol).as("__pv")))
-    df.join(probes, col(idCol) =!= col("probe_id"))
+    knnJoinWith(df,
+      df.filter(pmod(Md5Prefix28(col(idCol).cast("string")), lit(100L)) < probePct)
+        .select(col(idCol).as("probe_id"), col(vecCol).as("__pv")),
+      idCol, vecCol, k)
+  }
+
+  /** [[knnJoin]] with an explicit probe frame (probe_id, __pv) — the form a
+    * real workload uses: a query batch joined against a corpus it is not
+    * sampled from. The probe side must be small enough to broadcast. */
+  def knnJoinWith(df: DataFrame, probes: DataFrame, idCol: String,
+                  vecCol: String, k: Int): DataFrame =
+    df.join(broadcast(probes), col(idCol) =!= col("probe_id"))
       .select(col("probe_id"), col(idCol),
         cosine(col(vecCol), col("__pv")).as("cos"))
       .groupBy(col("probe_id"))
@@ -286,7 +294,6 @@ object Similarity {
         (col("__pos") + 1).cast("int").as("rank"),
         col("__e.id").as("neighbor_id"),
         col("__e.score").as("cos"))
-  }
 
   /**
    * Per-label centroid components (IVF-style coarse quantizer statistics),

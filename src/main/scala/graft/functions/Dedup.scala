@@ -164,9 +164,12 @@ object Dedup {
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         bits: Int = 24): DataFrame = {
     require(bits >= 1 && bits <= 63, s"bits=$bits out of range")
+    // ONE native digest+bit-extract per shingle (Md5SignBits) instead of
+    // `bits` substring/IN predicates over a materialized hex string —
+    // this is the hottest row stream of the simhash family
     val sh = df.select(col(idCol),
       explode(TextFns.shingles(col(textCol))).as("s"))
-      .withColumn("h", md5(col("s")))
+      .withColumn("sb", Md5SignBits(col("s"), bits))
     val sums = sh.groupBy(col(idCol)).agg(
       sum(bitTerm(0)).as("s0"),
       (1 until bits).map(j => sum(bitTerm(j)).as(s"s$j")): _*)
@@ -176,9 +179,9 @@ object Dedup {
         .reduce(_ + _).cast(if (bits <= 31) "int" else "long").as("simhash"))
   }
 
+  // ±1 from bit j of the per-shingle sign-bit word
   private def bitTerm(j: Int): Column =
-    when(substring(col("h"), j % 32 + 1, 1)
-      .isin(simhashBitChars(j / 32): _*), lit(1)).otherwise(lit(-1))
+    shiftright(col("sb"), j).bitwiseAND(lit(1L)) * 2 - 1
 
   /** SimHash bucket pairs: documents sharing an identical signature. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {

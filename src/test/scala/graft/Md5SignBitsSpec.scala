@@ -33,6 +33,19 @@ class Md5SignBitsSpec extends AnyFunSuite {
     assert(cmp2.filter(col("native") =!= col("hex")).count() == 0)
   }
 
+  test("SQL registration: md5_sign_bits and topk_agg via extensions hook") {
+    GraftExtensions.register(spark)
+    val r = spark.sql("SELECT md5_sign_bits('abc', 48) AS sig").collect().head
+    val expect = spark.range(1)
+      .select(Md5SignBits(lit("abc"), 48)).collect().head.getLong(0)
+    assert(r.getLong(0) == expect)
+    val t = spark.sql(
+      "SELECT topk_agg(CAST(id AS DOUBLE), id, 2) AS top FROM range(10)")
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+      .map(e => (e.getDouble(0), e.getLong(1)))
+    assert(t.toList == List((9.0, 9L), (8.0, 8L)))
+  }
+
   test("generated code compiles inside WholeStageCodegen, null passes through") {
     import org.apache.spark.sql.execution.WholeStageCodegenExec
     val df = spark.range(64)

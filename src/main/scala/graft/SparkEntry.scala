@@ -667,7 +667,20 @@ object SparkEntry {
           array_join(transform(w, x => concat(lit("n"), x)), " ").as("text"))
       Dedup.dedupAgainst(nearDups.unionByName(fresh),
         d.select(col("doc_id"), col("text")), "doc_id", "text", 0.8)
-    })
+    }),
+
+    // Group-wise sequence packing: per-language contiguous token streams
+    // (the shard layout of a multilingual training mix)
+    "pack_by_lang" -> ((s, dir) =>
+      Packing.packOffsetsBy(documents(s, dir), Seq("lang"),
+        col("doc_id"), size(TextFns.words(col("text"))),
+        buckets = 32, budget = 1024)
+        .withColumnRenamed("key", "doc_id")),
+
+    // Quantile-band quality filter: drop the worst 5% and the
+    // outlier-high 5% of quality scores
+    "text_quality_band" -> ((s, dir) =>
+      TextFns.qualityBand(documents(s, dir), "doc_id", "text", 0.05, 0.95))
   )
 
   /** DuckDB oracle SQL per query (same tables, same column names/order). */
@@ -852,6 +865,14 @@ object SparkEntry {
 
   private val enListSql = TextFns.EnStop.map(w => s"'$w'").mkString("(", ",", ")")
 
+  /** [[TextFns.qualityScore]] in DuckDB form (shared by the quality and
+    * quality-band oracles). */
+  private def qualitySql: String =
+    s"CAST(len(list_filter(string_split(text, ' '), x -> x IN $enListSql)) AS DOUBLE) " +
+      "/ len(string_split(text, ' ')) * 0.3 " +
+      "+ least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.3 " +
+      "+ CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE) / length(text) * 0.4"
+
   private def extensionOracles: Map[String, String] = Map(
     "t9_column_lookup" ->
       (eventsOracleCte +
@@ -1033,11 +1054,7 @@ object SparkEntry {
         "CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio, " +
         s"CAST(len(list_filter(string_split(text, ' '), x -> x IN $enListSql)) AS DOUBLE) " +
         "/ len(string_split(text, ' ')) AS stop_ratio, " +
-        s"CAST(len(list_filter(string_split(text, ' '), x -> x IN $enListSql)) AS DOUBLE) " +
-        "/ len(string_split(text, ' ')) * 0.3 " +
-        "+ least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.3 " +
-        "+ CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE) / length(text) * 0.4 " +
-        "AS quality FROM documents ORDER BY doc_id"),
+        s"$qualitySql AS quality FROM documents ORDER BY doc_id"),
 
     "text_tokens" ->
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens, " +
@@ -1400,7 +1417,24 @@ object SparkEntry {
         "ORDER BY jac DESC, cid) AS rn FROM j WHERE jac >= 0.8) " +
         "SELECT nd.doc_id AS doc_id, best.cid AS dup_of, best.jac AS jac, " +
         "best.cid IS NULL AS admitted FROM nd LEFT JOIN best " +
-        "ON best.nid = nd.doc_id AND best.rn = 1 ORDER BY doc_id")
+        "ON best.nid = nd.doc_id AND best.rn = 1 ORDER BY doc_id"),
+
+    "pack_by_lang" ->
+      // per-lang (bucket, key) order, one running sum per language
+      ("WITH t AS (SELECT lang, doc_id, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n, " +
+        s"${Dedup.hash28Sql("doc_id::VARCHAR")} % 32 AS b FROM documents), " +
+        "c AS (SELECT lang, doc_id, n, CAST(sum(n) OVER (PARTITION BY lang " +
+        "ORDER BY b, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM t) " +
+        "SELECT lang, doc_id, n AS n_tokens, cum - n AS start_tok, " +
+        "(cum - n) // 1024 AS bin_id FROM c"),
+
+    "text_quality_band" ->
+      (s"WITH s AS (SELECT doc_id, $qualitySql AS quality FROM documents), " +
+        "b AS (SELECT quantile_cont(quality, 0.05) AS lo, " +
+        "quantile_cont(quality, 0.95) AS hi FROM s) " +
+        "SELECT doc_id, quality FROM s, b " +
+        "WHERE quality >= lo AND quality <= hi ORDER BY doc_id")
     // sketch_approx_distinct intentionally has NO oracle entry: HLL
     // estimates are engine-specific → driver records a rows-only check
   )

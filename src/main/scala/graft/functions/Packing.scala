@@ -28,22 +28,45 @@ import org.apache.spark.sql.functions._
 object Packing {
 
   def packOffsets(df: DataFrame, keyCol: Column, nTokCol: Column,
-                  buckets: Int = 32, budget: Int = 1024): DataFrame = {
-    require(buckets > 0 && budget > 0)
-    val base = df.select(keyCol.as("__k"), nTokCol.cast("long").as("__n"),
-      pmod(Md5Prefix28(keyCol.cast("string")), lit(buckets.toLong)).as("__b"))
-    // phase 1: within-bucket inclusive running sum
-    val w = Window.partitionBy(col("__b")).orderBy(col("__k"))
+                  buckets: Int = 32, budget: Int = 1024): DataFrame =
+    packOffsetsBy(df.withColumn("__nogroup", lit(0)), Seq("__nogroup"),
+      keyCol, nTokCol, buckets, budget)
+      .drop("__nogroup")
+
+  /**
+   * Group-wise packing: each group (language, domain, curriculum stage —
+   * the shard key of a real training mix) gets its OWN contiguous token
+   * stream and window numbering, all groups in one pass.
+   *
+   * Same two-phase prefix sum, group-scoped: phase-1 windows partition by
+   * (group, bucket); the per-(group, bucket) totals prefix-sum inside each
+   * group (a `groups × buckets` frame — small, broadcast back). The only
+   * serial work per group is over `buckets` rows, and no single task ever
+   * holds a group's token stream.
+   */
+  def packOffsetsBy(df: DataFrame, groupCols: Seq[String], keyCol: Column,
+                    nTokCol: Column, buckets: Int = 32,
+                    budget: Int = 1024): DataFrame = {
+    require(buckets > 0 && budget > 0 && groupCols.nonEmpty)
+    val gnames = groupCols.map(col)
+    val base = df.select(gnames ++ Seq(keyCol.as("__k"),
+      nTokCol.cast("long").as("__n"),
+      pmod(Md5Prefix28(keyCol.cast("string")), lit(buckets.toLong)).as("__b")): _*)
+    // phase 1: within-(group, bucket) inclusive running sum
+    val w = Window.partitionBy(gnames :+ col("__b"): _*).orderBy(col("__k"))
     val cum = base.withColumn("__cum", sum(col("__n")).over(w))
-    // phase 2: bucket totals -> exclusive base offsets (tiny; broadcast)
-    val bases = base.groupBy(col("__b")).agg(sum(col("__n")).as("__t"))
+    // phase 2: (group, bucket) totals -> exclusive base offsets within the
+    // group (groups × buckets rows; broadcast)
+    val bases = base.groupBy(gnames :+ col("__b"): _*)
+      .agg(sum(col("__n")).as("__t"))
       .withColumn("__base",
-        coalesce(sum(col("__t")).over(Window.orderBy(col("__b"))
+        coalesce(sum(col("__t")).over(Window.partitionBy(gnames: _*)
+          .orderBy(col("__b"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__b"), col("__base"))
-    cum.join(broadcast(bases), "__b")
-      .select(col("__k").as("key"), col("__n").as("n_tokens"),
-        (col("__base") + col("__cum") - col("__n")).as("start_tok"))
+      .select(gnames ++ Seq(col("__b"), col("__base")): _*)
+    cum.join(broadcast(bases), groupCols :+ "__b")
+      .select(gnames ++ Seq(col("__k").as("key"), col("__n").as("n_tokens"),
+        (col("__base") + col("__cum") - col("__n")).as("start_tok")): _*)
       .withColumn("bin_id", (col("start_tok") / budget).cast("long"))
   }
 }

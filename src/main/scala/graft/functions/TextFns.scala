@@ -213,6 +213,26 @@ object TextFns {
       acc => acc.getField("best"))
 
   /**
+   * Quantile-band quality filter: keep documents whose [[qualityScore]]
+   * lies inside the [loQ, hiQ] corpus quantiles — the standard "drop the
+   * junk AND the outlier boilerplate" pass. The two thresholds are one
+   * tiny aggregate broadcast back over the scan; the corpus itself never
+   * shuffles. Exact interpolated percentiles keep the cut reproducible
+   * (approx_percentile is the documented knob at 100 TB when an exact
+   * global sort of scores is not worth it — same plan shape either way).
+   */
+  def qualityBand(df: DataFrame, idCol: String, textCol: String,
+                  loQ: Double = 0.05, hiQ: Double = 0.95): DataFrame = {
+    val scored = df.select(col(idCol), qualityScore(col(textCol)).as("quality"))
+    val bounds = scored.agg(
+      expr(s"percentile(quality, $loQ)").as("__lo"),
+      expr(s"percentile(quality, $hiQ)").as("__hi"))
+    scored.crossJoin(broadcast(bounds))
+      .filter(col("quality") >= col("__lo") && col("quality") <= col("__hi"))
+      .select(col(idCol), col("quality"))
+  }
+
+  /**
    * Gopher-style repetition stats — the quality signal that catches
    * boilerplate and degenerate generations: the fraction of the document
    * occupied by its single most frequent word and bigram. Documents with

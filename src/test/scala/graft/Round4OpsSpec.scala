@@ -150,6 +150,35 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(got(502L) == ((None, true)))
   }
 
+  test("packOffsetsBy: each group's stream equals packing that group alone") {
+    import graft.functions.Packing
+    val docs = Tables.load(spark, sfDir, "documents")
+    val grouped = Packing.packOffsetsBy(docs, Seq("lang"), col("doc_id"),
+      size(TextFns.words(col("text"))))
+    val lang = docs.select("lang").orderBy("lang").head().getString(0)
+    val alone = Packing.packOffsets(docs.filter(col("lang") === lang),
+      col("doc_id"), size(TextFns.words(col("text"))))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val slice = grouped.filter(col("lang") === lang)
+      .select(col("key"), col("start_tok"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(slice == alone && slice.nonEmpty)
+  }
+
+  test("qualityBand keeps the inner quantile band, bounds inclusive") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val kept = TextFns.qualityBand(docs, "doc_id", "text", 0.05, 0.95)
+    val n = docs.count()
+    val k = kept.count()
+    assert(k < n && k >= (n * 85) / 100, s"kept $k of $n")
+    // the extremes are gone
+    val qs = docs.select(TextFns.qualityScore(col("text")).as("q"))
+      .agg(min(col("q")), max(col("q"))).head()
+    val keptQs = kept.agg(min(col("quality")), max(col("quality"))).head()
+    assert(keptQs.getDouble(0) > qs.getDouble(0))
+    assert(keptQs.getDouble(1) < qs.getDouble(1))
+  }
+
   test("splitLabel partitions the corpus; train side == hashSample(80)") {
     val docs = Tables.load(spark, sfDir, "documents")
     val labeled = docs.select(col("doc_id"),

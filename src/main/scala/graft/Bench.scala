@@ -24,26 +24,33 @@ object Bench {
       catch { case _: Throwable => () }
     }
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // min of `reps` runs: a single-shot reading bills one query for JIT /
-      // GC / first-codegen noise (round 3 recorded a 4× outlier that way);
-      // the minimum is the steady-state cost of the PLAN, which is what
-      // the bench compares across rounds
-      val times = (1 to reps).map { _ =>
+      // min of `reps` SUCCESSFUL runs: a single-shot reading bills one
+      // query for JIT / GC / first-codegen noise (round 3 recorded a 4×
+      // outlier that way); the minimum is the steady-state cost of the
+      // PLAN, which is what the bench compares across rounds. A failed
+      // rep's (fast-failure) elapsed must not undercut a real timing.
+      val ok = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val all = scala.collection.mutable.ArrayBuffer.empty[Double]
+      (1 to reps).foreach { _ =>
         val t0 = System.nanoTime()
         // noop sink forces full materialization of every column (count()
         // would let Spark prune the plan down to a row count)
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          if (!errors.contains(name)) {
-            errors += name
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        val succeeded =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            if (!errors.contains(name)) {
+              errors += name
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            }
+            false
           }
-        }
-        (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        all += t
+        if (succeeded) ok += t
       }
-      name -> times.min
+      name -> (if (ok.nonEmpty) ok.min else all.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -64,9 +64,14 @@ object Packing {
           .orderBy(col("__b"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(gnames ++ Seq(col("__b"), col("__base")): _*)
-    cum.join(broadcast(bases), groupCols :+ "__b")
-      .select(gnames ++ Seq(col("__k").as("key"), col("__n").as("n_tokens"),
-        (col("__base") + col("__cum") - col("__n")).as("start_tok")): _*)
+    // null-safe join keys: a NULL group (e.g. lang unknown) is a valid
+    // partition — a plain equi-join would silently drop those documents
+    val joinCond = (groupCols :+ "__b")
+      .map(n => col(s"c.$n") <=> col(s"bs.$n")).reduce(_ && _)
+    cum.alias("c").join(broadcast(bases.alias("bs")), joinCond)
+      .select(groupCols.map(n => col(s"c.$n")) ++
+        Seq(col("c.__k").as("key"), col("c.__n").as("n_tokens"),
+          (col("bs.__base") + col("c.__cum") - col("c.__n")).as("start_tok")): _*)
       .withColumn("bin_id", (col("start_tok") / budget).cast("long"))
   }
 }

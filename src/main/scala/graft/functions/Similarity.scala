@@ -276,15 +276,20 @@ object Similarity {
     knnJoinWith(df,
       df.filter(pmod(Md5Prefix28(col(idCol).cast("string")), lit(100L)) < probePct)
         .select(col(idCol).as("probe_id"), col(vecCol).as("__pv")),
-      idCol, vecCol, k)
+      idCol, vecCol, k, excludeSelf = true)
   }
 
   /** [[knnJoin]] with an explicit probe frame (probe_id, __pv) — the form a
     * real workload uses: a query batch joined against a corpus it is not
-    * sampled from. The probe side must be small enough to broadcast. */
+    * sampled from. The probe side must be small enough to broadcast.
+    * `excludeSelf` only makes sense when probes ARE corpus rows (the
+    * sampled [[knnJoin]]); an external batch must not exclude corpus ids
+    * that merely collide with its own numbering. */
   def knnJoinWith(df: DataFrame, probes: DataFrame, idCol: String,
-                  vecCol: String, k: Int): DataFrame =
-    df.join(broadcast(probes), col(idCol) =!= col("probe_id"))
+                  vecCol: String, k: Int,
+                  excludeSelf: Boolean = false): DataFrame =
+    df.join(broadcast(probes),
+      if (excludeSelf) col(idCol) =!= col("probe_id") else lit(true))
       .select(col("probe_id"), col(idCol),
         cosine(col(vecCol), col("__pv")).as("cos"))
       .groupBy(col("probe_id"))

@@ -223,7 +223,11 @@ object TextFns {
    */
   def qualityBand(df: DataFrame, idCol: String, textCol: String,
                   loQ: Double = 0.05, hiQ: Double = 0.95): DataFrame = {
+    // lazy localCheckpoint: the scored frame feeds BOTH the bounds
+    // aggregate and the filtered scan, and Spark has no cross-branch CSE —
+    // without it the regex-heavy score runs twice over the corpus
     val scored = df.select(col(idCol), qualityScore(col(textCol)).as("quality"))
+      .localCheckpoint(false)
     val bounds = scored.agg(
       expr(s"percentile(quality, $loQ)").as("__lo"),
       expr(s"percentile(quality, $hiQ)").as("__hi"))

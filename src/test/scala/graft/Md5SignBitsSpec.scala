@@ -44,6 +44,11 @@ class Md5SignBitsSpec extends AnyFunSuite {
       .collect().head.getSeq[org.apache.spark.sql.Row](0)
       .map(e => (e.getDouble(0), e.getLong(1)))
     assert(t.toList == List((9.0, 9L), (8.0, 8L)))
+    // non-string input fails at analysis, not as a Janino/execution error
+    val ex = intercept[Exception] {
+      spark.sql("SELECT md5_sign_bits(id, 24) FROM range(3)").collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("md5_sign_bits"), ex.getMessage)
   }
 
   test("generated code compiles inside WholeStageCodegen, null passes through") {

@@ -165,6 +165,36 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(slice == alone && slice.nonEmpty)
   }
 
+  test("packOffsetsBy keeps NULL group keys as their own stream") {
+    import graft.functions.Packing
+    import spark.implicits._
+    val df = Seq((1L, Option("en"), 5), (2L, Option.empty[String], 7),
+      (3L, Option.empty[String], 3)).toDF("id", "lang", "n")
+    val out = Packing.packOffsetsBy(df, Seq("lang"), col("id"), col("n"))
+      .cache()
+    assert(out.count() == 3, "a NULL group must not drop rows")
+    val nulls = out.filter(col("lang").isNull)
+      .select(col("start_tok"), col("n_tokens"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(nulls.length == 2)
+    assert(nulls.map(_._1).min == 0L) // the null stream starts at 0
+    assert(nulls.map { case (s, n) => s + n }.max == 10L) // and is contiguous
+  }
+
+  test("knnJoinWith external probes score id-colliding corpus rows") {
+    import spark.implicits._
+    def vec(seed: Int) = (0 until 8).map(i =>
+      ((seed * 31 + i * 7) % 13 + 1).toFloat).toArray
+    val corpus = (0L to 9L).map(i => (i, vec(i.toInt))).toDF("vec_id", "embedding")
+    // external probe numbered 5 with corpus row 5's exact vector: the
+    // colliding id must still be scored (and tops the list at cos 1.0)
+    val probes = Seq((5L, vec(5))).toDF("probe_id", "__pv")
+    val got = Similarity.knnJoinWith(corpus, probes, "vec_id", "embedding", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(got.length == 1 && got.head._1 == 5L && got.head._2 == 5L)
+    assert(math.abs(got.head._3 - 1.0) < 1e-12)
+  }
+
   test("qualityBand keeps the inner quantile band, bounds inclusive") {
     val docs = Tables.load(spark, sfDir, "documents")
     val kept = TextFns.qualityBand(docs, "doc_id", "text", 0.05, 0.95)

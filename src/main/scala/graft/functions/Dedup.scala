@@ -480,15 +480,22 @@ object Dedup {
     require(benchPct >= 0 && benchPct <= 100, s"benchPct=$benchPct")
     val isBench =
       pmod(Md5Prefix28(col(idCol).cast("string")), lit(100L)) < benchPct
-    val hashes = df
-      .select(col(idCol), isBench.as("__bench"),
-        explode(TextFns.shingles(col(textCol))).as("s"))
-      .select(col(idCol), col("__bench"), hash28(col("s")).as("h"))
-      .localCheckpoint(false) // feeds both the bench universe and the probe
-    val benchH = broadcast(
-      hashes.filter(col("__bench")).select(col("h")).distinct()
-        .withColumn("__hit", lit(1)))
-    hashes.filter(!col("__bench"))
+    decontaminateAgainst(
+      df.filter(!isBench), df.filter(isBench), idCol, textCol, maxOverlapFrac)
+  }
+
+  /** [[decontaminate]] with an explicit benchmark corpus — the production
+    * form: the eval suites live in their own table, not a sample of the
+    * training corpus. Same broadcast shingle-universe shape. */
+  def decontaminateAgainst(train: DataFrame, bench: DataFrame, idCol: String,
+                           textCol: String,
+                           maxOverlapFrac: Double = 0.5): DataFrame = {
+    def hashed(d: DataFrame) = d
+      .select(col(idCol), explode(TextFns.shingles(col(textCol))).as("s"))
+      .select(col(idCol), hash28(col("s")).as("h"))
+    val benchH = broadcast(hashed(bench).select(col("h")).distinct()
+      .withColumn("__hit", lit(1)))
+    hashed(train)
       .join(benchH, Seq("h"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shingles"),

@@ -680,7 +680,23 @@ object SparkEntry {
     // Quantile-band quality filter: drop the worst 5% and the
     // outlier-high 5% of quality scores
     "text_quality_band" -> ((s, dir) =>
-      TextFns.qualityBand(documents(s, dir), "doc_id", "text", 0.05, 0.95))
+      TextFns.qualityBand(documents(s, dir), "doc_id", "text", 0.05, 0.95)),
+
+    // Binned interval join: per error event, the same user's event count
+    // in the preceding 10 minutes — equi-join on (user, time-bin), never
+    // a hot user's full history on one task
+    "join_interval_count" -> ((s, dir) => {
+      val e = events(s, dir).select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("ts_us"), col("event_type"))
+      val errs = e.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id"),
+          col("ts_us").as("err_ts"))
+      graft.operators.IntervalJoin.binned(errs,
+        e.select(col("user_id"), col("ts_us")), Seq("user_id"),
+        "err_ts", "ts_us", -600000000L, -1L)
+        .groupBy(col("err_id"))
+        .agg(count(lit(1)).as("n_preceding"))
+    })
   )
 
   /** DuckDB oracle SQL per query (same tables, same column names/order). */
@@ -1434,7 +1450,19 @@ object SparkEntry {
         "b AS (SELECT quantile_cont(quality, 0.05) AS lo, " +
         "quantile_cont(quality, 0.95) AS hi FROM s) " +
         "SELECT doc_id, quality FROM s, b " +
-        "WHERE quality >= lo AND quality <= hi ORDER BY doc_id")
+        "WHERE quality >= lo AND quality <= hi ORDER BY doc_id"),
+
+    "join_interval_count" ->
+      // plain range join: the binned join's exact window predicate makes
+      // the bin structure invisible in the result
+      ("WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, " +
+        "event_type FROM events), " +
+        "err AS (SELECT event_id AS err_id, user_id, ts_us AS err_ts " +
+        "FROM e WHERE event_type = 'error') " +
+        "SELECT err_id, CAST(count(*) AS BIGINT) AS n_preceding " +
+        "FROM err JOIN e ON e.user_id = err.user_id " +
+        "AND e.ts_us >= err_ts - 600000000 AND e.ts_us <= err_ts - 1 " +
+        "GROUP BY err_id ORDER BY err_id")
     // sketch_approx_distinct intentionally has NO oracle entry: HLL
     // estimates are engine-specific → driver records a rows-only check
   )

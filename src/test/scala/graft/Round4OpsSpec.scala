@@ -209,6 +209,24 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(keptQs.getDouble(1) < qs.getDouble(1))
   }
 
+  test("binned interval join equals the naive range join") {
+    import graft.operators.IntervalJoin
+    val e = Tables.load(spark, sfDir, "events").limit(3000)
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+    val l = e.select(col("event_id").as("lid"), col("user_id"),
+      col("ts_us").as("lts"))
+    val r = e.select(col("user_id"), col("ts_us"))
+    val (lo, hi) = (-600000000L, -1L)
+    val got = IntervalJoin.binned(l, r, Seq("user_id"), "lts", "ts_us", lo, hi)
+      .select(col("lid"), col("ts_us"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val naive = l.join(r, Seq("user_id"))
+      .filter(col("ts_us") >= col("lts") + lo && col("ts_us") <= col("lts") + hi)
+      .select(col("lid"), col("ts_us"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got == naive && got.nonEmpty)
+  }
+
   test("splitLabel partitions the corpus; train side == hashSample(80)") {
     val docs = Tables.load(spark, sfDir, "documents")
     val labeled = docs.select(col("doc_id"),

@@ -431,6 +431,16 @@ object SparkEntry {
       Multimodal.sampleFrames(documents(s, dir), "doc_id", col("text"), 64)
         ),
 
+    // Multimodal: exact media dedup on the content digest (dup copies
+    // injected; binary column never shuffles, only its md5 does)
+    "mm_dedup" -> ((s, dir) => {
+      val d = documents(s, dir).select(col("doc_id"), col("text"))
+      val withDups = d.unionByName(
+        d.filter(col("doc_id") % 5 === 0)
+          .withColumn("doc_id", col("doc_id") + 500000L))
+      Multimodal.dedupByContent(Multimodal.asMedia(withDups, "doc_id", "text"))
+    }),
+
     // Streaming capability: event-time tumbling-window aggregation (same
     // code path as the streaming query, run over the batch frame)
     "stream_window_agg" -> ((s, dir) =>
@@ -1451,6 +1461,15 @@ object SparkEntry {
         "quantile_cont(quality, 0.95) AS hi FROM s) " +
         "SELECT doc_id, quality FROM s, b " +
         "WHERE quality >= lo AND quality <= hi ORDER BY doc_id"),
+
+    "mm_dedup" ->
+      // md5 of the utf-8 content bytes == md5 of the text on both engines
+      ("WITH all_docs AS (SELECT doc_id, text FROM documents UNION ALL " +
+        "SELECT doc_id + 500000, text FROM documents WHERE doc_id % 5 = 0) " +
+        "SELECT md5(text) AS content_fp, min(doc_id) AS keeper_id, " +
+        "CAST(count(*) AS BIGINT) AS copies, " +
+        "CAST(max(strlen(text)) AS BIGINT) AS byte_len " +
+        "FROM all_docs GROUP BY md5(text) ORDER BY keeper_id"),
 
     "join_interval_count" ->
       // plain range join: the binned join's exact window predicate makes

@@ -75,6 +75,19 @@ object Multimodal {
   }
 
   /**
+   * Exact media dedup: group by the md5 of the raw content bytes — the
+   * media-side counterpart of [[Dedup.exact]] (dedup by pixels/samples
+   * happens pre-decode: identical bytes are identical media regardless of
+   * codec). One hash-partitioned groupBy on a uniform 128-bit key; the
+   * binary column itself never shuffles (only its digest does).
+   */
+  def dedupByContent(media: DataFrame): DataFrame =
+    media.groupBy(md5(col("content")).as("content_fp"))
+      .agg(min(col("doc_id")).as("keeper_id"),
+        count(lit(1)).as("copies"),
+        max(col("byte_len")).as("byte_len"))
+
+  /**
    * Resize / downsample stub: keep every k-th token of the payload — the
    * deterministic stand-in for image resize / audio downsampling (the
    * real kernel would run in [[decodeFeatures]]'s partition loop; the

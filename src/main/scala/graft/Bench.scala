@@ -24,7 +24,9 @@ object Bench {
       catch { case _: Throwable => () }
     }
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
-    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
+    // malformed env must not abort the bench before any timing is emitted
+    val reps = math.max(1,
+      sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption).getOrElse(2))
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // min of `reps` SUCCESSFUL runs: a single-shot reading bills one
       // query for JIT / GC / first-codegen noise (round 3 recorded a 4×
@@ -50,13 +52,27 @@ object Bench {
         all += t
         if (succeeded) ok += t
       }
-      name -> (if (ok.nonEmpty) ok.min else all.min)
+      // a query with zero successful reps gets null, not its fast-failure
+      // elapsed — a failure latency must never be mistaken for plan cost
+      name -> (if (ok.nonEmpty) Some(ok.min) else None)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + v.map(_.toString).getOrElse("null")
+    }.mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val total = results.flatMap(_._2).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    println(line)
+    // persist the full report: the driver captures a bounded log tail, and
+    // a 70-query JSON line is long enough to get head-truncated there
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        "bench_out.json")),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write bench_out.json: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

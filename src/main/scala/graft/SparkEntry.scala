@@ -417,14 +417,19 @@ object SparkEntry {
           col("width"), col("height"), col("fingerprint"))
     }),
 
-    // Multimodal: deterministic resize/downsample stub (every 4th token)
-    "mm_resize" -> ((s, dir) => {
-      val resized = Multimodal.downsample(col("text"), 4)
-      documents(s, dir).select(col("doc_id"),
-        length(col("text")).as("orig_len"),
-        length(resized).as("resized_len"),
-        md5(resized).as("resized_md5"))
-    }),
+    // Multimodal: deterministic resize/downsample stub (every 4th token).
+    // The downsample chain (split → HOF filter → array_join) is
+    // materialized ONCE in its own projection — inlining it into both
+    // length() and md5() evaluates it twice per row (r4's only
+    // regression); CollapseProject keeps the projections separate because
+    // the chain is non-cheap and referenced twice.
+    "mm_resize" -> ((s, dir) =>
+      documents(s, dir)
+        .withColumn("__resized", Multimodal.downsample(col("text"), 4))
+        .select(col("doc_id"),
+          length(col("text")).as("orig_len"),
+          length(col("__resized")).as("resized_len"),
+          md5(col("__resized")).as("resized_md5"))),
 
     // Multimodal: frame sampling over the payload
     "mm_frame_sample" -> ((s, dir) =>
@@ -561,11 +566,18 @@ object SparkEntry {
           countDistinct(col("user_id"), col("event_type")).as("n_pairs"))
         ),
 
-    // HLL sketch distinct (the 100 TB path; approximate → rows-only check,
-    // no oracle SQL entry by design)
+    // HLL sketch distinct (the 100 TB path). Self-verifying: the HLL
+    // value itself has no DuckDB form, so the query emits the exact
+    // distinct count plus a bounded-relative-error flag — the oracle
+    // asserts the flag (HLL's default rsd is 0.05; 0.15 = 3σ headroom)
+    // and hash-checks the exact counts, so a broken sketch breaks the row.
     "sketch_approx_distinct" -> ((s, dir) =>
       events(s, dir).groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .agg(approx_count_distinct(col("user_id")).as("__approx"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("__approx") - col("exact_users")).cast("double") /
+            col("exact_users") <= 0.15).as("within_bound"))
         ),
 
     // SCD Type-2 history over the changelog: validity intervals per key
@@ -1371,8 +1383,8 @@ object SparkEntry {
         "SELECT wa.doc_id AS doc_id, nw AS n_words, " +
         "CAST(topw AS DOUBLE) / nw AS top_word_frac, " +
         "nb AS n_bigrams, CAST(topb AS DOUBLE) / nb AS top_bigram_frac, " +
-        "(CAST(topw AS DOUBLE) / nw >= 0.3 OR " +
-        "CAST(topb AS DOUBLE) / nb >= 0.2) AS repetitive " +
+        "(nw >= 7 AND (CAST(topw AS DOUBLE) / nw >= 0.3 OR " +
+        "CAST(topb AS DOUBLE) / nb >= 0.2)) AS repetitive " +
         "FROM wa JOIN ba ON wa.doc_id = ba.doc_id ORDER BY doc_id"),
 
     "knn_join" ->
@@ -1481,8 +1493,13 @@ object SparkEntry {
         "SELECT err_id, CAST(count(*) AS BIGINT) AS n_preceding " +
         "FROM err JOIN e ON e.user_id = err.user_id " +
         "AND e.ts_us >= err_ts - 600000000 AND e.ts_us <= err_ts - 1 " +
-        "GROUP BY err_id ORDER BY err_id")
-    // sketch_approx_distinct intentionally has NO oracle entry: HLL
-    // estimates are engine-specific → driver records a rows-only check
+        "GROUP BY err_id ORDER BY err_id"),
+
+    // The HLL estimate itself has no DuckDB form; the query is
+    // self-verifying — it emits the exact count plus a bounded-error
+    // flag, and the oracle pins the flag true for every group
+    "sketch_approx_distinct" ->
+      ("SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users, " +
+        "true AS within_bound FROM events GROUP BY event_type ORDER BY event_type")
   )
 }

@@ -401,14 +401,26 @@ object Dedup {
     val inv = sets.select(col(idCol),
       explode(col("sset")).as("s"))
       .select(col(idCol), hash28(col("s")).as("h"))
+    // candidate generation runs once (checkpoint): it feeds BOTH the id
+    // prune below and the final verify join, and re-running the inverted
+    // self-join + aggregate twice would cost more than the prune saves
     val cand = inv.select(col(idCol).as("doc_a"), col("h"))
       .join(inv.select(col(idCol).as("doc_b"), col("h")), Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter_approx"))
       .filter(col("inter_approx") >= minShared)
+      .localCheckpoint(false)
+    // prune `sets` to candidate ids BEFORE the array-carrying joins: the
+    // candidate set is typically ≪ corpus, so without this both verify
+    // joins would shuffle every document's full shingle array (~2× the
+    // corpus token volume) just to drop most of it at the join
+    val candIds = cand.select(col("doc_a").as(idCol))
+      .union(cand.select(col("doc_b").as(idCol))).distinct()
+    val candSets = sets.join(candIds, Seq(idCol), "left_semi")
+      .localCheckpoint(false)
     cand
-      .join(sets.select(col(idCol).as("doc_a"), col("sset").as("sa")), "doc_a")
-      .join(sets.select(col(idCol).as("doc_b"), col("sset").as("sb")), "doc_b")
+      .join(candSets.select(col(idCol).as("doc_a"), col("sset").as("sa")), "doc_a")
+      .join(candSets.select(col(idCol).as("doc_b"), col("sset").as("sb")), "doc_b")
       .withColumn(scoreName, score(col("sa"), col("sb")))
       .filter(col(scoreName) >= minScore)
       .select(col("doc_a"), col("doc_b"), col(scoreName))
@@ -431,6 +443,7 @@ object Dedup {
    */
   def dedupAgainst(newDocs: DataFrame, corpus: DataFrame, idCol: String,
                    textCol: String, minJaccard: Double = 0.8): DataFrame = {
+    TopKAgg.requireIntegralId(corpus, idCol, "dedupAgainst")
     val nSets = shingleSets(newDocs, idCol, textCol).localCheckpoint(false)
     val cSets = shingleSets(corpus, idCol, textCol).localCheckpoint(false)
     val nKeys = bandKeysFromSets(nSets, idCol)

@@ -287,7 +287,8 @@ object Similarity {
     * that merely collide with its own numbering. */
   def knnJoinWith(df: DataFrame, probes: DataFrame, idCol: String,
                   vecCol: String, k: Int,
-                  excludeSelf: Boolean = false): DataFrame =
+                  excludeSelf: Boolean = false): DataFrame = {
+    TopKAgg.requireIntegralId(df, idCol, "knnJoinWith")
     df.join(broadcast(probes),
       if (excludeSelf) col(idCol) =!= col("probe_id") else lit(true))
       .select(col("probe_id"), col(idCol),
@@ -299,6 +300,7 @@ object Similarity {
         (col("__pos") + 1).cast("int").as("rank"),
         col("__e.id").as("neighbor_id"),
         col("__e.score").as("cos"))
+  }
 
   /**
    * Per-label centroid components (IVF-style coarse quantizer statistics),

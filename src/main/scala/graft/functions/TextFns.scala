@@ -247,7 +247,8 @@ object TextFns {
    */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String,
                       maxWordFrac: Double = 0.3,
-                      maxBigramFrac: Double = 0.2): DataFrame = {
+                      maxBigramFrac: Double = 0.2,
+                      minWords: Int = 7): DataFrame = {
     val w = words(col(textCol))
     df.filter(size(w) >= 2).select(
       col(idCol),
@@ -256,8 +257,14 @@ object TextFns {
       (size(w) - 1).cast("long").as("n_bigrams"),
       (maxRepeat(bigrams(col(textCol))).cast("double") / (size(w) - 1))
         .as("top_bigram_frac"))
+      // the thresholds are degenerate below a length floor: with n words
+      // there are n-1 bigrams, so top_bigram_frac >= 1/(n-1) and any doc
+      // of <= 1/maxBigramFrac + 1 words trips the default 0.2 even when
+      // every bigram is distinct. Gopher applies these filters with a
+      // minimum-length gate; minWords = 7 is that floor for the defaults.
       .withColumn("repetitive",
-        col("top_word_frac") >= maxWordFrac ||
-          col("top_bigram_frac") >= maxBigramFrac)
+        col("n_words") >= minWords &&
+          (col("top_word_frac") >= maxWordFrac ||
+            col("top_bigram_frac") >= maxBigramFrac))
   }
 }

@@ -132,4 +132,19 @@ object TopKAgg {
   def apply(score: Column, id: Column, k: Int): Column =
     ColumnBridge.column(TopKAgg(ColumnBridge.expression(score),
       ColumnBridge.expression(id), k).toAggregateExpression())
+
+  /**
+   * Guard for call sites that feed an id column through `.cast("long")`
+   * into the aggregate: a non-integral id (string/UUID corpus) would cast
+   * to null and the aggregate would silently DROP every row — in a dedup
+   * that reads as "no duplicates found". Fail at analysis time instead.
+   */
+  def requireIntegralId(df: org.apache.spark.sql.DataFrame,
+                        idCol: String, op: String): Unit = {
+    val dt = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"$op: id column '$idCol' must be an integral type (got " +
+        s"${dt.simpleString}); hash or map string/UUID ids to long first " +
+        "— casting them would yield null and silently drop rows")
+  }
 }

@@ -21,9 +21,13 @@ import org.apache.spark.sql.functions._
  * [[graft.streaming.StreamOps.intervalJoin]] (which gets the same effect
  * from watermark-bounded state).
  *
- * Timestamps are integer microseconds; `div` is integer floor division on
- * both engines (`div` / `//`), so bin assignment is exact — no double
- * arithmetic near bin edges.
+ * Timestamps are integer microseconds; `div` is TRUNCATING integer
+ * division (toward zero) on both engines (Spark's IntegralDivide and
+ * DuckDB's `//` agree), so bin assignment is exact — no double arithmetic
+ * near bin edges. For negative timestamps truncation differs from floor
+ * (bins straddling zero are wider), but binning only needs to be monotone
+ * and IDENTICAL on both join sides; the exact window predicate re-filters,
+ * so bin placement never affects results. Do not rely on floor alignment.
  */
 object IntervalJoin {
 

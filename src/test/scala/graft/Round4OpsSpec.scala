@@ -102,15 +102,23 @@ class Round4OpsSpec extends AnyFunSuite {
     val df = Seq(
       (1L, "a a a b"),        // top word 3/4; bigrams: a a, a a, a b → 2/3
       (2L, "p q r s"),        // all distinct → 1/4, 1/3
-      (3L, "solo")            // < 2 words → filtered out
+      (3L, "solo"),           // < 2 words → filtered out
+      (4L, "x y " * 6 + "x"), // 13 words: top word 7/13, top bigram 6/12
+      (5L, (1 to 13).map(i => s"w$i").mkString(" ")) // 13 distinct words
     ).toDF("doc_id", "text")
     val got = TextFns.repetitionStats(df, "doc_id", "text")
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4),
           r.getBoolean(5))).toMap
-    assert(got.keySet == Set(1L, 2L))
-    assert(got(1L) == ((4L, 0.75, 3L, 2.0 / 3.0, true)))
-    assert(got(2L) == ((4L, 0.25, 3L, 1.0 / 3.0, true)))
+    assert(got.keySet == Set(1L, 2L, 4L, 5L))
+    // short docs below the minWords floor are NEVER flagged: with n words
+    // top_bigram_frac >= 1/(n-1), so an all-distinct 4-word doc would
+    // otherwise trip the 0.2 default (the stats themselves still emit)
+    assert(got(1L) == ((4L, 0.75, 3L, 2.0 / 3.0, false)))
+    assert(got(2L) == ((4L, 0.25, 3L, 1.0 / 3.0, false)))
+    // past the floor the thresholds apply for real
+    assert(got(4L) == ((13L, 7.0 / 13.0, 12L, 0.5, true)))
+    assert(got(5L) == ((13L, 1.0 / 13.0, 12L, 1.0 / 12.0, false)))
   }
 
   test("wide simhash: 48-bit signature extends the 24-bit one bit-for-bit") {

@@ -7,18 +7,67 @@ import org.apache.spark.sql.SparkSession
  * configure from env, open the stream, print each change as JSON to
  * stdout until interrupted; `--once` ≅ ShutdownAfterLastChangeset).
  *
+ * Flag surface mirrors internal/cli/warp_pipe.go:39-52 with
+ * config.go:10-50 precedence: env config first, then any SET flag
+ * overrides its env counterpart (unset flags leave env values intact).
+ *
  * Usage:
  * {{{
  *   GRAFT_WHITELIST_TABLES=public.users \
- *   sbt "runMain graft.Main <changelogDir> [--once]"
+ *   sbt "runMain graft.Main <changelogDir> [--once]
+ *     [--mode lr|audit] [--start-from-lsn L] [--start-from-id N]
+ *     [--start-from-ts TS] [--whitelist-tables a,b] [--ignore-tables c]
+ *     [--log-level warn]"
  * }}}
  */
 object Main {
+
+  /** Apply CLI flag overrides onto an (env-derived) config — flag wins,
+    * matching the reference's parseConfig (internal/cli/config.go:10-50).
+    * Fails loudly on unknown flags and missing/invalid values. Returns
+    * the updated config plus the non-flag positional args. */
+  def applyFlags(cfg: GraftConfig, args: Seq[String]): (GraftConfig, Seq[String]) = {
+    def list(v: String) = v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    @annotation.tailrec
+    def go(rest: List[String], c: GraftConfig,
+           pos: List[String]): (GraftConfig, List[String]) = rest match {
+      case Nil => (c, pos.reverse)
+      case flag :: tail if flag.startsWith("--") && flag != "--once" =>
+        tail match {
+          case v :: t2 =>
+            val next = flag match {
+              case "--mode" | "--replication-mode" =>
+                require(Set("lr", "audit")(v), s"unknown mode '$v' (lr|audit)")
+                c.copy(mode = v)
+              case "--start-from-lsn" =>
+                // selects LR mode like Graft.startFromLsn — the LSN resume
+                // point only governs logical-replication streams
+                c.copy(mode = "lr",
+                  startFromLsn = Some(sources.Wal2Json.requireValidLsn(v)))
+              case "--start-from-id" =>
+                c.copy(startFromId = Some(v.toLongOption.getOrElse(
+                  sys.error(s"--start-from-id: not a long: '$v'"))))
+              case "--start-from-ts" => c.copy(startFromTs = Some(v))
+              case "--whitelist-tables" => c.copy(whitelistTables = list(v))
+              case "--ignore-tables" => c.copy(ignoreTables = list(v))
+              case "--log-level" => c.copy(logLevel = v.toLowerCase)
+              case other => sys.error(s"unknown flag: $other")
+            }
+            go(t2, next, pos)
+          case Nil => sys.error(s"$flag requires a value")
+        }
+      case a :: tail => go(tail, c, if (a == "--once") pos else a :: pos)
+    }
+    val (c, pos) = go(args.toList, cfg, Nil)
+    (c, pos)
+  }
+
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: graft.Main <changelogDir> [--once]")
-    val dir = args(0)
     val once = args.contains("--once")
-    val cfg = GraftConfig.fromEnv()
+    val (cfg, positional) = applyFlags(GraftConfig.fromEnv(), args.toSeq)
+    require(positional.nonEmpty,
+      "usage: graft.Main <changelogDir> [--once] [flags]")
+    val dir = positional.head
 
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("GRAFT_MASTER", "local[*]"))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.model.ChangesetSchema
-import graft.functions.{Dedup, Multimodal, Packing, Sampling, Similarity, TextClean, TextFns}
+import graft.functions.{Dedup, Md5Prefix28, Multimodal, Packing, Sampling, Similarity, TextClean, TextFns}
 import graft.operators.{AsOfJoin, Checksum, Materializer, Pipeline, Stages, TableFilters}
 import graft.sources.{Changelog, Replay, Tables}
 
@@ -585,6 +585,18 @@ object SparkEntry {
       Materializer.scd2History(Changelog.ordersScript(s, dir), "o_orderkey",
         ordersRowSchema)),
 
+    // Point-in-time (AS OF) read over the SCD2 history: state at the
+    // changelog midpoint — pre-update keys show original rows, updated
+    // keys whose UPDATE id <= asof show the new version, deleted keys
+    // whose DELETE id <= asof are absent. Bound is data-derived (one-row
+    // broadcast), no collect.
+    "scd2_asof" -> ((s, dir) => {
+      val chg = Changelog.ordersScript(s, dir)
+      val hist = Materializer.scd2History(chg, "o_orderkey", ordersRowSchema)
+      val bound = chg.agg(floor(max(col("id")) / 2).cast("long").as("__asof"))
+      Materializer.scd2AsOf(hist, bound)
+    }),
+
     // Text normalization + PII redaction (emails/IPs/digit runs injected
     // deterministically so the redactor has real work to verify)
     "text_normalize" -> ((s, dir) => {
@@ -657,6 +669,22 @@ object SparkEntry {
     "knn_join" -> ((s, dir) =>
       Similarity.knnJoin(embeddings(s, dir), "vec_id", "embedding",
         probePct = 1, k = 3)),
+
+    // ANN quality gate: recall@5 of the multi-probe IVF index vs the
+    // exact brute-force top-5 on the SAME hash-sampled probes — the
+    // check that keeps an approximate index honest; fully deterministic,
+    // so the oracle reproduces the exact per-probe hit counts
+    "ann_recall" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val probes = emb.filter(
+        pmod(Md5Prefix28(col("vec_id").cast("string")), lit(100L)) < 1)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("__pv"))
+      val ivf = Similarity.ivfKnnJoin(emb, probes, "vec_id", "embedding",
+        "label", k = 5, nProbe = 2, dims = 64)
+      val bf = Similarity.knnJoinWith(emb, probes, "vec_id", "embedding",
+        k = 5, excludeSelf = true)
+      Similarity.recallAtK(ivf, bf)
+    }),
 
     // Deterministic train/val/test split: per-split corpus accounting
     "split_train_valtest" -> ((s, dir) =>
@@ -1267,6 +1295,27 @@ object SparkEntry {
         "o_orderpriority, id AS valid_from, valid_to, " +
         "valid_to IS NULL AS is_current FROM v WHERE action <> 'DELETE'"),
 
+    "scd2_asof" ->
+      // same history reconstruction, then the point-in-time filter at the
+      // data-derived midpoint id: valid_from <= asof < valid_to
+      ("WITH chg AS (" +
+        "SELECT o_orderkey*3 AS id, 'INSERT' AS action, o_orderkey, " +
+        "  o_custkey, o_orderstatus, o_totalprice, o_orderpriority FROM orders " +
+        "UNION ALL " +
+        "SELECT o_orderkey*3+1, 'UPDATE', o_orderkey, o_custkey, 'U', " +
+        "  o_totalprice + 1000.0, o_orderpriority FROM orders WHERE o_orderkey % 3 = 0 " +
+        "UNION ALL " +
+        "SELECT o_orderkey*3+2, 'DELETE', o_orderkey, NULL, NULL, NULL, NULL " +
+        "  FROM orders WHERE o_orderkey % 7 = 0), " +
+        "v AS (SELECT *, lead(id) OVER (PARTITION BY o_orderkey ORDER BY id) " +
+        "  AS valid_to FROM chg), " +
+        // "asof" bare is DuckDB's ASOF-join keyword — alias must differ
+        "b AS (SELECT max(id) // 2 AS asof_id FROM chg) " +
+        "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, " +
+        "o_orderpriority, id AS valid_from, valid_to " +
+        "FROM v, b WHERE action <> 'DELETE' " +
+        "AND id <= asof_id AND (valid_to IS NULL OR asof_id < valid_to)"),
+
     "text_normalize" ->
       // same injected PII, same normalize→redact pipeline; 'g' flag: DuckDB
       // regexp_replace is first-match-only by default, Spark's replaces all
@@ -1401,6 +1450,51 @@ object SparkEntry {
         "WHERE NOT isnan(cos)) " +
         "SELECT probe_id, CAST(rn AS INTEGER) AS rank, vec_id AS neighbor_id, " +
         "cos FROM r WHERE rn <= 3 ORDER BY probe_id, rank"),
+
+    "ann_recall" ->
+      // same chunked centroid quantizer as embed_ann_ivf, generalized to
+      // the hash-sampled probe batch: per-probe top-2 cells, exact top-5
+      // within them, vs the exact brute-force top-5 on the same probes
+      ("WITH x AS (SELECT label, vec_id, CAST(i AS INTEGER) - 1 AS pos, " +
+        "embedding[i]::DOUBLE AS v, " +
+        "CAST('0x' || substring(md5(vec_id::VARCHAR), 1, 7) AS BIGINT) % 1024 AS chunk " +
+        "FROM embeddings, (SELECT unnest(range(1, 65)) AS i) idx), " +
+        "p1 AS (SELECT label, pos, chunk, " +
+        "list_reduce(list_prepend(0.0, list(v ORDER BY vec_id)), (s, x) -> s + x) AS psum, " +
+        "count(*) AS n FROM x GROUP BY label, pos, chunk), " +
+        "cent AS (SELECT label, pos, " +
+        "list_reduce(list_prepend(0.0, list(psum ORDER BY chunk)), (s, x) -> s + x) " +
+        "/ CAST(sum(n) AS BIGINT) AS dim_avg FROM p1 GROUP BY label, pos), " +
+        "centers AS (SELECT label, list(dim_avg ORDER BY pos) AS c FROM cent GROUP BY label), " +
+        s"p AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings " +
+        s"WHERE ${Dedup.hash28Sql("vec_id::VARCHAR")} % 100 < 1), " +
+        "cellrank AS (SELECT probe_id, pv, label, row_number() OVER (" +
+        s"PARTITION BY probe_id ORDER BY ${cosSql("c", "pv")} DESC, label) AS rn " +
+        "FROM centers, p), " +
+        "cells AS (SELECT probe_id, pv, label FROM cellrank WHERE rn <= 2), " +
+        "iv AS (SELECT cl.probe_id, e.vec_id, " +
+        s"${cosSql("embedding", "pv")} AS cos " +
+        "FROM embeddings e JOIN cells cl ON e.label = cl.label " +
+        "WHERE e.vec_id <> cl.probe_id), " +
+        "ivr AS (SELECT probe_id, vec_id, row_number() OVER (" +
+        "PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rn FROM iv " +
+        "WHERE NOT isnan(cos)), " +
+        "bs AS (SELECT probe_id, vec_id, " +
+        s"${cosSql("embedding", "pv")} AS cos " +
+        "FROM embeddings, p WHERE vec_id <> probe_id), " +
+        "bfr AS (SELECT probe_id, vec_id, row_number() OVER (" +
+        "PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rn FROM bs " +
+        "WHERE NOT isnan(cos)), " +
+        "bfk AS (SELECT probe_id, vec_id FROM bfr WHERE rn <= 5), " +
+        "ivk AS (SELECT probe_id, vec_id FROM ivr WHERE rn <= 5), " +
+        "ne AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_exact " +
+        "FROM bfk GROUP BY probe_id), " +
+        "h AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_hit " +
+        "FROM bfk JOIN ivk USING (probe_id, vec_id) GROUP BY probe_id) " +
+        "SELECT ne.probe_id, ne.n_exact, " +
+        "CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit, " +
+        "CAST(coalesce(h.n_hit, 0) AS DOUBLE) / ne.n_exact AS recall " +
+        "FROM ne LEFT JOIN h USING (probe_id) ORDER BY probe_id"),
 
     "split_train_valtest" ->
       (s"WITH s AS (SELECT doc_id, length(text) AS len, " +

@@ -194,6 +194,86 @@ object Similarity {
   }
 
   /**
+   * Multi-probe IVF ANN join — [[ivfTopK]] generalized to a probe BATCH
+   * (probe_id, __pv), the form a retrieval workload runs: for every probe,
+   * rank the per-label cell centers by exact cosine, scan only its
+   * `nProbe` nearest cells, return the exact top-k within them via the
+   * bounded [[TopKAgg]].
+   *
+   * Scale shape: centers (labels × dims) and probes both broadcast; cell
+   * ranking happens on their product — (labels × probes) rows, tiny — and
+   * the corpus is scanned ONCE, each row joining only the probes that
+   * probed its cell (a broadcast-hash join on the label). No corpus
+   * shuffle, no per-group sort; NaN cosines (zero-norm vectors) are
+   * excluded by TopKAgg's total order like every kNN path here.
+   *
+   * Returns (probe_id, rank, neighbor_id, cos) — self-matches excluded
+   * (probes are corpus rows in this form).
+   */
+  def ivfKnnJoin(df: DataFrame, probes: DataFrame, idCol: String,
+                 vecCol: String, labelCol: String, k: Int, nProbe: Int = 2,
+                 dims: Int = 64): DataFrame = {
+    TopKAgg.requireIntegralId(df, idCol, "ivfKnnJoin")
+    val centers = centroidComponents(df, labelCol, idCol, vecCol, dims)
+      .groupBy(col(labelCol))
+      .agg(sort_array(collect_list(struct(col("pos"), col("dim_avg"))))
+        .as("ps"))
+      .select(col(labelCol).as("__cell"),
+        transform(col("ps"), p => p.getField("dim_avg")).as("__center"))
+    // nProbe nearest cells PER PROBE: a window over the broadcast-tiny
+    // centers × probes product (deterministic tiebreak on the cell label)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("__ccos").desc, col("__cell"))
+    val probedCells = broadcast(
+      centers.crossJoin(broadcast(probes))
+        .select(col("probe_id"), col("__pv"), col("__cell"),
+          (dot(col("__center"), col("__pv")) /
+            (norm(col("__center")) * norm(col("__pv")))).as("__ccos"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= nProbe)
+        .select(col("probe_id"), col("__pv"), col("__cell")))
+    df.join(probedCells, df(labelCol) === probedCells("__cell"))
+      .filter(col(idCol) =!= col("probe_id"))
+      .select(col("probe_id"), col(idCol),
+        cosine(col(vecCol), col("__pv")).as("cos"))
+      .groupBy(col("probe_id"))
+      .agg(TopKAgg(col("cos"), col(idCol).cast("long"), k).as("__top"))
+      .select(col("probe_id"), posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("probe_id"),
+        (col("__pos") + 1).cast("int").as("rank"),
+        col("__e.id").as("neighbor_id"),
+        col("__e.score").as("cos"))
+  }
+
+  /**
+   * Recall@k of an ANN result against the exact brute-force result on the
+   * same probes — the quality gate every approximate index needs before a
+   * corpus-scale rollout (an ANN path that silently returns the wrong
+   * neighbors looks identical to a healthy one in throughput metrics).
+   * Both inputs are (probe_id, neighbor_id, …) frames; output is one row
+   * per probe: (probe_id, n_exact, n_hit, recall). Probes the exact path
+   * scored but the ANN missed entirely still get a row (recall 0).
+   */
+  def recallAtK(ann: DataFrame, exact: DataFrame): DataFrame = {
+    // `exact` feeds both the hit join and the per-probe denominator; it is
+    // a full corpus scan upstream, so materialize it once (no cross-branch
+    // CSE in Spark). Result is probes × k rows — tiny.
+    val ex = exact.localCheckpoint(false)
+    val hits = ex.select(col("probe_id"), col("neighbor_id"))
+      .join(ann.select(col("probe_id"), col("neighbor_id")),
+        Seq("probe_id", "neighbor_id"), "left_semi")
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hit"))
+    ex.groupBy(col("probe_id"))
+      .agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_exact")).as("recall"))
+  }
+
+  /**
    * Symmetric per-vector int8 quantization (the storage/bandwidth path for
    * embedding corpora): scale = max|x|/127, q_i = floor(x_i/scale + 0.5)
    * clamped to [-127, 127]. floor(+0.5) instead of round() because engines

@@ -286,6 +286,20 @@ object Materializer {
         col("__valid_to").isNull.as("is_current")): _*)
   }
 
+  /**
+   * Point-in-time read over a [[scd2History]] frame: the version of each
+   * key visible AT changeset id `asof` — `valid_from <= asof < valid_to`
+   * (open intervals qualify). `asofBound` is a one-row frame with a
+   * single `__asof` column so the bound may be data-derived (e.g. the
+   * stream midpoint) without a driver-side collect; it broadcasts, the
+   * history never shuffles for the selection.
+   */
+  def scd2AsOf(history: DataFrame, asofBound: DataFrame): DataFrame =
+    history.crossJoin(broadcast(asofBound))
+      .filter(col("valid_from") <= col("__asof") &&
+        (col("valid_to").isNull || col("__asof") < col("valid_to")))
+      .drop("__asof", "is_current")
+
   /** Per-table spec for [[materializeAll]]. */
   case class TableSpec(pkCol: String, rowSchema: StructType)
 

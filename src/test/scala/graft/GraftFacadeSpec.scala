@@ -67,4 +67,34 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(got.select("schema_name").distinct().collect()
       .map(_.getString(0)).toSeq == Seq("public"))
   }
+
+  test("CLI flags override env config; unset flags keep env values") {
+    // env-derived base (injected map, not real env)
+    val envCfg = GraftConfig.fromEnv(Map(
+      "GRAFT_MODE" -> "audit",
+      "GRAFT_START_FROM_ID" -> "100",
+      "GRAFT_WHITELIST_TABLES" -> "public.users",
+      "GRAFT_LOG_LEVEL" -> "info"))
+    val (cfg, pos) = Main.applyFlags(envCfg, Seq(
+      "/tmp/changelog", "--once",
+      "--start-from-id", "250",
+      "--ignore-tables", "app.secrets,app.keys",
+      "--log-level", "warn"))
+    assert(pos == Seq("/tmp/changelog")) // --once is not a positional
+    assert(cfg.startFromId.contains(250L), "flag wins over env")
+    assert(cfg.ignoreTables == Seq("app.secrets", "app.keys"))
+    assert(cfg.logLevel == "warn")
+    assert(cfg.mode == "audit" && cfg.whitelistTables == Seq("public.users"),
+      "unset flags keep env values")
+
+    // --start-from-lsn selects LR mode and validates the token
+    val (lr, _) = Main.applyFlags(envCfg, Seq("d", "--start-from-lsn", "0/1A2B3C4D"))
+    assert(lr.mode == "lr" && lr.startFromLsn.isDefined)
+    intercept[IllegalArgumentException] {
+      Main.applyFlags(envCfg, Seq("d", "--mode", "bogus"))
+    }
+    intercept[RuntimeException] {
+      Main.applyFlags(envCfg, Seq("d", "--no-such-flag", "x"))
+    }
+  }
 }

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Similarity
+import graft.operators.Materializer
+import org.apache.spark.sql.types._
+
+/** Round-5 operators: multi-probe IVF kNN join, ANN recall@k, SCD2
+  * point-in-time reads, TopKAgg id-type guard. */
+class Round5OpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  // two well-separated cells on axis 0/1 plus a far "decoy" cell on axis 2;
+  // 4 dims keep the arithmetic readable
+  private def corpus = {
+    import spark.implicits._
+    Seq(
+      (0L, "a", Array(1.0f, 0.1f, 0.0f, 0.0f)),
+      (1L, "a", Array(1.0f, 0.2f, 0.0f, 0.0f)),
+      (2L, "a", Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (3L, "b", Array(0.1f, 1.0f, 0.0f, 0.0f)),
+      (4L, "b", Array(0.2f, 1.0f, 0.0f, 0.0f)),
+      (5L, "c", Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (6L, "c", Array(0.0f, 0.0f, 0.9f, 0.1f))
+    ).toDF("vec_id", "label", "embedding")
+  }
+
+  test("ivfKnnJoin searches only each probe's nProbe nearest cells") {
+    import spark.implicits._
+    val probes = Seq((0L, Array(1.0f, 0.1f, 0.0f, 0.0f)))
+      .toDF("probe_id", "__pv")
+    val got = Similarity.ivfKnnJoin(corpus, probes, "vec_id", "embedding",
+      "label", k = 10, nProbe = 2, dims = 4)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toList
+    // nProbe=2 for an a-axis probe → cells a and b searched, cell c never:
+    // ids 5,6 must be absent even with k larger than all candidates
+    val ids = got.map(_._2)
+    assert(!ids.contains(5L) && !ids.contains(6L), "unprobed cell leaked in")
+    assert(!ids.contains(0L), "self-match must be excluded")
+    assert(ids.toSet == Set(1L, 2L, 3L, 4L))
+    // ranks are contiguous from 1 in cosine order
+    assert(got.map(_._1) == (1 to ids.length).toList)
+    assert(got.take(2).map(_._2).toSet == Set(1L, 2L),
+      "own-cell neighbors rank above the other cell's")
+  }
+
+  test("recallAtK: per-probe hit counts, ANN-missed probes score 0") {
+    import spark.implicits._
+    val exact = Seq(
+      (10L, 100L), (10L, 101L), (10L, 102L), // probe 10: 3 exact
+      (20L, 200L), (20L, 201L))              // probe 20: 2 exact
+      .toDF("probe_id", "neighbor_id")
+    val ann = Seq(
+      (10L, 101L), (10L, 999L), (10L, 102L)) // hits 2 of 3; probe 20 absent
+      .toDF("probe_id", "neighbor_id")
+    val got = Similarity.recallAtK(ann, exact)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(10L) == ((3L, 2L, 2.0 / 3.0)))
+    assert(got(20L) == ((2L, 0L, 0.0)), "missed probe still gets a row")
+  }
+
+  test("IVF recall of a separable corpus is perfect for in-cell probes") {
+    import spark.implicits._
+    val probes = Seq(
+      (0L, Array(1.0f, 0.1f, 0.0f, 0.0f)),
+      (5L, Array(0.0f, 0.0f, 1.0f, 0.0f))).toDF("probe_id", "__pv")
+    val ivf = Similarity.ivfKnnJoin(corpus, probes, "vec_id", "embedding",
+      "label", k = 2, nProbe = 2, dims = 4)
+    val bf = Similarity.knnJoinWith(corpus, probes, "vec_id", "embedding",
+      k = 2, excludeSelf = true)
+    val rec = Similarity.recallAtK(ivf, bf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(rec == Map(0L -> 1.0, 5L -> 1.0))
+  }
+
+  test("scd2AsOf: state at a mid-stream changeset id") {
+    import spark.implicits._
+    // key 1: INSERT(id 10) → UPDATE(id 40); key 2: INSERT(20) → DELETE(50);
+    // key 3: INSERT(60) after the bound
+    val chg = Seq(
+      (10L, "INSERT", """{"k":1,"v":"a"}"""),
+      (20L, "INSERT", """{"k":2,"v":"b"}"""),
+      (40L, "UPDATE", """{"k":1,"v":"a2"}"""),
+      (50L, "DELETE", null.asInstanceOf[String]),
+      (60L, "INSERT", """{"k":3,"v":"c"}"""))
+      .toDF("id", "action", "new_values")
+      .withColumn("old_values",
+        when(col("action") === "DELETE", lit("""{"k":2}"""))
+          .otherwise(lit(null).cast("string")))
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType)))
+    val hist = Materializer.scd2History(chg, "k", schema)
+    def stateAt(id: Long) = {
+      val bound = spark.range(1).select(lit(id).as("__asof"))
+      Materializer.scd2AsOf(hist, bound)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    assert(stateAt(30L) == Map(1L -> "a", 2L -> "b"), "pre-update versions")
+    assert(stateAt(45L) == Map(1L -> "a2", 2L -> "b"), "update visible")
+    assert(stateAt(55L) == Map(1L -> "a2"), "delete closes key 2's interval")
+    assert(stateAt(60L) == Map(1L -> "a2", 3L -> "c"), "late insert appears")
+  }
+
+  test("integral-id guard fails loudly on string ids") {
+    import spark.implicits._
+    val strIds = corpus.withColumn("vec_id", col("vec_id").cast("string"))
+    val probes = Seq((0L, Array(1.0f, 0.1f, 0.0f, 0.0f)))
+      .toDF("probe_id", "__pv")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.knnJoinWith(strIds, probes, "vec_id", "embedding", 2)
+    }
+    assert(ex.getMessage.contains("integral"))
+  }
+}

@@ -622,6 +622,25 @@ object SparkEntry {
       Sampling.stratifiedCap(documents(s, dir), col("lang"), col("doc_id"), 30)
         .select(col("doc_id"), col("lang"))),
 
+    // Corpus mixing: rebalance the language mix to target proportions by
+    // deterministic down-sampling (bottleneck language kept whole, pure
+    // integer acceptance test — engine-exact); es intentionally unlisted
+    // → dropped
+    "corpus_mix" -> ((s, dir) =>
+      Sampling.mixToProportions(documents(s, dir), col("lang"), col("doc_id"),
+        Map("en" -> 20L, "de" -> 30L, "fr" -> 30L, "zh" -> 20L))
+        .select(col("doc_id"), col("lang"))),
+
+    // Weighted upsampling: en 0.5×, zh 2.3×, rest 1× — integral copies
+    // plus a hash-decided fractional copy, copy_idx emitted
+    "corpus_upsample" -> ((s, dir) =>
+      Sampling.upsampleByWeight(
+        documents(s, dir).select(col("doc_id"), col("lang")),
+        col("doc_id"),
+        when(col("lang") === "en", 500)
+          .when(col("lang") === "zh", 2300)
+          .otherwise(1000))),
+
     // Int8-quantized ANN: integer-dot candidate rank + exact rescore
     "embed_topk_quantized" -> ((s, dir) =>
       Similarity.quantizedTopK(embeddings(s, dir), "vec_id", "embedding",
@@ -1340,6 +1359,31 @@ object SparkEntry {
       ("SELECT doc_id, lang FROM (SELECT doc_id, lang, row_number() OVER (" +
         s"PARTITION BY lang ORDER BY ${Dedup.hash28Sql("doc_id::VARCHAR")}, doc_id" +
         ") AS rn FROM documents) t WHERE rn <= 30"),
+
+    "corpus_mix" ->
+      // same targets, same counts, same bottleneck row, same pure-integer
+      // acceptance test — no floating-point rate on either engine
+      ("WITH t(lang, p) AS (VALUES ('en', 20), ('de', 30), ('fr', 30), ('zh', 20)), " +
+        "c AS (SELECT d.lang, CAST(count(*) AS BIGINT) AS c, " +
+        "CAST(any_value(p) AS BIGINT) AS p " +
+        "FROM documents d JOIN t USING (lang) GROUP BY d.lang), " +
+        "star AS (SELECT c AS cstar, p AS pstar FROM c " +
+        "ORDER BY CAST(p AS DOUBLE)/c DESC, lang LIMIT 1) " +
+        "SELECT d.doc_id, d.lang FROM documents d JOIN c ON d.lang = c.lang, star " +
+        s"WHERE (${Dedup.hash28Sql("doc_id::VARCHAR")} % 10000) * c.c * star.pstar " +
+        "< c.p * star.cstar * 10000"),
+
+    "corpus_upsample" ->
+      // same permille weights; n = w//1000 + hash-decided fractional copy;
+      // unnest(range(n)) emits copy_idx 0..n-1 (empty list → row dropped)
+      ("WITH w AS (SELECT doc_id, lang, " +
+        "CASE WHEN lang = 'en' THEN 500 WHEN lang = 'zh' THEN 2300 " +
+        "ELSE 1000 END AS w, " +
+        s"${Dedup.hash28Sql("doc_id::VARCHAR")} % 1000 AS hslot FROM documents), " +
+        "n AS (SELECT doc_id, lang, w // 1000 + " +
+        "CASE WHEN hslot < w % 1000 THEN 1 ELSE 0 END AS n FROM w) " +
+        "SELECT doc_id, lang, CAST(unnest(range(n)) AS BIGINT) AS copy_idx " +
+        "FROM n"),
 
     "embed_topk_quantized" ->
       // identical quantizer (floor(+0.5), clamp ±127), integer candidate

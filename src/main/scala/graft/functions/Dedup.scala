@@ -500,15 +500,29 @@ object Dedup {
   /** [[decontaminate]] with an explicit benchmark corpus — the production
     * form: the eval suites live in their own table, not a sample of the
     * training corpus. Same broadcast shingle-universe shape. */
+  /** The distinct 28-bit shingle-hash universe of a (benchmark) corpus —
+    * the broadcast side of decontamination. Small by construction: eval
+    * suites are fixed-size regardless of corpus scale. */
+  def shingleUniverse(bench: DataFrame, textCol: String): DataFrame =
+    bench.select(explode(TextFns.shingles(col(textCol))).as("s"))
+      .select(hash28(col("s")).as("h")).distinct()
+
   def decontaminateAgainst(train: DataFrame, bench: DataFrame, idCol: String,
                            textCol: String,
-                           maxOverlapFrac: Double = 0.5): DataFrame = {
-    def hashed(d: DataFrame) = d
+                           maxOverlapFrac: Double = 0.5): DataFrame =
+    decontaminateAgainstUniverse(train, shingleUniverse(bench, textCol),
+      idCol, textCol, maxOverlapFrac)
+
+  /** [[decontaminateAgainst]] with a PRE-HASHED universe (column `h`) — the
+    * form a streaming pass reuses across epochs without re-shingling the
+    * benchmark every micro-batch. */
+  def decontaminateAgainstUniverse(train: DataFrame, universe: DataFrame,
+                                   idCol: String, textCol: String,
+                                   maxOverlapFrac: Double = 0.5): DataFrame = {
+    val benchH = broadcast(universe.select(col("h")).withColumn("__hit", lit(1)))
+    train
       .select(col(idCol), explode(TextFns.shingles(col(textCol))).as("s"))
       .select(col(idCol), hash28(col("s")).as("h"))
-    val benchH = broadcast(hashed(bench).select(col("h")).distinct()
-      .withColumn("__hit", lit(1)))
-    hashed(train)
       .join(benchH, Seq("h"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shingles"),

@@ -66,4 +66,78 @@ object Sampling {
       .when(s < trainPct + valPct, "val")
       .otherwise("test")
   }
+
+  /** Resolution of the mixing/upsampling hash slots: rates are honored to
+    * 1/MixM. Kept modest so every acceptance test stays in exact LONG
+    * arithmetic — with weights ≤ 1000 the products below stay inside
+    * 2^63 up to ~9×10^11 rows per domain. */
+  val MixM = 10000L
+
+  /**
+   * Corpus mixing: deterministically DOWN-sample each domain so the
+   * output follows the target proportions — the "data mixture" step of a
+   * training pipeline (e.g. rebalance a web-heavy crawl to a prescribed
+   * web/wiki/code split). Weights are relative integers (e.g.
+   * en→50, de→25, fr→25); domains absent from `targets` are dropped.
+   *
+   * The bottleneck domain — the one with the least data relative to its
+   * target — is kept whole (rate 1), every other domain down-samples to
+   * match; no row is ever duplicated (see [[upsampleByWeight]] for the
+   * >1× direction). Selection is by key hash: reproducible across
+   * engines/layouts, and a pure integer comparison —
+   * `(h % M) · c_d · p* < p_d · c* · M` — so both engines agree exactly
+   * (no floating-point rate).
+   *
+   * Scale shape: one tiny per-domain count aggregate; the bottleneck row
+   * and the per-domain counts broadcast back; the corpus itself is a
+   * single scan + filter, no shuffle.
+   */
+  def mixToProportions(df: DataFrame, domainCol: Column, keyCol: Column,
+                       targets: Map[String, Long]): DataFrame = {
+    require(targets.nonEmpty, "empty target mix")
+    require(targets.values.forall(w => w > 0 && w <= 1000),
+      "weights must be in 1..1000 (relative proportions)")
+    val pOf = element_at(typedLit(targets), domainCol.cast("string"))
+    val counts = df.filter(pOf.isNotNull)
+      .groupBy(domainCol.cast("string").as("__dom"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__p", element_at(typedLit(targets), col("__dom")))
+    // the bottleneck domain: max p/c — deterministic tiebreak on name
+    val star = counts
+      .orderBy((col("__p").cast("double") / col("__c")).desc, col("__dom"))
+      .limit(1)
+      .select(col("__c").as("__cstar"), col("__p").as("__pstar"))
+    df.join(broadcast(counts), domainCol.cast("string") === col("__dom"))
+      .crossJoin(broadcast(star))
+      .filter(
+        pmod(Md5Prefix28(keyCol.cast("string")), lit(MixM)) *
+          col("__c") * col("__pstar") <
+          col("__p") * col("__cstar") * lit(MixM))
+      .drop("__dom", "__c", "__p", "__cstar", "__pstar")
+  }
+
+  /**
+   * Deterministic weighted UP-sampling: replicate each row
+   * `weightPermille/1000` times — integral copies always, plus one more
+   * with probability (weight mod 1000)/1000 decided by the key hash
+   * (e.g. 2500 ≙ 2.5×: two copies, half the keys get a third). The
+   * multi-epoch/mixture-weights counterpart of [[mixToProportions]]'
+   * down-only sampling; together they realize an arbitrary target mix.
+   *
+   * Emits `copy_idx` (0-based) so downstream shuffles/splits can tell
+   * copies apart. Integer weights keep the fractional test exact on both
+   * engines. Pure map + generate — no shuffle; rows with 0 copies drop.
+   */
+  def upsampleByWeight(df: DataFrame, keyCol: Column,
+                       weightPermille: Column): DataFrame = {
+    val w = weightPermille.cast("long")
+    val extra = (pmod(Md5Prefix28(keyCol.cast("string")), lit(1000L)) <
+      pmod(w, lit(1000L))).cast("long")
+    val n = (w / 1000).cast("long") + extra
+    df.withColumn("__n", n)
+      .withColumn("copy_idx",
+        explode(when(col("__n") > 0, sequence(lit(0L), col("__n") - 1))
+          .otherwise(array())))
+      .drop("__n")
+  }
 }

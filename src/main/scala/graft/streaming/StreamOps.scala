@@ -30,6 +30,43 @@ object StreamOps {
   def dedupBatch(cs: DataFrame): DataFrame = cs.dropDuplicates("id")
 
   /**
+   * Streaming benchmark decontamination — the ingest-time form of
+   * [[graft.functions.Dedup.decontaminateAgainst]]: every arriving
+   * training document is scored against the (fixed) benchmark shingle
+   * universe, and only clean docs are admitted to `outPath`.
+   *
+   * The universe is hashed ONCE up front (eagerly checkpointed — eval
+   * suites are fixed-size, so this is a tiny broadcast table reused by
+   * every micro-batch, never re-shingled). Writes are epoch-idempotent:
+   * each batch lands in a `batch=<epoch>` partition with overwrite, so a
+   * crash-replayed batch rewrites its own output instead of duplicating
+   * it — the same recovery contract as [[nearDupDedupTo]].
+   *
+   * Docs with no shingles (< 3 words) have nothing to test overlap on
+   * and are NOT admitted, matching the batch operator's domain.
+   */
+  def decontaminateTo(docs: DataFrame, bench: DataFrame, outPath: String,
+                      checkpoint: String, idCol: String, textCol: String,
+                      maxOverlapFrac: Double = 0.5,
+                      availableNow: Boolean = true): StreamingQuery = {
+    val universe = Dedup.shingleUniverse(bench, textCol)
+      .localCheckpoint() // eager: materialize before the stream starts
+    val writer = docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val clean = Dedup.decontaminateAgainstUniverse(
+          batch, universe, idCol, textCol, maxOverlapFrac)
+          .filter(!col("contaminated"))
+          .select(col(idCol))
+        batch.join(clean, Seq(idCol), "left_semi")
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        ()
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
+  /**
    * Streaming near-duplicate dedup at the ingest edge — the online form of
    * [[graft.functions.Dedup.nearDupClusters]]: admit a document iff it is
    * not a near-dup of anything already admitted.

@@ -104,6 +104,76 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(stateAt(60L) == Map(1L -> "a2", 3L -> "c"), "late insert appears")
   }
 
+  test("mixToProportions: bottleneck kept whole, others downsample, unlisted drop") {
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+    val targets = Map("en" -> 20L, "de" -> 30L, "fr" -> 30L, "zh" -> 20L)
+    val before = docs.groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val after = graft.functions.Sampling
+      .mixToProportions(docs, col("lang"), col("doc_id"), targets)
+      .groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!after.contains("es"), "unlisted domain must drop")
+    // the bottleneck domain (max target/count) survives whole
+    val star = targets.keys.maxBy(d => targets(d).toDouble / before(d))
+    assert(after(star) == before(star), s"bottleneck $star must be kept whole")
+    // achieved mix tracks the target ratios (hash granularity ±, small N)
+    val total = after.values.sum.toDouble
+    targets.foreach { case (d, p) =>
+      val want = p.toDouble / targets.values.sum
+      val got = after.getOrElse(d, 0L) / total
+      assert(math.abs(got - want) < 0.12, s"$d: got $got want $want")
+    }
+    // determinism: same input → identical selected set
+    val a = graft.functions.Sampling
+      .mixToProportions(docs, col("lang"), col("doc_id"), targets)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = graft.functions.Sampling
+      .mixToProportions(docs.repartition(13), col("lang"), col("doc_id"), targets)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "selection must be layout-independent")
+  }
+
+  test("upsampleByWeight: integral copies exact, fractional hash-decided") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i => (i, "x")).toDF("id", "v")
+    def copies(permille: Int) = graft.functions.Sampling
+      .upsampleByWeight(df, col("id"), lit(permille))
+      .groupBy(col("id")).agg(count(lit(1)).as("n"),
+        sort_array(collect_list(col("copy_idx"))).as("idx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Long](2).toList)).toList
+    assert(copies(2000).forall { case (_, n, idx) =>
+      n == 2 && idx == List(0L, 1L) }, "2.0x = exactly two copies")
+    assert(copies(0).isEmpty, "0x drops every row")
+    val frac = copies(2500)
+    assert(frac.forall { case (_, n, idx) =>
+      (n == 2L || n == 3L) && idx == (0L until n).toList })
+    val mean = frac.map(_._2).sum.toDouble / 200
+    assert(mean > 2.2 && mean < 2.8, s"2.5x mean copies ~2.5, got $mean")
+  }
+
+  test("streaming decontamination admits only clean, shingled docs") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-decon").toString
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // contaminated
+      (2L, "completely different words in this document here"), // clean
+      (3L, "too short")) // < 3 words: no shingles, not admitted
+      .toDF("doc_id", "text")
+      .write.parquet(s"$tmp/in")
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(s"$tmp/in")
+    val q = graft.streaming.StreamOps.decontaminateTo(
+      stream, bench, s"$tmp/out", s"$tmp/ckpt", "doc_id", "text")
+    q.awaitTermination()
+    val admitted = spark.read.parquet(s"$tmp/out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(2L))
+  }
+
   test("integral-id guard fails loudly on string ids") {
     import spark.implicits._
     val strIds = corpus.withColumn("vec_id", col("vec_id").cast("string"))

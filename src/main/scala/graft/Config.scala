@@ -20,6 +20,9 @@ object GraftConfig {
   private val LogLevels =
     Set("trace", "debug", "info", "warn", "error", "fatal", "panic")
 
+  /** Shared with the CLI flag path so flag and env validation agree. */
+  def validLogLevel(l: String): Boolean = LogLevels(l)
+
   /** Parse from an environment map (injectable for tests). */
   def fromEnv(env: Map[String, String] = sys.env): GraftConfig = {
     def get(k: String) = env.get(Prefix + k).map(_.trim).filter(_.nonEmpty)

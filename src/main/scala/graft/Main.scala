@@ -34,11 +34,18 @@ object Main {
       case Nil => (c, pos.reverse)
       case flag :: tail if flag.startsWith("--") && flag != "--once" =>
         tail match {
+          // a flag in the value position means the value was omitted —
+          // fail instead of silently consuming the next flag as a value
+          // (e.g. `--whitelist-tables --log-level warn` capturing zero
+          // tables while "warn" becomes a stray positional)
+          case v :: _ if v.startsWith("--") =>
+            sys.error(s"$flag requires a value, got flag '$v'")
           case v :: t2 =>
             val next = flag match {
               case "--mode" | "--replication-mode" =>
-                require(Set("lr", "audit")(v), s"unknown mode '$v' (lr|audit)")
-                c.copy(mode = v)
+                val m = v.toLowerCase
+                require(Set("lr", "audit")(m), s"unknown mode '$v' (lr|audit)")
+                c.copy(mode = m)
               case "--start-from-lsn" =>
                 // selects LR mode like Graft.startFromLsn — the LSN resume
                 // point only governs logical-replication streams
@@ -50,7 +57,13 @@ object Main {
               case "--start-from-ts" => c.copy(startFromTs = Some(v))
               case "--whitelist-tables" => c.copy(whitelistTables = list(v))
               case "--ignore-tables" => c.copy(ignoreTables = list(v))
-              case "--log-level" => c.copy(logLevel = v.toLowerCase)
+              case "--log-level" =>
+                // same validation the env path applies (Config.scala) —
+                // but loud, per the flag contract, not a silent fallback
+                val l = v.toLowerCase
+                require(GraftConfig.validLogLevel(l),
+                  s"unknown log level '$v'")
+                c.copy(logLevel = l)
               case other => sys.error(s"unknown flag: $other")
             }
             go(t2, next, pos)

@@ -576,8 +576,12 @@ object SparkEntry {
         .agg(approx_count_distinct(col("user_id")).as("__approx"),
           countDistinct(col("user_id")).as("exact_users"))
         .select(col("event_type"), col("exact_users"),
-          (abs(col("__approx") - col("exact_users")).cast("double") /
-            col("exact_users") <= 0.15).as("within_bound"))
+          // === 0 guard: a group of all-NULL user_ids has exact 0 and the
+          // division would yield NULL, not true — the oracle emits literal
+          // true for every group, so the flag must be total
+          (col("exact_users") === 0 ||
+            abs(col("__approx") - col("exact_users")).cast("double") /
+              col("exact_users") <= 0.15).as("within_bound"))
         ),
 
     // SCD Type-2 history over the changelog: validity intervals per key

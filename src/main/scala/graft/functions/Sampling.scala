@@ -98,10 +98,14 @@ object Sampling {
     require(targets.values.forall(w => w > 0 && w <= 1000),
       "weights must be in 1..1000 (relative proportions)")
     val pOf = element_at(typedLit(targets), domainCol.cast("string"))
+    // counts feeds BOTH the broadcast join and the bottleneck row — no
+    // cross-branch CSE in Spark, so materialize the (tiny) aggregate once
+    // instead of re-running the corpus scan for each branch
     val counts = df.filter(pOf.isNotNull)
       .groupBy(domainCol.cast("string").as("__dom"))
       .agg(count(lit(1)).as("__c"))
       .withColumn("__p", element_at(typedLit(targets), col("__dom")))
+      .localCheckpoint(false)
     // the bottleneck domain: max p/c — deterministic tiebreak on name
     val star = counts
       .orderBy((col("__p").cast("double") / col("__c")).desc, col("__dom"))
@@ -130,7 +134,10 @@ object Sampling {
    */
   def upsampleByWeight(df: DataFrame, keyCol: Column,
                        weightPermille: Column): DataFrame = {
-    val w = weightPermille.cast("long")
+    // clamp at 0: a computed weight dipping negative must DROP the row
+    // (like the oracle's floor division does), not emit hash-decided
+    // copies via truncation-toward-zero + a positive pmod remainder
+    val w = greatest(weightPermille.cast("long"), lit(0L))
     val extra = (pmod(Md5Prefix28(keyCol.cast("string")), lit(1000L)) <
       pmod(w, lit(1000L))).cast("long")
     val n = (w / 1000).cast("long") + extra

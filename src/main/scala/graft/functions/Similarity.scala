@@ -165,13 +165,7 @@ object Similarity {
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, labelCol: String,
               probeId: Long, k: Int, nProbe: Int = 2,
               dims: Int = 64): DataFrame = {
-    // cell centers as ordered arrays (label, array<double>)
-    val centers = centroidComponents(df, labelCol, idCol, vecCol, dims)
-      .groupBy(col(labelCol))
-      .agg(sort_array(collect_list(struct(col("pos"), col("dim_avg"))))
-        .as("ps"))
-      .select(col(labelCol).as("__cell"),
-        transform(col("ps"), p => p.getField("dim_avg")).as("__center"))
+    val centers = cellCenters(df, labelCol, idCol, vecCol, dims)
     val probe = broadcast(
       df.filter(col(idCol) === probeId)
         .select(col(vecCol).as("__probe")))
@@ -214,12 +208,7 @@ object Similarity {
                  vecCol: String, labelCol: String, k: Int, nProbe: Int = 2,
                  dims: Int = 64): DataFrame = {
     TopKAgg.requireIntegralId(df, idCol, "ivfKnnJoin")
-    val centers = centroidComponents(df, labelCol, idCol, vecCol, dims)
-      .groupBy(col(labelCol))
-      .agg(sort_array(collect_list(struct(col("pos"), col("dim_avg"))))
-        .as("ps"))
-      .select(col(labelCol).as("__cell"),
-        transform(col("ps"), p => p.getField("dim_avg")).as("__center"))
+    val centers = cellCenters(df, labelCol, idCol, vecCol, dims)
     // nProbe nearest cells PER PROBE: a window over the broadcast-tiny
     // centers × probes product (deterministic tiebreak on the cell label)
     val w = org.apache.spark.sql.expressions.Window
@@ -233,18 +222,37 @@ object Similarity {
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") <= nProbe)
         .select(col("probe_id"), col("__pv"), col("__cell")))
-    df.join(probedCells, df(labelCol) === probedCells("__cell"))
-      .filter(col(idCol) =!= col("probe_id"))
-      .select(col("probe_id"), col(idCol),
-        cosine(col(vecCol), col("__pv")).as("cos"))
-      .groupBy(col("probe_id"))
+    emitTopK(
+      df.join(probedCells, df(labelCol) === probedCells("__cell"))
+        .filter(col(idCol) =!= col("probe_id"))
+        .select(col("probe_id"), col(idCol),
+          cosine(col(vecCol), col("__pv")).as("cos")),
+      idCol, k)
+  }
+
+  /** Per-label IVF cell centers as ordered arrays (__cell, __center) —
+    * shared by [[ivfTopK]] and [[ivfKnnJoin]] so the (oracle-mirrored)
+    * centroid bracketing exists exactly once. */
+  private def cellCenters(df: DataFrame, labelCol: String, idCol: String,
+                          vecCol: String, dims: Int): DataFrame =
+    centroidComponents(df, labelCol, idCol, vecCol, dims)
+      .groupBy(col(labelCol))
+      .agg(sort_array(collect_list(struct(col("pos"), col("dim_avg"))))
+        .as("ps"))
+      .select(col(labelCol).as("__cell"),
+        transform(col("ps"), p => p.getField("dim_avg")).as("__center"))
+
+  /** (probe_id, idCol, cos) rows → (probe_id, rank, neighbor_id, cos) via
+    * the bounded [[TopKAgg]] — the one place the (cos DESC, id ASC)
+    * emission/tie-break policy lives. */
+  private def emitTopK(scored: DataFrame, idCol: String, k: Int): DataFrame =
+    scored.groupBy(col("probe_id"))
       .agg(TopKAgg(col("cos"), col(idCol).cast("long"), k).as("__top"))
       .select(col("probe_id"), posexplode(col("__top")).as(Seq("__pos", "__e")))
       .select(col("probe_id"),
         (col("__pos") + 1).cast("int").as("rank"),
         col("__e.id").as("neighbor_id"),
         col("__e.score").as("cos"))
-  }
 
   /**
    * Recall@k of an ANN result against the exact brute-force result on the
@@ -369,17 +377,12 @@ object Similarity {
                   vecCol: String, k: Int,
                   excludeSelf: Boolean = false): DataFrame = {
     TopKAgg.requireIntegralId(df, idCol, "knnJoinWith")
-    df.join(broadcast(probes),
-      if (excludeSelf) col(idCol) =!= col("probe_id") else lit(true))
-      .select(col("probe_id"), col(idCol),
-        cosine(col(vecCol), col("__pv")).as("cos"))
-      .groupBy(col("probe_id"))
-      .agg(TopKAgg(col("cos"), col(idCol).cast("long"), k).as("__top"))
-      .select(col("probe_id"), posexplode(col("__top")).as(Seq("__pos", "__e")))
-      .select(col("probe_id"),
-        (col("__pos") + 1).cast("int").as("rank"),
-        col("__e.id").as("neighbor_id"),
-        col("__e.score").as("cos"))
+    emitTopK(
+      df.join(broadcast(probes),
+        if (excludeSelf) col(idCol) =!= col("probe_id") else lit(true))
+        .select(col("probe_id"), col(idCol),
+          cosine(col(vecCol), col("__pv")).as("cos")),
+      idCol, k)
   }
 
   /**

@@ -53,14 +53,18 @@ object StreamOps {
       .localCheckpoint() // eager: materialize before the stream starts
     val writer = docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val clean = Dedup.decontaminateAgainstUniverse(
-          batch, universe, idCol, textCol, maxOverlapFrac)
-          .filter(!col("contaminated"))
-          .select(col(idCol))
-        batch.join(clean, Seq(idCol), "left_semi")
-          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
-        ()
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        // the batch feeds the scoring pass AND the output semi-join —
+        // cache for the epoch so the source isn't read twice
+        val batch = batch0.cache()
+        try {
+          val clean = Dedup.decontaminateAgainstUniverse(
+            batch, universe, idCol, textCol, maxOverlapFrac)
+            .filter(!col("contaminated"))
+            .select(col(idCol))
+          batch.join(clean, Seq(idCol), "left_semi")
+            .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        } finally { batch.unpersist(false); () }
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .start()

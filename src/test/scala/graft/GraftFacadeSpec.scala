@@ -96,5 +96,15 @@ class GraftFacadeSpec extends AnyFunSuite {
     intercept[RuntimeException] {
       Main.applyFlags(envCfg, Seq("d", "--no-such-flag", "x"))
     }
+    // a flag in the value position = omitted value → loud failure, not a
+    // silently empty whitelist with a stray positional
+    intercept[RuntimeException] {
+      Main.applyFlags(envCfg, Seq("d", "--whitelist-tables", "--log-level", "warn"))
+    }
+    intercept[IllegalArgumentException] {
+      Main.applyFlags(envCfg, Seq("d", "--log-level", "bogus"))
+    }
+    // flag validation matches the env path's case handling
+    assert(Main.applyFlags(envCfg, Seq("d", "--mode", "LR"))._1.mode == "lr")
   }
 }

@@ -146,6 +146,8 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(copies(2000).forall { case (_, n, idx) =>
       n == 2 && idx == List(0L, 1L) }, "2.0x = exactly two copies")
     assert(copies(0).isEmpty, "0x drops every row")
+    assert(copies(-500).isEmpty,
+      "negative weight drops rows (no truncation-toward-zero copies)")
     val frac = copies(2500)
     assert(frac.forall { case (_, n, idx) =>
       (n == 2L || n == 3L) && idx == (0L until n).toList })

@@ -221,12 +221,19 @@ object Similarity {
             (norm(col("__center")) * norm(col("__pv")))).as("__ccos"))
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") <= nProbe)
-        .select(col("probe_id"), col("__pv"), col("__cell")))
+        // probe norm computed here, on the tiny pruned frame
+        .select(col("probe_id"), col("__pv"), col("__cell"),
+          norm(col("__pv")).as("__pn")))
+    // corpus norm once per row (before the probe join), not per pair —
+    // same dot/(na·nb) bracketing as cosine(), bit-identical values
+    val base = df.select(col(idCol), col(vecCol), col(labelCol),
+      norm(col(vecCol)).as("__cn"))
     emitTopK(
-      df.join(probedCells, df(labelCol) === probedCells("__cell"))
+      base.join(probedCells, base(labelCol) === probedCells("__cell"))
         .filter(col(idCol) =!= col("probe_id"))
         .select(col("probe_id"), col(idCol),
-          cosine(col(vecCol), col("__pv")).as("cos")),
+          (dot(col(vecCol), col("__pv")) /
+            (col("__cn") * col("__pn"))).as("cos")),
       idCol, k)
   }
 
@@ -377,11 +384,19 @@ object Similarity {
                   vecCol: String, k: Int,
                   excludeSelf: Boolean = false): DataFrame = {
     TopKAgg.requireIntegralId(df, idCol, "knnJoinWith")
+    // norms once per vector, not once per (probe, row) pair: the per-pair
+    // work drops from three O(d) folds (dot + 2 norms) to one. Same
+    // dot/(na·nb) bracketing as cosine() — bit-identical values.
+    val base = df.select(col(idCol), col(vecCol),
+      norm(col(vecCol)).as("__cn"))
+    val p = probes.select(col("probe_id"), col("__pv"),
+      norm(col("__pv")).as("__pn"))
     emitTopK(
-      df.join(broadcast(probes),
+      base.join(broadcast(p),
         if (excludeSelf) col(idCol) =!= col("probe_id") else lit(true))
         .select(col("probe_id"), col(idCol),
-          cosine(col(vecCol), col("__pv")).as("cos")),
+          (dot(col(vecCol), col("__pv")) /
+            (col("__cn") * col("__pn"))).as("cos")),
       idCol, k)
   }
 

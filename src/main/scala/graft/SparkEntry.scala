@@ -340,6 +340,13 @@ object SparkEntry {
       Similarity.cosineNearDupPairs(embeddings(s, dir), "vec_id",
         "embedding", 0.3)),
 
+    // Embedding near-dup clusters: connected components over the banded
+    // pair graph (union-find bounded, distributed fallback) — every
+    // vector → its component's min id
+    "embed_dedup_clusters" -> ((s, dir) =>
+      Similarity.embedClusters(embeddings(s, dir), "vec_id", "embedding",
+        0.3)),
+
     // Symmetric int8 quantization of the embedding corpus (first 8 dims
     // checked; engine-reproducible floor(+0.5) rounding)
     "embed_quantize_int8" -> ((s, dir) =>
@@ -912,6 +919,26 @@ object SparkEntry {
 
   private val shingleCte = "WITH " + shingleCteBody
 
+  // Embedding banded-LSH pair pipeline (through the exact-cosine CTE `j`)
+  // — candidates generated from the SAME comparison table as the Spark
+  // path (Similarity.bandPairs) so oracle and engine cannot drift on the
+  // band structure; shared by embed_cosine_neardup + embed_dedup_clusters
+  private def embedPairCtes: String =
+    "e AS (SELECT * FROM embeddings), s AS (" +
+      Similarity.bandPairs(8, 8, 64).map { case (band, pairs) =>
+        val sig = pairs.zipWithIndex.map { case ((p, q), j) =>
+          s"CASE WHEN embedding[$p] > embedding[$q] THEN ${1 << j} ELSE 0 END"
+        }.mkString(" + ")
+        s"SELECT vec_id, $band AS band, ($sig) AS sig FROM e"
+      }.mkString(" UNION ALL ") +
+      "), cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b " +
+      "FROM s x JOIN s y ON x.band = y.band AND x.sig = y.sig AND x.vec_id < y.vec_id), " +
+      "j AS (SELECT vec_a, vec_b, " +
+      "list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / " +
+      "(sqrt(list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) * " +
+      "sqrt(list_sum(list_transform(range(1, 65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) AS cos " +
+      "FROM cand JOIN e a ON a.vec_id = vec_a JOIN e b ON b.vec_id = vec_b)"
+
   // MinHash-LSH pair pipeline (through the verified-Jaccard CTE `j`)
   // single source of truth for the 8-minima/4-band key chain: bandKeyCtes
   // (also used, prefixed, by the cross-corpus dedup_against oracle)
@@ -1051,24 +1078,20 @@ object SparkEntry {
         "WHERE bucket = pb AND vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 5"),
 
     "embed_cosine_neardup" ->
-      // banded sign-LSH candidates generated from the SAME comparison table
-      // as the Spark path (Similarity.bandPairs) — oracle and engine cannot
-      // drift on the band structure
-      ("WITH e AS (SELECT * FROM embeddings), s AS (" +
-        Similarity.bandPairs(8, 8, 64).map { case (band, pairs) =>
-          val sig = pairs.zipWithIndex.map { case ((p, q), j) =>
-            s"CASE WHEN embedding[$p] > embedding[$q] THEN ${1 << j} ELSE 0 END"
-          }.mkString(" + ")
-          s"SELECT vec_id, $band AS band, ($sig) AS sig FROM e"
-        }.mkString(" UNION ALL ") +
-        "), cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b " +
-        "FROM s x JOIN s y ON x.band = y.band AND x.sig = y.sig AND x.vec_id < y.vec_id), " +
-        "j AS (SELECT vec_a, vec_b, " +
-        "list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / " +
-        "(sqrt(list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) * " +
-        "sqrt(list_sum(list_transform(range(1, 65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) AS cos " +
-        "FROM cand JOIN e a ON a.vec_id = vec_a JOIN e b ON b.vec_id = vec_b) " +
-        "SELECT vec_a, vec_b, cos FROM j WHERE cos >= 0.3 ORDER BY vec_a, vec_b"),
+      ("WITH " + embedPairCtes +
+        " SELECT vec_a, vec_b, cos FROM j WHERE cos >= 0.3 ORDER BY vec_a, vec_b"),
+
+    "embed_dedup_clusters" ->
+      // same banded pair graph, then recursive min-label propagation —
+      // the same component CTE shape dedup_clusters uses for text
+      ("WITH RECURSIVE " + embedPairCtes + ", " +
+        "pr AS (SELECT vec_a, vec_b FROM j WHERE cos >= 0.3), " +
+        "edges AS (SELECT vec_a AS a, vec_b AS b FROM pr " +
+        "UNION ALL SELECT vec_b, vec_a FROM pr), " +
+        "cc AS (SELECT vec_id AS node, vec_id AS label FROM embeddings " +
+        "UNION SELECT e.a, cc.label FROM edges e JOIN cc ON cc.node = e.b) " +
+        "SELECT node AS vec_id, min(label) AS cluster_id FROM cc " +
+        "GROUP BY node ORDER BY vec_id"),
 
     "embed_quantize_int8" ->
       ("WITH s AS (SELECT vec_id, " +

@@ -149,6 +149,31 @@ object Similarity {
   }
 
   /**
+   * Embedding near-duplicate CLUSTERS: connected components over the
+   * banded-LSH cosine pair graph — the embedding-space analogue of
+   * [[Dedup.nearDupClusters]] (which clusters by n-gram Jaccard). Every
+   * vector maps to its component's minimum id; singletons map to
+   * themselves. The pair generation is [[cosineNearDupPairs]] (bucketed
+   * candidates, exact verify); the component labeling is
+   * [[Dedup.connectedComponents]]'s bounded driver union-find with the
+   * distributed min-label fallback — same 100 TB posture as the text path.
+   *
+   * Returns (idCol, cluster_id).
+   */
+  def embedClusters(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, bands: Int = 8, bits: Int = 8,
+                    dims: Int = 64): DataFrame = {
+    val pairs = cosineNearDupPairs(df, idCol, vecCol, threshold, bands,
+      bits, dims)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val labels = Dedup.connectedComponents(pairs)
+    df.select(col(idCol))
+      .join(labels, col(idCol) === col("node"), "left")
+      .select(col(idCol),
+        coalesce(col("label"), col(idCol)).as("cluster_id"))
+  }
+
+  /**
    * IVF-style ANN top-k: the coarse quantizer cells are the label
    * partitions, with cell centers = the deterministic per-label centroids
    * ([[centroidComponents]] — bit-reproducible, so engines agree on

@@ -104,6 +104,15 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(stateAt(60L) == Map(1L -> "a2", 3L -> "c"), "late insert appears")
   }
 
+  test("embedClusters: components of the cosine pair graph, singletons self-label") {
+    val got = Similarity.embedClusters(corpus, "vec_id", "embedding", 0.9,
+      dims = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // three tight direction-clusters; cross-cluster cosines ~0.1-0.2
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L,
+      3L -> 3L, 4L -> 3L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("mixToProportions: bottleneck kept whole, others downsample, unlisted drop") {
     val docs = graft.sources.Tables.load(spark, sfDir, "documents")
     val targets = Map("en" -> 20L, "de" -> 30L, "fr" -> 30L, "zh" -> 20L)

@@ -3,8 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.graftbridge.ColumnBridge
 
-import graft.functions.{Md5Prefix28, Md5SignBits, TopKAgg}
+import graft.functions.{Md5Prefix28, Md5SignBits, Sampling, Similarity, TextClean, TextFns, TopKAgg}
 
 /**
  * SparkSessionExtensions entry point: registers the engine's native
@@ -17,6 +18,17 @@ import graft.functions.{Md5Prefix28, Md5SignBits, TopKAgg}
  *  - `md5_sign_bits(s, bits)` — SimHash bit tests as a long word
  *  - `topk_agg(score, id, k)` — bounded top-k aggregate,
  *    (score DESC, id ASC)
+ *  - `cosine_sim(a, b)` / `dot_product(a, b)` — deterministic
+ *    sequential-fold vector math (double-promoted before multiply)
+ *  - `shingles(text)` — the engine's distinct 3-gram set (dedup domain)
+ *  - `lang_id(text)` — stopword-profile language id
+ *  - `norm_text(s)` / `redact_pii(s)` — text canonicalization / PII
+ *  - `split_label(key, trainPct, valPct)` — deterministic
+ *    train/val/test assignment by key hash
+ *
+ * The composed functions expand to the SAME Column trees the library
+ * API builds (via ColumnBridge), so SQL users get identical semantics,
+ * codegen, and engine-parity guarantees — not a parallel implementation.
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -46,6 +58,38 @@ object GraftExtensions {
       require(children.length == 3, "topk_agg expects (score, id, k)")
       TopKAgg(children(0), children(1), intLit(children(2), "k"))
         .toAggregateExpression()
+    }),
+    ("cosine_sim", Similarity.getClass.getName, { children =>
+      require(children.length == 2, "cosine_sim expects (a, b)")
+      ColumnBridge.eagerExpression(Similarity.cosine(
+        ColumnBridge.column(children(0)), ColumnBridge.column(children(1))))
+    }),
+    ("dot_product", Similarity.getClass.getName, { children =>
+      require(children.length == 2, "dot_product expects (a, b)")
+      ColumnBridge.eagerExpression(Similarity.dot(
+        ColumnBridge.column(children(0)), ColumnBridge.column(children(1))))
+    }),
+    ("shingles", TextFns.getClass.getName, { children =>
+      require(children.length == 1, "shingles expects one argument")
+      ColumnBridge.eagerExpression(TextFns.shingles(ColumnBridge.column(children.head)))
+    }),
+    ("lang_id", TextFns.getClass.getName, { children =>
+      require(children.length == 1, "lang_id expects one argument")
+      ColumnBridge.eagerExpression(TextFns.langId(ColumnBridge.column(children.head)))
+    }),
+    ("norm_text", TextClean.getClass.getName, { children =>
+      require(children.length == 1, "norm_text expects one argument")
+      ColumnBridge.eagerExpression(TextClean.normalize(ColumnBridge.column(children.head)))
+    }),
+    ("redact_pii", TextClean.getClass.getName, { children =>
+      require(children.length == 1, "redact_pii expects one argument")
+      ColumnBridge.eagerExpression(TextClean.redactPii(ColumnBridge.column(children.head)))
+    }),
+    ("split_label", Sampling.getClass.getName, { children =>
+      require(children.length == 3, "split_label expects (key, trainPct, valPct)")
+      ColumnBridge.eagerExpression(Sampling.splitLabel(
+        ColumnBridge.column(children(0)),
+        intLit(children(1), "trainPct"), intLit(children(2), "valPct")))
     }))
 
   private[graft] val descriptors = builders.map { case (name, clazz, builder) =>

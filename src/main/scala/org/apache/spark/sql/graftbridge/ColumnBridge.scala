@@ -13,4 +13,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** EAGER Column → Expression: fully converts the ColumnNode tree to a
+    * real Catalyst expression. [[expression]] wraps LAZILY in an
+    * Unevaluable ColumnNodeExpression that only dataset-API analysis
+    * unwraps — injected anywhere else (e.g. a FunctionRegistry builder's
+    * return value) it survives to codegen and fails there. Use this for
+    * SQL function builders. */
+  def eagerExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

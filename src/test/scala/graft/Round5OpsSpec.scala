@@ -185,6 +185,32 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(admitted == Set(2L))
   }
 
+  test("SQL surface: composed functions expand to the library's Column trees") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT cosine_sim(array(3.0F, 4.0F), array(3.0F, 4.0F)) AS c, " +
+        "dot_product(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d, " +
+        "lang_id('the of and to a quick brown fox') AS l, " +
+        "redact_pii(norm_text('  mail A@B.COM  now ')) AS p, " +
+        "split_label(42, 80, 10) AS s, " +
+        "size(shingles('a b c d')) AS n")
+      .collect().head
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getDouble(1) == 11.0)
+    assert(r.getString(2) == "en")
+    assert(r.getString(3) == "mail <EMAIL> now")
+    assert(Set("train", "val", "test")(r.getString(4)))
+    assert(r.getInt(5) == 2) // "a b c", "b c d"
+    // parity with the library API — same tree, same result
+    import spark.implicits._
+    val lib = Seq(("a b c d")).toDF("t")
+      .select(graft.functions.TextFns.shingles(col("t")).as("sh"))
+      .collect().head.getSeq[String](0).toSet
+    val sql = spark.sql("SELECT shingles('a b c d') AS sh")
+      .collect().head.getSeq[String](0).toSet
+    assert(lib == sql)
+  }
+
   test("integral-id guard fails loudly on string ids") {
     import spark.implicits._
     val strIds = corpus.withColumn("vec_id", col("vec_id").cast("string"))

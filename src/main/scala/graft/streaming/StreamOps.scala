@@ -186,6 +186,48 @@ object StreamOps {
   }
 
   /**
+   * Compact [[nearDupDedupTo]]'s append-only state: every epoch adds a
+   * `batch=<id>` partition to the keys and sets tables, so a long-lived
+   * ingest stream accumulates thousands of small files — the classic
+   * streaming-state small-file problem. This rewrites each table into
+   * the single reserved `batch=-1` partition (micro-batch ids start at
+   * 0, so -1 never collides, and the epoch-exclusion filter
+   * `batch =!= currentId` keeps treating it as prior state).
+   *
+   * Run OFFLINE (no concurrent stream on this state). Crash-safe order:
+   * materialize the consolidated state first (localCheckpoint), then
+   * overwrite `batch=-1`, then delete the superseded partitions. A crash
+   * between the write and the deletes leaves duplicate state rows —
+   * harmless (the candidate join distincts, the verify join re-verifies);
+   * re-running compaction converges.
+   *
+   * Returns per-table compacted row counts.
+   */
+  def compactState(spark: org.apache.spark.sql.SparkSession,
+                   statePath: String): Map[String, Long] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    Seq("keys", "sets").map { t =>
+      val root = new org.apache.hadoop.fs.Path(s"$statePath/$t")
+      val old =
+        if (!fs.exists(root)) Array.empty[org.apache.hadoop.fs.Path]
+        else fs.listStatus(root).map(_.getPath)
+          .filter(p => p.getName.startsWith("batch=") && p.getName != "batch=-1")
+      if (old.isEmpty) t -> 0L
+      else {
+        // eager checkpoint: the consolidated rows must be materialized
+        // BEFORE we overwrite/delete the very partitions they read from
+        val all = spark.read.parquet(root.toString)
+          .drop("batch").localCheckpoint()
+        val n = all.count()
+        all.write.mode("overwrite").parquet(s"$statePath/$t/batch=-1")
+        old.foreach(p => fs.delete(p, true))
+        t -> n
+      }
+    }.toMap
+  }
+
+  /**
    * Stream-stream interval join: enrich each event with the user's signup
    * event when it happened within `intervalMinutes` before the event —
    * the streaming cousin of [[graft.operators.AsOfJoin]] (which is the

@@ -123,6 +123,55 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(stateIds == Set(1L, 3L, 5L))
   }
 
+  test("state compaction consolidates partitions and later epochs still dedup") {
+    import spark.implicits._
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango"
+    val dir = Files.createTempDirectory("graft-cmp-in").toString
+    val ck = Files.createTempDirectory("graft-cmp-ck").toString
+    val outDir = Files.createTempDirectory("graft-cmp-out").toString + "/out"
+    val stateDir = Files.createTempDirectory("graft-cmp-st").toString + "/state"
+    Seq((1L, base)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Thread.sleep(1100)
+    Seq((2L, "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    def run() = {
+      val q = StreamOps.nearDupDedupTo(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(dir), outDir, stateDir, ck, "doc_id", "text", 0.6)
+      q.awaitTermination()
+    }
+    run() // two epochs → state partitions batch=0, batch=1
+
+    val before = spark.read.parquet(s"$stateDir/keys")
+      .select("doc_id", "band", "bkey").collect().toSet
+    val counts = StreamOps.compactState(spark, stateDir)
+    assert(counts("keys") == before.size.toLong)
+    // all consolidated into the reserved batch=-1 partition
+    val parts = new java.io.File(s"$stateDir/keys").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSet
+    assert(parts == Set("batch=-1"), s"partitions: $parts")
+    assert(spark.read.parquet(s"$stateDir/keys")
+      .select("doc_id", "band", "bkey").collect().toSet == before,
+      "compaction must not change state content")
+    // idempotent: nothing left to compact
+    assert(StreamOps.compactState(spark, stateDir) == Map("keys" -> 0L, "sets" -> 0L))
+
+    // a later epoch (same checkpoint → batchId continues) still dedups
+    // against the compacted corpus: near-dup of doc 1 must be rejected
+    Thread.sleep(1100)
+    Seq((7L, base.replace("echo", "zulu")), (8L, "totally fresh words " +
+      "appear here nine more unique tokens pad the shingle count out"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(dir)
+    run()
+    val admitted = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(1L, 2L, 8L), s"admitted: $admitted")
+  }
+
   test("near-dup dedup: half-created state dir reads as empty, not a wedge") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-snd2-in").toString

@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.model.ChangesetSchema
-import graft.functions.{Dedup, Md5Prefix28, Multimodal, Packing, Sampling, Similarity, TextClean, TextFns}
-import graft.operators.{AsOfJoin, Checksum, Materializer, Pipeline, Stages, TableFilters}
+import graft.functions.{Bloom, Dedup, Md5Prefix28, Multimodal, Packing, Sampling, Similarity, TextClean, TextFns}
+import graft.operators.{AsOfJoin, Checksum, Materializer, Pipeline, Stages, TableFilters, TimeSeries}
 import graft.sources.{Changelog, Replay, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -406,6 +406,11 @@ object SparkEntry {
         .orderBy(col("cnt").desc, col("term"))
         .limit(20)),
 
+    // Per-doc keyword extraction: top-3 terms by rational tf-idf
+    // (engine-exact arithmetic; ties break on term asc)
+    "text_tfidf" -> ((s, dir) =>
+      TextFns.tfIdfTopTerms(documents(s, dir), "doc_id", "text", 3)),
+
     // Document fingerprint: winnowing-style min-hash + 2-hash signature
     "text_fingerprint" -> ((s, dir) => {
       val fp = documents(s, dir).select(col("doc_id"),
@@ -467,6 +472,35 @@ object SparkEntry {
         events(s, dir).select(col("user_id"),
           expr("ts div 1000").as("ts_us")), 30)
         ),
+
+    // Time-series resample: 5-minute buckets with a gap-filled spine.
+    // Spine size is span/interval (metadata-scale at any data volume);
+    // the aggregate is one bucket-keyed shuffle.
+    "events_resample" -> ((s, dir) =>
+      TimeSeries.resample(
+        events(s, dir).select(expr("ts div 1000").as("ts_us"), col("value")),
+        col("ts_us"), 300000000L,
+        Seq(count(lit(1)).as("__n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("__sum")))
+        .select(col("bucket_us"),
+          coalesce(col("__n"), lit(0L)).as("n_events"),
+          coalesce(col("__sum"), lit(0.0)).as("sum_value"))),
+
+    // Per-user trailing-7-event rolling stats; (ts_us, event_id) is a
+    // total order so the ROWS frame is deterministic. One window shuffle,
+    // O(frame) state per key.
+    "events_rolling" -> ((s, dir) =>
+      TimeSeries.rollingStats(
+        events(s, dir).select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"), col("value")),
+        Seq(col("user_id")), Seq(col("ts_us"), col("event_id")),
+        col("value"), 7)),
+
+    // Fixed-domain pivot: explicit values keep it a single hash
+    // aggregate (no domain-discovery scan)
+    "events_pivot" -> ((s, dir) =>
+      TimeSeries.pivotCounts(events(s, dir), col("user_id"),
+        col("event_type"), Seq("click", "error", "purchase", "signup", "view"))),
 
     // As-of join (merge-based union+window; no range-join explosion):
     // each click joined to the user's latest signup at or before it
@@ -678,6 +712,34 @@ object SparkEntry {
     // (hash-sampled) benchmark corpus' shingle universe
     "dedup_decontaminate" -> ((s, dir) =>
       Dedup.decontaminate(documents(s, dir), "doc_id", "text", 10, 0.5)),
+
+    // Bloom-filter decontamination (the blocklist-too-big-for-an-exact-
+    // broadcast-set regime). Self-verifying, same device as
+    // sketch_approx_distinct: the filter itself has no DuckDB form, so
+    // the row carries exact-comparable counts plus the Bloom guarantees —
+    // zero false negatives (a hard property, not a bound) and a false-
+    // positive rate under the sized bound. Exact copies of bench docs are
+    // injected into train so the false-negative check has real positives.
+    "bloom_decontaminate" -> ((s, dir) => {
+      val d = documents(s, dir).select(col("doc_id"), col("text"))
+      val bench = d.filter(col("doc_id") % 5 === 0)
+      val train = d.filter(col("doc_id") % 5 =!= 0).unionByName(
+        bench.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 300000L).as("doc_id"), col("text")))
+      val flagged = Bloom.flagMembers(train, col("text"),
+        bench, col("text"), mBits = 1L << 17, k = 5)
+      val benchTexts = bench.select(col("text")).distinct()
+        .withColumn("__in_bench", lit(true))
+      flagged.join(broadcast(benchTexts), Seq("text"), "left")
+        .withColumn("__exact", coalesce(col("__in_bench"), lit(false)))
+        .agg(
+          count(lit(1)).as("n_train"),
+          sum(col("__exact").cast("long")).as("n_dup_exact"),
+          sum((col("__exact") && !col("bloom_hit")).cast("long"))
+            .as("bloom_false_negatives"),
+          (sum((col("bloom_hit") && !col("__exact")).cast("long")) <=
+            count(lit(1)).cast("double") * 0.01).as("fp_within_bound"))
+    }),
 
     // Containment near-dup pairs: prefix-truncated copies (18 words) are
     // injected so subset-duplication has guaranteed positives that plain
@@ -1200,6 +1262,22 @@ object SparkEntry {
         "(SELECT unnest(string_split(text, ' ')) AS term FROM documents) t " +
         "GROUP BY term ORDER BY cnt DESC, term LIMIT 20"),
 
+    "text_tfidf" ->
+      // identical rational idf and (N+1)/(df+1) bracketing — IEEE ops only
+      ("WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term " +
+        "FROM documents), " +
+        "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf " +
+        "FROM w GROUP BY 1, 2), " +
+        "dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1), " +
+        "n AS (SELECT count(*) AS n FROM documents), " +
+        "s AS (SELECT doc_id, term, tf, CAST(tf AS DOUBLE) * " +
+        "((CAST(n AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)) AS tfidf " +
+        "FROM tf JOIN dfq USING (term) CROSS JOIN n), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id " +
+        "ORDER BY tfidf DESC, term) AS rk FROM s) " +
+        "SELECT doc_id, term, tf, tfidf FROM r WHERE rk <= 3 " +
+        "ORDER BY doc_id, term"),
+
     "text_fingerprint" ->
       (shingleCte + ", " +
         s"sh2 AS (SELECT doc_id, ${Dedup.hash28Sql("sg")} AS hh FROM sh), " +
@@ -1250,6 +1328,42 @@ object SparkEntry {
         "SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events, " +
         "min(ts_us) AS start_us, max(ts_us) AS end_us FROM z " +
         "GROUP BY user_id, session_id ORDER BY user_id, session_id"),
+
+    "events_resample" ->
+      // same 5-minute floor-bucketing, gap-filled via generate-series
+      // spine (range() stop is exclusive → +1), decimal-promoted sum
+      ("WITH e AS (SELECT epoch_us(ts) AS ts_us, value FROM events), " +
+        "b AS (SELECT ts_us - ts_us % 300000000 AS bucket_us, value FROM e), " +
+        "a AS (SELECT bucket_us, CAST(count(*) AS BIGINT) AS n_events, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value " +
+        "FROM b GROUP BY 1), " +
+        "s AS (SELECT unnest(generate_series(lo, hi, 300000000)) AS bucket_us " +
+        "FROM (SELECT min(bucket_us) AS lo, max(bucket_us) AS hi FROM a)) " +
+        "SELECT s.bucket_us, COALESCE(a.n_events, 0) AS n_events, " +
+        "COALESCE(a.sum_value, 0.0) AS sum_value " +
+        "FROM s LEFT JOIN a USING (bucket_us) ORDER BY bucket_us"),
+
+    "events_rolling" ->
+      // identical ROWS frame over the identical (ts_us, event_id) total
+      // order; sum decimal-promoted exactly as the Spark side
+      ("WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value " +
+        "FROM events) " +
+        "SELECT event_id, user_id, ts_us, value, " +
+        "CAST(count(*) OVER w AS BIGINT) AS roll_n, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS roll_sum, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) " +
+        "/ count(*) OVER w AS roll_avg " +
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id " +
+        "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) ORDER BY event_id"),
+
+    "events_pivot" ->
+      ("SELECT user_id, " +
+        "CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click, " +
+        "CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error, " +
+        "CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase, " +
+        "CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup, " +
+        "CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view " +
+        "FROM events GROUP BY user_id ORDER BY user_id"),
 
     "join_asof" ->
       ("WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type " +
@@ -1464,6 +1578,21 @@ object SparkEntry {
         "CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS DOUBLE) / count(*) " +
         ">= 0.5 AS contaminated " +
         "FROM t GROUP BY doc_id ORDER BY doc_id"),
+
+    // The Bloom filter has no DuckDB form; the query is self-verifying —
+    // exact counts are recomputed here, the zero-false-negative property
+    // and the fp bound are pinned as constants (see the query comment)
+    "bloom_decontaminate" ->
+      ("WITH d AS (SELECT doc_id, text FROM documents), " +
+        "b AS (SELECT DISTINCT text FROM d WHERE doc_id % 5 = 0), " +
+        "t AS (SELECT doc_id, text FROM d WHERE doc_id % 5 <> 0 " +
+        "UNION ALL SELECT doc_id + 300000, text FROM d " +
+        "WHERE doc_id % 5 = 0 AND doc_id % 3 = 0) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_train, " +
+        "CAST(sum(CASE WHEN text IN (SELECT text FROM b) THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_dup_exact, " +
+        "CAST(0 AS BIGINT) AS bloom_false_negatives, " +
+        "true AS fp_within_bound FROM t"),
 
     "dedup_containment" ->
       // same corpus augmentation (18-word prefixes), same inverted-index

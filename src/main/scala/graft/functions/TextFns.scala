@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -76,6 +77,40 @@ object TextFns {
           .as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(topN)
+  }
+
+  /**
+   * Per-document top-k terms by tf-idf — keyword extraction for corpus
+   * tagging/exploration. RATIONAL idf, same reasoning as [[bm25Rank]]:
+   * `tfidf = tf · (N+1)/(df+1)` is IEEE division/multiplication of exact
+   * integers, bit-identical across engines, where `ln`-idf is not.
+   * Ties break on term asc, so the top-k set is fully deterministic.
+   *
+   * Scale shape: one (doc, term) tf shuffle (the inherent cost of exact
+   * tf), document frequency aggregated FROM tf (no second corpus scan),
+   * then tf re-keys by term for the df join and by doc for the top-k
+   * window. The join strategy is left to Catalyst/AQE: df-counts are
+   * vocabulary-sized — broadcast when small, shuffle-join when the vocab
+   * outgrows a broadcast (Heap's law keeps it sublinear in the corpus,
+   * but 100 TB vocabularies don't fit an executor). Nothing is ever
+   * collected to the driver.
+   */
+  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val tf = df.select(col(idCol), explode(words(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false) // feeds dfreq AND the score join — one scan
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val corpus = df.agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfreq, "term").crossJoin(broadcast(corpus))
+      .withColumn("tfidf", col("tf").cast("double") *
+        ((col("__n").cast("double") + lit(1.0)) /
+          (col("__df").cast("double") + lit(1.0))))
+      .withColumn("__rk", row_number().over(w)).filter(col("__rk") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("tfidf"))
   }
 
   /**

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Bloom
+import graft.operators.TimeSeries
+
+/** Round-5 additions: gap-filled resample / rolling / pivot time-series
+  * shapes and the distributed Bloom filter. */
+class TimeSeriesBloomSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("resample emits gap buckets with NULL aggregates") {
+    import spark.implicits._
+    // buckets of 10: data at 0, 10, and 40 — 20 and 30 are gaps
+    val df = Seq((3L, 1.0), (9L, 2.0), (12L, 4.0), (41L, 8.0))
+      .toDF("ts_us", "v")
+    val got = TimeSeries.resample(df, col("ts_us"), 10L,
+      Seq(count(lit(1)).as("n"), sum(col("v")).as("s")))
+      .orderBy("bucket_us").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(0L, 10L, 20L, 30L, 40L))
+    assert(got.map(r => if (r.isNullAt(1)) -1L else r.getLong(1)).toSeq ==
+      Seq(2L, 1L, -1L, -1L, 1L))
+    assert(got(2).isNullAt(2) && got(3).isNullAt(2))
+  }
+
+  test("bucketUs floors negative timestamps (not truncate-toward-zero)") {
+    import spark.implicits._
+    val got = Seq(-1L, -10L, -11L, 0L, 9L).toDF("t")
+      .select(TimeSeries.bucketUs(col("t"), 10L).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(-10L, -10L, -20L, 0L, 0L))
+  }
+
+  test("rollingStats: trailing frame, deterministic under ts ties") {
+    import spark.implicits._
+    // user 1: two rows tie on ts=5; the id tie-breaker fixes frame order
+    val df = Seq((1L, 1L, 5L, 10.0), (2L, 1L, 5L, 20.0), (3L, 1L, 7L, 40.0),
+      (4L, 2L, 1L, 100.0)).toDF("id", "user", "ts", "v")
+    val got = TimeSeries.rollingStats(df, Seq(col("user")),
+      Seq(col("ts"), col("id")), col("v"), 2)
+      .orderBy("id")
+      .select("roll_n", "roll_sum").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((1L, 10.0), (2L, 30.0), (2L, 60.0), (1L, 100.0)))
+  }
+
+  test("pivotCounts: absent cells are 0, out-of-domain values dropped") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (1L, "a"), (1L, "zzz"), (2L, "b"))
+      .toDF("g", "kind")
+    val got = TimeSeries.pivotCounts(df, col("g"), col("kind"), Seq("a", "b"))
+      .orderBy("g").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // "zzz" is outside the domain → contributes nowhere; (2,"a") cell = 0
+    assert(got == Seq((1L, 2L, 0L), (2L, 0L, 1L)))
+  }
+
+  private def idsDf(ids: Seq[Long]) = {
+    import spark.implicits._
+    ids.toDF("k")
+  }
+
+  test("bloom: zero false negatives, fp rate within sized bound") {
+    val members = idsDf(0L until 500L)
+    val (m, k) = Bloom.sizeFor(500, 0.01)
+    assert(m % 64 == 0 && k >= 1)
+    val flagged = Bloom.flagMembers(
+      idsDf(0L until 5000L), col("k"), members, col("k"), m, k)
+    val byHit = flagged.groupBy(col("k") < 500, col("bloom_hit")).count()
+      .collect().map(r => ((r.getBoolean(0), r.getBoolean(1)), r.getLong(2)))
+      .toMap
+    // every true member flagged (no (member, !hit) cell at all)
+    assert(byHit.getOrElse((true, false), 0L) == 0L)
+    assert(byHit((true, true)) == 500L)
+    // non-members: fp rate ~1% sized; assert with slack
+    val fp = byHit.getOrElse((false, true), 0L)
+    assert(fp <= 4500 * 0.05, s"fp=$fp out of bound")
+  }
+
+  test("bloom: build/probe hashing agrees across key types (string cast)") {
+    import spark.implicits._
+    val members = Seq("17", "42").toDF("k")
+    val probes = idsDf(Seq(17L, 42L, 99L))
+    val got = Bloom.flagMembers(probes, col("k"), members, col("k"),
+      mBits = 1024, k = 3)
+      .orderBy("k").collect().map(_.getBoolean(1)).toSeq
+    assert(got == Seq(true, true, false))
+  }
+
+  test("tfIdfTopTerms: rational idf scores, term-asc tie-break") {
+    import spark.implicits._
+    // "x" appears in every doc (df=3 → idf 1.0); "q"/"z" are unique (idf 2.0)
+    val df = Seq((1L, "x x q"), (2L, "x z"), (3L, "x")).toDF("doc_id", "text")
+    val got = graft.functions.TextFns.tfIdfTopTerms(df, "doc_id", "text", 2)
+      .orderBy("doc_id", "term")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    // N+1=4: idf(x)=4/4=1, idf(q)=idf(z)=4/2=2
+    assert(got == Seq((1L, "q", 1L, 2.0), (1L, "x", 2L, 2.0),
+      (2L, "x", 1L, 1.0), (2L, "z", 1L, 2.0), (3L, "x", 1L, 1.0)))
+  }
+
+  test("bloom: empty blocklist flags nothing") {
+    val empty = idsDf(Seq.empty[Long])
+    val got = Bloom.flagMembers(idsDf(1L to 10L), col("k"), empty, col("k"),
+      mBits = 64, k = 1)
+    assert(got.filter(col("bloom_hit")).count() == 0L)
+  }
+}

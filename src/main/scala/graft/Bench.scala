@@ -31,7 +31,13 @@ object Bench {
     // malformed env must not abort the bench before any timing is emitted
     val reps = math.max(1,
       sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption).getOrElse(2))
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated subset (scale probes re-run a family on
+    // replica dirs without paying for the whole suite)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       // min of `reps` SUCCESSFUL runs: a single-shot reading bills one
       // query for JIT / GC / first-codegen noise (round 3 recorded a 4×
       // outlier that way); the minimum is the steady-state cost of the

@@ -74,17 +74,21 @@ object TimeSeries {
   }
 
   /**
-   * Pivot `pivotCol` over the EXPLICIT `domain` into per-group counts:
-   * one hash aggregate, columns named `n_<value>`. Values outside the
-   * domain are dropped (same as Spark's pivot contract); absent
-   * (group, value) cells are 0, not NULL.
+   * Pivot `pivotCol` over the EXPLICIT `domain` into per-group counts,
+   * columns named `n_<value>`. Values outside the domain are dropped
+   * (same as Spark's pivot contract); absent (group, value) cells are 0,
+   * not NULL.
+   *
+   * Implemented as conditional aggregation, not `Dataset.pivot`: with a
+   * known domain the counts are plain `count(when(...))` columns — ONE
+   * map-side-combined shuffle on the group key. (`pivot` plans two:
+   * groupBy(group, pivot) then a pivotfirst re-aggregate; without
+   * explicit values it adds a third domain-discovery scan.)
    */
   def pivotCounts(df: DataFrame, groupBy: Column, pivotCol: Column,
                   domain: Seq[String]): DataFrame = {
     require(domain.nonEmpty, "pivotCounts needs an explicit pivot domain")
-    val agged = df.groupBy(groupBy).pivot(pivotCol, domain).count()
-    domain.foldLeft(agged) { (acc, v) =>
-      acc.withColumn(s"n_$v", coalesce(col(s"`$v`"), lit(0L))).drop(v)
-    }
+    val aggs = domain.map(v => count(when(pivotCol === v, 1)).as(s"n_$v"))
+    df.groupBy(groupBy).agg(aggs.head, aggs.tail: _*)
   }
 }

@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Build the N-replica scale-probe dataset (PLANS.md 'replica rules'):
+replicas are genuinely distinct — ids/users shifted per replica, document
+text gets a per-replica word prefix — and written with pyarrow so the
+events TIMESTAMP(NANOS) physical type survives (DuckDB would silently
+downcast to micros, changing what Spark reads).
+
+Usage: python3 tools/make_replicas.py <srcSfDir> <outDir> [n=10]
+Only the tables the probed queries touch are replicated; the rest are
+symlinked from the source dir so every contract query still resolves.
+"""
+import os, sys
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pyarrow.compute as pc
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def replicate_events(src, out, n):
+    t = pq.read_table(f"{src}/events.parquet")
+    parts = []
+    for i in range(n):
+        parts.append(pa.table({
+            "event_id": pc.add(t["event_id"], i * 10_000_000),
+            "ts": t["ts"],
+            "user_id": pc.add(t["user_id"], i * 1000),
+            "event_type": t["event_type"],
+            "value": t["value"],
+            "props": t["props"],
+        }, schema=t.schema))
+    pq.write_table(pa.concat_tables(parts), f"{out}/events.parquet")
+
+
+def replicate_documents(src, out, n):
+    t = pq.read_table(f"{src}/documents.parquet")
+    parts = []
+    for i in range(n):
+        text = pc.binary_join_element_wise(f"r{i}w", t["text"], " ")
+        parts.append(pa.table({
+            "doc_id": pc.add(t["doc_id"], i * 1_000_000),
+            "text": text,
+            "lang": t["lang"],
+            "source": t["source"],
+            "n_chars": pc.add(t["n_chars"], len(f"r{i}w ")),
+        }, schema=t.schema))
+    pq.write_table(pa.concat_tables(parts), f"{out}/documents.parquet")
+
+
+def main():
+    src, out = sys.argv[1].rstrip("/"), sys.argv[2].rstrip("/")
+    n = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    os.makedirs(out, exist_ok=True)
+    replicate_events(src, out, n)
+    replicate_documents(src, out, n)
+    for tbl in TABLES:
+        dst = f"{out}/{tbl}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{src}/{tbl}.parquet", dst)
+    print(f"wrote {out}: events+documents x{n}, rest symlinked from {src}")
+
+
+if __name__ == "__main__":
+    main()

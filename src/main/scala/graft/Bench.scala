@@ -32,9 +32,14 @@ object Bench {
     val reps = math.max(1,
       sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption).getOrElse(2))
     // optional comma-separated subset (scale probes re-run a family on
-    // replica dirs without paying for the whole suite)
+    // replica dirs without paying for the whole suite). An empty value
+    // means "all"; unknown names are reported so a typo can't silently
+    // produce an empty run that clobbers the last full bench_out.json
     val only = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    only.foreach(_.diff(SparkEntry.queries.keySet).foreach(n =>
+      System.err.println(s"[bench] unknown query in SPARK_GRAFT_BENCH_QUERIES: $n")))
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>

@@ -726,8 +726,12 @@ object SparkEntry {
       val train = d.filter(col("doc_id") % 5 =!= 0).unionByName(
         bench.filter(col("doc_id") % 3 === 0)
           .select((col("doc_id") + 300000L).as("doc_id"), col("text")))
+      // m = 2^21 bits (256 KiB): fp stays under the 1% bound up to ~300k
+      // distinct bench texts — ~300× the sf0.1 bench side, so the pinned
+      // fp_within_bound=true constant holds at any provided SF (sizing
+      // per Bloom.sizeFor's formula; fixed here so the row is stable)
       val flagged = Bloom.flagMembers(train, col("text"),
-        bench, col("text"), mBits = 1L << 17, k = 5)
+        bench, col("text"), mBits = 1L << 21, k = 5)
       val benchTexts = bench.select(col("text")).distinct()
         .withColumn("__in_bench", lit(true))
       flagged.join(broadcast(benchTexts), Seq("text"), "left")
@@ -1330,10 +1334,13 @@ object SparkEntry {
         "GROUP BY user_id, session_id ORDER BY user_id, session_id"),
 
     "events_resample" ->
-      // same 5-minute floor-bucketing, gap-filled via generate-series
-      // spine (range() stop is exclusive → +1), decimal-promoted sum
+      // same 5-minute FLOOR-bucketing: DuckDB's % keeps the dividend's
+      // sign, so the floor-mod form ((x%B+B)%B) is required to match
+      // Spark's pmod for negative timestamps; gap-filled via a
+      // generate-series spine, decimal-promoted sum
       ("WITH e AS (SELECT epoch_us(ts) AS ts_us, value FROM events), " +
-        "b AS (SELECT ts_us - ts_us % 300000000 AS bucket_us, value FROM e), " +
+        "b AS (SELECT ts_us - ((ts_us % 300000000 + 300000000) % 300000000) " +
+        "AS bucket_us, value FROM e), " +
         "a AS (SELECT bucket_us, CAST(count(*) AS BIGINT) AS n_events, " +
         "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value " +
         "FROM b GROUP BY 1), " +

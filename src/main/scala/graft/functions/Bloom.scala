@@ -46,7 +46,10 @@ object Bloom {
     val ln2 = math.log(2)
     val m0 = math.ceil(-expectedKeys * math.log(fpp) / (ln2 * ln2)).toLong
     val m = math.max(64L, ((m0 + 63) / 64) * 64)
-    val k = math.max(1, math.round(m.toDouble / expectedKeys * ln2).toInt)
+    // clamp to build()'s k <= 32 domain (reached only below fpp ~2^-32;
+    // the extra hashes past 32 buy nothing measurable)
+    val k = math.min(32,
+      math.max(1, math.round(m.toDouble / expectedKeys * ln2).toInt))
     (m, k)
   }
 

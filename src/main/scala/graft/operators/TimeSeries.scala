@@ -46,7 +46,10 @@ object TimeSeries {
     val bucketed = df.withColumn("bucket_us", bucketUs(tsUs, everyUs))
     val perBucket = bucketed.groupBy(col("bucket_us"))
       .agg(aggExprs.head, aggExprs.tail: _*)
-    val spine = bucketed.agg(min(col("bucket_us")).as("__lo"),
+    // bounds from the already-reduced perBucket frame, not the raw input:
+    // Spark reuses the bucket-agg exchange (one input scan total) and the
+    // bounds agg runs over bucket-count rows
+    val spine = perBucket.agg(min(col("bucket_us")).as("__lo"),
         max(col("bucket_us")).as("__hi"))
       .select(explode(sequence(col("__lo"), col("__hi"), lit(everyUs)))
         .as("bucket_us"))

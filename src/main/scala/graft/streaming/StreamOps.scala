@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.functions.Dedup
+import graft.functions.{Bloom, Dedup}
 
 /**
  * Streaming relational capabilities over the changeset/event stream —
@@ -65,6 +65,44 @@ object StreamOps {
           batch.join(clean, Seq(idCol), "left_semi")
             .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
         } finally { batch.unpersist(false); () }
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
+  /**
+   * Constant-memory streaming blocklist filtering: the exact-key
+   * counterpart of [[decontaminateTo]] for blocklists too large to
+   * broadcast as an exact set. The [[graft.functions.Bloom]] filter is
+   * sized (`Bloom.sizeFor`) and built ONCE before the stream starts
+   * (eagerly checkpointed one-row frame), then every micro-batch is a
+   * single scan with `k` inlined bit tests — no join, no shuffle, no
+   * per-batch state growth.
+   *
+   * Bloom semantics: zero false negatives — no blocklisted key is ever
+   * admitted; `fpp` bounds how much CLEAN data is over-dropped. Writes
+   * are epoch-idempotent (`batch=<epoch>` overwrite), same recovery
+   * contract as [[decontaminateTo]].
+   */
+  def bloomDecontaminateTo(docs: DataFrame, blockKeys: DataFrame,
+                           outPath: String, checkpoint: String,
+                           keyCol: String, fpp: Double = 1e-3,
+                           availableNow: Boolean = true): StreamingQuery = {
+    // the blocklist is static for the life of the query: size and build
+    // the filter up front (count is one tiny driver-side action)
+    val n = math.max(1L, blockKeys.select(col(keyCol)).count())
+    val (m, k) = Bloom.sizeFor(n, fpp)
+    val filterRow = Bloom.build(blockKeys, col(keyCol), m, k)
+      .localCheckpoint() // eager: materialize before the stream starts
+    val writer = docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.crossJoin(broadcast(filterRow))
+          .withColumn("__hit",
+            Bloom.mightContain(col("__bloom"), col(keyCol), m, k))
+          .filter(!col("__hit")).drop("__bloom", "__hit")
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        ()
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .start()

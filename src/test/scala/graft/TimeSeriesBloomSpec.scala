@@ -66,6 +66,8 @@ class TimeSeriesBloomSpec extends AnyFunSuite {
     val members = idsDf(0L until 500L)
     val (m, k) = Bloom.sizeFor(500, 0.01)
     assert(m % 64 == 0 && k >= 1)
+    // sizeFor output must always be valid build() input: k clamps at 32
+    assert(Bloom.sizeFor(10, 1e-12)._2 <= 32)
     val flagged = Bloom.flagMembers(
       idsDf(0L until 5000L), col("k"), members, col("k"), m, k)
     val byHit = flagged.groupBy(col("k") < 500, col("bloom_hit")).count()
@@ -100,6 +102,24 @@ class TimeSeriesBloomSpec extends AnyFunSuite {
     // N+1=4: idf(x)=4/4=1, idf(q)=idf(z)=4/2=2
     assert(got == Seq((1L, "q", 1L, 2.0), (1L, "x", 2L, 2.0),
       (2L, "x", 1L, 1.0), (2L, "z", 1L, 2.0), (3L, "x", 1L, 1.0)))
+  }
+
+  test("streaming bloom decontamination drops blocklisted keys only") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bloomstream").toString
+    val block = Seq("the quick brown fox", "lazy dog").toDF("text")
+    Seq((1L, "the quick brown fox"), // blocklisted
+      (2L, "a clean document"), (3L, "lazy dog"), // blocklisted
+      (4L, "another clean one")).toDF("doc_id", "text")
+      .write.parquet(s"$tmp/in")
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(s"$tmp/in")
+    val q = graft.streaming.StreamOps.bloomDecontaminateTo(
+      stream, block, s"$tmp/out", s"$tmp/ckpt", "text")
+    q.awaitTermination()
+    val admitted = spark.read.parquet(s"$tmp/out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(2L, 4L))
   }
 
   test("bloom: empty blocklist flags nothing") {

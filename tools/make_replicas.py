@@ -25,7 +25,9 @@ def replicate_events(src, out, n):
         parts.append(pa.table({
             "event_id": pc.add(t["event_id"], i * 10_000_000),
             "ts": t["ts"],
-            "user_id": pc.add(t["user_id"], i * 1000),
+            # shift must exceed the source user span (0..1499 at sf0.1) or
+            # consecutive replicas' user bands overlap
+            "user_id": pc.add(t["user_id"], i * 10_000),
             "event_type": t["event_type"],
             "value": t["value"],
             "props": t["props"],
@@ -49,7 +51,10 @@ def replicate_documents(src, out, n):
 
 
 def main():
-    src, out = sys.argv[1].rstrip("/"), sys.argv[2].rstrip("/")
+    # symlink targets resolve relative to the LINK dir, not the caller's
+    # cwd — absolutize so a relative srcSfDir doesn't produce broken links
+    src = os.path.abspath(sys.argv[1].rstrip("/"))
+    out = sys.argv[2].rstrip("/")
     n = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     os.makedirs(out, exist_ok=True)
     replicate_events(src, out, n)
@@ -57,7 +62,9 @@ def main():
     for tbl in TABLES:
         dst = f"{out}/{tbl}.parquet"
         if not os.path.exists(dst):
-            os.symlink(f"{src}/{tbl}.parquet", dst)
+            target = f"{src}/{tbl}.parquet"
+            assert os.path.exists(target), f"missing source table {target}"
+            os.symlink(target, dst)
     print(f"wrote {out}: events+documents x{n}, rest symlinked from {src}")
 
 

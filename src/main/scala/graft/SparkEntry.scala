@@ -745,6 +745,32 @@ object SparkEntry {
             count(lit(1)).cast("double") * 0.01).as("fp_within_bound"))
     }),
 
+    // Cross-document repeated spans (substring-level dedup): 8-token
+    // windows at stride 4; spans in >1 distinct doc are corpus
+    // boilerplate / leakage. Only 128-bit span hashes shuffle.
+    "dedup_repeated_spans" -> ((s, dir) =>
+      Dedup.repeatedSpans(documents(s, dir), "doc_id", "text", 8, 4)),
+
+    // End-to-end training-data prep in ONE query — the composition a
+    // real pipeline runs: inject exact dups → exact-dedup to keepers →
+    // quality-filter → deterministic split assignment → per-(split,lang)
+    // doc/token accounting. Every stage is the library operator the
+    // standalone contract queries verify in isolation.
+    "pipeline_e2e" -> ((s, dir) => {
+      val d = documents(s, dir).select(col("doc_id"), col("text"), col("lang"))
+      val withDups = d.unionByName(d.filter(col("doc_id") % 3 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L))
+      val keepers = Dedup.exact(withDups, "doc_id", "text")
+        .select(col("keeper_id").as("doc_id"))
+      val kept = withDups.join(keepers, Seq("doc_id"), "left_semi")
+      kept.filter(TextFns.qualityScore(col("text")) >= 0.55)
+        .select(col("lang"),
+          Sampling.splitLabel(col("doc_id"), 80, 10).as("split"),
+          size(TextFns.words(col("text"))).cast("long").as("__tok"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("n_tokens"))
+    }),
+
     // Containment near-dup pairs: prefix-truncated copies (18 words) are
     // injected so subset-duplication has guaranteed positives that plain
     // Jaccard misses
@@ -1600,6 +1626,35 @@ object SparkEntry {
         "AS BIGINT) AS n_dup_exact, " +
         "CAST(0 AS BIGINT) AS bloom_false_negatives, " +
         "true AS fp_within_bound FROM t"),
+
+    "dedup_repeated_spans" ->
+      // same 8-token/stride-4 aligned windows; span hashed, then spans in
+      // >1 distinct doc (docs are <= 100 words, so range(0,256) covers)
+      ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "sp AS (SELECT doc_id, md5(array_to_string(" +
+        "list_slice(w, i*4+1, i*4+8), ' ')) AS span_md5 " +
+        "FROM w, (SELECT unnest(range(0, 256)) AS i) idx " +
+        "WHERE i*4+8 <= len(w)), " +
+        "d AS (SELECT DISTINCT doc_id, span_md5 FROM sp) " +
+        "SELECT span_md5, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "min(doc_id) AS min_doc, max(doc_id) AS max_doc " +
+        "FROM d GROUP BY span_md5 HAVING count(*) > 1"),
+
+    "pipeline_e2e" ->
+      // the composed chain: inject dups → keep min-id per content hash →
+      // quality >= 0.55 (identical IEEE score expression) → hash-slot
+      // split → per-(split, lang) accounting
+      ("WITH all_docs AS (SELECT doc_id, text, lang FROM documents UNION ALL " +
+        "SELECT doc_id + 100000, text, lang FROM documents WHERE doc_id % 3 = 0), " +
+        "k AS (SELECT min(doc_id) AS doc_id FROM all_docs GROUP BY md5(text)), " +
+        "kept AS (SELECT d.* FROM all_docs d JOIN k USING (doc_id)), " +
+        s"q AS (SELECT * FROM kept WHERE $qualitySql >= 0.55), " +
+        s"t AS (SELECT lang, ${Dedup.hash28Sql("doc_id::VARCHAR")} % 100 AS slot, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS tok FROM q) " +
+        "SELECT CASE WHEN slot < 80 THEN 'train' WHEN slot < 90 THEN 'val' " +
+        "ELSE 'test' END AS split, lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(tok) AS BIGINT) AS n_tokens FROM t " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
 
     "dedup_containment" ->
       // same corpus augmentation (18-word prefixes), same inverted-index

@@ -531,4 +531,43 @@ object Dedup {
         col("n_overlap").cast("double") / col("n_shingles"))
       .withColumn("contaminated", col("overlap_frac") >= maxOverlapFrac)
   }
+
+  /**
+   * Cross-document repeated span detection — the tractable form of
+   * exact-substring dedup (Lee et al.'s "Deduplicating Training Data
+   * Makes Language Models Better" finds repeated 50-token substrings via
+   * a suffix array; a distributed engine gets most of the value from
+   * FIXED token windows). Every `win`-token window at stride `stride` is
+   * hashed; a span whose hash appears in more than one distinct document
+   * is repeated corpus text — boilerplate, license headers, syndicated
+   * content, benchmark leakage. Returns
+   * `(span_md5, n_docs, min_doc, max_doc)` per repeated span.
+   *
+   * Recall: with `stride = 1` every repeat of ≥ win tokens is caught
+   * (exact recall, one span per token of cost). With `stride > 1`,
+   * windows start at multiples of stride in EACH document, so a repeat
+   * is caught iff its start offsets agree modulo stride (~1/stride for
+   * random alignment — but boilerplate is typically position-stable at
+   * offset 0, which always agrees). Choose stride by recall budget.
+   *
+   * Scale shape: explode ≈ words/stride spans per doc (md5-hashed
+   * immediately — raw span text never shuffles), then ONE groupBy on the
+   * 128-bit span hash (uniform by construction, no skew) with
+   * count_distinct(doc) — Spark plans the distinct as its usual
+   * two-phase expand. Output is bounded by the number of REPEATED spans,
+   * not the corpus.
+   */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                    win: Int = 8, stride: Int = 4): DataFrame = {
+    require(win > 0 && stride > 0 && stride <= win,
+      s"need 0 < stride <= win, got win=$win stride=$stride")
+    df.select(col(idCol),
+        posexplode(TextFns.chunks(col(textCol), win, win - stride)))
+      .filter(col("col.n_tokens") === win) // full windows only
+      .select(col(idCol), md5(col("col.chunk")).as("span_md5"))
+      .groupBy(col("span_md5"))
+      .agg(count_distinct(col(idCol)).as("n_docs"),
+        min(col(idCol)).as("min_doc"), max(col(idCol)).as("max_doc"))
+      .filter(col("n_docs") > 1)
+  }
 }

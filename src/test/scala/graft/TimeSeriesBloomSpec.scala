@@ -104,6 +104,21 @@ class TimeSeriesBloomSpec extends AnyFunSuite {
       (2L, "x", 1L, 1.0), (2L, "z", 1L, 2.0), (3L, "x", 1L, 1.0)))
   }
 
+  test("repeatedSpans finds aligned cross-doc spans, ignores unique text") {
+    import spark.implicits._
+    // 12-token shared span at offsets 0 (doc 1) and 4 (doc 2): residues
+    // agree mod stride=4, so windows align; doc 3 is unique text
+    val span = (1 to 12).map(i => s"s$i").mkString(" ")
+    val df = Seq(
+      (1L, span + " tail1 tail2"),
+      (2L, "p1 p2 p3 p4 " + span),
+      (3L, (1 to 20).map(i => s"u$i").mkString(" "))).toDF("doc_id", "text")
+    val got = graft.functions.Dedup.repeatedSpans(df, "doc_id", "text", 8, 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // two aligned 8-token windows inside the span (offsets 0 and 4)
+    assert(got.length == 2 && got.forall(_ == ((2L, 1L, 2L))))
+  }
+
   test("streaming bloom decontamination drops blocklisted keys only") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-bloomstream").toString

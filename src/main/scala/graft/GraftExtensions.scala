@@ -25,6 +25,9 @@ import graft.functions.{Md5Prefix28, Md5SignBits, Sampling, Similarity, TextClea
  *  - `norm_text(s)` / `redact_pii(s)` — text canonicalization / PII
  *  - `split_label(key, trainPct, valPct)` — deterministic
  *    train/val/test assignment by key hash
+ *  - `quality_score(text)` — the engine's document quality score
+ *  - `chunk_text(text, win, overlap)` — fixed-window training chunks
+ *  - `bucket_us(tsUs, everyUs)` — floor time-bucketing (resample domain)
  *
  * The composed functions expand to the SAME Column trees the library
  * API builds (via ColumnBridge), so SQL users get identical semantics,
@@ -41,6 +44,13 @@ object GraftExtensions {
 
   private def intLit(e: Expression, what: String): Int = e match {
     case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def longLit(e: Expression, what: String): Long = e match {
+    case Literal(v: Long, _) => v
+    case Literal(v: Int, _) => v.toLong
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")
   }
@@ -90,6 +100,20 @@ object GraftExtensions {
       ColumnBridge.eagerExpression(Sampling.splitLabel(
         ColumnBridge.column(children(0)),
         intLit(children(1), "trainPct"), intLit(children(2), "valPct")))
+    }),
+    ("quality_score", TextFns.getClass.getName, { children =>
+      require(children.length == 1, "quality_score expects one argument")
+      ColumnBridge.eagerExpression(TextFns.qualityScore(ColumnBridge.column(children.head)))
+    }),
+    ("chunk_text", TextFns.getClass.getName, { children =>
+      require(children.length == 3, "chunk_text expects (text, win, overlap)")
+      ColumnBridge.eagerExpression(TextFns.chunks(ColumnBridge.column(children.head),
+        intLit(children(1), "win"), intLit(children(2), "overlap")))
+    }),
+    ("bucket_us", graft.operators.TimeSeries.getClass.getName, { children =>
+      require(children.length == 2, "bucket_us expects (tsUs, everyUs)")
+      ColumnBridge.eagerExpression(graft.operators.TimeSeries.bucketUs(
+        ColumnBridge.column(children.head), longLit(children(1), "everyUs")))
     }))
 
   private[graft] val descriptors = builders.map { case (name, clazz, builder) =>

@@ -209,6 +209,17 @@ class Round5OpsSpec extends AnyFunSuite {
     val sql = spark.sql("SELECT shingles('a b c d') AS sh")
       .collect().head.getSeq[String](0).toSet
     assert(lib == sql)
+    // round-5 additions: quality/chunking/bucketing from SQL
+    val r2 = spark.sql(
+      "SELECT bucket_us(-11L, 10) AS b, " +
+        "size(chunk_text('a b c d e f', 4, 2)) AS nc, " +
+        "quality_score('the cat sat on the mat') AS q").collect().head
+    assert(r2.getLong(0) == -20L) // floor, not truncate
+    assert(r2.getInt(1) == 2) // windows at 0 and 2
+    val libQ = Seq(("the cat sat on the mat")).toDF("t")
+      .select(graft.functions.TextFns.qualityScore(col("t")).as("q"))
+      .collect().head.getDouble(0)
+    assert(r2.getDouble(2) == libQ)
   }
 
   test("integral-id guard fails loudly on string ids") {

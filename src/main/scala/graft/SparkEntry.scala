@@ -745,6 +745,22 @@ object SparkEntry {
             count(lit(1)).cast("double") * 0.01).as("fp_within_bound"))
     }),
 
+    // Index-only (60-bit) scale variants of the exact-verify pair
+    // queries: Jaccard/containment computed from shared-hash counts and
+    // per-doc hash counts alone — no shingle array ever shuffles. Same
+    // thresholds and corpus as the exact anchors; the oracle recomputes
+    // the hash arithmetic independently.
+    "dedup_jaccard_h60" -> ((s, dir) =>
+      Dedup.ngramJaccardByHash(documents(s, dir), "doc_id", "text", 0.8)),
+
+    "dedup_containment_h60" -> ((s, dir) => {
+      val d = documents(s, dir).select(col("doc_id"), col("text"))
+      val prefixes = d.filter(col("doc_id") % 29 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          array_join(slice(TextFns.words(col("text")), 1, 18), " ").as("text"))
+      Dedup.ngramContainmentByHash(d.unionByName(prefixes), "doc_id", "text", 0.9)
+    }),
+
     // Cross-document repeated spans (substring-level dedup): 8-token
     // windows at stride 4; spans in >1 distinct doc are corpus
     // boilerplate / leakage. Only 128-bit span hashes shuffle.
@@ -1655,6 +1671,45 @@ object SparkEntry {
         "ELSE 'test' END AS split, lang, CAST(count(*) AS BIGINT) AS n_docs, " +
         "CAST(sum(tok) AS BIGINT) AS n_tokens FROM t " +
         "GROUP BY 1, 2 ORDER BY 1, 2"),
+
+    "dedup_jaccard_h60" ->
+      // hash-count arithmetic only: c = shared 60-bit hashes, sizes =
+      // per-doc hash counts; jac = c / (na + nb - c)
+      (shingleCte + ", " +
+        s"h AS (SELECT doc_id, ${Dedup.hash60Sql("sg")} AS h FROM sh), " +
+        "sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM h GROUP BY 1), " +
+        "cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "CAST(count(*) AS BIGINT) AS c FROM h a JOIN h b " +
+        "ON a.h = b.h AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2) " +
+        "SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jac " +
+        "FROM cand JOIN sizes sa ON sa.doc_id = doc_a " +
+        "JOIN sizes sb ON sb.doc_id = doc_b " +
+        "WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8 " +
+        "ORDER BY doc_a, doc_b"),
+
+    "dedup_containment_h60" ->
+      // same 18-word-prefix augmentation as the exact anchor; containment
+      // = c / least(na, nb) from hash counts alone
+      ("WITH all_docs AS (SELECT doc_id, text FROM documents UNION ALL " +
+        "SELECT doc_id + 200000, " +
+        "array_to_string(list_slice(string_split(text, ' '), 1, 18), ' ') " +
+        "FROM documents WHERE doc_id % 29 = 0), " +
+        "w AS (SELECT doc_id, string_split(text, ' ') AS w FROM all_docs), " +
+        "sets AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1), " +
+        "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM w), " +
+        "sh AS (SELECT doc_id, unnest(s) AS sg FROM sets), " +
+        s"h AS (SELECT doc_id, ${Dedup.hash60Sql("sg")} AS h FROM sh), " +
+        "sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM h GROUP BY 1), " +
+        "cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "CAST(count(*) AS BIGINT) AS c FROM h a JOIN h b " +
+        "ON a.h = b.h AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2) " +
+        "SELECT doc_a, doc_b, CAST(c AS DOUBLE) / least(sa.n, sb.n) " +
+        "AS containment FROM cand JOIN sizes sa ON sa.doc_id = doc_a " +
+        "JOIN sizes sb ON sb.doc_id = doc_b " +
+        "WHERE CAST(c AS DOUBLE) / least(sa.n, sb.n) >= 0.9 " +
+        "ORDER BY doc_a, doc_b"),
 
     "dedup_containment" ->
       // same corpus augmentation (18-word prefixes), same inverted-index

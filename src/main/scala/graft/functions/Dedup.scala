@@ -50,6 +50,16 @@ object Dedup {
   def hash28Sql(s: String): String =
     s"CAST('0x' || substring(md5($s), 1, 7) AS BIGINT)"
 
+  /** 60-bit md5 prefix — wide enough that hash-level set arithmetic is
+    * collision-free in practice (P[any collision across a pair's shingle
+    * sets] ≈ |A|·|B| / 2^60). Same builtin-only chain as the commutative
+    * checksum's 60-bit xor slice (Checksum.scala), DuckDB twin below. */
+  private def hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  def hash60Sql(s: String): String =
+    s"CAST('0x' || substring(md5($s), 1, 15) AS BIGINT)"
+
   /**
    * Exact dedup: group by content hash, keep the smallest id as the
    * representative, count the copies.
@@ -384,6 +394,58 @@ object Dedup {
       size(array_intersect(sa, sb)).cast("double") /
         least(size(sa), size(sb))
     }("containment", minContainment)
+
+  /**
+   * The 100 TB shape of [[ngramJaccard]]: Jaccard computed ENTIRELY from
+   * the 60-bit inverted index — intersection = shared-hash count per
+   * pair, set sizes = per-doc hash counts — so no document's shingle
+   * array is ever fetched or shuffled (the exact-verify path still ships
+   * every candidate pair's full sets through two joins). The checksum
+   * family's precedent applies: [[ngramJaccard]] is the string-exact
+   * anchor, this is the scale variant, and both are oracle-checked.
+   * At 60 bits a collision (which could only nudge one pair's count by
+   * one) has probability ~|A|·|B|/2^60 per pair — vanishing at any
+   * realistic shingle-set size.
+   */
+  def ngramJaccardByHash(df: DataFrame, idCol: String, textCol: String,
+                         minJaccard: Double = 0.8,
+                         minShared: Int = 2): DataFrame =
+    hashPairCounts(df, idCol, textCol, minShared)
+      .withColumn("jac", col("__c").cast("double") /
+        (col("__na") + col("__nb") - col("__c")))
+      .filter(col("jac") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+
+  /** [[ngramContainment]]'s index-only scale variant; see
+    * [[ngramJaccardByHash]]. */
+  def ngramContainmentByHash(df: DataFrame, idCol: String, textCol: String,
+                             minContainment: Double = 0.9,
+                             minShared: Int = 2): DataFrame =
+    hashPairCounts(df, idCol, textCol, minShared)
+      .withColumn("containment", col("__c").cast("double") /
+        least(col("__na"), col("__nb")))
+      .filter(col("containment") >= minContainment)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+
+  /** Pair (doc_a, doc_b, __c=|A∩B|, __na=|A|, __nb=|B|) from the 60-bit
+    * inverted index alone — hash counts stand in for set arithmetic. */
+  private def hashPairCounts(df: DataFrame, idCol: String, textCol: String,
+                             minShared: Int): DataFrame = {
+    // the index feeds the per-doc sizes AND both sides of the self-join
+    // (no cross-branch CSE in Spark) — checkpoint once
+    val inv = df.select(col(idCol),
+        explode(TextFns.shingles(col(textCol))).as("s"))
+      .select(col(idCol), hash60(col("s")).as("h"))
+      .localCheckpoint(false)
+    val sizes = inv.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    inv.select(col(idCol).as("doc_a"), col("h"))
+      .join(inv.select(col(idCol).as("doc_b"), col("h")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minShared)
+      .join(sizes.select(col(idCol).as("doc_a"), col("__n").as("__na")), "doc_a")
+      .join(sizes.select(col(idCol).as("doc_b"), col("__n").as("__nb")), "doc_b")
+  }
 
   /** Shared inverted-index candidate generation + exact verify on the full
     * shingle sets; `score` computes the verify metric from (setA, setB). */

@@ -119,6 +119,21 @@ class TimeSeriesBloomSpec extends AnyFunSuite {
     assert(got.length == 2 && got.forall(_ == ((2L, 1L, 2L))))
   }
 
+  test("ngramJaccardByHash matches the exact-verify anchor on testdata") {
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(9, BigDecimal.RoundingMode.HALF_UP)))
+      .toSet
+    val exact = pairs(graft.functions.Dedup.ngramJaccard(
+      docs, "doc_id", "text", 0.8))
+    val byHash = pairs(graft.functions.Dedup.ngramJaccardByHash(
+      docs, "doc_id", "text", 0.8))
+    assert(exact.nonEmpty, "testdata should contain near-dup pairs")
+    assert(exact == byHash)
+  }
+
   test("streaming bloom decontamination drops blocklisted keys only") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-bloomstream").toString

@@ -39,13 +39,19 @@ def replicate_documents(src, out, n):
     t = pq.read_table(f"{src}/documents.parquet")
     parts = []
     for i in range(n):
-        text = pc.binary_join_element_wise(f"r{i}w", t["text"], " ")
+        # EVERY word gets the replica prefix (not just the first): a
+        # single-token prefix leaves deeper shingles identical across
+        # replicas, turning every doc into 9 cross-replica near-dups —
+        # pair workloads then grow ~45x instead of 10x and the probe
+        # measures a different corpus shape, not scale-up
+        text = pc.binary_join_element_wise(
+            f"r{i}", pc.replace_substring(t["text"], " ", f" r{i}"), "")
         parts.append(pa.table({
             "doc_id": pc.add(t["doc_id"], i * 1_000_000),
             "text": text,
             "lang": t["lang"],
             "source": t["source"],
-            "n_chars": pc.add(t["n_chars"], len(f"r{i}w ")),
+            "n_chars": pc.utf8_length(text),
         }, schema=t.schema))
     pq.write_table(pa.concat_tables(parts), f"{out}/documents.parquet")
 

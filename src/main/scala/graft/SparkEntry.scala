@@ -774,8 +774,11 @@ object SparkEntry {
     // standalone contract queries verify in isolation.
     "pipeline_e2e" -> ((s, dir) => {
       val d = documents(s, dir).select(col("doc_id"), col("text"), col("lang"))
+      // feeds the keeper aggregate AND the semi-join probe side — no
+      // cross-branch CSE in Spark, so checkpoint to scan the corpus once
       val withDups = d.unionByName(d.filter(col("doc_id") % 3 === 0)
         .withColumn("doc_id", col("doc_id") + 100000L))
+        .localCheckpoint(false)
       val keepers = Dedup.exact(withDups, "doc_id", "text")
         .select(col("keeper_id").as("doc_id"))
       val kept = withDups.join(keepers, Seq("doc_id"), "left_semi")

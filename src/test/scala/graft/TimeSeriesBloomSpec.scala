@@ -119,18 +119,38 @@ class TimeSeriesBloomSpec extends AnyFunSuite {
     assert(got.length == 2 && got.forall(_ == ((2L, 1L, 2L))))
   }
 
-  test("ngramJaccardByHash matches the exact-verify anchor on testdata") {
+  // The hash-path scores are the SAME integer operands divided the same
+  // way (|A∪B| = na + nb − c exactly, absent 2^-60 collisions), so the
+  // doubles must be bit-identical, not merely close — compare raw bits.
+  private def pairBits(df: org.apache.spark.sql.DataFrame) = df.collect()
+    .map(r => (r.getLong(0), r.getLong(1),
+      java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSet
+
+  test("ngramJaccardByHash is bit-identical to the exact-verify anchor") {
     val docs = graft.sources.Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
-    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
-      .map(r => (r.getLong(0), r.getLong(1),
-        BigDecimal(r.getDouble(2)).setScale(9, BigDecimal.RoundingMode.HALF_UP)))
-      .toSet
-    val exact = pairs(graft.functions.Dedup.ngramJaccard(
+    val exact = pairBits(graft.functions.Dedup.ngramJaccard(
       docs, "doc_id", "text", 0.8))
-    val byHash = pairs(graft.functions.Dedup.ngramJaccardByHash(
+    val byHash = pairBits(graft.functions.Dedup.ngramJaccardByHash(
       docs, "doc_id", "text", 0.8))
     assert(exact.nonEmpty, "testdata should contain near-dup pairs")
+    assert(exact == byHash)
+  }
+
+  test("ngramContainmentByHash is bit-identical to the exact anchor") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    // add a truncated prefix doc so containment has a subset-dup positive
+    val prefixes = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 900000L).as("doc_id"),
+        array_join(slice(split(col("text"), " "), 1, 18), " ").as("text"))
+    val corpus = docs.unionByName(prefixes)
+    val exact = pairBits(graft.functions.Dedup.ngramContainment(
+      corpus, "doc_id", "text", 0.9))
+    val byHash = pairBits(graft.functions.Dedup.ngramContainmentByHash(
+      corpus, "doc_id", "text", 0.9))
+    assert(exact.nonEmpty, "augmented corpus should contain subset dups")
     assert(exact == byHash)
   }
 

@@ -43,9 +43,13 @@ def replicate_documents(src, out, n):
         # single-token prefix leaves deeper shingles identical across
         # replicas, turning every doc into 9 cross-replica near-dups —
         # pair workloads then grow ~45x instead of 10x and the probe
-        # measures a different corpus shape, not scale-up
+        # measures a different corpus shape, not scale-up.
+        # The 'x' terminator makes the prefix self-delimiting (digits
+        # can't contain 'x'), so r1 + word '0abc' can never collide with
+        # r10 + word 'abc' when n >= 11.
+        pre = f"r{i}x"
         text = pc.binary_join_element_wise(
-            f"r{i}", pc.replace_substring(t["text"], " ", f" r{i}"), "")
+            pre, pc.replace_substring(t["text"], " ", f" {pre}"), "")
         parts.append(pa.table({
             "doc_id": pc.add(t["doc_id"], i * 1_000_000),
             "text": text,

@@ -502,6 +502,19 @@ object SparkEntry {
       TimeSeries.pivotCounts(events(s, dir), col("user_id"),
         col("event_type"), Seq("click", "error", "purchase", "signup", "view"))),
 
+    // Token-budget data selection: greedy best-quality-first until the
+    // running token total hits the budget — two-phase banded prefix sum,
+    // no global sort (see Sampling.selectByBudget)
+    "select_budget" -> ((s, dir) => {
+      val d = documents(s, dir).select(col("doc_id"), col("text"))
+        .withColumn("quality", TextFns.qualityScore(col("text")))
+        .withColumn("n_tokens", size(TextFns.words(col("text"))).cast("long"))
+        .drop("text")
+      Sampling.selectByBudget(d, col("doc_id"), col("quality"),
+        col("n_tokens"), budget = 10000L)
+        .withColumnRenamed("__cum_before", "cum_before")
+    }),
+
     // As-of join (merge-based union+window; no range-join explosion):
     // each click joined to the user's latest signup at or before it
     "join_asof" -> ((s, dir) => {
@@ -1407,6 +1420,19 @@ object SparkEntry {
         "/ count(*) OVER w AS roll_avg " +
         "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id " +
         "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) ORDER BY event_id"),
+
+    "select_budget" ->
+      // same greedy-by-(quality desc, doc_id) definition via one window;
+      // the Spark side's score bands are a plan device, not semantics
+      (s"WITH d AS (SELECT doc_id, $qualitySql AS quality, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens " +
+        "FROM documents), " +
+        "c AS (SELECT doc_id, quality, n_tokens, " +
+        "CAST(coalesce(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) " +
+        "AS cum_before FROM d) " +
+        "SELECT doc_id, quality, n_tokens, cum_before FROM c " +
+        "WHERE cum_before < 10000 ORDER BY doc_id"),
 
     "events_pivot" ->
       ("SELECT user_id, " +

@@ -154,6 +154,38 @@ class TimeSeriesBloomSpec extends AnyFunSuite {
     assert(exact == byHash)
   }
 
+  test("selectByBudget: greedy cutoff, tie-break, equals the global-window form") {
+    import spark.implicits._
+    // quality ties (0.5, 0.5) broken by id; budget cuts inside the ties
+    val df = Seq((1L, 0.9, 4L), (2L, 0.5, 3L), (3L, 0.5, 3L), (4L, 0.1, 5L))
+      .toDF("id", "q", "tok")
+    val got = graft.functions.Sampling.selectByBudget(
+      df, col("id"), col("q"), col("tok"), budget = 8L)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSeq
+    // 1 (cum 0) admitted, 2 (cum 4) admitted, 3 (cum 7) admitted since
+    // 7 < 8, 4 (cum 10) rejected
+    assert(got == Seq((1L, 0L), (2L, 4L), (3L, 7L)))
+    // banded two-phase == naive global window on real data
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextFns.qualityScore(col("text")).as("q"),
+        size(split(col("text"), " ")).cast("long").as("tok"))
+    val banded = graft.functions.Sampling.selectByBudget(
+      docs, col("doc_id"), col("q"), col("tok"), budget = 1500L)
+      .select("doc_id", "__cum_before").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gw = org.apache.spark.sql.expressions.Window
+      .orderBy(col("q").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val naive = docs
+      .withColumn("cb", coalesce(sum(col("tok")).over(gw), lit(0L)))
+      .filter(col("cb") < 1500L)
+      .select("doc_id", "cb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded.nonEmpty && banded == naive)
+  }
+
   test("streaming bloom decontamination drops blocklisted keys only") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-bloomstream").toString

@@ -152,6 +152,12 @@ object Sampling {
    *
    * Returns the selected rows plus `__cum_before` (tokens admitted
    * before this row) for audit.
+   *
+   * NULL scores are EXCLUDED up front (an unscored row cannot be ranked;
+   * without the explicit filter the band join would drop such rows
+   * silently, which is worse). Out-of-range scores degrade gracefully:
+   * clamping keeps banding monotone, so the kept set stays exact — the
+   * bands just get lopsided.
    */
   def selectByBudget(df: DataFrame, keyCol: Column, scoreCol: Column,
                      nTokCol: Column, budget: Long,
@@ -160,7 +166,7 @@ object Sampling {
     // clamp into [0, bins-1]; band DESC aligns with score DESC
     val band = least(greatest(floor(scoreCol * bins), lit(0)), lit(bins - 1))
       .cast("int")
-    val based = df.withColumn("__band", band)
+    val based = df.filter(scoreCol.isNotNull).withColumn("__band", band)
       .withColumn("__tok", nTokCol.cast("long"))
       .localCheckpoint(false) // feeds band totals AND the window pass
     val bandTotals = based.groupBy(col("__band"))

@@ -166,6 +166,13 @@ class TimeSeriesBloomSpec extends AnyFunSuite {
     // 1 (cum 0) admitted, 2 (cum 4) admitted, 3 (cum 7) admitted since
     // 7 < 8, 4 (cum 10) rejected
     assert(got == Seq((1L, 0L), (2L, 4L), (3L, 7L)))
+    // NULL scores are excluded explicitly, never silently half-joined
+    val withNull = Seq((1L, Some(0.9), 4L), (2L, None, 3L))
+      .toDF("id", "q", "tok")
+    val gotN = graft.functions.Sampling.selectByBudget(
+      withNull, col("id"), col("q"), col("tok"), budget = 100L)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(gotN == Seq(1L))
     // banded two-phase == naive global window on real data
     val docs = graft.sources.Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"),

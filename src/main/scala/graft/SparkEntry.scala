@@ -503,8 +503,8 @@ object SparkEntry {
         col("event_type"), Seq("click", "error", "purchase", "signup", "view"))),
 
     // Token-budget data selection: greedy best-quality-first until the
-    // running token total hits the budget — two-phase banded prefix sum,
-    // no global sort (see Sampling.selectByBudget)
+    // running token total hits the budget — range-partitioned two-phase
+    // prefix sum, no single-task global sort (see Sampling.selectByBudget)
     "select_budget" -> ((s, dir) => {
       val d = documents(s, dir).select(col("doc_id"), col("text"))
         .withColumn("quality", TextFns.qualityScore(col("text")))
@@ -1423,10 +1423,13 @@ object SparkEntry {
 
     "select_budget" ->
       // same greedy-by-(quality desc, doc_id) definition via one window;
-      // the Spark side's score bands are a plan device, not semantics
-      (s"WITH d AS (SELECT doc_id, $qualitySql AS quality, " +
+      // the Spark side's range partitioning is a plan device, not
+      // semantics. The NULL-score exclusion is mirrored explicitly —
+      // selectByBudget drops unranked rows up front.
+      (s"WITH d0 AS (SELECT doc_id, $qualitySql AS quality, " +
         "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens " +
         "FROM documents), " +
+        "d AS (SELECT * FROM d0 WHERE quality IS NOT NULL), " +
         "c AS (SELECT doc_id, quality, n_tokens, " +
         "CAST(coalesce(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) " +

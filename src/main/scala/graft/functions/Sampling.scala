@@ -121,6 +121,65 @@ object Sampling {
   }
 
   /**
+   * Token-budget data selection: greedily keep the highest-`scoreCol`
+   * rows until the running token total reaches `budget` — the "select
+   * the best N tokens of the corpus" step of curriculum / quality-first
+   * training-data construction. A row is kept iff the EXCLUSIVE
+   * cumulative token count of all strictly-better rows is `< budget`
+   * (first-fit greedy in (score desc, key asc) order — a total order, so
+   * the selected set is deterministic and engine-reproducible).
+   *
+   * Scale shape — a RANGE-PARTITIONED two-phase prefix sum: rows are
+   * range-partitioned on (score desc, key asc), each partition window-
+   * sums its own contiguous slice of the global order, and the ~P
+   * partition totals prefix-sum on one tiny frame (the only serial
+   * work) and broadcast back as per-partition bases. Range partitioning
+   * balances rows per task for ANY score distribution — constant or
+   * two-valued scores are split by the key tie-breaker, so no single
+   * task ever holds the whole corpus (a score-binned scheme would
+   * collapse degenerate distributions into one bin). Partition
+   * boundaries only shape the plan; the kept set equals the
+   * global-order definition exactly.
+   *
+   * Returns the selected rows plus `__cum_before` (tokens admitted
+   * before this row) for audit.
+   *
+   * NULL scores are EXCLUDED up front — an unscored row cannot be
+   * ranked, and dropping them explicitly beats the silent alternatives.
+   */
+  def selectByBudget(df: DataFrame, keyCol: Column, scoreCol: Column,
+                     nTokCol: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"budget=$budget")
+    // range-partition in the global admit order; the materialized
+    // partition id then keys both prefix phases. spark_partition_id is
+    // nondeterministic-flagged, so pin it in its own projection.
+    val ranged = df.filter(scoreCol.isNotNull)
+      .withColumn("__tok", nTokCol.cast("long"))
+      .repartitionByRange(scoreCol.desc, keyCol.asc)
+      .withColumn("__pid", spark_partition_id())
+      // checkpoint is CORRECTNESS here, not just cost: both consumers
+      // must see the SAME materialized pid assignment — a recomputation
+      // could re-sample different range boundaries per branch
+      .localCheckpoint(false)
+    val bases = ranged.groupBy(col("__pid"))
+      .agg(sum(col("__tok")).as("__pt"))
+      .withColumn("__base",
+        coalesce(sum(col("__pt")).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("__pid").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__base"))
+    val w = Window.partitionBy(col("__pid"))
+      .orderBy(scoreCol.desc, keyCol.asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged
+      .join(broadcast(bases), Seq("__pid"))
+      .withColumn("__cum_before",
+        col("__base") + coalesce(sum(col("__tok")).over(w), lit(0L)))
+      .filter(col("__cum_before") < budget)
+      .drop("__pid", "__tok", "__base")
+  }
+
+  /**
    * Deterministic weighted UP-sampling: replicate each row
    * `weightPermille/1000` times — integral copies always, plus one more
    * with probability (weight mod 1000)/1000 decided by the key hash
@@ -132,63 +191,6 @@ object Sampling {
    * copies apart. Integer weights keep the fractional test exact on both
    * engines. Pure map + generate — no shuffle; rows with 0 copies drop.
    */
-  /**
-   * Token-budget data selection: greedily keep the highest-`scoreCol`
-   * rows until the running token total reaches `budget` — the "select
-   * the best N tokens of the corpus" step of curriculum / quality-first
-   * training-data construction. A row is kept iff the EXCLUSIVE
-   * cumulative token count of all strictly-better rows is `< budget`
-   * (first-fit greedy in (score desc, key asc) order — a total order, so
-   * the selected set is deterministic and engine-reproducible).
-   *
-   * Scale shape — same two-phase device as [[Packing]]: scores are
-   * binned into `bins` integer score bands (`scoreCol` must be in
-   * [0, 1], e.g. [[TextFns.qualityScore]]); per-band totals prefix-sum
-   * on a `bins`-row frame (broadcast back), and the within-band running
-   * sum is a window partitioned BY BAND — no global single-partition
-   * sort ever materializes. Serial work is `bins` rows, independent of
-   * corpus size. Bands only shape the plan: the kept set equals the
-   * global-order definition exactly.
-   *
-   * Returns the selected rows plus `__cum_before` (tokens admitted
-   * before this row) for audit.
-   *
-   * NULL scores are EXCLUDED up front (an unscored row cannot be ranked;
-   * without the explicit filter the band join would drop such rows
-   * silently, which is worse). Out-of-range scores degrade gracefully:
-   * clamping keeps banding monotone, so the kept set stays exact — the
-   * bands just get lopsided.
-   */
-  def selectByBudget(df: DataFrame, keyCol: Column, scoreCol: Column,
-                     nTokCol: Column, budget: Long,
-                     bins: Int = 1024): DataFrame = {
-    require(budget > 0 && bins > 0, s"budget=$budget bins=$bins")
-    // clamp into [0, bins-1]; band DESC aligns with score DESC
-    val band = least(greatest(floor(scoreCol * bins), lit(0)), lit(bins - 1))
-      .cast("int")
-    val based = df.filter(scoreCol.isNotNull).withColumn("__band", band)
-      .withColumn("__tok", nTokCol.cast("long"))
-      .localCheckpoint(false) // feeds band totals AND the window pass
-    val bandTotals = based.groupBy(col("__band"))
-      .agg(sum(col("__tok")).as("__bt"))
-    // exclusive prefix over bands in DESCENDING band order — a bins-row
-    // frame, the only serial work
-    val bandBase = bandTotals.withColumn("__base",
-      coalesce(sum(col("__bt")).over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("__band").desc)
-        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__band"), col("__base"))
-    val w = Window.partitionBy(col("__band"))
-      .orderBy(scoreCol.desc, keyCol.asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    based
-      .join(broadcast(bandBase), Seq("__band"))
-      .withColumn("__cum_before",
-        col("__base") + coalesce(sum(col("__tok")).over(w), lit(0L)))
-      .filter(col("__cum_before") < budget)
-      .drop("__band", "__tok", "__base")
-  }
-
   def upsampleByWeight(df: DataFrame, keyCol: Column,
                        weightPermille: Column): DataFrame = {
     // clamp at 0: a computed weight dipping negative must DROP the row

@@ -173,12 +173,12 @@ class TimeSeriesBloomSpec extends AnyFunSuite {
       withNull, col("id"), col("q"), col("tok"), budget = 100L)
       .select("id").collect().map(_.getLong(0)).toSeq
     assert(gotN == Seq(1L))
-    // banded two-phase == naive global window on real data
+    // range-partitioned two-phase == naive global window on real data
     val docs = graft.sources.Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"),
         graft.functions.TextFns.qualityScore(col("text")).as("q"),
         size(split(col("text"), " ")).cast("long").as("tok"))
-    val banded = graft.functions.Sampling.selectByBudget(
+    val twoPhase = graft.functions.Sampling.selectByBudget(
       docs, col("doc_id"), col("q"), col("tok"), budget = 1500L)
       .select("doc_id", "__cum_before").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -190,7 +190,7 @@ class TimeSeriesBloomSpec extends AnyFunSuite {
       .filter(col("cb") < 1500L)
       .select("doc_id", "cb").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(banded.nonEmpty && banded == naive)
+    assert(twoPhase.nonEmpty && twoPhase == naive)
   }
 
   test("streaming bloom decontamination drops blocklisted keys only") {

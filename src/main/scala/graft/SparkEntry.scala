@@ -515,6 +515,20 @@ object SparkEntry {
         .withColumnRenamed("__cum_before", "cum_before")
     }),
 
+    // Per-group budgets: every language gets its own 2500-token greedy
+    // selection in one pass
+    "select_budget_by_lang" -> ((s, dir) => {
+      val d = documents(s, dir).select(col("doc_id"), col("lang"), col("text"))
+        .withColumn("quality", TextFns.qualityScore(col("text")))
+        .withColumn("n_tokens", size(TextFns.words(col("text"))).cast("long"))
+        .drop("text")
+      val budgets = d.select(col("lang")).distinct()
+        .withColumn("budget", lit(2500L))
+      Sampling.selectByBudgetBy(d, Seq("lang"), col("doc_id"),
+        col("quality"), col("n_tokens"), budgets)
+        .withColumnRenamed("__cum_before", "cum_before")
+    }),
+
     // As-of join (merge-based union+window; no range-join explosion):
     // each click joined to the user's latest signup at or before it
     "join_asof" -> ((s, dir) => {
@@ -1436,6 +1450,21 @@ object SparkEntry {
         "AS cum_before FROM d) " +
         "SELECT doc_id, quality, n_tokens, cum_before FROM c " +
         "WHERE cum_before < 10000 ORDER BY doc_id"),
+
+    "select_budget_by_lang" ->
+      // per-lang greedy windows; NULL exclusion mirrored as in
+      // select_budget
+      (s"WITH d0 AS (SELECT doc_id, lang, $qualitySql AS quality, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens " +
+        "FROM documents), " +
+        "d AS (SELECT * FROM d0 WHERE quality IS NOT NULL), " +
+        "c AS (SELECT doc_id, lang, quality, n_tokens, " +
+        "CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang " +
+        "ORDER BY quality DESC, doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) " +
+        "AS cum_before FROM d) " +
+        "SELECT doc_id, lang, quality, n_tokens, cum_before FROM c " +
+        "WHERE cum_before < 2500 ORDER BY lang, doc_id"),
 
     "events_pivot" ->
       ("SELECT user_id, " +

@@ -180,6 +180,50 @@ object Sampling {
   }
 
   /**
+   * Group-wise [[selectByBudget]]: each group (language, domain,
+   * curriculum stage) gets its OWN token budget, all groups selected in
+   * one pass — the per-domain form of mixture construction. `budgets`
+   * is a tiny frame of `groupCols :+ "budget"` (broadcast); groups
+   * ABSENT from it select nothing, by construction of the inner join.
+   *
+   * Same range-partitioned two-phase prefix as the global form, group-
+   * scoped: the range order is (group, score desc, key), so each
+   * group's rows stay contiguous across partitions; per-(group, pid)
+   * running sums + a per-group prefix over its ≤P partition totals.
+   * No task ever holds a whole group, for any score distribution.
+   */
+  def selectByBudgetBy(df: DataFrame, groupCols: Seq[String],
+                       keyCol: Column, scoreCol: Column, nTokCol: Column,
+                       budgets: DataFrame): DataFrame = {
+    require(groupCols.nonEmpty, "selectByBudgetBy needs group columns")
+    val g = groupCols.map(col)
+    val ranged = df.filter(scoreCol.isNotNull)
+      .withColumn("__tok", nTokCol.cast("long"))
+      .repartitionByRange((g.map(_.asc) :+ scoreCol.desc :+ keyCol.asc): _*)
+      .withColumn("__pid", spark_partition_id())
+      // correctness, as in selectByBudget: one boundary sample for both
+      // consumers
+      .localCheckpoint(false)
+    val bases = ranged.groupBy((g :+ col("__pid")): _*)
+      .agg(sum(col("__tok")).as("__pt"))
+      .withColumn("__base",
+        coalesce(sum(col("__pt")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(g: _*).orderBy(col("__pid").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select((g :+ col("__pid") :+ col("__base")): _*)
+    val w = Window.partitionBy((g :+ col("__pid")): _*)
+      .orderBy(scoreCol.desc, keyCol.asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged
+      .join(broadcast(bases), groupCols :+ "__pid")
+      .join(broadcast(budgets), groupCols)
+      .withColumn("__cum_before",
+        col("__base") + coalesce(sum(col("__tok")).over(w), lit(0L)))
+      .filter(col("__cum_before") < col("budget"))
+      .drop("__pid", "__tok", "__base", "budget")
+  }
+
+  /**
    * Deterministic weighted UP-sampling: replicate each row
    * `weightPermille/1000` times — integral copies always, plus one more
    * with probability (weight mod 1000)/1000 decided by the key hash

@@ -193,6 +193,21 @@ class TimeSeriesBloomSpec extends AnyFunSuite {
     assert(twoPhase.nonEmpty && twoPhase == naive)
   }
 
+  test("selectByBudgetBy: independent per-group budgets, unbudgeted groups drop") {
+    import spark.implicits._
+    val df = Seq(
+      ("en", 1L, 0.9, 4L), ("en", 2L, 0.5, 4L), // en budget 4: id 2's cum 4 ≮ 4
+      ("de", 3L, 0.3, 2L), ("de", 4L, 0.8, 3L), // de budget 6: 4 then 3 admitted
+      ("xx", 5L, 0.9, 1L)) // no budget row → dropped
+      .toDF("lang", "id", "q", "tok")
+    val budgets = Seq(("en", 4L), ("de", 6L)).toDF("lang", "budget")
+    val got = graft.functions.Sampling.selectByBudgetBy(
+      df, Seq("lang"), col("id"), col("q"), col("tok"), budgets)
+      .select("id", "__cum_before").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 0L), (4L, 0L), (3L, 3L)))
+  }
+
   test("streaming bloom decontamination drops blocklisted keys only") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-bloomstream").toString

@@ -1,6 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** First loadavg sample (1-min) from /proc/loadavg, or -1 when absent
+    * (non-Linux). Recorded in the artifact so a contended capture is
+    * self-identifying: round 5 shipped a bench taken under heavy VM load
+    * that showed a phantom 3-5x regression, and nothing in the JSON could
+    * prove it after the fact. */
+  private def loadavg(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split("\\s+").head.toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -8,6 +18,23 @@ object Bench {
     // coalesces the excess, so 4× cores mainly tests skew masking)
     val shufflePartitions = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
       .flatMap(_.toIntOption).getOrElse(32)
+    // fail fast BEFORE starting Spark: a fully mistyped query list must not
+    // run zero queries and clobber the last good bench_out.json
+    val only = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      if (unknown.nonEmpty) {
+        System.err.println(
+          s"[bench] unknown queries in SPARK_GRAFT_BENCH_QUERIES: ${unknown.toSeq.sorted.mkString(",")}")
+        sys.exit(2)
+      }
+    }
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    if (selected.isEmpty) { System.err.println("[bench] empty query selection"); sys.exit(2) }
+
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
@@ -21,6 +48,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val loadStart = loadavg()
     // untimed warm-up: JVM/codegen/session init shouldn't bill the first query
     spark.range(1000).selectExpr("sum(id)").collect()
     SparkEntry.queries.get("q1_agg").foreach { fn =>
@@ -28,20 +56,17 @@ object Bench {
       catch { case _: Throwable => () }
     }
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
+    // per-query diagnostics are buffered and printed AFTER the JSON line:
+    // the driver captures a bounded log tail, and warnings interleaved
+    // before the JSON can push it out of the captured window
+    val notes = scala.collection.mutable.ArrayBuffer.empty[String]
     // malformed env must not abort the bench before any timing is emitted
     val reps = math.max(1,
       sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption).getOrElse(2))
-    // optional comma-separated subset (scale probes re-run a family on
-    // replica dirs without paying for the whole suite). An empty value
-    // means "all"; unknown names are reported so a typo can't silently
-    // produce an empty run that clobbers the last full bench_out.json
-    val only = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-      .filter(_.nonEmpty)
-    only.foreach(_.diff(SparkEntry.queries.keySet).foreach(n =>
-      System.err.println(s"[bench] unknown query in SPARK_GRAFT_BENCH_QUERIES: $n")))
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
+    // a rep pair disagreeing by >2× is contention, not plan cost — grant up
+    // to this many extra reps to find two that agree before trusting the min
+    val maxExtra = math.max(0,
+      sys.env.get("SPARK_GRAFT_BENCH_MAX_EXTRA").flatMap(_.toIntOption).getOrElse(3))
     val results = selected.map { case (name, fn) =>
       // min of `reps` SUCCESSFUL runs: a single-shot reading bills one
       // query for JIT / GC / first-codegen noise (round 3 recorded a 4×
@@ -49,8 +74,7 @@ object Bench {
       // PLAN, which is what the bench compares across rounds. A failed
       // rep's (fast-failure) elapsed must not undercut a real timing.
       val ok = scala.collection.mutable.ArrayBuffer.empty[Double]
-      val all = scala.collection.mutable.ArrayBuffer.empty[Double]
-      (1 to reps).foreach { _ =>
+      def runOnce(): Unit = {
         val t0 = System.nanoTime()
         // noop sink forces full materialization of every column (count()
         // would let Spark prune the plan down to a row count)
@@ -59,28 +83,44 @@ object Bench {
           catch { case e: Throwable =>
             if (!errors.contains(name)) {
               errors += name
-              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              notes += s"[bench] $name FAILED: ${e.getMessage}"
             }
             false
           }
-        val t = (System.nanoTime() - t0) / 1e9
-        all += t
-        if (succeeded) ok += t
+        if (succeeded) ok += (System.nanoTime() - t0) / 1e9
       }
-      // a query with zero successful reps gets null, not its fast-failure
-      // elapsed — a failure latency must never be mistaken for plan cost
-      name -> (if (ok.nonEmpty) Some(ok.min) else None)
+      (1 to reps).foreach(_ => runOnce())
+      // contention guard: if the successful reps disagree by >2× the slow
+      // one was likely contended — keep adding reps (bounded) until the two
+      // FASTEST agree within 2×, so the reported min is corroborated
+      var extra = 0
+      def fastestDisagree: Boolean = {
+        val s = ok.sorted; s.size >= 2 && s(1) > 2.0 * s(0)
+      }
+      while (ok.size >= 2 && fastestDisagree && extra < maxExtra) {
+        extra += 1; runOnce()
+      }
+      if (ok.size >= 2 && fastestDisagree)
+        notes += f"[bench] $name reps still >2x apart after $extra extra (min=${ok.min}%.3f max=${ok.max}%.3f) — possible contention"
+      name -> (if (ok.nonEmpty) Some((ok.min, ok.max, ok.size)) else None)
     }
+    val loadEnd = loadavg()
     val qs = results.map { case (k, v) =>
-      "\"" + k + "\":" + v.map(_.toString).getOrElse("null")
+      "\"" + k + "\":" + v.map(_._1.toString).getOrElse("null")
+    }.mkString("{", ",", "}")
+    // per-rep spread: [min, max, n_successful_reps] per query, so a reader
+    // can audit whether any reported minimum came from a noisy pair
+    val spread = results.map { case (k, v) =>
+      "\"" + k + "\":" + v.map { case (mn, mx, n) => s"[$mn,$mx,$n]" }.getOrElse("null")
     }.mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.flatMap(_._2).sum
+    val total = results.flatMap(_._2.map(_._1)).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"loadavg":[$loadStart,$loadEnd],"queries":$qs,"spread":$spread,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
+    notes.foreach(System.err.println)
     // persist the full report: the driver captures a bounded log tail, and
-    // a 70-query JSON line is long enough to get head-truncated there
+    // a 90-query JSON line is long enough to get head-truncated there
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
         "bench_out.json")),

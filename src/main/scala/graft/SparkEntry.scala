@@ -753,10 +753,12 @@ object SparkEntry {
       val train = d.filter(col("doc_id") % 5 =!= 0).unionByName(
         bench.filter(col("doc_id") % 3 === 0)
           .select((col("doc_id") + 300000L).as("doc_id"), col("text")))
-      // m = 2^21 bits (256 KiB): fp stays under the 1% bound up to ~300k
-      // distinct bench texts — ~300× the sf0.1 bench side, so the pinned
-      // fp_within_bound=true constant holds at any provided SF (sizing
-      // per Bloom.sizeFor's formula; fixed here so the row is stable)
+      // m = 2^21 bits (256 KiB), k = 5: fp = (1-e^(-kn/m))^k crosses the
+      // 1% bound at n ≈ 215k distinct bench texts — ~215× the sf0.1 bench
+      // side, so the pinned fp_within_bound=true holds at any provided SF.
+      // The bound is probabilistic (expected fp rate), not a hard limit;
+      // the hard guarantee is zero false negatives. (Sizing per
+      // Bloom.sizeFor's formula; fixed here so the row is stable.)
       val flagged = Bloom.flagMembers(train, col("text"),
         bench, col("text"), mBits = 1L << 21, k = 5)
       val benchTexts = bench.select(col("text")).distinct()

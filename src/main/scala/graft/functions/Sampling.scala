@@ -214,13 +214,26 @@ object Sampling {
     val w = Window.partitionBy((g :+ col("__pid")): _*)
       .orderBy(scoreCol.desc, keyCol.asc)
       .rowsBetween(Window.unboundedPreceding, -1)
+    // null-safe (<=>) group joins: a NULL group key is a group like any
+    // other (the oracle's PARTITION BY keeps a NULL partition, and
+    // packOffsetsBy sets the same precedent) — a plain equi-join would
+    // silently drop NULL-group rows even when budgets carries a NULL row
+    val basesN = bases.select(
+      (groupCols.map(c => col(c).as("__bg_" + c)) :+
+        col("__pid").as("__bpid") :+ col("__base")): _*)
+    val budgetsN = budgets.select(
+      (groupCols.map(c => col(c).as("__tg_" + c)) :+ col("budget")): _*)
     ranged
-      .join(broadcast(bases), groupCols :+ "__pid")
-      .join(broadcast(budgets), groupCols)
+      .join(broadcast(basesN),
+        groupCols.map(c => col(c) <=> col("__bg_" + c)).reduce(_ && _) &&
+          col("__pid") === col("__bpid"))
+      .join(broadcast(budgetsN),
+        groupCols.map(c => col(c) <=> col("__tg_" + c)).reduce(_ && _))
       .withColumn("__cum_before",
         col("__base") + coalesce(sum(col("__tok")).over(w), lit(0L)))
       .filter(col("__cum_before") < col("budget"))
-      .drop("__pid", "__tok", "__base", "budget")
+      .drop((Seq("__pid", "__bpid", "__tok", "__base", "budget") ++
+        groupCols.map("__bg_" + _) ++ groupCols.map("__tg_" + _)): _*)
   }
 
   /**

@@ -208,6 +208,25 @@ class TimeSeriesBloomSpec extends AnyFunSuite {
     assert(got == Set((1L, 0L), (4L, 0L), (3L, 3L)))
   }
 
+  test("selectByBudgetBy: NULL group key is a group like any other") {
+    import spark.implicits._
+    // NULL lang rows must survive when budgets carries a NULL-lang row
+    // (the DuckDB PARTITION BY form keeps a NULL partition) — requires
+    // null-safe group joins, since NULL = NULL is never true
+    val df = Seq(
+      (Some("en"), 1L, 0.9, 4L),
+      (None, 2L, 0.9, 3L), (None, 3L, 0.5, 3L), // NULL budget 4: only id 2
+      (None, 4L, 0.2, 3L))
+      .toDF("lang", "id", "q", "tok")
+    val budgets = Seq((Some("en"), 10L), (Option.empty[String], 4L))
+      .toDF("lang", "budget")
+    val got = graft.functions.Sampling.selectByBudgetBy(
+      df, Seq("lang"), col("id"), col("q"), col("tok"), budgets)
+      .select("id", "__cum_before").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 0L), (2L, 0L), (3L, 3L)))
+  }
+
   test("streaming bloom decontamination drops blocklisted keys only") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-bloomstream").toString

@@ -420,10 +420,15 @@ object SparkEntry {
       fp.join(sig, "doc_id")
     }),
 
-    // Multimodal: opaque-binary media table → partition-parallel (stub)
-    // decode → typed features
+    // Multimodal: opaque-binary media table → partition-parallel decode →
+    // typed features. The fixture wraps each text in a structurally valid
+    // PNG (default) / JPEG (id%3=0) container — real signature/IHDR/SOF
+    // bytes with dimensions derived from the payload length — and the
+    // decoder parses format/width/height back out of the ACTUAL bytes
+    // (ImageHeader); id%7=0 rows stay bare text to hit the stub fallback.
+    // The oracle predicts the construction; a parser bug breaks the hash.
     "mm_media_meta" -> ((s, dir) => {
-      val media = Multimodal.asMedia(documents(s, dir), "doc_id", "text")
+      val media = Multimodal.asImageMedia(s, documents(s, dir), "doc_id", "text")
       Multimodal.decodeFeatures(s, media).toDF()
         .select(col("docId").as("doc_id"), col("kind"), col("byteLen").as("byte_len"),
           col("width"), col("height"), col("fingerprint"))
@@ -1367,8 +1372,19 @@ object SparkEntry {
         "FROM fp JOIN sig ON sig.doc_id = fp.doc_id ORDER BY doc_id"),
 
     "mm_media_meta" ->
-      ("SELECT doc_id, 'text/plain' AS kind, " +
-        "CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, " +
+      // mirrors asImageMedia's construction: PNG header = 33 bytes, JPEG
+      // (SOI+APP0+SOF0) = 39, bare text = 0; width/height derive from the
+      // payload length on both engines (the stub fallback uses the same
+      // formula over the full — headerless — bytes, so one CASE-free
+      // formula covers all three kinds); fingerprint is the md5 of the
+      // post-header payload, i.e. the text itself
+      ("SELECT doc_id, " +
+        "CASE WHEN doc_id % 7 = 0 THEN 'text/plain' " +
+        "WHEN doc_id % 3 = 0 THEN 'image/jpeg' " +
+        "ELSE 'image/png' END AS kind, " +
+        "CAST(octet_length(encode(text)) + " +
+        "CASE WHEN doc_id % 7 = 0 THEN 0 " +
+        "WHEN doc_id % 3 = 0 THEN 39 ELSE 33 END AS BIGINT) AS byte_len, " +
         "CAST(octet_length(encode(text)) % 640 + 64 AS INTEGER) AS width, " +
         "CAST(octet_length(encode(text)) % 480 + 48 AS INTEGER) AS height, " +
         "md5(text) AS fingerprint FROM documents ORDER BY doc_id"),

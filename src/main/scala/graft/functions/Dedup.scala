@@ -293,7 +293,9 @@ object Dedup {
    * pairs), so the default path collects it and runs union-find on the
    * driver — exact, one broadcast join, no iteration overhead. Graphs
    * bigger than `driverEdgeLimit` fall back to distributed min-label
-   * propagation with strict loop hygiene: every iterate is
+   * propagation with pointer doubling (each round: one neighbor-min hop,
+   * then label ← label-of-label), converging in O(log diameter) rounds,
+   * with strict loop hygiene: every iterate is
    * `localCheckpoint`ed (truncated lineage — no plan-depth blowup across
    * iterations) and the superseded iterate's backing RDD is unpersisted
    * as soon as the next one is materialized, so storage stays O(1) in the
@@ -340,16 +342,32 @@ object Dedup {
       var converged = false
       var i = 0
       while (!converged && i < maxIterations) {
+        // one neighbor-min step (propagates labels one hop)...
         val neighborMin = edges
           .join(ls, edges("doc_b") === ls("node"))
           .groupBy(col("doc_a").as("node0"))
           .agg(min(col("label")).as("nmin"))
-        val next = ls.join(neighborMin, ls("node") === col("node0"), "left")
+        val stepped = ls.join(neighborMin, ls("node") === col("node0"), "left")
           .select(col("node"), least(col("label"),
             coalesce(col("nmin"), col("label"))).as("label"))
+          .localCheckpoint() // both sides of the shortcut self-join below
+                             // must read ONE materialization
+        // ...then pointer doubling (label ← label-of-label): the reach
+        // roughly doubles every round, d_{k+1} = 2(d_k + 1), so a path of
+        // diameter D converges in ~log2(D) rounds instead of D — a
+        // component's diameter exceeding maxIterations can no longer
+        // yield partial labels for any graph of plausible size
+        // (10 rounds cover diameter ≈ 2000).
+        val next = stepped.alias("a")
+          .join(stepped.select(col("node").as("__ln"),
+            col("label").as("__ll")).alias("b"),
+            col("a.label") === col("__ln"), "left")
+          .select(col("a.node").as("node"), least(col("a.label"),
+            coalesce(col("__ll"), col("a.label"))).as("label"))
           .localCheckpoint() // eager: materialized before the old ls goes away
         val changed = next.alias("n").join(ls.alias("o"), "node")
           .filter(col("n.label") =!= col("o.label")).limit(1).count()
+        backingRdd(stepped).foreach(_.unpersist(false))
         backingRdd(ls).foreach(_.unpersist(false))
         ls = next
         converged = changed == 0
@@ -359,9 +377,9 @@ object Dedup {
       if (!converged)
         System.err.println(
           s"[graft] connectedComponents: label propagation did not converge " +
-            s"in $maxIterations iterations — a component with diameter > " +
-            s"$maxIterations exists and its cluster ids are PARTIAL; " +
-            "raise maxIterations")
+            s"in $maxIterations doubling iterations — a component with " +
+            s"diameter > ~2^$maxIterations exists and its cluster ids are " +
+            "PARTIAL; raise maxIterations")
       ls
     }
   }

@@ -10,11 +10,14 @@ import org.apache.spark.sql.types._
  * feature-extract / frame-sample are per-partition operations over the
  * binary payloads.
  *
- * The actual codecs are NOT available in this environment, so the decode
- * step is a clearly-marked deterministic stub ([[StubDecoder]]) — the
- * Spark-side plumbing (schema, batching, partition-parallel execution,
- * metadata extraction, frame sampling) is real and tested. Swapping
- * [[StubDecoder.decode]] for a JNI/FFI codec call changes nothing upstream.
+ * Container-header metadata (PNG IHDR / JPEG SOF width, height, format)
+ * is parsed for REAL — pure byte arithmetic, no codec ([[ImageHeader]]).
+ * Pixel/sample decoding needs actual codecs, which are NOT available in
+ * this environment, so that step is a clearly-marked deterministic stub
+ * ([[StubDecoder]]) — the Spark-side plumbing (schema, batching,
+ * partition-parallel execution, metadata extraction, frame sampling) is
+ * real and tested. Swapping [[StubDecoder.decode]] for a JNI/FFI codec
+ * call changes nothing upstream.
  *
  * Scale notes: binary payloads make rows wide — the media scan should set
  * a smaller `spark.sql.files.maxPartitionBytes` so partitions stay
@@ -29,7 +32,123 @@ object Multimodal {
                           width: Int, height: Int, fingerprint: String)
 
   /**
-   * Deterministic stand-in for the real image/audio decoder: derives fake
+   * Real container-header parsing: PNG IHDR and JPEG SOF width/height
+   * extraction is pure byte arithmetic on the binary column — no codec
+   * needed. This is the genuinely-parseable slice of media decode; only
+   * pixel/sample decoding remains stubbed ([[StubDecoder]]).
+   *
+   * `parse` returns (format, width, height, headerLen) where headerLen is
+   * the offset just past the parsed header (PNG: signature + IHDR chunk;
+   * JPEG: through the SOF segment) — the fixture payload begins there.
+   */
+  object ImageHeader {
+    private val PngSig: Array[Byte] =
+      Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    private def u8(b: Byte): Int = b & 0xFF
+    private def be32(b: Array[Byte], o: Int): Long =
+      (u8(b(o)).toLong << 24) | (u8(b(o + 1)) << 16) |
+        (u8(b(o + 2)) << 8) | u8(b(o + 3))
+    private def be16(b: Array[Byte], o: Int): Int =
+      (u8(b(o)) << 8) | u8(b(o + 1))
+
+    def parse(bytes: Array[Byte]): Option[(String, Int, Int, Int)] =
+      if (bytes == null) None else parsePng(bytes).orElse(parseJpeg(bytes))
+
+    /** PNG: 8-byte signature, then the IHDR chunk (len, "IHDR", width BE32,
+      * height BE32, 5 mode bytes, CRC). */
+    private def parsePng(b: Array[Byte]): Option[(String, Int, Int, Int)] = {
+      if (b.length < 33) return None
+      var i = 0
+      while (i < 8) { if (b(i) != PngSig(i)) return None; i += 1 }
+      val ihdrLen = be32(b, 8)
+      if (ihdrLen < 13) return None
+      if (!(b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R'))
+        return None
+      val w = be32(b, 16); val h = be32(b, 20)
+      if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) return None
+      val hdr = 8 + 4 + 4 + ihdrLen.toInt + 4
+      if (hdr > b.length) return None
+      Some(("image/png", w.toInt, h.toInt, hdr))
+    }
+
+    /** JPEG: SOI, then scan segments (skipping by declared length, fill
+      * bytes and standalone markers handled) until a SOF frame header:
+      * FF Cx len(2) precision(1) height(2) width(2). */
+    private def parseJpeg(b: Array[Byte]): Option[(String, Int, Int, Int)] = {
+      if (b.length < 4 || u8(b(0)) != 0xFF || u8(b(1)) != 0xD8) return None
+      var p = 2
+      while (p + 1 < b.length) {
+        if (u8(b(p)) != 0xFF) return None // lost marker sync — corrupt
+        val m = u8(b(p + 1))
+        if (m == 0xFF) p += 1 // fill byte
+        else if (m == 0x01 || (m >= 0xD0 && m <= 0xD8)) p += 2 // standalone
+        else if (m == 0xD9 || m == 0xDA) return None // EOI/SOS before SOF
+        else {
+          if (p + 3 >= b.length) return None
+          val len = be16(b, p + 2)
+          if (len < 2 || p + 2 + len > b.length) return None
+          // SOF0-15 minus DHT(C4)/JPG(C8)/DAC(CC)
+          val isSof = m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC
+          if (isSof) {
+            if (len < 7) return None
+            val h = be16(b, p + 5); val w = be16(b, p + 7)
+            if (w <= 0 || h <= 0) return None
+            return Some(("image/jpeg", w, h, p + 2 + len))
+          }
+          p += 2 + len
+        }
+      }
+      None
+    }
+
+    private def crc32(b: Array[Byte], off: Int, len: Int): Int = {
+      val c = new java.util.zip.CRC32(); c.update(b, off, len); c.getValue.toInt
+    }
+
+    /** Structurally valid PNG prefix (signature + IHDR with a REAL CRC, so
+      * external tools agree on the header) followed by `payload`. */
+    def pngBytes(w: Int, h: Int, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(33 + payload.length)
+      bb.put(PngSig)
+      bb.putInt(13)
+      bb.put("IHDR".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      bb.putInt(w).putInt(h)
+      // 8-bit depth, truecolor, deflate, adaptive filter, no interlace
+      bb.put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      bb.putInt(crc32(bb.array(), 12, 4 + 13))
+      bb.put(payload)
+      bb.array()
+    }
+
+    /** Structurally valid JPEG prefix (SOI + APP0/JFIF + SOF0 baseline,
+      * 3 components — the APP0 exercises real segment skipping) followed
+      * by `payload`. Header is 39 bytes. */
+    def jpegBytes(w: Int, h: Int, payload: Array[Byte]): Array[Byte] = {
+      require(w <= 0xFFFF && h <= 0xFFFF, s"JPEG dims are 16-bit: ${w}x$h")
+      val bb = java.nio.ByteBuffer.allocate(39 + payload.length)
+      bb.put(0xFF.toByte).put(0xD8.toByte) // SOI
+      bb.put(0xFF.toByte).put(0xE0.toByte).putShort(16) // APP0
+      bb.put("JFIF".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      bb.put(0.toByte)
+      bb.put(1.toByte).put(1.toByte) // version 1.1
+      bb.put(0.toByte) // density units
+      bb.putShort(1).putShort(1) // x/y density
+      bb.put(0.toByte).put(0.toByte) // no thumbnail
+      bb.put(0xFF.toByte).put(0xC0.toByte).putShort(17) // SOF0
+      bb.put(8.toByte) // precision
+      bb.putShort(h.toShort).putShort(w.toShort)
+      bb.put(3.toByte) // components
+      bb.put(1.toByte).put(0x22.toByte).put(0.toByte)
+      bb.put(2.toByte).put(0x11.toByte).put(1.toByte)
+      bb.put(3.toByte).put(0x11.toByte).put(1.toByte)
+      bb.put(payload)
+      bb.array()
+    }
+  }
+
+  /**
+   * Deterministic stand-in for the real pixel/sample decoder, used only
+   * when [[ImageHeader.parse]] finds no parseable container: derives fake
    * dimensions and a fingerprint from the bytes. Replace with a real codec
    * (e.g. via FFI) in production — signature and batching stay identical.
    */
@@ -60,9 +179,37 @@ object Multimodal {
       length(encode(col(textCol), "UTF-8")).cast("long").as("byte_len"))
 
   /**
+   * Wrap a text table as an IMAGE media table: each row's content is a
+   * structurally valid PNG (default) or JPEG (every 3rd id) container —
+   * real signature/IHDR/SOF bytes, dimensions derived from the payload
+   * length so an oracle can predict them — with the utf-8 text as the
+   * payload after the header. Every 7th id stays a bare text/plain
+   * payload to exercise the decoder's no-container fallback.
+   */
+  def asImageMedia(spark: SparkSession, df: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .map { case (id, text) =>
+        val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val w = payload.length % 640 + 64
+        val h = payload.length % 480 + 48
+        val (kind, content) =
+          if (id % 7 == 0) ("text/plain", payload)
+          else if (id % 3 == 0) ("image/jpeg", ImageHeader.jpegBytes(w, h, payload))
+          else ("image/png", ImageHeader.pngBytes(w, h, payload))
+        (id, kind, content, content.length.toLong)
+      }.toDF("doc_id", "kind", "content", "byte_len")
+  }
+
+  /**
    * Partition-parallel decode: the real pattern for media feature
    * extraction (one decoder instance per partition, streamed rows, no
-   * driver involvement).
+   * driver involvement). Container headers (PNG IHDR / JPEG SOF) are
+   * parsed for REAL — format, width, height from the actual bytes; the
+   * fingerprint is the md5 of the post-header payload (container-stripped,
+   * so byte-identical media dedups across containers). Bytes with no
+   * parseable container fall back to [[StubDecoder]].
    */
   def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeature] = {
     import spark.implicits._
@@ -70,7 +217,16 @@ object Multimodal {
       .mapPartitions { it =>
         // per-partition decoder setup would go here (codec contexts are
         // expensive; amortize across the partition)
-        it.map { case (id, kind, bytes) => StubDecoder.decode(id, kind, bytes) }
+        it.map { case (id, kind, bytes) =>
+          ImageHeader.parse(bytes) match {
+            case Some((fmt, w, h, hdrLen)) =>
+              val md = java.security.MessageDigest.getInstance("MD5")
+              md.update(bytes, hdrLen, bytes.length - hdrLen)
+              MediaFeature(id, fmt, bytes.length.toLong, w, h,
+                md.digest().map("%02x".format(_)).mkString)
+            case None => StubDecoder.decode(id, kind, bytes)
+          }
+        }
       }
   }
 

@@ -61,4 +61,22 @@ class DedupClusterSpec extends AnyFunSuite {
       s"persisted RDDs grew by ${persistedAfter - persistedBefore} — " +
         "iterates are leaking cache")
   }
+
+  test("pointer doubling converges in O(log diameter), not O(diameter)") {
+    import spark.implicits._
+    // path graph 0-1-…-50 (diameter 50): plain min-label propagation
+    // needs 50 rounds, so maxIterations=7 would return PARTIAL labels;
+    // with one neighbor-min hop + one label←label-of-label shortcut per
+    // round the reach is d_{k+1} = 2(d_k + 1) — 0,2,6,14,30,62 — so 5
+    // propagation rounds + 1 no-change round suffice. Full convergence
+    // under maxIterations=7 is therefore only reachable by the doubling
+    // path.
+    val edges = (0L until 50L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(edges, maxIterations = 7,
+      driverEdgeLimit = 0L)
+    val m = labels.as[(Long, Long)].collect().toMap
+    assert(m.size == 51)
+    assert((0L to 50L).forall(m(_) == 0L),
+      "diameter-50 path fully labeled to its min within 7 doubling rounds")
+  }
 }

@@ -861,6 +861,25 @@ object SparkEntry {
       Similarity.recallAtK(ivf, bf)
     }),
 
+    // Build-once / probe-many ANN: persist the IVF index (centers +
+    // cell-partitioned inverted lists with precomputed norms) and probe
+    // it — bit-identical to the inline ivfKnnJoin (Round6OpsSpec), with
+    // the corpus scan pruned to the probed cells' files on disk. The
+    // build runs inside the query so the row is self-contained and
+    // deterministic at any SF.
+    "ann_ivf_indexed" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val probes = emb.filter(
+        pmod(Md5Prefix28(col("vec_id").cast("string")), lit(100L)) < 1)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("__pv"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      Similarity.buildIvfIndex(emb, "vec_id", "embedding", "label", path,
+        dims = 64)
+      Similarity.ivfKnnJoinIndexed(s, path, probes, "vec_id", "embedding",
+        "label", k = 5, nProbe = 2)
+    }),
+
     // Deterministic train/val/test split: per-split corpus accounting
     "split_train_valtest" -> ((s, dir) =>
       documents(s, dir)
@@ -1123,6 +1142,37 @@ object SparkEntry {
 
   private def cosSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** The IVF probe machinery in DuckDB form, through `ivr` (per-probe
+    * IVF-ranked neighbors with cosine): chunked centroid quantizer →
+    * hash-sampled probe batch → per-probe top-2 cells → exact ranking
+    * within the probed cells. Shared by the `ann_recall` and
+    * `ann_ivf_indexed` oracles. */
+  private lazy val ivfProbeCte: String =
+    "WITH x AS (SELECT label, vec_id, CAST(i AS INTEGER) - 1 AS pos, " +
+      "embedding[i]::DOUBLE AS v, " +
+      "CAST('0x' || substring(md5(vec_id::VARCHAR), 1, 7) AS BIGINT) % 1024 AS chunk " +
+      "FROM embeddings, (SELECT unnest(range(1, 65)) AS i) idx), " +
+      "p1 AS (SELECT label, pos, chunk, " +
+      "list_reduce(list_prepend(0.0, list(v ORDER BY vec_id)), (s, x) -> s + x) AS psum, " +
+      "count(*) AS n FROM x GROUP BY label, pos, chunk), " +
+      "cent AS (SELECT label, pos, " +
+      "list_reduce(list_prepend(0.0, list(psum ORDER BY chunk)), (s, x) -> s + x) " +
+      "/ CAST(sum(n) AS BIGINT) AS dim_avg FROM p1 GROUP BY label, pos), " +
+      "centers AS (SELECT label, list(dim_avg ORDER BY pos) AS c FROM cent GROUP BY label), " +
+      s"p AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings " +
+      s"WHERE ${Dedup.hash28Sql("vec_id::VARCHAR")} % 100 < 1), " +
+      "cellrank AS (SELECT probe_id, pv, label, row_number() OVER (" +
+      s"PARTITION BY probe_id ORDER BY ${cosSql("c", "pv")} DESC, label) AS rn " +
+      "FROM centers, p), " +
+      "cells AS (SELECT probe_id, pv, label FROM cellrank WHERE rn <= 2), " +
+      "iv AS (SELECT cl.probe_id, e.vec_id, " +
+      s"${cosSql("embedding", "pv")} AS cos " +
+      "FROM embeddings e JOIN cells cl ON e.label = cl.label " +
+      "WHERE e.vec_id <> cl.probe_id), " +
+      "ivr AS (SELECT probe_id, vec_id, cos, row_number() OVER (" +
+      "PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rn FROM iv " +
+      "WHERE NOT isnan(cos)), "
 
   private val enListSql = TextFns.EnStop.map(w => s"'$w'").mkString("(", ",", ")")
 
@@ -1851,30 +1901,7 @@ object SparkEntry {
       // same chunked centroid quantizer as embed_ann_ivf, generalized to
       // the hash-sampled probe batch: per-probe top-2 cells, exact top-5
       // within them, vs the exact brute-force top-5 on the same probes
-      ("WITH x AS (SELECT label, vec_id, CAST(i AS INTEGER) - 1 AS pos, " +
-        "embedding[i]::DOUBLE AS v, " +
-        "CAST('0x' || substring(md5(vec_id::VARCHAR), 1, 7) AS BIGINT) % 1024 AS chunk " +
-        "FROM embeddings, (SELECT unnest(range(1, 65)) AS i) idx), " +
-        "p1 AS (SELECT label, pos, chunk, " +
-        "list_reduce(list_prepend(0.0, list(v ORDER BY vec_id)), (s, x) -> s + x) AS psum, " +
-        "count(*) AS n FROM x GROUP BY label, pos, chunk), " +
-        "cent AS (SELECT label, pos, " +
-        "list_reduce(list_prepend(0.0, list(psum ORDER BY chunk)), (s, x) -> s + x) " +
-        "/ CAST(sum(n) AS BIGINT) AS dim_avg FROM p1 GROUP BY label, pos), " +
-        "centers AS (SELECT label, list(dim_avg ORDER BY pos) AS c FROM cent GROUP BY label), " +
-        s"p AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings " +
-        s"WHERE ${Dedup.hash28Sql("vec_id::VARCHAR")} % 100 < 1), " +
-        "cellrank AS (SELECT probe_id, pv, label, row_number() OVER (" +
-        s"PARTITION BY probe_id ORDER BY ${cosSql("c", "pv")} DESC, label) AS rn " +
-        "FROM centers, p), " +
-        "cells AS (SELECT probe_id, pv, label FROM cellrank WHERE rn <= 2), " +
-        "iv AS (SELECT cl.probe_id, e.vec_id, " +
-        s"${cosSql("embedding", "pv")} AS cos " +
-        "FROM embeddings e JOIN cells cl ON e.label = cl.label " +
-        "WHERE e.vec_id <> cl.probe_id), " +
-        "ivr AS (SELECT probe_id, vec_id, row_number() OVER (" +
-        "PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rn FROM iv " +
-        "WHERE NOT isnan(cos)), " +
+      (ivfProbeCte +
         "bs AS (SELECT probe_id, vec_id, " +
         s"${cosSql("embedding", "pv")} AS cos " +
         "FROM embeddings, p WHERE vec_id <> probe_id), " +
@@ -1891,6 +1918,14 @@ object SparkEntry {
         "CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit, " +
         "CAST(coalesce(h.n_hit, 0) AS DOUBLE) / ne.n_exact AS recall " +
         "FROM ne LEFT JOIN h USING (probe_id) ORDER BY probe_id"),
+
+    "ann_ivf_indexed" ->
+      // the persisted-index probe is bit-identical to the inline IVF
+      // join, so its oracle is the IVF chain's own top-5 per probe
+      (ivfProbeCte.stripSuffix(", ") + " " +
+        "SELECT probe_id, CAST(rn AS INTEGER) AS rank, " +
+        "vec_id AS neighbor_id, cos FROM ivr WHERE rn <= 5 " +
+        "ORDER BY probe_id, rank"),
 
     "split_train_valtest" ->
       (s"WITH s AS (SELECT doc_id, length(text) AS len, " +

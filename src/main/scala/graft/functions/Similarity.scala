@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -234,27 +234,91 @@ object Similarity {
                  dims: Int = 64): DataFrame = {
     TopKAgg.requireIntegralId(df, idCol, "ivfKnnJoin")
     val centers = cellCenters(df, labelCol, idCol, vecCol, dims)
-    // nProbe nearest cells PER PROBE: a window over the broadcast-tiny
-    // centers × probes product (deterministic tiebreak on the cell label)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("probe_id"))
-      .orderBy(col("__ccos").desc, col("__cell"))
-    val probedCells = broadcast(
-      centers.crossJoin(broadcast(probes))
-        .select(col("probe_id"), col("__pv"), col("__cell"),
-          (dot(col("__center"), col("__pv")) /
-            (norm(col("__center")) * norm(col("__pv")))).as("__ccos"))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") <= nProbe)
-        // probe norm computed here, on the tiny pruned frame
-        .select(col("probe_id"), col("__pv"), col("__cell"),
-          norm(col("__pv")).as("__pn")))
+    val probedCells = probedCellsFor(centers, probes, nProbe)
     // corpus norm once per row (before the probe join), not per pair —
     // same dot/(na·nb) bracketing as cosine(), bit-identical values
     val base = df.select(col(idCol), col(vecCol), col(labelCol),
       norm(col(vecCol)).as("__cn"))
     emitTopK(
       base.join(probedCells, base(labelCol) === probedCells("__cell"))
+        .filter(col(idCol) =!= col("probe_id"))
+        .select(col("probe_id"), col(idCol),
+          (dot(col(vecCol), col("__pv")) /
+            (col("__cn") * col("__pn"))).as("cos")),
+      idCol, k)
+  }
+
+  /** nProbe nearest cells PER PROBE: a window over the broadcast-tiny
+    * centers × probes product (deterministic tiebreak on the cell label).
+    * Emits (probe_id, __pv, __cell, __pn) with the probe norm computed on
+    * the pruned frame. Shared by the inline and index-backed probe paths
+    * so the cell-selection policy exists exactly once. */
+  private def probedCellsFor(centers: DataFrame, probes: DataFrame,
+                             nProbe: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("__ccos").desc, col("__cell"))
+    broadcast(
+      centers.crossJoin(broadcast(probes))
+        .select(col("probe_id"), col("__pv"), col("__cell"),
+          (dot(col("__center"), col("__pv")) /
+            (norm(col("__center")) * norm(col("__pv")))).as("__ccos"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= nProbe)
+        .select(col("probe_id"), col("__pv"), col("__cell"),
+          norm(col("__pv")).as("__pn")))
+  }
+
+  /**
+   * Persist the IVF index for build-once / probe-many workloads: at
+   * corpus scale the index is built once and probed thousands of times,
+   * but [[ivfKnnJoin]] recomputes cell centers, assignments, and norms on
+   * every query. This writes them down:
+   *
+   *  - `path/centers`: the coarse-quantizer cell centers (one row per
+   *    cell — tiny, broadcast at probe time);
+   *  - `path/lists`: the inverted lists — corpus rows with their
+   *    precomputed norms, PARTITIONED BY CELL on disk (`__cellkey` = the
+   *    label as a string directory key; the original label column
+   *    survives inside the files so probe-time semantics are identical
+   *    to the inline form). A probe then reads only its nProbe cells'
+   *    files via parquet partition pruning instead of scanning the
+   *    corpus.
+   */
+  def buildIvfIndex(df: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, path: String, dims: Int = 64): Unit = {
+    TopKAgg.requireIntegralId(df, idCol, "buildIvfIndex")
+    cellCenters(df, labelCol, idCol, vecCol, dims)
+      .write.mode("overwrite").parquet(s"$path/centers")
+    df.select(col(idCol), col(vecCol), col(labelCol),
+        norm(col(vecCol)).as("__cn"),
+        col(labelCol).cast("string").as("__cellkey"))
+      .write.mode("overwrite").partitionBy("__cellkey")
+      .parquet(s"$path/lists")
+  }
+
+  /**
+   * Probe a persisted IVF index ([[buildIvfIndex]]): same semantics and
+   * BIT-IDENTICAL results as the inline [[ivfKnnJoin]] (centers and norms
+   * round-trip exactly through parquet doubles; the scoring arithmetic is
+   * shared), but nothing is recomputed and the corpus scan is pruned to
+   * the probed cells' partitions on disk. The probed-cell key set
+   * (≤ probes × nProbe values) is collected to the driver to drive the
+   * partition-pruning filter — metadata-scale, like the one-row broadcast
+   * bounds elsewhere.
+   */
+  def ivfKnnJoinIndexed(spark: SparkSession, path: String, probes: DataFrame,
+                        idCol: String, vecCol: String, labelCol: String,
+                        k: Int, nProbe: Int = 2): DataFrame = {
+    val centers = spark.read.parquet(s"$path/centers")
+    val probedCells = probedCellsFor(centers, probes, nProbe)
+    val cellKeys = probedCells.select(col("__cell").cast("string"))
+      .distinct().collect().map(_.getString(0))
+    val lists = spark.read.parquet(s"$path/lists")
+      .filter(col("__cellkey").isin(cellKeys.toIndexedSeq: _*))
+    TopKAgg.requireIntegralId(lists, idCol, "ivfKnnJoinIndexed")
+    emitTopK(
+      lists.join(probedCells, lists(labelCol) === probedCells("__cell"))
         .filter(col(idCol) =!= col("probe_id"))
         .select(col("probe_id"), col(idCol),
           (dot(col(vecCol), col("__pv")) /

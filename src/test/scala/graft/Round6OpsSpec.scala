@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.Multimodal
+import graft.functions.{Multimodal, Similarity}
 import graft.functions.Multimodal.ImageHeader
 
 /** Round-6 operators: real PNG/JPEG container-header parsing and the
@@ -79,5 +79,51 @@ class Round6OpsSpec extends AnyFunSuite {
     val wantFp = java.security.MessageDigest.getInstance("MD5")
       .digest("jpeg row body".getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(got(3L).fingerprint == wantFp)
+  }
+
+  test("persisted IVF index: probe ≡ inline ivfKnnJoin bit-for-bit, pruned scan") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "a", Array(1.0f, 0.1f, 0.0f, 0.0f)),
+      (1L, "a", Array(1.0f, 0.2f, 0.0f, 0.0f)),
+      (2L, "a", Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (3L, "b", Array(0.1f, 1.0f, 0.0f, 0.0f)),
+      (4L, "b", Array(0.2f, 1.0f, 0.0f, 0.0f)),
+      (5L, "c", Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (6L, "c", Array(0.0f, 0.0f, 0.9f, 0.1f))
+    ).toDF("vec_id", "label", "embedding")
+    val probes = Seq(
+      (0L, Array(1.0f, 0.1f, 0.0f, 0.0f)),
+      (5L, Array(0.0f, 0.0f, 1.0f, 0.05f))
+    ).toDF("probe_id", "__pv")
+
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ivf-idx").toString
+    Similarity.buildIvfIndex(corpus, "vec_id", "embedding", "label", path,
+      dims = 4)
+    val indexed = Similarity.ivfKnnJoinIndexed(spark, path, probes,
+      "vec_id", "embedding", "label", k = 3, nProbe = 2)
+    val inline = Similarity.ivfKnnJoin(corpus, probes, "vec_id", "embedding",
+      "label", k = 3, nProbe = 2, dims = 4)
+
+    // bit-for-bit: identical rows including the double cosines
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+    val (gi, gn) = (rows(indexed), rows(inline))
+    assert(gi.nonEmpty && gi == gn)
+
+    // partition pruning is real: the cell filter must land in the scan's
+    // partitionFilters (pruned at file listing), not in dataFilters
+    // (row-level, reads every file) — inputFiles reports the pre-pruning
+    // relation, so inspect the executed plan instead
+    val pruned = spark.read.parquet(s"$path/lists")
+      .filter(col("__cellkey") === "a")
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no file scan in the pruned plan"))
+    assert(scan.partitionFilters.exists(_.references.exists(
+      _.name == "__cellkey")),
+      "cell filter must be a partition filter, not a data filter")
   }
 }

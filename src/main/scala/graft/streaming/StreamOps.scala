@@ -146,78 +146,159 @@ object StreamOps {
     val writer = docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
-        val spark = batch0.sparkSession
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
-        val keysPath = s"$statePath/keys"
-        val setsPath = s"$statePath/sets"
         // the batch feeds the cascade, the rep semi-join, and the epoch
         // writes — cache it for the duration of the epoch
         val batch = batch0.cache()
         try {
-          // 1. batch-internal cascade (exact + near) → representatives
-          val reps = Dedup.nearDupClusters(batch, idCol, textCol, minJaccard)
-            .filter(col(idCol) === col("cluster_id")).select(col(idCol))
-          val repDocs = batch.join(reps, Seq(idCol), "left_semi")
-            .localCheckpoint() // reused: sets, verify, output write
-          val repSets = Dedup.shingleSets(repDocs, idCol, textCol)
-            .localCheckpoint()
-          val repKeys = Dedup.bandKeysFromSets(repSets, idCol)
-            .localCheckpoint() // reused: candidate join + admitted write
-
-          // 2. verify representatives against the admitted corpus.
-          // State rows of THIS epoch are excluded so a crash-replay of the
-          // batch does not match its docs against their own replayed index
-          // entries (which would silently drop them).
-          //
-          // Each state table reads independently with an EXPLICIT schema
-          // (its epoch frame's schema + the batch partition column) and an
-          // absent-or-empty directory reads as EMPTY state: a crash at ANY
-          // point of the three epoch writes below (e.g. keys/ committed but
-          // sets/ not yet created, or only _temporary present) must replay
-          // cleanly, never wedge on path-not-found or schema inference.
-          import org.apache.spark.sql.types.LongType
-          def stateOrEmpty(path: String,
-                           schema: org.apache.spark.sql.types.StructType) = {
-            val full = schema.add("batch", LongType)
-            if (fs.exists(new org.apache.hadoop.fs.Path(path)))
-              spark.read.schema(full).parquet(path)
-            else spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
-          }
-          val stateKeys = stateOrEmpty(keysPath, repKeys.schema)
-            .filter(col("batch") =!= batchId)
-          val stateSets = stateOrEmpty(setsPath, repSets.schema)
-            .filter(col("batch") =!= batchId)
-          val cand = repKeys
-            .join(stateKeys.select(col(idCol).as("__sid"),
-              col("band"), col("bkey")), Seq("band", "bkey"))
-            .select(col(idCol), col("__sid")).distinct()
-          val dupIds = cand
-            .join(repSets, Seq(idCol))
-            .join(stateSets.select(col(idCol).as("__sid"),
-              col("sset").as("__ss")), Seq("__sid"))
-            .filter(
-              size(array_intersect(col("sset"), col("__ss"))).cast("double") /
-                size(array_union(col("sset"), col("__ss"))) >= minJaccard)
-            .select(col(idCol)).distinct()
-            .localCheckpoint() // reused by the three anti-joins below
-
-          // 3. IDEMPOTENT per-epoch writes: every output lands in a
-          // batch=<epoch> subdirectory with overwrite, so a replayed batch
-          // rewrites its own epoch instead of appending duplicates
-          // (partition discovery exposes the epoch as the `batch` column
-          // that step 2's exclusion filter prunes on). Admitted keys/sets
-          // are anti-joined from the checkpointed rep frames — no
-          // re-shingling or re-hashing.
-          def anti(d: DataFrame) = d.join(dupIds, Seq(idCol), "left_anti")
-          anti(repDocs).write.mode("overwrite")
-            .parquet(s"$outPath/batch=$batchId")
-          anti(repKeys).write.mode("overwrite")
-            .parquet(s"$keysPath/batch=$batchId")
-          anti(repSets).write.mode("overwrite")
-            .parquet(s"$setsPath/batch=$batchId")
+          dedupEpoch(batch, batchId, statePath, idCol, textCol, minJaccard)
+            .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
         } finally { batch.unpersist(false); () }
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
+  /**
+   * One epoch of the online near-dup dedup — the foreachBatch core of
+   * [[nearDupDedupTo]], factored out so [[prepPipelineTo]] can compose it
+   * with other stages. Runs the batch-internal cascade, verifies the
+   * survivors against the admitted-corpus state (excluding THIS epoch's
+   * rows, for crash-replay safety), writes the epoch's state partitions
+   * (keys/sets, overwrite-idempotent), and returns the admitted docs
+   * frame (backed by checkpointed inputs — safe to consume after the
+   * state writes). `batch` must be cached/materialized by the caller.
+   */
+  private def dedupEpoch(batch: DataFrame, batchId: Long, statePath: String,
+                         idCol: String, textCol: String,
+                         minJaccard: Double): DataFrame = {
+    val spark = batch.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val keysPath = s"$statePath/keys"
+    val setsPath = s"$statePath/sets"
+    // 1. batch-internal cascade (exact + near) → representatives
+    val reps = Dedup.nearDupClusters(batch, idCol, textCol, minJaccard)
+      .filter(col(idCol) === col("cluster_id")).select(col(idCol))
+    val repDocs = batch.join(reps, Seq(idCol), "left_semi")
+      .localCheckpoint() // reused: sets, verify, output write
+    val repSets = Dedup.shingleSets(repDocs, idCol, textCol)
+      .localCheckpoint()
+    val repKeys = Dedup.bandKeysFromSets(repSets, idCol)
+      .localCheckpoint() // reused: candidate join + admitted write
+
+    // 2. verify representatives against the admitted corpus.
+    // State rows of THIS epoch are excluded so a crash-replay of the
+    // batch does not match its docs against their own replayed index
+    // entries (which would silently drop them).
+    //
+    // Each state table reads independently with an EXPLICIT schema
+    // (its epoch frame's schema + the batch partition column) and an
+    // absent-or-empty directory reads as EMPTY state: a crash at ANY
+    // point of the epoch writes (e.g. keys/ committed but sets/ not yet
+    // created, or only _temporary present) must replay cleanly, never
+    // wedge on path-not-found or schema inference.
+    import org.apache.spark.sql.types.LongType
+    def stateOrEmpty(path: String,
+                     schema: org.apache.spark.sql.types.StructType) = {
+      val full = schema.add("batch", LongType)
+      if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+        spark.read.schema(full).parquet(path)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
+    }
+    val stateKeys = stateOrEmpty(keysPath, repKeys.schema)
+      .filter(col("batch") =!= batchId)
+    val stateSets = stateOrEmpty(setsPath, repSets.schema)
+      .filter(col("batch") =!= batchId)
+    val cand = repKeys
+      .join(stateKeys.select(col(idCol).as("__sid"),
+        col("band"), col("bkey")), Seq("band", "bkey"))
+      .select(col(idCol), col("__sid")).distinct()
+    val dupIds = cand
+      .join(repSets, Seq(idCol))
+      .join(stateSets.select(col(idCol).as("__sid"),
+        col("sset").as("__ss")), Seq("__sid"))
+      .filter(
+        size(array_intersect(col("sset"), col("__ss"))).cast("double") /
+          size(array_union(col("sset"), col("__ss"))) >= minJaccard)
+      .select(col(idCol)).distinct()
+      .localCheckpoint() // reused by the three anti-joins below
+
+    // 3. IDEMPOTENT per-epoch writes: every output lands in a
+    // batch=<epoch> subdirectory with overwrite, so a replayed batch
+    // rewrites its own epoch instead of appending duplicates
+    // (partition discovery exposes the epoch as the `batch` column
+    // that step 2's exclusion filter prunes on). Admitted keys/sets
+    // are anti-joined from the checkpointed rep frames — no
+    // re-shingling or re-hashing.
+    def anti(d: DataFrame) = d.join(dupIds, Seq(idCol), "left_anti")
+    anti(repKeys).write.mode("overwrite")
+      .parquet(s"$keysPath/batch=$batchId")
+    anti(repSets).write.mode("overwrite")
+      .parquet(s"$setsPath/batch=$batchId")
+    anti(repDocs)
+  }
+
+  /**
+   * The END-TO-END streaming prep pipeline — the online form of the batch
+   * `pipeline_e2e` query: every micro-batch flows through
+   *
+   *   Bloom decontamination → online near-dup dedup → quality filter →
+   *   deterministic split + per-epoch accounting
+   *
+   * in ONE foreachBatch, sharing one checkpoint/epoch id, so the whole
+   * composition (not each operator separately) is crash-replay
+   * idempotent: every stage's output for epoch N lands under a
+   * `batch=N` partition with overwrite, and the dedup state verify
+   * excludes epoch N's own rows — a replayed epoch rewrites exactly
+   * itself (StreamOpsSpec proves post-crash ≡ uninterrupted).
+   *
+   * Layout: `outPath/docs/batch=N` (admitted docs + quality + split) and
+   * `outPath/accounting/batch=N` (per-split doc/token counts); dedup
+   * state under `statePath` as in [[nearDupDedupTo]].
+   *
+   * The Bloom blocklist is sized and built ONCE before the stream starts;
+   * the quality/split stages are pure column maps. Scale shape is the sum
+   * of its parts: broadcast bitmap probe + (band,key)-bucketed verify +
+   * zero-shuffle maps — nothing accumulates driver-side.
+   */
+  def prepPipelineTo(docs: DataFrame, blockKeys: DataFrame, outPath: String,
+                     statePath: String, checkpoint: String, idCol: String,
+                     textCol: String, minJaccard: Double = 0.8,
+                     minQuality: Double = 0.2, trainPct: Int = 80,
+                     valPct: Int = 10, fpp: Double = 1e-3,
+                     availableNow: Boolean = true): StreamingQuery = {
+    import graft.functions.{Sampling, TextFns}
+    val n = math.max(1L, blockKeys.select(col(textCol)).count())
+    val (m, k) = Bloom.sizeFor(n, fpp)
+    val filterRow = Bloom.build(blockKeys, col(textCol), m, k)
+      .localCheckpoint() // eager: materialize before the stream starts
+    val writer = docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val clean = batch0.crossJoin(broadcast(filterRow))
+          .withColumn("__hit",
+            Bloom.mightContain(col("__bloom"), col(textCol), m, k))
+          .filter(!col("__hit")).drop("__bloom", "__hit")
+          .cache() // feeds the cascade + rep semi-join for the epoch
+        try {
+          val admitted = dedupEpoch(clean, batchId, statePath, idCol,
+            textCol, minJaccard)
+          val fin = admitted
+            .withColumn("quality", TextFns.qualityScore(col(textCol)))
+            .filter(col("quality") >= minQuality)
+            .withColumn("split",
+              Sampling.splitLabel(col(idCol), trainPct, valPct))
+            .localCheckpoint() // feeds both the docs write and accounting
+          fin.write.mode("overwrite")
+            .parquet(s"$outPath/docs/batch=$batchId")
+          fin.groupBy(col("split"))
+            .agg(count(lit(1)).as("n_docs"),
+              sum(size(TextFns.words(col(textCol))).cast("long"))
+                .as("n_tokens"))
+            .write.mode("overwrite")
+            .parquet(s"$outPath/accounting/batch=$batchId")
+        } finally { clean.unpersist(false); () }
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .start()

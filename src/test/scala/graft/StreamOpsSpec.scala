@@ -200,6 +200,74 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(admitted == Set(1L), s"admitted: $admitted")
   }
 
+  test("e2e prep pipeline: crash-replayed epoch equals the uninterrupted run") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and then the " +
+      "cat naps while a bird sings songs about the warm summer day outside"
+    val blockText = "forbidden document that must never be admitted at all"
+    val junk = "@@@@ #### $$$$ %%%% ^^^^ &&&& **** (((( )))) @@@@ #### $$$$"
+    val fresh = "a completely different story where small rivers meet the " +
+      "old stone bridge and the miller waits for the morning light to come"
+    val in = Files.createTempDirectory("graft-e2e-in").toString
+    // batch 0: 1 admitted; 2 near-dup of 1 (in-batch drop); 3 blocklisted
+    Seq((1L, base), (2L, base.replace("fox", "wolf")), (3L, blockText))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    Thread.sleep(1100) // distinct mtimes → deterministic batch order
+    // batch 1 (the replayed epoch): 4 near-dups 1 (vs-state drop);
+    // 5 junk (dedup-admitted, then quality-filtered); 6 fresh (admitted)
+    Seq((4L, base.replace("dog", "pug")), (5L, junk), (6L, fresh))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    val block = Seq(blockText).toDF("text")
+    val schema = spark.read.parquet(in).schema
+
+    def run(out: String, state: String, ck: String): Unit = {
+      val q = StreamOps.prepPipelineTo(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(in),
+        block, out, state, ck, "doc_id", "text",
+        minJaccard = 0.6, minQuality = 0.2)
+      q.awaitTermination()
+    }
+    def docs(out: String) = spark.read.parquet(s"$out/docs")
+      .select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    def acct(out: String) = spark.read.parquet(s"$out/accounting")
+      .select(col("batch").cast("long"), col("split"), col("n_docs"),
+        col("n_tokens")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+    // uninterrupted reference run
+    val outA = Files.createTempDirectory("graft-e2e-a").toString + "/out"
+    val stA = Files.createTempDirectory("graft-e2e-sa").toString + "/st"
+    run(outA, stA, Files.createTempDirectory("graft-e2e-cka").toString)
+
+    // crash run: complete both epochs (outputs AND state on disk), then
+    // lose epoch 1's commit marker — the classic asymmetric crash: work
+    // done, commit missing — and restart. Epoch 1 replays end-to-end;
+    // every stage must rewrite exactly itself.
+    val outB = Files.createTempDirectory("graft-e2e-b").toString + "/out"
+    val stB = Files.createTempDirectory("graft-e2e-sb").toString + "/st"
+    val ckB = Files.createTempDirectory("graft-e2e-ckb").toString
+    run(outB, stB, ckB)
+    assert(new java.io.File(s"$ckB/commits/1").delete(),
+      "expected epoch 1's commit marker to exist")
+    // the local checksum fs keeps a .crc sidecar per file — remove it too
+    // or the replayed commit write collides on the stale checksum
+    new java.io.File(s"$ckB/commits/.1.crc").delete()
+    run(outB, stB, ckB) // replays epoch 1 against its own state rows
+
+    assert(docs(outA) == docs(outB), "docs diverged after crash replay")
+    assert(acct(outA) == acct(outB), "accounting diverged after crash replay")
+    assert(docs(outA).map(_._1) == Set(1L, 6L), s"final docs: ${docs(outA)}")
+    // composition order is dedup THEN quality: the junk doc entered the
+    // dedup state (it wasn't a near-dup) even though quality dropped it
+    // from the output; the blocklisted doc never reached the state
+    val stateIds = spark.read.parquet(s"$stB/sets")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(stateIds == Set(1L, 5L, 6L), s"state: $stateIds")
+  }
+
   test("interval join matches its batch equivalent on a live stream") {
     val ev = sources.Tables.load(spark, sfDir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -347,6 +347,14 @@ object SparkEntry {
       Similarity.embedClusters(embeddings(s, dir), "vec_id", "embedding",
         0.3)),
 
+    // SemDeDup: exact-cosine dedup WITHIN coarse-quantizer cells (the
+    // label partitions — the persisted IVF index's cell key); component
+    // min-id keepers. Cell-bounded pair space is the published method's
+    // scale contract.
+    "embed_semdedup" -> ((s, dir) =>
+      Similarity.semDedupByCell(embeddings(s, dir), "vec_id", "embedding",
+        "label", 0.3)),
+
     // Symmetric int8 quantization of the embedding corpus (first 8 dims
     // checked; engine-reproducible floor(+0.5) rounding)
     "embed_quantize_int8" -> ((s, dir) =>
@@ -410,6 +418,12 @@ object SparkEntry {
     // (engine-exact arithmetic; ties break on term asc)
     "text_tfidf" -> ((s, dir) =>
       TextFns.tfIdfTopTerms(documents(s, dir), "doc_id", "text", 3)),
+
+    // Unigram LM fluency score (CCNet-style quality signal): harmonic-mean
+    // token probability under the corpus's own unigram model — rational
+    // arithmetic only, engine-identical (ln-perplexity is not)
+    "text_unigram_lm" -> ((s, dir) =>
+      TextFns.unigramLmScore(documents(s, dir), "doc_id", "text")),
 
     // Document fingerprint: winnowing-style min-hash + 2-hash signature
     "text_fingerprint" -> ((s, dir) => {
@@ -1288,6 +1302,21 @@ object SparkEntry {
         "SELECT node AS vec_id, min(label) AS cluster_id FROM cc " +
         "GROUP BY node ORDER BY vec_id"),
 
+    "embed_semdedup" ->
+      // exact cosine pairs WITHIN a label cell (no banding), then the
+      // same recursive min-label component CTE; keep = representative
+      ("WITH RECURSIVE pr AS (SELECT a.vec_id AS va, b.vec_id AS vb " +
+        "FROM embeddings a JOIN embeddings b " +
+        "ON a.label = b.label AND a.vec_id < b.vec_id " +
+        s"WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.3), " +
+        "edges AS (SELECT va AS a, vb AS b FROM pr " +
+        "UNION ALL SELECT vb, va FROM pr), " +
+        "cc AS (SELECT vec_id AS node, vec_id AS label FROM embeddings " +
+        "UNION SELECT e.a, cc.label FROM edges e JOIN cc ON cc.node = e.b) " +
+        "SELECT node AS vec_id, min(label) AS cluster_id, " +
+        "(min(label) = node) AS keep FROM cc " +
+        "GROUP BY node ORDER BY vec_id"),
+
     "embed_quantize_int8" ->
       ("WITH s AS (SELECT vec_id, " +
         "list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale, " +
@@ -1410,6 +1439,24 @@ object SparkEntry {
         "ORDER BY tfidf DESC, term) AS rk FROM s) " +
         "SELECT doc_id, term, tf, tfidf FROM r WHERE rk <= 3 " +
         "ORDER BY doc_id, term"),
+
+    "text_unigram_lm" ->
+      // identical rational arithmetic: inv = tf · (N / cf) per (doc,term),
+      // folded in term order; hm_prob = n_tokens / Σ inv — IEEE ops only
+      ("WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term " +
+        "FROM documents), " +
+        "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf " +
+        "FROM w GROUP BY 1, 2), " +
+        "cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1), " +
+        "n AS (SELECT CAST(sum(cf) AS BIGINT) AS n FROM cf), " +
+        "s AS (SELECT doc_id, term, tf, CAST(tf AS DOUBLE) * " +
+        "(CAST(n AS DOUBLE) / CAST(cf AS DOUBLE)) AS inv " +
+        "FROM tf JOIN cf USING (term) CROSS JOIN n) " +
+        "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, " +
+        "CAST(count(*) AS BIGINT) AS n_terms, " +
+        "CAST(sum(tf) AS DOUBLE) / list_reduce(list_prepend(0.0, " +
+        "list(inv ORDER BY term)), (a, x) -> a + x) AS hm_prob " +
+        "FROM s GROUP BY doc_id ORDER BY doc_id"),
 
     "text_fingerprint" ->
       (shingleCte + ", " +

@@ -174,6 +174,51 @@ object Similarity {
   }
 
   /**
+   * SemDeDup-style semantic deduplication within coarse-quantizer cells
+   * (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+   * through semantic deduplication" — public arXiv:2303.09540): pairs
+   * form ONLY inside a cell (the label partition — the same cell key the
+   * persisted IVF index partitions its inverted lists by), are scored by
+   * exact cosine, thresholded at `tau`, collapsed to connected
+   * components, and each component keeps its minimum id.
+   *
+   * Cell-bounded recall is the published method's explicit trade-off:
+   * near-duplicates quantized into DIFFERENT cells are not compared
+   * (the quantizer's job is to make that rare). In exchange the pair
+   * space is Σ |cell|² instead of n² — with a quantizer sized so cells
+   * stay bounded (K ∝ n / targetCellSize), per-cell work is constant and
+   * cells process embarrassingly parallel; over a [[buildIvfIndex]]
+   * layout each cell's pairs read one partition directory. Norms fold
+   * once per vector ([[knnJoinWith]]'s device), so per-pair work is one
+   * O(d) dot.
+   *
+   * Returns (idCol, cluster_id, keep) — `keep` marks the component
+   * representative (singletons keep themselves).
+   */
+  def semDedupByCell(df: DataFrame, idCol: String, vecCol: String,
+                     cellCol: String, tau: Double): DataFrame = {
+    TopKAgg.requireIntegralId(df, idCol, "semDedupByCell")
+    // one materialization feeds both pair sides (no cross-branch CSE)
+    val base = df.select(col(idCol), col(cellCol), col(vecCol),
+      norm(col(vecCol)).as("__n")).localCheckpoint(false)
+    val a = base.select(col(idCol).as("doc_a"), col(cellCol).as("__ca"),
+      col(vecCol).as("__va"), col("__n").as("__na"))
+    val b = base.select(col(idCol).as("doc_b"), col(cellCol).as("__cb"),
+      col(vecCol).as("__vb"), col("__n").as("__nb"))
+    val pairs = a
+      .join(b, col("__ca") === col("__cb") && col("doc_a") < col("doc_b"))
+      .filter((dot(col("__va"), col("__vb")) /
+        (col("__na") * col("__nb"))) >= tau)
+      .select(col("doc_a"), col("doc_b"))
+    val labels = Dedup.connectedComponents(pairs)
+    df.select(col(idCol))
+      .join(labels, col(idCol) === col("node"), "left")
+      .select(col(idCol),
+        coalesce(col("label"), col(idCol)).as("cluster_id"))
+      .withColumn("keep", col("cluster_id") === col(idCol))
+  }
+
+  /**
    * IVF-style ANN top-k: the coarse quantizer cells are the label
    * partitions, with cell centers = the deterministic per-label centroids
    * ([[centroidComponents]] — bit-reproducible, so engines agree on

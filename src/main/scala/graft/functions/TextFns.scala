@@ -114,6 +114,50 @@ object TextFns {
   }
 
   /**
+   * Unigram language-model fluency score — the CCNet-style quality signal
+   * (Wenzek et al. 2020, public): documents made of corpus-frequent
+   * tokens score high, documents of rare/garbage tokens score low. The
+   * model is the corpus's own unigram distribution `p(w) = cf(w)/N`.
+   *
+   * Standard perplexity is `exp(-mean ln p)` — a geometric mean, and
+   * `ln`/`exp` are not bit-reproducible across engines (the same reason
+   * [[bm25Rank]] uses a rational idf). This emits the HARMONIC-mean
+   * token probability instead: `hm_prob = n_doc / Σ_i 1/p(w_i)` — pure
+   * IEEE +,·,/ of exact integers, engine-identical, and monotone in the
+   * same direction (the harmonic mean lower-bounds the geometric mean,
+   * equality iff all token probabilities are equal, so both orders
+   * documents from garbage to fluent; 1/hm_prob is a perplexity-like
+   * "mean inverse probability"). The per-doc sum folds its terms in
+   * lexicographic order — deterministic double summation.
+   *
+   * Scale shape: ONE (doc, term) tf shuffle (the inherent cost of exact
+   * tf, shared with [[tfIdfTopTerms]]); corpus frequencies aggregated
+   * FROM tf (no second corpus scan); the N total is a one-row broadcast;
+   * the cf join strategy is left to Catalyst/AQE (vocabulary-sized).
+   *
+   * Returns (idCol, n_tokens, n_terms, hm_prob), one row per document.
+   */
+  def unigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = df.select(col(idCol), explode(words(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("__tf"))
+      .localCheckpoint(false) // feeds cf AND the score fold — one scan
+    val cf = tf.groupBy(col("term")).agg(sum(col("__tf")).as("__cf"))
+    val corpus = cf.agg(sum(col("__cf")).as("__N"))
+    tf.join(cf, "term").crossJoin(broadcast(corpus))
+      // 1/p per token, summed per (doc, term): tf · (N / cf)
+      .withColumn("__inv", col("__tf").cast("double") *
+        (col("__N").cast("double") / col("__cf").cast("double")))
+      .groupBy(col(idCol))
+      .agg(sum(col("__tf")).as("n_tokens"),
+        count(lit(1)).as("n_terms"),
+        sort_array(collect_list(struct(col("term"), col("__inv")))).as("__ss"))
+      .select(col(idCol), col("n_tokens"), col("n_terms"),
+        (col("n_tokens").cast("double") /
+          aggregate(col("__ss"), lit(0.0),
+            (acc, e) => acc + e.getField("__inv"))).as("hm_prob"))
+  }
+
+  /**
    * Distinct word n-gram shingles (default 3). Guarded so documents shorter
    * than n words yield an empty set rather than a bad sequence.
    *

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.{Multimodal, Similarity}
+import graft.functions.{Multimodal, Similarity, TextFns}
 import graft.functions.Multimodal.ImageHeader
 
 /** Round-6 operators: real PNG/JPEG container-header parsing and the
@@ -125,5 +125,49 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(scan.partitionFilters.exists(_.references.exists(
       _.name == "__cellkey")),
       "cell filter must be a partition filter, not a data filter")
+  }
+
+  test("semDedupByCell: within-cell components keep min id; cells bound pairs") {
+    import spark.implicits._
+    val corpus = Seq(
+      // cell "a": 10 ~ 11 ~ 12 form one chain (10-11 and 11-12 close,
+      // 10-12 only via the component), 13 orthogonal singleton
+      (10L, "a", Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (11L, "a", Array(1.0f, 0.15f, 0.0f, 0.0f)),
+      (12L, "a", Array(1.0f, 0.3f, 0.0f, 0.0f)),
+      (13L, "a", Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      // cell "b": 20 is IDENTICAL to 10 but in another cell — must NOT
+      // dedup against it (cell-bounded recall, the SemDeDup trade-off)
+      (20L, "b", Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (21L, "b", Array(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val got = Similarity.semDedupByCell(corpus, "vec_id", "embedding",
+      "label", tau = 0.95)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(got(10L) == (10L, true))
+    assert(got(11L) == (10L, false))
+    assert(got(12L) == (10L, false), "chain closes transitively")
+    assert(got(13L) == (13L, true), "orthogonal vector is a singleton")
+    assert(got(20L) == (20L, true), "identical vector in another cell survives")
+    assert(got(21L) == (21L, true))
+  }
+
+  test("unigramLmScore: harmonic-mean token probability, rare tokens score low") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b"), (2L, "c"), (3L, "a a a a"))
+      .toDF("doc_id", "text")
+    val got = TextFns.unigramLmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // corpus: N=8, cf(a)=6, cf(b)=1, cf(c)=1
+    // doc1: inv = 2·(8/6) + 1·(8/1) = 32/3; hm = 3/(32/3) = 9/32
+    assert(got(1L) == ((3L, 2L, 3.0 / (2.0 * (8.0 / 6.0) + 1.0 * (8.0 / 1.0)))))
+    // doc2: one rare token → hm = 1/8
+    assert(got(2L) == ((1L, 1L, 0.125)))
+    // doc3: all frequent tokens → hm = p(a) = 6/8, the corpus-fluent doc
+    assert(got(3L) == ((4L, 1L, 0.75)))
+    // ordering: corpus-fluent > mixed > rare-only
+    assert(got(3L)._3 > got(1L)._3 && got(1L)._3 > got(2L)._3)
   }
 }

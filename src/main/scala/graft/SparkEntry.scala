@@ -425,6 +425,16 @@ object SparkEntry {
     "text_unigram_lm" -> ((s, dir) =>
       TextFns.unigramLmScore(documents(s, dir), "doc_id", "text")),
 
+    // Cross-corpus form: model trained ONCE on the en subset (the CCNet
+    // curated-reference device), every document scored against it with
+    // Laplace-smoothed OOV mass
+    "text_unigram_lm_en" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      TextFns.unigramLmScoreAgainst(
+        TextFns.unigramModel(docs.filter(col("lang") === "en"), "text"),
+        docs, "doc_id", "text")
+    }),
+
     // Document fingerprint: winnowing-style min-hash + 2-hash signature
     "text_fingerprint" -> ((s, dir) => {
       val fp = documents(s, dir).select(col("doc_id"),
@@ -1454,6 +1464,27 @@ object SparkEntry {
         "FROM tf JOIN cf USING (term) CROSS JOIN n) " +
         "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, " +
         "CAST(count(*) AS BIGINT) AS n_terms, " +
+        "CAST(sum(tf) AS DOUBLE) / list_reduce(list_prepend(0.0, " +
+        "list(inv ORDER BY term)), (a, x) -> a + x) AS hm_prob " +
+        "FROM s GROUP BY doc_id ORDER BY doc_id"),
+
+    "text_unigram_lm_en" ->
+      // model = en-subset unigram counts; Laplace OOV: (N+V+1)/(cf+1)
+      ("WITH mw AS (SELECT unnest(string_split(text, ' ')) AS term " +
+        "FROM documents WHERE lang = 'en'), " +
+        "cf AS (SELECT term, CAST(count(*) AS BIGINT) AS cf FROM mw GROUP BY 1), " +
+        "st AS (SELECT CAST(sum(cf) AS BIGINT) AS n, " +
+        "CAST(count(*) AS BIGINT) AS v FROM cf), " +
+        "w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term " +
+        "FROM documents), " +
+        "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf " +
+        "FROM w GROUP BY 1, 2), " +
+        "s AS (SELECT doc_id, term, tf, CAST(tf AS DOUBLE) * " +
+        "(CAST(n + v + 1 AS DOUBLE) / CAST(coalesce(cf, 0) + 1 AS DOUBLE)) AS inv, " +
+        "CASE WHEN cf IS NULL THEN tf ELSE CAST(0 AS BIGINT) END AS oov " +
+        "FROM tf LEFT JOIN cf USING (term) CROSS JOIN st) " +
+        "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(oov) AS BIGINT) AS n_oov, " +
         "CAST(sum(tf) AS DOUBLE) / list_reduce(list_prepend(0.0, " +
         "list(inv ORDER BY term)), (a, x) -> a + x) AS hm_prob " +
         "FROM s GROUP BY doc_id ORDER BY doc_id"),

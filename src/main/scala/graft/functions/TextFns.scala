@@ -157,6 +157,53 @@ object TextFns {
             (acc, e) => acc + e.getField("__inv"))).as("hm_prob"))
   }
 
+  /** Unigram model for [[unigramLmScoreAgainst]]: (term, cf) corpus
+    * frequencies — build once (write to a table at scale), score many. */
+  def unigramModel(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(words(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cf"))
+
+  /**
+   * Cross-corpus unigram LM scoring — the production form of
+   * [[unigramLmScore]]: the model is TRAINED ONCE on a reference corpus
+   * ([[unigramModel]] — e.g. a trusted high-quality subset) and new
+   * documents are scored against it, the CCNet device of ranking crawl
+   * text by an LM trained on curated data. Out-of-vocabulary tokens get
+   * Laplace mass: `p(w) = (cf(w)+1) / (N+V+1)` (unseen → `1/(N+V+1)`) —
+   * still pure rational arithmetic, engine-identical.
+   *
+   * Scale shape: the model is vocabulary-sized (Catalyst/AQE picks
+   * broadcast vs shuffle for the left join); its (N, V) totals are a
+   * one-row broadcast; scored docs cost one (doc, term) tf shuffle.
+   * In streaming, build the model pre-stream and score each micro-batch
+   * as pure map+join work (the [[graft.streaming.StreamOps]] Bloom
+   * pattern).
+   *
+   * Returns (idCol, n_tokens, n_oov, hm_prob).
+   */
+  def unigramLmScoreAgainst(model: DataFrame, docs: DataFrame,
+                            idCol: String, textCol: String): DataFrame = {
+    val stats = model.agg(sum(col("cf")).as("__N"),
+      count(lit(1)).as("__V"))
+    docs.select(col(idCol), explode(words(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("__tf"))
+      .join(model, Seq("term"), "left")
+      .crossJoin(broadcast(stats))
+      // smoothed 1/p per (doc, term): tf · ((N+V+1) / (cf+1))
+      .withColumn("__inv", col("__tf").cast("double") *
+        ((col("__N") + col("__V") + lit(1L)).cast("double") /
+          (coalesce(col("cf"), lit(0L)) + lit(1L)).cast("double")))
+      .withColumn("__oov", when(col("cf").isNull, col("__tf")).otherwise(lit(0L)))
+      .groupBy(col(idCol))
+      .agg(sum(col("__tf")).as("n_tokens"),
+        sum(col("__oov")).as("n_oov"),
+        sort_array(collect_list(struct(col("term"), col("__inv")))).as("__ss"))
+      .select(col(idCol), col("n_tokens"), col("n_oov"),
+        (col("n_tokens").cast("double") /
+          aggregate(col("__ss"), lit(0.0),
+            (acc, e) => acc + e.getField("__inv"))).as("hm_prob"))
+  }
+
   /**
    * Distinct word n-gram shingles (default 3). Guarded so documents shorter
    * than n words yield an empty set rather than a bad sequence.

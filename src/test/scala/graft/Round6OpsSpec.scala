@@ -170,4 +170,23 @@ class Round6OpsSpec extends AnyFunSuite {
     // ordering: corpus-fluent > mixed > rare-only
     assert(got(3L)._3 > got(1L)._3 && got(1L)._3 > got(2L)._3)
   }
+
+  test("unigramLmScoreAgainst: train-once model, Laplace OOV mass") {
+    import spark.implicits._
+    val modelDocs = Seq((0L, "a a b")).toDF("doc_id", "text")
+    val scored = Seq((1L, "a c"), (2L, "a a"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val model = TextFns.unigramModel(modelDocs, "text")
+    val got = TextFns.unigramLmScoreAgainst(model, scored, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // model: N=3 (a:2, b:1), V=2 → smoothed 1/p = (N+V+1)/(cf+1) = 6/(cf+1)
+    // doc1 "a c": inv = 1·(6/3) + 1·(6/1) = 8 → hm = 2/8
+    assert(got(1L) == ((2L, 1L, 0.25)))
+    // doc2 "a a": all in-vocab → hm = 2/(2·(6/3)) = 0.5
+    assert(got(2L) == ((2L, 0L, 0.5)))
+    // doc3 "z": all OOV → hm = 1/6, the floor for a 1-token doc
+    assert(got(3L) == ((1L, 1L, 1.0 / 6.0)))
+    assert(got(2L)._3 > got(1L)._3 && got(1L)._3 > got(3L)._3)
+  }
 }

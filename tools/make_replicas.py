@@ -60,6 +60,29 @@ def replicate_documents(src, out, n):
     pq.write_table(pa.concat_tables(parts), f"{out}/documents.parquet")
 
 
+def replicate_embeddings(src, out, n):
+    import numpy as np
+    t = pq.read_table(f"{src}/embeddings.parquet")
+    emb = np.array(t["embedding"].to_pylist(), dtype=np.float32)
+    parts = []
+    for i in range(n):
+        # rotate dims per replica: norms and within-replica pairwise
+        # cosines are EXACTLY preserved (dot is invariant under a common
+        # permutation), so each replica is the same workload on distinct
+        # vectors. Labels shift per replica — the quantizer's cell count
+        # scales K ∝ n with the corpus (SemDeDup's scaling contract;
+        # within-cell pair volume stays constant per replica instead of
+        # growing quadratically under a fixed K).
+        rolled = np.roll(emb, i, axis=1)
+        parts.append(pa.table({
+            "vec_id": pc.add(t["vec_id"], i * 1_000_000),
+            "embedding": pa.array(rolled.tolist(),
+                                  type=t.schema.field("embedding").type),
+            "label": pc.add(t["label"], pa.scalar(i * 1000, pa.int32())),
+        }, schema=t.schema))
+    pq.write_table(pa.concat_tables(parts), f"{out}/embeddings.parquet")
+
+
 def main():
     # symlink targets resolve relative to the LINK dir, not the caller's
     # cwd — absolutize so a relative srcSfDir doesn't produce broken links
@@ -69,6 +92,7 @@ def main():
     os.makedirs(out, exist_ok=True)
     replicate_events(src, out, n)
     replicate_documents(src, out, n)
+    replicate_embeddings(src, out, n)
     for tbl in TABLES:
         dst = f"{out}/{tbl}.parquet"
         if not os.path.exists(dst):

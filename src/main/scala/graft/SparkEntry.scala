@@ -1315,10 +1315,14 @@ object SparkEntry {
     "embed_semdedup" ->
       // exact cosine pairs WITHIN a label cell (no banding), then the
       // same recursive min-label component CTE; keep = representative
-      ("WITH RECURSIVE pr AS (SELECT a.vec_id AS va, b.vec_id AS vb " +
+      ("WITH RECURSIVE pr AS (SELECT va, vb FROM (" +
+        "SELECT a.vec_id AS va, b.vec_id AS vb, " +
+        s"${cosSql("a.embedding", "b.embedding")} AS c " +
         "FROM embeddings a JOIN embeddings b " +
-        "ON a.label = b.label AND a.vec_id < b.vec_id " +
-        s"WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.3), " +
+        "ON a.label = b.label AND a.vec_id < b.vec_id) " +
+        // NaN-cosine (zero-norm) pairs excluded on BOTH engines — both
+        // order NaN above every value, so a bare >= would admit them
+        "WHERE NOT isnan(c) AND c >= 0.3), " +
         "edges AS (SELECT va AS a, vb AS b FROM pr " +
         "UNION ALL SELECT vb, va FROM pr), " +
         "cc AS (SELECT vec_id AS node, vec_id AS label FROM embeddings " +

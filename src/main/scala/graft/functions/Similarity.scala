@@ -199,19 +199,52 @@ object Similarity {
                      cellCol: String, tau: Double): DataFrame = {
     TopKAgg.requireIntegralId(df, idCol, "semDedupByCell")
     // one materialization feeds both pair sides (no cross-branch CSE)
-    val base = df.select(col(idCol), col(cellCol), col(vecCol),
+    val base = df.select(col(idCol), col(cellCol).as("__cell"), col(vecCol),
       norm(col(vecCol)).as("__n")).localCheckpoint(false)
-    val a = base.select(col(idCol).as("doc_a"), col(cellCol).as("__ca"),
+    semDedupCore(base, idCol, vecCol, tau)
+  }
+
+  /**
+   * [[semDedupByCell]] over a persisted [[buildIvfIndex]] layout: the
+   * inverted lists already carry per-vector norms and live PARTITIONED
+   * BY CELL on disk, so each cell's pair scan reads exactly one
+   * partition directory and nothing is recomputed — dedup becomes a
+   * maintenance pass over the same index that serves ANN probes.
+   * Results are identical to the inline form on the same corpus (shared
+   * pair arithmetic; norms round-trip exactly through parquet doubles).
+   */
+  def semDedupIndexed(spark: SparkSession, path: String, idCol: String,
+                      vecCol: String, tau: Double): DataFrame = {
+    val lists = spark.read.parquet(s"$path/lists")
+    TopKAgg.requireIntegralId(lists, idCol, "semDedupIndexed")
+    semDedupCore(lists.select(col(idCol), col("__cellkey").as("__cell"),
+      col(vecCol), col("__cn").as("__n")), idCol, vecCol, tau)
+  }
+
+  /** Shared semantic-dedup core over a (id, __cell, vec, __n) frame:
+    * within-cell exact-cosine pairs ≥ tau → connected components →
+    * (id, cluster_id, keep min-id representative). */
+  private def semDedupCore(base: DataFrame, idCol: String, vecCol: String,
+                           tau: Double): DataFrame = {
+    val a = base.select(col(idCol).as("doc_a"), col("__cell").as("__ca"),
       col(vecCol).as("__va"), col("__n").as("__na"))
-    val b = base.select(col(idCol).as("doc_b"), col(cellCol).as("__cb"),
+    val b = base.select(col(idCol).as("doc_b"), col("__cell").as("__cb"),
       col(vecCol).as("__vb"), col("__n").as("__nb"))
+    // zero-norm pairs: ANSI mode makes x/0 throw rather than produce the
+    // IEEE NaN, so branch explicitly — and the NaN must then be EXCLUDED
+    // (Spark orders NaN above every value, so a bare >= tau would glue a
+    // zero vector's whole cell into one cluster; DuckDB's 0/0 is NaN and
+    // both engines drop it the same way)
+    val denom = col("__na") * col("__nb")
     val pairs = a
       .join(b, col("__ca") === col("__cb") && col("doc_a") < col("doc_b"))
-      .filter((dot(col("__va"), col("__vb")) /
-        (col("__na") * col("__nb"))) >= tau)
+      .select(col("doc_a"), col("doc_b"),
+        when(denom === lit(0.0), lit(Double.NaN))
+          .otherwise(dot(col("__va"), col("__vb")) / denom).as("__cos"))
+      .filter(!isnan(col("__cos")) && col("__cos") >= tau)
       .select(col("doc_a"), col("doc_b"))
     val labels = Dedup.connectedComponents(pairs)
-    df.select(col(idCol))
+    base.select(col(idCol))
       .join(labels, col(idCol) === col("node"), "left")
       .select(col(idCol),
         coalesce(col("label"), col(idCol)).as("cluster_id"))

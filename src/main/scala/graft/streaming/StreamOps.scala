@@ -109,6 +109,41 @@ object StreamOps {
   }
 
   /**
+   * Streaming unigram-LM quality gate —
+   * [[graft.functions.TextFns.unigramLmScoreAgainst]] at the ingest edge,
+   * the CCNet device in streaming form: the model is TRAINED ONCE
+   * pre-stream on a curated reference corpus, then every micro-batch is
+   * scored against it and documents below `minHmProb` are dropped.
+   *
+   * Scale shape: the model is vocabulary-sized and static for the life
+   * of the query (built and checkpointed up front, like the Bloom
+   * filter above); per batch the work is one (doc, term) tf aggregate
+   * and the vocabulary join — no state store, no cross-batch shuffle.
+   * Epoch-idempotent `batch=<id>` overwrite writes, same crash contract
+   * as the other sinks here. Admitted rows carry their (n_tokens,
+   * n_oov, hm_prob) columns for downstream accounting.
+   */
+  def lmScoreTo(docs: DataFrame, modelCorpus: DataFrame, outPath: String,
+                checkpoint: String, idCol: String, textCol: String,
+                minHmProb: Double = 0.0,
+                availableNow: Boolean = true): StreamingQuery = {
+    val model = graft.functions.TextFns.unigramModel(modelCorpus, textCol)
+      .localCheckpoint() // eager: built once before the stream starts
+    val writer = docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val scores = graft.functions.TextFns
+          .unigramLmScoreAgainst(model, batch, idCol, textCol)
+        batch.join(scores, idCol)
+          .filter(col("hm_prob") >= minHmProb)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        ()
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
+  /**
    * Streaming near-duplicate dedup at the ingest edge — the online form of
    * [[graft.functions.Dedup.nearDupClusters]]: admit a document iff it is
    * not a near-dup of anything already admitted.

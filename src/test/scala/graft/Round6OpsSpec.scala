@@ -127,6 +127,30 @@ class Round6OpsSpec extends AnyFunSuite {
       "cell filter must be a partition filter, not a data filter")
   }
 
+  test("semDedupIndexed over the persisted lists equals the inline form") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, "a", Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (11L, "a", Array(1.0f, 0.05f, 0.0f, 0.0f)),
+      (12L, "a", Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (20L, "b", Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (21L, "b", Array(0.98f, 0.01f, 0.0f, 0.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ivf-sem").toString
+    Similarity.buildIvfIndex(corpus, "vec_id", "embedding", "label", path,
+      dims = 4)
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val inline = m(Similarity.semDedupByCell(corpus, "vec_id", "embedding",
+      "label", tau = 0.95))
+    val indexed = m(Similarity.semDedupIndexed(spark, path, "vec_id",
+      "embedding", tau = 0.95))
+    assert(inline == indexed)
+    assert(inline(11L) == (10L, false) && inline(21L) == (20L, false))
+    assert(inline(12L) == (12L, true))
+  }
+
   test("semDedupByCell: within-cell components keep min id; cells bound pairs") {
     import spark.implicits._
     val corpus = Seq(
@@ -139,7 +163,9 @@ class Round6OpsSpec extends AnyFunSuite {
       // cell "b": 20 is IDENTICAL to 10 but in another cell — must NOT
       // dedup against it (cell-bounded recall, the SemDeDup trade-off)
       (20L, "b", Array(1.0f, 0.0f, 0.0f, 0.0f)),
-      (21L, "b", Array(0.0f, 1.0f, 0.0f, 0.0f))
+      (21L, "b", Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      // zero vector: NaN cosine must NOT glue cell "b" together
+      (22L, "b", Array(0.0f, 0.0f, 0.0f, 0.0f))
     ).toDF("vec_id", "label", "embedding")
     val got = Similarity.semDedupByCell(corpus, "vec_id", "embedding",
       "label", tau = 0.95)
@@ -151,6 +177,7 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(got(13L) == (13L, true), "orthogonal vector is a singleton")
     assert(got(20L) == (20L, true), "identical vector in another cell survives")
     assert(got(21L) == (21L, true))
+    assert(got(22L) == (22L, true), "zero vector is a NaN-safe singleton")
   }
 
   test("unigramLmScore: harmonic-mean token probability, rare tokens score low") {
@@ -188,5 +215,27 @@ class Round6OpsSpec extends AnyFunSuite {
     // doc3 "z": all OOV → hm = 1/6, the floor for a 1-token doc
     assert(got(3L) == ((1L, 1L, 1.0 / 6.0)))
     assert(got(2L)._3 > got(1L)._3 && got(1L)._3 > got(3L)._3)
+  }
+
+  test("lmScoreTo: streaming LM quality gate against a pre-built model") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lmstream").toString
+    val modelCorpus = Seq((0L, "a a b")).toDF("doc_id", "text")
+    Seq((1L, "a c"), (2L, "a a"), (3L, "z"))
+      .toDF("doc_id", "text").write.parquet(s"$tmp/in")
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(s"$tmp/in")
+    val q = graft.streaming.StreamOps.lmScoreTo(
+      stream, modelCorpus, s"$tmp/out", s"$tmp/ckpt", "doc_id", "text",
+      minHmProb = 0.2)
+    q.awaitTermination()
+    val admitted = spark.read.parquet(s"$tmp/out")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text"), r.getAs[Long]("n_oov"),
+          r.getAs[Double]("hm_prob"))).toMap
+    // model N=3 V=2: "a c" hm=0.25 (1 OOV), "a a" hm=0.5, "z" hm=1/6 < 0.2
+    assert(admitted.keySet == Set(1L, 2L))
+    assert(admitted(1L) == (("a c", 1L, 0.25)))
+    assert(admitted(2L) == (("a a", 0L, 0.5)))
   }
 }

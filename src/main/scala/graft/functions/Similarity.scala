@@ -98,13 +98,36 @@ object Similarity {
   def bandPairs(bands: Int, bits: Int, dims: Int): Seq[(Int, Seq[(Int, Int)])] = {
     val gaps = Seq(3, 5, 7, 11, 13, 19, 23, 29, 31, 37, 41, 43)
     (0 until bands).map { i =>
-      val g = gaps(i % gaps.length)
       i -> (0 until bits).map { j =>
+        // when bits·bands > dims the base index wraps — advance the gap
+        // per wrap so the repeated p gets a DIFFERENT comparison partner
+        // (with a fixed gap, bit j and bit j + dims/bands would be the
+        // same comparison and the extra bits would add no buckets);
+        // wrap = 0 reproduces the original per-band gap exactly
+        val wrap = (j * bands + i) / dims
+        val g = gaps((i + wrap) % gaps.length)
         val p = (j * bands + i) % dims
         val q = (p + g) % dims
         (p + 1, q + 1)
       }
     }
+  }
+
+  /**
+   * Signature width so the expected (band, sig) bucket occupancy stays
+   * ~`targetBucket` as the corpus grows: `bits = log2(n / targetBucket)`,
+   * clamped. With FIXED bits the occupancy — and the bucket-local
+   * candidate pair space, which grows with its square — scales
+   * quadratically in n: at 8 bits (256 buckets/band) a 200k-vector
+   * corpus holds ~780 vectors per bucket ≈ 600M candidate pairs, enough
+   * to OOM a 32 GiB heap, while 15 bits restores ~6 per bucket. The
+   * same occupancy rule sizes the wide SimHash's 16-bit blocks.
+   */
+  def lshBitsFor(n: Long, targetBucket: Int = 8, minBits: Int = 8,
+                 maxBits: Int = 20): Int = {
+    val needed = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt
+    math.min(maxBits, math.max(minBits, needed))
   }
 
   /** Array of (band, sig) structs for one vector — explode to LSH keys. */
@@ -125,13 +148,19 @@ object Similarity {
    * MinHash-LSH shape.
    */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                         threshold: Double, bands: Int = 8, bits: Int = 8,
+                         threshold: Double, bands: Int = 8, bits: Int = 0,
                          dims: Int = 64): DataFrame = {
+    // bits = 0 → auto-size from the corpus count ([[lshBitsFor]]): fixed
+    // bits are a quadratic scale trap (the count() is a parquet
+    // metadata-fast-path action, cheap next to the pair join it right-
+    // sizes; ≤ 2048 vectors resolve to the min 8 bits, so small-corpus
+    // results — and the DuckDB oracle at contract SFs — are unchanged)
+    val rBits = if (bits > 0) bits else lshBitsFor(df.count())
     // norms computed once per vector (not once per pair); vectors join back
     // by id only for verified candidates
     val base = df.select(col(idCol), col(vecCol), norm(col(vecCol)).as("__norm"))
     val sig = df.select(col(idCol),
-      explode(bandSignatures(col(vecCol), bands, bits, dims)).as("__bs"))
+      explode(bandSignatures(col(vecCol), bands, rBits, dims)).as("__bs"))
     val cand = sig.as("x")
       .join(sig.as("y"),
         col("x.__bs") === col("y.__bs") && col(s"x.$idCol") < col(s"y.$idCol"))
@@ -161,7 +190,7 @@ object Similarity {
    * Returns (idCol, cluster_id).
    */
   def embedClusters(df: DataFrame, idCol: String, vecCol: String,
-                    threshold: Double, bands: Int = 8, bits: Int = 8,
+                    threshold: Double, bands: Int = 8, bits: Int = 0,
                     dims: Int = 64): DataFrame = {
     val pairs = cosineNearDupPairs(df, idCol, vecCol, threshold, bands,
       bits, dims)

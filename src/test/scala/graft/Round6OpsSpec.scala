@@ -127,6 +127,48 @@ class Round6OpsSpec extends AnyFunSuite {
       "cell filter must be a partition filter, not a data filter")
   }
 
+  test("lshBitsFor: occupancy-sized bits, contract SFs resolve to the min") {
+    // ≤ 2048 vectors stay at the 8-bit minimum → contract results and the
+    // DuckDB oracle (bandPairs(8, 8, 64)) are untouched by auto-sizing
+    assert(Similarity.lshBitsFor(500) == 8)
+    assert(Similarity.lshBitsFor(2000) == 8)
+    assert(Similarity.lshBitsFor(2048) == 8)
+    assert(Similarity.lshBitsFor(20000) == 12)
+    assert(Similarity.lshBitsFor(200000) == 15)
+    assert(Similarity.lshBitsFor(Long.MaxValue) == 20, "maxBits clamp")
+    assert(Similarity.lshBitsFor(0) == 8, "empty corpus clamps to min")
+  }
+
+  test("bandPairs: no duplicate comparisons when bits*bands wraps dims") {
+    // the no-wrap contract shape is byte-stable: p = j*8+i, gap by band
+    val gaps = Seq(3, 5, 7, 11, 13, 19, 23, 29, 31, 37, 41, 43)
+    Similarity.bandPairs(8, 8, 64).foreach { case (band, pairs) =>
+      assert(pairs == (0 until 8).map { j =>
+        val p = j * 8 + band
+        (p + 1, (p + gaps(band)) % 64 + 1)
+      })
+    }
+    // wrapped bits must be NEW comparisons — with a fixed gap, bit j and
+    // bit j+8 were identical and the extra bits added no buckets
+    Similarity.bandPairs(8, 15, 64).foreach { case (_, pairs) =>
+      assert(pairs.distinct.size == pairs.size,
+        "wrapped bits must not repeat a comparison within the band")
+    }
+  }
+
+  test("cosineNearDupPairs: auto-sized bits ≡ explicit 8 on a small corpus") {
+    import spark.implicits._
+    val vecs = (0L until 60L).map(i => (i,
+      Array.tabulate(8)(d => ((i * 7 + d * 3) % 11).toFloat - 5.0f)))
+      .toDF("vec_id", "embedding")
+    def pairs(bits: Int) = Similarity.cosineNearDupPairs(
+      vecs, "vec_id", "embedding", 0.3, bands = 8, bits = bits, dims = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSet
+    val (auto, explicit) = (pairs(0), pairs(8))
+    assert(auto.nonEmpty && auto == explicit)
+  }
+
   test("semDedupIndexed over the persisted lists equals the inline form") {
     import spark.implicits._
     val corpus = Seq(

@@ -937,6 +937,27 @@ object SparkEntry {
         d.select(col("doc_id"), col("text")), "doc_id", "text", 0.8)
     }),
 
+    // Same ingest batch through the PERSISTED corpus index (build-once /
+    // probe-many — the per-batch corpus re-shingling cost drops out);
+    // results identical to dedup_against, same oracle
+    "dedup_against_indexed" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val w = TextFns.words(col("text"))
+      val nearDups = d.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 300000L).as("doc_id"),
+          concat(lit("zzz "),
+            array_join(slice(w, lit(2), size(w) - 1), " ")).as("text"))
+      val fresh = d.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 400000L).as("doc_id"),
+          array_join(transform(w, x => concat(lit("n"), x)), " ").as("text"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_dedup_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      Dedup.buildDedupIndex(d.select(col("doc_id"), col("text")),
+        "doc_id", "text", path)
+      Dedup.dedupAgainstIndexed(s, path, nearDups.unionByName(fresh),
+        "doc_id", "text", 0.8)
+    }),
+
     // Group-wise sequence packing: per-language contiguous token streams
     // (the shard layout of a multilingual training mix)
     "pack_by_lang" -> ((s, dir) =>
@@ -1158,6 +1179,34 @@ object SparkEntry {
       (0 until 4).map(i =>
         s"SELECT doc_id, $i AS band, md5(concat_ws('|', m${2 * i}, m${2 * i + 1})) AS bkey FROM ${p}sig")
         .mkString(" UNION ALL ") + ")"
+
+  /** The cross-corpus dedup oracle — same ingest-batch synthesis, same
+    * 8-minhash/4-band keys on both corpora, best match = (jac DESC, cid
+    * ASC) row 1. Shared verbatim by `dedup_against` and
+    * `dedup_against_indexed` (the persisted index must reproduce the
+    * inline results exactly). */
+  private lazy val dedupAgainstOracle: String =
+    "WITH nd0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents " +
+      "WHERE doc_id % 13 = 0), " +
+      "nd1 AS (SELECT doc_id + 300000 AS doc_id, " +
+      "'zzz ' || array_to_string(list_slice(w, 2, len(w)), ' ') AS text FROM nd0), " +
+      "nd2 AS (SELECT doc_id + 400000 AS doc_id, " +
+      "array_to_string(list_transform(string_split(text, ' '), x -> 'n' || x), ' ') " +
+      "AS text FROM documents WHERE doc_id % 17 = 0), " +
+      "nd AS (SELECT * FROM nd1 UNION ALL SELECT * FROM nd2), " +
+      bandKeyCtes("c", "documents") + ", " +
+      bandKeyCtes("n", "nd") + ", " +
+      "cand AS (SELECT DISTINCT n.doc_id AS nid, c.doc_id AS cid " +
+      "FROM nbands n JOIN cbands c ON n.band = c.band AND n.bkey = c.bkey), " +
+      "j AS (SELECT nid, cid, " +
+      "CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / " +
+      "len(list_distinct(x.s || y.s)) AS jac FROM cand " +
+      "JOIN nsets x ON x.doc_id = nid JOIN csets y ON y.doc_id = cid), " +
+      "best AS (SELECT nid, cid, jac, row_number() OVER (PARTITION BY nid " +
+      "ORDER BY jac DESC, cid) AS rn FROM j WHERE jac >= 0.8) " +
+      "SELECT nd.doc_id AS doc_id, best.cid AS dup_of, best.jac AS jac, " +
+      "best.cid IS NULL AS admitted FROM nd LEFT JOIN best " +
+      "ON best.nid = nd.doc_id AND best.rn = 1 ORDER BY doc_id"
 
   /** DuckDB dot product matching [[Similarity.dot]] exactly (double-promoted
     * elements, sequential accumulation). */
@@ -2039,30 +2088,10 @@ object SparkEntry {
         "SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 2 " +
         "ORDER BY doc_a, doc_b"),
 
-    "dedup_against" ->
-      // same ingest-batch synthesis, same 8-minhash/4-band keys on both
-      // corpora, best match = (jac DESC, cid ASC) row 1
-      ("WITH nd0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents " +
-        "WHERE doc_id % 13 = 0), " +
-        "nd1 AS (SELECT doc_id + 300000 AS doc_id, " +
-        "'zzz ' || array_to_string(list_slice(w, 2, len(w)), ' ') AS text FROM nd0), " +
-        "nd2 AS (SELECT doc_id + 400000 AS doc_id, " +
-        "array_to_string(list_transform(string_split(text, ' '), x -> 'n' || x), ' ') " +
-        "AS text FROM documents WHERE doc_id % 17 = 0), " +
-        "nd AS (SELECT * FROM nd1 UNION ALL SELECT * FROM nd2), " +
-        bandKeyCtes("c", "documents") + ", " +
-        bandKeyCtes("n", "nd") + ", " +
-        "cand AS (SELECT DISTINCT n.doc_id AS nid, c.doc_id AS cid " +
-        "FROM nbands n JOIN cbands c ON n.band = c.band AND n.bkey = c.bkey), " +
-        "j AS (SELECT nid, cid, " +
-        "CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / " +
-        "len(list_distinct(x.s || y.s)) AS jac FROM cand " +
-        "JOIN nsets x ON x.doc_id = nid JOIN csets y ON y.doc_id = cid), " +
-        "best AS (SELECT nid, cid, jac, row_number() OVER (PARTITION BY nid " +
-        "ORDER BY jac DESC, cid) AS rn FROM j WHERE jac >= 0.8) " +
-        "SELECT nd.doc_id AS doc_id, best.cid AS dup_of, best.jac AS jac, " +
-        "best.cid IS NULL AS admitted FROM nd LEFT JOIN best " +
-        "ON best.nid = nd.doc_id AND best.rn = 1 ORDER BY doc_id"),
+    "dedup_against" -> dedupAgainstOracle,
+
+    // identical results through the persisted index — same oracle
+    "dedup_against_indexed" -> dedupAgainstOracle,
 
     "pack_by_lang" ->
       // per-lang (bucket, key) order, one running sum per language

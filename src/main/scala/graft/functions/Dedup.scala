@@ -524,10 +524,50 @@ object Dedup {
   def dedupAgainst(newDocs: DataFrame, corpus: DataFrame, idCol: String,
                    textCol: String, minJaccard: Double = 0.8): DataFrame = {
     TopKAgg.requireIntegralId(corpus, idCol, "dedupAgainst")
-    val nSets = shingleSets(newDocs, idCol, textCol).localCheckpoint(false)
     val cSets = shingleSets(corpus, idCol, textCol).localCheckpoint(false)
+    dedupAgainstFrom(newDocs, bandKeysFromSets(cSets, idCol), cSets,
+      idCol, textCol, minJaccard)
+  }
+
+  /**
+   * Persist the cross-corpus dedup index for build-once / probe-many
+   * ingest ([[buildIvfIndex]]'s text analogue): every ingest batch
+   * otherwise re-shingles, re-hashes, and re-minhashes the ENTIRE
+   * admitted corpus — the dominant cost, linear in corpus size, paid
+   * per batch. This writes the corpus's band keys (`path/keys`) and
+   * shingle sets (`path/sets`) once; [[dedupAgainstIndexed]] then costs
+   * only the batch's own shingling plus the bucket-local joins.
+   * (The streaming form, [[graft.streaming.StreamOps.nearDupDedupTo]],
+   * maintains the same two tables incrementally as its state.)
+   */
+  def buildDedupIndex(corpus: DataFrame, idCol: String, textCol: String,
+                      path: String): Unit = {
+    TopKAgg.requireIntegralId(corpus, idCol, "buildDedupIndex")
+    val cSets = shingleSets(corpus, idCol, textCol).localCheckpoint(false)
+    cSets.write.mode("overwrite").parquet(s"$path/sets")
+    bandKeysFromSets(cSets, idCol)
+      .write.mode("overwrite").parquet(s"$path/keys")
+  }
+
+  /** Probe a persisted [[buildDedupIndex]]: identical results to
+    * [[dedupAgainst]] on the same corpus (shared candidate/verify core;
+    * band keys and shingle sets round-trip exactly through parquet). */
+  def dedupAgainstIndexed(spark: org.apache.spark.sql.SparkSession,
+                          path: String, newDocs: DataFrame, idCol: String,
+                          textCol: String,
+                          minJaccard: Double = 0.8): DataFrame =
+    dedupAgainstFrom(newDocs, spark.read.parquet(s"$path/keys"),
+      spark.read.parquet(s"$path/sets"), idCol, textCol, minJaccard)
+
+  /** Shared cross-corpus core over (corpus band keys, corpus shingle
+    * sets): bucket-local candidates, exact-Jaccard verify, best match
+    * per new doc. The batch side shingles once (checkpointed). */
+  private def dedupAgainstFrom(newDocs: DataFrame, cKeys: DataFrame,
+                               cSets: DataFrame, idCol: String,
+                               textCol: String,
+                               minJaccard: Double): DataFrame = {
+    val nSets = shingleSets(newDocs, idCol, textCol).localCheckpoint(false)
     val nKeys = bandKeysFromSets(nSets, idCol)
-    val cKeys = bandKeysFromSets(cSets, idCol)
     val cand = nKeys
       .join(cKeys.select(col(idCol).as("__cid"), col("band"), col("bkey")),
         Seq("band", "bkey"))

@@ -259,17 +259,20 @@ object Similarity {
       col(vecCol).as("__va"), col("__n").as("__na"))
     val b = base.select(col(idCol).as("doc_b"), col("__cell").as("__cb"),
       col(vecCol).as("__vb"), col("__n").as("__nb"))
-    // zero-norm pairs: ANSI mode makes x/0 throw rather than produce the
-    // IEEE NaN, so branch explicitly — and the NaN must then be EXCLUDED
-    // (Spark orders NaN above every value, so a bare >= tau would glue a
-    // zero vector's whole cell into one cluster; DuckDB's 0/0 is NaN and
-    // both engines drop it the same way)
-    val denom = col("__na") * col("__nb")
-    val pairs = a
-      .join(b, col("__ca") === col("__cb") && col("doc_a") < col("doc_b"))
+    // zero-norm vectors never pair: they are filtered BEFORE the join
+    // (scan-level predicate) both because ANSI mode makes x/0 throw and
+    // because Spark orders NaN above every value — a NaN cosine passing
+    // >= tau would glue the whole cell into one cluster. A CASE WHEN
+    // guard on the pair path instead costs ~2× (it blocks the fused
+    // join-condition shape), measured at sf0.1. The residual isnan
+    // filter covers NaN ELEMENTS (NaN norm also orders above 0, so such
+    // vectors survive the norm filter and must drop here).
+    val pairs = a.filter(col("__na") > lit(0.0))
+      .join(b.filter(col("__nb") > lit(0.0)),
+        col("__ca") === col("__cb") && col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        when(denom === lit(0.0), lit(Double.NaN))
-          .otherwise(dot(col("__va"), col("__vb")) / denom).as("__cos"))
+        (dot(col("__va"), col("__vb")) /
+          (col("__na") * col("__nb"))).as("__cos"))
       .filter(!isnan(col("__cos")) && col("__cos") >= tau)
       .select(col("doc_a"), col("doc_b"))
     val labels = Dedup.connectedComponents(pairs)

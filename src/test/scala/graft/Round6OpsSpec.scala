@@ -127,6 +127,33 @@ class Round6OpsSpec extends AnyFunSuite {
       "cell filter must be a partition filter, not a data filter")
   }
 
+  test("dedupAgainstIndexed over the persisted index equals the inline form") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "completely different text about spark query planning rules"),
+      (3L, "another unrelated document mentioning parquet column pruning"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      // near-dup of 1 (one word changed late in the shingle stream)
+      (10L, "the quick brown fox jumps over the lazy dog again tonight"),
+      (11L, "entirely fresh content that matches nothing in the corpus"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-dedup-idx").toString
+    graft.functions.Dedup.buildDedupIndex(corpus, "doc_id", "text", path)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), r.getBoolean(3))).toSet
+    val inline = rows(graft.functions.Dedup.dedupAgainst(
+      batch, corpus, "doc_id", "text", 0.5))
+    val indexed = rows(graft.functions.Dedup.dedupAgainstIndexed(
+      spark, path, batch, "doc_id", "text", 0.5))
+    assert(inline == indexed)
+    assert(indexed.exists { case (id, dup, adm) =>
+      id == 10L && dup.contains(1L) && !adm }, "near-dup must match doc 1")
+    assert(indexed.contains((11L, None, true)), "fresh doc admitted")
+  }
+
   test("lshBitsFor: occupancy-sized bits, contract SFs resolve to the min") {
     // ≤ 2048 vectors stay at the 8-bit minimum → contract results and the
     // DuckDB oracle (bandPairs(8, 8, 64)) are untouched by auto-sizing

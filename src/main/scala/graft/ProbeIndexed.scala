@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Dedup, Similarity}
+import graft.sources.Tables
+
+/**
+ * Build-vs-probe split for the persisted indexes — the numbers behind
+ * "build once, probe many": times one index build, then repeated
+ * FIXED-SIZE probe batches against it (the production shape; the
+ * contract queries rebuild per run and sample probes proportionally to
+ * the corpus, so their timings conflate the two).
+ *
+ *   sbt "runMain graft.ProbeIndexed /tmp/sfx100e"
+ *
+ * Prints one JSON line: build seconds and min-of-reps probe seconds for
+ * the IVF ANN index (200-probe kNN batch) and the text dedup index
+ * (500-doc ingest batch).
+ */
+object ProbeIndexed {
+  private def time[A](f: => A): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = args.lift(1).flatMap(_.toIntOption).getOrElse(3)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "64"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-probe-idx")
+
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val ivfPath = s"$tmp/ivf"
+    val buildIvf = time(Similarity.buildIvfIndex(
+      emb, "vec_id", "embedding", "label", ivfPath, dims = 64))
+    // fixed 200-probe batch — does NOT scale with the corpus
+    val probes = emb.orderBy(col("vec_id")).limit(200)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("__pv"))
+      .localCheckpoint()
+    val probeIvf = (1 to reps).map(_ => time(
+      Similarity.ivfKnnJoinIndexed(spark, ivfPath, probes,
+        "vec_id", "embedding", "label", k = 5, nProbe = 2).count())).min
+
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val dedupPath = s"$tmp/dedup"
+    val buildDedup = time(Dedup.buildDedupIndex(
+      docs, "doc_id", "text", dedupPath))
+    // fixed 500-doc ingest batch, ids shifted clear of the corpus
+    val batch = docs.orderBy(col("doc_id")).limit(500)
+      .select((col("doc_id") + 90000000L).as("doc_id"), col("text"))
+      .localCheckpoint()
+    val probeDedup = (1 to reps).map(_ => time(
+      Dedup.dedupAgainstIndexed(spark, dedupPath, batch,
+        "doc_id", "text", 0.8).count())).min
+
+    println(s"""{"sf":"$sfDir","reps":$reps,""" +
+      s""""ivf_build_sec":$buildIvf,"ivf_probe200_sec":$probeIvf,""" +
+      s""""dedup_build_sec":$buildDedup,"dedup_probe500_sec":$probeDedup}""")
+    spark.stop()
+  }
+}

@@ -50,6 +50,12 @@ object ProbeIndexed {
     val probeIvf = (1 to reps).map(_ => time(
       Similarity.ivfKnnJoinIndexed(spark, ivfPath, probes,
         "vec_id", "embedding", "label", k = 5, nProbe = 2).count())).min
+    // two-level cell selection: flat center ranking is the one term that
+    // grows with K at fixed probe count — this measures the fix
+    val probeIvf2L = (1 to reps).map(_ => time(
+      Similarity.ivfKnnJoinIndexed(spark, ivfPath, probes,
+        "vec_id", "embedding", "label", k = 5, nProbe = 2,
+        superProbe = 4).count())).min
 
     val docs = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
@@ -66,6 +72,7 @@ object ProbeIndexed {
 
     println(s"""{"sf":"$sfDir","reps":$reps,""" +
       s""""ivf_build_sec":$buildIvf,"ivf_probe200_sec":$probeIvf,""" +
+      s""""ivf_probe200_2level_sec":$probeIvf2L,""" +
       s""""dedup_build_sec":$buildDedup,"dedup_probe500_sec":$probeDedup}""")
     spark.stop()
   }

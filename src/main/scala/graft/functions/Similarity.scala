@@ -419,9 +419,17 @@ object Similarity {
    */
   def ivfKnnJoinIndexed(spark: SparkSession, path: String, probes: DataFrame,
                         idCol: String, vecCol: String, labelCol: String,
-                        k: Int, nProbe: Int = 2): DataFrame = {
+                        k: Int, nProbe: Int = 2, superProbe: Int = 0,
+                        superBits: Int = 4, superOffset: Int = 32): DataFrame = {
     val centers = spark.read.parquet(s"$path/centers")
-    val probedCells = probedCellsFor(centers, probes, nProbe)
+    // superProbe > 0 → two-level cell selection ([[probedCellsTwoLevel]]):
+    // drops the O(probes × K) flat center ranking, the one term that
+    // grows with the cell count at fixed probe volume
+    val probedCells =
+      if (superProbe > 0)
+        probedCellsTwoLevel(centers, probes, nProbe, superProbe,
+          superBits, superOffset)
+      else probedCellsFor(centers, probes, nProbe)
     val cellKeys = probedCells.select(col("__cell").cast("string"))
       .distinct().collect().map(_.getString(0))
     val lists = spark.read.parquet(s"$path/lists")
@@ -434,6 +442,65 @@ object Similarity {
           (dot(col(vecCol), col("__pv")) /
             (col("__cn") * col("__pn"))).as("cos")),
       idCol, k)
+  }
+
+  /**
+   * Two-level cell selection for [[ivfKnnJoinIndexed]]: with K cells the
+   * flat ranking is O(probes × K) center cosines per probe batch — the
+   * ONE growing term of the fixed-probe IVF workload (measured: 1.2 →
+   * 11.7 s as K went 10 → 1000 under K ∝ n; PLANS.md round-6). Centers
+   * are grouped into supercells by their own sign-LSH bucket
+   * ([[rankLshBucket]] over the center vector), each supercell gets the
+   * deterministic centroid of its centers, and a probe ranks the
+   * ≤ 2^bits supercenters first, keeping `superProbe` of them — center
+   * ranking then touches only those supercells' centers:
+   * O(probes × (2^bits + K·superProbe/2^bits)).
+   *
+   * Recall caveat (the standard two-level trade): a nearest cell whose
+   * SUPERCELL does not rank in the top `superProbe` is never probed.
+   * `superProbe >= 2^bits` degenerates to the flat ranking exactly
+   * (spec-pinned), so the knob moves continuously between recall and
+   * cost.
+   */
+  private def probedCellsTwoLevel(centers: DataFrame, probes: DataFrame,
+                                  nProbe: Int, superProbe: Int,
+                                  bits: Int, offset: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val sc = centers.withColumn("__sc",
+      rankLshBucket(col("__center"), bits, offset))
+    val supers = sc
+      .select(col("__sc"), posexplode(col("__center")).as(Seq("pos", "v")))
+      .groupBy(col("__sc"), col("pos"))
+      // deterministic: supercells hold ≤ K rows — fold in cell order is
+      // unnecessary since avg over a sorted collect keeps ordering fixed
+      .agg(sort_array(collect_list(col("v"))).as("vs"), count(lit(1)).as("n"))
+      .select(col("__sc"), col("pos"),
+        (aggregate(col("vs"), lit(0.0), (a, x) => a + x) / col("n")).as("sv"))
+      .groupBy(col("__sc"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("sv")))).as("ps"))
+      .select(col("__sc"),
+        transform(col("ps"), p => p.getField("sv")).as("__scenter"))
+    val sw = w.partitionBy(col("probe_id"))
+      .orderBy(col("__sscos").desc, col("__sc"))
+    val topSupers = supers.crossJoin(broadcast(probes))
+      .select(col("probe_id"), col("__sc"),
+        (dot(col("__scenter"), col("__pv")) /
+          (norm(col("__scenter")) * norm(col("__pv")))).as("__sscos"))
+      .withColumn("__srn", row_number().over(sw))
+      .filter(col("__srn") <= superProbe)
+      .select(col("probe_id").as("__spid"), col("__sc").as("__tsc"))
+    val cw = w.partitionBy(col("probe_id"))
+      .orderBy(col("__ccos").desc, col("__cell"))
+    broadcast(
+      sc.join(topSupers, col("__sc") === col("__tsc"))
+        .join(broadcast(probes), col("probe_id") === col("__spid"))
+        .select(col("probe_id"), col("__pv"), col("__cell"),
+          (dot(col("__center"), col("__pv")) /
+            (norm(col("__center")) * norm(col("__pv")))).as("__ccos"))
+        .withColumn("__rn", row_number().over(cw))
+        .filter(col("__rn") <= nProbe)
+        .select(col("probe_id"), col("__pv"), col("__cell"),
+          norm(col("__pv")).as("__pn")))
   }
 
   /** Per-label IVF cell centers as ordered arrays (__cell, __center) —

@@ -127,6 +127,50 @@ class Round6OpsSpec extends AnyFunSuite {
       "cell filter must be a partition filter, not a data filter")
   }
 
+  test("two-level IVF probe: superset knob degenerates to flat, prunes when tight") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "a", Array(1.0f, 0.1f, 0.0f, 0.0f)),
+      (1L, "a", Array(1.0f, 0.2f, 0.0f, 0.0f)),
+      (2L, "a", Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (3L, "b", Array(0.8f, 0.4f, 0.0f, 0.0f)),
+      (4L, "b", Array(0.7f, 0.5f, 0.0f, 0.0f)),
+      (5L, "c", Array(0.0f, 0.0f, 1.0f, 0.1f)),
+      (6L, "c", Array(0.0f, 0.0f, 0.9f, 0.1f))
+    ).toDF("vec_id", "label", "embedding")
+    val probes = Seq(
+      (100L, Array(1.0f, 0.15f, 0.0f, 0.0f)),
+      (200L, Array(0.0f, 0.0f, 1.0f, 0.05f))
+    ).toDF("probe_id", "__pv")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ivf-2l").toString
+    Similarity.buildIvfIndex(corpus, "vec_id", "embedding", "label", path,
+      dims = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+    // 4-dim vectors: bucket on (v1>v3, v2>v4) via bits=2, offset=2.
+    // superProbe >= 2^bits covers every supercell → flat ranking exactly
+    val flat = rows(Similarity.ivfKnnJoinIndexed(spark, path, probes,
+      "vec_id", "embedding", "label", k = 3, nProbe = 2))
+    val full = rows(Similarity.ivfKnnJoinIndexed(spark, path, probes,
+      "vec_id", "embedding", "label", k = 3, nProbe = 2,
+      superProbe = 4, superBits = 2, superOffset = 2))
+    assert(flat.nonEmpty && full == flat)
+    // superProbe = 1: each probe keeps only its own supercell — cells a/b
+    // (x-heavy, bucket 3) and cell c (z-heavy, bucket 0) separate, so the
+    // x-probe still ranks cells a+b (its flat top-2) and gets identical
+    // results, while the z-probe probes only cell c's list
+    val tight = Similarity.ivfKnnJoinIndexed(spark, path, probes,
+      "vec_id", "embedding", "label", k = 3, nProbe = 2,
+      superProbe = 1, superBits = 2, superOffset = 2)
+    val xSide = rows(tight.filter(col("probe_id") === 100L))
+    assert(xSide == flat.filter(_._1 == 100L))
+    val zNeighbors = tight.filter(col("probe_id") === 200L)
+      .collect().map(_.getLong(2)).toSet
+    assert(zNeighbors == Set(5L, 6L), "z-probe scans only cell c's list")
+  }
+
   test("dedupAgainstIndexed over the persisted index equals the inline form") {
     import spark.implicits._
     val corpus = Seq(

@@ -57,6 +57,22 @@ object ProbeIndexed {
         "vec_id", "embedding", "label", k = 5, nProbe = 2,
         superProbe = 4).count())).min
 
+    // recall of the pruned probes vs exact brute force on the same 200:
+    // quantifies what flat→two-level (and IVF itself) give up
+    val exact = Similarity.knnJoinWith(emb, probes, "vec_id",
+      "embedding", k = 5, excludeSelf = true)
+      .localCheckpoint() // one brute-force pass feeds both recall rows
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val r = Similarity.recallAtK(df, exact)
+        .agg(avg(col("recall"))).collect()(0).getDouble(0)
+      math.rint(r * 1000) / 1000
+    }
+    val recallFlat = recall(Similarity.ivfKnnJoinIndexed(spark, ivfPath,
+      probes, "vec_id", "embedding", "label", k = 5, nProbe = 2))
+    val recall2L = recall(Similarity.ivfKnnJoinIndexed(spark, ivfPath,
+      probes, "vec_id", "embedding", "label", k = 5, nProbe = 2,
+      superProbe = 4))
+
     val docs = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
     val dedupPath = s"$tmp/dedup"
@@ -73,6 +89,7 @@ object ProbeIndexed {
     println(s"""{"sf":"$sfDir","reps":$reps,""" +
       s""""ivf_build_sec":$buildIvf,"ivf_probe200_sec":$probeIvf,""" +
       s""""ivf_probe200_2level_sec":$probeIvf2L,""" +
+      s""""ivf_recall5_flat":$recallFlat,"ivf_recall5_2level":$recall2L,""" +
       s""""dedup_build_sec":$buildDedup,"dedup_probe500_sec":$probeDedup}""")
     spark.stop()
   }

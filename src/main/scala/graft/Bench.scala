@@ -102,22 +102,38 @@ object Bench {
       }
       if (ok.size >= 2 && fastestDisagree)
         notes += f"[bench] $name reps still >2x apart after $extra extra (min=${ok.min}%.3f max=${ok.max}%.3f) — possible contention"
-      name -> (if (ok.nonEmpty) Some((ok.min, ok.max, ok.size)) else None)
+      val sorted = ok.sorted
+      name -> (if (ok.nonEmpty)
+        Some((sorted.head, sorted.lift(1).getOrElse(sorted.head),
+          sorted.last, ok.size))
+      else None)
     }
     val loadEnd = loadavg()
     val qs = results.map { case (k, v) =>
       "\"" + k + "\":" + v.map(_._1.toString).getOrElse("null")
     }.mkString("{", ",", "}")
-    // per-rep spread: [min, max, n_successful_reps] per query, so a reader
-    // can audit whether any reported minimum came from a noisy pair
+    // per-rep spread: [min, second_fastest, max, n_successful_reps] per
+    // query — second_fastest/min is the SURVIVING disagreement after the
+    // bounded retries (max/min alone can't distinguish one contended
+    // early rep, which the min already discards, from a capture whose two
+    // best reps still disagree), so the validator can hard-fail on it
     val spread = results.map { case (k, v) =>
-      "\"" + k + "\":" + v.map { case (mn, mx, n) => s"[$mn,$mx,$n]" }.getOrElse("null")
+      "\"" + k + "\":" + v.map { case (mn, s2, mx, n) =>
+        s"[$mn,$s2,$mx,$n]"
+      }.getOrElse("null")
     }.mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.flatMap(_._2.map(_._1)).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"loadavg":[$loadStart,$loadEnd],"queries":$qs,"spread":$spread,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
+    // short summary trailer AFTER the full line: the driver captures a
+    // bounded log TAIL, and the full 90+-query line is long enough to get
+    // head-truncated from the other end — the last ~200 bytes of any tail
+    // capture must always contain parseable totals
+    val trailer =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"loadavg":[$loadStart,$loadEnd],"errors":$errJson,"sf":"$sfDir"}"""
+    println(trailer)
     notes.foreach(System.err.println)
     // persist the full report: the driver captures a bounded log tail, and
     // a 90-query JSON line is long enough to get head-truncated there

@@ -26,6 +26,14 @@ object SparkEntry {
 
   private def events(s: SparkSession, dir: String) = Tables.load(s, dir, "events")
 
+  /** Per-process root for the persisted-index contract queries: two
+    * concurrent harness processes on the same data dir must not race on
+    * one fixed tmp path (one overwriting `lists/` while the other's probe
+    * reads it), so the root is a fresh temp dir per JVM. Within a process
+    * the per-dir subpath keeps bench reps reusing one location. */
+  private lazy val idxRoot: String =
+    java.nio.file.Files.createTempDirectory("graft_idx_").toString
+
   /** Changeset-stream payload fields decoded back out of new_values JSON. */
   private def decodedPayload(df: DataFrame): DataFrame = df.select(
     col("id"),
@@ -885,6 +893,44 @@ object SparkEntry {
       Similarity.recallAtK(ivf, bf)
     }),
 
+    // The same recall gate over the DATA-DRIVEN quantizer: cells from the
+    // deterministic Lloyd's k-means (seeded by smallest md5(id), fixed 2
+    // rounds) instead of the dataset's label column — the quantizer was
+    // the measured weak link (recall@5 0.28 at sf0.1 on label cells);
+    // the oracle unrolls the identical k-means rounds in SQL
+    "ann_recall_kmeans" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val labeled = emb.join(
+        Similarity.kmeansLabels(emb, "vec_id", "embedding", k = 16,
+          iters = 2),
+        Seq("vec_id"))
+      val probes = emb.filter(
+        pmod(Md5Prefix28(col("vec_id").cast("string")), lit(100L)) < 1)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("__pv"))
+      val ivf = Similarity.ivfKnnJoin(labeled, probes, "vec_id",
+        "embedding", "cell", k = 5, nProbe = 2, dims = 64)
+      val bf = Similarity.knnJoinWith(emb, probes, "vec_id", "embedding",
+        k = 5, excludeSelf = true)
+      Similarity.recallAtK(ivf, bf)
+    }),
+
+    // SemDeDup cell-bounded recall telemetry: on a bounded hash sample,
+    // exact near-dup pairs (cos >= tau) vs the subset sharing a
+    // quantizer cell — one row per quantizer (the dataset label column
+    // vs k-means), the honest gate the cell-bounded dedup needs
+    "semdedup_recall" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val sample = emb.filter(
+        pmod(Md5Prefix28(col("vec_id").cast("string")), lit(100L)) < 30)
+      val km = Similarity.kmeansLabels(emb, "vec_id", "embedding", k = 16,
+        iters = 2)
+      Similarity.semDedupRecall(sample, "vec_id", "embedding", "label",
+          0.3, "label")
+        .unionByName(Similarity.semDedupRecall(
+          sample.join(km, Seq("vec_id")), "vec_id", "embedding", "cell",
+          0.3, "kmeans16"))
+    }),
+
     // Build-once / probe-many ANN: persist the IVF index (centers +
     // cell-partitioned inverted lists with precomputed norms) and probe
     // it — bit-identical to the inline ivfKnnJoin (Round6OpsSpec), with
@@ -896,12 +942,16 @@ object SparkEntry {
       val probes = emb.filter(
         pmod(Md5Prefix28(col("vec_id").cast("string")), lit(100L)) < 1)
         .select(col("vec_id").as("probe_id"), col("embedding").as("__pv"))
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_" +
+      val path = s"$idxRoot/ivf_" +
         java.lang.Integer.toHexString(dir.hashCode)
       Similarity.buildIvfIndex(emb, "vec_id", "embedding", "label", path,
         dims = 64)
+      // superProbe pinned to flat: the oracle mirrors the flat cell
+      // ranking, and the auto rule must never flip the CONTRACT query's
+      // plan at a larger corpus (the lshBitsFor lesson — pin the contract,
+      // auto-size the library default)
       Similarity.ivfKnnJoinIndexed(s, path, probes, "vec_id", "embedding",
-        "label", k = 5, nProbe = 2)
+        "label", k = 5, nProbe = 2, superProbe = 0)
     }),
 
     // Deterministic train/val/test split: per-split corpus accounting
@@ -950,7 +1000,7 @@ object SparkEntry {
       val fresh = d.filter(col("doc_id") % 17 === 0)
         .select((col("doc_id") + 400000L).as("doc_id"),
           array_join(transform(w, x => concat(lit("n"), x)), " ").as("text"))
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_dedup_" +
+      val path = s"$idxRoot/dedup_" +
         java.lang.Integer.toHexString(dir.hashCode)
       Dedup.buildDedupIndex(d.select(col("doc_id"), col("text")),
         "doc_id", "text", path)
@@ -1131,14 +1181,23 @@ object SparkEntry {
   // Embedding banded-LSH pair pipeline (through the exact-cosine CTE `j`)
   // — candidates generated from the SAME comparison table as the Spark
   // path (Similarity.bandPairs) so oracle and engine cannot drift on the
-  // band structure; shared by embed_cosine_neardup + embed_dedup_clusters
+  // band structure; shared by embed_cosine_neardup + embed_dedup_clusters.
+  // SCALE-ADAPTIVE like the operator: the signature width derives from
+  // the corpus count with Similarity.lshBitsFor's exact integer rule (a
+  // CASE chain over the 13 possible widths — bit j's comparison pair is
+  // independent of the total width, so wider signatures just enable more
+  // gated terms), making the oracle bit-green at ANY corpus size instead
+  // of only at the contract SFs where auto-sizing resolves to 8 bits.
   private def embedPairCtes: String =
-    "e AS (SELECT * FROM embeddings), s AS (" +
-      Similarity.bandPairs(8, 8, 64).map { case (band, pairs) =>
+    "e AS (SELECT * FROM embeddings), " +
+      "bb AS (SELECT CASE " +
+      (8 until 20).map(b => s"WHEN count(*) <= ${8L << b} THEN $b ").mkString +
+      "ELSE 20 END AS bits FROM e), s AS (" +
+      Similarity.bandPairs(8, 20, 64).map { case (band, pairs) =>
         val sig = pairs.zipWithIndex.map { case ((p, q), j) =>
-          s"CASE WHEN embedding[$p] > embedding[$q] THEN ${1 << j} ELSE 0 END"
+          s"CASE WHEN $j < bits AND embedding[$p] > embedding[$q] THEN ${1 << j} ELSE 0 END"
         }.mkString(" + ")
-        s"SELECT vec_id, $band AS band, ($sig) AS sig FROM e"
+        s"SELECT vec_id, $band AS band, ($sig) AS sig FROM e, bb"
       }.mkString(" UNION ALL ") +
       "), cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b " +
       "FROM s x JOIN s y ON x.band = y.band AND x.sig = y.sig AND x.vec_id < y.vec_id), " +
@@ -1246,6 +1305,50 @@ object SparkEntry {
       "ivr AS (SELECT probe_id, vec_id, cos, row_number() OVER (" +
       "PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rn FROM iv " +
       "WHERE NOT isnan(cos)), "
+
+  /** Chunked-centroid CTE chain over an assignment CTE `a` (vec_id, cell)
+    * — [[Similarity.centroidComponents]]'s bracketing exactly (the
+    * ivfProbeCte device parameterized by the label source). Emits CTE
+    * `out` as (cell, c). */
+  private def kmCentroidCtes(a: String, out: String): String =
+    s"x$out AS (SELECT $a.cell, e.vec_id, CAST(i AS INTEGER) - 1 AS pos, " +
+      "e.embedding[i]::DOUBLE AS v, " +
+      "CAST('0x' || substring(md5(e.vec_id::VARCHAR), 1, 7) AS BIGINT) % 1024 AS chunk " +
+      s"FROM embeddings e, $a, (SELECT unnest(range(1, 65)) AS i) idx " +
+      s"WHERE $a.vec_id = e.vec_id), " +
+      s"p$out AS (SELECT cell, pos, chunk, " +
+      "list_reduce(list_prepend(0.0, list(v ORDER BY vec_id)), (s, x) -> s + x) AS psum, " +
+      s"count(*) AS n FROM x$out GROUP BY cell, pos, chunk), " +
+      s"ct$out AS (SELECT cell, pos, " +
+      "list_reduce(list_prepend(0.0, list(psum ORDER BY chunk)), (s, x) -> s + x) " +
+      s"/ CAST(sum(n) AS BIGINT) AS dim_avg FROM p$out GROUP BY cell, pos), " +
+      s"$out AS (SELECT cell, list(dim_avg ORDER BY pos) AS c FROM ct$out GROUP BY cell)"
+
+  /** One Lloyd's assignment round in SQL: max-cosine cell per vector
+    * against centers CTE `cIn` (cell, c), ties to the smaller cell id,
+    * NaN cosines excluded — [[Similarity.kmeansLabels]]'s assignCells. */
+  private def kmAssignCte(cIn: String, out: String): String =
+    s"$out AS (SELECT vec_id, cell FROM (" +
+      "SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id " +
+      "ORDER BY cs DESC, cell) AS rn FROM (" +
+      s"SELECT e.vec_id, s.cell, ${cosSql("s.c", "e.embedding")} AS cs " +
+      s"FROM embeddings e, $cIn s) q WHERE NOT isnan(cs)) r WHERE rn = 1)"
+
+  /** The full deterministic k-means chain: seed centers `c0` (k smallest
+    * (md5(id), id) vectors, cells 0..k-1 in that order) then `iters`
+    * assignment rounds with chunked-centroid updates between them. Final
+    * assignment CTE is `a<iters>` (vec_id, cell). */
+  private def kmeansCtes(k: Int, iters: Int): String = {
+    val seed =
+      "c0 AS (SELECT CAST(rn - 1 AS INTEGER) AS cell, embedding AS c FROM (" +
+        "SELECT vec_id, embedding, row_number() OVER (" +
+        "ORDER BY md5(vec_id::VARCHAR), vec_id) AS rn FROM embeddings) sq " +
+        s"WHERE rn <= $k)"
+    (Seq(seed) ++ (1 to iters).flatMap { t =>
+      val asn = kmAssignCte(s"c${t - 1}", s"a$t")
+      if (t < iters) Seq(asn, kmCentroidCtes(s"a$t", s"c$t")) else Seq(asn)
+    }).mkString(", ")
+  }
 
   private val enListSql = TextFns.EnStop.map(w => s"'$w'").mkString("(", ",", ")")
 
@@ -2057,6 +2160,63 @@ object SparkEntry {
         "SELECT probe_id, CAST(rn AS INTEGER) AS rank, " +
         "vec_id AS neighbor_id, cos FROM ivr WHERE rn <= 5 " +
         "ORDER BY probe_id, rank"),
+
+    "ann_recall_kmeans" ->
+      // the k-means rounds unrolled exactly (seed by md5 order, assign,
+      // chunked-centroid update, assign), then the same IVF probe + recall
+      // machinery as ann_recall with the k-means cells as the quantizer
+      ("WITH " + kmeansCtes(16, 2) + ", " + kmCentroidCtes("a2", "cf") + ", " +
+        s"p AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings " +
+        s"WHERE ${Dedup.hash28Sql("vec_id::VARCHAR")} % 100 < 1), " +
+        "cellrank AS (SELECT probe_id, pv, cell, row_number() OVER (" +
+        s"PARTITION BY probe_id ORDER BY ${cosSql("c", "pv")} DESC, cell) AS rn " +
+        "FROM cf, p), " +
+        "cells AS (SELECT probe_id, pv, cell FROM cellrank WHERE rn <= 2), " +
+        "iv AS (SELECT cl.probe_id, e.vec_id, " +
+        s"${cosSql("e.embedding", "cl.pv")} AS cos " +
+        "FROM embeddings e, a2, cells cl " +
+        "WHERE a2.vec_id = e.vec_id AND a2.cell = cl.cell " +
+        "AND e.vec_id <> cl.probe_id), " +
+        "ivr AS (SELECT probe_id, vec_id, cos, row_number() OVER (" +
+        "PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rn FROM iv " +
+        "WHERE NOT isnan(cos)), " +
+        "bs AS (SELECT probe_id, vec_id, " +
+        s"${cosSql("embedding", "pv")} AS cos " +
+        "FROM embeddings, p WHERE vec_id <> probe_id), " +
+        "bfr AS (SELECT probe_id, vec_id, row_number() OVER (" +
+        "PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rn FROM bs " +
+        "WHERE NOT isnan(cos)), " +
+        "bfk AS (SELECT probe_id, vec_id FROM bfr WHERE rn <= 5), " +
+        "ivk AS (SELECT probe_id, vec_id FROM ivr WHERE rn <= 5), " +
+        "ne AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_exact " +
+        "FROM bfk GROUP BY probe_id), " +
+        "h AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_hit " +
+        "FROM bfk JOIN ivk USING (probe_id, vec_id) GROUP BY probe_id) " +
+        "SELECT ne.probe_id, ne.n_exact, " +
+        "CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit, " +
+        "CAST(coalesce(h.n_hit, 0) AS DOUBLE) / ne.n_exact AS recall " +
+        "FROM ne LEFT JOIN h USING (probe_id) ORDER BY probe_id"),
+
+    "semdedup_recall" ->
+      // bounded hash sample, exact all-pairs >= tau, within-cell subset
+      // per quantizer (dataset label column vs the unrolled k-means)
+      ("WITH " + kmeansCtes(16, 2) + ", " +
+        s"sm AS (SELECT vec_id, embedding, label FROM embeddings " +
+        s"WHERE ${Dedup.hash28Sql("vec_id::VARCHAR")} % 100 < 30), " +
+        "pr AS (SELECT a.label AS la, b.label AS lb, ka.cell AS ca, " +
+        s"kb.cell AS cb, ${cosSql("a.embedding", "b.embedding")} AS c " +
+        "FROM sm a, sm b, a2 ka, a2 kb " +
+        "WHERE a.vec_id < b.vec_id AND ka.vec_id = a.vec_id " +
+        "AND kb.vec_id = b.vec_id), " +
+        "pq AS (SELECT * FROM pr WHERE NOT isnan(c) AND c >= 0.3), " +
+        "t AS (SELECT 'label' AS quantizer, " +
+        "CAST(count(*) AS BIGINT) AS n_pairs, " +
+        "CAST(coalesce(sum(CASE WHEN la = lb THEN 1 END), 0) AS BIGINT) AS n_within_cell " +
+        "FROM pq UNION ALL SELECT 'kmeans16', CAST(count(*) AS BIGINT), " +
+        "CAST(coalesce(sum(CASE WHEN ca = cb THEN 1 END), 0) AS BIGINT) FROM pq) " +
+        "SELECT quantizer, n_pairs, n_within_cell, " +
+        "CASE WHEN n_pairs = 0 THEN 1.0 " +
+        "ELSE n_within_cell::DOUBLE / n_pairs END AS recall FROM t"),
 
     "split_train_valtest" ->
       (s"WITH s AS (SELECT doc_id, length(text) AS len, " +

@@ -559,6 +559,40 @@ object Dedup {
     dedupAgainstFrom(newDocs, spark.read.parquet(s"$path/keys"),
       spark.read.parquet(s"$path/sets"), idCol, textCol, minJaccard)
 
+  /**
+   * APPEND a batch to a persisted [[buildDedupIndex]] — the incremental
+   * maintenance an ingest pipeline needs: admitting a batch into the
+   * corpus must not rebuild the whole index (51.6 s at 100× vs the
+   * batch's own shingling). Both index tables are per-doc independent
+   * rows (a doc's shingle set and band keys depend on nothing else), so
+   * appending the batch's rows IS the rebuild: append-then-probe is
+   * bit-identical to rebuild-then-probe over the grown corpus
+   * (Round7OpsSpec proves it). This is the batch twin of the streaming
+   * state writes in [[graft.streaming.StreamOps.nearDupDedupTo]] — same
+   * two tables, same row shapes, epochless.
+   *
+   * Caller contract: batch ids must be new (an id already indexed would
+   * shadow itself as its own duplicate at probe time), and appends are
+   * not concurrency-safe against a probe in flight on the same path —
+   * same single-writer discipline as the streaming state.
+   */
+  def appendToDedupIndex(batch: DataFrame, idCol: String, textCol: String,
+                         path: String): Unit = {
+    TopKAgg.requireIntegralId(batch, idCol, "appendToDedupIndex")
+    val bSets = shingleSets(batch, idCol, textCol).localCheckpoint(false)
+    bSets.write.mode("append").parquet(s"$path/sets")
+    bandKeysFromSets(bSets, idCol)
+      .write.mode("append").parquet(s"$path/keys")
+  }
+
+  /** Compact an append-grown dedup index in place (both tables flat).
+    * Returns per-table row counts. */
+  def compactDedupIndex(spark: org.apache.spark.sql.SparkSession,
+                        path: String,
+                        targetFiles: Int = 8): Map[String, Long] =
+    Seq("sets", "keys").map(t =>
+      t -> ParquetCompact.table(spark, s"$path/$t", targetFiles)).toMap
+
   /** Shared cross-corpus core over (corpus band keys, corpus shingle
     * sets): bucket-local candidates, exact-Jaccard verify, best match
     * per new doc. The batch side shingles once (checkpointed). */

@@ -125,9 +125,13 @@ object Similarity {
    */
   def lshBitsFor(n: Long, targetBucket: Int = 8, minBits: Int = 8,
                  maxBits: Int = 20): Int = {
-    val needed = math.ceil(
-      math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt
-    math.min(maxBits, math.max(minBits, needed))
+    // smallest b with 2^b * targetBucket >= n — pure integer arithmetic
+    // (ceil(log2(x)) in floating point can misround at exact powers of
+    // two, and the DuckDB oracle reproduces this rule with the same
+    // integer comparisons, so the two engines cannot drift)
+    var b = minBits
+    while (b < maxBits && (targetBucket.toLong << b) < n) b += 1
+    b
   }
 
   /** Array of (band, sig) structs for one vector — explode to LSH keys. */
@@ -260,9 +264,12 @@ object Similarity {
     val b = base.select(col(idCol).as("doc_b"), col("__cell").as("__cb"),
       col(vecCol).as("__vb"), col("__n").as("__nb"))
     // zero-norm vectors never pair: they are filtered BEFORE the join
-    // (scan-level predicate) both because ANSI mode makes x/0 throw and
-    // because Spark orders NaN above every value — a NaN cosine passing
-    // >= tau would glue the whole cell into one cluster. A CASE WHEN
+    // (scan-level predicate) both because ANSI mode rejects the zero
+    // divisor — on this Spark version DIVIDE_BY_ZERO throws for DOUBLE
+    // division too, not just integral/decimal (Round7OpsSpec exercised
+    // it) — and because Spark orders NaN above every value: were the
+    // division to yield NaN, a NaN cosine
+    // passing >= tau would glue the whole cell into one cluster. A CASE WHEN
     // guard on the pair path instead costs ~2× (it blocks the fused
     // join-condition shape), measured at sf0.1. The residual isnan
     // filter covers NaN ELEMENTS (NaN norm also orders above 0, so such
@@ -370,9 +377,17 @@ object Similarity {
       .orderBy(col("__ccos").desc, col("__cell"))
     broadcast(
       centers.crossJoin(broadcast(probes))
+        // when-guard + null/NaN filter: a degenerate cell (zero center —
+        // e.g. kmeansLabels' -1 cell of zero-norm vectors) or zero-norm
+        // probe has a zero divisor, which ANSI mode rejects even for
+        // doubles; and a NaN cosine (NaN vector elements) would rank
+        // FIRST under Spark's NaN-high DESC ordering, silently consuming
+        // a probe slot
         .select(col("probe_id"), col("__pv"), col("__cell"),
-          (dot(col("__center"), col("__pv")) /
-            (norm(col("__center")) * norm(col("__pv")))).as("__ccos"))
+          when(norm(col("__center")) * norm(col("__pv")) > 0.0,
+            dot(col("__center"), col("__pv")) /
+              (norm(col("__center")) * norm(col("__pv")))).as("__ccos"))
+        .filter(col("__ccos").isNotNull && !isnan(col("__ccos")))
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") <= nProbe)
         .select(col("probe_id"), col("__pv"), col("__cell"),
@@ -408,6 +423,58 @@ object Similarity {
   }
 
   /**
+   * APPEND a batch to a persisted [[buildIvfIndex]] — incremental
+   * maintenance for the ingest path: the inverted lists (the corpus-sized
+   * bulk, 59.9 s to rebuild at 100×) take only the batch's own rows,
+   * appended into their cells' partitions; then the cell centers (the
+   * tiny table) are REBUILT from the on-disk lists via
+   * [[refreshIvfCenters]]. Centers must be recomputed exactly — they are
+   * per-cell means, and the chunked-centroid fold is order-free but not
+   * incrementally mergeable bit-for-bit (float addition is not
+   * associative, so merging a stored partial with a batch partial could
+   * drift from a rebuild) — so the one recompute is a column-pruned
+   * O(n·d) scan of the lists with a (cells × dims × chunks)-sized
+   * aggregate, no corpus rewrite. Append-then-probe is bit-identical to
+   * rebuild-then-probe over the grown corpus (Round7OpsSpec).
+   *
+   * Crash contract: lists append first, centers refresh second; a crash
+   * between them leaves stale centers (probe-correct per the OLD
+   * quantizer geometry) — re-running [[refreshIvfCenters]] converges.
+   * Same single-writer discipline as the dedup index.
+   */
+  def appendToIvfIndex(spark: SparkSession, path: String, batch: DataFrame,
+                       idCol: String, vecCol: String, labelCol: String,
+                       dims: Int = 64): Unit = {
+    TopKAgg.requireIntegralId(batch, idCol, "appendToIvfIndex")
+    batch.select(col(idCol), col(vecCol), col(labelCol),
+        norm(col(vecCol)).as("__cn"),
+        col(labelCol).cast("string").as("__cellkey"))
+      .write.mode("append").partitionBy("__cellkey")
+      .parquet(s"$path/lists")
+    refreshIvfCenters(spark, path, idCol, vecCol, labelCol, dims)
+  }
+
+  /** Recompute `path/centers` from the on-disk inverted lists —
+    * [[appendToIvfIndex]]'s second half and its crash repair. The new
+    * centers are materialized (eager localCheckpoint) before the
+    * overwrite since they are derived from the same index root. */
+  def refreshIvfCenters(spark: SparkSession, path: String, idCol: String,
+                        vecCol: String, labelCol: String,
+                        dims: Int = 64): Unit = {
+    val lists = spark.read.parquet(s"$path/lists")
+      .select(col(idCol), col(vecCol), col(labelCol))
+    cellCenters(lists, labelCol, idCol, vecCol, dims)
+      .localCheckpoint() // eager: reads under path before overwriting it
+      .write.mode("overwrite").parquet(s"$path/centers")
+  }
+
+  /** Compact an append-grown IVF index in place: one file per cell
+    * partition in `lists` (layout preserved for partition pruning),
+    * `centers` already tiny. Returns the lists row count. */
+  def compactIvfIndex(spark: SparkSession, path: String): Long =
+    ParquetCompact.partitionedTable(spark, s"$path/lists", "__cellkey")
+
+  /**
    * Probe a persisted IVF index ([[buildIvfIndex]]): same semantics and
    * BIT-IDENTICAL results as the inline [[ivfKnnJoin]] (centers and norms
    * round-trip exactly through parquet doubles; the scoring arithmetic is
@@ -419,15 +486,27 @@ object Similarity {
    */
   def ivfKnnJoinIndexed(spark: SparkSession, path: String, probes: DataFrame,
                         idCol: String, vecCol: String, labelCol: String,
-                        k: Int, nProbe: Int = 2, superProbe: Int = 0,
+                        k: Int, nProbe: Int = 2, superProbe: Int = -1,
                         superBits: Int = 4, superOffset: Int = 32): DataFrame = {
     val centers = spark.read.parquet(s"$path/centers")
     // superProbe > 0 → two-level cell selection ([[probedCellsTwoLevel]]):
     // drops the O(probes × K) flat center ranking, the one term that
-    // grows with the cell count at fixed probe volume
+    // grows with the cell count at fixed probe volume. superProbe = -1
+    // (the default) picks by the measured crossover instead of a manual
+    // knob: two-level only pays once the cell count K clears the
+    // supercell count with room (K > 2^superBits × 4 — below that the
+    // flat ranking is already as small as the supercell ranking, and the
+    // extra stage is pure overhead: measured K=10 slower / K=1000 2.4×
+    // faster at superProbe = 2^superBits/4, PLANS.md round-6). 0 forces
+    // flat; an explicit positive value forces two-level at that width.
+    val resolvedSuper =
+      if (superProbe >= 0) superProbe
+      else if (centers.count() > (1L << superBits) * 4)
+        math.max(1, (1 << superBits) / 4)
+      else 0
     val probedCells =
-      if (superProbe > 0)
-        probedCellsTwoLevel(centers, probes, nProbe, superProbe,
+      if (resolvedSuper > 0)
+        probedCellsTwoLevel(centers, probes, nProbe, resolvedSuper,
           superBits, superOffset)
       else probedCellsFor(centers, probes, nProbe)
     val cellKeys = probedCells.select(col("__cell").cast("string"))
@@ -484,8 +563,11 @@ object Similarity {
       .orderBy(col("__sscos").desc, col("__sc"))
     val topSupers = supers.crossJoin(broadcast(probes))
       .select(col("probe_id"), col("__sc"),
-        (dot(col("__scenter"), col("__pv")) /
-          (norm(col("__scenter")) * norm(col("__pv")))).as("__sscos"))
+        when(norm(col("__scenter")) * norm(col("__pv")) > 0.0,
+          dot(col("__scenter"), col("__pv")) /
+            (norm(col("__scenter")) * norm(col("__pv")))).as("__sscos"))
+      // zero-divisor (ANSI throws) / NaN-first DESC hazards, as in flat
+      .filter(col("__sscos").isNotNull && !isnan(col("__sscos")))
       .withColumn("__srn", row_number().over(sw))
       .filter(col("__srn") <= superProbe)
       .select(col("probe_id").as("__spid"), col("__sc").as("__tsc"))
@@ -495,8 +577,11 @@ object Similarity {
       sc.join(topSupers, col("__sc") === col("__tsc"))
         .join(broadcast(probes), col("probe_id") === col("__spid"))
         .select(col("probe_id"), col("__pv"), col("__cell"),
-          (dot(col("__center"), col("__pv")) /
-            (norm(col("__center")) * norm(col("__pv")))).as("__ccos"))
+          when(norm(col("__center")) * norm(col("__pv")) > 0.0,
+            dot(col("__center"), col("__pv")) /
+              (norm(col("__center")) * norm(col("__pv")))).as("__ccos"))
+        // zero-divisor (ANSI throws) / NaN-first DESC hazards, as in flat
+        .filter(col("__ccos").isNotNull && !isnan(col("__ccos")))
         .withColumn("__rn", row_number().over(cw))
         .filter(col("__rn") <= nProbe)
         .select(col("probe_id"), col("__pv"), col("__cell"),
@@ -708,5 +793,127 @@ object Similarity {
       .select(col(labelCol), col("pos"),
         (aggregate(col("ps"), lit(0.0), (acc, e) => acc + e.getField("p")) /
           col("n")).as("dim_avg"))
+  }
+
+  /**
+   * Deterministic Lloyd's k-means coarse quantizer — PRODUCES the label
+   * column the IVF/SemDeDup family consumes ([[buildIvfIndex]],
+   * [[semDedupByCell]], [[ivfKnnJoin]]). The recall gate ([[recallAtK]])
+   * showed the probe machinery sound while a non-geometric label column
+   * caps recall (0.28@5 at sf0.1); this closes the loop with a
+   * data-driven quantizer every engine reproduces bit-for-bit:
+   *
+   *  - seeds: the `k` corpus vectors with smallest (md5(id), id) — the
+   *    layout-free hash-sample device used throughout; cell ids 0..k-1
+   *    in that order;
+   *  - assign: max-cosine cell, ties to the smaller cell id, reduced
+   *    through the bounded [[TopKAgg]] (k=1) — map-side combinable, no
+   *    per-vector sort; NaN cosines (zero-norm vectors) never assign,
+   *    such vectors get cell -1;
+   *  - update: the existing chunked-centroid mean
+   *    ([[centroidComponents]]) — bit-reproducible on any layout;
+   *  - FIXED `iters` assignment rounds, no convergence test: a
+   *    data-dependent stop would hinge on float comparisons across
+   *    engines, fixed rounds are engine-exact (the DuckDB oracle unrolls
+   *    the same rounds).
+   *
+   * Scale shape: per round one corpus × centers broadcast join scoring
+   * O(n·k·d) — Lloyd's inherent cost — reduced map-side to one row per
+   * vector, then the two-phase centroid aggregate; centers (k × d) stay
+   * broadcast-sized throughout. Returns (idCol, cell).
+   */
+  def kmeansLabels(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                   iters: Int = 2, dims: Int = 64): DataFrame = {
+    require(k >= 1 && iters >= 1, s"k=$k iters=$iters")
+    TopKAgg.requireIntegralId(df, idCol, "kmeansLabels")
+    // base feeds every round's scoring join and centroid update —
+    // materialize once
+    val base = df.select(col(idCol), col(vecCol)).localCheckpoint(false)
+    // seeds: global orderBy+limit runs as per-partition top-k + single
+    // reduce; the unpartitioned window is over the k-row result only
+    val seedW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__m"), col(idCol))
+    var centers = base
+      .select(col(idCol), col(vecCol),
+        md5(col(idCol).cast("string")).as("__m"))
+      .orderBy(col("__m"), col(idCol)).limit(k)
+      .withColumn("__cell", (row_number().over(seedW) - 1).cast("int"))
+      .select(col("__cell"), col(vecCol).as("__center"))
+    var labels: DataFrame = null
+    for (t <- 1 to iters) {
+      labels = assignCells(base, centers, idCol, vecCol)
+      if (t < iters) // the final round's centers are recomputed by the
+                     // consumer (ivfKnnJoin/cellCenters) from the labels
+        centers = cellCenters(base.join(labels, Seq(idCol)), "__cell",
+          idCol, vecCol, dims)
+    }
+    labels.select(col(idCol), col("__cell").as("cell"))
+  }
+
+  /** One Lloyd's assignment step: (id, __cell) = the max-cosine center
+    * per vector (ties to the smaller cell id), via TopKAgg(k=1). Norms
+    * fold once per row/center BEFORE the product join. */
+  private def assignCells(base: DataFrame, centers: DataFrame,
+                          idCol: String, vecCol: String): DataFrame = {
+    val b = base.select(col(idCol), col(vecCol), norm(col(vecCol)).as("__vn"))
+    val c = centers.select(col("__cell"), col("__center"),
+      norm(col("__center")).as("__ccn"))
+    b.crossJoin(broadcast(c))
+      // null (not NaN) cosine when either norm is zero: ANSI mode throws
+      // DIVIDE_BY_ZERO on a zero divisor even for doubles (observed on
+      // this Spark version — Round7OpsSpec exercised it), and TopKAgg
+      // ignores null scores, so a zero-norm vector's group reduces to an
+      // empty top-1 → cell -1 below
+      .select(col(idCol), col("__cell"),
+        when(col("__vn") * col("__ccn") > 0.0,
+          dot(col(vecCol), col("__center")) /
+            (col("__vn") * col("__ccn"))).as("__cos"))
+      .groupBy(col(idCol))
+      .agg(TopKAgg(col("__cos"), col("__cell").cast("long"), 1).as("__top"))
+      // size-guard, not bare getItem(0): ANSI rejects an out-of-bounds
+      // array index, and a zero-norm vector's top-1 is the EMPTY array
+      .select(col(idCol),
+        when(size(col("__top")) > 0,
+          col("__top").getItem(0).getField("id").cast("int"))
+          .otherwise(lit(-1)).as("__cell"))
+  }
+
+  /**
+   * SemDeDup recall telemetry — the honest gate [[semDedupByCell]] needs
+   * before a corpus-scale rollout, mirroring what [[recallAtK]] does for
+   * ANN: cell-bounded dedup misses near-dup pairs whose members quantize
+   * into different cells (the published trade-off), and nothing in the
+   * dedup output itself reveals how much. On a BOUNDED hash sample this
+   * measures it exactly: all sample pairs with exact cosine ≥ tau,
+   * versus the subset that shares a cell. `df` must already be the
+   * sample (all-pairs over it is intentional — the sample is fixed-size
+   * regardless of corpus scale, like the probe batches).
+   *
+   * Returns one row: (quantizer, n_pairs, n_within_cell, recall) with
+   * recall defined 1.0 when the sample has no qualifying pairs.
+   */
+  def semDedupRecall(df: DataFrame, idCol: String, vecCol: String,
+                     cellCol: String, tau: Double,
+                     name: String): DataFrame = {
+    val base = df.select(col(idCol), col(cellCol).as("__cell"), col(vecCol),
+      norm(col(vecCol)).as("__n")).localCheckpoint(false)
+    val a = base.select(col(idCol).as("__ida"), col("__cell").as("__ca"),
+      col(vecCol).as("__va"), col("__n").as("__na"))
+    val b = base.select(col(idCol).as("__idb"), col("__cell").as("__cb"),
+      col(vecCol).as("__vb"), col("__n").as("__nb"))
+    a.filter(col("__na") > lit(0.0))
+      .join(b.filter(col("__nb") > lit(0.0)), col("__ida") < col("__idb"))
+      .select(col("__ca"), col("__cb"),
+        (dot(col("__va"), col("__vb")) /
+          (col("__na") * col("__nb"))).as("__cos"))
+      .filter(!isnan(col("__cos")) && col("__cos") >= tau)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("__ca") === col("__cb"), 1L).otherwise(0L))
+          .as("n_within_cell"))
+      .select(lit(name).as("quantizer"), col("n_pairs"),
+        coalesce(col("n_within_cell"), lit(0L)).as("n_within_cell"),
+        when(col("n_pairs") === 0, lit(1.0))
+          .otherwise(coalesce(col("n_within_cell"), lit(0L)).cast("double") /
+            col("n_pairs")).as("recall"))
   }
 }

@@ -4,10 +4,11 @@ carry per-query numbers, and self-identify as an uncontended capture.
 
 Usage: python3 tools/check_bench.py [bench_out.json]
 Exit non-zero when the artifact is unusable (unparseable, empty, errored
-queries) and print a WARNING (exit 0) when the recorded loadavg or rep
-spread suggests contention — round 5 shipped a bench captured under heavy
-VM load showing a phantom 3-5x regression, which this check would have
-flagged.
+queries) OR when the recorded loadavg / surviving rep spread marks the
+capture as contended — round 5 shipped a bench captured under heavy VM
+load showing a phantom 3-5x regression, and round 6's driver capture
+repeated it; a contended run must never silently become the round
+artifact, so these are FAIL paths, not warnings.
 """
 import json
 import sys
@@ -32,22 +33,41 @@ def main():
     if doc.get("errors"):
         print(f"FAIL: errored queries: {doc['errors']}")
         return 2
-    warns = []
+    total = doc.get("value")
+    if not isinstance(total, (int, float)):
+        print(f"FAIL: {path} has no numeric total value: {total!r}")
+        return 2
+    fails = []
     load = doc.get("loadavg") or []
     # local[32] leaves ~0 background headroom: a 1-min load far above the
     # bench's own footprint at start means another workload shared the run
-    if load and load[0] > 8.0:
-        warns.append(f"loadavg at start was {load[0]} - contended capture?")
+    if load and isinstance(load[0], (int, float)) and load[0] > 8.0:
+        fails.append(f"loadavg at start was {load[0]} - contended capture")
     spread = doc.get("spread") or {}
-    wild = sorted(k for k, v in spread.items()
-                  if v and v[2] >= 2 and v[1] > 3.0 * v[0] and v[1] - v[0] > 1.0)
+    # spread is [min, second_fastest, max, n] (round 7+) or the legacy
+    # [min, max, n]. The surviving-contention signal is the two FASTEST
+    # reps still disagreeing >2x after the bench's own bounded retries;
+    # for legacy artifacts fall back to the >3x max/min heuristic.
+    wild = []
+    for k, v in spread.items():
+        if not v:
+            continue
+        if len(v) == 4:
+            mn, s2, _mx, n = v
+            if n >= 2 and s2 > 2.0 * mn and s2 - mn > 0.5:
+                wild.append(k)
+        elif len(v) == 3:
+            mn, mx, n = v
+            if n >= 2 and mx > 3.0 * mn and mx - mn > 1.0:
+                wild.append(k)
     if wild:
-        warns.append(f"reps disagree >3x even after retries: {wild}")
-    for w in warns:
-        print(f"WARN: {w}")
-    n = len(queries)
-    print(f"OK: {path} parses, {n} queries, total {doc.get('value'):.1f}s"
-          + (" (with warnings)" if warns else ""))
+        fails.append(f"two fastest reps disagree >2x even after retries: "
+                     f"{sorted(wild)}")
+    if fails:
+        for msg in fails:
+            print(f"FAIL: {msg}")
+        return 3
+    print(f"OK: {path} parses, {len(queries)} queries, total {total:.1f}s")
     return 0
 
 

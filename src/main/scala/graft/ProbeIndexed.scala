@@ -73,6 +73,31 @@ object ProbeIndexed {
       probes, "vec_id", "embedding", "label", k = 5, nProbe = 2,
       superProbe = 4))
 
+    // k-means quantizer at the SAME cell count as the label column: a
+    // pure quantizer-quality comparison (identical K, identical probe
+    // machinery) — the round-6 recall accounting showed the label cells,
+    // not the probe path, cap recall
+    val kCells = emb.select(col("label")).distinct().count().toInt
+    val kmPath = s"$tmp/ivf_km"
+    val buildKm = time {
+      val labeled = emb.join(
+        Similarity.kmeansLabels(emb, "vec_id", "embedding", k = kCells,
+          iters = 2), Seq("vec_id"))
+      Similarity.buildIvfIndex(labeled, "vec_id", "embedding", "cell",
+        kmPath, dims = 64)
+    }
+    val recallKm = recall(Similarity.ivfKnnJoinIndexed(spark, kmPath,
+      probes, "vec_id", "embedding", "cell", k = 5, nProbe = 2))
+
+    // incremental maintenance: appending a FIXED 200-vector batch must
+    // cost the batch, not the corpus (vs buildIvf = the full rebuild)
+    val ivfBatch = emb.orderBy(col("vec_id").desc).limit(200)
+      .select((col("vec_id") + 90000000L).as("vec_id"), col("embedding"),
+        col("label"))
+      .localCheckpoint()
+    val appendIvf = time(Similarity.appendToIvfIndex(spark, ivfPath,
+      ivfBatch, "vec_id", "embedding", "label", dims = 64))
+
     val docs = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
     val dedupPath = s"$tmp/dedup"
@@ -85,12 +110,20 @@ object ProbeIndexed {
     val probeDedup = (1 to reps).map(_ => time(
       Dedup.dedupAgainstIndexed(spark, dedupPath, batch,
         "doc_id", "text", 0.8).count())).min
+    // dedup append: same fixed batch, cost must track the batch not the
+    // corpus (the index tables are per-doc-independent rows)
+    val appendDedup = time(Dedup.appendToDedupIndex(batch,
+      "doc_id", "text", dedupPath))
 
     println(s"""{"sf":"$sfDir","reps":$reps,""" +
       s""""ivf_build_sec":$buildIvf,"ivf_probe200_sec":$probeIvf,""" +
       s""""ivf_probe200_2level_sec":$probeIvf2L,""" +
       s""""ivf_recall5_flat":$recallFlat,"ivf_recall5_2level":$recall2L,""" +
-      s""""dedup_build_sec":$buildDedup,"dedup_probe500_sec":$probeDedup}""")
+      s""""kmeans_cells":$kCells,"kmeans_build_sec":$buildKm,""" +
+      s""""ivf_recall5_kmeans":$recallKm,""" +
+      s""""ivf_append200_sec":$appendIvf,""" +
+      s""""dedup_build_sec":$buildDedup,"dedup_probe500_sec":$probeDedup,""" +
+      s""""dedup_append500_sec":$appendDedup}""")
     spark.stop()
   }
 }

@@ -954,6 +954,27 @@ object SparkEntry {
         "label", k = 5, nProbe = 2, superProbe = 0)
     }),
 
+    // Same probe through INCREMENTAL maintenance: half the corpus built,
+    // half APPENDED (lists appended into their cells' partitions, centers
+    // recomputed exactly from the on-disk lists) — bit-identical to the
+    // full build, same oracle as ann_ivf_indexed. Fresh temp path per
+    // invocation: mode-append on a reused path would double the corpus.
+    "ann_ivf_appended" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val probes = emb.filter(
+        pmod(Md5Prefix28(col("vec_id").cast("string")), lit(100L)) < 1)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("__pv"))
+      val path = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(idxRoot), "ivf_app_").toString
+      Similarity.buildIvfIndex(emb.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", "label", path, dims = 64)
+      Similarity.appendToIvfIndex(s, path,
+        emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
+        "label", dims = 64)
+      Similarity.ivfKnnJoinIndexed(s, path, probes, "vec_id", "embedding",
+        "label", k = 5, nProbe = 2, superProbe = 0)
+    }),
+
     // Deterministic train/val/test split: per-split corpus accounting
     "split_train_valtest" -> ((s, dir) =>
       documents(s, dir)
@@ -1003,6 +1024,32 @@ object SparkEntry {
       val path = s"$idxRoot/dedup_" +
         java.lang.Integer.toHexString(dir.hashCode)
       Dedup.buildDedupIndex(d.select(col("doc_id"), col("text")),
+        "doc_id", "text", path)
+      Dedup.dedupAgainstIndexed(s, path, nearDups.unionByName(fresh),
+        "doc_id", "text", 0.8)
+    }),
+
+    // Same again through INCREMENTAL index maintenance: build on half the
+    // corpus, APPEND the other half, probe — append-then-probe must equal
+    // build-then-probe exactly (same oracle as dedup_against). A fresh
+    // temp path per invocation keeps the append idempotent across bench
+    // reps (mode-append on a reused path would double the corpus rows).
+    "dedup_against_appended" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val w = TextFns.words(col("text"))
+      val nearDups = d.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 300000L).as("doc_id"),
+          concat(lit("zzz "),
+            array_join(slice(w, lit(2), size(w) - 1), " ")).as("text"))
+      val fresh = d.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 400000L).as("doc_id"),
+          array_join(transform(w, x => concat(lit("n"), x)), " ").as("text"))
+      val path = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(idxRoot), "dedup_app_").toString
+      val corpus = d.select(col("doc_id"), col("text"))
+      Dedup.buildDedupIndex(corpus.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", path)
+      Dedup.appendToDedupIndex(corpus.filter(col("doc_id") % 2 === 1),
         "doc_id", "text", path)
       Dedup.dedupAgainstIndexed(s, path, nearDups.unionByName(fresh),
         "doc_id", "text", 0.8)
@@ -2161,6 +2208,13 @@ object SparkEntry {
         "vec_id AS neighbor_id, cos FROM ivr WHERE rn <= 5 " +
         "ORDER BY probe_id, rank"),
 
+    // append-then-probe ≡ build-then-probe: identical results required
+    "ann_ivf_appended" ->
+      (ivfProbeCte.stripSuffix(", ") + " " +
+        "SELECT probe_id, CAST(rn AS INTEGER) AS rank, " +
+        "vec_id AS neighbor_id, cos FROM ivr WHERE rn <= 5 " +
+        "ORDER BY probe_id, rank"),
+
     "ann_recall_kmeans" ->
       // the k-means rounds unrolled exactly (seed by md5 order, assign,
       // chunked-centroid update, assign), then the same IVF probe + recall
@@ -2252,6 +2306,9 @@ object SparkEntry {
 
     // identical results through the persisted index — same oracle
     "dedup_against_indexed" -> dedupAgainstOracle,
+
+    // identical results through build-half + append-half — same oracle
+    "dedup_against_appended" -> dedupAgainstOracle,
 
     "pack_by_lang" ->
       // per-lang (bucket, key) order, one running sum per language

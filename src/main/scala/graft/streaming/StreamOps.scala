@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.functions.{Bloom, Dedup}
+import graft.functions.{Bloom, Dedup, Similarity}
 
 /**
  * Streaming relational capabilities over the changeset/event stream —
@@ -379,6 +379,99 @@ object StreamOps {
         t -> n
       }
     }.toMap
+  }
+
+  /**
+   * ONLINE maintenance of the persisted IVF index — the streaming twin of
+   * [[graft.functions.Similarity.appendToIvfIndex]], with the epoch
+   * idempotence the batch append cannot give (mode-append on a replayed
+   * micro-batch would double its rows): each epoch's vectors land under
+   * `lists/__batch=<epoch>/__cellkey=<cell>/` with OVERWRITE, so a
+   * crash-replayed batch rewrites exactly its own epoch; then the cell
+   * centers (the tiny table) are recomputed exactly from the on-disk
+   * lists. A crash between the two writes leaves stale centers —
+   * probe-correct under the OLD quantizer geometry, healed by the next
+   * epoch's refresh (or a manual [[graft.functions.Similarity.refreshIvfCenters]]).
+   *
+   * The stream OWNS `indexPath`: the epoch layout nests `__cellkey` under
+   * `__batch`, which cannot mix with [[Similarity.buildIvfIndex]]'s flat
+   * cell layout in one directory tree (conflicting partition structure) —
+   * seed a pre-existing corpus with [[ivfIngestBootstrap]] (the reserved
+   * `__batch=-1`, micro-batch ids start at 0) instead of buildIvfIndex.
+   * Probes via [[Similarity.ivfKnnJoinIndexed]] work unchanged: the extra
+   * `__batch` partition column is ignored and `__cellkey` still prunes at
+   * file listing whatever its nesting level.
+   */
+  def ivfIngestTo(vectors: DataFrame, indexPath: String, checkpoint: String,
+                  idCol: String, vecCol: String, labelCol: String,
+                  dims: Int = 64,
+                  availableNow: Boolean = true): StreamingQuery = {
+    val writer = vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ivfIngestEpoch(batch, batchId, indexPath, idCol, vecCol, labelCol,
+          dims)
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
+  /** One epoch of [[ivfIngestTo]] — factored out so the replay-idempotence
+    * contract is directly testable: same (batch, batchId) twice ≡ once. */
+  private[graft] def ivfIngestEpoch(batch: DataFrame, batchId: Long,
+                                    indexPath: String, idCol: String,
+                                    vecCol: String, labelCol: String,
+                                    dims: Int): Unit = {
+    batch.select(col(idCol), col(vecCol), col(labelCol),
+        Similarity.norm(col(vecCol)).as("__cn"),
+        col(labelCol).cast("string").as("__cellkey"))
+      .write.mode("overwrite").partitionBy("__cellkey")
+      .parquet(s"$indexPath/lists/__batch=$batchId")
+    Similarity.refreshIvfCenters(batch.sparkSession, indexPath, idCol,
+      vecCol, labelCol, dims)
+  }
+
+  /** Seed [[ivfIngestTo]]'s index with a pre-existing corpus: the corpus
+    * lands in the reserved `__batch=-1` epoch (micro-batch ids start at
+    * 0), keeping the partition structure uniform for the stream that
+    * takes over. */
+  def ivfIngestBootstrap(corpus: DataFrame, indexPath: String,
+                         idCol: String, vecCol: String, labelCol: String,
+                         dims: Int = 64): Unit =
+    ivfIngestEpoch(corpus, -1L, indexPath, idCol, vecCol, labelCol, dims)
+
+  /**
+   * Compact [[ivfIngestTo]]'s epoch partitions — same small-file problem
+   * and same device as [[compactState]]: every epoch adds one directory
+   * per touched cell, and a long-lived ingest accumulates thousands of
+   * small files. Consolidates every epoch into the reserved `__batch=-1`
+   * partition, one file per cell directory, preserving `__cellkey`
+   * pruning. Run OFFLINE (single-writer, like the batch appends). Centers
+   * are unchanged (same rows, same fold). Returns the lists row count.
+   */
+  def compactIvfIngestState(spark: org.apache.spark.sql.SparkSession,
+                            indexPath: String): Long = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(s"$indexPath/lists")
+    val old =
+      if (!fs.exists(root)) Array.empty[org.apache.hadoop.fs.Path]
+      else fs.listStatus(root).map(_.getPath)
+        .filter(p => p.getName.startsWith("__batch=") &&
+          p.getName != "__batch=-1")
+    if (old.isEmpty) 0L
+    else {
+      // eager checkpoint: materialize BEFORE overwriting/deleting the
+      // partitions the rows were read from; one task per cell keeps one
+      // file per cell directory
+      val all = spark.read.parquet(root.toString).drop("__batch")
+        .repartition(col("__cellkey")).localCheckpoint()
+      val n = all.count()
+      all.write.mode("overwrite").partitionBy("__cellkey")
+        .parquet(s"$indexPath/lists/__batch=-1")
+      old.foreach(p => fs.delete(p, true))
+      n
+    }
   }
 
   /**

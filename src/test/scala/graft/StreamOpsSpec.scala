@@ -297,4 +297,107 @@ class StreamOpsSpec extends AnyFunSuite {
       .orderBy("event_id", "signup_id").collect().toSeq
     assert(streamed == batchResult && batchResult.nonEmpty)
   }
+
+  // ---- online IVF index maintenance ----
+
+  private def ivfSeed = {
+    import spark.implicits._
+    Seq(
+      (0L, "a", Array(1.0f, 0.1f, 0.0f, 0.0f)),
+      (1L, "a", Array(1.0f, 0.2f, 0.0f, 0.0f)),
+      (2L, "b", Array(0.1f, 1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "label", "embedding")
+  }
+  private def ivfEpoch1 = {
+    import spark.implicits._
+    Seq(
+      (3L, "b", Array(0.2f, 1.0f, 0.0f, 0.0f)),
+      (4L, "c", Array(0.0f, 0.0f, 1.0f, 0.1f)))
+      .toDF("vec_id", "label", "embedding")
+  }
+  private def ivfEpoch2 = {
+    import spark.implicits._
+    Seq((5L, "c", Array(0.0f, 0.0f, 0.9f, 0.1f)))
+      .toDF("vec_id", "label", "embedding")
+  }
+  private def ivfProbes = {
+    import spark.implicits._
+    Seq(
+      (100L, Array(0.1f, 1.0f, 0.0f, 0.0f)),
+      (200L, Array(0.0f, 0.0f, 1.0f, 0.05f)))
+      .toDF("probe_id", "__pv")
+  }
+  private def probeRows(path: String) = {
+    import graft.functions.Similarity
+    Similarity.ivfKnnJoinIndexed(spark, path, ivfProbes,
+      "vec_id", "embedding", "label", k = 3, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+  }
+  private def rebuiltRows() = {
+    import graft.functions.Similarity
+    val path = Files.createTempDirectory("graft-ivf-reb").toString
+    Similarity.buildIvfIndex(
+      ivfSeed.unionByName(ivfEpoch1).unionByName(ivfEpoch2),
+      "vec_id", "embedding", "label", path, dims = 4)
+    probeRows(path)
+  }
+
+  test("ivfIngestTo: bootstrap + streamed epochs probe ≡ batch rebuild") {
+    val in = Files.createTempDirectory("graft-ivfin").toString
+    val idx = Files.createTempDirectory("graft-ivfidx").toString + "/idx"
+    StreamOps.ivfIngestBootstrap(ivfSeed, idx, "vec_id", "embedding",
+      "label", dims = 4)
+    ivfEpoch1.coalesce(1).write.mode("append").parquet(in)
+    Thread.sleep(1100) // distinct mtimes: FileStreamSource orders by modTime
+    ivfEpoch2.coalesce(1).write.mode("append").parquet(in)
+    val q = StreamOps.ivfIngestTo(
+      spark.readStream.schema(ivfSeed.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in),
+      idx, Files.createTempDirectory("graft-ivfck").toString,
+      "vec_id", "embedding", "label", dims = 4)
+    q.awaitTermination()
+    val got = probeRows(idx)
+    assert(got.nonEmpty && got == rebuiltRows())
+    // the z-probe's best neighbors arrived in different epochs
+    assert(got.exists { case (pid, _, nid, _) => pid == 200L && nid == 4L })
+    assert(got.exists { case (pid, _, nid, _) => pid == 200L && nid == 5L })
+  }
+
+  test("ivfIngestEpoch replay: same epoch twice ≡ once (crash-replay)") {
+    val idx = Files.createTempDirectory("graft-ivfrp").toString + "/idx"
+    StreamOps.ivfIngestBootstrap(ivfSeed, idx, "vec_id", "embedding",
+      "label", dims = 4)
+    StreamOps.ivfIngestEpoch(ivfEpoch1.unionByName(ivfEpoch2), 0L, idx,
+      "vec_id", "embedding", "label", dims = 4)
+    val once = probeRows(idx)
+    StreamOps.ivfIngestEpoch(ivfEpoch1.unionByName(ivfEpoch2), 0L, idx,
+      "vec_id", "embedding", "label", dims = 4)
+    assert(probeRows(idx) == once)
+    assert(spark.read.parquet(s"$idx/lists")
+      .filter(col("vec_id") === 3L).count() == 1,
+      "replayed epoch must overwrite, not append")
+    assert(once == rebuiltRows())
+  }
+
+  test("compactIvfIngestState consolidates epochs, probe unchanged") {
+    val idx = Files.createTempDirectory("graft-ivfcp").toString + "/idx"
+    StreamOps.ivfIngestBootstrap(ivfSeed, idx, "vec_id", "embedding",
+      "label", dims = 4)
+    StreamOps.ivfIngestEpoch(ivfEpoch1, 0L, idx, "vec_id", "embedding",
+      "label", dims = 4)
+    StreamOps.ivfIngestEpoch(ivfEpoch2, 1L, idx, "vec_id", "embedding",
+      "label", dims = 4)
+    val before = probeRows(idx)
+    val n = StreamOps.compactIvfIngestState(spark, idx)
+    assert(n == 6)
+    val dirs = new java.io.File(s"$idx/lists").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("__batch=-1"), s"epoch dirs survive: $dirs")
+    // one file per cell directory inside the compacted epoch
+    val cellC = new java.io.File(s"$idx/lists/__batch=-1/__cellkey=c")
+    assert(cellC.isDirectory &&
+      cellC.listFiles().count(_.getName.endsWith(".parquet")) == 1)
+    assert(probeRows(idx) == before)
+  }
 }

@@ -78,11 +78,16 @@ object ProbeIndexed {
     // machinery) — the round-6 recall accounting showed the label cells,
     // not the probe path, cap recall
     val kCells = emb.select(col("label")).distinct().count().toInt
+    // sample-based training once the corpus outgrows ~50 vectors per
+    // center (Lloyd's is O(n·k·d) per round and K ∝ n makes full-corpus
+    // training quadratic-ish): bounded train set, one full assignment
+    val nVec = emb.count()
+    val trainMod = math.max(1L, nVec / (50L * kCells)).toInt
     val kmPath = s"$tmp/ivf_km"
     val buildKm = time {
       val labeled = emb.join(
         Similarity.kmeansLabels(emb, "vec_id", "embedding", k = kCells,
-          iters = 2), Seq("vec_id"))
+          iters = 2, trainMod = trainMod), Seq("vec_id"))
       Similarity.buildIvfIndex(labeled, "vec_id", "embedding", "cell",
         kmPath, dims = 64)
     }
@@ -119,7 +124,8 @@ object ProbeIndexed {
       s""""ivf_build_sec":$buildIvf,"ivf_probe200_sec":$probeIvf,""" +
       s""""ivf_probe200_2level_sec":$probeIvf2L,""" +
       s""""ivf_recall5_flat":$recallFlat,"ivf_recall5_2level":$recall2L,""" +
-      s""""kmeans_cells":$kCells,"kmeans_build_sec":$buildKm,""" +
+      s""""kmeans_cells":$kCells,"kmeans_train_mod":$trainMod,""" +
+      s""""kmeans_build_sec":$buildKm,""" +
       s""""ivf_recall5_kmeans":$recallKm,""" +
       s""""ivf_append200_sec":$appendIvf,""" +
       s""""dedup_build_sec":$buildDedup,"dedup_probe500_sec":$probeDedup,""" +

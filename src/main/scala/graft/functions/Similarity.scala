@@ -823,31 +823,46 @@ object Similarity {
    * broadcast-sized throughout. Returns (idCol, cell).
    */
   def kmeansLabels(df: DataFrame, idCol: String, vecCol: String, k: Int,
-                   iters: Int = 2, dims: Int = 64): DataFrame = {
-    require(k >= 1 && iters >= 1, s"k=$k iters=$iters")
+                   iters: Int = 2, dims: Int = 64,
+                   trainMod: Int = 1): DataFrame = {
+    require(k >= 1 && iters >= 1 && trainMod >= 1,
+      s"k=$k iters=$iters trainMod=$trainMod")
     TopKAgg.requireIntegralId(df, idCol, "kmeansLabels")
-    // base feeds every round's scoring join and centroid update —
-    // materialize once
+    // base feeds the final assignment (and, un-sampled, every training
+    // round and centroid update) — materialize once
     val base = df.select(col(idCol), col(vecCol)).localCheckpoint(false)
+    // trainMod > 1: Lloyd's training cost is O(n·k·d) PER ROUND, and a
+    // corpus-proportional cell count (K ∝ n, the SemDeDup contract)
+    // makes full-corpus training quadratic-ish in n — measured 9.1 s at
+    // 2k vecs/k=10 but 96.9 s at 20k/k=100. The standard IVF fix: train
+    // centers on a bounded md5-hash sample (1/trainMod of the corpus —
+    // deterministic, layout-free, ~30·k vectors is the usual floor),
+    // then ONE full-corpus assignment pass at the end. trainMod = 1
+    // keeps training exact (the contract queries pin it so the unrolled
+    // SQL oracle stays engine-identical).
+    val train =
+      if (trainMod <= 1) base
+      else base.filter(pmod(Md5Prefix28(col(idCol).cast("string")),
+        lit(trainMod.toLong)) === 0).localCheckpoint(false)
     // seeds: global orderBy+limit runs as per-partition top-k + single
     // reduce; the unpartitioned window is over the k-row result only
     val seedW = org.apache.spark.sql.expressions.Window
       .orderBy(col("__m"), col(idCol))
-    var centers = base
+    var centers = train
       .select(col(idCol), col(vecCol),
         md5(col(idCol).cast("string")).as("__m"))
       .orderBy(col("__m"), col(idCol)).limit(k)
       .withColumn("__cell", (row_number().over(seedW) - 1).cast("int"))
       .select(col("__cell"), col(vecCol).as("__center"))
-    var labels: DataFrame = null
-    for (t <- 1 to iters) {
-      labels = assignCells(base, centers, idCol, vecCol)
-      if (t < iters) // the final round's centers are recomputed by the
-                     // consumer (ivfKnnJoin/cellCenters) from the labels
-        centers = cellCenters(base.join(labels, Seq(idCol)), "__cell",
-          idCol, vecCol, dims)
+    for (_ <- 1 until iters) {
+      val lab = assignCells(train, centers, idCol, vecCol)
+      centers = cellCenters(train.join(lab, Seq(idCol)), "__cell",
+        idCol, vecCol, dims)
     }
-    labels.select(col(idCol), col("__cell").as("cell"))
+    // final round assigns the FULL corpus (the consumer recomputes the
+    // final centers from these labels — ivfKnnJoin/cellCenters)
+    assignCells(base, centers, idCol, vecCol)
+      .select(col(idCol), col("__cell").as("cell"))
   }
 
   /** One Lloyd's assignment step: (id, __cell) = the max-cosine center

@@ -44,6 +44,20 @@ class Round7OpsSpec extends AnyFunSuite {
       run(base.repartition(1).sortWithinPartitions(col("vec_id").desc)))
   }
 
+  test("kmeansLabels sampled training labels EVERY vector, clusters intact") {
+    // trainMod=2 trains on the md5-hash half but the final assignment
+    // covers the full corpus — nothing unlabeled, separation preserved
+    val labels = Similarity
+      .kmeansLabels(clustered, "vec_id", "embedding", k = 2, iters = 2,
+        dims = 4, trainMod = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(labels.size == 13, s"every vector labeled: ${labels.size}")
+    val a = (1L to 6L).map(labels)
+    val b = (11L to 16L).map(labels)
+    assert(a.distinct.size == 1 && b.distinct.size == 1 && a.head != b.head)
+    assert(labels(99L) == -1)
+  }
+
   test("kmeansLabels k=1 puts every nonzero vector in cell 0") {
     val labels = Similarity
       .kmeansLabels(clustered, "vec_id", "embedding", k = 1, iters = 1,

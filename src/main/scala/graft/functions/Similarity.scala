@@ -24,6 +24,19 @@ object Similarity {
 
   private def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
+  /** Defend broadcast-expand operators (corpus × probes / corpus ×
+    * centers) against an under-partitioned input: a small-SF corpus is
+    * often ONE parquet file → one task carries the whole n×k expansion
+    * serially (measured: the 100× k-means assignment pinned a single
+    * core for 30+ min). Results everywhere are layout-free (spec-pinned),
+    * so a round-robin respread never changes values. No-op when the
+    * input already has enough splits — a well-partitioned cluster read
+    * keeps its layout and pays no extra shuffle. */
+  private def spread(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= want) df else df.repartition(want)
+  }
+
   /** Sequential-fold dot product of two float vectors, in double. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
@@ -738,8 +751,8 @@ object Similarity {
     // norms once per vector, not once per (probe, row) pair: the per-pair
     // work drops from three O(d) folds (dot + 2 norms) to one. Same
     // dot/(na·nb) bracketing as cosine() — bit-identical values.
-    val base = df.select(col(idCol), col(vecCol),
-      norm(col(vecCol)).as("__cn"))
+    val base = spread(df.select(col(idCol), col(vecCol),
+      norm(col(vecCol)).as("__cn")))
     val p = probes.select(col("probe_id"), col("__pv"),
       norm(col("__pv")).as("__pn"))
     emitTopK(
@@ -829,8 +842,10 @@ object Similarity {
       s"k=$k iters=$iters trainMod=$trainMod")
     TopKAgg.requireIntegralId(df, idCol, "kmeansLabels")
     // base feeds the final assignment (and, un-sampled, every training
-    // round and centroid update) — materialize once
-    val base = df.select(col(idCol), col(vecCol)).localCheckpoint(false)
+    // round and centroid update) — materialize once, respread so the
+    // corpus × centers scoring join parallelizes even off one input file
+    val base = spread(df.select(col(idCol), col(vecCol)))
+      .localCheckpoint(false)
     // trainMod > 1: Lloyd's training cost is O(n·k·d) PER ROUND, and a
     // corpus-proportional cell count (K ∝ n, the SemDeDup contract)
     // makes full-corpus training quadratic-ish in n — measured 9.1 s at
@@ -860,9 +875,15 @@ object Similarity {
         idCol, vecCol, dims)
     }
     // final round assigns the FULL corpus (the consumer recomputes the
-    // final centers from these labels — ivfKnnJoin/cellCenters)
+    // final centers from these labels — ivfKnnJoin/cellCenters).
+    // Checkpointed: the output is tiny (id, cell) but its lineage is the
+    // corpus × centers scoring join, and a consumer that evaluates the
+    // labels twice (buildIvfIndex: centers pass + lists write) would
+    // re-run the assignment each time — measured 85 s → 18 s for the
+    // 20k-vector / k=100 index build
     assignCells(base, centers, idCol, vecCol)
       .select(col(idCol), col("__cell").as("cell"))
+      .localCheckpoint(false)
   }
 
   /** One Lloyd's assignment step: (id, __cell) = the max-cosine center

@@ -126,13 +126,16 @@ object Bench {
     val total = results.flatMap(_._2.map(_._1)).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"loadavg":[$loadStart,$loadEnd],"queries":$qs,"spread":$spread,"errors":$errJson,"sf":"$sfDir"}"""
-    println(line)
-    // short summary trailer AFTER the full line: the driver captures a
-    // bounded log TAIL, and the full 90+-query line is long enough to get
-    // head-truncated from the other end — the last ~200 bytes of any tail
-    // capture must always contain parseable totals
+    // short summary trailer printed BOTH before and after the full line:
+    // the driver's capture window is a bounded log tail whose edges are
+    // unpredictable from in here — round 7's single after-trailer was cut
+    // 80 bytes in (BENCH_r07 unparseable, third round running). Any
+    // contiguous capture that contains the full line now also contains at
+    // least one complete trailer, whichever side got truncated.
     val trailer =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"loadavg":[$loadStart,$loadEnd],"errors":$errJson,"sf":"$sfDir"}"""
+    println(trailer)
+    println(line)
     println(trailer)
     notes.foreach(System.err.println)
     // persist the full report: the driver captures a bounded log tail, and

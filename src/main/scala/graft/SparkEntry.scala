@@ -26,6 +26,14 @@ object SparkEntry {
 
   private def events(s: SparkSession, dir: String) = Tables.load(s, dir, "events")
 
+  /** `events` with `ts_us` (µs-long) attached — normalized across the
+    * physical timestamp types the driver has generated (nanos-as-long vs
+    * micros-as-timestamp; see [[Tables.tsUs]]). */
+  private def eventsUs(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    ev.withColumn("ts_us", Tables.tsUs(ev))
+  }
+
   /** Per-process root for the persisted-index contract queries: two
     * concurrent harness processes on the same data dir must not race on
     * one fixed tmp path (one overwriting `lists/` while the other's probe
@@ -506,8 +514,7 @@ object SparkEntry {
     // the flatMapGroupsWithState path shares semantics — see StreamingSpec)
     "stream_sessionize" -> ((s, dir) =>
       graft.streaming.Sessionize.byWindows(
-        events(s, dir).select(col("user_id"),
-          expr("ts div 1000").as("ts_us")), 30)
+        eventsUs(s, dir).select(col("user_id"), col("ts_us")), 30)
         ),
 
     // Time-series resample: 5-minute buckets with a gap-filled spine.
@@ -515,7 +522,7 @@ object SparkEntry {
     // the aggregate is one bucket-keyed shuffle.
     "events_resample" -> ((s, dir) =>
       TimeSeries.resample(
-        events(s, dir).select(expr("ts div 1000").as("ts_us"), col("value")),
+        eventsUs(s, dir).select(col("ts_us"), col("value")),
         col("ts_us"), 300000000L,
         Seq(count(lit(1)).as("__n"),
           sum(col("value").cast("decimal(18,6)")).cast("double").as("__sum")))
@@ -528,8 +535,8 @@ object SparkEntry {
     // O(frame) state per key.
     "events_rolling" -> ((s, dir) =>
       TimeSeries.rollingStats(
-        events(s, dir).select(col("event_id"), col("user_id"),
-          expr("ts div 1000").as("ts_us"), col("value")),
+        eventsUs(s, dir).select(col("event_id"), col("user_id"),
+          col("ts_us"), col("value")),
         Seq(col("user_id")), Seq(col("ts_us"), col("event_id")),
         col("value"), 7)),
 
@@ -569,8 +576,8 @@ object SparkEntry {
     // As-of join (merge-based union+window; no range-join explosion):
     // each click joined to the user's latest signup at or before it
     "join_asof" -> ((s, dir) => {
-      val e = events(s, dir).select(col("event_id").as("id"), col("user_id"),
-        expr("ts div 1000").as("ts_us"), col("event_type"))
+      val e = eventsUs(s, dir).select(col("event_id").as("id"),
+        col("user_id"), col("ts_us"), col("event_type"))
       val clicks = e.filter(col("event_type") === "click")
         .select(col("id"), col("user_id"), col("ts_us"))
       val signups = e.filter(col("event_type") === "signup")
@@ -914,14 +921,17 @@ object SparkEntry {
       Similarity.recallAtK(ivf, bf)
     }),
 
-    // SemDeDup cell-bounded recall telemetry: on a bounded hash sample,
-    // exact near-dup pairs (cos >= tau) vs the subset sharing a
-    // quantizer cell — one row per quantizer (the dataset label column
-    // vs k-means), the honest gate the cell-bounded dedup needs
+    // SemDeDup cell-bounded recall telemetry: on a FIXED-SIZE hash-ordered
+    // sample (limit 600 — a bounded heap per partition + a 600-row driver
+    // merge, never a corpus shuffle), exact near-dup pairs (cos >= tau)
+    // vs the subset sharing a quantizer cell — one row per quantizer (the
+    // dataset label column vs k-means), the honest gate the cell-bounded
+    // dedup needs. The cap (not a rate) keeps the intentional all-pairs
+    // join O(600^2) at ANY corpus size — a 30%-of-corpus sample would be
+    // O((0.3n)^2), the one scale-killer round 7 shipped.
     "semdedup_recall" -> ((s, dir) => {
       val emb = embeddings(s, dir)
-      val sample = emb.filter(
-        pmod(Md5Prefix28(col("vec_id").cast("string")), lit(100L)) < 30)
+      val sample = Similarity.boundedHashSample(emb, "vec_id", 600)
       val km = Similarity.kmeansLabels(emb, "vec_id", "embedding", k = 16,
         iters = 2)
       Similarity.semDedupRecall(sample, "vec_id", "embedding", "label",
@@ -1072,8 +1082,8 @@ object SparkEntry {
     // in the preceding 10 minutes — equi-join on (user, time-bin), never
     // a hot user's full history on one task
     "join_interval_count" -> ((s, dir) => {
-      val e = events(s, dir).select(col("event_id"), col("user_id"),
-        expr("ts div 1000").as("ts_us"), col("event_type"))
+      val e = eventsUs(s, dir).select(col("event_id"), col("user_id"),
+        col("ts_us"), col("event_type"))
       val errs = e.filter(col("event_type") === "error")
         .select(col("event_id").as("err_id"), col("user_id"),
           col("ts_us").as("err_ts"))
@@ -2252,11 +2262,13 @@ object SparkEntry {
         "FROM ne LEFT JOIN h USING (probe_id) ORDER BY probe_id"),
 
     "semdedup_recall" ->
-      // bounded hash sample, exact all-pairs >= tau, within-cell subset
-      // per quantizer (dataset label column vs the unrolled k-means)
+      // FIXED-SIZE hash-ordered sample (limit 600, mirroring the Spark
+      // TakeOrdered), exact all-pairs >= tau, within-cell subset per
+      // quantizer (dataset label column vs the unrolled k-means)
       ("WITH " + kmeansCtes(16, 2) + ", " +
         s"sm AS (SELECT vec_id, embedding, label FROM embeddings " +
-        s"WHERE ${Dedup.hash28Sql("vec_id::VARCHAR")} % 100 < 30), " +
+        s"ORDER BY ${Dedup.hash28Sql("vec_id::VARCHAR")}, vec_id " +
+        "LIMIT 600), " +
         "pr AS (SELECT a.label AS la, b.label AS lb, ka.cell AS ca, " +
         s"kb.cell AS cb, ${cosSql("a.embedding", "b.embedding")} AS c " +
         "FROM sm a, sm b, a2 ka, a2 kb " +

@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.SparkSession
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
 /**
@@ -12,34 +13,74 @@ import org.apache.spark.sql.functions.col
  * path accumulates thousands of them (each one a task + open-file cost
  * per probe).
  *
- * Crash-safe order, as in compactState: the consolidated rows are
- * MATERIALIZED (eager localCheckpoint) before the overwrite of the very
- * files they were read from. A crash mid-overwrite loses no source data
- * beyond that table's own rewrite window; re-running converges.
- * Single-writer discipline: no concurrent probe/append on the path.
+ * Crash-safe at EVERY window — the round-7 in-place `mode(overwrite)`
+ * had one loss case (a JVM crash mid-overwrite killed both the on-disk
+ * files and the localCheckpoint holding the only other copy). Now the
+ * compacted rows are STAGED in a sibling directory and swapped in by
+ * rename, so at no instant is the staged copy the only one:
+ *
+ *   1. write compacted rows to `<path>.__compact_tmp` (source untouched)
+ *   2. rename `<path>` → `<path>.__compact_old`     (atomic on one FS)
+ *   3. rename tmp → `<path>`                        (atomic)
+ *   4. delete `<path>.__compact_old`
+ *
+ * [[recover]] runs first on every call and repairs any prior crash: an
+ * orphan `__old` with no live `<path>` is renamed back (crash between 2
+ * and 3); an `__old` beside a live `<path>` is a completed swap whose
+ * cleanup step died (crash between 3 and 4) and is deleted; any `__tmp`
+ * is always stale (incomplete or superseded) and deleted. Single-writer
+ * discipline as before: no concurrent probe/append on the path.
  */
 object ParquetCompact {
 
-  /** Rewrite a flat parquet table in place into ~`targetFiles` files.
-    * Returns the row count. */
-  def table(spark: SparkSession, path: String, targetFiles: Int = 8): Long = {
-    val all = spark.read.parquet(path).coalesce(targetFiles)
-      .localCheckpoint() // eager: materialize BEFORE overwriting the source
-    val n = all.count()
-    all.write.mode("overwrite").parquet(path)
+  private def paths(path: String): (Path, Path, Path) =
+    (new Path(path), new Path(path + ".__compact_tmp"),
+      new Path(path + ".__compact_old"))
+
+  /** Repair any half-finished swap from a crashed prior run. */
+  private def recover(fs: FileSystem, live: Path, tmp: Path,
+                      old: Path): Unit = {
+    if (fs.exists(old)) {
+      if (fs.exists(live)) fs.delete(old, true) // swap done, cleanup died
+      else {                                    // crash mid-swap: roll back
+        require(fs.rename(old, live), s"recover: rename $old -> $live failed")
+      }
+    }
+    if (fs.exists(tmp)) fs.delete(tmp, true)    // stage is always redoable
+  }
+
+  private def swap(fs: FileSystem, live: Path, tmp: Path, old: Path): Unit = {
+    require(fs.rename(live, old), s"compact: rename $live -> $old failed")
+    require(fs.rename(tmp, live), s"compact: rename $tmp -> $live failed")
+    fs.delete(old, true)
+  }
+
+  private def compactVia(spark: SparkSession, path: String)
+                        (stage: (DataFrame, String) => Unit): Long = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val (live, tmp, old) = paths(path)
+    recover(fs, live, tmp, old)
+    stage(spark.read.parquet(path), tmp.toString)
+    val n = spark.read.parquet(tmp.toString).count()
+    swap(fs, live, tmp, old)
     n
   }
 
-  /** Rewrite a value-partitioned table in place, preserving its
-    * partition layout with one file per partition directory (repartition
-    * by the partition column routes each key to exactly one task).
+  /** Rewrite a flat parquet table into ~`targetFiles` files via the
+    * staged swap above. Returns the row count. */
+  def table(spark: SparkSession, path: String, targetFiles: Int = 8): Long =
+    compactVia(spark, path) { (df, tmpDir) =>
+      df.coalesce(targetFiles).write.parquet(tmpDir)
+    }
+
+  /** Rewrite a value-partitioned table, preserving its partition layout
+    * with one file per partition directory (repartition by the partition
+    * column routes each key to exactly one task), via the staged swap.
     * Returns the row count. */
   def partitionedTable(spark: SparkSession, path: String,
-                       partitionCol: String): Long = {
-    val all = spark.read.parquet(path).repartition(col(partitionCol))
-      .localCheckpoint() // eager, as above
-    val n = all.count()
-    all.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
-    n
-  }
+                       partitionCol: String): Long =
+    compactVia(spark, path) { (df, tmpDir) =>
+      df.repartition(col(partitionCol))
+        .write.partitionBy(partitionCol).parquet(tmpDir)
+    }
 }

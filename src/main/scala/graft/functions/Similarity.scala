@@ -488,30 +488,84 @@ object Similarity {
     ParquetCompact.partitionedTable(spark, s"$path/lists", "__cellkey")
 
   /**
-   * Probe a persisted IVF index ([[buildIvfIndex]]): same semantics and
-   * BIT-IDENTICAL results as the inline [[ivfKnnJoin]] (centers and norms
-   * round-trip exactly through parquet doubles; the scoring arithmetic is
-   * shared), but nothing is recomputed and the corpus scan is pruned to
-   * the probed cells' partitions on disk. The probed-cell key set
+   * Assign NEW vectors to a persisted index's EXISTING centers — the
+   * production labeler for a k-means-quantized index's ingest path:
+   * [[kmeansLabels]] trains the quantizer once at build time; incoming
+   * batches then quantize to that frozen geometry with ONE assignment
+   * step (no retraining), exactly the max-cosine / ties-to-smaller-cell /
+   * zero-norm→cell-−1 semantics of [[kmeansLabels]]' final pass (the
+   * [[assignCells]] code path is shared, so parity is structural, not
+   * approximate). Cost: batch × broadcast(K centers) scoring — the
+   * BATCH, never the corpus. Requires integral cells (the k-means
+   * shape; a label-typed index brings its own labels). Returns
+   * (idCol, cell).
+   */
+  def assignToCenters(spark: SparkSession, path: String, batch: DataFrame,
+                      idCol: String, vecCol: String): DataFrame = {
+    val centers = spark.read.parquet(s"$path/centers")
+    val ct = centers.schema("__cell").dataType
+    require(Seq(org.apache.spark.sql.types.ByteType,
+      org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.LongType).contains(ct),
+      s"assignToCenters needs integral cells (k-means quantizer), got $ct")
+    assignCells(batch.select(col(idCol), col(vecCol)),
+      centers.select(col("__cell"), col("__center")), idCol, vecCol)
+      .select(col(idCol), col("__cell").as("cell"))
+  }
+
+  /**
+   * [[appendToIvfIndex]] with the batch's cells DERIVED from the stored
+   * centers via [[assignToCenters]] — the default ingest entry for a
+   * k-means-quantized index (new vectors carry no label column; the
+   * quantizer is the index's own geometry). The batch is labeled against
+   * the CURRENT centers, appended, and the centers then refresh exactly
+   * as in the labeled append, so append-with-assignment is bit-identical
+   * to labeling the grown corpus against the same frozen centers and
+   * rebuilding (Round8OpsSpec — the [[cellCenters]] fold is order-free).
+   */
+  def appendToIvfIndexAssigned(spark: SparkSession, path: String,
+                               batch: DataFrame, idCol: String,
+                               vecCol: String, dims: Int = 64): Unit = {
+    // materialized before the lists write: the assignment's lineage reads
+    // path/centers, which refreshIvfCenters overwrites in the same call
+    val labeled = batch.select(col(idCol), col(vecCol))
+      .join(assignToCenters(spark, path, batch, idCol, vecCol), Seq(idCol))
+      .localCheckpoint(false)
+    appendToIvfIndex(spark, path, labeled, idCol, vecCol, "cell", dims)
+  }
+
+  /**
+   * Probe a persisted IVF index ([[buildIvfIndex]]): same semantics and —
+   * at the default flat cell ranking (superProbe = 0) — BIT-IDENTICAL
+   * results as the inline [[ivfKnnJoin]] (centers and norms round-trip
+   * exactly through parquet doubles; the scoring arithmetic is shared),
+   * but nothing is recomputed and the corpus scan is pruned to the probed
+   * cells' partitions on disk. Opting in to two-level cell selection
+   * (superProbe = -1 auto, or an explicit width) trades recall for cost
+   * and breaks bit-identity once it engages. The probed-cell key set
    * (≤ probes × nProbe values) is collected to the driver to drive the
    * partition-pruning filter — metadata-scale, like the one-row broadcast
    * bounds elsewhere.
    */
   def ivfKnnJoinIndexed(spark: SparkSession, path: String, probes: DataFrame,
                         idCol: String, vecCol: String, labelCol: String,
-                        k: Int, nProbe: Int = 2, superProbe: Int = -1,
+                        k: Int, nProbe: Int = 2, superProbe: Int = 0,
                         superBits: Int = 4, superOffset: Int = 32): DataFrame = {
     val centers = spark.read.parquet(s"$path/centers")
     // superProbe > 0 → two-level cell selection ([[probedCellsTwoLevel]]):
     // drops the O(probes × K) flat center ranking, the one term that
-    // grows with the cell count at fixed probe volume. superProbe = -1
-    // (the default) picks by the measured crossover instead of a manual
-    // knob: two-level only pays once the cell count K clears the
-    // supercell count with room (K > 2^superBits × 4 — below that the
-    // flat ranking is already as small as the supercell ranking, and the
-    // extra stage is pure overhead: measured K=10 slower / K=1000 2.4×
-    // faster at superProbe = 2^superBits/4, PLANS.md round-6). 0 forces
-    // flat; an explicit positive value forces two-level at that width.
+    // grows with the cell count at fixed probe volume. The DEFAULT is 0
+    // (flat) so the bit-identity promise above holds unconditionally for
+    // default callers; superProbe = -1 opts IN to auto-selection by the
+    // measured crossover: two-level only pays once the cell count K
+    // clears the supercell count with room (K > 2^superBits × 4 — below
+    // that the flat ranking is already as small as the supercell ranking,
+    // and the extra stage is pure overhead: measured K=10 slower /
+    // K=1000 2.4× faster at superProbe = 2^superBits/4, PLANS.md
+    // round-6). NOTE: auto (-1) and explicit positive values trade recall
+    // for cost once two-level engages (see [[probedCellsTwoLevel]]) —
+    // results are then NOT bit-identical to the inline form.
     val resolvedSuper =
       if (superProbe >= 0) superProbe
       else if (centers.count() > (1L << superBits) * 4)
@@ -913,6 +967,22 @@ object Similarity {
           col("__top").getItem(0).getField("id").cast("int"))
           .otherwise(lit(-1)).as("__cell"))
   }
+
+  /**
+   * Deterministic FIXED-SIZE sample: the `n` rows with the smallest
+   * `(md5-prefix(id), id)` key. This is the device every bounded-sample
+   * gate in the library uses (probe sets, [[semDedupRecall]]'s input):
+   * unlike a `pmod(md5, m) < r` RATE — whose output grows with the
+   * corpus, turning any downstream all-pairs join quadratic — the cap
+   * holds at ANY corpus size, and the plan is a TakeOrdered (a bounded
+   * per-partition heap + an n-row driver merge), never a corpus sort or
+   * shuffle. Hash-ordering (not plain id order) keeps the sample
+   * uncorrelated with insertion order, and the id tiebreak makes it
+   * total, so the sample is layout-free and reproducible by an oracle.
+   */
+  def boundedHashSample(df: DataFrame, idCol: String, n: Int): DataFrame =
+    df.orderBy(graft.functions.Md5Prefix28(col(idCol).cast("string")),
+      col(idCol)).limit(n)
 
   /**
    * SemDeDup recall telemetry — the honest gate [[semDedupByCell]] needs

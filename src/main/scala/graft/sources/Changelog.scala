@@ -6,12 +6,30 @@ import org.apache.spark.sql.functions._
 /** Parquet table loader for the driver-provided testdata layout. */
 object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which Spark only reads as a
-    // long (ns since epoch) behind this legacy flag; we convert at the edge.
+    // events.parquet has carried TIMESTAMP(NANOS) in some driver rounds,
+    // which Spark only reads as a long (ns since epoch) behind this legacy
+    // flag; other rounds generate TIMESTAMP(MICROS). [[tsUs]] normalizes
+    // either at the edge.
     try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case _: Throwable => () }
     spark.read.parquet(s"${sfDir.stripSuffix("/")}/$name.parquet")
   }
+
+  /**
+   * `events.ts` as microseconds-since-epoch, robust to the physical type
+   * the driver generated that round: TIMESTAMP(NANOS) surfaces as a long
+   * of nanos (integer-divide — a double division would lose precision
+   * above 2^53), TIMESTAMP(MICROS) as a (NTZ) timestamp. The NTZ→TZ cast
+   * is value-preserving because every session here pins UTC, matching
+   * DuckDB's `epoch_us` on the same file.
+   */
+  def tsUs(df: DataFrame): org.apache.spark.sql.Column =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => unix_micros(col("ts"))
+    }
 }
 
 /**
@@ -38,10 +56,8 @@ object Changelog {
    *  - old_values: JSON of {user_id} (NULL for INSERT)
    */
   def fromEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    // ts arrives as long nanoseconds (see Tables.load); integer-divide to µs
-    // (a double division would lose precision above 2^53).
-    val ev = Tables.load(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = Tables.load(spark, sfDir, "events")
+    val ev = raw.withColumn("ts", timestamp_micros(Tables.tsUs(raw)))
     val payload = to_json(struct(
       col("user_id"),
       col("event_type"),

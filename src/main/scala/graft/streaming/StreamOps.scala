@@ -416,6 +416,43 @@ object StreamOps {
       .start()
   }
 
+  /**
+   * [[ivfIngestTo]] with cells DERIVED from the index's own stored
+   * centers ([[graft.functions.Similarity.assignToCenters]]) — the
+   * streaming ingest for a k-means-quantized index, where arriving
+   * vectors carry no label column: each micro-batch is assigned against
+   * the CURRENT centers (one batch × broadcast(K) scoring step, no
+   * retrain), then lands as its own epoch exactly like the labeled
+   * ingest. Epoch idempotence holds with one caveat the labeled path
+   * doesn't have: a REPLAYED batch re-assigns against centers that its
+   * own first attempt may have refreshed, so replay-idempotence requires
+   * the assignment to be stable under that refresh — guaranteed when the
+   * first attempt completed (same lists → same centers → same
+   * assignment), and healed by the epoch overwrite when it didn't.
+   * Bootstrap with [[ivfIngestBootstrap]] on a [[graft.functions.Similarity.kmeansLabels]]-labeled
+   * corpus first (the index must HAVE centers before anything can be
+   * assigned to them).
+   */
+  def ivfIngestAssignedTo(vectors: DataFrame, indexPath: String,
+                          checkpoint: String, idCol: String, vecCol: String,
+                          dims: Int = 64,
+                          availableNow: Boolean = true): StreamingQuery = {
+    val writer = vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val labeled = batch.select(col(idCol), col(vecCol))
+          .join(Similarity.assignToCenters(batch.sparkSession, indexPath,
+            batch, idCol, vecCol), Seq(idCol))
+          // materialized: the assignment's lineage reads the centers this
+          // epoch's refresh overwrites
+          .localCheckpoint(false)
+        ivfIngestEpoch(labeled, batchId, indexPath, idCol, vecCol, "cell",
+          dims)
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
   /** One epoch of [[ivfIngestTo]] — factored out so the replay-idempotence
     * contract is directly testable: same (batch, batchId) twice ≡ once. */
   private[graft] def ivfIngestEpoch(batch: DataFrame, batchId: Long,
@@ -450,27 +487,159 @@ object StreamOps {
    * are unchanged (same rows, same fold). Returns the lists row count.
    */
   def compactIvfIngestState(spark: org.apache.spark.sql.SparkSession,
-                            indexPath: String): Long = {
+                            indexPath: String): Long =
+    // one task per cell keeps one file per cell directory
+    consolidateEpochs(spark, s"$indexPath/lists") { (df, stageDir) =>
+      df.repartition(col("__cellkey"))
+        .write.partitionBy("__cellkey").parquet(stageDir)
+    }
+
+  /**
+   * ONLINE maintenance of the persisted text-dedup index — the streaming
+   * twin of [[graft.functions.Dedup.appendToDedupIndex]], with the epoch
+   * idempotence the batch append cannot give (mode-append on a replayed
+   * micro-batch would double the batch's rows — and duplicated index
+   * rows are only *mostly* harmless to the probe: candidate pairs are
+   * re-distincted, but a duplicated doc row doubles its shingle-set rows
+   * and corrupts the Jaccard denominators). IVF got this twin in round 7
+   * ([[ivfIngestTo]]); this closes the asymmetry for the dedup index,
+   * ON THE PERSISTED INDEX LAYOUT (not the separate `nearDupDedupTo`
+   * state tree): each micro-batch's shingle sets and band keys land
+   * under `sets/__batch=N/` and `keys/__batch=N/` with OVERWRITE, so a
+   * crash-replayed batch rewrites exactly its own epoch.
+   *
+   * The stream OWNS `indexPath` (epoch dirs cannot mix with
+   * [[graft.functions.Dedup.buildDedupIndex]]'s flat files in one tree):
+   * seed a pre-existing corpus with [[dedupIngestBootstrap]] (reserved
+   * `__batch=-1`; micro-batch ids start at 0). Probes via
+   * [[graft.functions.Dedup.dedupAgainstIndexed]] work unchanged — the
+   * extra `__batch` partition column is projected away by the probe's
+   * explicit selects. Compact with [[compactDedupIngestState]].
+   */
+  def dedupIngestTo(docs: DataFrame, indexPath: String, checkpoint: String,
+                    idCol: String, textCol: String,
+                    availableNow: Boolean = true): StreamingQuery = {
+    val writer = docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        dedupIngestEpoch(batch, batchId, indexPath, idCol, textCol)
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
+  /** One epoch of [[dedupIngestTo]] — factored out so the
+    * replay-idempotence contract is directly testable: same
+    * (batch, batchId) twice ≡ once. */
+  private[graft] def dedupIngestEpoch(batch: DataFrame, batchId: Long,
+                                      indexPath: String, idCol: String,
+                                      textCol: String): Unit = {
+    import graft.functions.Dedup
+    // shingle once, derive both tables from the materialized sets —
+    // identical row shapes to the batch build/append, so a probe cannot
+    // tell which path populated the index
+    val sets = Dedup.shingleSets(batch, idCol, textCol)
+      .localCheckpoint(false)
+    sets.write.mode("overwrite")
+      .parquet(s"$indexPath/sets/__batch=$batchId")
+    Dedup.bandKeysFromSets(sets, idCol).write.mode("overwrite")
+      .parquet(s"$indexPath/keys/__batch=$batchId")
+  }
+
+  /** Seed [[dedupIngestTo]]'s index with a pre-existing corpus in the
+    * reserved `__batch=-1` epoch (micro-batch ids start at 0). */
+  def dedupIngestBootstrap(corpus: DataFrame, indexPath: String,
+                           idCol: String, textCol: String): Unit =
+    dedupIngestEpoch(corpus, -1L, indexPath, idCol, textCol)
+
+  /** Compact [[dedupIngestTo]]'s epoch partitions — every epoch adds
+    * files to both tables; consolidates each into the reserved
+    * `__batch=-1` via the crash-safe [[consolidateEpochs]]. Run OFFLINE
+    * (single-writer). Returns per-table row counts. */
+  def compactDedupIngestState(spark: org.apache.spark.sql.SparkSession,
+                              indexPath: String,
+                              targetFiles: Int = 8): Map[String, Long] =
+    Seq("sets", "keys").map(t =>
+      t -> consolidateEpochs(spark, s"$indexPath/$t") { (df, stageDir) =>
+        df.coalesce(targetFiles).write.parquet(stageDir)
+      }).toMap
+
+  /**
+   * Crash-safe consolidation of an epoch-partitioned table
+   * (`root/__batch=N/...`) into the reserved `__batch=-1` epoch.
+   *
+   * The round-7 shape (overwrite `__batch=-1`, then delete old epochs)
+   * had a non-convergent crash window: between the overwrite and the
+   * deletes every compacted row existed twice, and a re-run baked the
+   * duplicates into `__batch=-1` permanently (it re-read the duplicated
+   * root) — and duplicated IVF list rows change probe results (a
+   * duplicated neighbor eats two top-k slots). Now the consolidated
+   * epoch is STAGED outside the tree and swapped in by rename, with a
+   * manifest naming the epochs it supersedes, so every crash window
+   * either rolls back (stage incomplete → discarded on the next run) or
+   * rolls forward (stage complete → delete exactly the manifested
+   * epochs, rename the stage in); no run ever reads a root holding both
+   * the stage and the epochs it replaced. Run OFFLINE (single-writer).
+   * `writeStage` writes the merged epochs (already stripped of
+   * `__batch`) to the stage directory. Returns the table's row count
+   * after consolidation.
+   */
+  private def consolidateEpochs(spark: org.apache.spark.sql.SparkSession,
+                                rootPath: String)
+                               (writeStage: (DataFrame, String) => Unit): Long = {
+    import org.apache.hadoop.fs.Path
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    val root = new org.apache.hadoop.fs.Path(s"$indexPath/lists")
-    val old =
-      if (!fs.exists(root)) Array.empty[org.apache.hadoop.fs.Path]
+    val root = new Path(rootPath)
+    val tmp = new Path(rootPath + ".__compact_tmp")
+    val manifest = new Path(rootPath + ".__compact_manifest")
+    val target = new Path(root, "__batch=-1")
+
+    def finishFromManifest(): Unit = {
+      val named = {
+        val in = fs.open(manifest)
+        val bytes = try {
+          val out = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+          out.toString("UTF-8")
+        } finally in.close()
+        bytes.split("\n").filter(_.nonEmpty)
+      }
+      named.foreach(n => fs.delete(new Path(root, n), true))
+      require(fs.rename(tmp, target),
+        s"consolidateEpochs: rename $tmp -> $target failed")
+      fs.delete(manifest, false)
+    }
+
+    // crash recovery: a manifest with a COMPLETE stage (tmp/_SUCCESS)
+    // rolls forward; with tmp already renamed in, only the manifest is
+    // left to clean; an incomplete stage (or an orphan tmp) is discarded
+    if (fs.exists(manifest)) {
+      if (fs.exists(new Path(tmp, "_SUCCESS"))) finishFromManifest()
+      else if (!fs.exists(tmp)) fs.delete(manifest, false)
+      else { fs.delete(tmp, true); fs.delete(manifest, false) }
+    } else if (fs.exists(tmp)) fs.delete(tmp, true)
+
+    val epochs =
+      if (!fs.exists(root)) Array.empty[Path]
       else fs.listStatus(root).map(_.getPath)
-        .filter(p => p.getName.startsWith("__batch=") &&
-          p.getName != "__batch=-1")
-    if (old.isEmpty) 0L
-    else {
-      // eager checkpoint: materialize BEFORE overwriting/deleting the
-      // partitions the rows were read from; one task per cell keeps one
-      // file per cell directory
-      val all = spark.read.parquet(root.toString).drop("__batch")
-        .repartition(col("__cellkey")).localCheckpoint()
-      val n = all.count()
-      all.write.mode("overwrite").partitionBy("__cellkey")
-        .parquet(s"$indexPath/lists/__batch=-1")
-      old.foreach(p => fs.delete(p, true))
-      n
+        .filter(_.getName.startsWith("__batch="))
+    if (!epochs.exists(_.getName != "__batch=-1")) {
+      // nothing to consolidate (possibly because recovery just rolled a
+      // crashed compaction forward) — report the live count
+      if (epochs.isEmpty) 0L else spark.read.parquet(root.toString).count()
+    } else {
+      val out = fs.create(manifest, true)
+      try out.write(epochs.map(_.getName).mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      // the source epochs are untouched until the stage commits (_SUCCESS)
+      writeStage(
+        spark.read.option("basePath", root.toString)
+          .parquet(epochs.map(_.toString).toIndexedSeq: _*)
+          .drop("__batch"),
+        tmp.toString)
+      finishFromManifest()
+      spark.read.parquet(root.toString).count()
     }
   }
 

@@ -219,8 +219,9 @@ class Round4OpsSpec extends AnyFunSuite {
 
   test("binned interval join equals the naive range join") {
     import graft.operators.IntervalJoin
-    val e = Tables.load(spark, sfDir, "events").limit(3000)
-      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+    val raw = Tables.load(spark, sfDir, "events").limit(3000)
+    val e = raw.select(col("event_id"), col("user_id"),
+      Tables.tsUs(raw).as("ts_us"))
     val l = e.select(col("event_id").as("lid"), col("user_id"),
       col("ts_us").as("lts"))
     val r = e.select(col("user_id"), col("ts_us"))

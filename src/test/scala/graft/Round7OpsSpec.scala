@@ -294,13 +294,15 @@ class Round7OpsSpec extends AnyFunSuite {
 
   test("auto superProbe (-1): few cells resolve to the flat ranking") {
     // 2 cells << 2^superBits*4: the crossover rule must pick flat, making
-    // the default bit-for-bit with an explicit superProbe = 0
+    // the opt-in auto bit-for-bit with an explicit superProbe = 0 (which
+    // is now the library DEFAULT — auto is opt-in so default callers keep
+    // the documented bit-identity with the inline form)
     val path = java.nio.file.Files
       .createTempDirectory("graft-ivf-auto").toString
     Similarity.buildIvfIndex(ivfCorpus, "vec_id", "embedding", "label",
       path, dims = 4)
     val auto = ivfRows(Similarity.ivfKnnJoinIndexed(spark, path, ivfProbes,
-      "vec_id", "embedding", "label", k = 3, nProbe = 2))
+      "vec_id", "embedding", "label", k = 3, nProbe = 2, superProbe = -1))
     val flat = ivfRows(Similarity.ivfKnnJoinIndexed(spark, path, ivfProbes,
       "vec_id", "embedding", "label", k = 3, nProbe = 2, superProbe = 0))
     assert(auto.nonEmpty && auto == flat)

@@ -269,8 +269,8 @@ class StreamOpsSpec extends AnyFunSuite {
   }
 
   test("interval join matches its batch equivalent on a live stream") {
-    val ev = sources.Tables.load(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = sources.Tables.load(spark, sfDir, "events")
+    val ev = raw.withColumn("ts", timestamp_micros(sources.Tables.tsUs(raw)))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("ts"))
     val signups = ev.filter(col("event_type") === "signup")
@@ -399,5 +399,102 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(cellC.isDirectory &&
       cellC.listFiles().count(_.getName.endsWith(".parquet")) == 1)
     assert(probeRows(idx) == before)
+  }
+
+  // ---- online text-dedup index maintenance (the IVF twin, round 8) ----
+
+  private def dedupSeed = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "completely different text about spark query planning rules"))
+      .toDF("doc_id", "text")
+  }
+  private def dedupEpoch1 = {
+    import spark.implicits._
+    Seq((3L, "another unrelated document mentioning parquet column pruning"))
+      .toDF("doc_id", "text")
+  }
+  private def dedupEpoch2 = {
+    import spark.implicits._
+    Seq((4L, "the quick brown fox jumps over the lazy dog again tonight"))
+      .toDF("doc_id", "text")
+  }
+  private def dedupProbeBatch = {
+    import spark.implicits._
+    Seq(
+      // near-dup of epoch-2's doc 4 — catchable only via the stream
+      (10L, "a quick brown fox jumps over the lazy dog again tonight"),
+      (11L, "entirely fresh content that matches nothing in the corpus"))
+      .toDF("doc_id", "text")
+  }
+  private def dedupProbeRows(path: String) = {
+    import graft.functions.Dedup
+    Dedup.dedupAgainstIndexed(spark, path, dedupProbeBatch,
+      "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getBoolean(3)))
+      .toSet
+  }
+  private def dedupRebuiltRows() = {
+    import graft.functions.Dedup
+    val path = Files.createTempDirectory("graft-ddreb").toString
+    Dedup.buildDedupIndex(
+      dedupSeed.unionByName(dedupEpoch1).unionByName(dedupEpoch2),
+      "doc_id", "text", path)
+    dedupProbeRows(path)
+  }
+
+  test("dedupIngestTo: bootstrap + streamed epochs probe ≡ batch rebuild") {
+    val in = Files.createTempDirectory("graft-ddin").toString
+    val idx = Files.createTempDirectory("graft-ddidx").toString + "/idx"
+    StreamOps.dedupIngestBootstrap(dedupSeed, idx, "doc_id", "text")
+    dedupEpoch1.coalesce(1).write.mode("append").parquet(in)
+    Thread.sleep(1100) // distinct mtimes: FileStreamSource orders by modTime
+    dedupEpoch2.coalesce(1).write.mode("append").parquet(in)
+    val q = StreamOps.dedupIngestTo(
+      spark.readStream.schema(dedupSeed.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in),
+      idx, Files.createTempDirectory("graft-ddck").toString,
+      "doc_id", "text")
+    q.awaitTermination()
+    val got = dedupProbeRows(idx)
+    assert(got.nonEmpty && got == dedupRebuiltRows())
+    assert(got.exists { case (id, dup, adm) =>
+      id == 10L && dup.contains(4L) && !adm },
+      "probe must match the STREAMED doc 4")
+    assert(got.contains((11L, None, true)))
+  }
+
+  test("dedupIngestEpoch replay: same epoch twice ≡ once (crash-replay)") {
+    val idx = Files.createTempDirectory("graft-ddrp").toString + "/idx"
+    StreamOps.dedupIngestBootstrap(dedupSeed, idx, "doc_id", "text")
+    StreamOps.dedupIngestEpoch(dedupEpoch1.unionByName(dedupEpoch2), 0L,
+      idx, "doc_id", "text")
+    val once = dedupProbeRows(idx)
+    StreamOps.dedupIngestEpoch(dedupEpoch1.unionByName(dedupEpoch2), 0L,
+      idx, "doc_id", "text")
+    assert(dedupProbeRows(idx) == once)
+    // a replayed epoch must overwrite: one sets row and one keys-per-band
+    // set for doc 3, not two
+    assert(spark.read.parquet(s"$idx/sets")
+      .filter(col("doc_id") === 3L).count() == 1,
+      "replayed epoch must overwrite, not append")
+    assert(once == dedupRebuiltRows())
+  }
+
+  test("compactDedupIngestState consolidates epochs, probe unchanged") {
+    val idx = Files.createTempDirectory("graft-ddcp").toString + "/idx"
+    StreamOps.dedupIngestBootstrap(dedupSeed, idx, "doc_id", "text")
+    StreamOps.dedupIngestEpoch(dedupEpoch1, 0L, idx, "doc_id", "text")
+    StreamOps.dedupIngestEpoch(dedupEpoch2, 1L, idx, "doc_id", "text")
+    val before = dedupProbeRows(idx)
+    val counts = StreamOps.compactDedupIngestState(spark, idx)
+    assert(counts("sets") == 4 && counts("keys") > 0)
+    for (t <- Seq("sets", "keys")) {
+      val dirs = new java.io.File(s"$idx/$t").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet
+      assert(dirs == Set("__batch=-1"), s"$t epoch dirs survive: $dirs")
+    }
+    assert(dedupProbeRows(idx) == before)
   }
 }

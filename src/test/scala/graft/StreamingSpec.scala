@@ -215,8 +215,8 @@ class StreamingSpec extends AnyFunSuite {
 
   test("streaming sessionization closes the same sessions as the window path") {
     import spark.implicits._
-    val ev = sources.Tables.load(spark, sfDir, "events")
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+    val raw = sources.Tables.load(spark, sfDir, "events")
+    val ev = raw.select(col("user_id"), sources.Tables.tsUs(raw).as("ts_us"))
     val batchSessions = Sessionize.byWindows(ev, 30)
       .select("user_id", "session_id", "n_events", "start_us", "end_us")
       .as[(Long, Long, Long, Long, Long)].collect().toSet

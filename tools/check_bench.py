@@ -2,16 +2,54 @@
 """Validate a bench artifact before round close: the JSON line must parse,
 carry per-query numbers, and self-identify as an uncontended capture.
 
-Usage: python3 tools/check_bench.py [bench_out.json]
+Usage: python3 tools/check_bench.py [bench_out.json [previous_bench.json]]
 Exit non-zero when the artifact is unusable (unparseable, empty, errored
 queries) OR when the recorded loadavg / surviving rep spread marks the
 capture as contended — round 5 shipped a bench captured under heavy VM
 load showing a phantom 3-5x regression, and round 6's driver capture
 repeated it; a contended run must never silently become the round
 artifact, so these are FAIL paths, not warnings.
+
+With a second argument (the previous round's committed capture), also
+compares per-query times and flags >1.5x drift in either direction —
+round 7's uniform ~1.3-1.5x environment shift had to be reconstructed
+by hand because nothing diffed the captures; a drift report makes an
+environment-shift round self-documenting (many queries drifting
+together = machine state; one query alone = a plan change to explain).
+Drift is a WARNING by default (exit 0): the signal distinguishes, it
+does not adjudicate.
 """
 import json
 import sys
+
+
+def drift_report(queries, prev_path):
+    try:
+        with open(prev_path) as f:
+            prev = json.loads(f.read().strip()).get("queries") or {}
+    except Exception as e:
+        print(f"WARN: previous capture {prev_path} does not parse: {e}")
+        return
+    common = sorted(k for k in queries if k in prev
+                    and isinstance(queries[k], (int, float))
+                    and isinstance(prev[k], (int, float)) and prev[k] > 0)
+    drifted = [(k, queries[k] / prev[k]) for k in common
+               # absolute floor: a 0.05s->0.12s move is noise, not drift
+               if (queries[k] / prev[k] > 1.5 or queries[k] / prev[k] < 1 / 1.5)
+               and abs(queries[k] - prev[k]) > 0.3]
+    if not common:
+        print(f"WARN: no common queries with {prev_path}")
+    elif not drifted:
+        print(f"OK: no >1.5x per-query drift vs {prev_path} "
+              f"({len(common)} common queries)")
+    else:
+        frac = len(drifted) / len(common)
+        kind = ("uniform environment shift"
+                if frac > 0.5 else "query-specific drift")
+        print(f"WARN: {len(drifted)}/{len(common)} queries drifted >1.5x "
+              f"vs {prev_path} ({kind}):")
+        for k, r in sorted(drifted, key=lambda t: -t[1]):
+            print(f"  {k}: {prev[k]:.2f}s -> {queries[k]:.2f}s ({r:.2f}x)")
 
 
 def main():
@@ -68,6 +106,8 @@ def main():
             print(f"FAIL: {msg}")
         return 3
     print(f"OK: {path} parses, {len(queries)} queries, total {total:.1f}s")
+    if len(sys.argv) > 2:
+        drift_report(queries, sys.argv[2])
     return 0
 
 

@@ -94,14 +94,32 @@ object ProbeIndexed {
     val recallKm = recall(Similarity.ivfKnnJoinIndexed(spark, kmPath,
       probes, "vec_id", "embedding", "cell", k = 5, nProbe = 2))
 
-    // incremental maintenance: appending a FIXED 200-vector batch must
-    // cost the batch, not the corpus (vs buildIvf = the full rebuild)
+    // incremental maintenance: appending a FIXED 200-vector batch =
+    // a batch-sized lists write PLUS one column-pruned O(n·d) scan of the
+    // lists for the exact centers recompute — the write costs the batch,
+    // the refresh is the corpus-proportional term (much smaller constant
+    // than a rebuild, but linear in n); the refresh is re-measured alone
+    // so that term is visible in the artifact rather than hidden in a
+    // "costs the batch" total
     val ivfBatch = emb.orderBy(col("vec_id").desc).limit(200)
       .select((col("vec_id") + 90000000L).as("vec_id"), col("embedding"),
         col("label"))
       .localCheckpoint()
     val appendIvf = time(Similarity.appendToIvfIndex(spark, ivfPath,
       ivfBatch, "vec_id", "embedding", "label", dims = 64))
+    // the refresh alone (idempotent — same lists, same centers): the
+    // corpus-proportional half of the append above
+    val refreshIvf = time(Similarity.refreshIvfCenters(spark, ivfPath,
+      "vec_id", "embedding", "label", dims = 64))
+
+    // assignment-only append to the k-means index: the batch arrives
+    // UNLABELED and quantizes to the stored centers (one batch ×
+    // broadcast(K) scoring step), then the same lists-write + refresh
+    val kmBatch = emb.orderBy(col("vec_id").desc).limit(200)
+      .select((col("vec_id") + 91000000L).as("vec_id"), col("embedding"))
+      .localCheckpoint()
+    val appendAssigned = time(Similarity.appendToIvfIndexAssigned(
+      spark, kmPath, kmBatch, "vec_id", "embedding", dims = 64))
 
     val docs = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
@@ -120,7 +138,7 @@ object ProbeIndexed {
     val appendDedup = time(Dedup.appendToDedupIndex(batch,
       "doc_id", "text", dedupPath))
 
-    println(s"""{"sf":"$sfDir","reps":$reps,""" +
+    val line = s"""{"sf":"$sfDir","reps":$reps,""" +
       s""""ivf_build_sec":$buildIvf,"ivf_probe200_sec":$probeIvf,""" +
       s""""ivf_probe200_2level_sec":$probeIvf2L,""" +
       s""""ivf_recall5_flat":$recallFlat,"ivf_recall5_2level":$recall2L,""" +
@@ -128,8 +146,21 @@ object ProbeIndexed {
       s""""kmeans_build_sec":$buildKm,""" +
       s""""ivf_recall5_kmeans":$recallKm,""" +
       s""""ivf_append200_sec":$appendIvf,""" +
+      s""""ivf_centers_refresh_sec":$refreshIvf,""" +
+      s""""ivf_append200_assigned_sec":$appendAssigned,""" +
       s""""dedup_build_sec":$buildDedup,"dedup_probe500_sec":$probeDedup,""" +
-      s""""dedup_append500_sec":$appendDedup}""")
+      s""""dedup_append500_sec":$appendDedup}"""
+    println(line)
+    // persist the artifact (round 7 only printed it, so the amortization
+    // and append-cost claims were never machine-checkable round-over-
+    // round); tools/check_probe.py validates the committed file
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT",
+        "probe_out.json")),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[probe] could not write probe_out.json: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

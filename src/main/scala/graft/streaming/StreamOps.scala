@@ -278,36 +278,57 @@ object StreamOps {
    * The END-TO-END streaming prep pipeline — the online form of the batch
    * `pipeline_e2e` query: every micro-batch flows through
    *
-   *   Bloom decontamination → online near-dup dedup → quality filter →
-   *   deterministic split + per-epoch accounting
+   *   Bloom decontamination → online near-dup dedup → [unigram-LM
+   *   fluency gate] → quality filter → deterministic split + per-epoch
+   *   accounting
    *
    * in ONE foreachBatch, sharing one checkpoint/epoch id, so the whole
    * composition (not each operator separately) is crash-replay
    * idempotent: every stage's output for epoch N lands under a
    * `batch=N` partition with overwrite, and the dedup state verify
    * excludes epoch N's own rows — a replayed epoch rewrites exactly
-   * itself (StreamOpsSpec proves post-crash ≡ uninterrupted).
+   * itself (StreamOpsSpec proves post-crash ≡ uninterrupted, with and
+   * without the LM stage).
    *
-   * Layout: `outPath/docs/batch=N` (admitted docs + quality + split) and
-   * `outPath/accounting/batch=N` (per-split doc/token counts); dedup
-   * state under `statePath` as in [[nearDupDedupTo]].
+   * The LM gate ([[lmScoreTo]]'s scoring stage) joins the composition
+   * when `modelCorpus` is given: the unigram model is trained ONCE
+   * before the stream starts (the Bloom pre-build pattern), and each
+   * epoch's dedup survivors are scored and admitted iff
+   * `hm_prob >= minHmProb` — without this a production pipeline had to
+   * run TWO passes over every micro-batch (this pipeline, then a
+   * separate [[lmScoreTo]] stream) to get both gates. It sits between
+   * dedup and quality so junk still enters the dedup state exactly as
+   * before (a near-dup of junk is still a dup) and admitted rows carry
+   * their (n_tokens, n_oov, hm_prob) columns into `docs/batch=N` for
+   * downstream accounting.
    *
-   * The Bloom blocklist is sized and built ONCE before the stream starts;
-   * the quality/split stages are pure column maps. Scale shape is the sum
-   * of its parts: broadcast bitmap probe + (band,key)-bucketed verify +
-   * zero-shuffle maps — nothing accumulates driver-side.
+   * Layout: `outPath/docs/batch=N` (admitted docs + quality + split
+   * [+ LM columns]) and `outPath/accounting/batch=N` (per-split
+   * doc/token counts); dedup state under `statePath` as in
+   * [[nearDupDedupTo]].
+   *
+   * The Bloom blocklist (and LM model) are sized and built ONCE before
+   * the stream starts; the quality/split stages are pure column maps.
+   * Scale shape is the sum of its parts: broadcast bitmap probe +
+   * (band,key)-bucketed verify + per-batch tf aggregate joined to the
+   * broadcast-scale vocabulary + zero-shuffle maps — nothing
+   * accumulates driver-side.
    */
   def prepPipelineTo(docs: DataFrame, blockKeys: DataFrame, outPath: String,
                      statePath: String, checkpoint: String, idCol: String,
                      textCol: String, minJaccard: Double = 0.8,
                      minQuality: Double = 0.2, trainPct: Int = 80,
                      valPct: Int = 10, fpp: Double = 1e-3,
+                     modelCorpus: Option[DataFrame] = None,
+                     minHmProb: Double = 0.0,
                      availableNow: Boolean = true): StreamingQuery = {
     import graft.functions.{Sampling, TextFns}
     val n = math.max(1L, blockKeys.select(col(textCol)).count())
     val (m, k) = Bloom.sizeFor(n, fpp)
     val filterRow = Bloom.build(blockKeys, col(textCol), m, k)
       .localCheckpoint() // eager: materialize before the stream starts
+    val model = modelCorpus.map(mc => TextFns.unigramModel(mc, textCol)
+      .localCheckpoint()) // eager, same pre-stream discipline as the Bloom
     val writer = docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
@@ -319,7 +340,13 @@ object StreamOps {
         try {
           val admitted = dedupEpoch(clean, batchId, statePath, idCol,
             textCol, minJaccard)
-          val fin = admitted
+          val gated = model.fold(admitted) { mdl =>
+            admitted.join(
+              TextFns.unigramLmScoreAgainst(mdl, admitted, idCol, textCol),
+              idCol)
+              .filter(col("hm_prob") >= minHmProb)
+          }
+          val fin = gated
             .withColumn("quality", TextFns.qualityScore(col(textCol)))
             .filter(col("quality") >= minQuality)
             .withColumn("split",

@@ -268,6 +268,81 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(stateIds == Set(1L, 5L, 6L), s"state: $stateIds")
   }
 
+  test("e2e prep pipeline with the LM gate: crash replay still idempotent") {
+    import spark.implicits._
+    import graft.functions.TextFns
+    val base = "the quick brown fox jumps over the lazy dog and then the " +
+      "cat naps while a bird sings songs about the warm summer day outside"
+    val blockText = "forbidden document that must never be admitted at all"
+    // structurally fine (words, spaces — passes the surface quality
+    // heuristics) but fully OUT-OF-VOCABULARY for the model corpus: only
+    // the LM stage can drop it
+    val oov = "lorem ipsum dolor sit amet consectetur adipiscing elit sed " +
+      "do eiusmod tempor incididunt ut labore et dolore magna aliqua"
+    val fresh = "a completely different story where small rivers meet the " +
+      "old stone bridge and the miller waits for the morning light to come"
+    val in = Files.createTempDirectory("graft-lmg-in").toString
+    Seq((1L, base), (3L, blockText))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    Thread.sleep(1100)
+    // the replayed epoch: 4 near-dup of 1 (state drop), 6 fresh
+    // (admitted), 7 OOV (dedup-admitted, then LM-dropped)
+    Seq((4L, base.replace("dog", "pug")), (6L, fresh), (7L, oov))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    val modelCorpus = Seq(base, fresh).toDF("text")
+    // pick the gate threshold from the actual scores (midpoint between
+    // the OOV doc and the worst in-vocab doc) so the test pins the
+    // COMPOSITION, not the smoothing arithmetic
+    val scored = TextFns.unigramLmScoreAgainst(
+      TextFns.unigramModel(modelCorpus, "text"),
+      Seq((1L, base), (6L, fresh), (7L, oov)).toDF("doc_id", "text"),
+      "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("hm_prob")).toMap
+    assert(scored(7L) < scored(1L) && scored(7L) < scored(6L),
+      s"fixture broken: OOV doc must score lowest: $scored")
+    val thr = (scored(7L) + math.min(scored(1L), scored(6L))) / 2.0
+    val block = Seq(blockText).toDF("text")
+    val schema = spark.read.parquet(in).schema
+
+    def run(out: String, state: String, ck: String): Unit = {
+      val q = StreamOps.prepPipelineTo(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(in),
+        block, out, state, ck, "doc_id", "text",
+        minJaccard = 0.6, minQuality = 0.2,
+        modelCorpus = Some(modelCorpus), minHmProb = thr)
+      q.awaitTermination()
+    }
+    def docs(out: String) = spark.read.parquet(s"$out/docs")
+      .select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+    val outA = Files.createTempDirectory("graft-lmg-a").toString + "/out"
+    val stA = Files.createTempDirectory("graft-lmg-sa").toString + "/st"
+    run(outA, stA, Files.createTempDirectory("graft-lmg-cka").toString)
+
+    val outB = Files.createTempDirectory("graft-lmg-b").toString + "/out"
+    val stB = Files.createTempDirectory("graft-lmg-sb").toString + "/st"
+    val ckB = Files.createTempDirectory("graft-lmg-ckb").toString
+    run(outB, stB, ckB)
+    assert(new java.io.File(s"$ckB/commits/1").delete(),
+      "expected epoch 1's commit marker to exist")
+    new java.io.File(s"$ckB/commits/.1.crc").delete()
+    run(outB, stB, ckB)
+
+    assert(docs(outA) == docs(outB), "docs diverged after crash replay")
+    assert(docs(outA).map(_._1) == Set(1L, 6L), s"final docs: ${docs(outA)}")
+    // admitted rows carry the LM columns for downstream accounting
+    val cols = spark.read.parquet(s"$outB/docs").columns.toSet
+    assert(Set("hm_prob", "n_tokens", "n_oov").subsetOf(cols), s"$cols")
+    // composition order is dedup THEN lm: the OOV doc entered the dedup
+    // state even though the gate dropped it from the output
+    val stateIds = spark.read.parquet(s"$stB/sets")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(stateIds == Set(1L, 6L, 7L), s"state: $stateIds")
+  }
+
   test("interval join matches its batch equivalent on a live stream") {
     val raw = sources.Tables.load(spark, sfDir, "events")
     val ev = raw.withColumn("ts", timestamp_micros(sources.Tables.tsUs(raw)))

@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Validate the build/probe split artifact (graft.ProbeIndexed output):
+the numbers behind "build once, probe many" must be machine-checkable
+round-over-round, not prose claims.
+
+Usage: python3 tools/check_probe.py [probe_out.json]
+Exit non-zero when the artifact is unusable or the scale claims it
+exists to document do not hold in it:
+  - probing a fixed batch must be much cheaper than building (the
+    amortization claim);
+  - appending a fixed batch must be much cheaper than rebuilding (the
+    incremental-maintenance claim) — note the append still contains one
+    corpus-proportional term (the exact centers recompute, reported
+    separately as ivf_centers_refresh_sec);
+  - the k-means quantizer must not be WORSE than the label-column
+    quantizer at equal K (it exists because label cells measured worse).
+"""
+import json
+import sys
+
+REQUIRED = [
+    "ivf_build_sec", "ivf_probe200_sec", "ivf_recall5_flat",
+    "kmeans_build_sec", "ivf_recall5_kmeans",
+    "ivf_append200_sec", "ivf_centers_refresh_sec",
+    "ivf_append200_assigned_sec",
+    "dedup_build_sec", "dedup_probe500_sec", "dedup_append500_sec",
+]
+
+
+def main():
+    path = sys.argv[1] if len(sys.argv) > 1 else "probe_out.json"
+    try:
+        with open(path) as f:
+            doc = json.loads(f.read().strip())
+    except Exception as e:
+        print(f"FAIL: {path} does not parse: {e}")
+        return 2
+    missing = [k for k in REQUIRED
+               if not isinstance(doc.get(k), (int, float))]
+    if missing:
+        print(f"FAIL: missing/non-numeric fields: {missing}")
+        return 2
+    fails = []
+    if doc["ivf_probe200_sec"] >= 0.5 * doc["ivf_build_sec"]:
+        fails.append(
+            f"ivf probe {doc['ivf_probe200_sec']:.2f}s not << build "
+            f"{doc['ivf_build_sec']:.2f}s - amortization claim broken")
+    if doc["ivf_append200_sec"] >= 0.8 * doc["ivf_build_sec"]:
+        fails.append(
+            f"ivf append {doc['ivf_append200_sec']:.2f}s not < rebuild "
+            f"{doc['ivf_build_sec']:.2f}s - incremental claim broken")
+    if doc["ivf_append200_assigned_sec"] >= 0.8 * doc["kmeans_build_sec"]:
+        fails.append(
+            f"assigned append {doc['ivf_append200_assigned_sec']:.2f}s "
+            f"not < kmeans rebuild {doc['kmeans_build_sec']:.2f}s")
+    if doc["dedup_probe500_sec"] >= 0.5 * doc["dedup_build_sec"]:
+        fails.append(
+            f"dedup probe {doc['dedup_probe500_sec']:.2f}s not << build "
+            f"{doc['dedup_build_sec']:.2f}s")
+    if doc["dedup_append500_sec"] >= 0.8 * doc["dedup_build_sec"]:
+        fails.append(
+            f"dedup append {doc['dedup_append500_sec']:.2f}s not < "
+            f"rebuild {doc['dedup_build_sec']:.2f}s")
+    # equal-K quantizer comparison: k-means exists because the label
+    # column measured worse; allow a small tolerance for probe noise
+    if doc["ivf_recall5_kmeans"] < doc["ivf_recall5_flat"] - 0.02:
+        fails.append(
+            f"kmeans recall {doc['ivf_recall5_kmeans']} below label-cell "
+            f"recall {doc['ivf_recall5_flat']} - quantizer regression")
+    if fails:
+        for m in fails:
+            print(f"FAIL: {m}")
+        return 3
+    print(f"OK: {path} - probe/build {doc['ivf_probe200_sec']:.2f}/"
+          f"{doc['ivf_build_sec']:.2f}s, append(total/refresh/assigned) "
+          f"{doc['ivf_append200_sec']:.2f}/{doc['ivf_centers_refresh_sec']:.2f}/"
+          f"{doc['ivf_append200_assigned_sec']:.2f}s, recall@5 "
+          f"label={doc['ivf_recall5_flat']} kmeans={doc['ivf_recall5_kmeans']}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -371,6 +371,21 @@ object SparkEntry {
       Similarity.semDedupByCell(embeddings(s, dir), "vec_id", "embedding",
         "label", 0.3)),
 
+    // SemDeDup with the DATA-DRIVEN quantizer: cells from the
+    // deterministic k-means instead of the dataset label column — the
+    // label cells are the measured weak link everywhere (probe_out.json:
+    // recall@5 0.28 label vs 0.41 k-means at equal K; SemDeDup pair
+    // recall 16.6× in round 7), so the production dedup quantizes by
+    // k-means. Same cell-bounded pair space; the oracle unrolls the
+    // identical Lloyd's rounds and components in SQL.
+    "embed_semdedup_kmeans" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val km = Similarity.kmeansLabels(emb, "vec_id", "embedding", k = 16,
+        iters = 2)
+      Similarity.semDedupByCell(emb.join(km, Seq("vec_id")), "vec_id",
+        "embedding", "cell", 0.3)
+    }),
+
     // Symmetric int8 quantization of the embedding corpus (first 8 dims
     // checked; engine-reproducible floor(+0.5) rounding)
     "embed_quantize_int8" -> ((s, dir) =>
@@ -985,6 +1000,28 @@ object SparkEntry {
         "label", k = 5, nProbe = 2, superProbe = 0)
     }),
 
+    // The persisted index built ON the k-means quantizer — the
+    // production end-to-end shape (kmeansLabels → buildIvfIndex →
+    // pruned probe) that ann_recall_kmeans proves inline: cells are the
+    // trained quantizer's, centers recomputed from the labeled lists by
+    // the build, probe pruned to the probed cells' partitions. Oracle
+    // unrolls the identical k-means rounds then mirrors the IVF chain.
+    "ann_ivf_indexed_kmeans" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val labeled = emb.join(
+        Similarity.kmeansLabels(emb, "vec_id", "embedding", k = 16,
+          iters = 2), Seq("vec_id"))
+      val probes = emb.filter(
+        pmod(Md5Prefix28(col("vec_id").cast("string")), lit(100L)) < 1)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("__pv"))
+      val path = s"$idxRoot/ivfkm_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      Similarity.buildIvfIndex(labeled, "vec_id", "embedding", "cell",
+        path, dims = 64)
+      Similarity.ivfKnnJoinIndexed(s, path, probes, "vec_id", "embedding",
+        "cell", k = 5, nProbe = 2, superProbe = 0)
+    }),
+
     // Deterministic train/val/test split: per-split corpus accounting
     "split_train_valtest" -> ((s, dir) =>
       documents(s, dir)
@@ -1531,6 +1568,25 @@ object SparkEntry {
         "ON a.label = b.label AND a.vec_id < b.vec_id) " +
         // NaN-cosine (zero-norm) pairs excluded on BOTH engines — both
         // order NaN above every value, so a bare >= would admit them
+        "WHERE NOT isnan(c) AND c >= 0.3), " +
+        "edges AS (SELECT va AS a, vb AS b FROM pr " +
+        "UNION ALL SELECT vb, va FROM pr), " +
+        "cc AS (SELECT vec_id AS node, vec_id AS label FROM embeddings " +
+        "UNION SELECT e.a, cc.label FROM edges e JOIN cc ON cc.node = e.b) " +
+        "SELECT node AS vec_id, min(label) AS cluster_id, " +
+        "(min(label) = node) AS keep FROM cc " +
+        "GROUP BY node ORDER BY vec_id"),
+
+    "embed_semdedup_kmeans" ->
+      // same pair/component chain as embed_semdedup, cells from the
+      // unrolled k-means assignment (a2) instead of the label column
+      ("WITH RECURSIVE " + kmeansCtes(16, 2) + ", " +
+        "pr AS (SELECT va, vb FROM (" +
+        "SELECT a.vec_id AS va, b.vec_id AS vb, " +
+        s"${cosSql("a.embedding", "b.embedding")} AS c " +
+        "FROM embeddings a, embeddings b, a2 ka, a2 kb " +
+        "WHERE ka.vec_id = a.vec_id AND kb.vec_id = b.vec_id " +
+        "AND ka.cell = kb.cell AND a.vec_id < b.vec_id) " +
         "WHERE NOT isnan(c) AND c >= 0.3), " +
         "edges AS (SELECT va AS a, vb AS b FROM pr " +
         "UNION ALL SELECT vb, va FROM pr), " +
@@ -2221,6 +2277,29 @@ object SparkEntry {
     // append-then-probe ≡ build-then-probe: identical results required
     "ann_ivf_appended" ->
       (ivfProbeCte.stripSuffix(", ") + " " +
+        "SELECT probe_id, CAST(rn AS INTEGER) AS rank, " +
+        "vec_id AS neighbor_id, cos FROM ivr WHERE rn <= 5 " +
+        "ORDER BY probe_id, rank"),
+
+    "ann_ivf_indexed_kmeans" ->
+      // the k-means rounds unrolled, then the persisted-index probe's
+      // flat cell ranking + within-cell exact top-5 (ann_recall_kmeans's
+      // iv chain, emitting the neighbors instead of the recall)
+      ("WITH " + kmeansCtes(16, 2) + ", " + kmCentroidCtes("a2", "cf") + ", " +
+        s"p AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings " +
+        s"WHERE ${Dedup.hash28Sql("vec_id::VARCHAR")} % 100 < 1), " +
+        "cellrank AS (SELECT probe_id, pv, cell, row_number() OVER (" +
+        s"PARTITION BY probe_id ORDER BY ${cosSql("c", "pv")} DESC, cell) AS rn " +
+        "FROM cf, p), " +
+        "cells AS (SELECT probe_id, pv, cell FROM cellrank WHERE rn <= 2), " +
+        "iv AS (SELECT cl.probe_id, e.vec_id, " +
+        s"${cosSql("e.embedding", "cl.pv")} AS cos " +
+        "FROM embeddings e, a2, cells cl " +
+        "WHERE a2.vec_id = e.vec_id AND a2.cell = cl.cell " +
+        "AND e.vec_id <> cl.probe_id), " +
+        "ivr AS (SELECT probe_id, vec_id, cos, row_number() OVER (" +
+        "PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rn FROM iv " +
+        "WHERE NOT isnan(cos)) " +
         "SELECT probe_id, CAST(rn AS INTEGER) AS rank, " +
         "vec_id AS neighbor_id, cos FROM ivr WHERE rn <= 5 " +
         "ORDER BY probe_id, rank"),

@@ -949,11 +949,10 @@ object SparkEntry {
       val sample = Similarity.boundedHashSample(emb, "vec_id", 600)
       val km = Similarity.kmeansLabels(emb, "vec_id", "embedding", k = 16,
         iters = 2)
-      Similarity.semDedupRecall(sample, "vec_id", "embedding", "label",
-          0.3, "label")
-        .unionByName(Similarity.semDedupRecall(
-          sample.join(km, Seq("vec_id")), "vec_id", "embedding", "cell",
-          0.3, "kmeans16"))
+      // both quantizers share ONE pair join (the oracle's pq CTE shape)
+      Similarity.semDedupRecallMulti(sample.join(km, Seq("vec_id")),
+        "vec_id", "embedding",
+        Seq("label" -> "label", "kmeans16" -> "cell"), 0.3)
     }),
 
     // Build-once / probe-many ANN: persist the IVF index (centers +

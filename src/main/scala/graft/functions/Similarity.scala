@@ -1000,26 +1000,53 @@ object Similarity {
    */
   def semDedupRecall(df: DataFrame, idCol: String, vecCol: String,
                      cellCol: String, tau: Double,
-                     name: String): DataFrame = {
-    val base = df.select(col(idCol), col(cellCol).as("__cell"), col(vecCol),
-      norm(col(vecCol)).as("__n")).localCheckpoint(false)
-    val a = base.select(col(idCol).as("__ida"), col("__cell").as("__ca"),
-      col(vecCol).as("__va"), col("__n").as("__na"))
-    val b = base.select(col(idCol).as("__idb"), col("__cell").as("__cb"),
-      col(vecCol).as("__vb"), col("__n").as("__nb"))
-    a.filter(col("__na") > lit(0.0))
-      .join(b.filter(col("__nb") > lit(0.0)), col("__ida") < col("__idb"))
-      .select(col("__ca"), col("__cb"),
-        (dot(col("__va"), col("__vb")) /
-          (col("__na") * col("__nb"))).as("__cos"))
+                     name: String): DataFrame =
+    semDedupRecallMulti(df, idCol, vecCol, Seq(name -> cellCol), tau)
+
+  /**
+   * [[semDedupRecall]] for SEVERAL candidate quantizers at once — the
+   * comparison shape the gate is actually used in (label column vs the
+   * trained k-means, round 7's recall tables): the O(sample²) pair join
+   * and the exact cosines are computed ONCE, with every quantizer's cell
+   * pair carried alongside, and each quantizer reduces to its own
+   * (quantizer, n_pairs, n_within_cell, recall) row. Running the
+   * single-quantizer form per candidate instead repeats the pair join
+   * per quantizer — measured 2× on the contract row's 600-vector sample.
+   */
+  def semDedupRecallMulti(df: DataFrame, idCol: String, vecCol: String,
+                          quantizers: Seq[(String, String)],
+                          tau: Double): DataFrame = {
+    require(quantizers.nonEmpty, "at least one (name, cellCol) quantizer")
+    val cells = quantizers.zipWithIndex.map { case ((_, c), i) =>
+      col(c).as(s"__cell$i")
+    }
+    val base = df.select(col(idCol) +: col(vecCol) +:
+        norm(col(vecCol)).as("__n") +: cells: _*)
+      .localCheckpoint(false)
+    def side(tag: String) = base.select(col(idCol).as(s"__id$tag") +:
+      col(vecCol).as(s"__v$tag") +: col("__n").as(s"__n$tag") +:
+      quantizers.indices.map(i => col(s"__cell$i").as(s"__c$i$tag")): _*)
+    val pairs = side("a").filter(col("__na") > lit(0.0))
+      .join(side("b").filter(col("__nb") > lit(0.0)),
+        col("__ida") < col("__idb"))
+      .select((dot(col("__va"), col("__vb")) /
+        (col("__na") * col("__nb"))).as("__cos") +:
+        quantizers.indices.flatMap(i =>
+          Seq(col(s"__c${i}a"), col(s"__c${i}b"))): _*)
       .filter(!isnan(col("__cos")) && col("__cos") >= tau)
+      // one aggregate row carrying every quantizer's within-cell count;
+      // the pair join above runs exactly once
       .agg(count(lit(1)).as("n_pairs"),
-        sum(when(col("__ca") === col("__cb"), 1L).otherwise(0L))
-          .as("n_within_cell"))
-      .select(lit(name).as("quantizer"), col("n_pairs"),
-        coalesce(col("n_within_cell"), lit(0L)).as("n_within_cell"),
+        quantizers.indices.map(i =>
+          sum(when(col(s"__c${i}a") === col(s"__c${i}b"), 1L)
+            .otherwise(0L)).as(s"__w$i")): _*)
+      .localCheckpoint(false) // one row; feeds one select per quantizer
+    quantizers.zipWithIndex.map { case ((name, _), i) =>
+      pairs.select(lit(name).as("quantizer"), col("n_pairs"),
+        coalesce(col(s"__w$i"), lit(0L)).as("n_within_cell"),
         when(col("n_pairs") === 0, lit(1.0))
-          .otherwise(coalesce(col("n_within_cell"), lit(0L)).cast("double") /
+          .otherwise(coalesce(col(s"__w$i"), lit(0L)).cast("double") /
             col("n_pairs")).as("recall"))
+    }.reduce(_ unionByName _)
   }
 }

@@ -1021,6 +1021,27 @@ object SparkEntry {
         "cell", k = 5, nProbe = 2, superProbe = 0)
     }),
 
+    // The assignment-only ingest step as an oracle row: a fixed batch
+    // quantizes against the PERSISTED k-means index's stored centers
+    // (assignToCenters — the labeler appendToIvfIndexAssigned and
+    // ivfIngestAssignedTo use), no retrain. The oracle unrolls the
+    // k-means, recomputes the stored centers from the labels (the
+    // build's cellCenters fold), and runs one more assignment round
+    // against them — the whole production ingest step in SQL.
+    "ann_assign_batch" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val labeled = emb.join(
+        Similarity.kmeansLabels(emb, "vec_id", "embedding", k = 16,
+          iters = 2), Seq("vec_id"))
+      val path = s"$idxRoot/ivfasn_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      Similarity.buildIvfIndex(labeled, "vec_id", "embedding", "cell",
+        path, dims = 64)
+      Similarity.assignToCenters(s, path,
+        Similarity.boundedHashSample(emb, "vec_id", 200),
+        "vec_id", "embedding")
+    }),
+
     // Deterministic train/val/test split: per-split corpus accounting
     "split_train_valtest" -> ((s, dir) =>
       documents(s, dir)
@@ -2279,6 +2300,25 @@ object SparkEntry {
         "SELECT probe_id, CAST(rn AS INTEGER) AS rank, " +
         "vec_id AS neighbor_id, cos FROM ivr WHERE rn <= 5 " +
         "ORDER BY probe_id, rank"),
+
+    "ann_assign_batch" ->
+      // k-means unrolled → stored centers (cf = the build's centroid
+      // fold over the final labels) → ONE assignment round of the
+      // fixed hash-capped batch against cf; zero-norm rows (NaN cosine
+      // everywhere, excluded by the rank filter) surface as cell -1
+      // via the left join, mirroring assignCells' empty-top-1 → -1
+      ("WITH " + kmeansCtes(16, 2) + ", " + kmCentroidCtes("a2", "cf") + ", " +
+        "bt AS (SELECT vec_id, embedding FROM embeddings " +
+        s"ORDER BY ${Dedup.hash28Sql("vec_id::VARCHAR")}, vec_id " +
+        "LIMIT 200), " +
+        "asn AS (SELECT vec_id, cell FROM (" +
+        "SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id " +
+        "ORDER BY cs DESC, cell) AS rn FROM (" +
+        s"SELECT b.vec_id, s.cell, ${cosSql("s.c", "b.embedding")} AS cs " +
+        "FROM bt b, cf s) q WHERE NOT isnan(cs)) r WHERE rn = 1) " +
+        "SELECT b.vec_id, CAST(coalesce(asn.cell, -1) AS INTEGER) AS cell " +
+        "FROM bt b LEFT JOIN asn ON asn.vec_id = b.vec_id " +
+        "ORDER BY b.vec_id"),
 
     "ann_ivf_indexed_kmeans" ->
       // the k-means rounds unrolled, then the persisted-index probe's

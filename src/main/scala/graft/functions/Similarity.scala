@@ -501,8 +501,15 @@ object Similarity {
    * (idCol, cell).
    */
   def assignToCenters(spark: SparkSession, path: String, batch: DataFrame,
-                      idCol: String, vecCol: String): DataFrame = {
-    val centers = spark.read.parquet(s"$path/centers")
+                      idCol: String, vecCol: String): DataFrame =
+    assignAgainst(spark.read.parquet(s"$path/centers"), batch, idCol, vecCol)
+
+  /** [[assignToCenters]] against an explicit centers frame
+    * (`__cell`, `__center`) instead of a stored one — the entry the
+    * streaming ingest uses to assign against centers recomputed WITHOUT
+    * the replayed epoch's own rows (replay idempotence). */
+  def assignAgainst(centers: DataFrame, batch: DataFrame,
+                    idCol: String, vecCol: String): DataFrame = {
     val ct = centers.schema("__cell").dataType
     require(Seq(org.apache.spark.sql.types.ByteType,
       org.apache.spark.sql.types.ShortType,
@@ -513,6 +520,14 @@ object Similarity {
       centers.select(col("__cell"), col("__center")), idCol, vecCol)
       .select(col(idCol), col("__cell").as("cell"))
   }
+
+  /** The [[cellCenters]] fold over an arbitrary labeled frame — public so
+    * the streaming ingest can recompute assignment-time centers from the
+    * on-disk lists minus the replayed epoch (same arithmetic as the build
+    * and refresh; order-free, so the source layout does not matter). */
+  def cellCentersOf(df: DataFrame, labelCol: String, idCol: String,
+                    vecCol: String, dims: Int = 64): DataFrame =
+    cellCenters(df, labelCol, idCol, vecCol, dims)
 
   /**
    * [[appendToIvfIndex]] with the batch's cells DERIVED from the stored
@@ -527,11 +542,13 @@ object Similarity {
   def appendToIvfIndexAssigned(spark: SparkSession, path: String,
                                batch: DataFrame, idCol: String,
                                vecCol: String, dims: Int = 64): Unit = {
-    // materialized before the lists write: the assignment's lineage reads
-    // path/centers, which refreshIvfCenters overwrites in the same call
+    // EAGER checkpoint: the assignment's lineage reads path/centers,
+    // which refreshIvfCenters overwrites later in this same call — a
+    // lazy checkpoint would leave correctness depending on the lists
+    // write happening to be the frame's first action
     val labeled = batch.select(col(idCol), col(vecCol))
       .join(assignToCenters(spark, path, batch, idCol, vecCol), Seq(idCol))
-      .localCheckpoint(false)
+      .localCheckpoint()
     appendToIvfIndex(spark, path, labeled, idCol, vecCol, "cell", dims)
   }
 

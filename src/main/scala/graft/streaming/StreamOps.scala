@@ -375,38 +375,24 @@ object StreamOps {
    * 0, so -1 never collides, and the epoch-exclusion filter
    * `batch =!= currentId` keeps treating it as prior state).
    *
-   * Run OFFLINE (no concurrent stream on this state). Crash-safe order:
-   * materialize the consolidated state first (localCheckpoint), then
-   * overwrite `batch=-1`, then delete the superseded partitions. A crash
-   * between the write and the deletes leaves duplicate state rows —
-   * harmless (the candidate join distincts, the verify join re-verifies);
-   * re-running compaction converges.
+   * Run OFFLINE (no concurrent stream on this state). Uses the same
+   * crash-safe staged swap as every other epoch consolidation here
+   * ([[consolidateEpochs]]): the round-7 overwrite-then-delete shape
+   * could leave every state row twice on a crash between the two steps,
+   * and a re-run baked the duplicates into `batch=-1` permanently —
+   * merely *mostly* harmless for this state (admissions survive the
+   * candidate-join distinct, but the tables grow for good and every
+   * verify join does duplicated work thereafter).
    *
-   * Returns per-table compacted row counts.
+   * Returns per-table compacted row counts (0 when nothing to compact).
    */
   def compactState(spark: org.apache.spark.sql.SparkSession,
-                   statePath: String): Map[String, Long] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    Seq("keys", "sets").map { t =>
-      val root = new org.apache.hadoop.fs.Path(s"$statePath/$t")
-      val old =
-        if (!fs.exists(root)) Array.empty[org.apache.hadoop.fs.Path]
-        else fs.listStatus(root).map(_.getPath)
-          .filter(p => p.getName.startsWith("batch=") && p.getName != "batch=-1")
-      if (old.isEmpty) t -> 0L
-      else {
-        // eager checkpoint: the consolidated rows must be materialized
-        // BEFORE we overwrite/delete the very partitions they read from
-        val all = spark.read.parquet(root.toString)
-          .drop("batch").localCheckpoint()
-        val n = all.count()
-        all.write.mode("overwrite").parquet(s"$statePath/$t/batch=-1")
-        old.foreach(p => fs.delete(p, true))
-        t -> n
-      }
-    }.toMap
-  }
+                   statePath: String): Map[String, Long] =
+    Seq("keys", "sets").map(t =>
+      t -> consolidateEpochs(spark, s"$statePath/$t",
+        epochPrefix = "batch=") { (df, stageDir) =>
+        df.coalesce(8).write.parquet(stageDir)
+      }.getOrElse(0L)).toMap
 
   /**
    * ONLINE maintenance of the persisted IVF index — the streaming twin of
@@ -444,21 +430,28 @@ object StreamOps {
   }
 
   /**
-   * [[ivfIngestTo]] with cells DERIVED from the index's own stored
-   * centers ([[graft.functions.Similarity.assignToCenters]]) — the
-   * streaming ingest for a k-means-quantized index, where arriving
-   * vectors carry no label column: each micro-batch is assigned against
-   * the CURRENT centers (one batch × broadcast(K) scoring step, no
-   * retrain), then lands as its own epoch exactly like the labeled
-   * ingest. Epoch idempotence holds with one caveat the labeled path
-   * doesn't have: a REPLAYED batch re-assigns against centers that its
-   * own first attempt may have refreshed, so replay-idempotence requires
-   * the assignment to be stable under that refresh — guaranteed when the
-   * first attempt completed (same lists → same centers → same
-   * assignment), and healed by the epoch overwrite when it didn't.
-   * Bootstrap with [[ivfIngestBootstrap]] on a [[graft.functions.Similarity.kmeansLabels]]-labeled
-   * corpus first (the index must HAVE centers before anything can be
-   * assigned to them).
+   * [[ivfIngestTo]] with cells DERIVED from the index's own centers —
+   * the streaming ingest for a k-means-quantized index, where arriving
+   * vectors carry no label column (one batch × broadcast(K) assignment
+   * step, no retrain), landing as epochs exactly like the labeled
+   * ingest.
+   *
+   * Replay idempotence needs one extra device the labeled path doesn't:
+   * a replayed batch must re-derive the SAME assignment, but the stored
+   * centers move with every refresh — including the replayed epoch's own
+   * first attempt (assign against post-refresh centers and a
+   * boundary-straddling vector can flip cells, so the replay would write
+   * different rows than the uninterrupted run). So the assignment-time
+   * centers are recomputed from the on-disk lists EXCLUDING the current
+   * epoch's own partition (`__batch =!= batchId` — the same
+   * own-epoch-exclusion the dedup state verify uses): first attempt and
+   * replay both see exactly the pre-epoch corpus, whatever the crash
+   * point. Costs one column-pruned corpus scan per epoch — the same
+   * shape the refresh half already pays.
+   *
+   * Bootstrap with [[ivfIngestBootstrap]] on a
+   * [[graft.functions.Similarity.kmeansLabels]]-labeled corpus first
+   * (the index must HAVE cells before anything can be assigned to them).
    */
   def ivfIngestAssignedTo(vectors: DataFrame, indexPath: String,
                           checkpoint: String, idCol: String, vecCol: String,
@@ -467,17 +460,38 @@ object StreamOps {
     val writer = vectors.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val labeled = batch.select(col(idCol), col(vecCol))
-          .join(Similarity.assignToCenters(batch.sparkSession, indexPath,
-            batch, idCol, vecCol), Seq(idCol))
-          // materialized: the assignment's lineage reads the centers this
-          // epoch's refresh overwrites
-          .localCheckpoint(false)
-        ivfIngestEpoch(labeled, batchId, indexPath, idCol, vecCol, "cell",
+        ivfIngestAssignedEpoch(batch, batchId, indexPath, idCol, vecCol,
           dims)
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .start()
+  }
+
+  /** One epoch of [[ivfIngestAssignedTo]] — factored out so the
+    * replay-idempotence contract is directly testable: same
+    * (batch, batchId) twice ≡ once, even with the crash point between
+    * the lists write and the centers refresh. */
+  private[graft] def ivfIngestAssignedEpoch(batch: DataFrame, batchId: Long,
+                                            indexPath: String, idCol: String,
+                                            vecCol: String,
+                                            dims: Int): Unit = {
+    val spark = batch.sparkSession
+    // assignment-time centers from every epoch EXCEPT this one (replay
+    // sees the identical pre-epoch corpus; first attempt excludes
+    // nothing it wrote yet)
+    val prior = spark.read.parquet(s"$indexPath/lists")
+      .filter(col("__batch") =!= batchId)
+      .select(col(idCol), col(vecCol), col("cell"))
+    val centers = Similarity.cellCentersOf(prior, "cell", idCol, vecCol,
+      dims)
+    // EAGER: the epoch overwrite below rewrites partitions this lineage
+    // reads (on replay, the epoch's own old files are excluded by the
+    // filter but the scan still lists the tree)
+    val labeled = batch.select(col(idCol), col(vecCol))
+      .join(Similarity.assignAgainst(centers, batch, idCol, vecCol),
+        Seq(idCol))
+      .localCheckpoint()
+    ivfIngestEpoch(labeled, batchId, indexPath, idCol, vecCol, "cell", dims)
   }
 
   /** One epoch of [[ivfIngestTo]] — factored out so the replay-idempotence
@@ -519,6 +533,13 @@ object StreamOps {
     consolidateEpochs(spark, s"$indexPath/lists") { (df, stageDir) =>
       df.repartition(col("__cellkey"))
         .write.partitionBy("__cellkey").parquet(stageDir)
+    }.getOrElse {
+      // nothing to consolidate (possibly because recovery just rolled a
+      // crashed compaction forward) — report the live count
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val root = new org.apache.hadoop.fs.Path(s"$indexPath/lists")
+      if (fs.exists(root)) spark.read.parquet(root.toString).count() else 0L
     }
 
   /**
@@ -589,7 +610,7 @@ object StreamOps {
     Seq("sets", "keys").map(t =>
       t -> consolidateEpochs(spark, s"$indexPath/$t") { (df, stageDir) =>
         df.coalesce(targetFiles).write.parquet(stageDir)
-      }).toMap
+      }.getOrElse(0L)).toMap
 
   /**
    * Crash-safe consolidation of an epoch-partitioned table
@@ -607,20 +628,24 @@ object StreamOps {
    * rolls forward (stage complete → delete exactly the manifested
    * epochs, rename the stage in); no run ever reads a root holding both
    * the stage and the epochs it replaced. Run OFFLINE (single-writer).
-   * `writeStage` writes the merged epochs (already stripped of
-   * `__batch`) to the stage directory. Returns the table's row count
-   * after consolidation.
+   * `epochPrefix` is the epoch directory naming (`__batch=` for the
+   * ingest indexes, `batch=` for the dedup state). `writeStage` writes
+   * the merged epochs (already stripped of the epoch column) to the
+   * stage directory. Returns Some(row count after consolidation), or
+   * None when there was nothing to consolidate.
    */
   private def consolidateEpochs(spark: org.apache.spark.sql.SparkSession,
-                                rootPath: String)
-                               (writeStage: (DataFrame, String) => Unit): Long = {
+                                rootPath: String,
+                                epochPrefix: String = "__batch=")
+                               (writeStage: (DataFrame, String) => Unit): Option[Long] = {
     import org.apache.hadoop.fs.Path
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val root = new Path(rootPath)
     val tmp = new Path(rootPath + ".__compact_tmp")
     val manifest = new Path(rootPath + ".__compact_manifest")
-    val target = new Path(root, "__batch=-1")
+    val target = new Path(root, epochPrefix + "-1")
+    val epochCol = epochPrefix.stripSuffix("=")
 
     def finishFromManifest(): Unit = {
       val named = {
@@ -650,12 +675,9 @@ object StreamOps {
     val epochs =
       if (!fs.exists(root)) Array.empty[Path]
       else fs.listStatus(root).map(_.getPath)
-        .filter(_.getName.startsWith("__batch="))
-    if (!epochs.exists(_.getName != "__batch=-1")) {
-      // nothing to consolidate (possibly because recovery just rolled a
-      // crashed compaction forward) — report the live count
-      if (epochs.isEmpty) 0L else spark.read.parquet(root.toString).count()
-    } else {
+        .filter(_.getName.startsWith(epochPrefix))
+    if (!epochs.exists(_.getName != epochPrefix + "-1")) None
+    else {
       val out = fs.create(manifest, true)
       try out.write(epochs.map(_.getName).mkString("\n").getBytes("UTF-8"))
       finally out.close()
@@ -663,10 +685,10 @@ object StreamOps {
       writeStage(
         spark.read.option("basePath", root.toString)
           .parquet(epochs.map(_.toString).toIndexedSeq: _*)
-          .drop("__batch"),
+          .drop(epochCol),
         tmp.toString)
       finishFromManifest()
-      spark.read.parquet(root.toString).count()
+      Some(spark.read.parquet(root.toString).count())
     }
   }
 

@@ -110,12 +110,15 @@ class Round8OpsSpec extends AnyFunSuite {
     val labeledCorpus = kmLabeled(kmCorpus).localCheckpoint(false)
     Similarity.buildIvfIndex(labeledCorpus, "vec_id", "embedding", "cell",
       appended, dims = 4)
-    // rebuild arm: label the batch against the SAME frozen centers (read
-    // before the append refreshes them), then build corpus ∪ batch
+    // rebuild arm: label the batch against the SAME frozen centers —
+    // EAGERLY materialized BEFORE the append refreshes them (a lazy
+    // checkpoint would first evaluate after the refresh, silently
+    // assigning both arms against the post-refresh geometry and making
+    // this test unable to catch a wrong-centers regression)
     val frozenBatch = kmBatch.select(col("vec_id"), col("embedding"))
       .join(Similarity.assignToCenters(spark, appended, kmBatch,
         "vec_id", "embedding"), Seq("vec_id"))
-      .localCheckpoint(false)
+      .localCheckpoint()
     Similarity.appendToIvfIndexAssigned(spark, appended, kmBatch,
       "vec_id", "embedding", dims = 4)
     val rebuilt = java.nio.file.Files

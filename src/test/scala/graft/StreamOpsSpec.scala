@@ -476,6 +476,97 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(probeRows(idx) == before)
   }
 
+  // ---- assignment-only streaming ingest (k-means-quantized, round 8) ----
+
+  private def kmSeedLabeled = {
+    import spark.implicits._
+    Seq(
+      (0L, 0, Array(1.0f, 0.1f, 0.0f, 0.0f)),
+      (1L, 0, Array(1.0f, 0.2f, 0.0f, 0.0f)),
+      (2L, 1, Array(0.1f, 1.0f, 0.0f, 0.0f)),
+      (3L, 1, Array(0.2f, 1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "cell", "embedding")
+  }
+  private def kmEpoch1 = {
+    import spark.implicits._
+    Seq((4L, Array(1.0f, 0.15f, 0.0f, 0.0f)),
+      (5L, Array(0.15f, 1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+  }
+  private def kmEpoch2 = {
+    import spark.implicits._
+    Seq((6L, Array(0.12f, 1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+  }
+  private def kmProbeRows(path: String) = {
+    import graft.functions.Similarity
+    Similarity.ivfKnnJoinIndexed(spark, path, ivfProbes,
+      "vec_id", "embedding", "cell", k = 3, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+  }
+
+  test("ivfIngestAssignedTo: streamed unlabeled epochs ≡ sequential assigned appends") {
+    import graft.functions.Similarity
+    val in = Files.createTempDirectory("graft-kmin").toString
+    val idx = Files.createTempDirectory("graft-kmidx").toString + "/idx"
+    StreamOps.ivfIngestBootstrap(kmSeedLabeled, idx, "vec_id", "embedding",
+      "cell", dims = 4)
+    kmEpoch1.coalesce(1).write.mode("append").parquet(in)
+    Thread.sleep(1100)
+    kmEpoch2.coalesce(1).write.mode("append").parquet(in)
+    val q = StreamOps.ivfIngestAssignedTo(
+      spark.readStream.schema(kmEpoch1.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in),
+      idx, Files.createTempDirectory("graft-kmck").toString,
+      "vec_id", "embedding", dims = 4)
+    q.awaitTermination()
+    // batch arm: same seed through the flat build, same epochs through
+    // the assigned append (each assigns against the then-current
+    // refreshed centers — the same geometry the stream's
+    // prior-epochs-exclusive centers reproduce)
+    val batch = Files.createTempDirectory("graft-kmb").toString + "/idx"
+    Similarity.buildIvfIndex(kmSeedLabeled, "vec_id", "embedding", "cell",
+      batch, dims = 4)
+    Similarity.appendToIvfIndexAssigned(spark, batch, kmEpoch1, "vec_id",
+      "embedding", dims = 4)
+    Similarity.appendToIvfIndexAssigned(spark, batch, kmEpoch2, "vec_id",
+      "embedding", dims = 4)
+    val got = kmProbeRows(idx)
+    assert(got.nonEmpty && got == kmProbeRows(batch))
+    // streamed vectors are reachable
+    assert(got.exists { case (pid, _, nid, _) => pid == 100L && nid == 5L })
+  }
+
+  test("ivfIngestAssignedEpoch replay ≡ once, even after its own refresh") {
+    // the review-found hazard: a replayed batch must NOT re-assign
+    // against centers its own first attempt refreshed — the epoch
+    // exclusion pins assignment-time centers to the pre-epoch corpus
+    val idx = Files.createTempDirectory("graft-kmrp").toString + "/idx"
+    StreamOps.ivfIngestBootstrap(kmSeedLabeled, idx, "vec_id", "embedding",
+      "cell", dims = 4)
+    StreamOps.ivfIngestAssignedEpoch(kmEpoch1, 0L, idx, "vec_id",
+      "embedding", dims = 4)
+    val once = kmProbeRows(idx)
+    val cellsOnce = spark.read.parquet(s"$idx/lists")
+      .filter(col("vec_id").isin(4L, 5L))
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toSet
+    // replay the SAME epoch after the first attempt fully completed
+    // (lists written AND centers refreshed)
+    StreamOps.ivfIngestAssignedEpoch(kmEpoch1, 0L, idx, "vec_id",
+      "embedding", dims = 4)
+    assert(kmProbeRows(idx) == once)
+    assert(spark.read.parquet(s"$idx/lists")
+      .filter(col("vec_id") === 4L).count() == 1,
+      "replayed epoch must overwrite, not append")
+    assert(spark.read.parquet(s"$idx/lists")
+      .filter(col("vec_id").isin(4L, 5L))
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toSet == cellsOnce,
+      "replay must re-derive the identical assignment")
+  }
+
   // ---- online text-dedup index maintenance (the IVF twin, round 8) ----
 
   private def dedupSeed = {

@@ -543,6 +543,41 @@ object StreamOps {
     }
 
   /**
+   * Streaming cross-corpus dedup against a FROZEN persisted index
+   * ([[graft.functions.Dedup.buildDedupIndex]] /
+   * [[dedupIngestTo]] layout): each micro-batch probes the index
+   * ([[graft.functions.Dedup.dedupAgainstIndexed]] — band-key-bucketed
+   * candidates, exact-Jaccard verify, never corpus × batch) and every
+   * doc lands with its verdict (`dup_of`, `jac`, `admitted`). This is
+   * the "dedupe the new crawl against the already-trained corpus" pass:
+   * the index is NOT mutated by the stream — unlike [[nearDupDedupTo]],
+   * whose state grows with each admission — so batches are independent
+   * and replay idempotence needs only the epoch overwrite. Compose with
+   * [[nearDupDedupTo]] downstream for "new-vs-corpus AND new-vs-new".
+   *
+   * Per-batch cost is the batch's own shingling plus bucket-local joins
+   * against the prebuilt key/set tables — the corpus term was paid once
+   * at index build.
+   */
+  def crossDedupTo(docs: DataFrame, indexPath: String, outPath: String,
+                   checkpoint: String, idCol: String, textCol: String,
+                   minJaccard: Double = 0.8,
+                   availableNow: Boolean = true): StreamingQuery = {
+    import graft.functions.Dedup
+    val writer = docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val verdicts = Dedup.dedupAgainstIndexed(batch.sparkSession,
+          indexPath, batch, idCol, textCol, minJaccard)
+        batch.join(verdicts, Seq(idCol))
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        ()
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
+  /**
    * ONLINE maintenance of the persisted text-dedup index — the streaming
    * twin of [[graft.functions.Dedup.appendToDedupIndex]], with the epoch
    * idempotence the batch append cannot give (mode-append on a replayed

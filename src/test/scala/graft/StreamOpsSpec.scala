@@ -648,6 +648,38 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(once == dedupRebuiltRows())
   }
 
+  test("crossDedupTo: frozen-index verdicts match the batch probe; index untouched") {
+    import graft.functions.Dedup
+    val idx = Files.createTempDirectory("graft-xd-idx").toString
+    Dedup.buildDedupIndex(dedupSeed.unionByName(dedupEpoch2), "doc_id",
+      "text", idx)
+    val setsBefore = spark.read.parquet(s"$idx/sets").count()
+    val in = Files.createTempDirectory("graft-xd-in").toString
+    dedupProbeBatch.coalesce(1).write.mode("append").parquet(in)
+    val out = Files.createTempDirectory("graft-xd-out").toString + "/out"
+    val q = StreamOps.crossDedupTo(
+      spark.readStream.schema(dedupProbeBatch.schema).parquet(in),
+      idx, out, Files.createTempDirectory("graft-xd-ck").toString,
+      "doc_id", "text", 0.5)
+    q.awaitTermination()
+    val got = spark.read.parquet(out)
+      .select("doc_id", "dup_of", "admitted").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), r.getBoolean(2))).toSet
+    val want = Dedup.dedupAgainstIndexed(spark, idx, dedupProbeBatch,
+      "doc_id", "text", 0.5)
+      .select("doc_id", "dup_of", "admitted").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), r.getBoolean(2))).toSet
+    assert(got == want, "streamed verdicts must equal the batch probe")
+    assert(got.exists { case (id, dup, adm) =>
+      id == 10L && dup.contains(4L) && !adm })
+    assert(got.contains((11L, None, true)))
+    // the frozen index is not mutated by the stream
+    assert(spark.read.parquet(s"$idx/sets").count() == setsBefore)
+    // streamed rows carry the doc columns alongside the verdict
+    assert(spark.read.parquet(out).columns.toSet
+      .contains("text"))
+  }
+
   test("compactDedupIngestState consolidates epochs, probe unchanged") {
     val idx = Files.createTempDirectory("graft-ddcp").toString + "/idx"
     StreamOps.dedupIngestBootstrap(dedupSeed, idx, "doc_id", "text")

@@ -22,8 +22,6 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  private def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
-
   /** Defend broadcast-expand operators (corpus × probes / corpus ×
     * centers) against an under-partitioned input: a small-SF corpus is
     * often ONE parquet file → one task carries the whole n×k expansion
@@ -38,9 +36,10 @@ object Similarity {
   }
 
   /** Sequential-fold dot product of two float vectors, in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
+  /** Dot product — the native [[ArrayDot]] expression (bit-identical to
+    * the HOF `aggregate(zip_with(...))` formulation it replaced; same
+    * left-fold IEEE op sequence, no intermediate product array). */
+  def dot(a: Column, b: Column): Column = ArrayDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -1,11 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.graftbridge.{ColumnBridge, TypesBridge}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /**
@@ -30,26 +29,24 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
  * `acc + null` poisons the whole fold).
  */
 case class ArrayDot(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "array_dot"
 
-  private def elemType(dt: DataType): Option[DataType] = dt match {
-    case ArrayType(FloatType, _) => Some(FloatType)
-    case ArrayType(DoubleType, _) => Some(DoubleType)
-    case _ => None
-  }
+  // float/double arrays evaluate natively (the hot path — no cast, no
+  // intermediate array); anything else castable (array<int>, decimal
+  // literals from SQL, the empty array() NullType literal) gets ONE
+  // analyzer-inserted Cast to array<double> — the same widening the HOF
+  // formulation's per-element transform-cast used to do, preserving the
+  // pre-ArrayDot accepted-type surface for dot_product/cosine_sim SQL
+  // callers
+  override def inputTypes = TypesBridge.vectorVectorInputTypes
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (elemType(left.dataType).isDefined && elemType(right.dataType).isDefined)
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires array<float|double> arguments, got " +
-        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
-
-  private lazy val leftFloat = elemType(left.dataType).contains(FloatType)
-  private lazy val rightFloat = elemType(right.dataType).contains(FloatType)
+  private lazy val leftFloat =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private lazy val rightFloat =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     ArrayDot.evalBoxed(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],

@@ -556,8 +556,17 @@ object Dedup {
                           path: String, newDocs: DataFrame, idCol: String,
                           textCol: String,
                           minJaccard: Double = 0.8): DataFrame =
-    dedupAgainstFrom(newDocs, spark.read.parquet(s"$path/keys"),
+    dedupAgainstTables(newDocs, spark.read.parquet(s"$path/keys"),
       spark.read.parquet(s"$path/sets"), idCol, textCol, minJaccard)
+
+  /** [[dedupAgainstIndexed]] over ALREADY-LOADED index tables — for
+    * callers that probe the same frozen index repeatedly (the streaming
+    * cross-corpus dedup loads + materializes keys/sets once per query
+    * instead of re-listing parquet every micro-batch). */
+  def dedupAgainstTables(newDocs: DataFrame, cKeys: DataFrame,
+                         cSets: DataFrame, idCol: String, textCol: String,
+                         minJaccard: Double = 0.8): DataFrame =
+    dedupAgainstFrom(newDocs, cKeys, cSets, idCol, textCol, minJaccard)
 
   /**
    * APPEND a batch to a persisted [[buildDedupIndex]] — the incremental

@@ -557,19 +557,32 @@ object StreamOps {
    *
    * Per-batch cost is the batch's own shingling plus bucket-local joins
    * against the prebuilt key/set tables — the corpus term was paid once
-   * at index build.
+   * at index build, and the tables are loaded + materialized ONCE per
+   * query (the [[lmScoreTo]] pre-stream-build pattern), not re-listed
+   * from parquet every micro-batch; this also pins one index snapshot
+   * for the life of the stream, keeping the batches-independent claim
+   * robust against a concurrent append to the path.
+   *
+   * Duplicate ids WITHIN a micro-batch (at-least-once upstream, a
+   * crawler re-emitting a page) are collapsed to one row before the
+   * probe — without that, the verdict join would multiply copies
+   * (n copies × n verdict rows) instead of emitting one verdict per id.
    */
   def crossDedupTo(docs: DataFrame, indexPath: String, outPath: String,
                    checkpoint: String, idCol: String, textCol: String,
                    minJaccard: Double = 0.8,
                    availableNow: Boolean = true): StreamingQuery = {
     import graft.functions.Dedup
+    val spark = docs.sparkSession
+    val cKeys = spark.read.parquet(s"$indexPath/keys").localCheckpoint()
+    val cSets = spark.read.parquet(s"$indexPath/sets").localCheckpoint()
     val writer = docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val verdicts = Dedup.dedupAgainstIndexed(batch.sparkSession,
-          indexPath, batch, idCol, textCol, minJaccard)
-        batch.join(verdicts, Seq(idCol))
+        val b = batch.dropDuplicates(idCol)
+        val verdicts = Dedup.dedupAgainstTables(b, cKeys, cSets, idCol,
+          textCol, minJaccard)
+        b.join(verdicts, Seq(idCol))
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
         ()
       }

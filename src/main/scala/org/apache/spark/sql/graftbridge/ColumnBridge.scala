@@ -23,3 +23,20 @@ object ColumnBridge {
   def eagerExpression(c: Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }
+
+/**
+ * Type-surface bridge: `AbstractDataType`/`TypeCollection` are
+ * `private[sql]` at the Scala level (public bytecode), so an expression
+ * outside the sql namespace cannot write an `inputTypes` override
+ * directly — same idiom as [[ColumnBridge]].
+ */
+object TypesBridge {
+  /** The two-sided vector-input contract: float/double arrays accepted
+    * natively, anything castable (int/decimal/null-typed literals) gets
+    * one analyzer-inserted cast to array<double>. */
+  def vectorVectorInputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] = {
+    import org.apache.spark.sql.types._
+    Seq(TypeCollection(ArrayType(DoubleType), ArrayType(FloatType)),
+      TypeCollection(ArrayType(DoubleType), ArrayType(FloatType)))
+  }
+}

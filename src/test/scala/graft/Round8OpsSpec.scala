@@ -135,6 +135,39 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(a.exists { case (pid, _, nid, _) => pid == 200L && nid == 11L })
   }
 
+  test("ArrayDot keeps the HOF's accepted-type surface and semantics") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    // SQL surface (dot_product/cosine_sim are public driver surface):
+    // integer arrays and decimal literals widened by the analyzer cast,
+    // exactly as the old per-element transform-cast did
+    assert(spark.sql("SELECT dot_product(array(1, 2), array(3, 4)) AS d")
+      .collect().head.getDouble(0) == 11.0)
+    assert(spark.sql(
+      "SELECT dot_product(array(1.5, 2.5), array(2.0, 2.0)) AS d")
+      .collect().head.getDouble(0) == 8.0)
+    // float arrays evaluate natively; doubles too; mixed sides widen
+    val r = Seq((Array(1.0f, 2.0f), Array(3.0, 4.0)))
+      .toDF("a", "b")
+      .select(Similarity.dot(col("a"), col("b")).as("d"))
+      .collect().head.getDouble(0)
+    assert(r == 11.0)
+    // HOF null semantics preserved: length mismatch and null element
+    // both poison the fold to NULL; empty arrays fold to 0.0
+    val n = spark.sql("SELECT dot_product(array(1.0), array(1.0, 2.0)) AS d")
+      .collect().head
+    assert(n.isNullAt(0), "length mismatch must be NULL")
+    val z = spark.sql(
+      "SELECT dot_product(CAST(array() AS ARRAY<DOUBLE>), " +
+        "CAST(array() AS ARRAY<DOUBLE>)) AS d")
+      .collect().head.getDouble(0)
+    assert(z == 0.0, "empty arrays fold to 0.0")
+    val ne = spark.sql(
+      "SELECT dot_product(array(1.0, CAST(NULL AS DOUBLE)), " +
+        "array(1.0, 2.0)) AS d").collect().head
+    assert(ne.isNullAt(0), "null element must poison the fold")
+  }
+
   test("boundedHashSample plans a TakeOrdered, not a corpus sort") {
     // the scale contract: a bounded per-partition heap + an n-row driver
     // merge. A global Sort or an Exchange feeding one would shuffle the

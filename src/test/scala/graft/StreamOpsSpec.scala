@@ -655,7 +655,10 @@ class StreamOpsSpec extends AnyFunSuite {
       "text", idx)
     val setsBefore = spark.read.parquet(s"$idx/sets").count()
     val in = Files.createTempDirectory("graft-xd-in").toString
-    dedupProbeBatch.coalesce(1).write.mode("append").parquet(in)
+    // doc 10 delivered TWICE in the batch (at-least-once upstream): the
+    // stream must collapse it to ONE verdict row, not 2×2 join copies
+    dedupProbeBatch.unionByName(dedupProbeBatch.filter(col("doc_id") === 10L))
+      .coalesce(1).write.mode("append").parquet(in)
     val out = Files.createTempDirectory("graft-xd-out").toString + "/out"
     val q = StreamOps.crossDedupTo(
       spark.readStream.schema(dedupProbeBatch.schema).parquet(in),
@@ -673,6 +676,8 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got.exists { case (id, dup, adm) =>
       id == 10L && dup.contains(4L) && !adm })
     assert(got.contains((11L, None, true)))
+    assert(spark.read.parquet(out).filter(col("doc_id") === 10L).count()
+      == 1L, "duplicate in-batch ids must collapse to one verdict row")
     // the frozen index is not mutated by the stream
     assert(spark.read.parquet(s"$idx/sets").count() == setsBefore)
     // streamed rows carry the doc columns alongside the verdict

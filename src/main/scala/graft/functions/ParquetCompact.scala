@@ -30,6 +30,17 @@ import org.apache.spark.sql.functions.col
  * cleanup step died (crash between 3 and 4) and is deleted; any `__tmp`
  * is always stale (incomplete or superseded) and deleted. Single-writer
  * discipline as before: no concurrent probe/append on the path.
+ *
+ * FILESYSTEM ASSUMPTION: the swap's crash-safety rests on directory
+ * rename being ATOMIC, which holds on HDFS and local filesystems but NOT
+ * on object stores (S3A "rename" is a non-atomic copy+delete; a crash
+ * mid-rename leaves a partial old/live mix that [[recover]] would
+ * misclassify as a completed swap). On an object store, compact into a
+ * NEW path and flip a pointer (manifest) instead, or use a
+ * table format with commit semantics. The FileSystem is resolved FROM
+ * THE PATH (not the default-FS singleton), so an `s3a://`/`hdfs://` path
+ * at least talks to the right store rather than silently probing the
+ * default filesystem for its marker directories.
  */
 object ParquetCompact {
 
@@ -57,8 +68,8 @@ object ParquetCompact {
 
   private def compactVia(spark: SparkSession, path: String)
                         (stage: (DataFrame, String) => Unit): Long = {
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val (live, tmp, old) = paths(path)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recover(fs, live, tmp, old)
     stage(spark.read.parquet(path), tmp.toString)
     val n = spark.read.parquet(tmp.toString).count()

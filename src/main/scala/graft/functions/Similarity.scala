@@ -958,9 +958,15 @@ object Similarity {
 
   /** One Lloyd's assignment step: (id, __cell) = the max-cosine center
     * per vector (ties to the smaller cell id), via TopKAgg(k=1). Norms
-    * fold once per row/center BEFORE the product join. */
+    * fold once per row/center BEFORE the product join. The output
+    * `__cell` carries the INPUT centers' cell type: a long-celled index
+    * must not come back as int (appending an INT32 `cell` beside INT64
+    * parquet files mixes physical types, and ids past Int.MaxValue would
+    * truncate); the TopKAgg id slot is long throughout, so the single
+    * end cast is lossless for every admitted integral type. */
   private def assignCells(base: DataFrame, centers: DataFrame,
                           idCol: String, vecCol: String): DataFrame = {
+    val cellType = centers.schema("__cell").dataType
     val b = base.select(col(idCol), col(vecCol), norm(col(vecCol)).as("__vn"))
     val c = centers.select(col("__cell"), col("__center"),
       norm(col("__center")).as("__ccn"))
@@ -980,8 +986,8 @@ object Similarity {
       // array index, and a zero-norm vector's top-1 is the EMPTY array
       .select(col(idCol),
         when(size(col("__top")) > 0,
-          col("__top").getItem(0).getField("id").cast("int"))
-          .otherwise(lit(-1)).as("__cell"))
+          col("__top").getItem(0).getField("id").cast(cellType))
+          .otherwise(lit(-1).cast(cellType)).as("__cell"))
   }
 
   /**

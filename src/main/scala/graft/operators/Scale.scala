@@ -52,8 +52,7 @@ object BucketedState {
     // catalog metadata; clear it so overwrite is truly idempotent
     val loc = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir") + "/" + tableName.toLowerCase)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) { fs.delete(loc, true); () }
     df.write.mode("overwrite")
       .bucketBy(numBuckets, pkCol)

@@ -84,9 +84,8 @@ object ChangesetStream {
         // cache it so the source files are not read and decoded twice
         val batch = if (compactionLag.isDefined) batch0.cache() else batch0
         val spark = batch.sparkSession
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
         val dst = new org.apache.hadoop.fs.Path(statePath)
+        val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val next = new org.apache.hadoop.fs.Path(statePath + "__next")
         val old = new org.apache.hadoop.fs.Path(statePath + "__old")
         // crash recovery: a completed __next with no dst means a previous

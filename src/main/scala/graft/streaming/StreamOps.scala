@@ -207,8 +207,8 @@ object StreamOps {
                          idCol: String, textCol: String,
                          minJaccard: Double): DataFrame = {
     val spark = batch.sparkSession
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val keysPath = s"$statePath/keys"
     val setsPath = s"$statePath/sets"
     // 1. batch-internal cascade (exact + near) → representatives
@@ -340,12 +340,8 @@ object StreamOps {
         try {
           val admitted = dedupEpoch(clean, batchId, statePath, idCol,
             textCol, minJaccard)
-          val gated = model.fold(admitted) { mdl =>
-            admitted.join(
-              TextFns.unigramLmScoreAgainst(mdl, admitted, idCol, textCol),
-              idCol)
-              .filter(col("hm_prob") >= minHmProb)
-          }
+          val gated = model.fold(admitted)(mdl =>
+            lmGate(admitted, mdl, idCol, textCol, minHmProb))
           val fin = gated
             .withColumn("quality", TextFns.qualityScore(col(textCol)))
             .filter(col("quality") >= minQuality)
@@ -365,6 +361,25 @@ object StreamOps {
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .start()
   }
+
+  /** [[prepPipelineTo]]'s LM stage: score admitted docs against the
+    * pre-built unigram model and keep those at or above `minHmProb`.
+    * LEFT join, not inner: a doc whose text tokenizes to ZERO words
+    * (null text upstream of the Bloom stage, or a future tokenizer
+    * change) produces no score row, and an inner join would drop it
+    * silently even at the permissive 0.0 default — diverging from the
+    * ungated path, where such docs still reach the quality filter.
+    * Token-less docs pass the gate with null LM columns and face the
+    * quality filter like everyone else ("no tokens" is a quality
+    * verdict, not an LM verdict). */
+  private[graft] def lmGate(admitted: DataFrame, model: DataFrame,
+                            idCol: String, textCol: String,
+                            minHmProb: Double): DataFrame =
+    admitted.join(
+      graft.functions.TextFns.unigramLmScoreAgainst(model, admitted,
+        idCol, textCol),
+      Seq(idCol), "left")
+      .filter(col("hm_prob").isNull || col("hm_prob") >= minHmProb)
 
   /**
    * Compact [[nearDupDedupTo]]'s append-only state: every epoch adds a
@@ -536,9 +551,8 @@ object StreamOps {
     }.getOrElse {
       // nothing to consolidate (possibly because recovery just rolled a
       // crashed compaction forward) — report the live count
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        spark.sparkContext.hadoopConfiguration)
       val root = new org.apache.hadoop.fs.Path(s"$indexPath/lists")
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(root)) spark.read.parquet(root.toString).count() else 0L
     }
 
@@ -561,7 +575,15 @@ object StreamOps {
    * query (the [[lmScoreTo]] pre-stream-build pattern), not re-listed
    * from parquet every micro-batch; this also pins one index snapshot
    * for the life of the stream, keeping the batches-independent claim
-   * robust against a concurrent append to the path.
+   * robust against a concurrent append to the path. The snapshot is
+   * held at `DISK_ONLY_2` (not `localCheckpoint`): a localCheckpoint
+   * TRUNCATES lineage into non-replicated executor blocks, so one
+   * executor loss would make the corpus-scale snapshot unrecoverable
+   * and fail every later micro-batch of a long-running stream. persist
+   * keeps the parquet lineage (the file listing is captured at read
+   * time, so a recompute still sees this snapshot's files) and
+   * 2-replicates the blocks, surviving single-executor loss without a
+   * recompute at all.
    *
    * Duplicate ids WITHIN a micro-batch (at-least-once upstream, a
    * crawler re-emitting a page) are collapsed to one row before the
@@ -574,8 +596,11 @@ object StreamOps {
                    availableNow: Boolean = true): StreamingQuery = {
     import graft.functions.Dedup
     val spark = docs.sparkSession
-    val cKeys = spark.read.parquet(s"$indexPath/keys").localCheckpoint()
-    val cSets = spark.read.parquet(s"$indexPath/sets").localCheckpoint()
+    val cKeys = spark.read.parquet(s"$indexPath/keys")
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY_2)
+    val cSets = spark.read.parquet(s"$indexPath/sets")
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY_2)
+    cKeys.count(); cSets.count() // eager: materialize before the stream
     val writer = docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -676,6 +701,11 @@ object StreamOps {
    * rolls forward (stage complete → delete exactly the manifested
    * epochs, rename the stage in); no run ever reads a root holding both
    * the stage and the epochs it replaced. Run OFFLINE (single-writer).
+   * Like [[graft.functions.ParquetCompact]], the roll-forward/roll-back
+   * classification assumes ATOMIC directory rename (HDFS / local FS) —
+   * on an object store, rename is copy+delete and a mid-rename crash
+   * leaves a partial mix this protocol would misread; compact to a new
+   * path + pointer flip there instead.
    * `epochPrefix` is the epoch directory naming (`__batch=` for the
    * ingest indexes, `batch=` for the dedup state). `writeStage` writes
    * the merged epochs (already stripped of the epoch column) to the
@@ -687,9 +717,8 @@ object StreamOps {
                                 epochPrefix: String = "__batch=")
                                (writeStage: (DataFrame, String) => Unit): Option[Long] = {
     import org.apache.hadoop.fs.Path
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val root = new Path(rootPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(rootPath + ".__compact_tmp")
     val manifest = new Path(rootPath + ".__compact_manifest")
     val target = new Path(root, epochPrefix + "-1")

@@ -396,6 +396,8 @@ object Dedup {
     verifiedPairs(df, idCol, textCol, minShared) { (sa, sb) =>
       size(array_intersect(sa, sb)).cast("double") /
         size(array_union(sa, sb))
+    } { (c, na, nb) =>
+      c.cast("double") / (na + nb - c)
     }("jac", minJaccard)
 
   /**
@@ -411,6 +413,8 @@ object Dedup {
     verifiedPairs(df, idCol, textCol, minShared) { (sa, sb) =>
       size(array_intersect(sa, sb)).cast("double") /
         least(size(sa), size(sb))
+    } { (c, na, nb) =>
+      c.cast("double") / least(na, nb)
     }("containment", minContainment)
 
   /**
@@ -450,10 +454,12 @@ object Dedup {
   private def hashPairCounts(df: DataFrame, idCol: String, textCol: String,
                              minShared: Int): DataFrame = {
     // the index feeds the per-doc sizes AND both sides of the self-join
-    // (no cross-branch CSE in Spark) — checkpoint once
+    // (no cross-branch CSE in Spark) — checkpoint once. ShingleHash.h60
+    // == explode(shingles)→hash60 elementwise (bit-parity proven by
+    // Round9ShingleProperties + the full oracle run) but never
+    // materializes a shingle string
     val inv = df.select(col(idCol),
-        explode(TextFns.shingles(col(textCol))).as("s"))
-      .select(col(idCol), hash60(col("s")).as("h"))
+        explode(ShingleHash.h60(col(textCol))).as("h"))
       .localCheckpoint(false)
     val sizes = inv.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
     inv.select(col(idCol).as("doc_a"), col("h"))
@@ -467,36 +473,65 @@ object Dedup {
 
   /** Shared inverted-index candidate generation + exact verify on the full
     * shingle sets; `score` computes the verify metric from (setA, setB). */
+  /**
+   * Candidates → hash-bound prefilter → exact string verify.
+   *
+   * `score(setA, setB)` computes the exact verify metric from the full
+   * shingle STRING sets (the string-exact anchor the oracles mirror).
+   * `bound(c, na, nb)` computes the SAME metric from the 28-bit index
+   * alone — shared-hash count `c` and per-doc hash counts `na`/`nb` —
+   * and must be an UPPER BOUND on the exact score. That holds for both
+   * callers by construction: a shared shingle string always shares its
+   * hash (so c ≥ |A∩B|), a 28-bit collision can only ADD to c, and
+   * na/nb equal |A|/|B| exactly ([[ShingleHash]] emits one hash per
+   * DISTINCT string, collisions included). With bound ≥ exact, filtering
+   * candidates at `minScore` on the bound BEFORE fetching string sets
+   * drops no pair the exact verify could keep — the output is
+   * bit-identical to verifying every candidate — while the verify joins
+   * ship string arrays only for near-threshold pairs (measured at
+   * sf0.1: 113k candidate pairs → ~500 survivors).
+   */
   private def verifiedPairs(df: DataFrame, idCol: String, textCol: String,
                             minShared: Int)(
       score: (Column, Column) => Column)(
+      bound: (Column, Column, Column) => Column)(
       scoreName: String, minScore: Double): DataFrame = {
-    // lazy localCheckpoint: the shingle sets feed the inverted index AND
-    // both sides of the exact-verify join — without it the whole
-    // shingle-construction subtree runs three times per execution (Spark
-    // has no cross-branch CSE). Materializes on first use, reused by the
-    // other branches, reclaimed by the context cleaner when unreferenced.
-    val sets = df.select(col(idCol), TextFns.shingles(col(textCol)).as("sset"))
+    // Candidate generation hashes shingle byte-slices NATIVELY
+    // ([[ShingleHash]] == explode(shingles)→hash28 elementwise, proven
+    // by Round9ShingleProperties + the full oracle run): no corpus-wide
+    // shingle-STRING arrays are built or checkpointed any more — the
+    // round-8 shape materialized every document's full string shingle
+    // set (~n× the token volume) just to feed the inverted index, then
+    // kept it alive for the verify joins. Checkpointed (id, long) rows:
+    // the index feeds both self-join sides AND the per-doc sizes, and
+    // Spark has no cross-branch CSE.
+    val inv = df.select(col(idCol),
+      explode(ShingleHash.h28(col(textCol))).as("h"))
       .localCheckpoint(false)
-    val inv = sets.select(col(idCol),
-      explode(col("sset")).as("s"))
-      .select(col(idCol), hash28(col("s")).as("h"))
-    // candidate generation runs once (checkpoint): it feeds BOTH the id
-    // prune below and the final verify join, and re-running the inverted
-    // self-join + aggregate twice would cost more than the prune saves
+    val sizes = inv.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    // candidate generation + bound prefilter run once (checkpoint): the
+    // result feeds BOTH the id prune below and the final verify join.
+    // The sizes joins broadcast (one short row per corpus doc).
     val cand = inv.select(col(idCol).as("doc_a"), col("h"))
       .join(inv.select(col(idCol).as("doc_b"), col("h")), Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter_approx"))
       .filter(col("inter_approx") >= minShared)
+      .join(broadcast(sizes.select(col(idCol).as("doc_a"),
+        col("__n").as("__na"))), "doc_a")
+      .join(broadcast(sizes.select(col(idCol).as("doc_b"),
+        col("__n").as("__nb"))), "doc_b")
+      .filter(bound(col("inter_approx"), col("__na"), col("__nb"))
+        >= minScore)
+      .select(col("doc_a"), col("doc_b"))
       .localCheckpoint(false)
-    // prune `sets` to candidate ids BEFORE the array-carrying joins: the
-    // candidate set is typically ≪ corpus, so without this both verify
-    // joins would shuffle every document's full shingle array (~2× the
-    // corpus token volume) just to drop most of it at the join
     val candIds = cand.select(col("doc_a").as(idCol))
       .union(cand.select(col("doc_b").as(idCol))).distinct()
-    val candSets = sets.join(candIds, Seq(idCol), "left_semi")
+    // exact verify compares full shingle STRING sets — built only here,
+    // only for bound-surviving ids; checkpointed because both verify
+    // joins read them
+    val candSets = df.join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol), TextFns.shingles(col(textCol)).as("sset"))
       .localCheckpoint(false)
     cand
       .join(candSets.select(col(idCol).as("doc_a"), col("sset").as("sa")), "doc_a")
@@ -667,8 +702,7 @@ object Dedup {
     * the broadcast side of decontamination. Small by construction: eval
     * suites are fixed-size regardless of corpus scale. */
   def shingleUniverse(bench: DataFrame, textCol: String): DataFrame =
-    bench.select(explode(TextFns.shingles(col(textCol))).as("s"))
-      .select(hash28(col("s")).as("h")).distinct()
+    bench.select(explode(ShingleHash.h28(col(textCol))).as("h")).distinct()
 
   def decontaminateAgainst(train: DataFrame, bench: DataFrame, idCol: String,
                            textCol: String,
@@ -683,9 +717,10 @@ object Dedup {
                                    idCol: String, textCol: String,
                                    maxOverlapFrac: Double = 0.5): DataFrame = {
     val benchH = broadcast(universe.select(col("h")).withColumn("__hit", lit(1)))
+    // native shingle-slice hashing: the train-side scan is the corpus
+    // term of decontamination, and it no longer allocates shingle strings
     train
-      .select(col(idCol), explode(TextFns.shingles(col(textCol))).as("s"))
-      .select(col(idCol), hash28(col("s")).as("h"))
+      .select(col(idCol), explode(ShingleHash.h28(col(textCol))).as("h"))
       .join(benchH, Seq("h"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shingles"),

@@ -47,15 +47,28 @@ object ProbeIndexed {
     val probes = emb.orderBy(col("vec_id")).limit(200)
       .select(col("vec_id").as("probe_id"), col("embedding").as("__pv"))
       .localCheckpoint()
+    // the library DEFAULT (superProbe = -1 auto): flat below the
+    // crossover, two-level beyond it — what a production caller gets
+    // without knowing the flag exists
     val probeIvf = (1 to reps).map(_ => time(
       Similarity.ivfKnnJoinIndexed(spark, ivfPath, probes,
         "vec_id", "embedding", "label", k = 5, nProbe = 2).count())).min
-    // two-level cell selection: flat center ranking is the one term that
-    // grows with K at fixed probe count — this measures the fix
+    // pinned flat: the O(probes × K) center ranking the auto rule
+    // retires at large K — kept so the artifact shows both sides of the
+    // crossover at every scale
+    val probeIvfFlat = (1 to reps).map(_ => time(
+      Similarity.ivfKnnJoinIndexed(spark, ivfPath, probes,
+        "vec_id", "embedding", "label", k = 5, nProbe = 2,
+        superProbe = 0).count())).min
+    // pinned two-level width (the explicit form)
     val probeIvf2L = (1 to reps).map(_ => time(
       Similarity.ivfKnnJoinIndexed(spark, ivfPath, probes,
         "vec_id", "embedding", "label", k = 5, nProbe = 2,
         superProbe = 4).count())).min
+    // did the auto default engage two-level on this corpus? (the rule in
+    // ivfKnnJoinIndexed: K > 2^superBits × 4 with superBits = 4)
+    val labelCells = spark.read.parquet(s"$ivfPath/centers").count()
+    val autoEngaged = labelCells > (1L << 4) * 4
 
     // recall of the pruned probes vs exact brute force on the same 200:
     // quantifies what flat→two-level (and IVF itself) give up
@@ -68,6 +81,11 @@ object ProbeIndexed {
       math.rint(r * 1000) / 1000
     }
     val recallFlat = recall(Similarity.ivfKnnJoinIndexed(spark, ivfPath,
+      probes, "vec_id", "embedding", "label", k = 5, nProbe = 2,
+      superProbe = 0))
+    // the auto default's recall: must match flat below the crossover
+    // (identical plan) and stay within noise of it above
+    val recallAuto = recall(Similarity.ivfKnnJoinIndexed(spark, ivfPath,
       probes, "vec_id", "embedding", "label", k = 5, nProbe = 2))
     val recall2L = recall(Similarity.ivfKnnJoinIndexed(spark, ivfPath,
       probes, "vec_id", "embedding", "label", k = 5, nProbe = 2,
@@ -140,8 +158,11 @@ object ProbeIndexed {
 
     val line = s"""{"sf":"$sfDir","reps":$reps,""" +
       s""""ivf_build_sec":$buildIvf,"ivf_probe200_sec":$probeIvf,""" +
+      s""""ivf_probe200_flat_sec":$probeIvfFlat,""" +
       s""""ivf_probe200_2level_sec":$probeIvf2L,""" +
-      s""""ivf_recall5_flat":$recallFlat,"ivf_recall5_2level":$recall2L,""" +
+      s""""ivf_auto_engaged":$autoEngaged,"ivf_cells":$labelCells,""" +
+      s""""ivf_recall5_flat":$recallFlat,"ivf_recall5_auto":$recallAuto,""" +
+      s""""ivf_recall5_2level":$recall2L,""" +
       s""""kmeans_cells":$kCells,"kmeans_train_mod":$trainMod,""" +
       s""""kmeans_build_sec":$buildKm,""" +
       s""""ivf_recall5_kmeans":$recallKm,""" +

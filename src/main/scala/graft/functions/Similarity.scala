@@ -553,35 +553,37 @@ object Similarity {
 
   /**
    * Probe a persisted IVF index ([[buildIvfIndex]]): same semantics and —
-   * at the default flat cell ranking (superProbe = 0) — BIT-IDENTICAL
-   * results as the inline [[ivfKnnJoin]] (centers and norms round-trip
-   * exactly through parquet doubles; the scoring arithmetic is shared),
-   * but nothing is recomputed and the corpus scan is pruned to the probed
-   * cells' partitions on disk. Opting in to two-level cell selection
-   * (superProbe = -1 auto, or an explicit width) trades recall for cost
-   * and breaks bit-identity once it engages. The probed-cell key set
-   * (≤ probes × nProbe values) is collected to the driver to drive the
-   * partition-pruning filter — metadata-scale, like the one-row broadcast
-   * bounds elsewhere.
+   * under the flat cell ranking — BIT-IDENTICAL results as the inline
+   * [[ivfKnnJoin]] (centers and norms round-trip exactly through parquet
+   * doubles; the scoring arithmetic is shared), but nothing is recomputed
+   * and the corpus scan is pruned to the probed cells' partitions on
+   * disk. The DEFAULT is superProbe = -1 (AUTO): flat ranking — and with
+   * it the bit-identity — up to 2^superBits × 4 cells, two-level cell
+   * selection beyond that crossover, where flat's O(probes × K) center
+   * ranking is the one term that grows with the cell count (measured
+   * 3.4× at K = 1000; a production caller who defaults gets that win
+   * without knowing the flag exists). Pin superProbe = 0 to force flat
+   * unconditionally (the contract rows do — their oracles mirror the
+   * flat ranking and must not flip plan with the corpus); a positive
+   * value forces a two-level width. Two-level trades recall for cost
+   * once it engages (see [[probedCellsTwoLevel]]) — results are then NOT
+   * bit-identical to the inline form. The probed-cell key set (≤ probes
+   * × nProbe values) is collected to the driver to drive the
+   * partition-pruning filter — metadata-scale, like the one-row
+   * broadcast bounds elsewhere.
    */
   def ivfKnnJoinIndexed(spark: SparkSession, path: String, probes: DataFrame,
                         idCol: String, vecCol: String, labelCol: String,
-                        k: Int, nProbe: Int = 2, superProbe: Int = 0,
+                        k: Int, nProbe: Int = 2, superProbe: Int = -1,
                         superBits: Int = 4, superOffset: Int = 32): DataFrame = {
     val centers = spark.read.parquet(s"$path/centers")
-    // superProbe > 0 → two-level cell selection ([[probedCellsTwoLevel]]):
-    // drops the O(probes × K) flat center ranking, the one term that
-    // grows with the cell count at fixed probe volume. The DEFAULT is 0
-    // (flat) so the bit-identity promise above holds unconditionally for
-    // default callers; superProbe = -1 opts IN to auto-selection by the
-    // measured crossover: two-level only pays once the cell count K
-    // clears the supercell count with room (K > 2^superBits × 4 — below
-    // that the flat ranking is already as small as the supercell ranking,
-    // and the extra stage is pure overhead: measured K=10 slower /
-    // K=1000 2.4× faster at superProbe = 2^superBits/4, PLANS.md
-    // round-6). NOTE: auto (-1) and explicit positive values trade recall
-    // for cost once two-level engages (see [[probedCellsTwoLevel]]) —
-    // results are then NOT bit-identical to the inline form.
+    // auto rule (superProbe = -1): two-level only pays once the cell
+    // count K clears the supercell count with room (K > 2^superBits ×
+    // 4 — below that the flat ranking is already as small as the
+    // supercell ranking, and the extra stage is pure overhead: measured
+    // K=10 slower / K=1000 2.4× faster at superProbe = 2^superBits/4,
+    // PLANS.md round-6), so small indexes keep exact flat probing and
+    // the auto default never changes a small-K caller's results.
     val resolvedSuper =
       if (superProbe >= 0) superProbe
       else if (centers.count() > (1L << superBits) * 4)

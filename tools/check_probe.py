@@ -67,6 +67,28 @@ def main():
         fails.append(
             f"kmeans recall {doc['ivf_recall5_kmeans']} below label-cell "
             f"recall {doc['ivf_recall5_flat']} - quantizer regression")
+    # the auto (default) probe path: below the crossover it IS the flat
+    # plan (recall must be identical); above it, it must not cost more
+    # than flat (the 3.4x win is why the default exists) nor give up
+    # recall beyond probe noise
+    if "ivf_auto_engaged" in doc:
+        if not doc["ivf_auto_engaged"]:
+            if doc.get("ivf_recall5_auto") != doc.get("ivf_recall5_flat"):
+                fails.append(
+                    f"auto not engaged but recall differs from flat: "
+                    f"{doc.get('ivf_recall5_auto')} vs "
+                    f"{doc.get('ivf_recall5_flat')}")
+        else:
+            if doc["ivf_probe200_sec"] > 1.2 * doc["ivf_probe200_flat_sec"]:
+                fails.append(
+                    f"auto probe {doc['ivf_probe200_sec']:.2f}s slower "
+                    f"than flat {doc['ivf_probe200_flat_sec']:.2f}s with "
+                    f"two-level engaged")
+            if doc.get("ivf_recall5_auto", 0) < \
+                    doc.get("ivf_recall5_flat", 0) - 0.05:
+                fails.append(
+                    f"auto recall {doc.get('ivf_recall5_auto')} below "
+                    f"flat {doc.get('ivf_recall5_flat')} - 0.05")
     if fails:
         for m in fails:
             print(f"FAIL: {m}")

@@ -477,6 +477,7 @@ object StreamOps {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ivfIngestAssignedEpoch(batch, batchId, indexPath, idCol, vecCol,
           dims)
+        ()
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .start()
@@ -485,20 +486,58 @@ object StreamOps {
   /** One epoch of [[ivfIngestAssignedTo]] — factored out so the
     * replay-idempotence contract is directly testable: same
     * (batch, batchId) twice ≡ once, even with the crash point between
-    * the lists write and the centers refresh. */
+    * the lists write and the centers refresh.
+    *
+    * CENTERS REUSE (the round-8 verdict's per-epoch double-scan): the
+    * assignment-time centers of epoch M are [[Similarity.cellCentersOf]]
+    * over every epoch except M — which, on a clean run, is EXACTLY what
+    * epoch N's refresh already computed and wrote (all epochs ≤ N). So
+    * each completed epoch stamps an immutable copy of the refreshed
+    * centers under `centers_epoch/__batch=N` plus a marker recording the
+    * epoch set that copy covers, and epoch M reuses the copy IFF the
+    * marker's set equals the on-disk epochs minus M. Bit-identity of the
+    * reuse: the copy is the refresh's own parquet rows (doubles
+    * round-trip exactly), and the fallback recompute folds the identical
+    * epoch set with the identical order-free arithmetic. Every crash
+    * window degrades to the recompute, never to a wrong assignment:
+    *  - crash before the marker write (incl. mid-refresh, which may
+    *    leave the LIVE centers table partial): the marker still names
+    *    the previous epoch set; a replayed M sees on-disk minus M equal
+    *    to that set and reuses the previous epoch's intact copy — the
+    *    assignment the first attempt made. The live table is rewritten
+    *    by the replay's refresh.
+    *  - crash after the marker write but before the stream commits M:
+    *    the marker now covers M itself, the match fails (the set
+    *    includes M), and the replay recomputes from lists-minus-M —
+    *    the same input set, so the same assignment.
+    *  - compaction rewrites the epoch layout: the set mismatch falls
+    *    back to recompute ([[compactIvfIngestState]] also clears the
+    *    copies).
+    * The marker is a single file written via temp + atomic rename, so a
+    * present marker always names a COMPLETED copy. Returns whether the
+    * stored copy was reused (false = full fallback recompute), so the
+    * spec can assert the reuse engaged without plan introspection. */
   private[graft] def ivfIngestAssignedEpoch(batch: DataFrame, batchId: Long,
                                             indexPath: String, idCol: String,
                                             vecCol: String,
-                                            dims: Int): Unit = {
+                                            dims: Int): Boolean = {
     val spark = batch.sparkSession
+    val priorEpochs = listEpochs(spark, indexPath) - batchId
+    val marker = readCentersMarker(spark, indexPath)
+    val reuse = marker.exists(_._2 == priorEpochs)
     // assignment-time centers from every epoch EXCEPT this one (replay
     // sees the identical pre-epoch corpus; first attempt excludes
     // nothing it wrote yet)
-    val prior = spark.read.parquet(s"$indexPath/lists")
-      .filter(col("__batch") =!= batchId)
-      .select(col(idCol), col(vecCol), col("cell"))
-    val centers = Similarity.cellCentersOf(prior, "cell", idCol, vecCol,
-      dims)
+    val centers =
+      if (reuse)
+        spark.read
+          .parquet(s"$indexPath/centers_epoch/__batch=${marker.get._1}")
+      else
+        Similarity.cellCentersOf(
+          spark.read.parquet(s"$indexPath/lists")
+            .filter(col("__batch") =!= batchId)
+            .select(col(idCol), col(vecCol), col("cell")),
+          "cell", idCol, vecCol, dims)
     // EAGER: the epoch overwrite below rewrites partitions this lineage
     // reads (on replay, the epoch's own old files are excluded by the
     // filter but the scan still lists the tree)
@@ -507,6 +546,62 @@ object StreamOps {
         Seq(idCol))
       .localCheckpoint()
     ivfIngestEpoch(labeled, batchId, indexPath, idCol, vecCol, "cell", dims)
+    // stamp the refreshed centers for the NEXT epoch's reuse: immutable
+    // per-epoch copy first (a replayed M overwrites only its own copy),
+    // marker last (temp + atomic rename — present ⟹ copy complete)
+    spark.read.parquet(s"$indexPath/centers")
+      .write.mode("overwrite")
+      .parquet(s"$indexPath/centers_epoch/__batch=$batchId")
+    writeCentersMarker(spark, indexPath, batchId, priorEpochs + batchId)
+    reuse
+  }
+
+  /** Epoch ids present under `lists/` (`__batch=N` directory names) —
+    * a metadata-only FS listing, no data scan. */
+  private def listEpochs(spark: org.apache.spark.sql.SparkSession,
+                         indexPath: String): Set[Long] = {
+    val root = new org.apache.hadoop.fs.Path(s"$indexPath/lists")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Set.empty
+    else fs.listStatus(root).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("__batch=") =>
+        n.stripPrefix("__batch=").toLongOption }
+      .flatten.toSet
+  }
+
+  private def centersMarkerPath(indexPath: String) =
+    new org.apache.hadoop.fs.Path(s"$indexPath/centers_epoch/__marker")
+
+  /** (lastEpoch, covered epoch set) from the marker file, if present and
+    * well-formed. Format: one line `lastEpoch|e1,e2,...`. */
+  private def readCentersMarker(spark: org.apache.spark.sql.SparkSession,
+                                indexPath: String): Option[(Long, Set[Long])] = {
+    val p = centersMarkerPath(indexPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else try {
+      val in = fs.open(p)
+      val raw = try scala.io.Source.fromInputStream(in).mkString.trim
+      finally in.close()
+      val Array(last, eps) = raw.split('|')
+      Some((last.toLong,
+        eps.split(',').filter(_.nonEmpty).map(_.toLong).toSet))
+    } catch { case _: Throwable => None } // malformed → recompute path
+  }
+
+  private def writeCentersMarker(spark: org.apache.spark.sql.SparkSession,
+                                 indexPath: String, lastEpoch: Long,
+                                 epochs: Set[Long]): Unit = {
+    val p = centersMarkerPath(indexPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(p.toString + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(
+      s"$lastEpoch|${epochs.toSeq.sorted.mkString(",")}".getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    require(fs.rename(tmp, p), s"marker rename failed: $tmp -> $p")
   }
 
   /** One epoch of [[ivfIngestTo]] — factored out so the replay-idempotence
@@ -543,7 +638,13 @@ object StreamOps {
    * are unchanged (same rows, same fold). Returns the lists row count.
    */
   def compactIvfIngestState(spark: org.apache.spark.sql.SparkSession,
-                            indexPath: String): Long =
+                            indexPath: String): Long = {
+    // the per-epoch centers copies key on the exact epoch layout this
+    // rewrite destroys — drop them (and the marker) so the next assigned
+    // epoch takes the safe recompute path instead of a stale-set match
+    val ce = new org.apache.hadoop.fs.Path(s"$indexPath/centers_epoch")
+    val fs = ce.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(ce)) { fs.delete(ce, true); () }
     // one task per cell keeps one file per cell directory
     consolidateEpochs(spark, s"$indexPath/lists") { (df, stageDir) =>
       df.repartition(col("__cellkey"))
@@ -552,9 +653,9 @@ object StreamOps {
       // nothing to consolidate (possibly because recovery just rolled a
       // crashed compaction forward) — report the live count
       val root = new org.apache.hadoop.fs.Path(s"$indexPath/lists")
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(root)) spark.read.parquet(root.toString).count() else 0L
     }
+  }
 
   /**
    * Streaming cross-corpus dedup against a FROZEN persisted index

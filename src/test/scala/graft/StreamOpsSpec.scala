@@ -567,6 +567,139 @@ class StreamOpsSpec extends AnyFunSuite {
       "replay must re-derive the identical assignment")
   }
 
+  // ---- per-epoch centers reuse (round 9) ----
+
+  /** Bytes read through the local ("file") scheme — Hadoop's global FS
+    * statistics, synchronous in local mode (all tasks complete before an
+    * epoch call returns). The delta across a block is the observable
+    * proof of how much on-disk data it actually scanned. */
+  private def fileBytesRead(): Long =
+    Option(org.apache.hadoop.fs.FileSystem.getGlobalStorageStatistics
+      .get("file"))
+      .flatMap(s => Option(s.getLong("bytesRead")).map(_.longValue()))
+      .getOrElse(0L)
+
+  private def dirBytes(path: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+    walk(new java.io.File(path))
+  }
+
+  test("assigned-epoch centers reuse: clean epochs skip the corpus scan, bit-identically") {
+    // arm A: normal path — epoch 1 may reuse epoch 0's stamped centers
+    val a = Files.createTempDirectory("graft-kmre-a").toString + "/idx"
+    StreamOps.ivfIngestBootstrap(kmSeedLabeled, a, "vec_id", "embedding",
+      "cell", dims = 4)
+    val r0 = StreamOps.ivfIngestAssignedEpoch(kmEpoch1, 0L, a, "vec_id",
+      "embedding", dims = 4)
+    assert(!r0, "epoch 0 has no marker (bootstrap writes none) — recompute")
+    val before1 = fileBytesRead()
+    val r1 = StreamOps.ivfIngestAssignedEpoch(kmEpoch2, 1L, a, "vec_id",
+      "embedding", dims = 4)
+    val bytesReuse = fileBytesRead() - before1
+    assert(r1, "clean epoch 1 must reuse epoch 0's stamped centers")
+    // arm B: marker deleted before epoch 1 — forced fallback recompute
+    // on an identical tree (same seed, same epoch 0)
+    val b = Files.createTempDirectory("graft-kmre-b").toString + "/idx"
+    StreamOps.ivfIngestBootstrap(kmSeedLabeled, b, "vec_id", "embedding",
+      "cell", dims = 4)
+    StreamOps.ivfIngestAssignedEpoch(kmEpoch1, 0L, b, "vec_id",
+      "embedding", dims = 4)
+    new java.io.File(s"$b/centers_epoch/__marker").delete()
+    val before1b = fileBytesRead()
+    val r1b = StreamOps.ivfIngestAssignedEpoch(kmEpoch2, 1L, b, "vec_id",
+      "embedding", dims = 4)
+    val bytesFallback = fileBytesRead() - before1b
+    assert(!r1b, "no marker — fallback recompute")
+    // the scan proof: the fallback's extra work is the assignment-time
+    // corpus fold — a second full read of the lists tree. The reuse arm
+    // reads the K-row stamped centers instead, so it must come in at
+    // least a meaningful fraction of the lists' on-disk bytes cheaper.
+    val listsBytes = dirBytes(s"$b/lists")
+    assert(bytesFallback - bytesReuse > (0.3 * listsBytes).toLong,
+      s"reuse did not skip the corpus scan: reuse=$bytesReuse " +
+        s"fallback=$bytesFallback lists=$listsBytes")
+    // and the reuse is bit-identical: same lists rows, same probe rows
+    def listRows(p: String) = spark.read.parquet(s"$p/lists")
+      .select("vec_id", "cell", "__batch").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(listRows(a) == listRows(b), "reuse changed the assignment")
+    assert(kmProbeRows(a) == kmProbeRows(b) && kmProbeRows(a).nonEmpty)
+  }
+
+  test("assigned-epoch centers reuse: every crash window degrades to the same rows") {
+    import graft.functions.Similarity
+    // reference arm: clean run of epochs 0 and 1
+    val ref = Files.createTempDirectory("graft-kmcw-r").toString + "/idx"
+    StreamOps.ivfIngestBootstrap(kmSeedLabeled, ref, "vec_id", "embedding",
+      "cell", dims = 4)
+    StreamOps.ivfIngestAssignedEpoch(kmEpoch1, 0L, ref, "vec_id",
+      "embedding", dims = 4)
+    StreamOps.ivfIngestAssignedEpoch(kmEpoch2, 1L, ref, "vec_id",
+      "embedding", dims = 4)
+    def listRows(p: String) = spark.read.parquet(s"$p/lists")
+      .select("vec_id", "cell", "__batch").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+
+    // window 1: epoch 1 crashed AFTER its lists write, BEFORE refresh +
+    // stamp (marker still epoch 0's; live centers possibly stale) —
+    // simulated by writing epoch 1's would-be lists partition directly,
+    // then replaying the full epoch
+    val w1 = Files.createTempDirectory("graft-kmcw-1").toString + "/idx"
+    StreamOps.ivfIngestBootstrap(kmSeedLabeled, w1, "vec_id", "embedding",
+      "cell", dims = 4)
+    StreamOps.ivfIngestAssignedEpoch(kmEpoch1, 0L, w1, "vec_id",
+      "embedding", dims = 4)
+    val preCenters = spark.read
+      .parquet(s"$w1/centers_epoch/__batch=0")
+    val labeled1 = kmEpoch2.select(col("vec_id"), col("embedding"))
+      .join(Similarity.assignAgainst(preCenters, kmEpoch2, "vec_id",
+        "embedding"), Seq("vec_id"))
+      .withColumnRenamed("cell", "cell")
+    labeled1.select(col("vec_id"), col("embedding"), col("cell"),
+        Similarity.norm(col("embedding")).as("__cn"),
+        col("cell").cast("string").as("__cellkey"))
+      .write.mode("overwrite").partitionBy("__cellkey")
+      .parquet(s"$w1/lists/__batch=1")
+    val re1 = StreamOps.ivfIngestAssignedEpoch(kmEpoch2, 1L, w1, "vec_id",
+      "embedding", dims = 4)
+    assert(re1, "marker still covers exactly the pre-epoch set — reuse ok")
+    assert(listRows(w1) == listRows(ref), "window-1 replay diverged")
+
+    // window 2: epoch 1 crashed AFTER marker write, BEFORE the stream
+    // committed — replaying the now-covered epoch must fall back and
+    // still re-derive identical rows (this is the existing replay test's
+    // shape, asserted against the reference arm)
+    val w2 = Files.createTempDirectory("graft-kmcw-2").toString + "/idx"
+    StreamOps.ivfIngestBootstrap(kmSeedLabeled, w2, "vec_id", "embedding",
+      "cell", dims = 4)
+    StreamOps.ivfIngestAssignedEpoch(kmEpoch1, 0L, w2, "vec_id",
+      "embedding", dims = 4)
+    StreamOps.ivfIngestAssignedEpoch(kmEpoch2, 1L, w2, "vec_id",
+      "embedding", dims = 4)
+    val re2 = StreamOps.ivfIngestAssignedEpoch(kmEpoch2, 1L, w2, "vec_id",
+      "embedding", dims = 4)
+    assert(!re2, "marker covers the replayed epoch itself — recompute")
+    assert(listRows(w2) == listRows(ref), "window-2 replay diverged")
+
+    // window 3: mid-refresh crash corrupted the LIVE centers table while
+    // the marker still names epoch 0's intact copy — the reuse must read
+    // the copy, never the live table
+    val w3 = Files.createTempDirectory("graft-kmcw-3").toString + "/idx"
+    StreamOps.ivfIngestBootstrap(kmSeedLabeled, w3, "vec_id", "embedding",
+      "cell", dims = 4)
+    StreamOps.ivfIngestAssignedEpoch(kmEpoch1, 0L, w3, "vec_id",
+      "embedding", dims = 4)
+    // simulate the torn overwrite: live centers emptied
+    val cdir = new java.io.File(s"$w3/centers")
+    cdir.listFiles().foreach(_.delete())
+    val re3 = StreamOps.ivfIngestAssignedEpoch(kmEpoch2, 1L, w3, "vec_id",
+      "embedding", dims = 4)
+    assert(re3, "reuse reads the stamped copy, not the live table")
+    assert(listRows(w3) == listRows(ref), "window-3 replay diverged")
+  }
+
   // ---- online text-dedup index maintenance (the IVF twin, round 8) ----
 
   private def dedupSeed = {

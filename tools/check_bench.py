@@ -106,6 +106,14 @@ def main():
             print(f"FAIL: {msg}")
         return 3
     print(f"OK: {path} parses, {len(queries)} queries, total {total:.1f}s")
+    # The one sentence a commit message may claim about this capture —
+    # derived ONLY from artifact fields, so the claim and the committed
+    # file can never disagree (round 8 committed "loadavg 0.28" beside an
+    # artifact recording [1.1, 2.16]). Copy it verbatim.
+    load_s = ("loadavg [" + ", ".join(f"{x:.2f}" for x in load) + "]"
+              if load else "loadavg unrecorded")
+    print(f"COMMIT-LINE: bench capture ({total:.1f}s / {len(queries)} "
+          f"queries, {load_s})")
     if len(sys.argv) > 2:
         drift_report(queries, sys.argv[2])
     return 0

@@ -102,10 +102,14 @@ object ProbeIndexed {
     val nVec = emb.count()
     val trainMod = math.max(1L, nVec / (50L * kCells)).toInt
     val kmPath = s"$tmp/ivf_km"
+    // superAssign = -1 (auto): past the crossover (K > 64) the final
+    // full-corpus assignment — the build's dominant O(n·K·d) term under
+    // K ∝ n — runs LSH-supercell-pruned; below it, exact. The contract
+    // queries pin the exact form; this measures the production build.
     val buildKm = time {
       val labeled = emb.join(
         Similarity.kmeansLabels(emb, "vec_id", "embedding", k = kCells,
-          iters = 2, trainMod = trainMod), Seq("vec_id"))
+          iters = 2, trainMod = trainMod, superAssign = -1), Seq("vec_id"))
       Similarity.buildIvfIndex(labeled, "vec_id", "embedding", "cell",
         kmPath, dims = 64)
     }

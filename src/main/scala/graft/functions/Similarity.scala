@@ -626,24 +626,29 @@ object Similarity {
    * (spec-pinned), so the knob moves continuously between recall and
    * cost.
    */
+  /** Supercell centroids (__sc, __scenter) of an LSH-bucketed centers
+    * frame — shared by the two-level probe and the pruned k-means
+    * assignment so the (deterministic) fold exists exactly once. */
+  private def superCentersOf(sc: DataFrame): DataFrame = sc
+    .select(col("__sc"), posexplode(col("__center")).as(Seq("pos", "v")))
+    .groupBy(col("__sc"), col("pos"))
+    // deterministic: supercells hold ≤ K rows — fold in cell order is
+    // unnecessary since avg over a sorted collect keeps ordering fixed
+    .agg(sort_array(collect_list(col("v"))).as("vs"), count(lit(1)).as("n"))
+    .select(col("__sc"), col("pos"),
+      (aggregate(col("vs"), lit(0.0), (a, x) => a + x) / col("n")).as("sv"))
+    .groupBy(col("__sc"))
+    .agg(sort_array(collect_list(struct(col("pos"), col("sv")))).as("ps"))
+    .select(col("__sc"),
+      transform(col("ps"), p => p.getField("sv")).as("__scenter"))
+
   private def probedCellsTwoLevel(centers: DataFrame, probes: DataFrame,
                                   nProbe: Int, superProbe: Int,
                                   bits: Int, offset: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     val sc = centers.withColumn("__sc",
       rankLshBucket(col("__center"), bits, offset))
-    val supers = sc
-      .select(col("__sc"), posexplode(col("__center")).as(Seq("pos", "v")))
-      .groupBy(col("__sc"), col("pos"))
-      // deterministic: supercells hold ≤ K rows — fold in cell order is
-      // unnecessary since avg over a sorted collect keeps ordering fixed
-      .agg(sort_array(collect_list(col("v"))).as("vs"), count(lit(1)).as("n"))
-      .select(col("__sc"), col("pos"),
-        (aggregate(col("vs"), lit(0.0), (a, x) => a + x) / col("n")).as("sv"))
-      .groupBy(col("__sc"))
-      .agg(sort_array(collect_list(struct(col("pos"), col("sv")))).as("ps"))
-      .select(col("__sc"),
-        transform(col("ps"), p => p.getField("sv")).as("__scenter"))
+    val supers = superCentersOf(sc)
     val sw = w.partitionBy(col("probe_id"))
       .orderBy(col("__sscos").desc, col("__sc"))
     val topSupers = supers.crossJoin(broadcast(probes))
@@ -909,7 +914,8 @@ object Similarity {
    */
   def kmeansLabels(df: DataFrame, idCol: String, vecCol: String, k: Int,
                    iters: Int = 2, dims: Int = 64,
-                   trainMod: Int = 1): DataFrame = {
+                   trainMod: Int = 1, superAssign: Int = 0,
+                   superBits: Int = 4, superOffset: Int = 32): DataFrame = {
     require(k >= 1 && iters >= 1 && trainMod >= 1,
       s"k=$k iters=$iters trainMod=$trainMod")
     TopKAgg.requireIntegralId(df, idCol, "kmeansLabels")
@@ -948,14 +954,106 @@ object Similarity {
     }
     // final round assigns the FULL corpus (the consumer recomputes the
     // final centers from these labels — ivfKnnJoin/cellCenters).
+    // At large K this pass is the k-means build's dominant term
+    // (O(n·K·d), quadratic-ish under the K ∝ n contract): superAssign
+    // engages the LSH-supercell-pruned assignment — -1 auto-engages past
+    // the same crossover the two-level probe uses (K > 2^superBits × 4),
+    // an explicit width forces it. The DEFAULT is 0 (exact) so the
+    // contract queries' unrolled SQL oracles stay engine-identical.
     // Checkpointed: the output is tiny (id, cell) but its lineage is the
     // corpus × centers scoring join, and a consumer that evaluates the
     // labels twice (buildIvfIndex: centers pass + lists write) would
     // re-run the assignment each time — measured 85 s → 18 s for the
     // 20k-vector / k=100 index build
-    assignCells(base, centers, idCol, vecCol)
+    val resolvedSuper =
+      if (superAssign >= 0) superAssign
+      else if (k > (1 << superBits) * 4) math.max(1, (1 << superBits) / 4)
+      else 0
+    (if (resolvedSuper > 0)
+      assignCellsPruned(base, centers, idCol, vecCol, resolvedSuper,
+        superBits, superOffset)
+    else assignCells(base, centers, idCol, vecCol))
       .select(col(idCol), col("__cell").as("cell"))
       .localCheckpoint(false)
+  }
+
+  /**
+   * [[assignCells]] with LSH-supercell pruning — the large-K form of the
+   * final full-corpus Lloyd's assignment, mirroring what
+   * [[probedCellsTwoLevel]] does for probes: the exact assignment scores
+   * every vector against every center (O(n·K·d) — at K ∝ n the ONE
+   * quadratic term left in the k-means build, measured dominant at
+   * 100×), while this ranks the ≤ 2^bits supercell centroids per vector
+   * and scores only the centers inside the top `superAssign` supercells
+   * (O(n·(2^bits + K·superAssign/2^bits)·d)). Same scoring arithmetic,
+   * same (cos DESC, cell ASC) tie-break, same zero-norm→-1; APPROXIMATE
+   * in the same sense as the two-level probe — a vector whose true best
+   * center's supercell ranks below the cut gets its best IN-CUT center
+   * instead. `superAssign >= 2^bits` degenerates to the exact assignment
+   * (every supercell selected ⟹ every center scored) — the spec's
+   * bit-parity anchor.
+   *
+   * Plan shape: everything up to the final top-1 aggregate is NARROW —
+   * supercells and cells ride along as one-row broadcast arrays, the
+   * per-vector supercell ranking is an array_sort over ≤ 2^bits entries,
+   * and candidates explode from a filtered broadcast array — so the only
+   * shuffle is the same n-group aggregate the exact path pays. No
+   * corpus-sized join, nothing driver-side beyond the K-row collect.
+   */
+  private def assignCellsPruned(base: DataFrame, centers: DataFrame,
+                                idCol: String, vecCol: String,
+                                superAssign: Int, bits: Int,
+                                offset: Int): DataFrame = {
+    val sc = centers.withColumn("__sc",
+      rankLshBucket(col("__center"), bits, offset))
+    val supersRow = superCentersOf(sc)
+      .select(struct(col("__sc"),
+        col("__scenter"), norm(col("__scenter")).as("__scn")).as("s"))
+      .agg(sort_array(collect_list(col("s"))).as("__supers"))
+    val cellsRow = sc
+      .select(struct(col("__sc"), col("__cell").cast("long").as("__cell"),
+        col("__center"), norm(col("__center")).as("__ccn")).as("c"))
+      .agg(sort_array(collect_list(col("c"))).as("__cells"))
+    val vn = col("__vn")
+    // per-row: score the supercells, keep the top `superAssign` ids
+    val scScored = filter(
+      transform(col("__supers"), s =>
+        struct(
+          when(vn * s.getField("__scn") > 0.0,
+            dot(col(vecCol), s.getField("__scenter")) /
+              (vn * s.getField("__scn"))).as("c"),
+          s.getField("__sc").as("sc"))),
+      x => x.getField("c").isNotNull && !isnan(x.getField("c")))
+    val scSorted = array_sort(scScored, (l, r) =>
+      when(l.getField("c") > r.getField("c"), -1)
+        .when(l.getField("c") < r.getField("c"), 1)
+        .when(l.getField("sc") < r.getField("sc"), -1)
+        .when(l.getField("sc") > r.getField("sc"), 1)
+        .otherwise(0))
+    val topScs = transform(slice(scSorted, 1, superAssign),
+      x => x.getField("sc"))
+    base.select(col(idCol), col(vecCol), norm(col(vecCol)).as("__vn"))
+      .crossJoin(broadcast(supersRow))
+      .crossJoin(broadcast(cellsRow))
+      .select(col(idCol), col(vecCol), vn, topScs.as("__scs"),
+        col("__cells"))
+      // explode_outer: a zero-norm vector selects no supercell and must
+      // still emit a group (null score → empty top-1 → cell -1 below)
+      .select(col(idCol), col(vecCol), vn,
+        explode_outer(filter(col("__cells"),
+          c => array_contains(col("__scs"), c.getField("__sc"))))
+          .as("__c"))
+      .select(col(idCol),
+        when(vn * col("__c").getField("__ccn") > 0.0,
+          dot(col(vecCol), col("__c").getField("__center")) /
+            (vn * col("__c").getField("__ccn"))).as("__cos"),
+        col("__c").getField("__cell").as("__cand"))
+      .groupBy(col(idCol))
+      .agg(TopKAgg(col("__cos"), col("__cand"), 1).as("__top"))
+      .select(col(idCol),
+        when(size(col("__top")) > 0,
+          col("__top").getItem(0).getField("id").cast("int"))
+          .otherwise(lit(-1)).as("__cell"))
   }
 
   /** One Lloyd's assignment step: (id, __cell) = the max-cosine center

@@ -88,4 +88,62 @@ class Round9OpsSpec extends AnyFunSuite {
       Set(1L, 9L),
       "threshold drops scored-low docs but not the token-less doc")
   }
+
+  // ---- pruned k-means final assignment (superAssign) ----
+
+  private def kmFixture = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77L)
+    // 4 well-separated axis clusters + jitter + one zero-norm vector
+    (1 to 120).map { i =>
+      val axis = i % 4
+      val v = Array.tabulate(8)(d =>
+        (if (d == axis * 2) 1.0f else 0.0f) + rnd.nextFloat() * 0.05f)
+      (i.toLong, v)
+    } :+ (999L, Array.fill(8)(0.0f))
+  }
+
+  test("kmeansLabels superAssign: degenerate width is bit-identical to exact") {
+    import spark.implicits._
+    val df = kmFixture.toDF("vec_id", "embedding")
+    def labels(sa: Int) = Similarity.kmeansLabels(df, "vec_id",
+      "embedding", k = 8, iters = 2, dims = 8, superAssign = sa,
+      superBits = 2, superOffset = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val exact = labels(0)
+    // superAssign >= 2^superBits selects every supercell ⟹ every center
+    // is scored with the same arithmetic and tie-break — bit-identical
+    assert(labels(4) == exact,
+      "degenerate pruned assignment must equal the exact assignment")
+    assert(exact(999L) == -1, "zero-norm vector must get cell -1")
+  }
+
+  test("kmeansLabels superAssign: pruned path labels every vector, auto respects crossover") {
+    import spark.implicits._
+    val df = kmFixture.toDF("vec_id", "embedding")
+    val exact = Similarity.kmeansLabels(df, "vec_id", "embedding", k = 8,
+      iters = 2, dims = 8)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // width 3 of 4 supercells: a real cut (the degenerate-parity test
+    // covers width = all), still expected to preserve most labels on
+    // separated clusters — the dim-8 fixture's LSH bits are noisy, so
+    // the bar is deliberately below the 64-dim production setting's
+    val pruned = Similarity.kmeansLabels(df, "vec_id", "embedding", k = 8,
+      iters = 2, dims = 8, superAssign = 3, superBits = 2, superOffset = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(pruned.keySet == exact.keySet,
+      "pruning must not drop vectors (incl. the zero-norm row)")
+    assert(pruned(999L) == -1)
+    // pruning can only reassign WITHIN the scored subset: on separated
+    // clusters the overwhelming majority of labels must agree
+    val agree = exact.count { case (id, c) => pruned(id) == c }
+    assert(agree >= (exact.size * 0.85).toInt,
+      s"pruned labels diverged too far: $agree/${exact.size}")
+    // auto: k=8 is under the crossover — must be the exact plan
+    val auto = Similarity.kmeansLabels(df, "vec_id", "embedding", k = 8,
+      iters = 2, dims = 8, superAssign = -1, superBits = 2,
+      superOffset = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(auto == exact, "auto below the crossover must stay exact")
+  }
 }

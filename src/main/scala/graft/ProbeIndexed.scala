@@ -65,10 +65,13 @@ object ProbeIndexed {
       Similarity.ivfKnnJoinIndexed(spark, ivfPath, probes,
         "vec_id", "embedding", "label", k = 5, nProbe = 2,
         superProbe = 4).count())).min
-    // did the auto default engage two-level on this corpus? (the rule in
-    // ivfKnnJoinIndexed: K > 2^superBits × 4 with superBits = 4)
+    // did the auto default engage two-level on this corpus? Resolved by
+    // THE library rule (Similarity.resolveSuperProbe at the default
+    // superBits), not a hand-copied literal — so the artifact's flag can
+    // never disagree with the plan the default call above actually ran
     val labelCells = spark.read.parquet(s"$ivfPath/centers").count()
-    val autoEngaged = labelCells > (1L << 4) * 4
+    val autoEngaged =
+      Similarity.resolveSuperProbe(labelCells, -1, superBits = 4) > 0
 
     // recall of the pruned probes vs exact brute force on the same 200:
     // quantifies what flat→two-level (and IVF itself) give up

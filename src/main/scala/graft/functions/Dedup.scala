@@ -397,7 +397,17 @@ object Dedup {
       size(array_intersect(sa, sb)).cast("double") /
         size(array_union(sa, sb))
     } { (c, na, nb) =>
-      c.cast("double") / (na + nb - c)
+      // c counts hash matches WITH multiplicity, so within-doc 28-bit
+      // collisions can push it past min(na, nb) — at c = na + nb the raw
+      // bound's denominator hits zero (ANSI: DIVIDE_BY_ZERO kills the
+      // job; non-ANSI: the pair silently drops despite exact jac 1.0).
+      // Clamping to min(na, nb) keeps the UPPER-BOUND invariant airtight:
+      // exact |A∩B| <= min(na, nb) and x/(na+nb-x) is increasing, so the
+      // clamped bound still dominates the exact score, and the
+      // denominator is >= max(na, nb) >= 1. When c <= min(na, nb) — every
+      // non-collision case — the clamp is the identity.
+      val cEff = least(c, least(na, nb))
+      cEff.cast("double") / (na + nb - cEff)
     }("jac", minJaccard)
 
   /**
@@ -490,6 +500,16 @@ object Dedup {
    * bit-identical to verifying every candidate — while the verify joins
    * ship string arrays only for near-threshold pairs (measured at
    * sf0.1: 113k candidate pairs → ~500 survivors).
+   *
+   * INPUT DETERMINISM: `df` is evaluated twice — once for the hash
+   * index (candidates), once for the surviving ids' string sets (the
+   * verify). Re-checkpointing the corpus TEXT just to fuse the two
+   * reads would materialize the whole input (the round-8 shape this
+   * replaced stored the strictly larger shingle-string arrays); every
+   * caller passes a deterministic parquet/fixture-backed frame, where
+   * the two evaluations are identical by construction. A
+   * nondeterministic source (rand()-derived ids, an uncheckpointed
+   * sample) must be checkpointed BY THE CALLER first.
    */
   private def verifiedPairs(df: DataFrame, idCol: String, textCol: String,
                             minShared: Int)(
@@ -511,16 +531,19 @@ object Dedup {
     val sizes = inv.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
     // candidate generation + bound prefilter run once (checkpoint): the
     // result feeds BOTH the id prune below and the final verify join.
-    // The sizes joins broadcast (one short row per corpus doc).
+    // The sizes joins are UNHINTED: sizes is one short row per corpus
+    // doc — corpus-proportional, so a forced broadcast() would ship the
+    // whole corpus's id space through the driver to every executor at
+    // 100 TB. AQE broadcasts it when (and only when) it actually fits.
     val cand = inv.select(col(idCol).as("doc_a"), col("h"))
       .join(inv.select(col(idCol).as("doc_b"), col("h")), Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter_approx"))
       .filter(col("inter_approx") >= minShared)
-      .join(broadcast(sizes.select(col(idCol).as("doc_a"),
-        col("__n").as("__na"))), "doc_a")
-      .join(broadcast(sizes.select(col(idCol).as("doc_b"),
-        col("__n").as("__nb"))), "doc_b")
+      .join(sizes.select(col(idCol).as("doc_a"),
+        col("__n").as("__na")), "doc_a")
+      .join(sizes.select(col(idCol).as("doc_b"),
+        col("__n").as("__nb")), "doc_b")
       .filter(bound(col("inter_approx"), col("__na"), col("__nb"))
         >= minScore)
       .select(col("doc_a"), col("doc_b"))

@@ -572,23 +572,57 @@ object Similarity {
    * partition-pruning filter — metadata-scale, like the one-row
    * broadcast bounds elsewhere.
    */
+  /**
+   * THE auto two-level crossover rule, in one place (the probe default,
+   * the pruned k-means assignment, and the ProbeIndexed artifact all
+   * resolve through it — a probe harness that hand-copied the literal
+   * would silently disagree with the plan that actually ran if the rule
+   * moved): explicit superProbe (>= 0) wins; auto (-1) engages two-level
+   * at width 2^superBits/4 only once the cell count K clears the
+   * supercell count with room (K > 2^superBits × 4 — below that the flat
+   * ranking is already as small as the supercell ranking and the extra
+   * stage is pure overhead: measured K=10 slower / K=1000 2.4× faster,
+   * PLANS.md round-6). Small indexes therefore keep exact flat probing:
+   * the auto default never changes a small-K caller's results.
+   */
+  private[graft] def resolveSuperProbe(nCells: Long, superProbe: Int,
+                                       superBits: Int): Int =
+    if (superProbe >= 0) superProbe
+    else if (nCells > (1L << superBits) * 4) math.max(1, (1 << superBits) / 4)
+    else 0
+
+  /** Row count of a parquet directory from file FOOTERS alone —
+    * driver-side metadata, no Spark job (each footer records its row
+    * groups' row counts). For the K-row centers tables this is
+    * milliseconds where a count() action pays full job-launch latency. */
+  private[graft] def parquetRowCount(spark: SparkSession,
+                                     dir: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(conf)
+    fs.listStatus(root).iterator
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(st, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+  }
+
   def ivfKnnJoinIndexed(spark: SparkSession, path: String, probes: DataFrame,
                         idCol: String, vecCol: String, labelCol: String,
                         k: Int, nProbe: Int = 2, superProbe: Int = -1,
                         superBits: Int = 4, superOffset: Int = 32): DataFrame = {
     val centers = spark.read.parquet(s"$path/centers")
-    // auto rule (superProbe = -1): two-level only pays once the cell
-    // count K clears the supercell count with room (K > 2^superBits ×
-    // 4 — below that the flat ranking is already as small as the
-    // supercell ranking, and the extra stage is pure overhead: measured
-    // K=10 slower / K=1000 2.4× faster at superProbe = 2^superBits/4,
-    // PLANS.md round-6), so small indexes keep exact flat probing and
-    // the auto default never changes a small-K caller's results.
-    val resolvedSuper =
-      if (superProbe >= 0) superProbe
-      else if (centers.count() > (1L << superBits) * 4)
-        math.max(1, (1 << superBits) / 4)
-      else 0
+    // auto resolution ([[resolveSuperProbe]]) needs only the CELL COUNT
+    // — read it from the centers parquet footers (driver-side metadata,
+    // no Spark job: the prior centers.count() action cost every
+    // BELOW-crossover default caller a full extra job just to resolve
+    // to the same flat plan — measured ~0.4 s per probe call at sf0.1)
+    val resolvedSuper = resolveSuperProbe(
+      if (superProbe >= 0) -1L else parquetRowCount(spark, s"$path/centers"),
+      superProbe, superBits)
     val probedCells =
       if (resolvedSuper > 0)
         probedCellsTwoLevel(centers, probes, nProbe, resolvedSuper,
@@ -965,10 +999,7 @@ object Similarity {
     // labels twice (buildIvfIndex: centers pass + lists write) would
     // re-run the assignment each time — measured 85 s → 18 s for the
     // 20k-vector / k=100 index build
-    val resolvedSuper =
-      if (superAssign >= 0) superAssign
-      else if (k > (1 << superBits) * 4) math.max(1, (1 << superBits) / 4)
-      else 0
+    val resolvedSuper = resolveSuperProbe(k.toLong, superAssign, superBits)
     (if (resolvedSuper > 0)
       assignCellsPruned(base, centers, idCol, vecCol, resolvedSuper,
         superBits, superOffset)
@@ -1004,6 +1035,13 @@ object Similarity {
                                 idCol: String, vecCol: String,
                                 superAssign: Int, bits: Int,
                                 offset: Int): DataFrame = {
+    // like [[assignCells]], the output __cell carries the INPUT centers'
+    // cell type (the TopKAgg id slot is long throughout, so the end cast
+    // is lossless for every admitted integral type) — today only
+    // kmeansLabels' int cells reach this path, but the two assignment
+    // forms must stay symmetric or a future long-celled caller would
+    // re-introduce the INT32-beside-INT64 truncation a69d632 fixed
+    val cellType = centers.schema("__cell").dataType
     val sc = centers.withColumn("__sc",
       rankLshBucket(col("__center"), bits, offset))
     val supersRow = superCentersOf(sc)
@@ -1052,8 +1090,8 @@ object Similarity {
       .agg(TopKAgg(col("__cos"), col("__cand"), 1).as("__top"))
       .select(col(idCol),
         when(size(col("__top")) > 0,
-          col("__top").getItem(0).getField("id").cast("int"))
-          .otherwise(lit(-1)).as("__cell"))
+          col("__top").getItem(0).getField("id").cast(cellType))
+          .otherwise(lit(-1).cast(cellType)).as("__cell"))
   }
 
   /** One Lloyd's assignment step: (id, __cell) = the max-cosine center

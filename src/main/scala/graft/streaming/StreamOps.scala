@@ -553,7 +553,30 @@ object StreamOps {
       .write.mode("overwrite")
       .parquet(s"$indexPath/centers_epoch/__batch=$batchId")
     writeCentersMarker(spark, indexPath, batchId, priorEpochs + batchId)
+    // only the marker's named copy is ever read — prune the rest, or a
+    // long-running stream accumulates one dead K-row directory per
+    // micro-batch (sustained small-file/namenode pressure at 10k
+    // epochs). Pruning AFTER the rename is crash-safe: a crash mid-prune
+    // leaves unreferenced copies the next completed epoch removes, and
+    // every reuse decision consults only the marker's own copy.
+    pruneCentersCopies(spark, indexPath, keep = batchId)
     reuse
+  }
+
+  /** Delete every `centers_epoch/__batch=N` copy except `keep` (the one
+    * the marker names). */
+  private def pruneCentersCopies(spark: org.apache.spark.sql.SparkSession,
+                                 indexPath: String, keep: Long): Unit = {
+    val root = new org.apache.hadoop.fs.Path(s"$indexPath/centers_epoch")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) {
+      fs.listStatus(root).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("__batch=") && n != s"__batch=$keep") {
+          fs.delete(st.getPath, true); ()
+        }
+      }
+    }
   }
 
   /** Epoch ids present under `lists/` (`__batch=N` directory names) —
@@ -709,6 +732,93 @@ object StreamOps {
         val verdicts = Dedup.dedupAgainstTables(b, cKeys, cSets, idCol,
           textCol, minJaccard)
         b.join(verdicts, Seq(idCol))
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        ()
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
+  /**
+   * Streaming ANN retrieval against a FROZEN persisted IVF index — the
+   * embedding twin of [[crossDedupTo]]: each micro-batch of (id, vector)
+   * probes the index ([[graft.functions.Similarity.ivfKnnJoinIndexed]])
+   * and lands its top-k neighbors `(probe_id, rank, neighbor_id, cos)`
+   * under `outPath/batch=N` — the "retrieve context for every arriving
+   * query/document from the trained corpus" pass. The index is NOT
+   * mutated by the stream (ingest is [[ivfIngestTo]] /
+   * [[ivfIngestAssignedTo]], on a path this stream must not race), so
+   * batches are independent and the epoch overwrite alone gives replay
+   * idempotence.
+   *
+   * Scale shape: unlike [[crossDedupTo]] — whose bucket joins need the
+   * whole key/set tables, pinned once in replicated storage — the IVF
+   * probe's corpus access is partition-PRUNED to the probed cells'
+   * directories, so nothing here preloads the corpus: each micro-batch
+   * reads the K-row centers plus only its own probed cells from disk,
+   * which is the index's build-once / probe-many contract working as
+   * designed. `superProbe` defaults to the library's auto two-level rule
+   * ([[graft.functions.Similarity.resolveSuperProbe]]).
+   *
+   * Probe ids share the index's id space semantics: a corpus row whose
+   * id EQUALS the probe's id is excluded as "self" (the probe contract —
+   * re-probing corpus members skips their own row). Use disjoint id
+   * ranges if the stream's ids are unrelated to the corpus's. Duplicate
+   * ids WITHIN a micro-batch collapse to one probe before scoring.
+   */
+  def annProbeTo(vectors: DataFrame, indexPath: String, outPath: String,
+                 checkpoint: String, idCol: String, vecCol: String,
+                 labelCol: String = "cell", k: Int = 5, nProbe: Int = 2,
+                 superProbe: Int = -1,
+                 availableNow: Boolean = true): StreamingQuery = {
+    import graft.functions.Similarity
+    val spark = vectors.sparkSession
+    val writer = vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val probes = batch.dropDuplicates(idCol)
+          .select(col(idCol).as("probe_id"), col(vecCol).as("__pv"))
+        Similarity.ivfKnnJoinIndexed(spark, indexPath, probes, idCol,
+          vecCol, labelCol, k, nProbe, superProbe)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        ()
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
+  /**
+   * Streaming EMBEDDING cross-dedup against a frozen persisted IVF index
+   * — [[crossDedupTo]]'s semantic-dup form: each arriving vector gets a
+   * verdict row `(idCol, dup_of, cos, admitted)` — its best corpus
+   * neighbor when that neighbor's cosine clears `minCos`
+   * (`admitted = false`), else admitted with null `dup_of`/`cos` — the
+   * SemDeDup admission decision ([[graft.functions.Similarity]]'s
+   * semantic dedup family) run online against the trained corpus. Same
+   * frozen-index/epoch-overwrite idempotence and pruned-probe scale
+   * shape as [[annProbeTo]] (the verdict is derived from its k = 1
+   * probe); a probe whose cells hold no corpus vectors (or a zero-norm
+   * vector) yields no neighbor row and is admitted.
+   */
+  def embedDedupTo(vectors: DataFrame, indexPath: String, outPath: String,
+                   checkpoint: String, idCol: String, vecCol: String,
+                   labelCol: String = "cell", minCos: Double = 0.9,
+                   nProbe: Int = 2, superProbe: Int = -1,
+                   availableNow: Boolean = true): StreamingQuery = {
+    import graft.functions.Similarity
+    val spark = vectors.sparkSession
+    val writer = vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.dropDuplicates(idCol).localCheckpoint(false)
+        val best = Similarity.ivfKnnJoinIndexed(spark, indexPath,
+          b.select(col(idCol).as("probe_id"), col(vecCol).as("__pv")),
+          idCol, vecCol, labelCol, k = 1, nProbe, superProbe)
+          .filter(col("cos") >= minCos)
+          .select(col("probe_id").as(idCol),
+            col("neighbor_id").as("dup_of"), col("cos"))
+        b.join(best, Seq(idCol), "left")
+          .withColumn("admitted", col("dup_of").isNull)
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
         ()
       }

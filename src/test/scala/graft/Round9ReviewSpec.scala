@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Dedup, ShingleHash, Similarity, TextFns}
+
+/** Round-9 second-review fixes: the Jaccard hash-bound's degenerate
+  * denominator, the footer-based centers count behind the auto probe
+  * default, and the shared auto-crossover rule. */
+class Round9ReviewSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  // ---- Jaccard bound: within-doc 28-bit collision cannot zero the ----
+  // ---- denominator or drop a true duplicate                       ----
+
+  // "x16529 b c y5471" was searched offline so that its two DISTINCT
+  // trigram shingles "x16529 b c" and "b c y5471" share the md5-28
+  // prefix 0xef66a18 — the hash-join match count c then counts each
+  // cross match (c = 4 > na = nb = 2), and the raw bound c/(na+nb-c)
+  // divides by zero (ANSI: job-killing DIVIDE_BY_ZERO; non-ANSI: the
+  // exact-jac-1.0 pair silently dropped).
+  private val collidingText = "x16529 b c y5471"
+
+  test("premise: the fixture doc's two distinct shingles collide at 28 bits") {
+    import spark.implicits._
+    val row = Seq(collidingText).toDF("text")
+      .select(ShingleHash.h28(col("text")).as("hs"),
+        TextFns.shingles(col("text")).as("ss"))
+      .collect()(0)
+    val hs = row.getSeq[Long](0)
+    val ss = row.getSeq[String](1)
+    assert(ss.length == 2 && ss(0) != ss(1),
+      s"fixture must hold two distinct shingle strings: $ss")
+    assert(hs.length == 2 && hs(0) == hs(1),
+      s"fixture shingles must collide at 28 bits: $hs")
+  }
+
+  test("ngramJaccard survives the colliding doc pair and keeps it at jac 1.0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, collidingText),
+      (2L, collidingText),
+      (3L, "totally unrelated filler words that shingle elsewhere entirely"))
+      .toDF("doc_id", "text")
+    val out = Dedup.ngramJaccard(docs, "doc_id", "text",
+      minJaccard = 0.8, minShared = 2).collect()
+    assert(out.length == 1, s"exactly the colliding pair: ${out.toSeq}")
+    val r = out(0)
+    assert((r.getLong(0), r.getLong(1)) == (1L, 2L))
+    assert(r.getDouble(2) == 1.0)
+  }
+
+  // ---- footer-based parquet row count (the auto default's K probe) ----
+
+  test("parquetRowCount matches count() across a multi-file table") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-prc").toString + "/t"
+    (1 to 1000).toDF("x").repartition(3).write.parquet(dir)
+    assert(Similarity.parquetRowCount(spark, dir) == 1000L)
+  }
+
+  // ---- the single auto-crossover rule ----
+
+  test("resolveSuperProbe: explicit pins win; auto engages past K > 2^bits*4") {
+    // explicit values are passed through untouched — the contract rows'
+    // pinned-flat promise and the explicit-width form
+    assert(Similarity.resolveSuperProbe(1000L, 0, 4) == 0)
+    assert(Similarity.resolveSuperProbe(10L, 7, 4) == 7)
+    // auto: flat at or below the crossover, width 2^bits/4 beyond it
+    assert(Similarity.resolveSuperProbe(64L, -1, 4) == 0)
+    assert(Similarity.resolveSuperProbe(65L, -1, 4) == 4)
+    assert(Similarity.resolveSuperProbe(10L, -1, 4) == 0)
+    // degenerate small superBits still yields a positive width
+    assert(Similarity.resolveSuperProbe(100L, -1, 1) == 1)
+  }
+}

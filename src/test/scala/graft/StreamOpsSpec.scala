@@ -700,6 +700,23 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(listRows(w3) == listRows(ref), "window-3 replay diverged")
   }
 
+  test("assigned-epoch centers copies are pruned to the marker's one") {
+    // only the marker-named copy is ever read, so a long-running stream
+    // must not accumulate one dead K-row directory per micro-batch
+    val p = Files.createTempDirectory("graft-kmpr").toString + "/idx"
+    StreamOps.ivfIngestBootstrap(kmSeedLabeled, p, "vec_id", "embedding",
+      "cell", dims = 4)
+    StreamOps.ivfIngestAssignedEpoch(kmEpoch1, 0L, p, "vec_id",
+      "embedding", dims = 4)
+    val r1 = StreamOps.ivfIngestAssignedEpoch(kmEpoch2, 1L, p, "vec_id",
+      "embedding", dims = 4)
+    assert(r1, "pruning must not break the clean-epoch reuse chain")
+    val copies = new java.io.File(s"$p/centers_epoch").listFiles()
+      .map(_.getName).filter(_.startsWith("__batch=")).toSet
+    assert(copies == Set("__batch=1"),
+      s"stale per-epoch centers copies not pruned: $copies")
+  }
+
   // ---- online text-dedup index maintenance (the IVF twin, round 8) ----
 
   private def dedupSeed = {
@@ -816,6 +833,82 @@ class StreamOpsSpec extends AnyFunSuite {
     // streamed rows carry the doc columns alongside the verdict
     assert(spark.read.parquet(out).columns.toSet
       .contains("text"))
+  }
+
+  // ---- streaming ANN probe / embedding cross-dedup (round 9) ----
+
+  private def annProbeBatch = {
+    import spark.implicits._
+    Seq(
+      // near-dup of corpus vec 0/1's direction
+      (100L, Array(1.0f, 0.12f, 0.0f, 0.0f)),
+      // off-axis: best corpus cosine well under a tight threshold
+      (101L, Array(0.5f, 0.5f, 0.7f, 0.0f)),
+      // zero-norm: no neighbor row at all
+      (102L, Array(0.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("annProbeTo: streamed top-k ≡ the batch indexed probe; index untouched") {
+    import graft.functions.Similarity
+    val idx = Files.createTempDirectory("graft-ap-idx").toString + "/idx"
+    Similarity.buildIvfIndex(kmSeedLabeled, "vec_id", "embedding", "cell",
+      idx, dims = 4)
+    val listsBefore = spark.read.parquet(s"$idx/lists").count()
+    val in = Files.createTempDirectory("graft-ap-in").toString
+    // probe 100 delivered twice (at-least-once upstream): must collapse
+    annProbeBatch.unionByName(annProbeBatch.filter(col("vec_id") === 100L))
+      .coalesce(1).write.mode("append").parquet(in)
+    val out = Files.createTempDirectory("graft-ap-out").toString + "/out"
+    val q = StreamOps.annProbeTo(
+      spark.readStream.schema(annProbeBatch.schema).parquet(in),
+      idx, out, Files.createTempDirectory("graft-ap-ck").toString,
+      "vec_id", "embedding", k = 2)
+    q.awaitTermination()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("probe_id", "rank", "neighbor_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+    val got = rows(spark.read.parquet(out))
+    val want = rows(Similarity.ivfKnnJoinIndexed(spark, idx,
+      annProbeBatch.select(col("vec_id").as("probe_id"),
+        col("embedding").as("__pv")),
+      "vec_id", "embedding", "cell", k = 2, nProbe = 2))
+    assert(got == want && got.nonEmpty,
+      "streamed neighbors must equal the batch probe")
+    assert(spark.read.parquet(out).filter(col("probe_id") === 100L)
+      .select("rank").collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2),
+      "duplicate in-batch probe ids must collapse to one top-k set")
+    assert(!got.exists(_._1 == 102L), "zero-norm probe has no neighbors")
+    assert(spark.read.parquet(s"$idx/lists").count() == listsBefore,
+      "the frozen index must not be mutated")
+  }
+
+  test("embedDedupTo: near-dup rejected with its corpus source, rest admitted") {
+    import graft.functions.Similarity
+    val idx = Files.createTempDirectory("graft-ed-idx").toString + "/idx"
+    Similarity.buildIvfIndex(kmSeedLabeled, "vec_id", "embedding", "cell",
+      idx, dims = 4)
+    val in = Files.createTempDirectory("graft-ed-in").toString
+    annProbeBatch.coalesce(1).write.mode("append").parquet(in)
+    val out = Files.createTempDirectory("graft-ed-out").toString + "/out"
+    val q = StreamOps.embedDedupTo(
+      spark.readStream.schema(annProbeBatch.schema).parquet(in),
+      idx, out, Files.createTempDirectory("graft-ed-ck").toString,
+      "vec_id", "embedding", minCos = 0.95)
+    q.awaitTermination()
+    val got = spark.read.parquet(out)
+      .select("vec_id", "dup_of", "admitted").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), r.getBoolean(2))).toSet
+    // 100 ≈ corpus direction (cos > 0.99 vs vec 0/1) → rejected;
+    // 101's best corpus cosine < 0.95 → admitted; zero-norm → admitted
+    assert(got.exists { case (id, dup, adm) =>
+      id == 100L && dup.isDefined && !adm }, s"$got")
+    assert(got.contains((101L, None, true)), s"$got")
+    assert(got.contains((102L, None, true)), s"$got")
+    // every input vector got exactly one verdict row, columns carried
+    assert(spark.read.parquet(out).count() == 3)
+    assert(spark.read.parquet(out).columns.toSet.contains("embedding"))
   }
 
   test("compactDedupIngestState consolidates epochs, probe unchanged") {

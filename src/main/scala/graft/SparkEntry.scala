@@ -873,6 +873,20 @@ object SparkEntry {
     "dedup_repeated_spans" -> ((s, dir) =>
       Dedup.repeatedSpans(documents(s, dir), "doc_id", "text", 8, 4)),
 
+    // Line-level boilerplate removal (Dedup.dedupLines): lines repeated
+    // across >= 2 distinct docs are stripped and every doc comes back
+    // REWRITTEN. The corpus has no newlines, so the query derives its
+    // lines first — a break after every 8th word, via a regexp both
+    // engines evaluate identically (RE2 and java.util.regex agree on
+    // this pattern; backref syntax is the one divergence, $1 vs \1)
+    "dedup_lines" -> ((s, dir) => {
+      val lined = documents(s, dir).select(col("doc_id"),
+        regexp_replace(col("text"), "((?:\\S+ ){7}\\S+) ", "$1\n")
+          .as("text"))
+      Dedup.dedupLines(lined, "doc_id", "text", minDocs = 2,
+        minLineChars = 10)
+    }),
+
     // End-to-end training-data prep in ONE query — the composition a
     // real pipeline runs: inject exact dups → exact-dedup to keepers →
     // quality-filter → deterministic split assignment → per-(split,lang)
@@ -2238,6 +2252,27 @@ object SparkEntry {
         "SELECT span_md5, CAST(count(*) AS BIGINT) AS n_docs, " +
         "min(doc_id) AS min_doc, max(doc_id) AS max_doc " +
         "FROM d GROUP BY span_md5 HAVING count(*) > 1"),
+
+    "dedup_lines" ->
+      // same derived 8-word lines (RE2 backref \1 == Java $1 here), same
+      // >= 2-distinct-doc / >= 10-char dup rule, same position-ordered
+      // rewrite; n_removed counts the doc's stripped lines
+      ("WITH lined AS (SELECT doc_id, regexp_replace(text, " +
+        "'((?:\\S+ ){7}\\S+) ', '\\1' || chr(10), 'g') AS text " +
+        "FROM documents), " +
+        "l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line, " +
+        "unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos " +
+        "FROM lined), " +
+        "dup AS (SELECT line FROM l WHERE length(line) >= 10 " +
+        "GROUP BY line HAVING count(DISTINCT doc_id) >= 2), " +
+        "kept AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) " +
+        "AS clean_text, count(*) AS kept FROM l " +
+        "WHERE line NOT IN (SELECT line FROM dup) GROUP BY doc_id), " +
+        "tot AS (SELECT doc_id, count(*) AS tot FROM l GROUP BY doc_id) " +
+        "SELECT d.doc_id, COALESCE(k.clean_text, '') AS clean_text, " +
+        "(COALESCE(t.tot, 0) - COALESCE(k.kept, 0)) AS n_removed " +
+        "FROM documents d LEFT JOIN tot t USING (doc_id) " +
+        "LEFT JOIN kept k USING (doc_id)"),
 
     "pipeline_e2e" ->
       // the composed chain: inject dups → keep min-id per content hash →

@@ -791,4 +791,70 @@ object Dedup {
         min(col(idCol)).as("min_doc"), max(col(idCol)).as("max_doc"))
       .filter(col("n_docs") > 1)
   }
+
+  /**
+   * Line-level corpus dedup, the document-REWRITING form (the
+   * boilerplate-removal pass web-scale training pipelines run before
+   * document-level dedup: navigation chrome, cookie banners, and license
+   * headers repeat across a domain's pages while the documents
+   * themselves are distinct, so document-granular dedup never sees
+   * them): every line occurring in at least `minDocs` DISTINCT
+   * documents is removed from every document that contains it, and each
+   * document comes back rewritten — (idCol, clean_text, n_removed) —
+   * with its surviving lines re-joined in original order. Lines shorter
+   * than `minLineChars` (blank separators, "1.", stray punctuation) are
+   * never treated as duplicates: ubiquitous-but-tiny lines are
+   * structure, not boilerplate, and removing them would mangle every
+   * document in the corpus.
+   *
+   * Scale shape: explode to (doc, pos, line) — corpus-linear, like the
+   * shingle index — then one line-keyed aggregate finds the duplicated
+   * lines, a left-anti join drops them, and one doc-keyed aggregate
+   * re-joins survivors (positions make the rebuild order-exact under
+   * any partitioning). No corpus × corpus anywhere; the duplicated-line
+   * side of the anti join is bounded by the number of REPEATED lines,
+   * not the corpus, and AQE picks broadcast when it fits. Join keys are
+   * the exact line strings — the string-exact anchor ([[ngramJaccard]]
+   * precedent); a hash-keyed variant would shuffle 8-byte keys instead
+   * but admit (vanishingly rare) collision-removals.
+   *
+   * A document whose every line is boilerplate yields clean_text = ""
+   * (kept as a row — the caller decides whether empty docs survive, and
+   * a downstream [[graft.functions.TextFns.qualityScore]] gate drops
+   * them naturally).
+   */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+                 minDocs: Int = 2, minLineChars: Int = 10): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    // the exploded lines feed the dup detection AND the rebuild (no
+    // cross-branch CSE in Spark); checkpointed like the shingle index
+    val lines = df.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+      .localCheckpoint(false)
+    val dup = lines
+      .filter(length(col("__line")) >= minLineChars)
+      .groupBy(col("__line"))
+      .agg(count_distinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__line"))
+    val kept = lines.join(dup, Seq("__line"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws("\n",
+          transform(
+            array_sort(collect_list(struct(col("__pos"), col("__line")))),
+            e => e.getField("__line"))).as("clean_text"),
+        count(lit(1)).as("__kept"))
+    val totals = lines.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__tot"))
+    // left joins from the input: a fully-boilerplate doc has no kept
+    // rows but must still come back (empty, with its removal count)
+    df.select(col(idCol))
+      .join(totals, Seq(idCol), "left")
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (coalesce(col("__tot"), lit(0L)) - coalesce(col("__kept"), lit(0L)))
+          .as("n_removed"))
+  }
 }

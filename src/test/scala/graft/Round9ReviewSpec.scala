@@ -62,6 +62,38 @@ class Round9ReviewSpec extends AnyFunSuite {
     assert(Similarity.parquetRowCount(spark, dir) == 1000L)
   }
 
+  // ---- line-level boilerplate removal ----
+
+  test("dedupLines strips cross-doc lines, keeps order, short lines, singles") {
+    import spark.implicits._
+    val boiler = "subscribe to our newsletter today"
+    val legal = "all rights reserved by the publisher"
+    val docs = Seq(
+      (1L, s"$boiler\nunique first content line\n--\n$legal"),
+      (2L, s"another document body here\n$boiler\n--"),
+      // doc 3 is ENTIRELY boilerplate → rewritten to empty, still a row
+      (3L, s"$boiler\n$legal"),
+      // doc 4 repeats the boilerplate line twice WITHIN itself: both
+      // occurrences stripped, but its within-doc repetition alone (one
+      // distinct doc) would never mark a line as boilerplate
+      (4L, s"$boiler\nmiddle matter stays\n$boiler"),
+      (5L, "wholly unrelated single document"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupLines(docs, "doc_id", "text",
+      minDocs = 2, minLineChars = 10)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    // boiler is in docs 1,2,3,4 and legal in docs 1,3 → both boilerplate;
+    // "--" is in 2 docs but under minLineChars → kept (structure)
+    assert(out(1L) == ("unique first content line\n--", 2L), out(1L))
+    assert(out(2L) == (s"another document body here\n--", 1L))
+    assert(out(3L) == ("", 2L), "all-boilerplate doc → empty, counted")
+    assert(out(4L) == ("middle matter stays", 2L),
+      "both in-doc occurrences of a corpus-duplicated line are stripped")
+    assert(out(5L) == ("wholly unrelated single document", 0L))
+    assert(out.size == 5)
+  }
+
   // ---- the single auto-crossover rule ----
 
   test("resolveSuperProbe: explicit pins win; auto engages past K > 2^bits*4") {

@@ -876,12 +876,16 @@ object SparkEntry {
     // Line-level boilerplate removal (Dedup.dedupLines): lines repeated
     // across >= 2 distinct docs are stripped and every doc comes back
     // REWRITTEN. The corpus has no newlines, so the query derives its
-    // lines first — a break after every 8th word, via a regexp both
-    // engines evaluate identically (RE2 and java.util.regex agree on
-    // this pattern; backref syntax is the one divergence, $1 vs \1)
+    // lines first — a break after every 8th word. The word class is the
+    // EXPLICIT [^ ] (not \S): \S differs between java.util.regex and
+    // RE2 on U+000B, so a vertical tab in a future corpus would break
+    // the two engines' lines at different offsets; [^ ] is
+    // engine-identical by construction AND is the true word model here
+    // (words are space-delimited). Backref syntax is the one remaining
+    // divergence, $1 vs \1.
     "dedup_lines" -> ((s, dir) => {
       val lined = documents(s, dir).select(col("doc_id"),
-        regexp_replace(col("text"), "((?:\\S+ ){7}\\S+) ", "$1\n")
+        regexp_replace(col("text"), "((?:[^ ]+ ){7}[^ ]+) ", "$1\n")
           .as("text"))
       Dedup.dedupLines(lined, "doc_id", "text", minDocs = 2,
         minLineChars = 10)
@@ -2254,11 +2258,12 @@ object SparkEntry {
         "FROM d GROUP BY span_md5 HAVING count(*) > 1"),
 
     "dedup_lines" ->
-      // same derived 8-word lines (RE2 backref \1 == Java $1 here), same
-      // >= 2-distinct-doc / >= 10-char dup rule, same position-ordered
-      // rewrite; n_removed counts the doc's stripped lines
+      // same derived 8-word [^ ]-class lines (engine-identical; RE2
+      // backref \1 == Java $1), same >= 2-distinct-doc / >= 10-char dup
+      // rule, same position-ordered rewrite; n_removed counts the doc's
+      // stripped lines
       ("WITH lined AS (SELECT doc_id, regexp_replace(text, " +
-        "'((?:\\S+ ){7}\\S+) ', '\\1' || chr(10), 'g') AS text " +
+        "'((?:[^ ]+ ){7}[^ ]+) ', '\\1' || chr(10), 'g') AS text " +
         "FROM documents), " +
         "l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line, " +
         "unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos " +

@@ -601,7 +601,13 @@ object Similarity {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = root.getFileSystem(conf)
     fs.listStatus(root).iterator
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      // mirror Spark's data-file filter exactly: hidden files ('_'/'.'
+      // prefixes — _SUCCESS, staged copies, temp files) are invisible to
+      // spark.read.parquet, so counting their footers would diverge from
+      // the count() this replaces and could flip the auto probe plan
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")
+        && !st.getPath.getName.startsWith("_")
+        && !st.getPath.getName.startsWith("."))
       .map { st =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
           .fromStatus(st, conf)
@@ -619,10 +625,13 @@ object Similarity {
     // — read it from the centers parquet footers (driver-side metadata,
     // no Spark job: the prior centers.count() action cost every
     // BELOW-crossover default caller a full extra job just to resolve
-    // to the same flat plan — measured ~0.4 s per probe call at sf0.1)
-    val resolvedSuper = resolveSuperProbe(
-      if (superProbe >= 0) -1L else parquetRowCount(spark, s"$path/centers"),
-      superProbe, superBits)
+    // to the same flat plan — measured ~0.4 s per probe call at sf0.1).
+    // Explicit pins short-circuit BEFORE the footer read (no dummy
+    // count threaded through the resolver).
+    val resolvedSuper =
+      if (superProbe >= 0) superProbe
+      else resolveSuperProbe(parquetRowCount(spark, s"$path/centers"),
+        superProbe, superBits)
     val probedCells =
       if (resolvedSuper > 0)
         probedCellsTwoLevel(centers, probes, nProbe, resolvedSuper,

@@ -60,6 +60,17 @@ class Round9ReviewSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("graft-prc").toString + "/t"
     (1 to 1000).toDF("x").repartition(3).write.parquet(dir)
     assert(Similarity.parquetRowCount(spark, dir) == 1000L)
+    // hidden files are invisible to spark.read.parquet and must be
+    // invisible to the footer count too, or a stray staged copy would
+    // flip the auto probe plan on a small index
+    val d = new java.io.File(dir)
+    val part = d.listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      new java.io.File(d, "_stray.parquet").toPath)
+    java.nio.file.Files.copy(part.toPath,
+      new java.io.File(d, ".hidden.parquet").toPath)
+    assert(Similarity.parquetRowCount(spark, dir) == 1000L,
+      "hidden '_'/'.' files must not count")
   }
 
   // ---- line-level boilerplate removal ----

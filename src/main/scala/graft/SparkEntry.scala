@@ -891,6 +891,16 @@ object SparkEntry {
         minLineChars = 10)
     }),
 
+    // The 100 TB shape: dup detection and strip keyed on the 60-bit
+    // line hash (8-byte shuffle keys); rebuild byte-exact
+    "dedup_lines_h60" -> ((s, dir) => {
+      val lined = documents(s, dir).select(col("doc_id"),
+        regexp_replace(col("text"), "((?:[^ ]+ ){7}[^ ]+) ", "$1\n")
+          .as("text"))
+      Dedup.dedupLinesByHash(lined, "doc_id", "text", minDocs = 2,
+        minLineChars = 10)
+    }),
+
     // End-to-end training-data prep in ONE query — the composition a
     // real pipeline runs: inject exact dups → exact-dedup to keepers →
     // quality-filter → deterministic split assignment → per-(split,lang)
@@ -2279,6 +2289,27 @@ object SparkEntry {
         "FROM documents d LEFT JOIN tot t USING (doc_id) " +
         "LEFT JOIN kept k USING (doc_id)"),
 
+    "dedup_lines_h60" ->
+      // identical strip-and-rewrite, dup key = 60-bit line hash
+      ("WITH lined AS (SELECT doc_id, regexp_replace(text, " +
+        "'((?:[^ ]+ ){7}[^ ]+) ', '\\1' || chr(10), 'g') AS text " +
+        "FROM documents), " +
+        "l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line, " +
+        "unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos " +
+        "FROM lined), " +
+        s"dup AS (SELECT ${Dedup.hash60Sql("line")} AS k FROM l " +
+        "WHERE length(line) >= 10 " +
+        "GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2), " +
+        "kept AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) " +
+        "AS clean_text, count(*) AS kept FROM l " +
+        s"WHERE ${Dedup.hash60Sql("line")} NOT IN (SELECT k FROM dup) " +
+        "GROUP BY doc_id), " +
+        "tot AS (SELECT doc_id, count(*) AS tot FROM l GROUP BY doc_id) " +
+        "SELECT d.doc_id, COALESCE(k.clean_text, '') AS clean_text, " +
+        "(COALESCE(t.tot, 0) - COALESCE(k.kept, 0)) AS n_removed " +
+        "FROM documents d LEFT JOIN tot t USING (doc_id) " +
+        "LEFT JOIN kept k USING (doc_id)"),
+
     "pipeline_e2e" ->
       // the composed chain: inject dups → keep min-id per content hash →
       // quality >= 0.55 (identical IEEE score expression) → hash-slot
@@ -2297,7 +2328,9 @@ object SparkEntry {
 
     "dedup_jaccard_h60" ->
       // hash-count arithmetic only: c = shared 60-bit hashes, sizes =
-      // per-doc hash counts; jac = c / (na + nb - c)
+      // per-doc hash counts; jac = least(c, na, nb) / (na + nb - that)
+      // (the same collision-safe clamp the Spark side applies — identity
+      // whenever c <= min(na, nb), i.e. in every real case)
       (shingleCte + ", " +
         s"h AS (SELECT doc_id, ${Dedup.hash60Sql("sg")} AS h FROM sh), " +
         "sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM h GROUP BY 1), " +
@@ -2305,10 +2338,12 @@ object SparkEntry {
         "CAST(count(*) AS BIGINT) AS c FROM h a JOIN h b " +
         "ON a.h = b.h AND a.doc_id < b.doc_id " +
         "GROUP BY 1, 2 HAVING count(*) >= 2) " +
-        "SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jac " +
+        "SELECT doc_a, doc_b, CAST(least(c, sa.n, sb.n) AS DOUBLE) / " +
+        "(sa.n + sb.n - least(c, sa.n, sb.n)) AS jac " +
         "FROM cand JOIN sizes sa ON sa.doc_id = doc_a " +
         "JOIN sizes sb ON sb.doc_id = doc_b " +
-        "WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8 " +
+        "WHERE CAST(least(c, sa.n, sb.n) AS DOUBLE) / " +
+        "(sa.n + sb.n - least(c, sa.n, sb.n)) >= 0.8 " +
         "ORDER BY doc_a, doc_b"),
 
     "dedup_containment_h60" ->

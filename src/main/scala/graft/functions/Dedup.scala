@@ -443,8 +443,16 @@ object Dedup {
                          minJaccard: Double = 0.8,
                          minShared: Int = 2): DataFrame =
     hashPairCounts(df, idCol, textCol, minShared)
-      .withColumn("jac", col("__c").cast("double") /
-        (col("__na") + col("__nb") - col("__c")))
+      // same clamp as the exact path's prefilter bound: c counts hash
+      // matches with multiplicity, so a (vanishing at 60 bits, but
+      // possible) within-doc collision pushing c past na+nb would zero
+      // the denominator — ANSI kills the job. Clamped to min(na, nb)
+      // the denominator is >= max(na, nb) >= 1, and below that ceiling
+      // — every real case — the clamp is the identity, so the reported
+      // jac is unchanged where the estimate was sane at all.
+      .withColumn("__ce", least(col("__c"), least(col("__na"), col("__nb"))))
+      .withColumn("jac", col("__ce").cast("double") /
+        (col("__na") + col("__nb") - col("__ce")))
       .filter(col("jac") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("jac"))
 
@@ -824,7 +832,30 @@ object Dedup {
    * them naturally).
    */
   def dedupLines(df: DataFrame, idCol: String, textCol: String,
-                 minDocs: Int = 2, minLineChars: Int = 10): DataFrame = {
+                 minDocs: Int = 2, minLineChars: Int = 10): DataFrame =
+    dedupLinesKeyed(df, idCol, textCol, minDocs, minLineChars, identity)
+
+  /**
+   * [[dedupLines]]'s 100 TB shape ([[ngramJaccardByHash]] precedent):
+   * the duplicated-line detection and the strip join key on the 60-BIT
+   * HASH of each line instead of the line string, so the line-keyed
+   * shuffle and the anti join move 8-byte keys, not line text. A 60-bit
+   * collision (P ≈ n_lines² / 2^60 corpus-wide) removes an innocent
+   * line along with a true boilerplate line — the standard vanishing
+   * trade; the rebuild still uses the exact strings and positions, so
+   * everything kept is byte-exact.
+   */
+  def dedupLinesByHash(df: DataFrame, idCol: String, textCol: String,
+                       minDocs: Int = 2, minLineChars: Int = 10): DataFrame =
+    dedupLinesKeyed(df, idCol, textCol, minDocs, minLineChars, hash60)
+
+  /** Shared core of the two line-dedup forms: `keyOf(line)` is the dup
+    * key — the line itself (exact anchor) or its 60-bit hash (scale).
+    * The key is an inline join/group expression, never a materialized
+    * column, so the exact form shuffles each line string once. */
+  private def dedupLinesKeyed(df: DataFrame, idCol: String, textCol: String,
+                              minDocs: Int, minLineChars: Int,
+                              keyOf: Column => Column): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     // the exploded lines feed the dup detection AND the rebuild (no
     // cross-branch CSE in Spark); checkpointed like the shingle index
@@ -833,11 +864,12 @@ object Dedup {
       .localCheckpoint(false)
     val dup = lines
       .filter(length(col("__line")) >= minLineChars)
-      .groupBy(col("__line"))
+      .groupBy(keyOf(col("__line")).as("__k"))
       .agg(count_distinct(col(idCol)).as("__nd"))
       .filter(col("__nd") >= minDocs)
-      .select(col("__line"))
-    val kept = lines.join(dup, Seq("__line"), "left_anti")
+      .select(col("__k"))
+    val kept = lines
+      .join(dup, keyOf(lines("__line")) === dup("__k"), "left_anti")
       .groupBy(col(idCol))
       .agg(
         concat_ws("\n",

@@ -105,6 +105,22 @@ class Round9ReviewSpec extends AnyFunSuite {
     assert(out.size == 5)
   }
 
+  test("dedupLinesByHash ≡ dedupLines on a collision-free corpus") {
+    import spark.implicits._
+    val boiler = "subscribe to our newsletter today"
+    val docs = Seq(
+      (1L, s"$boiler\nunique first content line"),
+      (2L, s"second document body\n$boiler"),
+      (3L, "standalone third document text"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val exact = rows(Dedup.dedupLines(docs, "doc_id", "text", 2, 10))
+    val hashed = rows(Dedup.dedupLinesByHash(docs, "doc_id", "text", 2, 10))
+    assert(exact == hashed && exact.exists(_._3 == 1L),
+      s"exact=$exact hashed=$hashed")
+  }
+
   // ---- the single auto-crossover rule ----
 
   test("resolveSuperProbe: explicit pins win; auto engages past K > 2^bits*4") {

@@ -278,9 +278,9 @@ object StreamOps {
    * The END-TO-END streaming prep pipeline — the online form of the batch
    * `pipeline_e2e` query: every micro-batch flows through
    *
-   *   Bloom decontamination → online near-dup dedup → [unigram-LM
-   *   fluency gate] → quality filter → deterministic split + per-epoch
-   *   accounting
+   *   Bloom decontamination → online near-dup dedup → [embedding
+   *   cross-dedup vs a frozen IVF index] → [unigram-LM fluency gate] →
+   *   quality filter → deterministic split + per-epoch accounting
    *
    * in ONE foreachBatch, sharing one checkpoint/epoch id, so the whole
    * composition (not each operator separately) is crash-replay
@@ -307,12 +307,27 @@ object StreamOps {
    * doc/token counts); dedup state under `statePath` as in
    * [[nearDupDedupTo]].
    *
+   * The EMBEDDING gate ([[embedDedupTo]]'s admission stage) joins the
+   * composition when `embedIndex` is given: each epoch's TEXT-dedup
+   * survivors probe the frozen persisted IVF index at that path (k = 1)
+   * and are admitted iff their best corpus cosine is under
+   * `embedMinCos` — the SemDeDup decision inline, so a paraphrased
+   * near-dup of the trained corpus (fresh text, same meaning) is
+   * dropped in the same pass. It sits between dedup and the LM gate:
+   * dedup stages stay adjacent (semantic dups still enter the text
+   * state — a text-near-dup of a semantic dup is still a text dup) and
+   * rejected docs never burn LM scoring. `docs` must carry `vecCol`,
+   * the index must use the same id/vec column names, and — the probe
+   * contract — a corpus row whose id equals the doc's id is excluded
+   * as "self" (use disjoint id ranges). Admitted rows carry
+   * `corpus_cos` (null = no probed-cell neighbor at all).
+   *
    * The Bloom blocklist (and LM model) are sized and built ONCE before
    * the stream starts; the quality/split stages are pure column maps.
    * Scale shape is the sum of its parts: broadcast bitmap probe +
-   * (band,key)-bucketed verify + per-batch tf aggregate joined to the
-   * broadcast-scale vocabulary + zero-shuffle maps — nothing
-   * accumulates driver-side.
+   * (band,key)-bucketed verify + partition-pruned index probe +
+   * per-batch tf aggregate joined to the broadcast-scale vocabulary +
+   * zero-shuffle maps — nothing accumulates driver-side.
    */
   def prepPipelineTo(docs: DataFrame, blockKeys: DataFrame, outPath: String,
                      statePath: String, checkpoint: String, idCol: String,
@@ -321,6 +336,10 @@ object StreamOps {
                      valPct: Int = 10, fpp: Double = 1e-3,
                      modelCorpus: Option[DataFrame] = None,
                      minHmProb: Double = 0.0,
+                     embedIndex: Option[String] = None,
+                     vecCol: String = "embedding",
+                     embedLabelCol: String = "cell",
+                     embedMinCos: Double = 0.9,
                      availableNow: Boolean = true): StreamingQuery = {
     import graft.functions.{Sampling, TextFns}
     val n = math.max(1L, blockKeys.select(col(textCol)).count())
@@ -340,8 +359,11 @@ object StreamOps {
         try {
           val admitted = dedupEpoch(clean, batchId, statePath, idCol,
             textCol, minJaccard)
-          val gated = model.fold(admitted)(mdl =>
-            lmGate(admitted, mdl, idCol, textCol, minHmProb))
+          val semGated = embedIndex.fold(admitted)(ip =>
+            embedGate(admitted, ip, idCol, vecCol, embedLabelCol,
+              embedMinCos))
+          val gated = model.fold(semGated)(mdl =>
+            lmGate(semGated, mdl, idCol, textCol, minHmProb))
           val fin = gated
             .withColumn("quality", TextFns.qualityScore(col(textCol)))
             .filter(col("quality") >= minQuality)
@@ -380,6 +402,28 @@ object StreamOps {
         idCol, textCol),
       Seq(idCol), "left")
       .filter(col("hm_prob").isNull || col("hm_prob") >= minHmProb)
+
+  /** [[prepPipelineTo]]'s embedding stage: k = 1 probe of the frozen
+    * persisted IVF index, admit iff the best corpus cosine is under
+    * `minCos`. LEFT join for the same reason as [[lmGate]]: a doc whose
+    * probed cells hold no corpus vector (or a zero-norm vector) has no
+    * neighbor row and must pass, not vanish — "no neighbor" is an
+    * admission, not an error. Checkpointed because the indexed probe
+    * evaluates its probe frame more than once (probed-cell collect +
+    * scoring join). */
+  private[graft] def embedGate(admitted: DataFrame, indexPath: String,
+                               idCol: String, vecCol: String,
+                               labelCol: String,
+                               minCos: Double): DataFrame = {
+    import graft.functions.Similarity
+    val a = admitted.localCheckpoint(false)
+    val best = Similarity.ivfKnnJoinIndexed(a.sparkSession, indexPath,
+      a.select(col(idCol).as("probe_id"), col(vecCol).as("__pv")),
+      idCol, vecCol, labelCol, k = 1)
+      .select(col("probe_id").as(idCol), col("cos").as("corpus_cos"))
+    a.join(best, Seq(idCol), "left")
+      .filter(col("corpus_cos").isNull || col("corpus_cos") < minCos)
+  }
 
   /**
    * Compact [[nearDupDedupTo]]'s append-only state: every epoch adds a

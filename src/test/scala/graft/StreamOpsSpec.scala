@@ -835,6 +835,81 @@ class StreamOpsSpec extends AnyFunSuite {
       .contains("text"))
   }
 
+  test("e2e prep pipeline with the embedding gate: crash replay still idempotent") {
+    import spark.implicits._
+    import graft.functions.Similarity
+    val base = "the quick brown fox jumps over the lazy dog and then the " +
+      "cat naps while a bird sings songs about the warm summer day outside"
+    val blockText = "forbidden document that must never be admitted at all"
+    // FRESH text (passes the text dedup) whose vector sits on a trained
+    // corpus direction: only the embedding gate can drop it
+    val paraphrase = "swift russet reynard vaults across the sleepy hound " +
+      "while felines doze and songbirds serenade the gentle afternoon sun"
+    val fresh = "a completely different story where small rivers meet the " +
+      "old stone bridge and the miller waits for the morning light to come"
+    // corpus index: ids disjoint from the stream's (probe excludes same-id)
+    val idx = Files.createTempDirectory("graft-eg-idx").toString + "/idx"
+    Similarity.buildIvfIndex(
+      Seq((100L, 0, Array(1.0f, 0.05f, 0.0f, 0.0f)),
+        (101L, 1, Array(0.0f, 0.1f, 1.0f, 0.0f)))
+        .toDF("doc_id", "cell", "embedding"),
+      "doc_id", "embedding", "cell", idx, dims = 4)
+    val in = Files.createTempDirectory("graft-eg-in").toString
+    // batch 0: 1 admitted (off-corpus vector); 3 blocklisted
+    Seq((1L, base, Array(0.3f, 1.0f, 0.1f, 0.0f)),
+      (3L, blockText, Array(0.2f, 0.9f, 0.2f, 0.0f)))
+      .toDF("doc_id", "text", "embedding")
+      .coalesce(1).write.mode("append").parquet(in)
+    Thread.sleep(1100)
+    // batch 1 (the replayed epoch): 4 text-near-dup of 1 (state drop);
+    // 8 SEMANTIC dup (fresh text, corpus-direction vector — only the
+    // embed gate drops it); 6 fresh off-corpus (admitted)
+    Seq((4L, base.replace("dog", "pug"), Array(0.3f, 1.0f, 0.11f, 0.0f)),
+      (8L, paraphrase, Array(1.0f, 0.06f, 0.0f, 0.0f)),
+      (6L, fresh, Array(0.0f, 0.95f, 0.3f, 0.1f)))
+      .toDF("doc_id", "text", "embedding")
+      .coalesce(1).write.mode("append").parquet(in)
+    val block = Seq(blockText).toDF("text")
+    val schema = spark.read.parquet(in).schema
+
+    def run(out: String, state: String, ck: String): Unit = {
+      val q = StreamOps.prepPipelineTo(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(in),
+        block, out, state, ck, "doc_id", "text",
+        minJaccard = 0.6, minQuality = 0.2,
+        embedIndex = Some(idx), embedMinCos = 0.95)
+      q.awaitTermination()
+    }
+    def docs(out: String) = spark.read.parquet(s"$out/docs")
+      .select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+    val outA = Files.createTempDirectory("graft-eg-a").toString + "/out"
+    val stA = Files.createTempDirectory("graft-eg-sa").toString + "/st"
+    run(outA, stA, Files.createTempDirectory("graft-eg-cka").toString)
+
+    val outB = Files.createTempDirectory("graft-eg-b").toString + "/out"
+    val stB = Files.createTempDirectory("graft-eg-sb").toString + "/st"
+    val ckB = Files.createTempDirectory("graft-eg-ckb").toString
+    run(outB, stB, ckB)
+    assert(new java.io.File(s"$ckB/commits/1").delete(),
+      "expected epoch 1's commit marker to exist")
+    new java.io.File(s"$ckB/commits/.1.crc").delete()
+    run(outB, stB, ckB)
+
+    assert(docs(outA) == docs(outB), "docs diverged after crash replay")
+    assert(docs(outA).map(_._1) == Set(1L, 6L), s"final docs: ${docs(outA)}")
+    // admitted rows carry corpus_cos; composition order is text-dedup
+    // THEN embed gate: the semantic dup entered the text-dedup state
+    // even though the gate dropped it from the output
+    val cols = spark.read.parquet(s"$outB/docs").columns.toSet
+    assert(cols.contains("corpus_cos"), s"$cols")
+    val stateIds = spark.read.parquet(s"$stB/sets")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(stateIds == Set(1L, 6L, 8L), s"state: $stateIds")
+  }
+
   // ---- streaming ANN probe / embedding cross-dedup (round 9) ----
 
   private def annProbeBatch = {

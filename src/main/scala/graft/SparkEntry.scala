@@ -2348,7 +2348,8 @@ object SparkEntry {
 
     "dedup_containment_h60" ->
       // same 18-word-prefix augmentation as the exact anchor; containment
-      // = c / least(na, nb) from hash counts alone
+      // = least(c, na, nb) / least(na, nb) from hash counts alone (the
+      // clamp keeps a collision-inflated c from reporting > 1.0)
       ("WITH all_docs AS (SELECT doc_id, text FROM documents UNION ALL " +
         "SELECT doc_id + 200000, " +
         "array_to_string(list_slice(string_split(text, ' '), 1, 18), ' ') " +
@@ -2363,11 +2364,12 @@ object SparkEntry {
         "CAST(count(*) AS BIGINT) AS c FROM h a JOIN h b " +
         "ON a.h = b.h AND a.doc_id < b.doc_id " +
         "GROUP BY 1, 2 HAVING count(*) >= 2) " +
-        "SELECT doc_a, doc_b, CAST(c AS DOUBLE) / least(sa.n, sb.n) " +
+        "SELECT doc_a, doc_b, " +
+        "CAST(least(c, sa.n, sb.n) AS DOUBLE) / least(sa.n, sb.n) " +
         "AS containment FROM cand JOIN sizes sa ON sa.doc_id = doc_a " +
         "JOIN sizes sb ON sb.doc_id = doc_b " +
-        "WHERE CAST(c AS DOUBLE) / least(sa.n, sb.n) >= 0.9 " +
-        "ORDER BY doc_a, doc_b"),
+        "WHERE CAST(least(c, sa.n, sb.n) AS DOUBLE) / least(sa.n, sb.n) " +
+        ">= 0.9 ORDER BY doc_a, doc_b"),
 
     "dedup_containment" ->
       // same corpus augmentation (18-word prefixes), same inverted-index

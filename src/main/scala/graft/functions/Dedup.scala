@@ -462,7 +462,13 @@ object Dedup {
                              minContainment: Double = 0.9,
                              minShared: Int = 2): DataFrame =
     hashPairCounts(df, idCol, textCol, minShared)
-      .withColumn("containment", col("__c").cast("double") /
+      // least(na, nb) >= 1 so this denominator was never the Jaccard
+      // variant's ANSI hazard, but an uncapped multiplicity-counted c
+      // could still REPORT containment > 1.0 under a within-doc
+      // collision — impossible for the exact anchor (|A∩B| <= min).
+      // Same clamp, identity in every real case.
+      .withColumn("__ce", least(col("__c"), least(col("__na"), col("__nb"))))
+      .withColumn("containment", col("__ce").cast("double") /
         least(col("__na"), col("__nb")))
       .filter(col("containment") >= minContainment)
       .select(col("doc_a"), col("doc_b"), col("containment"))

@@ -75,6 +75,22 @@ class Round9LineProperties extends AnyFunSuite {
     }
   }
 
+  test("plan shape: no cartesian/nested-loop expansion in either form") {
+    import spark.implicits._
+    val df = randomCorpus(7L).toDF("doc_id", "text")
+    for (hashed <- Seq(false, true)) {
+      val out = if (hashed)
+        Dedup.dedupLinesByHash(df, "doc_id", "text", 2, 10)
+      else Dedup.dedupLines(df, "doc_id", "text", 2, 10)
+      val plan = out.queryExecution.executedPlan.toString
+      // the anti join and both aggregates must stay keyed — a corpus ×
+      // corpus expansion would surface as one of these nodes
+      assert(!plan.contains("CartesianProduct"), s"hashed=$hashed:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"hashed=$hashed:\n$plan")
+    }
+  }
+
   test("degenerate corpora: single doc, all-identical docs, newline runs") {
     // single doc: nothing can clear minDocs = 2
     val single = Seq(1L -> "only line one\nonly line two here")

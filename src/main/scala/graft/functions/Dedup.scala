@@ -443,14 +443,6 @@ object Dedup {
                          minJaccard: Double = 0.8,
                          minShared: Int = 2): DataFrame =
     hashPairCounts(df, idCol, textCol, minShared)
-      // same clamp as the exact path's prefilter bound: c counts hash
-      // matches with multiplicity, so a (vanishing at 60 bits, but
-      // possible) within-doc collision pushing c past na+nb would zero
-      // the denominator — ANSI kills the job. Clamped to min(na, nb)
-      // the denominator is >= max(na, nb) >= 1, and below that ceiling
-      // — every real case — the clamp is the identity, so the reported
-      // jac is unchanged where the estimate was sane at all.
-      .withColumn("__ce", least(col("__c"), least(col("__na"), col("__nb"))))
       .withColumn("jac", col("__ce").cast("double") /
         (col("__na") + col("__nb") - col("__ce")))
       .filter(col("jac") >= minJaccard)
@@ -462,19 +454,22 @@ object Dedup {
                              minContainment: Double = 0.9,
                              minShared: Int = 2): DataFrame =
     hashPairCounts(df, idCol, textCol, minShared)
-      // least(na, nb) >= 1 so this denominator was never the Jaccard
-      // variant's ANSI hazard, but an uncapped multiplicity-counted c
-      // could still REPORT containment > 1.0 under a within-doc
-      // collision — impossible for the exact anchor (|A∩B| <= min).
-      // Same clamp, identity in every real case.
-      .withColumn("__ce", least(col("__c"), least(col("__na"), col("__nb"))))
       .withColumn("containment", col("__ce").cast("double") /
         least(col("__na"), col("__nb")))
       .filter(col("containment") >= minContainment)
       .select(col("doc_a"), col("doc_b"), col("containment"))
 
-  /** Pair (doc_a, doc_b, __c=|A∩B|, __na=|A|, __nb=|B|) from the 60-bit
-    * inverted index alone — hash counts stand in for set arithmetic. */
+  /** Pair (doc_a, doc_b, __c=|A∩B|, __na=|A|, __nb=|B|, __ce) from the
+    * 60-bit inverted index alone — hash counts stand in for set
+    * arithmetic. `__ce` is the COLLISION-SAFE intersection both score
+    * variants must use: `__c` counts hash-join matches with
+    * multiplicity, so a (vanishing at 60 bits, but possible) within-doc
+    * collision can push it past min(na, nb) — at c = na + nb the
+    * Jaccard denominator hits zero (ANSI kills the job) and containment
+    * would report > 1.0, both impossible for the exact anchors. Clamped
+    * to min(na, nb) the Jaccard denominator is >= max(na, nb) >= 1;
+    * below that ceiling — every real case — the clamp is the identity.
+    * Emitted HERE so the two consumers cannot drift. */
   private def hashPairCounts(df: DataFrame, idCol: String, textCol: String,
                              minShared: Int): DataFrame = {
     // the index feeds the per-doc sizes AND both sides of the self-join
@@ -493,6 +488,7 @@ object Dedup {
       .filter(col("__c") >= minShared)
       .join(sizes.select(col(idCol).as("doc_a"), col("__n").as("__na")), "doc_a")
       .join(sizes.select(col(idCol).as("doc_b"), col("__n").as("__nb")), "doc_b")
+      .withColumn("__ce", least(col("__c"), col("__na"), col("__nb")))
   }
 
   /** Shared inverted-index candidate generation + exact verify on the full
@@ -875,7 +871,10 @@ object Dedup {
     val lines = (if (materializeKey)
       exploded.withColumn("__mk", keyOf(col("__line")))
     else exploded).localCheckpoint(false)
-    def key(c: Column): Column = if (materializeKey) col("__mk") else keyOf(c)
+    // the materialized key must stay QUALIFIED where a self-join is in
+    // play: an unqualified col("__mk") resolves today only because the
+    // dup side projects nothing but __k
+    def key(c: Column): Column = if (materializeKey) lines("__mk") else keyOf(c)
     val dup = lines
       .filter(length(col("__line")) >= minLineChars)
       .groupBy(key(col("__line")).as("__k"))

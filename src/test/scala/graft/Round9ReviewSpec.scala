@@ -121,6 +121,14 @@ class Round9ReviewSpec extends AnyFunSuite {
       s"exact=$exact hashed=$hashed")
   }
 
+  // ---- the driver's flagship smoke ----
+
+  test("SparkEntry.entry returns rows (the driver's rows>0 smoke gate)") {
+    // nothing else in the suite exercised entry() — a refactor could
+    // break the driver's very first check without failing a test
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   // ---- the single auto-crossover rule ----
 
   test("resolveSuperProbe: explicit pins win; auto engages past K > 2^bits*4") {

@@ -1200,6 +1200,29 @@ object SparkEntry {
         "doc_id", "text", 0.8)
     }),
 
+    // Same ingest batch through the PARTITION-PRUNABLE index layout
+    // (buildDedupIndexPartitioned — band-prefix dirs for keys, id-bucket
+    // dirs for sets): the probe must be bit-identical to the flat layout
+    // while reading only the batch's own partitions. Same oracle as
+    // dedup_against.
+    "dedup_against_banded" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val w = TextFns.words(col("text"))
+      val nearDups = d.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 300000L).as("doc_id"),
+          concat(lit("zzz "),
+            array_join(slice(w, lit(2), size(w) - 1), " ")).as("text"))
+      val fresh = d.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 400000L).as("doc_id"),
+          array_join(transform(w, x => concat(lit("n"), x)), " ").as("text"))
+      val path = s"$idxRoot/dedup_banded_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      Dedup.buildDedupIndexPartitioned(d.select(col("doc_id"), col("text")),
+        "doc_id", "text", path, setBuckets = 16)
+      Dedup.dedupAgainstIndexed(s, path, nearDups.unionByName(fresh),
+        "doc_id", "text", 0.8)
+    }),
+
     // Same again through INCREMENTAL index maintenance: build on half the
     // corpus, APPEND the other half, probe — append-then-probe must equal
     // build-then-probe exactly (same oracle as dedup_against). A fresh
@@ -2600,6 +2623,7 @@ object SparkEntry {
 
     // identical results through the persisted index — same oracle
     "dedup_against_indexed" -> dedupAgainstOracle,
+    "dedup_against_banded" -> dedupAgainstOracle,
 
     // identical results through build-half + append-half — same oracle
     "dedup_against_appended" -> dedupAgainstOracle,

@@ -617,15 +617,153 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$path/keys")
   }
 
-  /** Probe a persisted [[buildDedupIndex]]: identical results to
-    * [[dedupAgainst]] on the same corpus (shared candidate/verify core;
-    * band keys and shingle sets round-trip exactly through parquet). */
+  // ---- partition-prunable persisted index (the 100 TB layout) ----------
+
+  /** Partition value for a band key: its first two md5-hex chars (256
+    * partitions), prefixed `x` so parquet partition-value inference can
+    * never type a digit-only sample as integer. Derived from the key, so
+    * batch and corpus sides always agree. */
+  private def bandPrefix(bkey: Column): Column =
+    concat(lit("x"), substring(bkey, 1, 2))
+
+  /** Partition value for a corpus id in the `sets` table. */
+  private def idBucket(id: Column, setBuckets: Int): Column =
+    pmod(id.cast("long"), lit(setBuckets.toLong)).cast("int")
+
+  private def layoutMarkerPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_graft_dedup_layout")
+
+  /** setBuckets from the layout marker, if the index at `path` was built
+    * partitioned. Flat indexes (no marker) return None. A marker that
+    * exists but cannot be parsed is CORRUPT — fail loudly rather than
+    * silently probing a partitioned tree as flat (which would read the
+    * whole index and, worse, hide layout drift). */
+  private[graft] def readDedupLayout(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[Int] = {
+    val p = layoutMarkerPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val raw = try scala.io.Source.fromInputStream(in).mkString.trim
+      finally in.close()
+      val b = raw.stripPrefix("banded|").toIntOption
+        .getOrElse(sys.error(
+          s"corrupt dedup-index layout marker at $p: '$raw'"))
+      require(b > 0, s"corrupt dedup-index layout marker at $p: '$raw'")
+      Some(b)
+    }
+  }
+
+  private def writeDedupLayout(spark: org.apache.spark.sql.SparkSession,
+                               path: String, setBuckets: Int): Unit = {
+    val p = layoutMarkerPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"banded|$setBuckets".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /**
+   * [[buildDedupIndex]] in the PARTITION-PRUNABLE layout — the 100 TB
+   * form. The flat layout forces every probe (and the streaming
+   * [[graft.streaming.StreamOps.crossDedupTo]]) to scan — or pin in
+   * executor storage — the WHOLE corpus index, O(corpus) per stream; the
+   * IVF text analogue ([[Similarity.buildIvfIndex]]'s `__cellkey` dirs)
+   * instead prunes each probe to its own cells. This applies the same
+   * device to text dedup:
+   *
+   *  - `keys` is partitioned by `bp` = [[bandPrefix]] (256 dirs): a probe
+   *    batch's band keys hash uniformly (md5), so a batch touches only
+   *    the prefixes it actually has — a small batch reads a small
+   *    fraction of the key tree, and NOTHING is pinned across batches.
+   *  - `sets` is partitioned by `ib` = id mod `setBuckets`: the verify
+   *    step needs only the CANDIDATE corpus docs' shingle sets, and
+   *    candidates are few after banding (the sets tree is the bulky
+   *    table — full shingle arrays — so this is where pruning pays
+   *    most).
+   *
+   * Results are bit-identical to the flat layout: pruning removes only
+   * partitions that cannot hold a matching band key / candidate id, and
+   * the verify core is shared ([[verifyBest]]). `setBuckets` bounds the
+   * per-probe partition-filter list (collected driver-side, ≤ setBuckets
+   * values) — raise it for huge corpora so each `sets` bucket stays
+   * executor-sized (e.g. 4096 at 100 TB keeps buckets ~25 GB and the
+   * filter list still trivially small).
+   *
+   * A one-line layout marker (`_graft_dedup_layout`) records the bucket
+   * count; [[dedupAgainstIndexed]], [[appendToDedupIndex]] and
+   * [[compactDedupIndex]] sniff it and pick the matching code path, so
+   * callers use one API for both layouts. Keep the flat builder for
+   * small corpora: below ~a few hundred MB the partition dirs cost more
+   * (listing, small files) than the pruning saves.
+   */
+  def buildDedupIndexPartitioned(corpus: DataFrame, idCol: String,
+                                 textCol: String, path: String,
+                                 setBuckets: Int = 64): Unit = {
+    TopKAgg.requireIntegralId(corpus, idCol, "buildDedupIndexPartitioned")
+    require(setBuckets > 0, s"setBuckets must be positive: $setBuckets")
+    val spark = corpus.sparkSession
+    val cSets = shingleSets(corpus, idCol, textCol).localCheckpoint(false)
+    // repartition BY the partition column: each dir is written by exactly
+    // the tasks owning its key (no file-per-task-per-key explosion)
+    cSets.withColumn("ib", idBucket(col(idCol), setBuckets))
+      .repartition(col("ib"))
+      .write.mode("overwrite").partitionBy("ib").parquet(s"$path/sets")
+    bandKeysFromSets(cSets, idCol)
+      .withColumn("bp", bandPrefix(col("bkey")))
+      .repartition(col("bp"))
+      .write.mode("overwrite").partitionBy("bp").parquet(s"$path/keys")
+    writeDedupLayout(spark, path, setBuckets)
+  }
+
+  /** Probe of the partitioned layout: two driver-side bounded collects
+    * (≤256 band prefixes, ≤ setBuckets id buckets) turn the batch's own
+    * content into partition filters, so the corpus trees are read only
+    * where this batch can possibly match. */
+  private def dedupAgainstPartitioned(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      setBuckets: Int, newDocs: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double): DataFrame = {
+    val nSets = shingleSets(newDocs, idCol, textCol).localCheckpoint(false)
+    // checkpointed: feeds the prefix collect AND the candidate join
+    val nKeys = bandKeysFromSets(nSets, idCol).localCheckpoint(false)
+    val bps = nKeys.select(bandPrefix(col("bkey")).as("bp")).distinct()
+      .collect().map(_.getString(0)).toSeq // bounded: ≤256 values
+    val cKeys = spark.read.parquet(s"$path/keys")
+      .filter(col("bp").isin(bps: _*))
+    val cand = nKeys
+      .join(cKeys.select(col(idCol).as("__cid"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .select(col(idCol), col("__cid")).distinct()
+      .localCheckpoint(false) // feeds the bucket collect AND the verify
+    val ibs = cand.select(idBucket(col("__cid"), setBuckets).as("ib"))
+      .distinct().collect().map(_.getInt(0)).toSeq // bounded: ≤ setBuckets
+    val cSets = spark.read.parquet(s"$path/sets")
+      .filter(col("ib").isin(ibs: _*))
+      .select(col(idCol), col("sset"))
+    verifyBest(newDocs, nSets, cand, cSets, idCol, minJaccard)
+  }
+
+  /** Probe a persisted [[buildDedupIndex]] or
+    * [[buildDedupIndexPartitioned]] (layout sniffed from the marker):
+    * identical results to [[dedupAgainst]] on the same corpus (shared
+    * candidate/verify core; band keys and shingle sets round-trip
+    * exactly through parquet; the partitioned path only prunes
+    * partitions that cannot match). */
   def dedupAgainstIndexed(spark: org.apache.spark.sql.SparkSession,
                           path: String, newDocs: DataFrame, idCol: String,
                           textCol: String,
                           minJaccard: Double = 0.8): DataFrame =
-    dedupAgainstTables(newDocs, spark.read.parquet(s"$path/keys"),
-      spark.read.parquet(s"$path/sets"), idCol, textCol, minJaccard)
+    readDedupLayout(spark, path) match {
+      case Some(setBuckets) =>
+        dedupAgainstPartitioned(spark, path, setBuckets, newDocs, idCol,
+          textCol, minJaccard)
+      case None =>
+        dedupAgainstTables(newDocs, spark.read.parquet(s"$path/keys"),
+          spark.read.parquet(s"$path/sets"), idCol, textCol, minJaccard)
+    }
 
   /** [[dedupAgainstIndexed]] over ALREADY-LOADED index tables — for
     * callers that probe the same frozen index repeatedly (the streaming
@@ -657,18 +795,39 @@ object Dedup {
                          path: String): Unit = {
     TopKAgg.requireIntegralId(batch, idCol, "appendToDedupIndex")
     val bSets = shingleSets(batch, idCol, textCol).localCheckpoint(false)
-    bSets.write.mode("append").parquet(s"$path/sets")
-    bandKeysFromSets(bSets, idCol)
-      .write.mode("append").parquet(s"$path/keys")
+    readDedupLayout(batch.sparkSession, path) match {
+      case Some(setBuckets) => // partitioned layout: append in kind —
+        // per-doc independence holds per partition dir too, so
+        // append-then-probe ≡ rebuild-then-probe unchanged
+        bSets.withColumn("ib", idBucket(col(idCol), setBuckets))
+          .repartition(col("ib"))
+          .write.mode("append").partitionBy("ib").parquet(s"$path/sets")
+        bandKeysFromSets(bSets, idCol)
+          .withColumn("bp", bandPrefix(col("bkey")))
+          .repartition(col("bp"))
+          .write.mode("append").partitionBy("bp").parquet(s"$path/keys")
+      case None =>
+        bSets.write.mode("append").parquet(s"$path/sets")
+        bandKeysFromSets(bSets, idCol)
+          .write.mode("append").parquet(s"$path/keys")
+    }
   }
 
-  /** Compact an append-grown dedup index in place (both tables flat).
-    * Returns per-table row counts. */
+  /** Compact an append-grown dedup index in place — flat tables to
+    * ~`targetFiles` files, partitioned tables to one file per partition
+    * dir (layout sniffed from the marker). Returns per-table row
+    * counts. */
   def compactDedupIndex(spark: org.apache.spark.sql.SparkSession,
                         path: String,
                         targetFiles: Int = 8): Map[String, Long] =
-    Seq("sets", "keys").map(t =>
-      t -> ParquetCompact.table(spark, s"$path/$t", targetFiles)).toMap
+    readDedupLayout(spark, path) match {
+      case Some(_) => Map(
+        "sets" -> ParquetCompact.partitionedTable(spark, s"$path/sets", "ib"),
+        "keys" -> ParquetCompact.partitionedTable(spark, s"$path/keys", "bp"))
+      case None =>
+        Seq("sets", "keys").map(t =>
+          t -> ParquetCompact.table(spark, s"$path/$t", targetFiles)).toMap
+    }
 
   /** Shared cross-corpus core over (corpus band keys, corpus shingle
     * sets): bucket-local candidates, exact-Jaccard verify, best match
@@ -683,6 +842,17 @@ object Dedup {
       .join(cKeys.select(col(idCol).as("__cid"), col("band"), col("bkey")),
         Seq("band", "bkey"))
       .select(col(idCol), col("__cid")).distinct()
+    verifyBest(newDocs, nSets, cand, cSets, idCol, minJaccard)
+  }
+
+  /** Exact-Jaccard verify + best-match reduce shared by the flat and
+    * partition-pruned probe paths: identical inputs (candidate pairs,
+    * batch shingle sets, corpus shingle sets) → identical verdict rows,
+    * which is the bit-identity argument for the pruned layout (pruning
+    * only removes partitions that cannot contain a candidate). */
+  private def verifyBest(newDocs: DataFrame, nSets: DataFrame,
+                         cand: DataFrame, cSets: DataFrame, idCol: String,
+                         minJaccard: Double): DataFrame = {
     val best = cand
       .join(nSets, Seq(idCol))
       .join(cSets.select(col(idCol).as("__cid"), col("sset").as("__cs")),

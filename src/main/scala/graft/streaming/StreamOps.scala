@@ -738,20 +738,31 @@ object StreamOps {
    * [[nearDupDedupTo]] downstream for "new-vs-corpus AND new-vs-new".
    *
    * Per-batch cost is the batch's own shingling plus bucket-local joins
-   * against the prebuilt key/set tables — the corpus term was paid once
-   * at index build, and the tables are loaded + materialized ONCE per
-   * query (the [[lmScoreTo]] pre-stream-build pattern), not re-listed
-   * from parquet every micro-batch; this also pins one index snapshot
-   * for the life of the stream, keeping the batches-independent claim
-   * robust against a concurrent append to the path. The snapshot is
-   * held at `DISK_ONLY_2` (not `localCheckpoint`): a localCheckpoint
-   * TRUNCATES lineage into non-replicated executor blocks, so one
-   * executor loss would make the corpus-scale snapshot unrecoverable
-   * and fail every later micro-batch of a long-running stream. persist
-   * keeps the parquet lineage (the file listing is captured at read
-   * time, so a recompute still sees this snapshot's files) and
-   * 2-replicates the blocks, surviving single-executor loss without a
-   * recompute at all.
+   * against the prebuilt key/set tables. The scale shape depends on the
+   * index layout (sniffed once at stream start):
+   *
+   *  - PARTITIONED index ([[graft.functions.Dedup.buildDedupIndexPartitioned]],
+   *    the 100 TB layout): each micro-batch probes via the partition-
+   *    pruned path — only the batch's own band-prefix dirs of `keys` and
+   *    candidate id-buckets of `sets` are read from disk — so NOTHING
+   *    corpus-proportional is pinned in cluster storage, the same
+   *    build-once / probe-many contract as [[annProbeTo]]'s pruned IVF
+   *    probes. The index files are re-resolved per batch, so the frozen-
+   *    index contract is load-bearing here exactly as for [[annProbeTo]]:
+   *    no concurrent append/compact on the path while the stream runs.
+   *  - FLAT index ([[graft.functions.Dedup.buildDedupIndex]], small
+   *    corpora): every probe needs the whole key/set tables, so they are
+   *    loaded + materialized ONCE per query (the [[lmScoreTo]]
+   *    pre-stream-build pattern), not re-listed from parquet every
+   *    micro-batch; this also pins one index snapshot for the life of
+   *    the stream. The snapshot is held at `DISK_ONLY_2` (not
+   *    `localCheckpoint`): a localCheckpoint TRUNCATES lineage into
+   *    non-replicated executor blocks, so one executor loss would make
+   *    the corpus-scale snapshot unrecoverable and fail every later
+   *    micro-batch of a long-running stream. persist keeps the parquet
+   *    lineage (the file listing is captured at read time, so a
+   *    recompute still sees this snapshot's files) and 2-replicates the
+   *    blocks, surviving single-executor loss without a recompute.
    *
    * Duplicate ids WITHIN a micro-batch (at-least-once upstream, a
    * crawler re-emitting a page) are collapsed to one row before the
@@ -764,17 +775,31 @@ object StreamOps {
                    availableNow: Boolean = true): StreamingQuery = {
     import graft.functions.Dedup
     val spark = docs.sparkSession
-    val cKeys = spark.read.parquet(s"$indexPath/keys")
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY_2)
-    val cSets = spark.read.parquet(s"$indexPath/sets")
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY_2)
-    cKeys.count(); cSets.count() // eager: materialize before the stream
+    val partitioned = Dedup.readDedupLayout(spark, indexPath).isDefined
+    val (cKeys, cSets) =
+      if (partitioned) (null, null) // pruned per-batch reads instead
+      else {
+        val k = spark.read.parquet(s"$indexPath/keys")
+          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY_2)
+        val s = spark.read.parquet(s"$indexPath/sets")
+          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY_2)
+        k.count(); s.count() // eager: materialize before the stream
+        (k, s)
+      }
     val writer = docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val b = batch.dropDuplicates(idCol)
-        val verdicts = Dedup.dedupAgainstTables(b, cKeys, cSets, idCol,
-          textCol, minJaccard)
+        // checkpointed: the batch feeds the probe (shingling + two
+        // bounded collects on the pruned path) AND the final verdict
+        // join — one evaluation keeps them consistent even over a
+        // nondeterministic upstream transform
+        val b = batch.dropDuplicates(idCol).localCheckpoint(false)
+        val verdicts =
+          if (partitioned)
+            Dedup.dedupAgainstIndexed(spark, indexPath, b, idCol, textCol,
+              minJaccard)
+          else Dedup.dedupAgainstTables(b, cKeys, cSets, idCol, textCol,
+            minJaccard)
         b.join(verdicts, Seq(idCol))
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
         ()
@@ -820,8 +845,13 @@ object StreamOps {
     val writer = vectors.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // checkpointed (mirrors embedDedupTo): the indexed probe
+        // evaluates its probe frame twice (probed-cell collect +
+        // scoring join) — without this a nondeterministic upstream
+        // could yield inconsistent probed cells vs scored vectors
         val probes = batch.dropDuplicates(idCol)
           .select(col(idCol).as("probe_id"), col(vecCol).as("__pv"))
+          .localCheckpoint(false)
         Similarity.ivfKnnJoinIndexed(spark, indexPath, probes, idCol,
           vecCol, labelCol, k, nProbe, superProbe)
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")

@@ -835,6 +835,43 @@ class StreamOpsSpec extends AnyFunSuite {
       .contains("text"))
   }
 
+  test("crossDedupTo on a PARTITIONED index: same verdicts, nothing pinned") {
+    import graft.functions.Dedup
+    val idx = Files.createTempDirectory("graft-xdp-idx").toString
+    Dedup.buildDedupIndexPartitioned(dedupSeed.unionByName(dedupEpoch2),
+      "doc_id", "text", idx, setBuckets = 8)
+    val in = Files.createTempDirectory("graft-xdp-in").toString
+    dedupProbeBatch.coalesce(1).write.mode("append").parquet(in)
+    val out = Files.createTempDirectory("graft-xdp-out").toString + "/out"
+    // the flat path's pin is recognizable by its storage level: the
+    // 2-replicated DISK_ONLY snapshot (batch-sized localCheckpoints are
+    // MEMORY_AND_DISK, replication 1, and are fine)
+    def replicatedPins() = spark.sparkContext.getPersistentRDDs.values
+      .count(_.getStorageLevel.replication > 1)
+    val pinnedBefore = replicatedPins()
+    val q = StreamOps.crossDedupTo(
+      spark.readStream.schema(dedupProbeBatch.schema).parquet(in),
+      idx, out, Files.createTempDirectory("graft-xdp-ck").toString,
+      "doc_id", "text", 0.5)
+    q.awaitTermination()
+    // the partitioned path must NOT take the flat path's corpus-snapshot
+    // pin — per-batch pruned reads replace it entirely
+    assert(replicatedPins() == pinnedBefore,
+      "partitioned crossDedupTo pinned the index in executor storage")
+    val got = spark.read.parquet(out)
+      .select("doc_id", "dup_of", "admitted").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), r.getBoolean(2))).toSet
+    val want = Dedup.dedupAgainstIndexed(spark, idx, dedupProbeBatch,
+      "doc_id", "text", 0.5)
+      .select("doc_id", "dup_of", "admitted").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), r.getBoolean(2))).toSet
+    assert(got == want && got.nonEmpty,
+      "streamed verdicts must equal the pruned batch probe")
+    assert(got.exists { case (id, dup, adm) =>
+      id == 10L && dup.contains(4L) && !adm })
+    assert(got.contains((11L, None, true)))
+  }
+
   test("e2e prep pipeline with the embedding gate: crash replay still idempotent") {
     import spark.implicits._
     import graft.functions.Similarity

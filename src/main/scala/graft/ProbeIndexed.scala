@@ -162,6 +162,19 @@ object ProbeIndexed {
     // corpus (the index tables are per-doc-independent rows)
     val appendDedup = time(Dedup.appendToDedupIndex(batch,
       "doc_id", "text", dedupPath))
+    // the PARTITIONED layout (the 100 TB form): same fixed probe batch,
+    // but the probe reads only its own band-prefix/id-bucket partitions
+    // — this is the shape streaming crossDedupTo runs per micro-batch
+    // with nothing pinned, so its flatness across scales is the claim
+    // that replaced the DISK_ONLY_2 corpus snapshot
+    val dedupBandedPath = s"$tmp/dedup_banded"
+    val buildDedupBanded = time(Dedup.buildDedupIndexPartitioned(
+      docs, "doc_id", "text", dedupBandedPath))
+    val probeDedupBanded = (1 to reps).map(_ => time(
+      Dedup.dedupAgainstIndexed(spark, dedupBandedPath, batch,
+        "doc_id", "text", 0.8).count())).min
+    val appendDedupBanded = time(Dedup.appendToDedupIndex(batch,
+      "doc_id", "text", dedupBandedPath))
 
     val line = s"""{"sf":"$sfDir","reps":$reps,""" +
       s""""ivf_build_sec":$buildIvf,"ivf_probe200_sec":$probeIvf,""" +
@@ -177,7 +190,10 @@ object ProbeIndexed {
       s""""ivf_centers_refresh_sec":$refreshIvf,""" +
       s""""ivf_append200_assigned_sec":$appendAssigned,""" +
       s""""dedup_build_sec":$buildDedup,"dedup_probe500_sec":$probeDedup,""" +
-      s""""dedup_append500_sec":$appendDedup}"""
+      s""""dedup_append500_sec":$appendDedup,""" +
+      s""""dedup_banded_build_sec":$buildDedupBanded,""" +
+      s""""dedup_banded_probe500_sec":$probeDedupBanded,""" +
+      s""""dedup_banded_append500_sec":$appendDedupBanded}"""
     println(line)
     // persist the artifact (round 7 only printed it, so the amortization
     // and append-cost claims were never machine-checkable round-over-

@@ -87,12 +87,13 @@ class Round10OpsSpec extends AnyFunSuite {
     // dirs and its candidates few of the 64 id buckets. Checkpointed so
     // neither arm pays parquet reads for the batch itself.
     val small = probeBatch.limit(3).localCheckpoint()
-    // Two measurement traps: (1) count() references no verdict column,
-    // so Catalyst ELIMINATES the left join to the aggregated (key-
-    // unique) match side — and with it the entire index probe — hence
-    // verdictRows (a full collect); (2) parquet's vectored IO reads
-    // data pages outside Hadoop's FS statistics (only footers count),
-    // so it is turned off for the measured block.
+    // Measurement trap: parquet's vectored IO reads data pages outside
+    // Hadoop's FS statistics (only footers and listings count — a full
+    // scan of this index registers ~5% of its bytes), so it is turned
+    // off for the measured block. The probes are driven through a full
+    // collect so every verdict column — and with it every index scan —
+    // is evaluated regardless of what an optimizer might prune under a
+    // bare count().
     val hc = spark.sparkContext.hadoopConfiguration
     hc.set("parquet.hadoop.vectored.io.enabled", "false")
     val (flatBytes, bandedBytes) = try {

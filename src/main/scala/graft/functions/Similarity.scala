@@ -552,27 +552,6 @@ object Similarity {
   }
 
   /**
-   * Probe a persisted IVF index ([[buildIvfIndex]]): same semantics and —
-   * under the flat cell ranking — BIT-IDENTICAL results as the inline
-   * [[ivfKnnJoin]] (centers and norms round-trip exactly through parquet
-   * doubles; the scoring arithmetic is shared), but nothing is recomputed
-   * and the corpus scan is pruned to the probed cells' partitions on
-   * disk. The DEFAULT is superProbe = -1 (AUTO): flat ranking — and with
-   * it the bit-identity — up to 2^superBits × 4 cells, two-level cell
-   * selection beyond that crossover, where flat's O(probes × K) center
-   * ranking is the one term that grows with the cell count (measured
-   * 3.4× at K = 1000; a production caller who defaults gets that win
-   * without knowing the flag exists). Pin superProbe = 0 to force flat
-   * unconditionally (the contract rows do — their oracles mirror the
-   * flat ranking and must not flip plan with the corpus); a positive
-   * value forces a two-level width. Two-level trades recall for cost
-   * once it engages (see [[probedCellsTwoLevel]]) — results are then NOT
-   * bit-identical to the inline form. The probed-cell key set (≤ probes
-   * × nProbe values) is collected to the driver to drive the
-   * partition-pruning filter — metadata-scale, like the one-row
-   * broadcast bounds elsewhere.
-   */
-  /**
    * THE auto two-level crossover rule, in one place (the probe default,
    * the pruned k-means assignment, and the ProbeIndexed artifact all
    * resolve through it — a probe harness that hand-copied the literal
@@ -594,28 +573,57 @@ object Similarity {
   /** Row count of a parquet directory from file FOOTERS alone —
     * driver-side metadata, no Spark job (each footer records its row
     * groups' row counts). For the K-row centers tables this is
-    * milliseconds where a count() action pays full job-launch latency. */
+    * milliseconds where a count() action pays full job-launch latency.
+    * The footer shortcut applies ONLY to the layout the centers writer
+    * produces (flat data files directly under `dir`); a partitioned or
+    * non-`.parquet`-suffixed tree falls back to the count() this
+    * replaces — correct for any layout — instead of silently returning
+    * 0 and flipping the auto probe plan. */
   private[graft] def parquetRowCount(spark: SparkSession,
                                      dir: String): Long = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = root.getFileSystem(conf)
-    fs.listStatus(root).iterator
+    val visible = fs.listStatus(root).toSeq
       // mirror Spark's data-file filter exactly: hidden files ('_'/'.'
       // prefixes — _SUCCESS, staged copies, temp files) are invisible to
       // spark.read.parquet, so counting their footers would diverge from
       // the count() this replaces and could flip the auto probe plan
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")
-        && !st.getPath.getName.startsWith("_")
+      .filter(st => !st.getPath.getName.startsWith("_")
         && !st.getPath.getName.startsWith("."))
-      .map { st =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile
-          .fromStatus(st, conf)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try r.getRecordCount finally r.close()
-      }.sum
+    val dataFiles = visible.filter(st =>
+      st.isFile && st.getPath.getName.endsWith(".parquet"))
+    if (dataFiles.isEmpty || dataFiles.size != visible.size)
+      spark.read.parquet(dir).count() // layout drift: pay the job, stay correct
+    else dataFiles.iterator.map { st =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromStatus(st, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
   }
 
+  /**
+   * Probe a persisted IVF index ([[buildIvfIndex]]): same semantics and —
+   * under the flat cell ranking — BIT-IDENTICAL results as the inline
+   * [[ivfKnnJoin]] (centers and norms round-trip exactly through parquet
+   * doubles; the scoring arithmetic is shared), but nothing is recomputed
+   * and the corpus scan is pruned to the probed cells' partitions on
+   * disk. The DEFAULT is superProbe = -1 (AUTO): flat ranking — and with
+   * it the bit-identity — up to 2^superBits × 4 cells, two-level cell
+   * selection beyond that crossover, where flat's O(probes × K) center
+   * ranking is the one term that grows with the cell count (measured
+   * 3.4× at K = 1000; a production caller who defaults gets that win
+   * without knowing the flag exists). Pin superProbe = 0 to force flat
+   * unconditionally (the contract rows do — their oracles mirror the
+   * flat ranking and must not flip plan with the corpus); a positive
+   * value forces a two-level width. Two-level trades recall for cost
+   * once it engages (see [[probedCellsTwoLevel]]) — results are then NOT
+   * bit-identical to the inline form. The probed-cell key set (≤ probes
+   * × nProbe values) is collected to the driver to drive the
+   * partition-pruning filter — metadata-scale, like the one-row
+   * broadcast bounds elsewhere.
+   */
   def ivfKnnJoinIndexed(spark: SparkSession, path: String, probes: DataFrame,
                         idCol: String, vecCol: String, labelCol: String,
                         k: Int, nProbe: Int = 2, superProbe: Int = -1,

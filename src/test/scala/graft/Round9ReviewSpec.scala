@@ -73,6 +73,31 @@ class Round9ReviewSpec extends AnyFunSuite {
       "hidden '_'/'.' files must not count")
   }
 
+  test("parquetRowCount falls back to count() on layout drift") {
+    import spark.implicits._
+    // a value-PARTITIONED tree: data lives in subdirectories, so the
+    // footer shortcut sees no top-level .parquet files — the round-9
+    // form silently returned 0 here (flipping the auto probe plan);
+    // now it must pay the count() job and stay correct
+    val dir = Files.createTempDirectory("graft-prcp").toString + "/t"
+    (1 to 100).map(i => (i, i % 4)).toDF("x", "p")
+      .write.partitionBy("p").parquet(dir)
+    assert(Similarity.parquetRowCount(spark, dir) == 100L,
+      "partitioned layout must fall back to a correct count, not 0")
+    // a flat tree whose files lack the .parquet suffix: same fallback
+    val dir2 = Files.createTempDirectory("graft-prcs").toString + "/t"
+    (1 to 50).toDF("x").coalesce(1).write.parquet(dir2)
+    val d2 = new java.io.File(dir2)
+    for (f <- d2.listFiles() if f.getName.endsWith(".parquet")) {
+      assert(f.renameTo(new java.io.File(d2,
+        f.getName.stripSuffix(".parquet"))))
+      // drop the checksum sidecar so the renamed file still reads
+      new java.io.File(d2, "." + f.getName + ".crc").delete()
+    }
+    assert(Similarity.parquetRowCount(spark, dir2) == 50L,
+      "suffix drift must fall back to a correct count, not 0")
+  }
+
   // ---- line-level boilerplate removal ----
 
   test("dedupLines strips cross-doc lines, keeps order, short lines, singles") {

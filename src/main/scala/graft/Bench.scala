@@ -147,6 +147,34 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write bench_out.json: ${e.getMessage}")
     }
+    // APPEND a one-line history record (bench_out.json is overwritten per
+    // run, so run-to-run variance claims were reconstructible only from
+    // prose): total + loadavg + git sha + the per-query mins, one JSON
+    // line per run. check_bench reads this to flag run-LEVEL degradation
+    // of single queries — the in-run >2x rep guard can't see a whole run
+    // in a degraded state.
+    try {
+      def sh(cmd: Seq[String]): String =
+        try {
+          val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+          val out = scala.io.Source.fromInputStream(p.getInputStream)
+            .mkString.trim
+          if (p.waitFor() == 0) out else "unknown"
+        } catch { case _: Throwable => "unknown" }
+      val sha = sh(Seq("git", "rev-parse", "--short", "HEAD")) +
+        (if (sh(Seq("git", "status", "--porcelain")).nonEmpty) "+dirty" else "")
+      val ts = java.time.Instant.now().toString
+      val hist =
+        s"""{"ts":"$ts","sha":"$sha","sf":"$sfDir","total":$total,"loadavg":[$loadStart,$loadEnd],"n_queries":${results.size},"queries":$qs}"""
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY",
+          "bench_history.jsonl")),
+        (hist + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not append bench_history.jsonl: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -60,6 +60,44 @@ object SparkEntry {
       p
     })
 
+  /** wal2json message frames (seq, msg) synthesized from the events
+    * table — the s1 rows' shared input. This synthesis mirrors the
+    * oracle's expectation generator; it is harness scaffolding, not
+    * library cost (the decode-probe twin takes it off the timed path). */
+  private def wal2jsonRawFrames(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Wal2Json
+    val msg = concat(
+      lit("""{"change":[{"kind":"insert","schema":"public","table":"events",""" +
+        """"columnnames":["user_id","event_type","k","value"],""" +
+        """"columntypes":["bigint","text","integer","double precision"],""" +
+        """"columnvalues":["""),
+      col("user_id").cast("string"), lit(","),
+      Wal2Json.jsonStringLiteral(col("event_type")), lit(","),
+      coalesce(get_json_object(col("props"), "$.k"), lit("null")), lit(","),
+      col("value").cast("string"),
+      lit("""]}],"nextlsn":"0/"""),
+      lower(hex(col("event_id"))), lit("\"}"))
+    events(s, dir).select(col("event_id").as("seq"), msg.as("msg"))
+  }
+
+  /** The s1 decode + typed projection over raw (seq, msg) frames. */
+  private def wal2jsonTypedView(raw: DataFrame): DataFrame = {
+    import graft.sources.Wal2Json
+    // build the name→value map ONCE (aliased; map_from_entries is
+    // non-cheap so CollapseProject keeps it out of the 4 projections)
+    Wal2Json.decodeTyped(raw, "seq", "msg")
+      .withColumn("__m", Wal2Json.colsMap(col("new_cols")))
+      .select(col("id"), col("action"), col("table_name"), col("lsn"),
+        element_at(col("__m"), "user_id")
+          .cast(graft.model.PgTypes.toSpark("bigint")).as("user_id"),
+        element_at(col("__m"), "event_type")
+          .cast(graft.model.PgTypes.toSpark("text")).as("event_type"),
+        element_at(col("__m"), "k")
+          .cast(graft.model.PgTypes.toSpark("integer")).as("k"),
+        element_at(col("__m"), "value")
+          .cast(graft.model.PgTypes.toSpark("double precision")).as("value"))
+  }
+
   /** Changeset-stream payload fields decoded back out of new_values JSON. */
   private def decodedPayload(df: DataFrame): DataFrame = df.select(
     col("id"),
@@ -137,33 +175,22 @@ object SparkEntry {
     // (db/wal2json.go:4-26; changeset.go:77-81): messages synthesized from
     // the events table, decoded, and projected at declared PG types via
     // PgTypes.toSpark. The oracle recomputes the expectation directly.
-    "s1_wal2json_typed" -> ((s, dir) => {
-      import graft.sources.Wal2Json
-      val msg = concat(
-        lit("""{"change":[{"kind":"insert","schema":"public","table":"events",""" +
-          """"columnnames":["user_id","event_type","k","value"],""" +
-          """"columntypes":["bigint","text","integer","double precision"],""" +
-          """"columnvalues":["""),
-        col("user_id").cast("string"), lit(","),
-        Wal2Json.jsonStringLiteral(col("event_type")), lit(","),
-        coalesce(get_json_object(col("props"), "$.k"), lit("null")), lit(","),
-        col("value").cast("string"),
-        lit("""]}],"nextlsn":"0/"""),
-        lower(hex(col("event_id"))), lit("\"}"))
-      val raw = events(s, dir).select(col("event_id").as("seq"), msg.as("msg"))
-      // build the name→value map ONCE (aliased; map_from_entries is
-      // non-cheap so CollapseProject keeps it out of the 4 projections)
-      Wal2Json.decodeTyped(raw, "seq", "msg")
-        .withColumn("__m", Wal2Json.colsMap(col("new_cols")))
-        .select(col("id"), col("action"), col("table_name"), col("lsn"),
-          element_at(col("__m"), "user_id")
-            .cast(graft.model.PgTypes.toSpark("bigint")).as("user_id"),
-          element_at(col("__m"), "event_type")
-            .cast(graft.model.PgTypes.toSpark("text")).as("event_type"),
-          element_at(col("__m"), "k")
-            .cast(graft.model.PgTypes.toSpark("integer")).as("k"),
-          element_at(col("__m"), "value")
-            .cast(graft.model.PgTypes.toSpark("double precision")).as("value"))
+    "s1_wal2json_typed" -> ((s, dir) =>
+      wal2jsonTypedView(wal2jsonRawFrames(s, dir))),
+
+    // S1 steady-state twin (the ANN probe-twin device applied to the LR
+    // decoder): the raw wal2json frames are synthesized ONCE per JVM
+    // into a parquet fixture — spark-shell split (PLANS.md round-9): the
+    // self-contained row above spends ~2.7 s on oracle-mirrored message
+    // SYNTHESIS (per-row concat + get_json_object, harness scaffolding)
+    // and only ~0.6 s on the library's actual decode — so this row times
+    // what a production listener pays per batch of arrived frames: the
+    // decode + typed view alone. Same oracle.
+    "s1_wal2json_decode_probe" -> ((s, dir) => {
+      val path = frozenIndex("walraw", dir) { p =>
+        wal2jsonRawFrames(s, dir).write.mode("overwrite").parquet(p)
+      }
+      wal2jsonTypedView(s.read.parquet(path))
     }),
 
     // T3+T4 — whitelist then ignore table filters (warp_pipe.go:97-144)
@@ -1309,6 +1336,15 @@ object SparkEntry {
         "FROM cs WHERE id = 123"),
 
     "s1_wal2json_typed" ->
+      ("SELECT CAST(event_id * 1048576 AS BIGINT) AS id, 'INSERT' AS action, " +
+        "'events' AS table_name, '0/' || lower(to_hex(event_id)) AS lsn, " +
+        "user_id, event_type, " +
+        "CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, value " +
+        "FROM events ORDER BY id"),
+
+    // the decode-probe twin reads pre-synthesized frames of the SAME
+    // messages, so the expectation is identical
+    "s1_wal2json_decode_probe" ->
       ("SELECT CAST(event_id * 1048576 AS BIGINT) AS id, 'INSERT' AS action, " +
         "'events' AS table_name, '0/' || lower(to_hex(event_id)) AS lsn, " +
         "user_id, event_type, " +

@@ -20,7 +20,62 @@ Drift is a WARNING by default (exit 0): the signal distinguishes, it
 does not adjudicate.
 """
 import json
+import os
 import sys
+
+
+def history_report(queries, sf, hist_path="bench_history.jsonl"):
+    """Run-LEVEL drift vs the capture history the bench appends: the
+    in-run rep guard compares reps within one run and cannot see a run
+    where a query is degraded in EVERY rep (round 9: dedup_containment
+    read 5.49s min-of-2 in one capture vs 2.04s for the same HEAD in
+    another). Compare this capture's per-query min against the best min
+    over the recent history; >2x above best with an absolute floor is
+    flagged. Warning only — history spans code changes, so the reader
+    (not this tool) decides whether a touching commit explains it."""
+    if not os.path.exists(hist_path):
+        print(f"NOTE: no {hist_path} yet - history guard idle")
+        return
+    runs = []
+    with open(hist_path) as f:
+        for ln in f:
+            ln = ln.strip()
+            if not ln:
+                continue
+            try:
+                runs.append(json.loads(ln))
+            except Exception:
+                pass
+    # same-SF runs only (cross-SF mins are not comparable); the last 10
+    # keep the window recent
+    recent = [r for r in runs if isinstance(r.get("queries"), dict)
+              and (sf is None or r.get("sf") == sf)][-10:]
+    if not recent:
+        print(f"WARN: {hist_path} holds no parseable runs")
+        return
+    print(f"HISTORY ({len(recent)} recent runs):")
+    for r in recent:
+        la = r.get("loadavg") or ["?"]
+        print(f"  {r.get('ts','?')[:19]} sha={r.get('sha','?')} "
+              f"total={r.get('total', 0):.1f}s loadavg={la[0]} "
+              f"n={r.get('n_queries','?')}")
+    best = {}
+    for r in recent:
+        for k, v in r["queries"].items():
+            if isinstance(v, (int, float)):
+                if k not in best or v < best[k]:
+                    best[k] = v
+    degraded = [(k, queries[k], best[k]) for k in sorted(queries)
+                if k in best and isinstance(queries[k], (int, float))
+                and queries[k] > 2.0 * best[k]
+                and queries[k] - best[k] > 0.5]
+    if degraded:
+        print(f"WARN: {len(degraded)} queries read >2x their best recent "
+              f"min (run-level degradation or a touching commit):")
+        for k, now, b in degraded:
+            print(f"  {k}: best {b:.2f}s -> now {now:.2f}s ({now/b:.2f}x)")
+    else:
+        print("OK: no query >2x above its best recent-history min")
 
 
 def drift_report(queries, prev_path):
@@ -116,6 +171,10 @@ def main():
           f"queries, {load_s})")
     if len(sys.argv) > 2:
         drift_report(queries, sys.argv[2])
+    # the history lives beside the bench artifact (both repo-root files)
+    history_report(queries, doc.get("sf"), os.path.join(
+        os.path.dirname(os.path.abspath(path)) or ".",
+        "bench_history.jsonl"))
     return 0
 
 

@@ -31,8 +31,22 @@ object JdbcApplySink {
     * the binder should draw values from. */
   case class Statement(sql: String, payloadJson: String)
 
+  /** Driver-side admission bound for one exec() call: above this many
+    * changesets the batch is applied in id-ordered CHUNKS instead of one
+    * collected statement list, so a cold-start backlog (first run against
+    * a large audit table) cannot materialize the whole table driver-side.
+    * The value is the same order as [[graft.sources.v2.CdcTailSource]]'s
+    * `maxIdsPerTrigger` admission control — steady-state CDC batches sit
+    * far below it, so the chunked path only engages on backlogs. */
+  val DefaultMaxRowsPerBatch: Int = 100000
+
   /**
    * Generate the ordered statement stream for one micro-batch.
+   *
+   * Collects the batch driver-side (the literal-apply contract: the
+   * reference executes its statement stream serially from one process),
+   * bounded by the CALLER — [[writer]] routes anything larger than
+   * `maxRowsPerBatch` through [[applyChunked]] instead of this.
    *
    * @param pks        PK columns per (schema, table)
    * @param seqCols    sequence-backed columns per (schema, table):
@@ -47,47 +61,115 @@ object JdbcApplySink {
         col("new_values"), col("old_values"))
       .orderBy(col("id"))
       .collect()
-
     val stmts = Seq.newBuilder[Statement]
     val seqMax = scala.collection.mutable.Map.empty[String, Long]
-
-    rows.foreach { r =>
-      val (schema, table) = (r.getString(2), r.getString(3))
-      val pk = pks.getOrElse((schema, table), Seq("id"))
-      r.getString(1) match {
-        case "INSERT" =>
-          val cols = jsonKeys(r.getString(4))
-          stmts += Statement(
-            JdbcBootstrap.insertSql(schema, table, cols), r.getString(4))
-          // track sequence high-water marks from the payload
-          seqCols.getOrElse((schema, table), Nil).foreach { case (c, seq) =>
-            jsonLong(r.getString(4), c).foreach { v =>
-              seqMax.updateWith(seq)(m => Some(math.max(m.getOrElse(0L), v)))
-            }
-          }
-        case "UPDATE" =>
-          val cols = jsonKeys(r.getString(4))
-          stmts += Statement(
-            JdbcBootstrap.upsertSql(schema, table, cols, pk), r.getString(4))
-        case "DELETE" =>
-          stmts += Statement(
-            JdbcBootstrap.deleteSql(schema, table, pk), r.getString(5))
-        case _ => ()
-      }
-    }
-    // end-of-batch sequence sync (one setval per sequence, batch max)
-    seqMax.toSeq.sortBy(_._1).foreach { case (seq, mx) =>
-      stmts += Statement(JdbcBootstrap.syncSequenceSql(seq, mx), null)
-    }
+    rows.foreach(r => statementFor(r, pks, seqCols, stmts, seqMax))
+    stmts ++= setvalStatements(seqMax)
     stmts.result()
   }
 
+  /** The per-changeset statement (mutating `stmts` and the sequence
+    * high-water marks) — shared by the collected and chunked paths. */
+  private def statementFor(r: Row,
+                           pks: Map[(String, String), Seq[String]],
+                           seqCols: Map[(String, String), Seq[(String, String)]],
+                           stmts: scala.collection.mutable.Builder[Statement, Seq[Statement]],
+                           seqMax: scala.collection.mutable.Map[String, Long]): Unit = {
+    val (schema, table) = (r.getString(2), r.getString(3))
+    val pk = pks.getOrElse((schema, table), Seq("id"))
+    r.getString(1) match {
+      case "INSERT" =>
+        val cols = jsonKeys(r.getString(4))
+        stmts += Statement(
+          JdbcBootstrap.insertSql(schema, table, cols), r.getString(4))
+        // track sequence high-water marks from the payload
+        seqCols.getOrElse((schema, table), Nil).foreach { case (c, seq) =>
+          jsonLong(r.getString(4), c).foreach { v =>
+            seqMax.updateWith(seq)(m => Some(math.max(m.getOrElse(0L), v)))
+          }
+        }
+      case "UPDATE" =>
+        val cols = jsonKeys(r.getString(4))
+        stmts += Statement(
+          JdbcBootstrap.upsertSql(schema, table, cols, pk), r.getString(4))
+      case "DELETE" =>
+        stmts += Statement(
+          JdbcBootstrap.deleteSql(schema, table, pk), r.getString(5))
+      case _ => ()
+    }
+  }
+
+  /** End-of-batch sequence sync (one setval per sequence, batch max). */
+  private def setvalStatements(
+      seqMax: scala.collection.mutable.Map[String, Long]): Seq[Statement] =
+    seqMax.toSeq.sortBy(_._1).map { case (seq, mx) =>
+      Statement(JdbcBootstrap.syncSequenceSql(seq, mx), null)
+    }
+
+  /**
+   * Apply one micro-batch in id-ordered chunks of at most
+   * `maxRowsPerBatch` statements per exec() call, holding at most one
+   * shuffle partition of the sorted batch driver-side at a time
+   * (`toLocalIterator` over the range-partitioned sort — the sorted
+   * partitions arrive in id order, so global order is preserved across
+   * chunk boundaries).
+   *
+   * Serial-order argument: chunks are consecutive id ranges of the
+   * id-sorted stream, handed to `exec` in order, each internally
+   * ordered — the concatenation is exactly the unchunked statement
+   * stream. Sequence setvals are NOT emitted per chunk (a later chunk's
+   * max can be lower than an earlier one's, and a per-chunk setval would
+   * regress the sequence); the high-water marks accumulate across all
+   * chunks and one setval per sequence is executed after the last chunk
+   * — the same end state as the unchunked form. Returns the applied
+   * changeset count.
+   */
+  def applyChunked(batch: DataFrame,
+                   pks: Map[(String, String), Seq[String]],
+                   seqCols: Map[(String, String), Seq[(String, String)]],
+                   exec: Seq[Statement] => Unit,
+                   maxRowsPerBatch: Int = DefaultMaxRowsPerBatch): Long = {
+    require(maxRowsPerBatch > 0,
+      s"maxRowsPerBatch must be positive: $maxRowsPerBatch")
+    val it = batch
+      .select(col("id"), col("action"), col("schema_name"), col("table_name"),
+        col("new_values"), col("old_values"))
+      .orderBy(col("id"))
+      .toLocalIterator()
+    val seqMax = scala.collection.mutable.Map.empty[String, Long]
+    var applied = 0L
+    while (it.hasNext) {
+      val stmts = Seq.newBuilder[Statement]
+      var n = 0
+      while (it.hasNext && n < maxRowsPerBatch) {
+        statementFor(it.next(), pks, seqCols, stmts, seqMax)
+        n += 1
+      }
+      applied += n
+      exec(stmts.result())
+    }
+    val sync = setvalStatements(seqMax)
+    if (sync.nonEmpty) exec(sync)
+    applied
+  }
+
   /** foreachBatch sink: generate + hand every batch's statements to `exec`
-    * in order. */
+    * in order. Batches up to `maxRowsPerBatch` go through the collected
+    * single-call path ([[statementsFor]]); larger ones — a cold-start
+    * backlog — through [[applyChunked]], so the driver never materializes
+    * more than the bound at once. */
   def writer(pks: Map[(String, String), Seq[String]],
              seqCols: Map[(String, String), Seq[(String, String)]],
-             exec: Seq[Statement] => Unit): (DataFrame, Long) => Unit =
-    (batch, _) => exec(statementsFor(batch, pks, seqCols))
+             exec: Seq[Statement] => Unit,
+             maxRowsPerBatch: Int = DefaultMaxRowsPerBatch): (DataFrame, Long) => Unit =
+    (batch, _) => {
+      if (batch.limit(maxRowsPerBatch + 1).count() <= maxRowsPerBatch)
+        exec(statementsFor(batch, pks, seqCols))
+      else {
+        applyChunked(batch, pks, seqCols, exec, maxRowsPerBatch)
+        ()
+      }
+    }
 
   // -- JSON helpers over flat row_to_json objects (Jackson — a regex
   // would misread escaped quotes inside string values) -------------------

@@ -54,4 +54,57 @@ class JdbcApplySinkSpec extends AnyFunSuite {
     q.awaitTermination()
     assert(seen.map(_.sql.split(" ").head).toSeq == Seq("INSERT", "DELETE"))
   }
+
+  test("oversized batch is split into ordered chunks, setval once at end") {
+    import spark.implicits._
+    // 1000 inserts with ids shuffled across partitions; sequence values
+    // DESCEND with id so a per-chunk setval would regress the sequence —
+    // the end state must be the global max (1000), set exactly once
+    val batch = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        scala.util.Random.shuffle((1L to 1000L).toList).map { id =>
+          org.apache.spark.sql.Row(id, null, "INSERT", "public", "users", 1L,
+            s"""{"id":${1001L - id},"name":"u$id"}""", null)
+        }, 8),
+      graft.model.ChangesetSchema.schema)
+    val calls = scala.collection.mutable.ArrayBuffer.empty[Seq[JdbcApplySink.Statement]]
+    val applied = JdbcApplySink.applyChunked(batch,
+      pks = Map(("public", "users") -> Seq("id")),
+      seqCols = Map(("public", "users") -> Seq(("id", "public.users_id_seq"))),
+      exec = st => { calls += st; () },
+      maxRowsPerBatch = 300)
+    assert(applied == 1000L)
+    // 4 data chunks of ≤300 + 1 final setval call
+    val (dataCalls, syncCalls) = calls.toSeq.partition(
+      c => !c.exists(_.sql.startsWith("SELECT setval")))
+    assert(dataCalls.map(_.size) == Seq(300, 300, 300, 100),
+      s"chunk sizes: ${dataCalls.map(_.size)}")
+    assert(syncCalls.flatten.map(_.sql) ==
+      Seq("SELECT setval('public.users_id_seq', 1000, true)"),
+      "exactly one setval, at the GLOBAL max, after the last chunk")
+    // global id order across chunk boundaries: payload names u1..u1000
+    val ids = dataCalls.flatten.map(_.payloadJson).map(j =>
+      j.substring(j.indexOf("u") + 1, j.indexOf("\"}", j.indexOf("u"))).toLong)
+    assert(ids == (1L to 1000L), "statement stream must follow changeset id order")
+    // and the chunked stream equals the unchunked one, statement for
+    // statement (minus call boundaries)
+    val unchunked = JdbcApplySink.statementsFor(batch,
+      Map(("public", "users") -> Seq("id")),
+      Map(("public", "users") -> Seq(("id", "public.users_id_seq"))))
+    assert(calls.toSeq.flatten == unchunked)
+  }
+
+  test("writer routes small batches whole and oversized batches chunked") {
+    val calls = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val w = JdbcApplySink.writer(
+      Map(("public", "users") -> Seq("id")), Map.empty,
+      st => { calls += st.size; () }, maxRowsPerBatch = 3)
+    w(cs((1L, "INSERT", """{"id":1}""", null),
+         (2L, "INSERT", """{"id":2}""", null)), 0L)
+    assert(calls.toSeq == Seq(2), "small batch: one collected call")
+    calls.clear()
+    w(cs((1L to 7L).map(i =>
+      (i, "INSERT", s"""{"id":$i}""", null: String)): _*), 1L)
+    assert(calls.toSeq == Seq(3, 3, 1), "backlog batch: bounded chunks")
+  }
 }

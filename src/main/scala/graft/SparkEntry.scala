@@ -534,6 +534,21 @@ object SparkEntry {
           col("width"), col("height"), col("fingerprint"))
     }),
 
+    // Multimodal AUDIO: WAV/RIFF chunk walk (PCM params derived from the
+    // payload length) / MP3 ID3v2-skip + frame header (id%3=0, fixed
+    // 128kbps/44100 stereo), parsed back out of the ACTUAL bytes
+    // (AudioHeader); id%7=0 rows stay bare text for the fallback. The
+    // oracle predicts the construction; a parser bug breaks the hash.
+    "mm_audio_meta" -> ((s, dir) => {
+      val media = Multimodal.asAudioMedia(s, documents(s, dir), "doc_id", "text")
+      Multimodal.decodeAudioFeatures(s, media).toDF()
+        .select(col("docId").as("doc_id"), col("format"),
+          col("byteLen").as("byte_len"), col("channels"),
+          col("sampleRate").as("sample_rate"),
+          col("bitsPerSample").as("bits_per_sample"),
+          col("durationMs").as("duration_ms"), col("fingerprint"))
+    }),
+
     // Multimodal: deterministic resize/downsample stub (every 4th token).
     // The downsample chain (split → HOF filter → array_join) is
     // materialized ONCE in its own projection — inlining it into both
@@ -1979,6 +1994,37 @@ object SparkEntry {
         "CAST(octet_length(encode(text)) % 640 + 64 AS INTEGER) AS width, " +
         "CAST(octet_length(encode(text)) % 480 + 48 AS INTEGER) AS height, " +
         "md5(text) AS fingerprint FROM documents ORDER BY doc_id"),
+
+    "mm_audio_meta" ->
+      // mirrors asAudioMedia: WAV header = 64 bytes (RIFF + fmt + LIST +
+      // data), MP3 = 34 (ID3v2 of 20 + frame header); WAV PCM params
+      // derive from the payload length L (channels 1+L%2, rate by L%3,
+      // 16-bit); durations are whole-bit integer arithmetic —
+      // WAV L*8000/(rate*ch*16), MP3 L*8/128 — and the fingerprint is
+      // the md5 of the post-header payload, i.e. the text
+      ("WITH a AS (SELECT doc_id, text, octet_length(encode(text)) AS L, " +
+        "CASE WHEN doc_id % 7 = 0 THEN 'text/plain' " +
+        "WHEN doc_id % 3 = 0 THEN 'audio/mpeg' ELSE 'audio/wav' END AS format, " +
+        "CASE WHEN doc_id % 7 = 0 THEN 0 " +
+        "WHEN doc_id % 3 = 0 THEN 2 " +
+        "ELSE 1 + octet_length(encode(text)) % 2 END AS channels, " +
+        "CASE WHEN doc_id % 7 = 0 THEN 0 " +
+        "WHEN doc_id % 3 = 0 THEN 44100 " +
+        "WHEN octet_length(encode(text)) % 3 = 0 THEN 8000 " +
+        "WHEN octet_length(encode(text)) % 3 = 1 THEN 16000 " +
+        "ELSE 44100 END AS sample_rate FROM documents) " +
+        "SELECT doc_id, format, " +
+        "CAST(L + CASE WHEN doc_id % 7 = 0 THEN 0 " +
+        "WHEN doc_id % 3 = 0 THEN 34 ELSE 64 END AS BIGINT) AS byte_len, " +
+        "CAST(channels AS INTEGER) AS channels, " +
+        "CAST(sample_rate AS INTEGER) AS sample_rate, " +
+        "CAST(CASE WHEN format = 'audio/wav' THEN 16 ELSE 0 END AS INTEGER) " +
+        "AS bits_per_sample, " +
+        "CAST(CASE WHEN format = 'audio/wav' " +
+        "THEN L * 8000 // (sample_rate * channels * 16) " +
+        "WHEN format = 'audio/mpeg' THEN L * 8 // 128 " +
+        "ELSE 0 END AS BIGINT) AS duration_ms, " +
+        "md5(text) AS fingerprint FROM a ORDER BY doc_id"),
 
     "mm_resize" ->
       ("WITH r AS (SELECT doc_id, length(text) AS orig_len, " +

@@ -146,6 +146,205 @@ object Multimodal {
     }
   }
 
+  /** A decoded audio container row ([[AudioHeader]]): real header fields,
+    * no sample decode. For MP3 `bitsPerSample` is 0 (the container does
+    * not declare it) and duration derives from the CBR bitrate. */
+  case class AudioFeature(docId: Long, format: String, byteLen: Long,
+                          channels: Int, sampleRate: Int, bitsPerSample: Int,
+                          durationMs: Long, fingerprint: String)
+
+  /**
+   * Real audio container-header parsing — WAV/RIFF chunk walk and MP3
+   * (ID3v2-skipping) frame-header decode: the audio analogue of
+   * [[ImageHeader]], pure byte arithmetic, no codec. Sample decoding
+   * stays stubbed for the same reason as pixels.
+   */
+  object AudioHeader {
+    /** (format, channels, sampleRate, bitsPerSample, bitrateKbps,
+      * headerLen, dataLen): headerLen is the offset of the first data
+      * byte; dataLen the declared (WAV) or remaining (MP3) data bytes. */
+    case class AudioInfo(format: String, channels: Int, sampleRate: Int,
+                         bitsPerSample: Int, bitrateKbps: Int,
+                         headerLen: Int, dataLen: Long)
+
+    private def u8(b: Byte): Int = b & 0xFF
+    private def le16(b: Array[Byte], o: Int): Int = u8(b(o)) | (u8(b(o + 1)) << 8)
+    private def le32(b: Array[Byte], o: Int): Long =
+      u8(b(o)).toLong | (u8(b(o + 1)).toLong << 8) |
+        (u8(b(o + 2)).toLong << 16) | (u8(b(o + 3)).toLong << 24)
+    private def tag(b: Array[Byte], o: Int, t: String): Boolean =
+      b.length >= o + 4 && (0 until 4).forall(i => b(o + i) == t.charAt(i).toByte)
+
+    def parse(bytes: Array[Byte]): Option[AudioInfo] =
+      if (bytes == null) None else parseWav(bytes).orElse(parseMp3(bytes))
+
+    /** RIFF/WAVE: 12-byte RIFF header, then (id, LE32 size, data,
+      * even-pad) chunks; `fmt ` must precede `data` (the spec's order),
+      * unknown chunks (LIST, cue, ...) are skipped by declared size. */
+    private def parseWav(b: Array[Byte]): Option[AudioInfo] = {
+      if (b.length < 44 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return None
+      var p = 12
+      var fmt: Option[(Int, Int, Int, Int)] = None // ch, rate, byteRate, bits
+      while (p + 8 <= b.length) {
+        val size = le32(b, p + 4)
+        if (size < 0 || p + 8 + size > b.length) return None // overrun
+        if (tag(b, p, "fmt ")) {
+          if (size < 16) return None
+          val ch = le16(b, p + 8 + 2)
+          val rate = le32(b, p + 8 + 4)
+          val byteRate = le32(b, p + 8 + 8)
+          val bits = le16(b, p + 8 + 14)
+          if (ch <= 0 || rate <= 0 || rate > Int.MaxValue || bits <= 0)
+            return None
+          fmt = Some((ch, rate.toInt, byteRate.toInt, bits))
+        } else if (tag(b, p, "data")) {
+          val (ch, rate, byteRate, bits) = fmt.getOrElse(return None)
+          val kbps = byteRate * 8 / 1000
+          return Some(AudioInfo("audio/wav", ch, rate, bits, kbps,
+            p + 8, size))
+        }
+        p += 8 + size.toInt + (size.toInt & 1) // chunks pad to even
+      }
+      None
+    }
+
+    // MPEG1 Layer III frame-header tables (the public ISO/IEC 11172-3
+    // values every MP3 tool ships)
+    private val Mp3Kbps = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+      160, 192, 224, 256, 320)
+    private val Mp3Rates = Array(44100, 48000, 32000)
+
+    /** MP3: skip an ID3v2 tag if present (10-byte header + synchsafe
+      * size), then decode the first MPEG1 Layer III frame header:
+      * 11-bit sync, version/layer bits, bitrate + sample-rate indices,
+      * channel mode. Free-format (idx 0) and reserved (15) rejected. */
+    private def parseMp3(b: Array[Byte]): Option[AudioInfo] = {
+      var p = 0
+      if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+        // synchsafe 28-bit size, high bit of each byte must be clear
+        if ((0 until 4).exists(i => u8(b(6 + i)) >= 0x80)) return None
+        val size = (u8(b(6)) << 21) | (u8(b(7)) << 14) |
+          (u8(b(8)) << 7) | u8(b(9))
+        p = 10 + size
+      }
+      if (p + 4 > b.length) return None
+      if (u8(b(p)) != 0xFF || (u8(b(p + 1)) & 0xE0) != 0xE0) return None
+      val version = (u8(b(p + 1)) >> 3) & 3 // 3 = MPEG1
+      val layer = (u8(b(p + 1)) >> 1) & 3   // 1 = Layer III
+      if (version != 3 || layer != 1) return None
+      val bitrateIdx = (u8(b(p + 2)) >> 4) & 15
+      val rateIdx = (u8(b(p + 2)) >> 2) & 3
+      if (bitrateIdx == 0 || bitrateIdx == 15 || rateIdx == 3) return None
+      val mode = (u8(b(p + 3)) >> 6) & 3
+      val channels = if (mode == 3) 1 else 2
+      Some(AudioInfo("audio/mpeg", channels, Mp3Rates(rateIdx), 0,
+        Mp3Kbps(bitrateIdx), p + 4, (b.length - p - 4).toLong))
+    }
+
+    /** Structurally valid WAV: RIFF/WAVE + fmt (PCM) + a LIST chunk (so
+      * parsers must really skip unknown chunks) + data holding `payload`.
+      * Header is 64 bytes. */
+    def wavBytes(channels: Int, sampleRate: Int, bitsPerSample: Int,
+                 payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(64 + payload.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val ascii = java.nio.charset.StandardCharsets.US_ASCII
+      bb.put("RIFF".getBytes(ascii)).putInt(56 + payload.length)
+        .put("WAVE".getBytes(ascii))
+      bb.put("fmt ".getBytes(ascii)).putInt(16)
+      bb.putShort(1) // PCM
+      bb.putShort(channels.toShort).putInt(sampleRate)
+      bb.putInt(sampleRate * channels * bitsPerSample / 8) // byte rate
+      bb.putShort((channels * bitsPerSample / 8).toShort)  // block align
+      bb.putShort(bitsPerSample.toShort)
+      bb.put("LIST".getBytes(ascii)).putInt(12)
+        .put("INFOpadpadpd".getBytes(ascii)) // 12-byte skippable chunk
+      bb.put("data".getBytes(ascii)).putInt(payload.length)
+      bb.put(payload)
+      bb.array()
+    }
+
+    /** Structurally valid MP3 prefix: ID3v2.3 tag (10 + 20 zero bytes,
+      * synchsafe size) + one MPEG1 Layer III header (128 kbps, 44100 Hz,
+      * stereo) + `payload` as the frame data. Header is 34 bytes. */
+    def mp3Bytes(payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(34 + payload.length)
+      bb.put("ID3".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      bb.put(3.toByte).put(0.toByte) // v2.3.0
+      bb.put(0.toByte)               // flags
+      bb.put(0.toByte).put(0.toByte).put(0.toByte).put(20.toByte) // synchsafe 20
+      bb.put(new Array[Byte](20))
+      // FF FB: sync + MPEG1 + Layer III + no CRC; 90: bitrate idx 9
+      // (128 kbps) + rate idx 0 (44100); 00: stereo
+      bb.put(0xFF.toByte).put(0xFB.toByte).put(0x90.toByte).put(0x00.toByte)
+      bb.put(payload)
+      bb.array()
+    }
+  }
+
+  /**
+   * Wrap a text table as an AUDIO media table ([[asImageMedia]]'s audio
+   * twin): WAV (default, PCM params derived from the payload length so an
+   * oracle can predict them) or MP3 (every 3rd id, fixed 128 kbps/44100
+   * stereo frame); every 7th id stays bare text/plain for the no-container
+   * fallback.
+   */
+  def asAudioMedia(spark: SparkSession, df: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .map { case (id, text) =>
+        val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val (kind, content) =
+          if (id % 7 == 0) ("text/plain", payload)
+          else if (id % 3 == 0) ("audio/mpeg", AudioHeader.mp3Bytes(payload))
+          else ("audio/wav", AudioHeader.wavBytes(
+            1 + (payload.length % 2),
+            Seq(8000, 16000, 44100)(payload.length % 3), 16, payload))
+        (id, kind, content, content.length.toLong)
+      }.toDF("doc_id", "kind", "content", "byte_len")
+  }
+
+  /**
+   * Partition-parallel audio metadata extraction ([[decodeFeatures]]'s
+   * audio twin): container fields from the ACTUAL bytes via
+   * [[AudioHeader]]; duration from the declared data length over the
+   * declared rate (WAV: dataLen / byteRate; MP3: dataLen over the CBR
+   * bitrate — exact for CBR streams, the fixture shape); fingerprint =
+   * md5 of the post-header payload, so byte-identical audio dedups
+   * across containers. No parseable container → zeroed audio fields +
+   * full-bytes md5 (the [[StubDecoder]] convention).
+   */
+  def decodeAudioFeatures(spark: SparkSession,
+                          media: DataFrame): Dataset[AudioFeature] = {
+    import spark.implicits._
+    media.select("doc_id", "kind", "content").as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, kind, bytes) =>
+          AudioHeader.parse(bytes) match {
+            case Some(info) =>
+              val durationMs =
+                if (info.format == "audio/wav")
+                  // dataBits * 1000 / bitsPerSec — whole-bit arithmetic,
+                  // never a zero divisor (parse guarantees all three > 0)
+                  info.dataLen * 8000L /
+                    (info.sampleRate.toLong * info.channels *
+                      info.bitsPerSample)
+                else info.dataLen * 8L / info.bitrateKbps
+              val md = java.security.MessageDigest.getInstance("MD5")
+              md.update(bytes, info.headerLen, bytes.length - info.headerLen)
+              AudioFeature(id, info.format, bytes.length.toLong,
+                info.channels, info.sampleRate, info.bitsPerSample,
+                durationMs, md.digest().map("%02x".format(_)).mkString)
+            case None =>
+              val md = java.security.MessageDigest.getInstance("MD5")
+              AudioFeature(id, kind, bytes.length.toLong, 0, 0, 0, 0L,
+                md.digest(bytes).map("%02x".format(_)).mkString)
+          }
+        }
+      }
+  }
+
   /**
    * Deterministic stand-in for the real pixel/sample decoder, used only
    * when [[ImageHeader.parse]] finds no parseable container: derives fake

@@ -175,6 +175,65 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(out == Set((999999L, None, None, true)))
   }
 
+  // ---- audio container headers (WAV/RIFF + MP3) ----
+
+  test("AudioHeader round-trips its own WAV and MP3 fixtures") {
+    import graft.functions.Multimodal.AudioHeader
+    val payload = "some sample audio payload bytes".getBytes("UTF-8")
+    val wav = AudioHeader.parse(
+      AudioHeader.wavBytes(2, 16000, 16, payload))
+    assert(wav.exists(i => i.format == "audio/wav" && i.channels == 2 &&
+      i.sampleRate == 16000 && i.bitsPerSample == 16 &&
+      i.headerLen == 64 && i.dataLen == payload.length &&
+      i.bitrateKbps == 16000 * 2 * 16 / 8 * 8 / 1000), s"$wav")
+    val mp3 = AudioHeader.parse(AudioHeader.mp3Bytes(payload))
+    assert(mp3.exists(i => i.format == "audio/mpeg" && i.channels == 2 &&
+      i.sampleRate == 44100 && i.bitsPerSample == 0 &&
+      i.bitrateKbps == 128 && i.headerLen == 34 &&
+      i.dataLen == payload.length), s"$mp3")
+  }
+
+  test("AudioHeader rejects malformed containers instead of misparsing") {
+    import graft.functions.Multimodal.AudioHeader
+    val payload = "payload".getBytes("UTF-8")
+    val good = AudioHeader.wavBytes(1, 8000, 16, payload)
+    def mut(src: Array[Byte])(f: Array[Byte] => Unit): Array[Byte] = {
+      val c = src.clone(); f(c); c
+    }
+    // truncated inside the fmt chunk
+    assert(AudioHeader.parse(good.take(30)).isEmpty, "truncated WAV")
+    // RIFF but not WAVE
+    assert(AudioHeader.parse(mut(good)(b => b(8) = 'A')).isEmpty)
+    // a chunk whose declared size runs past the buffer
+    assert(AudioHeader.parse(mut(good)(b => b(40) = 0x7F.toByte)).isEmpty,
+      "chunk-size overrun must reject, not read out of bounds")
+    // zero channels in fmt
+    assert(AudioHeader.parse(mut(good)(b => { b(22) = 0; b(23) = 0 })).isEmpty)
+    // data chunk with NO preceding fmt: RIFF + WAVE + bare data chunk
+    val bb = java.nio.ByteBuffer.allocate(44 + payload.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + payload.length)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("data".getBytes("US-ASCII")).putInt(payload.length).put(payload)
+    assert(AudioHeader.parse(bb.array()).isEmpty, "data before fmt")
+
+    val goodMp3 = AudioHeader.mp3Bytes(payload)
+    // broken frame sync after the ID3 tag
+    assert(AudioHeader.parse(mut(goodMp3)(b => b(30) = 0x00)).isEmpty)
+    // reserved bitrate index 15 (0xF0 in the third header byte)
+    assert(AudioHeader.parse(mut(goodMp3)(b => b(32) = 0xF0.toByte)).isEmpty)
+    // free-format bitrate index 0
+    assert(AudioHeader.parse(mut(goodMp3)(b => b(32) = 0x00.toByte)).isEmpty)
+    // reserved sample-rate index 3 (keep 128kbps nibble)
+    assert(AudioHeader.parse(mut(goodMp3)(b => b(32) = 0x9C.toByte)).isEmpty)
+    // ID3 synchsafe size running past the buffer
+    assert(AudioHeader.parse(mut(goodMp3)(b => b(9) = 0x7F.toByte)).isEmpty)
+    // non-synchsafe ID3 size byte (high bit set)
+    assert(AudioHeader.parse(mut(goodMp3)(b => b(9) = 0x80.toByte)).isEmpty)
+    // MPEG2 version bits (the tables here are MPEG1-only)
+    assert(AudioHeader.parse(mut(goodMp3)(b => b(31) = 0xF3.toByte)).isEmpty)
+  }
+
   test("a corrupt layout marker fails loudly, not silently-flat") {
     val p = Files.createTempDirectory("graft-ddcm").toString
     Dedup.buildDedupIndexPartitioned(docs, "doc_id", "text", p,

@@ -943,6 +943,21 @@ object SparkEntry {
         minLineChars = 10)
     }),
 
+    // The streaming composition's frozen-keys line stage, batch form:
+    // repeated-line keys built once (repeatedLineKeys), every doc
+    // rewritten against them (stripLinesByKeys) — over its own corpus
+    // this must be exactly the one-shot h60 line dedup (same oracle)
+    "dedup_lines_strip" -> ((s, dir) => {
+      val lined = documents(s, dir).select(col("doc_id"),
+        regexp_replace(col("text"), "((?:[^ ]+ ){7}[^ ]+) ", "$1\n")
+          .as("text"))
+      val keys = Dedup.repeatedLineKeys(lined, "doc_id", "text",
+        minDocs = 2, minLineChars = 10)
+      Dedup.stripLinesByKeys(lined, keys, "doc_id", "text")
+        .select(col("doc_id"), col("text").as("clean_text"),
+          col("n_lines_removed").as("n_removed"))
+    }),
+
     // End-to-end training-data prep in ONE query — the composition a
     // real pipeline runs: inject exact dups → exact-dedup to keepers →
     // quality-filter → deterministic split assignment → per-(split,lang)
@@ -1541,6 +1556,31 @@ object SparkEntry {
       (0 until 4).map(i =>
         s"SELECT doc_id, $i AS band, md5(concat_ws('|', m${2 * i}, m${2 * i + 1})) AS bkey FROM ${p}sig")
         .mkString(" UNION ALL ") + ")"
+
+  /** The h60 line-dedup oracle: derived 8-word lines, 60-bit-hash dup
+    * keys (≥2 distinct docs, ≥10 chars), position-ordered rewrite.
+    * Shared verbatim by `dedup_lines_h60` and `dedup_lines_strip` (the
+    * frozen-keys strip over its own corpus must reproduce the one-shot
+    * form exactly). */
+  private lazy val linesH60Oracle: String =
+    "WITH lined AS (SELECT doc_id, regexp_replace(text, " +
+      "'((?:[^ ]+ ){7}[^ ]+) ', '\\1' || chr(10), 'g') AS text " +
+      "FROM documents), " +
+      "l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line, " +
+      "unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos " +
+      "FROM lined), " +
+      s"dup AS (SELECT ${Dedup.hash60Sql("line")} AS k FROM l " +
+      "WHERE length(line) >= 10 " +
+      "GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2), " +
+      "kept AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) " +
+      "AS clean_text, count(*) AS kept FROM l " +
+      s"WHERE ${Dedup.hash60Sql("line")} NOT IN (SELECT k FROM dup) " +
+      "GROUP BY doc_id), " +
+      "tot AS (SELECT doc_id, count(*) AS tot FROM l GROUP BY doc_id) " +
+      "SELECT d.doc_id, COALESCE(k.clean_text, '') AS clean_text, " +
+      "(COALESCE(t.tot, 0) - COALESCE(k.kept, 0)) AS n_removed " +
+      "FROM documents d LEFT JOIN tot t USING (doc_id) " +
+      "LEFT JOIN kept k USING (doc_id)"
 
   /** The cross-corpus dedup oracle — same ingest-batch synthesis, same
     * 8-minhash/4-band keys on both corpora, best match = (jac DESC, cid
@@ -2394,26 +2434,10 @@ object SparkEntry {
         "FROM documents d LEFT JOIN tot t USING (doc_id) " +
         "LEFT JOIN kept k USING (doc_id)"),
 
-    "dedup_lines_h60" ->
-      // identical strip-and-rewrite, dup key = 60-bit line hash
-      ("WITH lined AS (SELECT doc_id, regexp_replace(text, " +
-        "'((?:[^ ]+ ){7}[^ ]+) ', '\\1' || chr(10), 'g') AS text " +
-        "FROM documents), " +
-        "l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line, " +
-        "unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos " +
-        "FROM lined), " +
-        s"dup AS (SELECT ${Dedup.hash60Sql("line")} AS k FROM l " +
-        "WHERE length(line) >= 10 " +
-        "GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2), " +
-        "kept AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) " +
-        "AS clean_text, count(*) AS kept FROM l " +
-        s"WHERE ${Dedup.hash60Sql("line")} NOT IN (SELECT k FROM dup) " +
-        "GROUP BY doc_id), " +
-        "tot AS (SELECT doc_id, count(*) AS tot FROM l GROUP BY doc_id) " +
-        "SELECT d.doc_id, COALESCE(k.clean_text, '') AS clean_text, " +
-        "(COALESCE(t.tot, 0) - COALESCE(k.kept, 0)) AS n_removed " +
-        "FROM documents d LEFT JOIN tot t USING (doc_id) " +
-        "LEFT JOIN kept k USING (doc_id)"),
+    "dedup_lines_h60" -> linesH60Oracle,
+
+    // identical expectation: strip-vs-own-corpus IS the h60 line dedup
+    "dedup_lines_strip" -> linesH60Oracle,
 
     "pipeline_e2e" ->
       // the composed chain: inject dups → keep min-id per content hash →

@@ -1023,6 +1023,73 @@ object Dedup {
     dedupLinesKeyed(df, idCol, textCol, minDocs, minLineChars, hash60,
       materializeKey = true)
 
+  /**
+   * The FROZEN-TABLE half of [[dedupLinesByHash]] for streaming
+   * composition (the Bloom-blocklist pattern): one corpus-linear pass
+   * over a REFERENCE corpus yields the 60-bit keys of every line
+   * repeated in ≥ `minDocs` distinct documents — the boilerplate set a
+   * crawl pipeline strips from every arriving page. Built once before a
+   * stream starts; [[stripLinesByKeys]] then rewrites each micro-batch
+   * against it statelessly (frozen keys → batches independent → replay
+   * idempotent for free).
+   *
+   * Scale shape: explode + ONE aggregate keyed on the 8-byte line hash
+   * (uniform, no skew); output bounded by the number of REPEATED lines,
+   * not the corpus.
+   */
+  def repeatedLineKeys(corpus: DataFrame, idCol: String, textCol: String,
+                       minDocs: Int = 2, minLineChars: Int = 10): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    corpus.select(col(idCol),
+        explode(split(col(textCol), "\n")).as("__line"))
+      .filter(length(col("__line")) >= minLineChars)
+      .groupBy(hash60(col("__line")).as("__lk"))
+      .agg(count_distinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__lk"))
+  }
+
+  /**
+   * Rewrite `docs` against a frozen [[repeatedLineKeys]] table: every
+   * line whose 60-bit hash is in `lineKeys` is removed, the survivors
+   * re-join in original order, `textCol` is REPLACED by the cleaned
+   * text, and `n_lines_removed` is appended — all other columns pass
+   * through untouched (the streaming prep pipeline carries embeddings
+   * beside the text). Against keys built FROM the same docs this is
+   * exactly [[dedupLinesByHash]]'s rewrite (spec-pinned); against a
+   * reference-corpus table it is the production shape — new pages
+   * stripped of known boilerplate without re-scanning the corpus.
+   *
+   * The anti join's key side is bounded by the repeated-line set, and
+   * deliberately un-hinted: AQE broadcasts it when it fits, which at
+   * blocklist scale it does.
+   */
+  def stripLinesByKeys(docs: DataFrame, lineKeys: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    // exploded lines feed the strip AND the totals (no cross-branch CSE)
+    val lines = docs.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+      .withColumn("__mk", hash60(col("__line")))
+      .localCheckpoint(false)
+    val kept = lines
+      .join(lineKeys, lines("__mk") === lineKeys("__lk"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws("\n",
+          transform(
+            array_sort(collect_list(struct(col("__pos"), col("__line")))),
+            e => e.getField("__line"))).as("__clean"),
+        count(lit(1)).as("__kept"))
+    val totals = lines.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__tot"))
+    docs.join(totals, Seq(idCol), "left")
+      .join(kept, Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col("__clean"), lit("")))
+      .withColumn("n_lines_removed",
+        coalesce(col("__tot"), lit(0L)) - coalesce(col("__kept"), lit(0L)))
+      .drop("__clean", "__tot", "__kept")
+  }
+
   /** Shared core of the two line-dedup forms: `keyOf(line)` is the dup
     * key — the line itself (exact anchor, `materializeKey = false`: the
     * key IS the line, adding a column would shuffle every string twice)

@@ -322,12 +322,24 @@ object StreamOps {
    * as "self" (use disjoint id ranges). Admitted rows carry
    * `corpus_cos` (null = no probed-cell neighbor at all).
    *
-   * The Bloom blocklist (and LM model) are sized and built ONCE before
-   * the stream starts; the quality/split stages are pure column maps.
-   * Scale shape is the sum of its parts: broadcast bitmap probe +
-   * (band,key)-bucketed verify + partition-pruned index probe +
-   * per-batch tf aggregate joined to the broadcast-scale vocabulary +
-   * zero-shuffle maps — nothing accumulates driver-side.
+   * The LINE stage ([[graft.functions.Dedup.stripLinesByKeys]]) joins
+   * the composition when `lineKeys` is given (a frozen
+   * [[graft.functions.Dedup.repeatedLineKeys]] table, built pre-stream
+   * from a reference corpus — the Bloom pattern): each arriving doc is
+   * rewritten with known boilerplate lines removed BEFORE anything else
+   * sees it — the pass real crawl pipelines run first, so the Bloom
+   * probe, the dedup state, the gates and the quality score all operate
+   * on the cleaned text, and admitted rows carry `n_lines_removed`.
+   * The stage is stateless against frozen keys, so replay idempotence
+   * is untouched.
+   *
+   * The Bloom blocklist (and LM model, and line-key table) are sized
+   * and built ONCE before the stream starts; the quality/split stages
+   * are pure column maps. Scale shape is the sum of its parts:
+   * bounded-key anti join + broadcast bitmap probe + (band,key)-bucketed
+   * verify + partition-pruned index probe + per-batch tf aggregate
+   * joined to the broadcast-scale vocabulary + zero-shuffle maps —
+   * nothing accumulates driver-side.
    */
   def prepPipelineTo(docs: DataFrame, blockKeys: DataFrame, outPath: String,
                      statePath: String, checkpoint: String, idCol: String,
@@ -340,17 +352,21 @@ object StreamOps {
                      vecCol: String = "embedding",
                      embedLabelCol: String = "cell",
                      embedMinCos: Double = 0.9,
+                     lineKeys: Option[DataFrame] = None,
                      availableNow: Boolean = true): StreamingQuery = {
-    import graft.functions.{Sampling, TextFns}
+    import graft.functions.{Dedup, Sampling, TextFns}
     val n = math.max(1L, blockKeys.select(col(textCol)).count())
     val (m, k) = Bloom.sizeFor(n, fpp)
     val filterRow = Bloom.build(blockKeys, col(textCol), m, k)
       .localCheckpoint() // eager: materialize before the stream starts
     val model = modelCorpus.map(mc => TextFns.unigramModel(mc, textCol)
       .localCheckpoint()) // eager, same pre-stream discipline as the Bloom
+    val frozenLineKeys = lineKeys.map(_.localCheckpoint()) // eager too
     val writer = docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+      .foreachBatch { (batch0raw: DataFrame, batchId: Long) =>
+        val batch0 = frozenLineKeys.fold(batch0raw)(lk =>
+          Dedup.stripLinesByKeys(batch0raw, lk, idCol, textCol))
         val clean = batch0.crossJoin(broadcast(filterRow))
           .withColumn("__hit",
             Bloom.mightContain(col("__bloom"), col(textCol), m, k))

@@ -175,6 +175,29 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(out == Set((999999L, None, None, true)))
   }
 
+  // ---- frozen-keys line strip (the streaming line stage's core) ----
+
+  test("stripLinesByKeys vs its own corpus ≡ dedupLinesByHash, columns intact") {
+    val lined = docs.select(col("doc_id"),
+      regexp_replace(col("text"), "((?:[^ ]+ ){7}[^ ]+) ", "$1\n").as("text"),
+      (col("doc_id") % 5).as("extra")) // a passenger column
+    val keys = Dedup.repeatedLineKeys(lined, "doc_id", "text")
+    val stripped = Dedup.stripLinesByKeys(lined, keys, "doc_id", "text")
+    assert(stripped.columns.toSeq ==
+      Seq("doc_id", "text", "extra", "n_lines_removed"),
+      s"columns: ${stripped.columns.toSeq}")
+    val got = stripped.select("doc_id", "text", "n_lines_removed").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val want = Dedup.dedupLinesByHash(
+      lined.select("doc_id", "text"), "doc_id", "text")
+      .select("doc_id", "clean_text", "n_removed").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want, "frozen-keys strip diverged from the one-shot form")
+    assert(got.exists(_._3 > 0), "fixture must actually strip something")
+    // passenger columns survive untouched
+    assert(stripped.filter(col("extra") =!= col("doc_id") % 5).count() == 0)
+  }
+
   // ---- audio container headers (WAV/RIFF + MP3) ----
 
   test("AudioHeader round-trips its own WAV and MP3 fixtures") {

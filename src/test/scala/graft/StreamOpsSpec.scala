@@ -343,6 +343,80 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(stateIds == Set(1L, 6L, 7L), s"state: $stateIds")
   }
 
+  test("e2e prep pipeline with the line stage: strips first, crash replay idempotent") {
+    import spark.implicits._
+    import graft.functions.Dedup
+    val base = "the quick brown fox jumps over the lazy dog and then the " +
+      "cat naps while a bird sings songs about the warm summer day outside"
+    val blockText = "forbidden document that must never be admitted at all"
+    val fresh = "a completely different story where small rivers meet the " +
+      "old stone bridge and the miller waits for the morning light to come"
+    val boiler = "subscribe to our newsletter for updates every single day"
+    // frozen line keys from a REFERENCE corpus: the boiler line repeats
+    // across two distinct reference docs (≥ minDocs)
+    val lineKeys = Dedup.repeatedLineKeys(
+      Seq((100L, s"first reference page body text here\n$boiler"),
+        (101L, s"second reference page different body\n$boiler"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", minDocs = 2, minLineChars = 10)
+
+    val in = Files.createTempDirectory("graft-lns-in").toString
+    // batch 0: 1 admitted (boiler stripped); 3 blocklisted outright
+    Seq((1L, s"$base\n$boiler"), (3L, blockText))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    Thread.sleep(1100)
+    // batch 1 (the replayed epoch): 4 near-dup of 1 AFTER stripping
+    // (state drop); 6 fresh, no boiler (admitted, 0 removed); 9 is the
+    // ORDER PROOF — its raw text is blockText + boiler, and the Bloom
+    // blocklist holds the bare blockText: only if the line stage runs
+    // FIRST does the probe see the cleaned text and drop it
+    Seq((4L, s"${base.replace("dog", "pug")}\n$boiler"),
+      (6L, fresh), (9L, s"$blockText\n$boiler"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    val block = Seq(blockText).toDF("text")
+    val schema = spark.read.parquet(in).schema
+
+    def run(out: String, state: String, ck: String): Unit = {
+      val q = StreamOps.prepPipelineTo(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(in),
+        block, out, state, ck, "doc_id", "text",
+        minJaccard = 0.6, minQuality = 0.2, lineKeys = Some(lineKeys))
+      q.awaitTermination()
+    }
+    def docs(out: String) = spark.read.parquet(s"$out/docs")
+      .select("doc_id", "text", "n_lines_removed").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+    val outA = Files.createTempDirectory("graft-lns-a").toString + "/out"
+    val stA = Files.createTempDirectory("graft-lns-sa").toString + "/st"
+    run(outA, stA, Files.createTempDirectory("graft-lns-cka").toString)
+
+    // the asymmetric crash: both epochs' work on disk, epoch 1's commit
+    // marker lost, restart replays epoch 1 end-to-end — with the line
+    // stage in the composition
+    val outB = Files.createTempDirectory("graft-lns-b").toString + "/out"
+    val stB = Files.createTempDirectory("graft-lns-sb").toString + "/st"
+    val ckB = Files.createTempDirectory("graft-lns-ckb").toString
+    run(outB, stB, ckB)
+    assert(new java.io.File(s"$ckB/commits/1").delete(),
+      "expected epoch 1's commit marker to exist")
+    new java.io.File(s"$ckB/commits/.1.crc").delete()
+    run(outB, stB, ckB)
+
+    assert(docs(outA) == docs(outB), "docs diverged after crash replay")
+    assert(docs(outA).map(_._1) == Set(1L, 6L), s"final docs: ${docs(outA)}")
+    // the admitted doc comes back REWRITTEN: boiler gone, count carried
+    assert(docs(outA).contains((1L, base, 1L)),
+      s"doc 1 not rewritten: ${docs(outA)}")
+    assert(docs(outA).contains((6L, fresh, 0L)))
+    // order proof: 9 was dropped by the Bloom stage operating on the
+    // CLEANED text, so it never reached the dedup state either
+    val stateIds = spark.read.parquet(s"$stB/sets")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(stateIds == Set(1L, 6L), s"state: $stateIds")
+  }
+
   test("interval join matches its batch equivalent on a live stream") {
     val raw = sources.Tables.load(spark, sfDir, "events")
     val ev = raw.withColumn("ts", timestamp_micros(sources.Tables.tsUs(raw)))

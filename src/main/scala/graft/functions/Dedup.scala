@@ -615,6 +615,9 @@ object Dedup {
     cSets.write.mode("overwrite").parquet(s"$path/sets")
     bandKeysFromSets(cSets, idCol)
       .write.mode("overwrite").parquet(s"$path/keys")
+    // a flat rebuild over a formerly-partitioned path must also retire
+    // the layout marker, or every later probe takes the wrong path
+    clearDedupLayout(corpus.sparkSession, path)
   }
 
   // ---- partition-prunable persisted index (the 100 TB layout) ----------
@@ -648,12 +651,26 @@ object Dedup {
       val in = fs.open(p)
       val raw = try scala.io.Source.fromInputStream(in).mkString.trim
       finally in.close()
-      val b = raw.stripPrefix("banded|").toIntOption
+      // the prefix is part of the format: a bare number (truncated or
+      // foreign write) must hit the corrupt path, not pass as a bucket
+      // count that silently mis-buckets every later append
+      val b = (if (raw.startsWith("banded|"))
+        raw.stripPrefix("banded|").toIntOption else None)
         .getOrElse(sys.error(
           s"corrupt dedup-index layout marker at $p: '$raw'"))
       require(b > 0, s"corrupt dedup-index layout marker at $p: '$raw'")
       Some(b)
     }
+  }
+
+  /** Remove the layout marker (flat rebuild over a formerly-partitioned
+    * path): without this the stale marker would route every later probe
+    * and append down the partitioned path against flat files. */
+  private def clearDedupLayout(spark: org.apache.spark.sql.SparkSession,
+                               path: String): Unit = {
+    val p = layoutMarkerPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) { fs.delete(p, false); () }
   }
 
   private def writeDedupLayout(spark: org.apache.spark.sql.SparkSession,
@@ -1063,11 +1080,20 @@ object Dedup {
    * The anti join's key side is bounded by the repeated-line set, and
    * deliberately un-hinted: AQE broadcasts it when it fits, which at
    * blocklist scale it does.
+   *
+   * `idCol` is the rebuild key and must be UNIQUE in `docs` (the
+   * [[dedupLines]] contract): duplicate ids would merge both copies'
+   * lines into one interleaved rebuild. The streaming composition
+   * collapses at-least-once redeliveries BEFORE this stage. The input
+   * is checkpointed once here — it feeds the exploded lines AND the
+   * final doc-row join, and two evaluations of a nondeterministic
+   * upstream could pair a doc row with counts from different text.
    */
   def stripLinesByKeys(docs: DataFrame, lineKeys: DataFrame, idCol: String,
                        textCol: String): DataFrame = {
+    val d = docs.localCheckpoint(false)
     // exploded lines feed the strip AND the totals (no cross-branch CSE)
-    val lines = docs.select(col(idCol),
+    val lines = d.select(col(idCol),
         posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
       .withColumn("__mk", hash60(col("__line")))
       .localCheckpoint(false)
@@ -1082,7 +1108,7 @@ object Dedup {
         count(lit(1)).as("__kept"))
     val totals = lines.groupBy(col(idCol))
       .agg(count(lit(1)).as("__tot"))
-    docs.join(totals, Seq(idCol), "left")
+    d.join(totals, Seq(idCol), "left")
       .join(kept, Seq(idCol), "left")
       .withColumn(textCol, coalesce(col("__clean"), lit("")))
       .withColumn("n_lines_removed",

@@ -332,7 +332,14 @@ object Multimodal {
                       info.bitsPerSample)
                 else info.dataLen * 8L / info.bitrateKbps
               val md = java.security.MessageDigest.getInstance("MD5")
-              md.update(bytes, info.headerLen, bytes.length - info.headerLen)
+              // hash the DECLARED data bytes, not everything after the
+              // header: a spec-legal trailing chunk (LIST/INFO after
+              // `data`) or the odd-size pad byte must not change the
+              // fingerprint, or byte-identical audio stops dedup'ing
+              // across containers
+              md.update(bytes, info.headerLen,
+                math.min(info.dataLen, (bytes.length - info.headerLen).toLong)
+                  .toInt)
               AudioFeature(id, info.format, bytes.length.toLong,
                 info.channels, info.sampleRate, info.bitsPerSample,
                 durationMs, md.digest().map("%02x".format(_)).mkString)

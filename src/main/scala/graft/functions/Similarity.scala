@@ -593,7 +593,10 @@ object Similarity {
         && !st.getPath.getName.startsWith("."))
     val dataFiles = visible.filter(st =>
       st.isFile && st.getPath.getName.endsWith(".parquet"))
-    if (dataFiles.isEmpty || dataFiles.size != visible.size)
+    if (visible.isEmpty) 0L // only hidden files (_SUCCESS) or nothing:
+    // 0 rows, same as the footer sum always said — spark.read would
+    // throw on schema inference here, a crash the old code never had
+    else if (dataFiles.size != visible.size)
       spark.read.parquet(dir).count() // layout drift: pay the job, stay correct
     else dataFiles.iterator.map { st =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile

@@ -123,6 +123,17 @@ object JdbcApplySink {
    * chunks and one setval per sequence is executed after the last chunk
    * — the same end state as the unchunked form. Returns the applied
    * changeset count.
+   *
+   * COMMIT-BOUNDARY CONTRACT: each exec() call is a potential commit
+   * boundary, so on this path a crash can land BETWEEN chunks and the
+   * replayed micro-batch re-executes already-committed statements. The
+   * generated statement stream is replay-idempotent by construction —
+   * INSERTs carry ON CONFLICT DO NOTHING (the reference's K3 dup-skip),
+   * UPSERTs and DELETEs are absolute, and setval sets an absolute value
+   * — so the re-execution converges to the same end state. A CUSTOM
+   * exec that batches side effects must preserve that idempotence (or
+   * wrap all chunks in one transaction itself); an exec that relied on
+   * one-call-per-batch atomicity should use [[statementsFor]] directly.
    */
   def applyChunked(batch: DataFrame,
                    pks: Map[(String, String), Seq[String]],
@@ -157,16 +168,21 @@ object JdbcApplySink {
     * in order. Batches up to `maxRowsPerBatch` go through the collected
     * single-call path ([[statementsFor]]); larger ones — a cold-start
     * backlog — through [[applyChunked]], so the driver never materializes
-    * more than the bound at once. */
+    * more than the bound at once. The batch is checkpointed once: the
+    * size gate and the apply must see ONE evaluation (a nondeterministic
+    * upstream could otherwise count under the bound and then collect
+    * over it), and the gate's bounded count then reads cached blocks
+    * instead of re-running the source. */
   def writer(pks: Map[(String, String), Seq[String]],
              seqCols: Map[(String, String), Seq[(String, String)]],
              exec: Seq[Statement] => Unit,
              maxRowsPerBatch: Int = DefaultMaxRowsPerBatch): (DataFrame, Long) => Unit =
     (batch, _) => {
-      if (batch.limit(maxRowsPerBatch + 1).count() <= maxRowsPerBatch)
-        exec(statementsFor(batch, pks, seqCols))
+      val b = batch.localCheckpoint(false)
+      if (b.limit(maxRowsPerBatch + 1).count() <= maxRowsPerBatch)
+        exec(statementsFor(b, pks, seqCols))
       else {
-        applyChunked(batch, pks, seqCols, exec, maxRowsPerBatch)
+        applyChunked(b, pks, seqCols, exec, maxRowsPerBatch)
         ()
       }
     }

@@ -365,8 +365,13 @@ object StreamOps {
     val writer = docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch0raw: DataFrame, batchId: Long) =>
-        val batch0 = frozenLineKeys.fold(batch0raw)(lk =>
-          Dedup.stripLinesByKeys(batch0raw, lk, idCol, textCol))
+        // collapse at-least-once redeliveries FIRST: the line rebuild
+        // groups by id, so duplicate ids would interleave both copies'
+        // lines into one corrupted text (pre-line-stage, the exact-dup
+        // cascade absorbed them benignly — the strip must see uniques)
+        val batch0u = batch0raw.dropDuplicates(idCol)
+        val batch0 = frozenLineKeys.fold(batch0u)(lk =>
+          Dedup.stripLinesByKeys(batch0u, lk, idCol, textCol))
         val clean = batch0.crossJoin(broadcast(filterRow))
           .withColumn("__hit",
             Bloom.mightContain(col("__bloom"), col(textCol), m, k))

@@ -263,14 +263,72 @@ class Round10OpsSpec extends AnyFunSuite {
       setBuckets = 16)
     // drop the Hadoop checksum sidecar so the direct overwrite below is
     // read back as content (not a ChecksumException)
-    new java.io.File(s"$p/._graft_dedup_layout.crc").delete()
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$p/_graft_dedup_layout"),
-      "banded|not-a-number".getBytes("UTF-8"))
+    def poison(content: String): Unit = {
+      new java.io.File(s"$p/._graft_dedup_layout.crc").delete()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$p/_graft_dedup_layout"),
+        content.getBytes("UTF-8"))
+    }
+    poison("banded|not-a-number")
     val e = intercept[RuntimeException] {
       Dedup.dedupAgainstIndexed(spark, p, probeBatch, "doc_id", "text", 0.8)
     }
     assert(e.getMessage.contains("corrupt"),
       s"unexpected error: ${e.getMessage}")
+    // a bare number (truncated/foreign write) is NOT a valid marker: it
+    // must not pass as a bucket count that mis-buckets later appends
+    poison("16")
+    val e2 = intercept[RuntimeException] {
+      Dedup.dedupAgainstIndexed(spark, p, probeBatch, "doc_id", "text", 0.8)
+    }
+    assert(e2.getMessage.contains("corrupt"),
+      s"unexpected error: ${e2.getMessage}")
+  }
+
+  test("flat rebuild over a formerly-partitioned path retires the marker") {
+    val p = Files.createTempDirectory("graft-ddfr").toString
+    Dedup.buildDedupIndexPartitioned(docs, "doc_id", "text", p,
+      setBuckets = 16)
+    // rebuild FLAT at the same path: the marker must go with the old
+    // layout, or every later probe filters on a bp column that no
+    // longer exists
+    Dedup.buildDedupIndex(docs, "doc_id", "text", p)
+    val batch = probeBatch.localCheckpoint()
+    val viaRebuilt = verdictRows(
+      Dedup.dedupAgainstIndexed(spark, p, batch, "doc_id", "text", 0.8))
+    val direct = verdictRows(
+      Dedup.dedupAgainst(batch, docs, "doc_id", "text", 0.8))
+    assert(viaRebuilt == direct && viaRebuilt.nonEmpty,
+      "flat rebuild over a partitioned path must probe flat and match")
+  }
+
+  test("WAV fingerprint ignores trailing chunks and the pad byte") {
+    import spark.implicits._
+    import graft.functions.Multimodal
+    import graft.functions.Multimodal.AudioHeader
+    // ODD payload length: a spec-conforming writer pads the data chunk
+    // to even before any trailing chunk
+    val payload = "seven bytes and then some more audio data x".getBytes("UTF-8")
+    assert(payload.length % 2 == 1, "fixture wants an odd data length")
+    val bare = AudioHeader.wavBytes(1, 8000, 16, payload)
+    val trailing = {
+      val extra = java.nio.ByteBuffer.allocate(13)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      extra.put(0.toByte) // the data chunk's odd-size pad byte
+      extra.put("LIST".getBytes("US-ASCII")).putInt(4)
+        .put("INFO".getBytes("US-ASCII"))
+      bare ++ extra.array()
+    }
+    // both parse as the SAME audio (the parser stops at data)
+    assert(AudioHeader.parse(trailing).map(i => (i.channels, i.dataLen)) ==
+      AudioHeader.parse(bare).map(i => (i.channels, i.dataLen)))
+    val media = Seq(
+      (1L, "audio/wav", bare, bare.length.toLong),
+      (2L, "audio/wav", trailing, trailing.length.toLong))
+      .toDF("doc_id", "kind", "content", "byte_len")
+    val fps = Multimodal.decodeAudioFeatures(spark, media)
+      .collect().map(f => f.docId -> f.fingerprint).toMap
+    assert(fps(1L) == fps(2L),
+      "byte-identical audio must fingerprint identically across containers")
   }
 }

@@ -96,6 +96,15 @@ class Round9ReviewSpec extends AnyFunSuite {
     }
     assert(Similarity.parquetRowCount(spark, dir2) == 50L,
       "suffix drift must fall back to a correct count, not 0")
+    // a dir holding only hidden files (or nothing) is 0 rows — the old
+    // footer sum said 0 and spark.read would CRASH on schema inference,
+    // so the fallback must not be taken here
+    val dir3 = Files.createTempDirectory("graft-prce").toString + "/t"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir3))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir3, "_SUCCESS"), Array.emptyByteArray)
+    assert(Similarity.parquetRowCount(spark, dir3) == 0L,
+      "hidden-only dir must count 0, not crash")
   }
 
   // ---- line-level boilerplate removal ----

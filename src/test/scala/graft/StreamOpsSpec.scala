@@ -361,8 +361,11 @@ class StreamOpsSpec extends AnyFunSuite {
       "doc_id", "text", minDocs = 2, minLineChars = 10)
 
     val in = Files.createTempDirectory("graft-lns-in").toString
-    // batch 0: 1 admitted (boiler stripped); 3 blocklisted outright
-    Seq((1L, s"$base\n$boiler"), (3L, blockText))
+    // batch 0: 1 admitted (boiler stripped) — delivered TWICE
+    // (at-least-once upstream): the line rebuild groups by id, so
+    // without the collapse the two copies' lines would interleave into
+    // one corrupted text; 3 blocklisted outright
+    Seq((1L, s"$base\n$boiler"), (1L, s"$base\n$boiler"), (3L, blockText))
       .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
     Thread.sleep(1100)
     // batch 1 (the replayed epoch): 4 near-dup of 1 AFTER stripping

@@ -171,10 +171,13 @@ def main():
           f"queries, {load_s})")
     if len(sys.argv) > 2:
         drift_report(queries, sys.argv[2])
-    # the history lives beside the bench artifact (both repo-root files)
-    history_report(queries, doc.get("sf"), os.path.join(
-        os.path.dirname(os.path.abspath(path)) or ".",
-        "bench_history.jsonl"))
+    # the history lives where the bench wrote it: honor the same env
+    # override the bench honors, else look beside the bench artifact
+    history_report(queries, doc.get("sf"),
+                   os.environ.get("SPARK_GRAFT_BENCH_HISTORY") or
+                   os.path.join(
+                       os.path.dirname(os.path.abspath(path)) or ".",
+                       "bench_history.jsonl"))
     return 0
 
 

@@ -1280,6 +1280,30 @@ object SparkEntry {
         "doc_id", "text", 0.8)
     }),
 
+    // Steady-state twin of the banded row (frozenIndex memo, the ANN
+    // probe-twin device): the partitioned index is built once per JVM
+    // and this row times the PRUNED PROBE alone — the per-micro-batch
+    // cost streaming crossDedupTo pays. Same oracle; the self-contained
+    // build-in-query row above stays for oracle completeness.
+    "dedup_against_banded_probe" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val w = TextFns.words(col("text"))
+      val nearDups = d.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 300000L).as("doc_id"),
+          concat(lit("zzz "),
+            array_join(slice(w, lit(2), size(w) - 1), " ")).as("text"))
+      val fresh = d.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 400000L).as("doc_id"),
+          array_join(transform(w, x => concat(lit("n"), x)), " ").as("text"))
+      val path = frozenIndex("dedupbanded", dir) { p =>
+        Dedup.buildDedupIndexPartitioned(
+          d.select(col("doc_id"), col("text")), "doc_id", "text", p,
+          setBuckets = 16)
+      }
+      Dedup.dedupAgainstIndexed(s, path, nearDups.unionByName(fresh),
+        "doc_id", "text", 0.8)
+    }),
+
     // Same again through INCREMENTAL index maintenance: build on half the
     // corpus, APPEND the other half, probe — append-then-probe must equal
     // build-then-probe exactly (same oracle as dedup_against). A fresh
@@ -2730,6 +2754,7 @@ object SparkEntry {
     // identical results through the persisted index — same oracle
     "dedup_against_indexed" -> dedupAgainstOracle,
     "dedup_against_banded" -> dedupAgainstOracle,
+    "dedup_against_banded_probe" -> dedupAgainstOracle,
 
     // identical results through build-half + append-half — same oracle
     "dedup_against_appended" -> dedupAgainstOracle,

@@ -170,9 +170,17 @@ object StreamOps {
    * a single-batch run equals the batch operator exactly.
    *
    * Scale shape: state is two append-only parquet tables (keys: 4 rows ×
-   * ~40 B per admitted doc; sets: the shingle arrays). The candidate join
-   * is (band, bkey)-bucketed — the natural on-disk partitioning for the
-   * key index at corpus scale.
+   * ~40 B per admitted doc; sets: the shingle arrays — the bulk). The
+   * candidate join is (band, bkey)-bucketed, and on a NEW state the sets
+   * table is id-bucket partitioned (`ib=` dirs inside each epoch,
+   * recorded in a layout marker), so each epoch's verify reads only the
+   * CANDIDATE ids' buckets — the sets scan stops growing with the
+   * corpus. A marker-less pre-existing state keeps the legacy flat
+   * layout (mixed layouts under one partition root would break every
+   * read); rebuild the state to adopt the banded form. The keys table
+   * is still scanned per epoch: it is the small table, and a batch's
+   * band keys cover too many hash prefixes for prefix pruning to pay
+   * there (the asymmetry is documented, not hidden).
    */
   def nearDupDedupTo(docs: DataFrame, outPath: String, statePath: String,
                      checkpoint: String, idCol: String, textCol: String,
@@ -203,6 +211,54 @@ object StreamOps {
    * frame (backed by checkpointed inputs — safe to consume after the
    * state writes). `batch` must be cached/materialized by the caller.
    */
+  /** id-bucket count of a NEW streaming dedup state's sets table: each
+    * epoch's admitted shingle sets land under `ib=<id mod this>` dirs
+    * inside their `batch=` partition, so the verify step reads only the
+    * CANDIDATE ids' buckets instead of the whole accumulated sets table
+    * — the sets are the state's bulk (full shingle arrays; keys are 4
+    * short rows/doc), and their per-batch full scan was the one
+    * corpus-growing term of the ingest path. Recorded in a marker at
+    * state creation so every later epoch (and [[compactState]]) agrees;
+    * a pre-existing marker-less state stays on the legacy flat layout
+    * forever (mixing layouts under one partition-discovery root would
+    * break every read). */
+  private val StateSetBuckets = 64
+
+  private def stateLayoutPath(statePath: String) =
+    new org.apache.hadoop.fs.Path(s"$statePath/_graft_state_layout")
+
+  /** Some(buckets) → banded sets layout; None → legacy flat. Decided
+    * once per epoch from the marker: present wins; absent + existing
+    * state tables = legacy; absent + fresh state = write the marker and
+    * go banded (crash between marker and first epoch write replays
+    * clean — marker present, tables read as empty). A malformed marker
+    * fails loudly: guessing would silently mis-bucket every append. */
+  private def resolveStateLayout(fs: org.apache.hadoop.fs.FileSystem,
+                                 statePath: String, keysPath: String,
+                                 setsPath: String): Option[Int] = {
+    val p = stateLayoutPath(statePath)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val raw = try scala.io.Source.fromInputStream(in).mkString.trim
+      finally in.close()
+      val b = (if (raw.startsWith("ibsets|"))
+        raw.stripPrefix("ibsets|").toIntOption else None)
+        .getOrElse(sys.error(s"corrupt dedup-state layout marker at $p: '$raw'"))
+      require(b > 0, s"corrupt dedup-state layout marker at $p: '$raw'")
+      Some(b)
+    } else if (fs.exists(new org.apache.hadoop.fs.Path(keysPath)) ||
+      fs.exists(new org.apache.hadoop.fs.Path(setsPath))) None // legacy
+    else {
+      val out = fs.create(p, true)
+      try out.write(s"ibsets|$StateSetBuckets".getBytes("UTF-8"))
+      finally out.close()
+      Some(StateSetBuckets)
+    }
+  }
+
+  private def idBucket(id: org.apache.spark.sql.Column, buckets: Int) =
+    pmod(id.cast("long"), lit(buckets.toLong)).cast("int")
+
   private def dedupEpoch(batch: DataFrame, batchId: Long, statePath: String,
                          idCol: String, textCol: String,
                          minJaccard: Double): DataFrame = {
@@ -211,6 +267,7 @@ object StreamOps {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val keysPath = s"$statePath/keys"
     val setsPath = s"$statePath/sets"
+    val setBuckets = resolveStateLayout(fs, statePath, keysPath, setsPath)
     // 1. batch-internal cascade (exact + near) → representatives
     val reps = Dedup.nearDupClusters(batch, idCol, textCol, minJaccard)
       .filter(col(idCol) === col("cluster_id")).select(col(idCol))
@@ -243,12 +300,27 @@ object StreamOps {
     }
     val stateKeys = stateOrEmpty(keysPath, repKeys.schema)
       .filter(col("batch") =!= batchId)
-    val stateSets = stateOrEmpty(setsPath, repSets.schema)
+    val setsSchema = setBuckets.fold(repSets.schema)(_ =>
+      repSets.schema.add("ib", org.apache.spark.sql.types.IntegerType))
+    val stateSetsAll = stateOrEmpty(setsPath, setsSchema)
       .filter(col("batch") =!= batchId)
-    val cand = repKeys
+    val cand0 = repKeys
       .join(stateKeys.select(col(idCol).as("__sid"),
         col("band"), col("bkey")), Seq("band", "bkey"))
       .select(col(idCol), col("__sid")).distinct()
+    // banded layout: the candidates' id buckets (bounded ≤ setBuckets,
+    // one driver-side collect) become a partition filter on the sets
+    // read — the verify touches only buckets that can hold a candidate,
+    // not the whole accumulated table. cand is checkpointed because it
+    // feeds the bucket collect AND the verify join.
+    val (cand, stateSets) = setBuckets match {
+      case Some(b) =>
+        val c = cand0.localCheckpoint(false)
+        val ibs = c.select(idBucket(col("__sid"), b).as("ib"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        (c, stateSetsAll.filter(col("ib").isin(ibs: _*)))
+      case None => (cand0, stateSetsAll)
+    }
     val dupIds = cand
       .join(repSets, Seq(idCol))
       .join(stateSets.select(col(idCol).as("__sid"),
@@ -269,8 +341,17 @@ object StreamOps {
     def anti(d: DataFrame) = d.join(dupIds, Seq(idCol), "left_anti")
     anti(repKeys).write.mode("overwrite")
       .parquet(s"$keysPath/batch=$batchId")
-    anti(repSets).write.mode("overwrite")
-      .parquet(s"$setsPath/batch=$batchId")
+    setBuckets match {
+      case Some(b) => // write in the banded layout the marker records:
+        // repartition BY the bucket column so each dir gets one file
+        anti(repSets).withColumn("ib", idBucket(col(idCol), b))
+          .repartition(col("ib"))
+          .write.mode("overwrite").partitionBy("ib")
+          .parquet(s"$setsPath/batch=$batchId")
+      case None =>
+        anti(repSets).write.mode("overwrite")
+          .parquet(s"$setsPath/batch=$batchId")
+    }
     anti(repDocs)
   }
 
@@ -467,12 +548,25 @@ object StreamOps {
    * Returns per-table compacted row counts (0 when nothing to compact).
    */
   def compactState(spark: org.apache.spark.sql.SparkSession,
-                   statePath: String): Map[String, Long] =
-    Seq("keys", "sets").map(t =>
-      t -> consolidateEpochs(spark, s"$statePath/$t",
+                   statePath: String): Map[String, Long] = {
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a banded state's sets must compact INTO the banded layout (one
+    // file per ib dir inside the reserved batch=-1), or the next epoch
+    // would read a mixed tree; keys are flat in both layouts
+    val banded = fs.exists(stateLayoutPath(statePath))
+    def stageSets(df: DataFrame, stageDir: String): Unit =
+      if (banded)
+        df.repartition(col("ib")).write.partitionBy("ib").parquet(stageDir)
+      else df.coalesce(8).write.parquet(stageDir)
+    Map(
+      "keys" -> consolidateEpochs(spark, s"$statePath/keys",
         epochPrefix = "batch=") { (df, stageDir) =>
         df.coalesce(8).write.parquet(stageDir)
-      }.getOrElse(0L)).toMap
+      }.getOrElse(0L),
+      "sets" -> consolidateEpochs(spark, s"$statePath/sets",
+        epochPrefix = "batch=")(stageSets).getOrElse(0L))
+  }
 
   /**
    * ONLINE maintenance of the persisted IVF index — the streaming twin of

@@ -200,6 +200,113 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(admitted == Set(1L), s"admitted: $admitted")
   }
 
+  test("banded dedup state: same admissions as legacy, pruned sets reads") {
+    import spark.implicits._
+    // corpus epoch: 120 distinct docs (all admitted → a sets table worth
+    // pruning); probe epoch: 1 fresh doc (no candidates → the banded
+    // verify must read NO sets buckets at all)
+    val corpusDocs = (1L to 120L).map(i =>
+      (i, s"unique document number $i holding token$i plus shared filler " +
+        s"alpha$i bravo$i charlie$i delta$i echo$i foxtrot$i golf$i"))
+    val probeDoc = Seq((900L, "entirely fresh probe text matching nothing " +
+      "in the corpus with its own vocabulary of new tokens"))
+    def feed(): String = {
+      val in = Files.createTempDirectory("graft-bst-in").toString
+      corpusDocs.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(in)
+      Thread.sleep(1100)
+      probeDoc.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(in)
+      in
+    }
+    def admitted(out: String) = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    def fileBytes(): Long =
+      Option(org.apache.hadoop.fs.FileSystem.getGlobalStorageStatistics
+        .get("file"))
+        .flatMap(s => Option(s.getLong("bytesRead")).map(_.longValue()))
+        .getOrElse(0L)
+    val schema = corpusDocs.toDF("doc_id", "text").schema
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("parquet.hadoop.vectored.io.enabled", "false")
+    try {
+      // arm A: fresh state → banded layout by default
+      val inA = feed()
+      val stA = Files.createTempDirectory("graft-bst-sa").toString + "/st"
+      val outA = Files.createTempDirectory("graft-bst-oa").toString + "/out"
+      val bA0 = fileBytes()
+      StreamOps.nearDupDedupTo(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(inA), outA, stA,
+        Files.createTempDirectory("graft-bst-cka").toString,
+        "doc_id", "text", 0.6).awaitTermination()
+      val bytesA = fileBytes() - bA0
+      // arm B: pre-existing marker-less state dir → legacy flat layout
+      val inB = feed()
+      val stB = Files.createTempDirectory("graft-bst-sb").toString + "/st"
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(stB, "keys"))
+      val outB = Files.createTempDirectory("graft-bst-ob").toString + "/out"
+      val bB0 = fileBytes()
+      StreamOps.nearDupDedupTo(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(inB), outB, stB,
+        Files.createTempDirectory("graft-bst-ckb").toString,
+        "doc_id", "text", 0.6).awaitTermination()
+      val bytesB = fileBytes() - bB0
+      // identical admissions either way
+      assert(admitted(outA) == admitted(outB) &&
+        admitted(outA) == (1L to 120L).toSet + 900L)
+      // layout proof: marker + ib dirs in arm A, neither in arm B
+      assert(new java.io.File(s"$stA/_graft_state_layout").exists())
+      assert(new java.io.File(s"$stA/sets/batch=0").listFiles()
+        .exists(f => f.isDirectory && f.getName.startsWith("ib=")),
+        "banded state must write ib= dirs inside the epoch")
+      assert(!new java.io.File(s"$stB/_graft_state_layout").exists())
+      assert(!new java.io.File(s"$stB/sets/batch=0").listFiles()
+        .exists(f => f.isDirectory && f.getName.startsWith("ib=")),
+        "legacy state must stay flat")
+      // pruning proof: epoch 1's verify in arm B scans the whole
+      // 120-doc sets table; in arm A the fresh probe has no candidates
+      // and reads no sets bucket at all — the delta is a meaningful
+      // fraction of the sets table's on-disk size
+      def dirBytes(p: String): Long = {
+        def walk(f: java.io.File): Long =
+          if (f.isFile) f.length()
+          else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+        walk(new java.io.File(p))
+      }
+      val setsBytes = dirBytes(s"$stB/sets")
+      assert(bytesB - bytesA > (0.3 * setsBytes).toLong,
+        s"banded state did not prune the sets read: banded=$bytesA " +
+          s"legacy=$bytesB sets=$setsBytes")
+    } finally hc.unset("parquet.hadoop.vectored.io.enabled")
+  }
+
+  test("a corrupt state layout marker fails loudly") {
+    import spark.implicits._
+    val st = Files.createTempDirectory("graft-bst-cm").toString + "/st"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(st))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(st, "_graft_state_layout"),
+      "64".getBytes("UTF-8")) // prefix-less: truncated/foreign write
+    val in = Files.createTempDirectory("graft-bst-cmi").toString
+    Seq((1L, "alpha bravo charlie delta echo foxtrot golf hotel india"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    val q = StreamOps.nearDupDedupTo(
+      spark.readStream.schema(
+        Seq((1L, "x")).toDF("doc_id", "text").schema).parquet(in),
+      Files.createTempDirectory("graft-bst-cmo").toString + "/out", st,
+      Files.createTempDirectory("graft-bst-cmc").toString,
+      "doc_id", "text", 0.6)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    assert(e.getMessage.contains("corrupt") ||
+      Option(e.getCause).exists(_.getMessage.contains("corrupt")),
+      s"unexpected error: ${e.getMessage}")
+  }
+
   test("e2e prep pipeline: crash-replayed epoch equals the uninterrupted run") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog and then the " +

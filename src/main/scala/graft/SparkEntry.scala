@@ -98,6 +98,23 @@ object SparkEntry {
           .cast(graft.model.PgTypes.toSpark("double precision")).as("value"))
   }
 
+  /** The synthetic cross-corpus ingest batch every `dedup_against*` row
+    * admits: 1-word edits of every 13th corpus doc (+300000 ids) plus
+    * n-prefixed rewrites of every 17th (+400000). ONE definition — five
+    * contract rows share the same oracle, which requires the synthesis
+    * to stay byte-identical across all of them. */
+  private def dedupIngestBatch(d: DataFrame): DataFrame = {
+    val w = TextFns.words(col("text"))
+    d.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 300000L).as("doc_id"),
+        concat(lit("zzz "),
+          array_join(slice(w, lit(2), size(w) - 1), " ")).as("text"))
+      .unionByName(d.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 400000L).as("doc_id"),
+          array_join(transform(w, x => concat(lit("n"), x)), " ")
+            .as("text")))
+  }
+
   /** Changeset-stream payload fields decoded back out of new_values JSON. */
   private def decodedPayload(df: DataFrame): DataFrame = df.select(
     col("id"),
@@ -1224,15 +1241,8 @@ object SparkEntry {
     // corpus; near-dups resolve to their best corpus match
     "dedup_against" -> ((s, dir) => {
       val d = documents(s, dir)
-      val w = TextFns.words(col("text"))
-      val nearDups = d.filter(col("doc_id") % 13 === 0)
-        .select((col("doc_id") + 300000L).as("doc_id"),
-          concat(lit("zzz "),
-            array_join(slice(w, lit(2), size(w) - 1), " ")).as("text"))
-      val fresh = d.filter(col("doc_id") % 17 === 0)
-        .select((col("doc_id") + 400000L).as("doc_id"),
-          array_join(transform(w, x => concat(lit("n"), x)), " ").as("text"))
-      Dedup.dedupAgainst(nearDups.unionByName(fresh),
+      val batch = dedupIngestBatch(d)
+      Dedup.dedupAgainst(batch,
         d.select(col("doc_id"), col("text")), "doc_id", "text", 0.8)
     }),
 
@@ -1241,19 +1251,12 @@ object SparkEntry {
     // results identical to dedup_against, same oracle
     "dedup_against_indexed" -> ((s, dir) => {
       val d = documents(s, dir)
-      val w = TextFns.words(col("text"))
-      val nearDups = d.filter(col("doc_id") % 13 === 0)
-        .select((col("doc_id") + 300000L).as("doc_id"),
-          concat(lit("zzz "),
-            array_join(slice(w, lit(2), size(w) - 1), " ")).as("text"))
-      val fresh = d.filter(col("doc_id") % 17 === 0)
-        .select((col("doc_id") + 400000L).as("doc_id"),
-          array_join(transform(w, x => concat(lit("n"), x)), " ").as("text"))
+      val batch = dedupIngestBatch(d)
       val path = s"$idxRoot/dedup_" +
         java.lang.Integer.toHexString(dir.hashCode)
       Dedup.buildDedupIndex(d.select(col("doc_id"), col("text")),
         "doc_id", "text", path)
-      Dedup.dedupAgainstIndexed(s, path, nearDups.unionByName(fresh),
+      Dedup.dedupAgainstIndexed(s, path, batch,
         "doc_id", "text", 0.8)
     }),
 
@@ -1264,19 +1267,12 @@ object SparkEntry {
     // dedup_against.
     "dedup_against_banded" -> ((s, dir) => {
       val d = documents(s, dir)
-      val w = TextFns.words(col("text"))
-      val nearDups = d.filter(col("doc_id") % 13 === 0)
-        .select((col("doc_id") + 300000L).as("doc_id"),
-          concat(lit("zzz "),
-            array_join(slice(w, lit(2), size(w) - 1), " ")).as("text"))
-      val fresh = d.filter(col("doc_id") % 17 === 0)
-        .select((col("doc_id") + 400000L).as("doc_id"),
-          array_join(transform(w, x => concat(lit("n"), x)), " ").as("text"))
+      val batch = dedupIngestBatch(d)
       val path = s"$idxRoot/dedup_banded_" +
         java.lang.Integer.toHexString(dir.hashCode)
       Dedup.buildDedupIndexPartitioned(d.select(col("doc_id"), col("text")),
         "doc_id", "text", path, setBuckets = 16)
-      Dedup.dedupAgainstIndexed(s, path, nearDups.unionByName(fresh),
+      Dedup.dedupAgainstIndexed(s, path, batch,
         "doc_id", "text", 0.8)
     }),
 
@@ -1287,20 +1283,13 @@ object SparkEntry {
     // build-in-query row above stays for oracle completeness.
     "dedup_against_banded_probe" -> ((s, dir) => {
       val d = documents(s, dir)
-      val w = TextFns.words(col("text"))
-      val nearDups = d.filter(col("doc_id") % 13 === 0)
-        .select((col("doc_id") + 300000L).as("doc_id"),
-          concat(lit("zzz "),
-            array_join(slice(w, lit(2), size(w) - 1), " ")).as("text"))
-      val fresh = d.filter(col("doc_id") % 17 === 0)
-        .select((col("doc_id") + 400000L).as("doc_id"),
-          array_join(transform(w, x => concat(lit("n"), x)), " ").as("text"))
+      val batch = dedupIngestBatch(d)
       val path = frozenIndex("dedupbanded", dir) { p =>
         Dedup.buildDedupIndexPartitioned(
           d.select(col("doc_id"), col("text")), "doc_id", "text", p,
           setBuckets = 16)
       }
-      Dedup.dedupAgainstIndexed(s, path, nearDups.unionByName(fresh),
+      Dedup.dedupAgainstIndexed(s, path, batch,
         "doc_id", "text", 0.8)
     }),
 
@@ -1311,14 +1300,7 @@ object SparkEntry {
     // reps (mode-append on a reused path would double the corpus rows).
     "dedup_against_appended" -> ((s, dir) => {
       val d = documents(s, dir)
-      val w = TextFns.words(col("text"))
-      val nearDups = d.filter(col("doc_id") % 13 === 0)
-        .select((col("doc_id") + 300000L).as("doc_id"),
-          concat(lit("zzz "),
-            array_join(slice(w, lit(2), size(w) - 1), " ")).as("text"))
-      val fresh = d.filter(col("doc_id") % 17 === 0)
-        .select((col("doc_id") + 400000L).as("doc_id"),
-          array_join(transform(w, x => concat(lit("n"), x)), " ").as("text"))
+      val batch = dedupIngestBatch(d)
       val path = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get(idxRoot), "dedup_app_").toString
       val corpus = d.select(col("doc_id"), col("text"))
@@ -1326,7 +1308,7 @@ object SparkEntry {
         "doc_id", "text", path)
       Dedup.appendToDedupIndex(corpus.filter(col("doc_id") % 2 === 1),
         "doc_id", "text", path)
-      Dedup.dedupAgainstIndexed(s, path, nearDups.unionByName(fresh),
+      Dedup.dedupAgainstIndexed(s, path, batch,
         "doc_id", "text", 0.8)
     }),
 

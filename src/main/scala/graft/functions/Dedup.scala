@@ -638,29 +638,17 @@ object Dedup {
 
   /** setBuckets from the layout marker, if the index at `path` was built
     * partitioned. Flat indexes (no marker) return None. A marker that
-    * exists but cannot be parsed is CORRUPT — fail loudly rather than
-    * silently probing a partitioned tree as flat (which would read the
-    * whole index and, worse, hide layout drift). */
+    * exists but cannot be parsed — including a bare number from a
+    * truncated or foreign write — is CORRUPT and fails loudly rather
+    * than silently probing a partitioned tree as flat (which would read
+    * the whole index and, worse, hide layout drift). Shared
+    * format/atomicity machinery: [[LayoutMarker]]. */
   private[graft] def readDedupLayout(
       spark: org.apache.spark.sql.SparkSession,
       path: String): Option[Int] = {
     val p = layoutMarkerPath(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val raw = try scala.io.Source.fromInputStream(in).mkString.trim
-      finally in.close()
-      // the prefix is part of the format: a bare number (truncated or
-      // foreign write) must hit the corrupt path, not pass as a bucket
-      // count that silently mis-buckets every later append
-      val b = (if (raw.startsWith("banded|"))
-        raw.stripPrefix("banded|").toIntOption else None)
-        .getOrElse(sys.error(
-          s"corrupt dedup-index layout marker at $p: '$raw'"))
-      require(b > 0, s"corrupt dedup-index layout marker at $p: '$raw'")
-      Some(b)
-    }
+    LayoutMarker.read(p.getFileSystem(spark.sparkContext.hadoopConfiguration),
+      p, "banded|", "dedup-index")
   }
 
   /** Remove the layout marker (flat rebuild over a formerly-partitioned
@@ -669,17 +657,16 @@ object Dedup {
   private def clearDedupLayout(spark: org.apache.spark.sql.SparkSession,
                                path: String): Unit = {
     val p = layoutMarkerPath(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) { fs.delete(p, false); () }
+    LayoutMarker.delete(
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
   private def writeDedupLayout(spark: org.apache.spark.sql.SparkSession,
                                path: String, setBuckets: Int): Unit = {
     val p = layoutMarkerPath(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(s"banded|$setBuckets".getBytes("UTF-8"))
-    finally out.close()
+    LayoutMarker.write(
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration), p,
+      "banded|", setBuckets)
   }
 
   /**
@@ -723,14 +710,16 @@ object Dedup {
     require(setBuckets > 0, s"setBuckets must be positive: $setBuckets")
     val spark = corpus.sparkSession
     val cSets = shingleSets(corpus, idCol, textCol).localCheckpoint(false)
-    // repartition BY the partition column: each dir is written by exactly
-    // the tasks owning its key (no file-per-task-per-key explosion)
+    // repartition BY the partition column, capped at the value count:
+    // each dir is written by exactly the tasks owning its key (no
+    // file-per-task-per-key explosion, no empty shuffle tasks beyond
+    // the bucket count)
     cSets.withColumn("ib", idBucket(col(idCol), setBuckets))
-      .repartition(col("ib"))
+      .repartition(setBuckets, col("ib"))
       .write.mode("overwrite").partitionBy("ib").parquet(s"$path/sets")
     bandKeysFromSets(cSets, idCol)
       .withColumn("bp", bandPrefix(col("bkey")))
-      .repartition(col("bp"))
+      .repartition(256, col("bp"))
       .write.mode("overwrite").partitionBy("bp").parquet(s"$path/keys")
     writeDedupLayout(spark, path, setBuckets)
   }
@@ -817,11 +806,11 @@ object Dedup {
         // per-doc independence holds per partition dir too, so
         // append-then-probe ≡ rebuild-then-probe unchanged
         bSets.withColumn("ib", idBucket(col(idCol), setBuckets))
-          .repartition(col("ib"))
+          .repartition(setBuckets, col("ib"))
           .write.mode("append").partitionBy("ib").parquet(s"$path/sets")
         bandKeysFromSets(bSets, idCol)
           .withColumn("bp", bandPrefix(col("bkey")))
-          .repartition(col("bp"))
+          .repartition(256, col("bp"))
           .write.mode("append").partitionBy("bp").parquet(s"$path/keys")
       case None =>
         bSets.write.mode("append").parquet(s"$path/sets")

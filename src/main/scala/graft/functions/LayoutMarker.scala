@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/**
+ * One-line layout marker shared by the persisted dedup index
+ * ([[Dedup.buildDedupIndexPartitioned]]) and the streaming dedup state
+ * (`graft.streaming.StreamOps`): content `<prefix><positive int>`.
+ *
+ * The write is ATOMIC (stage + rename, the centers-marker pattern): a
+ * crash between create and flush must never leave a present-but-empty
+ * marker, which would fail the corrupt-marker check on EVERY replay and
+ * brick the state until a human deletes the file. Malformed content
+ * still fails loudly — guessing a layout would silently mis-bucket
+ * every later append.
+ */
+private[graft] object LayoutMarker {
+
+  def read(fs: FileSystem, p: Path, prefix: String, what: String): Option[Int] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val raw = try scala.io.Source.fromInputStream(in).mkString.trim
+      finally in.close()
+      val b = (if (raw.startsWith(prefix)) raw.stripPrefix(prefix).toIntOption
+      else None)
+        .getOrElse(sys.error(s"corrupt $what layout marker at $p: '$raw'"))
+      require(b > 0, s"corrupt $what layout marker at $p: '$raw'")
+      Some(b)
+    }
+
+  def write(fs: FileSystem, p: Path, prefix: String, value: Int): Unit = {
+    val tmp = new Path(p.toString + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"$prefix$value".getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    require(fs.rename(tmp, p), s"layout marker rename failed: $tmp -> $p")
+  }
+
+  def delete(fs: FileSystem, p: Path): Unit =
+    if (fs.exists(p)) { fs.delete(p, false); () }
+}

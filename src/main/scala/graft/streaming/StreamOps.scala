@@ -227,34 +227,34 @@ object StreamOps {
   private def stateLayoutPath(statePath: String) =
     new org.apache.hadoop.fs.Path(s"$statePath/_graft_state_layout")
 
-  /** Some(buckets) → banded sets layout; None → legacy flat. Decided
-    * once per epoch from the marker: present wins; absent + existing
-    * state tables = legacy; absent + fresh state = write the marker and
-    * go banded (crash between marker and first epoch write replays
-    * clean — marker present, tables read as empty). A malformed marker
-    * fails loudly: guessing would silently mis-bucket every append. */
+  /** The layout is fixed at state creation, so resolve it ONCE per JVM
+    * per state path — a continuous-mode stream would otherwise pay
+    * marker round-trips (fs.exists + open) against HDFS/object-store on
+    * every trigger for a value that cannot change. */
+  private val stateLayoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[Int]]()
+
+  /** Some(buckets) → banded sets layout; None → legacy flat. Marker
+    * present wins ([[graft.functions.LayoutMarker]] — atomic write, loud
+    * failure on malformed content); absent + existing state tables =
+    * legacy; absent + fresh state = write the marker and go banded
+    * (crash between marker and first epoch write replays clean — marker
+    * present, tables read as empty). */
   private def resolveStateLayout(fs: org.apache.hadoop.fs.FileSystem,
                                  statePath: String, keysPath: String,
-                                 setsPath: String): Option[Int] = {
-    val p = stateLayoutPath(statePath)
-    if (fs.exists(p)) {
-      val in = fs.open(p)
-      val raw = try scala.io.Source.fromInputStream(in).mkString.trim
-      finally in.close()
-      val b = (if (raw.startsWith("ibsets|"))
-        raw.stripPrefix("ibsets|").toIntOption else None)
-        .getOrElse(sys.error(s"corrupt dedup-state layout marker at $p: '$raw'"))
-      require(b > 0, s"corrupt dedup-state layout marker at $p: '$raw'")
-      Some(b)
-    } else if (fs.exists(new org.apache.hadoop.fs.Path(keysPath)) ||
-      fs.exists(new org.apache.hadoop.fs.Path(setsPath))) None // legacy
-    else {
-      val out = fs.create(p, true)
-      try out.write(s"ibsets|$StateSetBuckets".getBytes("UTF-8"))
-      finally out.close()
-      Some(StateSetBuckets)
-    }
-  }
+                                 setsPath: String): Option[Int] =
+    stateLayoutCache.computeIfAbsent(statePath, _ => {
+      import graft.functions.LayoutMarker
+      val p = stateLayoutPath(statePath)
+      LayoutMarker.read(fs, p, "ibsets|", "dedup-state").orElse {
+        if (fs.exists(new org.apache.hadoop.fs.Path(keysPath)) ||
+          fs.exists(new org.apache.hadoop.fs.Path(setsPath))) None // legacy
+        else {
+          LayoutMarker.write(fs, p, "ibsets|", StateSetBuckets)
+          Some(StateSetBuckets)
+        }
+      }
+    })
 
   private def idBucket(id: org.apache.spark.sql.Column, buckets: Int) =
     pmod(id.cast("long"), lit(buckets.toLong)).cast("int")
@@ -267,6 +267,12 @@ object StreamOps {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val keysPath = s"$statePath/keys"
     val setsPath = s"$statePath/sets"
+    // integral ids were always a de-facto requirement here (the cascade's
+    // union-find collects long ids; string ids died deep inside it with a
+    // bare ClassCastException) and the banded bucket column would
+    // null-cast them — make the contract explicit and fail at the door
+    graft.functions.TopKAgg.requireIntegralId(batch, idCol,
+      "streaming near-dup dedup")
     val setBuckets = resolveStateLayout(fs, statePath, keysPath, setsPath)
     // 1. batch-internal cascade (exact + near) → representatives
     val reps = Dedup.nearDupClusters(batch, idCol, textCol, minJaccard)
@@ -343,9 +349,11 @@ object StreamOps {
       .parquet(s"$keysPath/batch=$batchId")
     setBuckets match {
       case Some(b) => // write in the banded layout the marker records:
-        // repartition BY the bucket column so each dir gets one file
+        // repartition BY the bucket column, capped at the bucket count
+        // (the default shuffle width would run ~3x empty tasks per
+        // epoch on this hot path), so each dir gets one file
         anti(repSets).withColumn("ib", idBucket(col(idCol), b))
-          .repartition(col("ib"))
+          .repartition(b, col("ib"))
           .write.mode("overwrite").partitionBy("ib")
           .parquet(s"$setsPath/batch=$batchId")
       case None =>
@@ -554,11 +562,13 @@ object StreamOps {
     // a banded state's sets must compact INTO the banded layout (one
     // file per ib dir inside the reserved batch=-1), or the next epoch
     // would read a mixed tree; keys are flat in both layouts
-    val banded = fs.exists(stateLayoutPath(statePath))
-    def stageSets(df: DataFrame, stageDir: String): Unit =
-      if (banded)
-        df.repartition(col("ib")).write.partitionBy("ib").parquet(stageDir)
-      else df.coalesce(8).write.parquet(stageDir)
+    val banded = graft.functions.LayoutMarker.read(fs,
+      stateLayoutPath(statePath), "ibsets|", "dedup-state")
+    def stageSets(df: DataFrame, stageDir: String): Unit = banded match {
+      case Some(b) =>
+        df.repartition(b, col("ib")).write.partitionBy("ib").parquet(stageDir)
+      case None => df.coalesce(8).write.parquet(stageDir)
+    }
     Map(
       "keys" -> consolidateEpochs(spark, s"$statePath/keys",
         epochPrefix = "batch=") { (df, stageDir) =>

@@ -283,6 +283,30 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally hc.unset("parquet.hadoop.vectored.io.enabled")
   }
 
+  test("STRING ids fail at the door with the standard guidance") {
+    import spark.implicits._
+    // string ids never actually worked here — the cascade's union-find
+    // died deep inside with a bare ClassCastException — and the banded
+    // bucket column would null-cast them; the contract is now explicit
+    val in = Files.createTempDirectory("graft-sid-in").toString
+    Seq(("a", "alpha bravo charlie delta echo foxtrot golf hotel india"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    val q = StreamOps.nearDupDedupTo(
+      spark.readStream.schema(
+        Seq(("x", "y")).toDF("doc_id", "text").schema).parquet(in),
+      Files.createTempDirectory("graft-sid-out").toString + "/out",
+      Files.createTempDirectory("graft-sid-st").toString + "/st",
+      Files.createTempDirectory("graft-sid-ck").toString,
+      "doc_id", "text", 0.6)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("integral")),
+      s"expected the integral-id guidance, got: ${msgs(e)}")
+  }
+
   test("a corrupt state layout marker fails loudly") {
     import spark.implicits._
     val st = Files.createTempDirectory("graft-bst-cm").toString + "/st"

@@ -117,6 +117,25 @@ class Round10OpsSpec extends AnyFunSuite {
       s"pruned probe read too much: banded=$bandedBytes flat=$flatBytes")
   }
 
+  test("banded probe's sets read carries a PARTITION filter on ib") {
+    val p = Files.createTempDirectory("graft-ddpf").toString
+    Dedup.buildDedupIndexPartitioned(docs, "doc_id", "text", p,
+      setBuckets = 16)
+    val out = Dedup.dedupAgainstIndexed(spark, p, probeBatch.limit(5),
+      "doc_id", "text", 0.8)
+    out.collect() // resolve the adaptive plan before inspecting it
+    // the keys read happens behind the probe's internal checkpoint, but
+    // the sets read (the bulky table) is in the returned plan: its scan
+    // must prune at the PARTITION level (an ib filter in the scan's
+    // PartitionFilters clause), not post-scan
+    val plan = out.queryExecution.executedPlan.toString
+    val setsScanLine = plan.linesIterator
+      .find(l => l.contains("FileScan") && l.contains("/sets"))
+      .getOrElse(fail(s"no sets FileScan in plan:\n$plan"))
+    assert(setsScanLine.matches(""".*PartitionFilters: \[[^]]*ib#.*"""),
+      s"sets scan lacks an ib partition filter: $setsScanLine")
+  }
+
   test("append to the partitioned layout ≡ partitioned rebuild") {
     val grown = Files.createTempDirectory("graft-ddap-g").toString
     val rebuilt = Files.createTempDirectory("graft-ddap-r").toString

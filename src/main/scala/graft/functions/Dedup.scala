@@ -626,11 +626,11 @@ object Dedup {
     * partitions), prefixed `x` so parquet partition-value inference can
     * never type a digit-only sample as integer. Derived from the key, so
     * batch and corpus sides always agree. */
-  private def bandPrefix(bkey: Column): Column =
+  private[graft] def bandPrefix(bkey: Column): Column =
     concat(lit("x"), substring(bkey, 1, 2))
 
   /** Partition value for a corpus id in the `sets` table. */
-  private def idBucket(id: Column, setBuckets: Int): Column =
+  private[graft] def idBucket(id: Column, setBuckets: Int): Column =
     pmod(id.cast("long"), lit(setBuckets.toLong)).cast("int")
 
   private def layoutMarkerPath(path: String) =
@@ -661,8 +661,9 @@ object Dedup {
       p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  private def writeDedupLayout(spark: org.apache.spark.sql.SparkSession,
-                               path: String, setBuckets: Int): Unit = {
+  private[graft] def writeDedupLayout(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, setBuckets: Int): Unit = {
     val p = layoutMarkerPath(path)
     LayoutMarker.write(
       p.getFileSystem(spark.sparkContext.hadoopConfiguration), p,

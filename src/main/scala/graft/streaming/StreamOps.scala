@@ -257,7 +257,7 @@ object StreamOps {
     })
 
   private def idBucket(id: org.apache.spark.sql.Column, buckets: Int) =
-    pmod(id.cast("long"), lit(buckets.toLong)).cast("int")
+    graft.functions.Dedup.idBucket(id, buckets) // one bucket definition
 
   private def dedupEpoch(batch: DataFrame, batchId: Long, statePath: String,
                          idCol: String, textCol: String,
@@ -1059,9 +1059,24 @@ object StreamOps {
       .start()
   }
 
+  /** Per-JVM memo of the ingest index's layout (create-once by design,
+    * same rationale as [[stateLayoutCache]]). */
+  private val indexLayoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[Int]]()
+
+  private def ingestIndexLayout(spark: org.apache.spark.sql.SparkSession,
+                                indexPath: String): Option[Int] =
+    indexLayoutCache.computeIfAbsent(indexPath,
+      _ => graft.functions.Dedup.readDedupLayout(spark, indexPath))
+
   /** One epoch of [[dedupIngestTo]] — factored out so the
     * replay-idempotence contract is directly testable: same
-    * (batch, batchId) twice ≡ once. */
+    * (batch, batchId) twice ≡ once. Honors the index's layout marker:
+    * epochs of a PARTITIONED index ([[dedupIngestBootstrapPartitioned]])
+    * nest `ib=`/`bp=` dirs inside their `__batch=` partition, so
+    * [[graft.functions.Dedup.dedupAgainstIndexed]] prunes probes of the
+    * streamed index exactly as it does the batch-built one (partition
+    * filters prune at any nesting level). */
   private[graft] def dedupIngestEpoch(batch: DataFrame, batchId: Long,
                                       indexPath: String, idCol: String,
                                       textCol: String): Unit = {
@@ -1071,10 +1086,23 @@ object StreamOps {
     // tell which path populated the index
     val sets = Dedup.shingleSets(batch, idCol, textCol)
       .localCheckpoint(false)
-    sets.write.mode("overwrite")
-      .parquet(s"$indexPath/sets/__batch=$batchId")
-    Dedup.bandKeysFromSets(sets, idCol).write.mode("overwrite")
-      .parquet(s"$indexPath/keys/__batch=$batchId")
+    ingestIndexLayout(batch.sparkSession, indexPath) match {
+      case Some(b) =>
+        sets.withColumn("ib", Dedup.idBucket(col(idCol), b))
+          .repartition(b, col("ib"))
+          .write.mode("overwrite").partitionBy("ib")
+          .parquet(s"$indexPath/sets/__batch=$batchId")
+        Dedup.bandKeysFromSets(sets, idCol)
+          .withColumn("bp", Dedup.bandPrefix(col("bkey")))
+          .repartition(256, col("bp"))
+          .write.mode("overwrite").partitionBy("bp")
+          .parquet(s"$indexPath/keys/__batch=$batchId")
+      case None =>
+        sets.write.mode("overwrite")
+          .parquet(s"$indexPath/sets/__batch=$batchId")
+        Dedup.bandKeysFromSets(sets, idCol).write.mode("overwrite")
+          .parquet(s"$indexPath/keys/__batch=$batchId")
+    }
   }
 
   /** Seed [[dedupIngestTo]]'s index with a pre-existing corpus in the
@@ -1083,17 +1111,48 @@ object StreamOps {
                            idCol: String, textCol: String): Unit =
     dedupIngestEpoch(corpus, -1L, indexPath, idCol, textCol)
 
+  /** [[dedupIngestBootstrap]] in the PARTITION-PRUNABLE layout
+    * ([[graft.functions.Dedup.buildDedupIndexPartitioned]]'s epoch-
+    * partitioned streaming form): writes the layout marker, then the
+    * seed epoch; every later streamed epoch and the compactor follow the
+    * marker, and probes of the streamed index prune to the batch's own
+    * band-prefix/id-bucket partitions instead of scanning the whole
+    * accumulated corpus. */
+  def dedupIngestBootstrapPartitioned(corpus: DataFrame, indexPath: String,
+                                      idCol: String, textCol: String,
+                                      setBuckets: Int = 64): Unit = {
+    require(setBuckets > 0, s"setBuckets must be positive: $setBuckets")
+    graft.functions.Dedup.writeDedupLayout(corpus.sparkSession, indexPath,
+      setBuckets)
+    dedupIngestEpoch(corpus, -1L, indexPath, idCol, textCol)
+  }
+
   /** Compact [[dedupIngestTo]]'s epoch partitions — every epoch adds
     * files to both tables; consolidates each into the reserved
-    * `__batch=-1` via the crash-safe [[consolidateEpochs]]. Run OFFLINE
+    * `__batch=-1` via the crash-safe [[consolidateEpochs]], preserving
+    * the `ib=`/`bp=` dirs of a partitioned index. Run OFFLINE
     * (single-writer). Returns per-table row counts. */
   def compactDedupIngestState(spark: org.apache.spark.sql.SparkSession,
                               indexPath: String,
                               targetFiles: Int = 8): Map[String, Long] =
-    Seq("sets", "keys").map(t =>
-      t -> consolidateEpochs(spark, s"$indexPath/$t") { (df, stageDir) =>
-        df.coalesce(targetFiles).write.parquet(stageDir)
-      }.getOrElse(0L)).toMap
+    graft.functions.Dedup.readDedupLayout(spark, indexPath) match {
+      case Some(b) => Map(
+        "sets" -> consolidateEpochs(spark, s"$indexPath/sets") {
+          (df, stageDir) =>
+            df.repartition(b, col("ib"))
+              .write.partitionBy("ib").parquet(stageDir)
+        }.getOrElse(0L),
+        "keys" -> consolidateEpochs(spark, s"$indexPath/keys") {
+          (df, stageDir) =>
+            df.repartition(256, col("bp"))
+              .write.partitionBy("bp").parquet(stageDir)
+        }.getOrElse(0L))
+      case None =>
+        Seq("sets", "keys").map(t =>
+          t -> consolidateEpochs(spark, s"$indexPath/$t") { (df, stageDir) =>
+            df.coalesce(targetFiles).write.parquet(stageDir)
+          }.getOrElse(0L)).toMap
+    }
 
   /**
    * Crash-safe consolidation of an epoch-partitioned table

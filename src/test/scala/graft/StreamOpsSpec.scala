@@ -1006,6 +1006,50 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(once == dedupRebuiltRows())
   }
 
+  test("PARTITIONED dedup ingest: streamed epochs probe pruned ≡ batch rebuild") {
+    import graft.functions.Dedup
+    val in = Files.createTempDirectory("graft-ddbp-in").toString
+    val idx = Files.createTempDirectory("graft-ddbp-idx").toString + "/idx"
+    StreamOps.dedupIngestBootstrapPartitioned(dedupSeed, idx, "doc_id",
+      "text", setBuckets = 8)
+    dedupEpoch1.coalesce(1).write.mode("append").parquet(in)
+    Thread.sleep(1100)
+    dedupEpoch2.coalesce(1).write.mode("append").parquet(in)
+    val q = StreamOps.dedupIngestTo(
+      spark.readStream.schema(dedupSeed.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in),
+      idx, Files.createTempDirectory("graft-ddbp-ck").toString,
+      "doc_id", "text")
+    q.awaitTermination()
+    // streamed epochs landed in the banded layout
+    assert(new java.io.File(s"$idx/sets/__batch=1").listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("ib=")),
+      "streamed epoch must nest ib= dirs")
+    assert(new java.io.File(s"$idx/keys/__batch=1").listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("bp=")),
+      "streamed epoch must nest bp= dirs")
+    // probes prune AND match a batch-built partitioned index exactly
+    val got = dedupProbeRows(idx)
+    val rebuilt = Files.createTempDirectory("graft-ddbp-rb").toString
+    Dedup.buildDedupIndexPartitioned(
+      dedupSeed.unionByName(dedupEpoch1).unionByName(dedupEpoch2),
+      "doc_id", "text", rebuilt, setBuckets = 8)
+    assert(got.nonEmpty && got == dedupProbeRows(rebuilt),
+      "streamed banded index must probe like the batch-built one")
+    assert(got.exists { case (id, dup, adm) =>
+      id == 10L && dup.contains(4L) && !adm })
+    // replay idempotence on the banded layout: same epoch twice ≡ once
+    StreamOps.dedupIngestEpoch(dedupEpoch2, 1L, idx, "doc_id", "text")
+    assert(dedupProbeRows(idx) == got)
+    // compaction preserves the banded layout and the probe results
+    val counts = StreamOps.compactDedupIngestState(spark, idx)
+    assert(counts("sets") == 4L, s"counts: $counts")
+    assert(new java.io.File(s"$idx/sets/__batch=-1").listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("ib=")),
+      "compaction must keep the ib= dirs")
+    assert(dedupProbeRows(idx) == got, "compaction changed probe results")
+  }
+
   test("crossDedupTo: frozen-index verdicts match the batch probe; index untouched") {
     import graft.functions.Dedup
     val idx = Files.createTempDirectory("graft-xd-idx").toString

@@ -175,16 +175,23 @@ object StreamOps {
    * table is id-bucket partitioned (`ib=` dirs inside each epoch,
    * recorded in a layout marker), so each epoch's verify reads only the
    * CANDIDATE ids' buckets — the sets scan stops growing with the
-   * corpus. A marker-less pre-existing state keeps the legacy flat
-   * layout (mixed layouts under one partition root would break every
-   * read); rebuild the state to adopt the banded form. The keys table
-   * is still scanned per epoch: it is the small table, and a batch's
-   * band keys cover too many hash prefixes for prefix pruning to pay
-   * there (the asymmetry is documented, not hidden).
+   * corpus. The banded layout trades a constant per-epoch cost (≤64
+   * bucket dirs written and listed per epoch — measured ~1.3 s/epoch
+   * over flat at a 5k-doc state, where pruning saves little) for the
+   * corpus-proportional scan; a long-lived ingest state grows without
+   * bound and cannot switch layouts mid-life, so banded is the default
+   * — pass `bandedState = false` for a deliberately small corpus. A
+   * marker-less pre-existing state keeps the legacy flat layout (mixed
+   * layouts under one partition root would break every read); rebuild
+   * the state to adopt the banded form. The keys table is still scanned
+   * per epoch: it is the small table, and a batch's band keys cover too
+   * many hash prefixes for prefix pruning to pay there (the asymmetry
+   * is documented, not hidden).
    */
   def nearDupDedupTo(docs: DataFrame, outPath: String, statePath: String,
                      checkpoint: String, idCol: String, textCol: String,
                      minJaccard: Double = 0.8,
+                     bandedState: Boolean = true,
                      availableNow: Boolean = true): StreamingQuery = {
     val writer = docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -193,7 +200,8 @@ object StreamOps {
         // writes — cache it for the duration of the epoch
         val batch = batch0.cache()
         try {
-          dedupEpoch(batch, batchId, statePath, idCol, textCol, minJaccard)
+          dedupEpoch(batch, batchId, statePath, idCol, textCol, minJaccard,
+            bandedState)
             .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
         } finally { batch.unpersist(false); () }
       }
@@ -242,13 +250,15 @@ object StreamOps {
     * present, tables read as empty). */
   private def resolveStateLayout(fs: org.apache.hadoop.fs.FileSystem,
                                  statePath: String, keysPath: String,
-                                 setsPath: String): Option[Int] =
+                                 setsPath: String,
+                                 wantBanded: Boolean): Option[Int] =
     stateLayoutCache.computeIfAbsent(statePath, _ => {
       import graft.functions.LayoutMarker
       val p = stateLayoutPath(statePath)
       LayoutMarker.read(fs, p, "ibsets|", "dedup-state").orElse {
         if (fs.exists(new org.apache.hadoop.fs.Path(keysPath)) ||
           fs.exists(new org.apache.hadoop.fs.Path(setsPath))) None // legacy
+        else if (!wantBanded) None // caller opted out for a small corpus
         else {
           LayoutMarker.write(fs, p, "ibsets|", StateSetBuckets)
           Some(StateSetBuckets)
@@ -261,7 +271,8 @@ object StreamOps {
 
   private def dedupEpoch(batch: DataFrame, batchId: Long, statePath: String,
                          idCol: String, textCol: String,
-                         minJaccard: Double): DataFrame = {
+                         minJaccard: Double,
+                         wantBanded: Boolean = true): DataFrame = {
     val spark = batch.sparkSession
     val fs = new org.apache.hadoop.fs.Path(statePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -273,7 +284,8 @@ object StreamOps {
     // null-cast them — make the contract explicit and fail at the door
     graft.functions.TopKAgg.requireIntegralId(batch, idCol,
       "streaming near-dup dedup")
-    val setBuckets = resolveStateLayout(fs, statePath, keysPath, setsPath)
+    val setBuckets = resolveStateLayout(fs, statePath, keysPath, setsPath,
+      wantBanded)
     // 1. batch-internal cascade (exact + near) → representatives
     val reps = Dedup.nearDupClusters(batch, idCol, textCol, minJaccard)
       .filter(col(idCol) === col("cluster_id")).select(col(idCol))
@@ -442,6 +454,7 @@ object StreamOps {
                      embedLabelCol: String = "cell",
                      embedMinCos: Double = 0.9,
                      lineKeys: Option[DataFrame] = None,
+                     bandedState: Boolean = true,
                      availableNow: Boolean = true): StreamingQuery = {
     import graft.functions.{Dedup, Sampling, TextFns}
     val n = math.max(1L, blockKeys.select(col(textCol)).count())
@@ -468,7 +481,7 @@ object StreamOps {
           .cache() // feeds the cascade + rep semi-join for the epoch
         try {
           val admitted = dedupEpoch(clean, batchId, statePath, idCol,
-            textCol, minJaccard)
+            textCol, minJaccard, bandedState)
           val semGated = embedIndex.fold(admitted)(ip =>
             embedGate(admitted, ip, idCol, vecCol, embedLabelCol,
               embedMinCos))

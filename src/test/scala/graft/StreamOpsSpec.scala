@@ -283,6 +283,27 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally hc.unset("parquet.hadoop.vectored.io.enabled")
   }
 
+  test("bandedState = false opts a fresh state into the legacy layout") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft-obs-in").toString
+    Seq((1L, "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    val st = Files.createTempDirectory("graft-obs-st").toString + "/st"
+    val out = Files.createTempDirectory("graft-obs-out").toString + "/out"
+    StreamOps.nearDupDedupTo(
+      spark.readStream.schema(
+        Seq((1L, "x")).toDF("doc_id", "text").schema).parquet(in),
+      out, st, Files.createTempDirectory("graft-obs-ck").toString,
+      "doc_id", "text", 0.6, bandedState = false).awaitTermination()
+    assert(spark.read.parquet(out).count() == 1)
+    assert(!new java.io.File(s"$st/_graft_state_layout").exists(),
+      "opt-out state must write no marker")
+    assert(!new java.io.File(s"$st/sets/batch=0").listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("ib=")),
+      "opt-out state must stay flat")
+  }
+
   test("STRING ids fail at the door with the standard guidance") {
     import spark.implicits._
     // string ids never actually worked here — the cascade's union-find

@@ -633,7 +633,22 @@ object Dedup {
   private[graft] def idBucket(id: Column, setBuckets: Int): Column =
     pmod(id.cast("long"), lit(setBuckets.toLong)).cast("int")
 
-  private def layoutMarkerPath(path: String) =
+  /** THE banded sets-table write shape — bucket column + task routing in
+    * one place: every writer (batch build, batch append, streamed ingest
+    * epochs) must agree bit-for-bit with the probe's partition filters
+    * or pruning silently misses rows. Returns the frame ready for
+    * `.write...partitionBy("ib")`. */
+  private[graft] def bandedSets(sets: DataFrame, idCol: String,
+                                setBuckets: Int): DataFrame =
+    sets.withColumn("ib", idBucket(col(idCol), setBuckets))
+      .repartition(setBuckets, col("ib"))
+
+  /** The banded keys-table twin (band-prefix dirs, fixed 256-way). */
+  private[graft] def bandedKeys(keys: DataFrame): DataFrame =
+    keys.withColumn("bp", bandPrefix(col("bkey")))
+      .repartition(256, col("bp"))
+
+  private[graft] def layoutMarkerPath(path: String) =
     new org.apache.hadoop.fs.Path(s"$path/_graft_dedup_layout")
 
   /** setBuckets from the layout marker, if the index at `path` was built
@@ -711,16 +726,13 @@ object Dedup {
     require(setBuckets > 0, s"setBuckets must be positive: $setBuckets")
     val spark = corpus.sparkSession
     val cSets = shingleSets(corpus, idCol, textCol).localCheckpoint(false)
-    // repartition BY the partition column, capped at the value count:
-    // each dir is written by exactly the tasks owning its key (no
-    // file-per-task-per-key explosion, no empty shuffle tasks beyond
-    // the bucket count)
-    cSets.withColumn("ib", idBucket(col(idCol), setBuckets))
-      .repartition(setBuckets, col("ib"))
+    // [[bandedSets]]/[[bandedKeys]]: partition-column + capped task
+    // routing in one shared definition (each dir written by exactly the
+    // tasks owning its key — no file-per-task-per-key explosion, no
+    // empty shuffle tasks beyond the bucket count)
+    bandedSets(cSets, idCol, setBuckets)
       .write.mode("overwrite").partitionBy("ib").parquet(s"$path/sets")
-    bandKeysFromSets(cSets, idCol)
-      .withColumn("bp", bandPrefix(col("bkey")))
-      .repartition(256, col("bp"))
+    bandedKeys(bandKeysFromSets(cSets, idCol))
       .write.mode("overwrite").partitionBy("bp").parquet(s"$path/keys")
     writeDedupLayout(spark, path, setBuckets)
   }
@@ -806,12 +818,9 @@ object Dedup {
       case Some(setBuckets) => // partitioned layout: append in kind —
         // per-doc independence holds per partition dir too, so
         // append-then-probe ≡ rebuild-then-probe unchanged
-        bSets.withColumn("ib", idBucket(col(idCol), setBuckets))
-          .repartition(setBuckets, col("ib"))
+        bandedSets(bSets, idCol, setBuckets)
           .write.mode("append").partitionBy("ib").parquet(s"$path/sets")
-        bandKeysFromSets(bSets, idCol)
-          .withColumn("bp", bandPrefix(col("bkey")))
-          .repartition(256, col("bp"))
+        bandedKeys(bandKeysFromSets(bSets, idCol))
           .write.mode("append").partitionBy("bp").parquet(s"$path/keys")
       case None =>
         bSets.write.mode("append").parquet(s"$path/sets")

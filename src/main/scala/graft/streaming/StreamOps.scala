@@ -191,8 +191,8 @@ object StreamOps {
   def nearDupDedupTo(docs: DataFrame, outPath: String, statePath: String,
                      checkpoint: String, idCol: String, textCol: String,
                      minJaccard: Double = 0.8,
-                     bandedState: Boolean = true,
-                     availableNow: Boolean = true): StreamingQuery = {
+                     availableNow: Boolean = true,
+                     bandedState: Boolean = true): StreamingQuery = {
     val writer = docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
@@ -251,10 +251,10 @@ object StreamOps {
   private def resolveStateLayout(fs: org.apache.hadoop.fs.FileSystem,
                                  statePath: String, keysPath: String,
                                  setsPath: String,
-                                 wantBanded: Boolean): Option[Int] =
-    stateLayoutCache.computeIfAbsent(statePath, _ => {
-      import graft.functions.LayoutMarker
-      val p = stateLayoutPath(statePath)
+                                 wantBanded: Boolean): Option[Int] = {
+    import graft.functions.LayoutMarker
+    val p = stateLayoutPath(statePath)
+    val resolved = stateLayoutCache.computeIfAbsent(statePath, _ => {
       LayoutMarker.read(fs, p, "ibsets|", "dedup-state").orElse {
         if (fs.exists(new org.apache.hadoop.fs.Path(keysPath)) ||
           fs.exists(new org.apache.hadoop.fs.Path(setsPath))) None // legacy
@@ -265,6 +265,15 @@ object StreamOps {
         }
       }
     })
+    // the cache must not outlive the marker: a state deleted and
+    // recreated at the SAME path in one JVM would otherwise get banded
+    // epochs with no on-disk marker — which a later JVM reads as legacy,
+    // silently mixing layouts. One exists() per epoch re-anchors the
+    // cached decision to disk (still no open/read round-trip).
+    resolved.foreach(b =>
+      if (!fs.exists(p)) LayoutMarker.write(fs, p, "ibsets|", b))
+    resolved
+  }
 
   private def idBucket(id: org.apache.spark.sql.Column, buckets: Int) =
     graft.functions.Dedup.idBucket(id, buckets) // one bucket definition
@@ -454,8 +463,8 @@ object StreamOps {
                      embedLabelCol: String = "cell",
                      embedMinCos: Double = 0.9,
                      lineKeys: Option[DataFrame] = None,
-                     bandedState: Boolean = true,
-                     availableNow: Boolean = true): StreamingQuery = {
+                     availableNow: Boolean = true,
+                     bandedState: Boolean = true): StreamingQuery = {
     import graft.functions.{Dedup, Sampling, TextFns}
     val n = math.max(1L, blockKeys.select(col(textCol)).count())
     val (m, k) = Bloom.sizeFor(n, fpp)
@@ -1078,9 +1087,18 @@ object StreamOps {
     new java.util.concurrent.ConcurrentHashMap[String, Option[Int]]()
 
   private def ingestIndexLayout(spark: org.apache.spark.sql.SparkSession,
-                                indexPath: String): Option[Int] =
-    indexLayoutCache.computeIfAbsent(indexPath,
+                                indexPath: String): Option[Int] = {
+    val resolved = indexLayoutCache.computeIfAbsent(indexPath,
       _ => graft.functions.Dedup.readDedupLayout(spark, indexPath))
+    // same cache-vs-deleted-marker re-anchor as [[resolveStateLayout]]
+    resolved.foreach { b =>
+      val p = graft.functions.Dedup.layoutMarkerPath(indexPath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p))
+        graft.functions.Dedup.writeDedupLayout(spark, indexPath, b)
+    }
+    resolved
+  }
 
   /** One epoch of [[dedupIngestTo]] — factored out so the
     * replay-idempotence contract is directly testable: same
@@ -1101,13 +1119,16 @@ object StreamOps {
       .localCheckpoint(false)
     ingestIndexLayout(batch.sparkSession, indexPath) match {
       case Some(b) =>
-        sets.withColumn("ib", Dedup.idBucket(col(idCol), b))
-          .repartition(b, col("ib"))
+        // same door-check as every banded writer: the bucket column
+        // null-casts non-integral ids, silently landing every row in the
+        // Hive default partition (the flat path below keeps supporting
+        // them — no bucket arithmetic there)
+        graft.functions.TopKAgg.requireIntegralId(batch, idCol,
+          "partitioned dedup ingest")
+        Dedup.bandedSets(sets, idCol, b)
           .write.mode("overwrite").partitionBy("ib")
           .parquet(s"$indexPath/sets/__batch=$batchId")
-        Dedup.bandKeysFromSets(sets, idCol)
-          .withColumn("bp", Dedup.bandPrefix(col("bkey")))
-          .repartition(256, col("bp"))
+        Dedup.bandedKeys(Dedup.bandKeysFromSets(sets, idCol))
           .write.mode("overwrite").partitionBy("bp")
           .parquet(s"$indexPath/keys/__batch=$batchId")
       case None =>
@@ -1135,6 +1156,18 @@ object StreamOps {
                                       idCol: String, textCol: String,
                                       setBuckets: Int = 64): Unit = {
     require(setBuckets > 0, s"setBuckets must be positive: $setBuckets")
+    // stamping a banded marker onto a tree that already holds FLAT
+    // epochs would brick every later read (partition discovery finds
+    // leaf files at inconsistent depths) — the partitioned bootstrap
+    // needs a fresh path, same rule the state side enforces
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(corpus.sparkSession.sparkContext.hadoopConfiguration)
+    for (t <- Seq("sets", "keys"))
+      require(!fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/$t")),
+        s"dedupIngestBootstrapPartitioned: $indexPath already holds a " +
+          "'" + t + "' table — a banded marker over existing flat epochs " +
+          "would produce a mixed layout that breaks partition discovery; " +
+          "bootstrap a fresh path (or compact + rebuild to migrate)")
     graft.functions.Dedup.writeDedupLayout(corpus.sparkSession, indexPath,
       setBuckets)
     dedupIngestEpoch(corpus, -1L, indexPath, idCol, textCol)

@@ -1071,6 +1071,51 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(dedupProbeRows(idx) == got, "compaction changed probe results")
   }
 
+  test("partitioned ingest guards: string ids, mixed layouts, lost markers") {
+    import spark.implicits._
+    import graft.functions.Dedup
+    // 1. string ids fail at the banded door (the flat path supports
+    // them; the bucket column would null-cast every row)
+    val e1 = intercept[IllegalArgumentException] {
+      StreamOps.dedupIngestBootstrapPartitioned(
+        Seq(("a", "some text here")).toDF("doc_id", "text"),
+        Files.createTempDirectory("graft-pig-a").toString + "/idx",
+        "doc_id", "text")
+    }
+    assert(e1.getMessage.contains("integral"), e1.getMessage)
+    // 2. a banded bootstrap over an existing FLAT tree is refused — the
+    // marker would make partition discovery read mixed leaf depths
+    val mixed = Files.createTempDirectory("graft-pig-b").toString + "/idx"
+    StreamOps.dedupIngestBootstrap(dedupSeed, mixed, "doc_id", "text")
+    val e2 = intercept[IllegalArgumentException] {
+      StreamOps.dedupIngestBootstrapPartitioned(dedupSeed, mixed,
+        "doc_id", "text")
+    }
+    assert(e2.getMessage.contains("mixed layout"), e2.getMessage)
+    // 3. the per-JVM layout cache must not outlive the on-disk marker:
+    // delete + recreate the index at the same path — the next epoch's
+    // cached banded decision must re-write the marker, not leave banded
+    // epochs a later JVM would misread as legacy
+    val idx = Files.createTempDirectory("graft-pig-c").toString + "/idx"
+    StreamOps.dedupIngestBootstrapPartitioned(dedupSeed, idx,
+      "doc_id", "text", setBuckets = 8)
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
+    }
+    rmrf(new java.io.File(idx)) // operator resets the state dir
+    StreamOps.dedupIngestEpoch(dedupEpoch1, 0L, idx, "doc_id", "text")
+    assert(new java.io.File(s"$idx/_graft_dedup_layout").exists(),
+      "cached banded decision must re-anchor the marker on disk")
+    assert(new java.io.File(s"$idx/sets/__batch=0").listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("ib=")))
+    // and the recreated tree still probes correctly (banded path)
+    val probe = Dedup.dedupAgainstIndexed(spark, idx,
+      Seq((50L, "another unrelated document mentioning parquet column " +
+        "pruning")).toDF("doc_id", "text"), "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    assert(probe == Set((50L, Some(3L))), s"probe: $probe")
+  }
+
   test("crossDedupTo: frozen-index verdicts match the batch probe; index untouched") {
     import graft.functions.Dedup
     val idx = Files.createTempDirectory("graft-xd-idx").toString

@@ -737,6 +737,46 @@ object Dedup {
     writeDedupLayout(spark, path, setBuckets)
   }
 
+  /**
+   * Migrate a FLAT [[buildDedupIndex]] tree to the partitioned layout
+   * IN PLACE, without re-shingling the corpus — the index tables already
+   * hold everything the banded layout needs (shingling is the dominant
+   * build cost; this pays only two table rewrites). Crash-safe at every
+   * window by ordering: both tables are rewritten via
+   * [[ParquetCompact]]'s staged swap (its recover() heals a mid-swap
+   * crash on the next call), and the marker lands LAST — a flat read of
+   * an already-banded tree is harmless (the partition columns are
+   * additive and the probe selects by name), while a banded read of a
+   * still-flat tree would crash, so no window ever takes the banded
+   * path early. Single-writer discipline: no probe/append in flight.
+   *
+   * Not for epoch-partitioned ingest trees
+   * ([[graft.streaming.StreamOps.dedupIngestTo]]) — their epoch dirs
+   * nest differently; bootstrap those banded from the start
+   * (`dedupIngestBootstrapPartitioned`).
+   *
+   * Returns per-table row counts.
+   */
+  def migrateToPartitionedIndex(spark: org.apache.spark.sql.SparkSession,
+                                path: String,
+                                setBuckets: Int = 64): Map[String, Long] = {
+    require(setBuckets > 0, s"setBuckets must be positive: $setBuckets")
+    require(readDedupLayout(spark, path).isEmpty,
+      s"index at $path is already partitioned")
+    val setsCols = spark.read.parquet(s"$path/sets").columns
+    require(setsCols.length == 2 && setsCols.contains("sset"),
+      s"not a flat dedup index (sets columns: ${setsCols.mkString(",")}) " +
+        "— epoch-partitioned ingest trees cannot be migrated in place")
+    val idCol = setsCols.filterNot(_ == "sset").head
+    val n = Map(
+      "sets" -> ParquetCompact.rewritePartitioned(spark, s"$path/sets",
+        "ib")(df => bandedSets(df, idCol, setBuckets)),
+      "keys" -> ParquetCompact.rewritePartitioned(spark, s"$path/keys",
+        "bp")(bandedKeys))
+    writeDedupLayout(spark, path, setBuckets)
+    n
+  }
+
   /** Probe of the partitioned layout: two driver-side bounded collects
     * (≤256 band prefixes, ≤ setBuckets id buckets) turn the batch's own
     * content into partition filters, so the corpus trees are read only

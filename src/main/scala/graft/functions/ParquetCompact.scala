@@ -94,4 +94,16 @@ object ParquetCompact {
       df.repartition(col(partitionCol))
         .write.partitionBy(partitionCol).parquet(tmpDir)
     }
+
+  /** Rewrite a table through an arbitrary `derive` transform into a
+    * `partitionCol`-partitioned layout, via the same staged swap —
+    * the layout-migration primitive ([[Dedup.migrateToPartitionedIndex]]
+    * derives the bucket column it partitions by). Returns the row
+    * count. */
+  def rewritePartitioned(spark: SparkSession, path: String,
+                         partitionCol: String)
+                        (derive: DataFrame => DataFrame): Long =
+    compactVia(spark, path) { (df, tmpDir) =>
+      derive(df).write.partitionBy(partitionCol).parquet(tmpDir)
+    }
 }

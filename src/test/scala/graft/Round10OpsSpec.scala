@@ -182,6 +182,36 @@ class Round10OpsSpec extends AnyFunSuite {
         s"${d.getName} not compacted to one file")
   }
 
+  test("migrateToPartitionedIndex: in-place flat→banded, no re-shingle") {
+    val p = Files.createTempDirectory("graft-ddmig").toString
+    Dedup.buildDedupIndex(docs, "doc_id", "text", p)
+    val batch = probeBatch.localCheckpoint()
+    val before = verdictRows(
+      Dedup.dedupAgainstIndexed(spark, p, batch, "doc_id", "text", 0.8))
+    val counts = Dedup.migrateToPartitionedIndex(spark, p, setBuckets = 16)
+    assert(counts("sets") == docs.count())
+    // layout flipped: marker + partition dirs present
+    assert(new java.io.File(s"$p/_graft_dedup_layout").exists())
+    assert(partDirs(s"$p/sets", "ib=").nonEmpty &&
+      partDirs(s"$p/keys", "bp=x").nonEmpty)
+    // probes are bit-identical through the migration, and appends land
+    // in the banded layout
+    val after = verdictRows(
+      Dedup.dedupAgainstIndexed(spark, p, batch, "doc_id", "text", 0.8))
+    assert(after == before && after.nonEmpty)
+    assert(intercept[IllegalArgumentException] {
+      Dedup.migrateToPartitionedIndex(spark, p)
+    }.getMessage.contains("already partitioned"))
+    // an epoch-partitioned ingest tree is refused (its sets carry the
+    // __batch partition column)
+    val ingest = Files.createTempDirectory("graft-ddmig-i").toString + "/idx"
+    graft.streaming.StreamOps.dedupIngestBootstrap(
+      docs.limit(5), ingest, "doc_id", "text")
+    assert(intercept[IllegalArgumentException] {
+      Dedup.migrateToPartitionedIndex(spark, ingest)
+    }.getMessage.contains("not a flat dedup index"))
+  }
+
   test("a batch with no shingles probes cleanly (empty partition filters)") {
     import spark.implicits._
     val p = Files.createTempDirectory("graft-ddsh").toString

@@ -755,6 +755,22 @@ object Dedup {
    * nest differently; bootstrap those banded from the start
    * (`dedupIngestBootstrapPartitioned`).
    *
+   * RE-RUNNABLE AFTER A CRASH at any window, in two layers: first,
+   * [[ParquetCompact.recoverTable]] runs on both tables BEFORE the
+   * precondition reads (a crash mid-sets-swap leaves `$path/sets`
+   * renamed away, so the precondition's read would throw path-not-found
+   * before compactVia's own recovery could roll it back); second, the
+   * half-migrated shapes a crash BETWEEN the steps leaves (sets already
+   * banded + keys still flat: crash after the sets rewrite; both banded
+   * + marker absent: crash before the marker write) are detected and
+   * RESUMED from the first incomplete step instead of refused — the
+   * pre-resume flat-shape check would otherwise fail with a misleading
+   * "not a flat dedup index" error and leave the migration stuck until
+   * manual filesystem surgery. A resume verifies the on-disk `ib`
+   * bucketing matches `setBuckets` (one column-pruned scan, no shuffle)
+   * so a re-run with a DIFFERENT bucket count fails loudly rather than
+   * stamping a marker the data contradicts.
+   *
    * Returns per-table row counts.
    */
   def migrateToPartitionedIndex(spark: org.apache.spark.sql.SparkSession,
@@ -763,18 +779,40 @@ object Dedup {
     require(setBuckets > 0, s"setBuckets must be positive: $setBuckets")
     require(readDedupLayout(spark, path).isEmpty,
       s"index at $path is already partitioned")
+    ParquetCompact.recoverTable(spark, s"$path/sets")
+    ParquetCompact.recoverTable(spark, s"$path/keys")
     val setsCols = spark.read.parquet(s"$path/sets").columns
-    require(setsCols.length == 2 && setsCols.contains("sset"),
+    val keysCols = spark.read.parquet(s"$path/keys").columns
+    val setsBanded = setsCols.contains("ib")
+    val keysBanded = keysCols.contains("bp")
+    require(setsBanded || !keysBanded,
+      s"index at $path has banded keys over flat sets — not a shape this " +
+        "migration (sets first, then keys) can produce; rebuild the index")
+    require(setsCols.contains("sset") &&
+      (if (setsBanded) setsCols.length == 3 else setsCols.length == 2),
       s"not a flat dedup index (sets columns: ${setsCols.mkString(",")}) " +
         "— epoch-partitioned ingest trees cannot be migrated in place")
-    val idCol = setsCols.filterNot(_ == "sset").head
-    val n = Map(
-      "sets" -> ParquetCompact.rewritePartitioned(spark, s"$path/sets",
-        "ib")(df => bandedSets(df, idCol, setBuckets)),
-      "keys" -> ParquetCompact.rewritePartitioned(spark, s"$path/keys",
-        "bp")(bandedKeys))
+    val idCol = setsCols.filterNot(c => c == "sset" || c == "ib").head
+    val nSets =
+      if (!setsBanded)
+        ParquetCompact.rewritePartitioned(spark, s"$path/sets",
+          "ib")(df => bandedSets(df, idCol, setBuckets))
+      else {
+        // resume: the crashed attempt's buckets must match this run's
+        val sets = spark.read.parquet(s"$path/sets")
+        require(sets.filter(idBucket(col(idCol), setBuckets) =!= col("ib"))
+          .isEmpty,
+          s"half-migrated sets at $path were bucketed with a different " +
+            s"setBuckets than $setBuckets — resume with the original count")
+        sets.count()
+      }
+    val nKeys =
+      if (!keysBanded)
+        ParquetCompact.rewritePartitioned(spark, s"$path/keys",
+          "bp")(bandedKeys)
+      else spark.read.parquet(s"$path/keys").count()
     writeDedupLayout(spark, path, setBuckets)
-    n
+    Map("sets" -> nSets, "keys" -> nKeys)
   }
 
   /** Probe of the partitioned layout: two driver-side bounded collects

@@ -13,6 +13,17 @@ import org.apache.hadoop.fs.{FileSystem, Path}
  * brick the state until a human deletes the file. Malformed content
  * still fails loudly — guessing a layout would silently mis-bucket
  * every later append.
+ *
+ * The rename also OVERWRITES atomically where the filesystem supports it
+ * (FileContext + Options.Rename.OVERWRITE — HDFS and the local FS do): a
+ * delete-then-rename re-write leaves a window with NO marker on disk,
+ * during which a reader racing a marker re-anchor sniffs a banded tree
+ * as flat — a probe is merely unpruned, but an append in that window
+ * writes flat files beside partition dirs, the exact mixed layout the
+ * code elsewhere guards against. On a store whose FileContext cannot
+ * overwrite-rename, the delete+rename fallback applies and the
+ * single-writer contract must be read as covering marker re-anchors
+ * versus concurrent probes/appends.
  */
 private[graft] object LayoutMarker {
 
@@ -34,8 +45,19 @@ private[graft] object LayoutMarker {
     val out = fs.create(tmp, true)
     try out.write(s"$prefix$value".getBytes("UTF-8"))
     finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    require(fs.rename(tmp, p), s"layout marker rename failed: $tmp -> $p")
+    try {
+      val fc = org.apache.hadoop.fs.FileContext
+        .getFileContext(fs.getUri, fs.getConf)
+      fc.rename(fs.makeQualified(tmp), fs.makeQualified(p),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: UnsupportedOperationException |
+           _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        // no overwrite-rename on this store: fall back to the windowed
+        // form (single-writer contract covers re-anchors there)
+        if (fs.exists(p)) fs.delete(p, false)
+        require(fs.rename(tmp, p), s"layout marker rename failed: $tmp -> $p")
+    }
   }
 
   def delete(fs: FileSystem, p: Path): Unit =

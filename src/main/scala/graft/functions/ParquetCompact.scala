@@ -66,6 +66,18 @@ object ParquetCompact {
     fs.delete(old, true)
   }
 
+  /** Run the crash recovery for `path` WITHOUT compacting — for callers
+    * whose own preconditions read the live table before any compactVia
+    * call runs ([[Dedup.migrateToPartitionedIndex]]): a crash mid-swap
+    * from a prior run leaves the live dir renamed away, so a precondition
+    * `spark.read.parquet(path)` throws path-not-found before the next
+    * compactVia could heal it. Idempotent; no-op on a clean path. */
+  def recoverTable(spark: SparkSession, path: String): Unit = {
+    val (live, tmp, old) = paths(path)
+    recover(live.getFileSystem(spark.sparkContext.hadoopConfiguration),
+      live, tmp, old)
+  }
+
   private def compactVia(spark: SparkSession, path: String)
                         (stage: (DataFrame, String) => Unit): Long = {
     val (live, tmp, old) = paths(path)

@@ -254,7 +254,7 @@ object StreamOps {
                                  wantBanded: Boolean): Option[Int] = {
     import graft.functions.LayoutMarker
     val p = stateLayoutPath(statePath)
-    val resolved = stateLayoutCache.computeIfAbsent(statePath, _ => {
+    def fromDisk(): Option[Int] =
       LayoutMarker.read(fs, p, "ibsets|", "dedup-state").orElse {
         if (fs.exists(new org.apache.hadoop.fs.Path(keysPath)) ||
           fs.exists(new org.apache.hadoop.fs.Path(setsPath))) None // legacy
@@ -264,7 +264,23 @@ object StreamOps {
           Some(StateSetBuckets)
         }
       }
-    })
+    val resolved0 = stateLayoutCache.computeIfAbsent(statePath, _ => fromDisk())
+    // a cached None (legacy flat) must not outlive the tables it was
+    // resolved FROM: deleting a legacy state and recreating it at the
+    // same path in the same JVM would otherwise silently yield a new
+    // flat state even with wantBanded=true — the fresh-state "write
+    // marker and go banded" branch never re-fires. When the cached
+    // resolution is None and the state tables (and marker) have
+    // vanished, invalidate and re-resolve (cheap exists() checks, the
+    // same per-epoch re-anchor discipline as the Some case below).
+    val resolved = resolved0 match {
+      case None if !fs.exists(new org.apache.hadoop.fs.Path(keysPath)) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(setsPath)) &&
+        !fs.exists(p) =>
+        stateLayoutCache.remove(statePath)
+        stateLayoutCache.computeIfAbsent(statePath, _ => fromDisk())
+      case r => r
+    }
     // the cache must not outlive the marker: a state deleted and
     // recreated at the SAME path in one JVM would otherwise get banded
     // epochs with no on-disk marker — which a later JVM reads as legacy,

@@ -1,0 +1,164 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Dedup, ParquetCompact, TextFns}
+import graft.sources.Tables
+import graft.streaming.StreamOps
+
+/** Round-11: crash-resumable index migration (the ADVICE findings), the
+  * layout-cache re-anchor, and the atomic marker overwrite. */
+class Round11OpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val docs = Tables.load(spark, sfDir, "documents")
+    .select(col("doc_id"), col("text")).localCheckpoint()
+
+  private def probeBatch: DataFrame = {
+    val w = TextFns.words(col("text"))
+    docs.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 300000L).as("doc_id"),
+        concat(lit("zzz "),
+          array_join(slice(w, lit(2), size(w) - 1), " ")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 400000L).as("doc_id"),
+          array_join(transform(w, x => concat(lit("n"), x)), " ")
+            .as("text")))
+  }
+
+  private def verdictRows(df: DataFrame) =
+    df.select("doc_id", "dup_of", "jac", "admitted").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)),
+        Option(r.get(2)), r.getBoolean(3))).toSet
+
+  private def rename(from: String, to: String): Unit =
+    assert(new java.io.File(from).renameTo(new java.io.File(to)),
+      s"test rename failed: $from -> $to")
+
+  // --- migrateToPartitionedIndex crash windows (ADVICE medium) ----------
+
+  /** Build a flat index + the reference verdicts a healthy migration
+    * must reproduce. */
+  private def flatIndexAndBaseline(): (String, DataFrame, Set[_]) = {
+    val p = Files.createTempDirectory("graft-mig").toString
+    Dedup.buildDedupIndex(docs, "doc_id", "text", p)
+    val batch = probeBatch.localCheckpoint()
+    val baseline = verdictRows(
+      Dedup.dedupAgainstIndexed(spark, p, batch, "doc_id", "text", 0.8))
+    (p, batch, baseline)
+  }
+
+  test("migration re-runs after a crash mid-sets-swap (live dir renamed away)") {
+    val (p, batch, baseline) = flatIndexAndBaseline()
+    // crash window: ParquetCompact renamed sets -> sets.__compact_old and
+    // died before renaming the stage in; the live sets dir is GONE. The
+    // re-run's precondition read must not throw path-not-found — recovery
+    // has to run first and roll the rename back.
+    rename(s"$p/sets", s"$p/sets.__compact_old")
+    val n = Dedup.migrateToPartitionedIndex(spark, p, setBuckets = 16)
+    assert(n("sets") == docs.count() && n("keys") > 0)
+    assert(verdictRows(Dedup.dedupAgainstIndexed(spark, p, batch,
+      "doc_id", "text", 0.8)) == baseline)
+  }
+
+  test("migration resumes from the keys rewrite after a crash between tables") {
+    val (p, batch, baseline) = flatIndexAndBaseline()
+    // crash window: the sets rewrite committed, the keys rewrite never
+    // started, no marker. The old code's flat-shape check (2 columns)
+    // failed here with a misleading "not a flat dedup index" error.
+    ParquetCompact.rewritePartitioned(spark, s"$p/sets", "ib")(df =>
+      df.withColumn("ib", Dedup.idBucket(col("doc_id"), 16))
+        .repartition(16, col("ib")))
+    val n = Dedup.migrateToPartitionedIndex(spark, p, setBuckets = 16)
+    assert(n("sets") == docs.count() && n("keys") > 0)
+    // keys really were rewritten banded and the probe is bit-identical
+    assert(new java.io.File(s"$p/keys").listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("bp=x")))
+    assert(verdictRows(Dedup.dedupAgainstIndexed(spark, p, batch,
+      "doc_id", "text", 0.8)) == baseline)
+  }
+
+  test("migration with both tables banded but no marker stamps the marker") {
+    val (p, batch, baseline) = flatIndexAndBaseline()
+    Dedup.migrateToPartitionedIndex(spark, p, setBuckets = 16)
+    // crash window: everything rewritten, marker write never ran
+    new java.io.File(s"$p/_graft_dedup_layout").delete()
+    val n = Dedup.migrateToPartitionedIndex(spark, p, setBuckets = 16)
+    assert(n("sets") == docs.count() && n("keys") > 0)
+    assert(Dedup.readDedupLayout(spark, p).contains(16))
+    assert(verdictRows(Dedup.dedupAgainstIndexed(spark, p, batch,
+      "doc_id", "text", 0.8)) == baseline)
+  }
+
+  test("resume with a different setBuckets fails loudly, not silently") {
+    val (p, _, _) = flatIndexAndBaseline()
+    ParquetCompact.rewritePartitioned(spark, s"$p/sets", "ib")(df =>
+      df.withColumn("ib", Dedup.idBucket(col("doc_id"), 16))
+        .repartition(16, col("ib")))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.migrateToPartitionedIndex(spark, p, setBuckets = 8)
+    }
+    assert(e.getMessage.contains("different"), e.getMessage)
+  }
+
+  // --- stateLayoutCache re-anchor (ADVICE low) --------------------------
+
+  test("deleting a legacy state and recreating it in one JVM goes banded") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft-rlc-in").toString
+    Seq((1L, "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    val schema = Seq((1L, "x")).toDF("doc_id", "text").schema
+    val st = Files.createTempDirectory("graft-rlc-st").toString + "/st"
+    // a pre-existing marker-less keys dir makes this a LEGACY state: the
+    // run resolves (and caches) None for this path
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(st, "keys"))
+    StreamOps.nearDupDedupTo(
+      spark.readStream.schema(schema).parquet(in),
+      Files.createTempDirectory("graft-rlc-o1").toString + "/out", st,
+      Files.createTempDirectory("graft-rlc-c1").toString,
+      "doc_id", "text", 0.6).awaitTermination()
+    assert(!new java.io.File(s"$st/_graft_state_layout").exists(),
+      "legacy state must have stayed flat")
+    // delete the state and recreate it at the SAME path in the SAME JVM:
+    // the cached None must not survive its tables — the fresh state has
+    // to take the banded branch (marker + ib dirs), not silently stay flat
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
+    }
+    rmrf(new java.io.File(st))
+    StreamOps.nearDupDedupTo(
+      spark.readStream.schema(schema).parquet(in),
+      Files.createTempDirectory("graft-rlc-o2").toString + "/out", st,
+      Files.createTempDirectory("graft-rlc-c2").toString,
+      "doc_id", "text", 0.6).awaitTermination()
+    assert(new java.io.File(s"$st/_graft_state_layout").exists(),
+      "recreated state must adopt the banded layout")
+    assert(new java.io.File(s"$st/sets/batch=0").listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("ib=")),
+      "recreated state must write ib= dirs")
+  }
+
+  // --- atomic marker overwrite (ADVICE low) -----------------------------
+
+  test("marker re-write overwrites atomically: no tmp residue, no gap file") {
+    val dir = Files.createTempDirectory("graft-lmk").toString
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_m")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.functions.LayoutMarker.write(fs, p, "banded|", 16)
+    assert(graft.functions.LayoutMarker.read(fs, p, "banded|", "t")
+      .contains(16))
+    // the re-write path (marker already present) must land the new value
+    // and leave no .tmp sibling behind
+    graft.functions.LayoutMarker.write(fs, p, "banded|", 64)
+    assert(graft.functions.LayoutMarker.read(fs, p, "banded|", "t")
+      .contains(64))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_m.tmp")),
+      "tmp stage must not survive the rename")
+  }
+}

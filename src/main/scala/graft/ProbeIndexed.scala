@@ -176,6 +176,48 @@ object ProbeIndexed {
     val appendDedupBanded = time(Dedup.appendToDedupIndex(batch,
       "doc_id", "text", dedupBandedPath))
 
+    // STREAMING dedup state, steady-epoch cost: the online near-dup
+    // path over a corpus-seeded state (nearDupStateBootstrap — multi-
+    // epoch, one Bloom summary per epoch). One fixed 500-doc epoch —
+    // half near-dups of corpus docs (candidate epochs ARE read), half
+    // fresh vocabulary — is timed end-to-end: in-batch cascade, summary-
+    // pruned state verify, epoch writes. Flatness across 1x/10x/100x is
+    // the round-11 claim that the per-epoch keys scan (the last corpus-
+    // growing term) is bounded; the fresh-only row is the no-candidate
+    // floor (zero state data bytes, summary probes only). Each rep
+    // salts its ids AND vocabulary so no rep dedups against a prior
+    // rep's admissions.
+    import graft.streaming.StreamOps
+    val statePath = s"$tmp/dedup_state"
+    val stateBuild = time(StreamOps.nearDupStateBootstrap(
+      docs, statePath, "doc_id", "text"))
+    val stateEpochs = new java.io.File(s"$statePath/keysum").listFiles()
+      .count(_.getName.startsWith("batch="))
+    def stateBatch(r: Int, withDups: Boolean): org.apache.spark.sql.DataFrame = {
+      val w = graft.functions.TextFns.words(col("text"))
+      val dups = docs.orderBy(col("doc_id")).limit(250)
+        .select((col("doc_id") + 93000000L + r * 1000000L).as("doc_id"),
+          concat(col("text"), lit(s" zz${r}q")).as("text"))
+      val fresh = docs.orderBy(col("doc_id").desc).limit(
+        if (withDups) 250 else 500)
+        .select((col("doc_id") + 95000000L + r * 1000000L).as("doc_id"),
+          array_join(transform(w, x => concat(lit(s"q$r"), x)), " ")
+            .as("text"))
+      (if (withDups) dups.unionByName(fresh) else fresh).localCheckpoint()
+    }
+    val stateEpochSec = (1 to reps).map(r => {
+      val b = stateBatch(r, withDups = true)
+      val t = time(StreamOps.dedupEpoch(b, 1000L + r, statePath,
+        "doc_id", "text", 0.8).count())
+      b.unpersist(); t
+    }).min
+    val stateEpochFreshSec = (1 to reps).map(r => {
+      val b = stateBatch(r, withDups = false)
+      val t = time(StreamOps.dedupEpoch(b, 2000L + r, statePath,
+        "doc_id", "text", 0.8).count())
+      b.unpersist(); t
+    }).min
+
     val line = s"""{"sf":"$sfDir","reps":$reps,""" +
       s""""ivf_build_sec":$buildIvf,"ivf_probe200_sec":$probeIvf,""" +
       s""""ivf_probe200_flat_sec":$probeIvfFlat,""" +
@@ -193,7 +235,10 @@ object ProbeIndexed {
       s""""dedup_append500_sec":$appendDedup,""" +
       s""""dedup_banded_build_sec":$buildDedupBanded,""" +
       s""""dedup_banded_probe500_sec":$probeDedupBanded,""" +
-      s""""dedup_banded_append500_sec":$appendDedupBanded}"""
+      s""""dedup_banded_append500_sec":$appendDedupBanded,""" +
+      s""""state_bootstrap_sec":$stateBuild,"state_epochs":$stateEpochs,""" +
+      s""""state_epoch500_sec":$stateEpochSec,""" +
+      s""""state_epoch500_fresh_sec":$stateEpochFreshSec}"""
     println(line)
     // persist the artifact (round 7 only printed it, so the amortization
     // and append-cost claims were never machine-checkable round-over-

@@ -183,10 +183,13 @@ object StreamOps {
    * — pass `bandedState = false` for a deliberately small corpus. A
    * marker-less pre-existing state keeps the legacy flat layout (mixed
    * layouts under one partition root would break every read); rebuild
-   * the state to adopt the banded form. The keys table is still scanned
-   * per epoch: it is the small table, and a batch's band keys cover too
-   * many hash prefixes for prefix pruning to pay there (the asymmetry
-   * is documented, not hidden).
+   * the state to adopt the banded form. The keys table is NOT scanned
+   * whole per epoch: band-prefix partitioning was measured not to pay
+   * there (a batch's keys span all 256 hash prefixes), so the scan is
+   * bounded at the EPOCH level instead — each epoch writes a Bloom
+   * summary of its band keys ([[KeySummaries]]) and later epochs read
+   * only the epoch partitions that might contain one of their keys, so
+   * a no-candidate batch reads zero state bytes from either table.
    */
   def nearDupDedupTo(docs: DataFrame, outPath: String, statePath: String,
                      checkpoint: String, idCol: String, textCol: String,
@@ -294,10 +297,26 @@ object StreamOps {
   private def idBucket(id: org.apache.spark.sql.Column, buckets: Int) =
     graft.functions.Dedup.idBucket(id, buckets) // one bucket definition
 
-  private def dedupEpoch(batch: DataFrame, batchId: Long, statePath: String,
-                         idCol: String, textCol: String,
-                         minJaccard: Double,
-                         wantBanded: Boolean = true): DataFrame = {
+  /** Epoch directory ids present under a state table root (`batch=N`
+    * names) — a metadata-only FS listing. */
+  private def listStateEpochs(fs: org.apache.hadoop.fs.FileSystem,
+                              root: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("batch=") =>
+        n.stripPrefix("batch=").toLongOption }
+      .flatten
+  }
+
+  private[graft] def keySummaryPath(statePath: String, epoch: Long) =
+    new org.apache.hadoop.fs.Path(s"$statePath/keysum/batch=$epoch")
+
+  private[graft] def dedupEpoch(batch: DataFrame, batchId: Long,
+                                statePath: String,
+                                idCol: String, textCol: String,
+                                minJaccard: Double,
+                                wantBanded: Boolean = true): DataFrame = {
     val spark = batch.sparkSession
     val fs = new org.apache.hadoop.fs.Path(statePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -333,20 +352,63 @@ object StreamOps {
     // created, or only _temporary present) must replay cleanly, never
     // wedge on path-not-found or schema inference.
     import org.apache.spark.sql.types.LongType
+    def emptyState(full: org.apache.spark.sql.types.StructType) =
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
     def stateOrEmpty(path: String,
                      schema: org.apache.spark.sql.types.StructType) = {
       val full = schema.add("batch", LongType)
       if (fs.exists(new org.apache.hadoop.fs.Path(path)))
         spark.read.schema(full).parquet(path)
-      else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
+      else emptyState(full)
     }
-    val stateKeys = stateOrEmpty(keysPath, repKeys.schema)
-      .filter(col("batch") =!= batchId)
+    // EPOCH-LEVEL pruning of the state reads via the per-epoch band-key
+    // summaries ([[KeySummaries]]): the batch's own distinct band keys
+    // (ONE bounded collect, reused below to build this epoch's summary)
+    // are tested against each prior epoch's Bloom file, and only the
+    // epochs that might contain a match are read — from BOTH tables,
+    // since a candidate id's sets rows live in the epoch that admitted
+    // it. Bloom ⇒ no false negatives ⇒ admissions are bit-identical to
+    // the full scan; an epoch with no summary (legacy state, compacted
+    // batch=-1, over-cap batch) is always read, and a batch over the
+    // collect cap degrades to the full scan — never to a missed
+    // candidate.
+    val batchKeys: Option[Array[String]] = {
+      val sample = repKeys.select(col("bkey")).distinct()
+        .limit(KeySummaries.MaxKeys + 1).collect().map(_.getString(0))
+      if (sample.length > KeySummaries.MaxKeys) None else Some(sample)
+    }
+    val candidateEpochs: Option[Seq[Long]] = batchKeys.map { ks =>
+      val hashes = ks.map(KeySummaries.hashPair)
+      listStateEpochs(fs, keysPath).filter(_ != batchId).filter { m =>
+        KeySummaries.readCached(fs, keySummaryPath(statePath, m)) match {
+          case Some(s) => s.mightContainAny(hashes)
+          case None => true // no summary → conservative full read
+        }
+      }
+    }
     val setsSchema = setBuckets.fold(repSets.schema)(_ =>
       repSets.schema.add("ib", org.apache.spark.sql.types.IntegerType))
-    val stateSetsAll = stateOrEmpty(setsPath, setsSchema)
-      .filter(col("batch") =!= batchId)
+    def readEpochs(root: String,
+                   schema: org.apache.spark.sql.types.StructType,
+                   eps: Seq[Long]) = {
+      val full = schema.add("batch", LongType)
+      val dirs = eps.map(m => s"$root/batch=$m")
+        .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+      if (dirs.isEmpty) emptyState(full)
+      else spark.read.option("basePath", root).schema(full)
+        .parquet(dirs: _*)
+    }
+    val (stateKeys, stateSetsAll) = candidateEpochs match {
+      case Some(eps) =>
+        (readEpochs(keysPath, repKeys.schema, eps),
+          readEpochs(setsPath, setsSchema, eps))
+      case None =>
+        (stateOrEmpty(keysPath, repKeys.schema)
+          .filter(col("batch") =!= batchId),
+          stateOrEmpty(setsPath, setsSchema)
+            .filter(col("batch") =!= batchId))
+    }
     val cand0 = repKeys
       .join(stateKeys.select(col(idCol).as("__sid"),
         col("band"), col("bkey")), Seq("band", "bkey"))
@@ -384,6 +446,16 @@ object StreamOps {
     def anti(d: DataFrame) = d.join(dupIds, Seq(idCol), "left_anti")
     anti(repKeys).write.mode("overwrite")
       .parquet(s"$keysPath/batch=$batchId")
+    // this epoch's band-key summary, from the SAME bounded collect the
+    // probe used: the pre-anti key set is a superset of the admitted
+    // keys (a dropped dup's key only costs a later batch one false
+    // epoch read — never a false negative), and a replayed epoch
+    // rewrites an identical summary (same batch → same keys). Over-cap
+    // batches write none: absent = always-read, the conservative
+    // default. Written AFTER the keys epoch so a present summary always
+    // describes committed rows.
+    batchKeys.foreach(ks => KeySummaries.write(fs,
+      keySummaryPath(statePath, batchId), KeySummaries.build(ks)))
     setBuckets match {
       case Some(b) => // write in the banded layout the marker records:
         // repartition BY the bucket column, capped at the bucket count
@@ -574,6 +646,82 @@ object StreamOps {
   }
 
   /**
+   * Seed a [[nearDupDedupTo]] / [[prepPipelineTo]] dedup STATE from an
+   * already-admitted corpus — the state twin of [[dedupIngestBootstrap]]:
+   * a production pipeline usually starts streaming AGAINST an existing
+   * deduped corpus, and replaying that corpus through the per-epoch
+   * cascade just to populate the state would pay the full near-dup
+   * verify for documents already known distinct. This writes the state
+   * tables directly (admitting every corpus doc), in the same row shapes
+   * and layout the streaming epochs write — banded sets, flat keys, one
+   * [[KeySummaries]] Bloom per epoch — so the stream that takes over
+   * cannot tell bootstrap epochs from its own.
+   *
+   * The corpus lands as MULTIPLE epochs of ~`epochDocs` docs under the
+   * reserved NEGATIVE ids -1..-E (micro-batch ids start at 0, so no
+   * collision, and the verify's own-epoch exclusion is unaffected):
+   * bounded epochs keep every epoch's key count under the summary cap,
+   * so the per-epoch pruning works over the bootstrap corpus exactly as
+   * over streamed epochs — one giant epoch would exceed the cap,
+   * carry no summary, and be rescanned forever. Epoch assignment is a
+   * deterministic id hash; both tables write in ONE pass each
+   * (partitioned by epoch), then the summaries in one bounded collect
+   * per epoch against the just-written epoch partitions.
+   *
+   * Requires a FRESH `statePath` (single-writer, no stream attached) —
+   * the same no-mixed-layout rule as [[dedupIngestBootstrapPartitioned]].
+   * Returns the epoch count.
+   */
+  def nearDupStateBootstrap(corpus: DataFrame, statePath: String,
+                            idCol: String, textCol: String,
+                            epochDocs: Int = 60000): Int = {
+    import graft.functions.{Dedup, LayoutMarker}
+    require(epochDocs > 0, s"epochDocs must be positive: $epochDocs")
+    val spark = corpus.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.functions.TopKAgg.requireIntegralId(corpus, idCol,
+      "nearDupStateBootstrap")
+    for (t <- Seq("sets", "keys"))
+      require(!fs.exists(new org.apache.hadoop.fs.Path(s"$statePath/$t")),
+        s"nearDupStateBootstrap: $statePath already holds a '" + t +
+          "' table — bootstrap a fresh path")
+    val nDocs = corpus.count()
+    val epochs = math.max(1L, (nDocs + epochDocs - 1) / epochDocs).toInt
+    // deterministic spread over -1..-epochs; uniform by hash, so each
+    // epoch stays ~epochDocs and under the summary cap
+    val epochCol =
+      (-pmod(xxhash64(col(idCol)), lit(epochs.toLong)) - 1L).as("batch")
+    val sets = Dedup.shingleSets(corpus, idCol, textCol)
+      .localCheckpoint(false)
+    sets.withColumn("batch", epochCol)
+      .withColumn("ib", idBucket(col(idCol), StateSetBuckets))
+      .repartition(epochs * StateSetBuckets, col("batch"), col("ib"))
+      .write.mode("errorifexists").partitionBy("batch", "ib")
+      .parquet(s"$statePath/sets")
+    Dedup.bandKeysFromSets(sets, idCol)
+      .withColumn("batch", epochCol)
+      .repartition(epochs, col("batch"))
+      .write.mode("errorifexists").partitionBy("batch")
+      .parquet(s"$statePath/keys")
+    // marker BEFORE the summaries (matches resolveStateLayout: tables
+    // present + marker present = banded); a crash mid-summaries leaves
+    // summary-less epochs = always-read, correct
+    LayoutMarker.write(fs, stateLayoutPath(statePath), "ibsets|",
+      StateSetBuckets)
+    val keysTable = spark.read.parquet(s"$statePath/keys")
+    for (e <- 1 to epochs) {
+      val ks = keysTable.filter(col("batch") === -e.toLong)
+        .select(col("bkey")).distinct()
+        .limit(KeySummaries.MaxKeys + 1).collect().map(_.getString(0))
+      if (ks.length <= KeySummaries.MaxKeys)
+        KeySummaries.write(fs, keySummaryPath(statePath, -e.toLong),
+          KeySummaries.build(ks))
+    }
+    epochs
+  }
+
+  /**
    * Compact [[nearDupDedupTo]]'s append-only state: every epoch adds a
    * `batch=<id>` partition to the keys and sets tables, so a long-lived
    * ingest stream accumulates thousands of small files — the classic
@@ -607,13 +755,21 @@ object StreamOps {
         df.repartition(b, col("ib")).write.partitionBy("ib").parquet(stageDir)
       case None => df.coalesce(8).write.parquet(stageDir)
     }
-    Map(
+    val n = Map(
       "keys" -> consolidateEpochs(spark, s"$statePath/keys",
         epochPrefix = "batch=") { (df, stageDir) =>
         df.coalesce(8).write.parquet(stageDir)
       }.getOrElse(0L),
       "sets" -> consolidateEpochs(spark, s"$statePath/sets",
         epochPrefix = "batch=")(stageSets).getOrElse(0L))
+    // the per-epoch band-key summaries describe the epoch layout this
+    // rewrite just destroyed — drop them (and the JVM cache entries) so
+    // the consolidated batch=-1 reads as summary-less = always-read;
+    // post-compaction epochs resume summaries from their own writes
+    val ks = new org.apache.hadoop.fs.Path(s"$statePath/keysum")
+    if (fs.exists(ks)) { fs.delete(ks, true); () }
+    KeySummaries.invalidate(s"$statePath/keysum")
+    n
   }
 
   /**

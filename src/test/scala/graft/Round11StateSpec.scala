@@ -1,0 +1,209 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{KeySummaries, StreamOps}
+
+/** Round-11: per-epoch band-key summaries bound the streaming dedup
+  * state's keys scan — bit-identity with the unpruned scan, the
+  * FS-bytes bound for a no-candidate epoch, crash-replay, and the
+  * corpus bootstrap. */
+class Round11StateSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def corpusDocs(n: Int): DataFrame =
+    (1 to n).map(i =>
+      (i.toLong, s"unique document number $i holding token$i plus filler " +
+        s"alpha$i bravo$i charlie$i delta$i echo$i foxtrot$i golf$i"))
+      .toDF("doc_id", "text")
+
+  /** A batch of near-dups of docs `dupOf` (one appended word) plus
+    * `nFresh` docs of entirely fresh vocabulary. */
+  private def probeBatch(dupOf: Seq[Int], nFresh: Int,
+                         idBase: Long): DataFrame = {
+    val dups = dupOf.map(i =>
+      (idBase + i, s"unique document number $i holding token$i plus filler " +
+        s"alpha$i bravo$i charlie$i delta$i echo$i foxtrot$i golf$i zulu"))
+    val fresh = (1 to nFresh).map { j =>
+      val u = s"$idBase${j}"
+      (idBase + 100000L + j, s"fresh standalone story $u about qq${u}a " +
+        s"qq${u}b qq${u}c qq${u}d qq${u}e qq${u}f qq${u}g qq${u}h qq${u}i")
+    }
+    (dups ++ fresh).toDF("doc_id", "text")
+  }
+
+  private def epochInto(st: String, batch: DataFrame, id: Long): Set[Long] = {
+    val b = batch.localCheckpoint()
+    val admitted = StreamOps.dedupEpoch(b, id, st, "doc_id", "text", 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    b.unpersist(); admitted
+  }
+
+  private def cpR(from: String, to: String): Unit = {
+    import java.nio.file.{Files => JF, Path, Paths}
+    val src = Paths.get(from); val dst = Paths.get(to)
+    JF.walk(src).forEach { p: Path =>
+      val t = dst.resolve(src.relativize(p))
+      if (JF.isDirectory(p)) JF.createDirectories(t)
+      else JF.copy(p, t)
+    }
+  }
+
+  private def rmrf(p: String): Unit = {
+    def go(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(go)); f.delete(); ()
+    }
+    go(new java.io.File(p))
+  }
+
+  private def fileBytesRead(): Long =
+    Option(org.apache.hadoop.fs.FileSystem.getGlobalStorageStatistics
+      .get("file"))
+      .flatMap(s => Option(s.getLong("bytesRead")).map(_.longValue()))
+      .getOrElse(0L)
+
+  private def dirBytes(path: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+    walk(new java.io.File(path))
+  }
+
+  private def stateRows(st: String, table: String): Set[String] =
+    spark.read.parquet(s"$st/$table").drop("ib")
+      .collect().map(_.toString).toSet
+
+  test("summary-pruned admissions ≡ the unpruned full scan, state included") {
+    // three epochs, then a mixed batch: near-dups of epoch-0 and
+    // epoch-2 docs (cross-epoch candidates) plus fresh docs
+    val st = Files.createTempDirectory("graft-ks-a").toString + "/st"
+    epochInto(st, corpusDocs(40), 0L)
+    epochInto(st, probeBatch(Seq.empty, 25, 2000L), 1L)
+    epochInto(st, corpusDocs(80).filter(col("doc_id") > 40), 2L)
+    // arm B: identical state with the summaries REMOVED — every epoch
+    // always-read, i.e. exactly the pre-summary full scan
+    val stB = Files.createTempDirectory("graft-ks-b").toString + "/st"
+    cpR(st, stB)
+    rmrf(s"$stB/keysum")
+    KeySummaries.invalidate(stB)
+    val batch = probeBatch(Seq(3, 7, 55), 5, 9000L).localCheckpoint()
+    val admA = StreamOps.dedupEpoch(batch, 3L, st, "doc_id", "text", 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val admB = StreamOps.dedupEpoch(batch, 3L, stB, "doc_id", "text", 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admA == admB, "summary pruning changed admissions")
+    // the cross-epoch near-dups were really dropped, the fresh admitted
+    assert(admA == (1 to 5).map(9000L + 100000L + _).toSet,
+      s"admitted: $admA")
+    // and the state the two arms wrote is row-identical
+    assert(stateRows(st, "keys") == stateRows(stB, "keys"))
+    assert(stateRows(st, "sets") == stateRows(stB, "sets"))
+  }
+
+  test("no-candidate epoch reads (near) zero state bytes; fallback reads it all") {
+    val st = Files.createTempDirectory("graft-ks-z").toString + "/st"
+    epochInto(st, corpusDocs(150), 0L)
+    epochInto(st, corpusDocs(300).filter(col("doc_id") > 150), 1L)
+    val stB = Files.createTempDirectory("graft-ks-zb").toString + "/st"
+    cpR(st, stB)
+    rmrf(s"$stB/keysum")
+    KeySummaries.invalidate(stB)
+    val fresh = probeBatch(Seq.empty, 10, 50000L).localCheckpoint()
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("parquet.hadoop.vectored.io.enabled", "false")
+    val (withSum, noSum) = try {
+      val b0 = fileBytesRead()
+      StreamOps.dedupEpoch(fresh, 2L, st, "doc_id", "text", 0.6).count()
+      val w = fileBytesRead() - b0
+      val b1 = fileBytesRead()
+      StreamOps.dedupEpoch(fresh, 2L, stB, "doc_id", "text", 0.6).count()
+      (w, fileBytesRead() - b1)
+    } finally hc.unset("parquet.hadoop.vectored.io.enabled")
+    val stateBytes = dirBytes(s"$stB/keys") + dirBytes(s"$stB/sets")
+    // the summary arm reads only the two Bloom files — bounded by the
+    // summaries, nothing from the keys/sets parquet; the summary-less
+    // arm scans the whole keys table (and pays the full fallback)
+    val sumBytes = dirBytes(s"$st/keysum")
+    assert(withSum <= sumBytes + stateBytes / 10,
+      s"no-candidate epoch read state bytes: withSum=$withSum " +
+        s"summaries=$sumBytes state=$stateBytes")
+    assert(noSum - withSum > (0.3 * dirBytes(s"$stB/keys")).toLong,
+      s"fallback did not scan the keys: noSum=$noSum withSum=$withSum")
+  }
+
+  test("crash-replayed epoch with summaries: same admissions, same state, same summary") {
+    val st = Files.createTempDirectory("graft-ks-r").toString + "/st"
+    epochInto(st, corpusDocs(40), 0L)
+    val batch = probeBatch(Seq(5, 9), 6, 7000L).localCheckpoint()
+    val a1 = epochInto(st, batch, 1L)
+    val sum1 = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      s"$st/keysum/batch=1")).toSeq
+    val a2 = epochInto(st, batch, 1L) // the replay
+    val sum2 = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      s"$st/keysum/batch=1")).toSeq
+    assert(a1 == a2, "replayed epoch diverged")
+    assert(sum1 == sum2, "replayed summary diverged")
+    // a later epoch still sees exactly one copy of epoch 1's admissions
+    val a3 = epochInto(st, probeBatch(Seq(5), 2, 8000L), 2L)
+    assert(a3 == Set(108001L, 108002L), s"admitted: $a3")
+  }
+
+  test("bootstrapped state ≡ stream-built state for the epochs that follow") {
+    val corpus = corpusDocs(120).localCheckpoint()
+    // arm A: corpus seeded via the bootstrap (multi-epoch, summarized)
+    val stA = Files.createTempDirectory("graft-ks-bs").toString + "/st"
+    val epochs = StreamOps.nearDupStateBootstrap(corpus, stA,
+      "doc_id", "text", epochDocs = 50)
+    assert(epochs == 3, s"expected 3 bootstrap epochs, got $epochs")
+    assert(new java.io.File(s"$stA/_graft_state_layout").exists())
+    // every bootstrap epoch carries a summary; sets are banded
+    for (e <- 1 to epochs)
+      assert(new java.io.File(s"$stA/keysum/batch=-$e").exists(),
+        s"bootstrap epoch -$e lacks a summary")
+    // arm B: the same corpus admitted through a real epoch
+    val stB = Files.createTempDirectory("graft-ks-bt").toString + "/st"
+    epochInto(stB, corpus, 0L)
+    // the same follow-up batch must get the same verdicts on both
+    val batch = probeBatch(Seq(2, 61, 119), 4, 6000L).localCheckpoint()
+    val admA = StreamOps.dedupEpoch(batch, 5L, stA, "doc_id", "text", 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val admB = StreamOps.dedupEpoch(batch, 5L, stB, "doc_id", "text", 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admA == admB, s"bootstrap diverged: $admA vs $admB")
+    assert(admA.size == 4, s"admitted: $admA")
+  }
+
+  test("KeySummaries: no false negatives, absent/corrupt files read conservative") {
+    val keys = (1 to 5000).map(i => s"key-$i-${i * 37}")
+    val s = KeySummaries.build(keys)
+    val hashes = keys.map(KeySummaries.hashPair)
+    assert(hashes.forall(h => s.mightContain(h._1, h._2)),
+      "Bloom false negative")
+    // false-positive rate at the sized fpp: spot-check a disjoint set
+    val misses = (1 to 5000).map(i => KeySummaries.hashPair(s"other-$i"))
+      .count(h => s.mightContain(h._1, h._2))
+    assert(misses == 0, s"fpp 1e-6 sample produced $misses hits")
+    val dir = Files.createTempDirectory("graft-ks-f").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // absent → None (always-read)
+    assert(KeySummaries.readCached(fs,
+      new org.apache.hadoop.fs.Path(s"$dir/none")).isEmpty)
+    // corrupt (wrong magic) → None, not a crash
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "bad"),
+      Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16))
+    assert(KeySummaries.readCached(fs,
+      new org.apache.hadoop.fs.Path(s"$dir/bad")).isEmpty)
+    // round-trip through the file format
+    val p = new org.apache.hadoop.fs.Path(s"$dir/ok")
+    KeySummaries.write(fs, p, s)
+    val r = KeySummaries.readCached(fs, p).get
+    assert(r.mBits == s.mBits && r.k == s.k &&
+      r.words.toSeq == s.words.toSeq)
+  }
+}

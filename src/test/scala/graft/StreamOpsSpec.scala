@@ -203,13 +203,20 @@ class StreamOpsSpec extends AnyFunSuite {
   test("banded dedup state: same admissions as legacy, pruned sets reads") {
     import spark.implicits._
     // corpus epoch: 120 distinct docs (all admitted → a sets table worth
-    // pruning); probe epoch: 1 fresh doc (no candidates → the banded
-    // verify must read NO sets buckets at all)
+    // pruning); probe epoch: one near-dup of doc 1 — a candidate, so the
+    // corpus epoch is READ in both arms (the epoch-level KeySummaries
+    // pruning, proven in Round11StateSpec, would otherwise skip it
+    // entirely and equalize the arms) — plus one fresh doc. The banded
+    // verify must then read only the CANDIDATE's id bucket of the sets
+    // epoch; the legacy arm reads the whole sets table.
     val corpusDocs = (1L to 120L).map(i =>
       (i, s"unique document number $i holding token$i plus shared filler " +
         s"alpha$i bravo$i charlie$i delta$i echo$i foxtrot$i golf$i"))
-    val probeDoc = Seq((900L, "entirely fresh probe text matching nothing " +
-      "in the corpus with its own vocabulary of new tokens"))
+    val probeDoc = Seq(
+      (900L, "unique document number 1 holding token1 plus shared filler " +
+        "alpha1 bravo1 charlie1 delta1 echo1 foxtrot1 golf1 zulu"),
+      (901L, "entirely fresh probe text matching nothing " +
+        "in the corpus with its own vocabulary of new tokens"))
     def feed(): String = {
       val in = Files.createTempDirectory("graft-bst-in").toString
       corpusDocs.toDF("doc_id", "text").coalesce(1)
@@ -254,9 +261,10 @@ class StreamOpsSpec extends AnyFunSuite {
         Files.createTempDirectory("graft-bst-ckb").toString,
         "doc_id", "text", 0.6).awaitTermination()
       val bytesB = fileBytes() - bB0
-      // identical admissions either way
+      // identical admissions either way: the near-dup probe is dropped
+      // against the corpus state, the fresh doc admitted
       assert(admitted(outA) == admitted(outB) &&
-        admitted(outA) == (1L to 120L).toSet + 900L)
+        admitted(outA) == (1L to 120L).toSet + 901L)
       // layout proof: marker + ib dirs in arm A, neither in arm B
       assert(new java.io.File(s"$stA/_graft_state_layout").exists())
       assert(new java.io.File(s"$stA/sets/batch=0").listFiles()

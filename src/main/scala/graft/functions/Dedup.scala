@@ -616,18 +616,43 @@ object Dedup {
     bandKeysFromSets(cSets, idCol)
       .write.mode("overwrite").parquet(s"$path/keys")
     // a flat rebuild over a formerly-partitioned path must also retire
-    // the layout marker, or every later probe takes the wrong path
+    // the layout marker (else every later probe takes the wrong path),
+    // any append deltas, and the schema memo the new shape invalidates
     clearDedupLayout(corpus.sparkSession, path)
+    deleteDeltas(corpus.sparkSession, path)
+    invalidateSchemas(path)
   }
 
   // ---- partition-prunable persisted index (the 100 TB layout) ----------
 
-  /** Partition value for a band key: its first two md5-hex chars (256
-    * partitions), prefixed `x` so parquet partition-value inference can
-    * never type a digit-only sample as integer. Derived from the key, so
-    * batch and corpus sides always agree. */
-  private[graft] def bandPrefix(bkey: Column): Column =
-    concat(lit("x"), substring(bkey, 1, 2))
+  /** The banded-index layout parameters, recorded in the marker:
+    * `setBuckets` id buckets for the sets table, `bpChars` md5-hex chars
+    * of band-prefix for the keys table (1 → 16 dirs, 2 → 256). Fewer
+    * dirs = less per-probe file listing/planning (measured ~2 ms per
+    * file in local mode — the dominant term of the banded probe's fixed
+    * cost at small corpora); more dirs = finer IO pruning for tiny
+    * batches at huge corpora. Markers written before round 11 carry
+    * only `setBuckets` and read as `bpChars = 2` (their on-disk
+    * layout). */
+  private[graft] case class BandedLayout(setBuckets: Int, bpChars: Int) {
+    require(setBuckets > 0, s"setBuckets must be positive: $setBuckets")
+    require(bpChars == 1 || bpChars == 2, s"bpChars must be 1 or 2: $bpChars")
+    def bpDirs: Int = 1 << (4 * bpChars)
+  }
+
+  /** Scale-adaptive band-prefix width: 16 dirs under ~half a million
+    * docs (the fixed per-dir cost dominates any pruning there), 256
+    * beyond (a tiny probe against a 100 TB corpus should read 1/256th
+    * of the key tree, not 1/16th). */
+  private[graft] def autoBpChars(nDocs: Long): Int =
+    if (nDocs < 500000L) 1 else 2
+
+  /** Partition value for a band key: its first 1-2 md5-hex chars,
+    * prefixed `x` so parquet partition-value inference can never type a
+    * digit-only sample as integer. Derived from the key, so batch and
+    * corpus sides always agree. */
+  private[graft] def bandPrefix(bkey: Column, bpChars: Int = 2): Column =
+    concat(lit("x"), substring(bkey, 1, bpChars))
 
   /** Partition value for a corpus id in the `sets` table. */
   private[graft] def idBucket(id: Column, setBuckets: Int): Column =
@@ -643,27 +668,36 @@ object Dedup {
     sets.withColumn("ib", idBucket(col(idCol), setBuckets))
       .repartition(setBuckets, col("ib"))
 
-  /** The banded keys-table twin (band-prefix dirs, fixed 256-way). */
-  private[graft] def bandedKeys(keys: DataFrame): DataFrame =
-    keys.withColumn("bp", bandPrefix(col("bkey")))
-      .repartition(256, col("bp"))
+  /** The banded keys-table twin (band-prefix dirs). */
+  private[graft] def bandedKeys(keys: DataFrame,
+                                bpChars: Int = 2): DataFrame =
+    keys.withColumn("bp", bandPrefix(col("bkey"), bpChars))
+      .repartition(1 << (4 * bpChars), col("bp"))
 
   private[graft] def layoutMarkerPath(path: String) =
     new org.apache.hadoop.fs.Path(s"$path/_graft_dedup_layout")
 
-  /** setBuckets from the layout marker, if the index at `path` was built
-    * partitioned. Flat indexes (no marker) return None. A marker that
-    * exists but cannot be parsed — including a bare number from a
-    * truncated or foreign write — is CORRUPT and fails loudly rather
-    * than silently probing a partitioned tree as flat (which would read
-    * the whole index and, worse, hide layout drift). Shared
-    * format/atomicity machinery: [[LayoutMarker]]. */
+  /** The [[BandedLayout]] from the layout marker, if the index at `path`
+    * was built partitioned. Flat indexes (no marker) return None. A
+    * marker that exists but cannot be parsed — including a bare number
+    * from a truncated or foreign write — is CORRUPT and fails loudly
+    * rather than silently probing a partitioned tree as flat (which
+    * would read the whole index and, worse, hide layout drift). Shared
+    * format/atomicity machinery: [[LayoutMarker]]; pre-round-11 markers
+    * carry only the bucket count and read as the 256-dir key layout
+    * they were written with. */
   private[graft] def readDedupLayout(
       spark: org.apache.spark.sql.SparkSession,
-      path: String): Option[Int] = {
+      path: String): Option[BandedLayout] = {
     val p = layoutMarkerPath(path)
-    LayoutMarker.read(p.getFileSystem(spark.sparkContext.hadoopConfiguration),
-      p, "banded|", "dedup-index")
+    LayoutMarker.readFields(
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration),
+      p, "banded|", "dedup-index").map {
+      case Seq(b) => BandedLayout(b, 2)
+      case Seq(b, c) => BandedLayout(b, c)
+      case other => sys.error(
+        s"corrupt dedup-index layout marker at $p: ${other.size} fields")
+    }
   }
 
   /** Remove the layout marker (flat rebuild over a formerly-partitioned
@@ -678,11 +712,11 @@ object Dedup {
 
   private[graft] def writeDedupLayout(
       spark: org.apache.spark.sql.SparkSession,
-      path: String, setBuckets: Int): Unit = {
+      path: String, layout: BandedLayout): Unit = {
     val p = layoutMarkerPath(path)
-    LayoutMarker.write(
+    LayoutMarker.writeFields(
       p.getFileSystem(spark.sparkContext.hadoopConfiguration), p,
-      "banded|", setBuckets)
+      "banded|", Seq(layout.setBuckets, layout.bpChars))
   }
 
   /**
@@ -721,21 +755,42 @@ object Dedup {
    */
   def buildDedupIndexPartitioned(corpus: DataFrame, idCol: String,
                                  textCol: String, path: String,
-                                 setBuckets: Int = 64): Unit = {
+                                 setBuckets: Int = 64,
+                                 bpChars: Int = -1): Unit = {
     TopKAgg.requireIntegralId(corpus, idCol, "buildDedupIndexPartitioned")
     require(setBuckets > 0, s"setBuckets must be positive: $setBuckets")
     val spark = corpus.sparkSession
     val cSets = shingleSets(corpus, idCol, textCol).localCheckpoint(false)
+    // band-prefix width: explicit, or scale-adaptive from the corpus
+    // size (the count is one cheap job over the checkpointed sets)
+    val layout = BandedLayout(setBuckets,
+      if (bpChars > 0) bpChars else autoBpChars(cSets.count()))
     // [[bandedSets]]/[[bandedKeys]]: partition-column + capped task
     // routing in one shared definition (each dir written by exactly the
     // tasks owning its key — no file-per-task-per-key explosion, no
     // empty shuffle tasks beyond the bucket count)
     bandedSets(cSets, idCol, setBuckets)
       .write.mode("overwrite").partitionBy("ib").parquet(s"$path/sets")
-    bandedKeys(bandKeysFromSets(cSets, idCol))
+    bandedKeys(bandKeysFromSets(cSets, idCol), layout.bpChars)
       .write.mode("overwrite").partitionBy("bp").parquet(s"$path/keys")
-    writeDedupLayout(spark, path, setBuckets)
+    // a rebuild over an append-grown path must also retire the deltas
+    // (their rows are re-derived from the new corpus or gone for good)
+    // and the schema memo (a formerly-flat path gains partition columns)
+    deleteDeltas(spark, path)
+    invalidateSchemas(path)
+    writeDedupLayout(spark, path, layout)
   }
+
+  private[graft] def deltaPaths(path: String): Seq[String] =
+    Seq(s"$path/sets_delta", s"$path/keys_delta")
+
+  private def deleteDeltas(spark: org.apache.spark.sql.SparkSession,
+                           path: String): Unit =
+    deltaPaths(path).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) { fs.delete(p, true); () }
+    }
 
   /**
    * Migrate a FLAT [[buildDedupIndex]] tree to the partitioned layout
@@ -806,40 +861,191 @@ object Dedup {
             s"setBuckets than $setBuckets — resume with the original count")
         sets.count()
       }
+    val bpChars =
+      if (keysBanded) {
+        // resume: the marker must record the width the crashed attempt
+        // actually wrote (bp = 'x' + that many hex chars)
+        val w = spark.read.parquet(s"$path/keys")
+          .select(length(col("bp"))).head.getInt(0) - 1
+        require(w == 1 || w == 2,
+          s"half-migrated keys at $path carry bp width $w")
+        w
+      } else autoBpChars(nSets) // one row per doc — already counted
     val nKeys =
       if (!keysBanded)
         ParquetCompact.rewritePartitioned(spark, s"$path/keys",
-          "bp")(bandedKeys)
+          "bp")(df => bandedKeys(df, bpChars))
       else spark.read.parquet(s"$path/keys").count()
-    writeDedupLayout(spark, path, setBuckets)
+    invalidateSchemas(path) // flat → banded changes both table shapes
+    writeDedupLayout(spark, path, BandedLayout(setBuckets, bpChars))
     Map("sets" -> nSets, "keys" -> nKeys)
   }
 
-  /** Probe of the partitioned layout: two driver-side bounded collects
-    * (≤256 band prefixes, ≤ setBuckets id buckets) turn the batch's own
-    * content into partition filters, so the corpus trees are read only
-    * where this batch can possibly match. */
+  /** Driver-side row bound for the probe's local-relation fast path:
+    * batch band keys and candidate pairs up to this many rows are
+    * collected into broadcast LocalRelations (each saves a
+    * localCheckpoint job + a separate distinct-collect job); beyond it
+    * the probe falls back to the fully distributed shape. ~25 MB of
+    * rows at the cap — the same order as the other bounded collects. */
+  private val MaxProbeRows = 262144
+
+  /** Per-JVM memo of an index table's read schema: a frozen index's
+    * schema cannot change (the frozen-index contract every probe-many
+    * caller already relies on), and per-probe inference costs a listing
+    * + footer read — which streaming probes would pay every
+    * micro-batch. */
+  private val indexSchemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+  private def tableSchema(spark: org.apache.spark.sql.SparkSession,
+                          root: String) =
+    indexSchemaCache.computeIfAbsent(root,
+      _ => spark.read.parquet(root).schema)
+
+  /** Drop the memoized schemas under `path` — every REBUILD of an index
+    * (and the flat→banded migration) can change the table shape, and a
+    * stale memo would silently misread the new files. */
+  private def invalidateSchemas(path: String): Unit = {
+    val it = indexSchemaCache.keySet().iterator()
+    while (it.hasNext) if (it.next().startsWith(path)) it.remove()
+  }
+
+  /** Read selected `prefix=value` partition dirs of a banded table as
+    * explicit paths (skips listing/planning every other dir — the
+    * measured fixed cost of the banded probe is ~2 ms per FILE in the
+    * table, so reading 3 candidate dirs instead of 64 is the win), with
+    * the schema served from the per-JVM memo. `values` are the wanted
+    * partition values (dir-name suffixes); dirs that do not exist are
+    * simply absent from the listing. */
+  private def readBandedDirs(spark: org.apache.spark.sql.SparkSession,
+                             root: String, partCol: String,
+                             values: Option[Set[String]]): DataFrame = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the batch-built layout puts `partCol=` dirs at the first level;
+    // the streamed ingest layout ([[graft.streaming.StreamOps
+    // .dedupIngestTo]]) nests them one level down inside `__batch=N`
+    // epoch dirs — descend one partition level to find them (metadata
+    // listings only), so both layouts prune identically
+    def level(dirs: Seq[org.apache.hadoop.fs.Path])
+        : Seq[org.apache.hadoop.fs.Path] =
+      dirs.flatMap(d => fs.listStatus(d).toSeq.map(_.getPath)
+        .filter(p => p.getName.contains("=")))
+    val first =
+      if (!fs.exists(rootPath)) Seq.empty else level(Seq(rootPath))
+    val leaves =
+      if (first.exists(_.getName.startsWith(s"$partCol="))) first
+      else level(first)
+    val wanted = leaves.filter(_.getName.startsWith(s"$partCol="))
+      .filter(p => values.forall(_.contains(
+        p.getName.stripPrefix(s"$partCol="))))
+    val schema = tableSchema(spark, root)
+    if (wanted.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).option("basePath", root)
+      .parquet(wanted.map(_.toString): _*)
+  }
+
+  /** A delta table's rows, or an empty frame of the base columns when no
+    * delta exists ([[appendToDedupIndex]] writes appends FLAT into
+    * `sets_delta`/`keys_delta`; probes union them in, compaction folds
+    * them into the banded base). */
+  private def deltaOrEmpty(spark: org.apache.spark.sql.SparkSession,
+                           deltaPath: String,
+                           like: DataFrame): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(deltaPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.schema(tableSchema(spark, deltaPath))
+      .parquet(deltaPath)
+    else like.limit(0)
+  }
+
+  /**
+   * Probe of the partitioned layout. The batch's band keys (ONE bounded
+   * collect) become driver-side partition-dir selections AND a
+   * broadcast LocalRelation for the candidate join; the candidates
+   * (second bounded collect) select the sets buckets the same way — so
+   * the corpus trees are read only where this batch can possibly match,
+   * from explicitly-listed dirs with a memoized schema. Four Spark jobs
+   * total on the fast path (shingle checkpoint, key collect, candidate
+   * collect, verify) vs six in the round-10 shape — the job count, not
+   * the data, dominated the probe's fixed cost. A batch over the row
+   * cap falls back to the distributed shape with the same semantics.
+   */
   private def dedupAgainstPartitioned(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      setBuckets: Int, newDocs: DataFrame, idCol: String, textCol: String,
-      minJaccard: Double): DataFrame = {
+      layout: BandedLayout, newDocs: DataFrame, idCol: String,
+      textCol: String, minJaccard: Double): DataFrame = {
     val nSets = shingleSets(newDocs, idCol, textCol).localCheckpoint(false)
-    // checkpointed: feeds the prefix collect AND the candidate join
+    val nKeysDf = bandKeysFromSets(nSets, idCol)
+    val nKeyRows = nKeysDf.limit(MaxProbeRows + 1).collect()
+    val keysDelta = deltaOrEmpty(spark, s"$path/keys_delta", nKeysDf)
+    if (nKeyRows.length > MaxProbeRows)
+      return dedupAgainstPartitionedWide(spark, path, layout, newDocs,
+        nSets, keysDelta, idCol, minJaccard)
+    import scala.jdk.CollectionConverters._
+    val localKeys = spark.createDataFrame(
+      nKeyRows.toSeq.asJava, nKeysDf.schema)
+    val bkeyAt = nKeysDf.schema.fieldIndex("bkey")
+    val bps = nKeyRows.map(r =>
+      "x" + r.getString(bkeyAt).substring(0, layout.bpChars)).toSet
+    val cKeys = readBandedDirs(spark, s"$path/keys", "bp", Some(bps))
+      .select(col(idCol), col("band"), col("bkey"))
+      .unionByName(keysDelta.select(col(idCol), col("band"), col("bkey")))
+    val cand0 = broadcast(localKeys)
+      .join(cKeys.select(col(idCol).as("__cid"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .select(col(idCol), col("__cid")).distinct()
+    val candRows = cand0.limit(MaxProbeRows + 1).collect()
+    val setsDelta = deltaOrEmpty(spark, s"$path/sets_delta", nSets)
+      .select(col(idCol), col("sset"))
+    val (cand, cSets) =
+      if (candRows.length > MaxProbeRows) {
+        // candidate explosion (heavily duplicated corpus): distributed
+        val c = cand0.localCheckpoint(false)
+        val ibs = c.select(idBucket(col("__cid"), layout.setBuckets)
+          .as("ib")).distinct().collect().map(_.getInt(0).toString).toSet
+        (c, readBandedDirs(spark, s"$path/sets", "ib", Some(ibs))
+          .select(col(idCol), col("sset")).unionByName(setsDelta))
+      } else {
+        val cidAt = cand0.schema.fieldIndex("__cid")
+        // corpus ids may be any integral type on disk — go via Number
+        val ibs = candRows.map(r => java.lang.Math.floorMod(
+          r.get(cidAt).asInstanceOf[Number].longValue(),
+          layout.setBuckets.toLong).toString).toSet
+        (broadcast(spark.createDataFrame(candRows.toSeq.asJava,
+          cand0.schema)),
+          readBandedDirs(spark, s"$path/sets", "ib", Some(ibs))
+            .select(col(idCol), col("sset")).unionByName(setsDelta))
+      }
+    verifyBest(newDocs, nSets, cand, cSets, idCol, minJaccard)
+  }
+
+  /** The distributed fallback for key batches past [[MaxProbeRows]] —
+    * the round-10 probe shape (checkpointed keys, distinct-collected
+    * partition filters), semantics identical. */
+  private def dedupAgainstPartitionedWide(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      layout: BandedLayout, newDocs: DataFrame, nSets: DataFrame,
+      keysDelta: DataFrame, idCol: String, minJaccard: Double): DataFrame = {
     val nKeys = bandKeysFromSets(nSets, idCol).localCheckpoint(false)
-    val bps = nKeys.select(bandPrefix(col("bkey")).as("bp")).distinct()
-      .collect().map(_.getString(0)).toSeq // bounded: ≤256 values
-    val cKeys = spark.read.parquet(s"$path/keys")
-      .filter(col("bp").isin(bps: _*))
+    val bps = nKeys
+      .select(bandPrefix(col("bkey"), layout.bpChars).as("bp")).distinct()
+      .collect().map(_.getString(0)).toSet // bounded: ≤ bpDirs values
+    val cKeys = readBandedDirs(spark, s"$path/keys", "bp", Some(bps))
+      .select(col(idCol), col("band"), col("bkey"))
+      .unionByName(keysDelta.select(col(idCol), col("band"), col("bkey")))
     val cand = nKeys
       .join(cKeys.select(col(idCol).as("__cid"), col("band"), col("bkey")),
         Seq("band", "bkey"))
       .select(col(idCol), col("__cid")).distinct()
       .localCheckpoint(false) // feeds the bucket collect AND the verify
-    val ibs = cand.select(idBucket(col("__cid"), setBuckets).as("ib"))
-      .distinct().collect().map(_.getInt(0)).toSeq // bounded: ≤ setBuckets
-    val cSets = spark.read.parquet(s"$path/sets")
-      .filter(col("ib").isin(ibs: _*))
+    val ibs = cand.select(idBucket(col("__cid"), layout.setBuckets).as("ib"))
+      .distinct().collect().map(_.getInt(0).toString).toSet
+    val cSets = readBandedDirs(spark, s"$path/sets", "ib", Some(ibs))
       .select(col(idCol), col("sset"))
+      .unionByName(deltaOrEmpty(spark, s"$path/sets_delta", nSets)
+        .select(col(idCol), col("sset")))
     verifyBest(newDocs, nSets, cand, cSets, idCol, minJaccard)
   }
 
@@ -854,8 +1060,8 @@ object Dedup {
                           textCol: String,
                           minJaccard: Double = 0.8): DataFrame =
     readDedupLayout(spark, path) match {
-      case Some(setBuckets) =>
-        dedupAgainstPartitioned(spark, path, setBuckets, newDocs, idCol,
+      case Some(layout) =>
+        dedupAgainstPartitioned(spark, path, layout, newDocs, idCol,
           textCol, minJaccard)
       case None =>
         dedupAgainstTables(newDocs, spark.read.parquet(s"$path/keys"),
@@ -893,13 +1099,21 @@ object Dedup {
     TopKAgg.requireIntegralId(batch, idCol, "appendToDedupIndex")
     val bSets = shingleSets(batch, idCol, textCol).localCheckpoint(false)
     readDedupLayout(batch.sparkSession, path) match {
-      case Some(setBuckets) => // partitioned layout: append in kind —
-        // per-doc independence holds per partition dir too, so
-        // append-then-probe ≡ rebuild-then-probe unchanged
-        bandedSets(bSets, idCol, setBuckets)
-          .write.mode("append").partitionBy("ib").parquet(s"$path/sets")
-        bandedKeys(bandKeysFromSets(bSets, idCol))
-          .write.mode("append").partitionBy("bp").parquet(s"$path/keys")
+      case Some(_) =>
+        // partitioned layout: the append lands FLAT in the delta tables
+        // (`sets_delta`/`keys_delta`), NOT in the banded base — writing
+        // a small batch across up to bpDirs+setBuckets partition dirs
+        // cost ~10x the flat append at every measured scale and
+        // accumulated a file per dir per append; a flat delta costs
+        // exactly the flat append, probes union it in (its size is
+        // bounded by the appends since the last compaction), and
+        // [[compactDedupIndex]] folds it into the banded base. Rows are
+        // identical either way, so append-then-probe ≡
+        // rebuild-then-probe holds unchanged.
+        bSets.coalesce(8).write.mode("append")
+          .parquet(s"$path/sets_delta")
+        bandKeysFromSets(bSets, idCol).coalesce(8).write.mode("append")
+          .parquet(s"$path/keys_delta")
       case None =>
         bSets.write.mode("append").parquet(s"$path/sets")
         bandKeysFromSets(bSets, idCol)
@@ -909,15 +1123,39 @@ object Dedup {
 
   /** Compact an append-grown dedup index in place — flat tables to
     * ~`targetFiles` files, partitioned tables to one file per partition
-    * dir (layout sniffed from the marker). Returns per-table row
+    * dir (layout sniffed from the marker), FOLDING the flat append
+    * deltas into the banded base (each table rewrites as
+    * derive(base ∪ delta) through the crash-safe staged swap; the delta
+    * dir is deleted after its swap commits, and the exact-duplicate
+    * drop makes a crash between the two converge on the next run
+    * instead of doubling rows for good). Returns per-table row
     * counts. */
   def compactDedupIndex(spark: org.apache.spark.sql.SparkSession,
                         path: String,
                         targetFiles: Int = 8): Map[String, Long] =
     readDedupLayout(spark, path) match {
-      case Some(_) => Map(
-        "sets" -> ParquetCompact.partitionedTable(spark, s"$path/sets", "ib"),
-        "keys" -> ParquetCompact.partitionedTable(spark, s"$path/keys", "bp"))
+      case Some(layout) =>
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        def delta(p: String): Option[DataFrame] =
+          if (fs.exists(new org.apache.hadoop.fs.Path(p)))
+            Some(spark.read.parquet(p))
+          else None
+        val idCol = spark.read.parquet(s"$path/sets").columns
+          .filterNot(c => c == "sset" || c == "ib").head
+        val nSets = ParquetCompact.rewritePartitionedWith(spark,
+          s"$path/sets", "ib", delta(s"$path/sets_delta")) { df =>
+          bandedSets(df.select(col(idCol), col("sset"))
+            .dropDuplicates(idCol), idCol, layout.setBuckets)
+        }
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/sets_delta"), true)
+        val nKeys = ParquetCompact.rewritePartitionedWith(spark,
+          s"$path/keys", "bp", delta(s"$path/keys_delta")) { df =>
+          bandedKeys(df.select(col(idCol), col("band"), col("bkey"))
+            .dropDuplicates(idCol, "band", "bkey"), layout.bpChars)
+        }
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/keys_delta"), true)
+        Map("sets" -> nSets, "keys" -> nKeys)
       case None =>
         Seq("sets", "keys").map(t =>
           t -> ParquetCompact.table(spark, s"$path/$t", targetFiles)).toMap

@@ -40,10 +40,46 @@ private[graft] object LayoutMarker {
       Some(b)
     }
 
-  def write(fs: FileSystem, p: Path, prefix: String, value: Int): Unit = {
+  /** [[read]] for markers carrying one or more comma-separated positive
+    * ints (`<prefix>v1[,v2,...]`) — the dedup-index marker grew a second
+    * field (band-prefix width) in round 11; single-int markers from
+    * older builds read as a one-element list, so existing indexes keep
+    * their meaning. Same strictness: present-but-malformed fails loudly
+    * rather than guessing a layout. */
+  def readFields(fs: FileSystem, p: Path, prefix: String,
+                 what: String): Option[Seq[Int]] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val raw = try scala.io.Source.fromInputStream(in).mkString.trim
+      finally in.close()
+      val vals =
+        if (!raw.startsWith(prefix)) None
+        else {
+          val parts = raw.stripPrefix(prefix).split(',').toSeq
+            .map(_.toIntOption)
+          if (parts.nonEmpty && parts.forall(_.exists(_ > 0)))
+            Some(parts.flatten)
+          else None
+        }
+      Some(vals.getOrElse(
+        sys.error(s"corrupt $what layout marker at $p: '$raw'")))
+    }
+
+  def writeFields(fs: FileSystem, p: Path, prefix: String,
+                  values: Seq[Int]): Unit = {
+    require(values.nonEmpty && values.forall(_ > 0),
+      s"marker fields must be positive: $values")
+    writeRaw(fs, p, prefix + values.mkString(","))
+  }
+
+  def write(fs: FileSystem, p: Path, prefix: String, value: Int): Unit =
+    writeRaw(fs, p, s"$prefix$value")
+
+  private def writeRaw(fs: FileSystem, p: Path, content: String): Unit = {
     val tmp = new Path(p.toString + ".tmp")
     val out = fs.create(tmp, true)
-    try out.write(s"$prefix$value".getBytes("UTF-8"))
+    try out.write(content.getBytes("UTF-8"))
     finally out.close()
     try {
       val fc = org.apache.hadoop.fs.FileContext

@@ -118,4 +118,20 @@ object ParquetCompact {
     compactVia(spark, path) { (df, tmpDir) =>
       derive(df).write.partitionBy(partitionCol).parquet(tmpDir)
     }
+
+  /** [[rewritePartitioned]] folding EXTRA rows (an append delta) into
+    * the rewrite: the staged copy is derive(live ∪ extra), swapped in by
+    * the same crash-safe protocol. The caller deletes the extra's source
+    * AFTER this returns — a crash between the two leaves the rows
+    * doubled (harmless to the dedup probes, which re-distinct candidates
+    * and take per-pair best), and the next compaction's dedup step
+    * converges it. */
+  def rewritePartitionedWith(spark: SparkSession, path: String,
+                             partitionCol: String, extra: Option[DataFrame])
+                            (derive: DataFrame => DataFrame): Long =
+    compactVia(spark, path) { (df, tmpDir) =>
+      val merged = extra.fold(df)(e => df.unionByName(e,
+        allowMissingColumns = true))
+      derive(merged).write.partitionBy(partitionCol).parquet(tmpDir)
+    }
 }

@@ -1256,10 +1256,12 @@ object StreamOps {
   /** Per-JVM memo of the ingest index's layout (create-once by design,
     * same rationale as [[stateLayoutCache]]). */
   private val indexLayoutCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Option[Int]]()
+    new java.util.concurrent.ConcurrentHashMap[
+      String, Option[graft.functions.Dedup.BandedLayout]]()
 
   private def ingestIndexLayout(spark: org.apache.spark.sql.SparkSession,
-                                indexPath: String): Option[Int] = {
+                                indexPath: String)
+      : Option[graft.functions.Dedup.BandedLayout] = {
     val resolved = indexLayoutCache.computeIfAbsent(indexPath,
       _ => graft.functions.Dedup.readDedupLayout(spark, indexPath))
     // same cache-vs-deleted-marker re-anchor as [[resolveStateLayout]]
@@ -1290,17 +1292,18 @@ object StreamOps {
     val sets = Dedup.shingleSets(batch, idCol, textCol)
       .localCheckpoint(false)
     ingestIndexLayout(batch.sparkSession, indexPath) match {
-      case Some(b) =>
+      case Some(layout) =>
         // same door-check as every banded writer: the bucket column
         // null-casts non-integral ids, silently landing every row in the
         // Hive default partition (the flat path below keeps supporting
         // them — no bucket arithmetic there)
         graft.functions.TopKAgg.requireIntegralId(batch, idCol,
           "partitioned dedup ingest")
-        Dedup.bandedSets(sets, idCol, b)
+        Dedup.bandedSets(sets, idCol, layout.setBuckets)
           .write.mode("overwrite").partitionBy("ib")
           .parquet(s"$indexPath/sets/__batch=$batchId")
-        Dedup.bandedKeys(Dedup.bandKeysFromSets(sets, idCol))
+        Dedup.bandedKeys(Dedup.bandKeysFromSets(sets, idCol),
+          layout.bpChars)
           .write.mode("overwrite").partitionBy("bp")
           .parquet(s"$indexPath/keys/__batch=$batchId")
       case None =>
@@ -1340,8 +1343,11 @@ object StreamOps {
           "'" + t + "' table — a banded marker over existing flat epochs " +
           "would produce a mixed layout that breaks partition discovery; " +
           "bootstrap a fresh path (or compact + rebuild to migrate)")
+    // band-prefix width from the seed corpus size (the streamed epochs
+    // follow the marker, so the whole tree stays one width)
     graft.functions.Dedup.writeDedupLayout(corpus.sparkSession, indexPath,
-      setBuckets)
+      graft.functions.Dedup.BandedLayout(setBuckets,
+        graft.functions.Dedup.autoBpChars(corpus.count())))
     dedupIngestEpoch(corpus, -1L, indexPath, idCol, textCol)
   }
 
@@ -1354,15 +1360,15 @@ object StreamOps {
                               indexPath: String,
                               targetFiles: Int = 8): Map[String, Long] =
     graft.functions.Dedup.readDedupLayout(spark, indexPath) match {
-      case Some(b) => Map(
+      case Some(layout) => Map(
         "sets" -> consolidateEpochs(spark, s"$indexPath/sets") {
           (df, stageDir) =>
-            df.repartition(b, col("ib"))
+            df.repartition(layout.setBuckets, col("ib"))
               .write.partitionBy("ib").parquet(stageDir)
         }.getOrElse(0L),
         "keys" -> consolidateEpochs(spark, s"$indexPath/keys") {
           (df, stageDir) =>
-            df.repartition(256, col("bp"))
+            df.repartition(layout.bpDirs, col("bp"))
               .write.partitionBy("bp").parquet(stageDir)
         }.getOrElse(0L))
       case None =>

@@ -117,23 +117,27 @@ class Round10OpsSpec extends AnyFunSuite {
       s"pruned probe read too much: banded=$bandedBytes flat=$flatBytes")
   }
 
-  test("banded probe's sets read carries a PARTITION filter on ib") {
+  test("banded probe's sets read is rooted at candidate ib DIRS only") {
     val p = Files.createTempDirectory("graft-ddpf").toString
     Dedup.buildDedupIndexPartitioned(docs, "doc_id", "text", p,
       setBuckets = 16)
     val out = Dedup.dedupAgainstIndexed(spark, p, probeBatch.limit(5),
       "doc_id", "text", 0.8)
     out.collect() // resolve the adaptive plan before inspecting it
-    // the keys read happens behind the probe's internal checkpoint, but
-    // the sets read (the bulky table) is in the returned plan: its scan
-    // must prune at the PARTITION level (an ib filter in the scan's
-    // PartitionFilters clause), not post-scan
-    val plan = out.queryExecution.executedPlan.toString
-    val setsScanLine = plan.linesIterator
-      .find(l => l.contains("FileScan") && l.contains("/sets"))
-      .getOrElse(fail(s"no sets FileScan in plan:\n$plan"))
-    assert(setsScanLine.matches(""".*PartitionFilters: \[[^]]*ib#.*"""),
-      s"sets scan lacks an ib partition filter: $setsScanLine")
+    // round 11 moved the pruning EARLIER than a PartitionFilters clause:
+    // the probe selects the candidate ib dirs driver-side and hands the
+    // scan explicit subdir roots, so non-candidate dirs are never even
+    // LISTED. The plan proof is therefore in the scan's input files —
+    // every sets file read must live under a candidate ib= dir, and the
+    // candidate set must be a strict subset of the 16 buckets.
+    val setsFiles = out.inputFiles.filter(_.contains("/sets/")).toSeq
+    assert(setsFiles.nonEmpty &&
+      setsFiles.forall(_.matches(""".*/sets/ib=\d+/[^/]+""")),
+      s"sets scan not rooted at explicit ib dirs: $setsFiles")
+    val buckets = setsFiles.map(_.replaceAll(""".*/ib=(\d+)/.*""", "$1"))
+      .distinct
+    assert(buckets.size < 16,
+      s"a 5-doc probe should select a strict subset of buckets: $buckets")
   }
 
   test("append to the partitioned layout ≡ partitioned rebuild") {

@@ -89,7 +89,7 @@ class Round11OpsSpec extends AnyFunSuite {
     new java.io.File(s"$p/_graft_dedup_layout").delete()
     val n = Dedup.migrateToPartitionedIndex(spark, p, setBuckets = 16)
     assert(n("sets") == docs.count() && n("keys") > 0)
-    assert(Dedup.readDedupLayout(spark, p).contains(16))
+    assert(Dedup.readDedupLayout(spark, p).map(_.setBuckets).contains(16))
     assert(verdictRows(Dedup.dedupAgainstIndexed(spark, p, batch,
       "doc_id", "text", 0.8)) == baseline)
   }
@@ -103,6 +103,103 @@ class Round11OpsSpec extends AnyFunSuite {
       Dedup.migrateToPartitionedIndex(spark, p, setBuckets = 8)
     }
     assert(e.getMessage.contains("different"), e.getMessage)
+  }
+
+  // --- banded append deltas (round-11 fixed-cost cut) -------------------
+
+  private def filesUnder(path: String): Seq[String] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isFile) Seq(f)
+      else Option(f.listFiles()).map(_.toSeq.flatMap(walk)).getOrElse(Nil)
+    walk(new java.io.File(path)).map(_.toString)
+  }
+
+  test("banded append lands flat in the delta; probe unions; compact folds") {
+    val grown = Files.createTempDirectory("graft-dlt-g").toString
+    val rebuilt = Files.createTempDirectory("graft-dlt-r").toString
+    Dedup.buildDedupIndexPartitioned(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", grown, setBuckets = 16)
+    val before = filesUnder(grown).size
+    val baseBefore = filesUnder(s"$grown/sets").size +
+      filesUnder(s"$grown/keys").size
+    Dedup.appendToDedupIndex(docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", grown)
+    // the append wrote ONLY the two flat delta tables — a bounded
+    // handful of files, not a file per banded partition dir
+    val added = filesUnder(grown).filterNot(f =>
+      f.contains("/sets/") || f.contains("/keys/"))
+    assert(new java.io.File(s"$grown/sets_delta").isDirectory &&
+      new java.io.File(s"$grown/keys_delta").isDirectory,
+      "append must land in the delta tables")
+    assert(filesUnder(grown).size - before <= 20,
+      s"append created too many files: ${filesUnder(grown).size - before}")
+    assert(filesUnder(s"$grown/sets").size +
+      filesUnder(s"$grown/keys").size == baseBefore,
+      "append must not touch the banded base")
+    // probe over base ∪ delta ≡ a full rebuild
+    Dedup.buildDedupIndexPartitioned(docs, "doc_id", "text", rebuilt,
+      setBuckets = 16)
+    val batch = probeBatch.localCheckpoint()
+    def probe(p: String) = verdictRows(
+      Dedup.dedupAgainstIndexed(spark, p, batch, "doc_id", "text", 0.8))
+    val viaDelta = probe(grown)
+    assert(viaDelta == probe(rebuilt) && viaDelta.nonEmpty,
+      "delta-append probe must equal rebuild probe")
+    // compaction folds the delta into the banded base and removes it
+    val counts = Dedup.compactDedupIndex(spark, grown)
+    assert(counts("sets") == docs.count(), s"counts: $counts")
+    assert(!new java.io.File(s"$grown/sets_delta").exists() &&
+      !new java.io.File(s"$grown/keys_delta").exists(),
+      "compaction must retire the deltas")
+    assert(probe(grown) == viaDelta, "compaction changed the verdicts")
+    assert(added.forall(f => !new java.io.File(f).exists() ||
+      !f.endsWith(".parquet")), "delta parquet files must be folded away")
+  }
+
+  test("a crash between delta fold and delta delete converges, not doubles") {
+    val p = Files.createTempDirectory("graft-dlt-c").toString
+    Dedup.buildDedupIndexPartitioned(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", p, setBuckets = 8)
+    Dedup.appendToDedupIndex(docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", p)
+    // snapshot the delta, compact, then restore the delta — the exact
+    // state a crash after the staged swap but before the delta delete
+    // leaves behind
+    val save = Files.createTempDirectory("graft-dlt-s").toString
+    for (t <- Seq("sets_delta", "keys_delta")) {
+      val src = java.nio.file.Paths.get(p, t)
+      val dst = java.nio.file.Paths.get(save, t)
+      java.nio.file.Files.walk(src).forEach { q =>
+        val r = dst.resolve(src.relativize(q))
+        if (java.nio.file.Files.isDirectory(q))
+          java.nio.file.Files.createDirectories(r)
+        else java.nio.file.Files.copy(q, r)
+      }
+    }
+    Dedup.compactDedupIndex(spark, p)
+    for (t <- Seq("sets_delta", "keys_delta")) {
+      val src = java.nio.file.Paths.get(save, t)
+      val dst = java.nio.file.Paths.get(p, t)
+      java.nio.file.Files.walk(src).forEach { q =>
+        val r = dst.resolve(src.relativize(q))
+        if (java.nio.file.Files.isDirectory(q))
+          java.nio.file.Files.createDirectories(r)
+        else java.nio.file.Files.copy(q, r)
+      }
+    }
+    // rows are momentarily doubled (harmless to verdicts); the next
+    // compaction's exact-duplicate drop converges the tables
+    val counts = Dedup.compactDedupIndex(spark, p)
+    assert(counts("sets") == docs.count(),
+      s"re-compaction did not converge: $counts")
+    val batch = probeBatch.localCheckpoint()
+    val reb = Files.createTempDirectory("graft-dlt-rb").toString
+    Dedup.buildDedupIndexPartitioned(docs, "doc_id", "text", reb,
+      setBuckets = 8)
+    assert(verdictRows(Dedup.dedupAgainstIndexed(spark, p, batch,
+      "doc_id", "text", 0.8)) ==
+      verdictRows(Dedup.dedupAgainstIndexed(spark, reb, batch,
+        "doc_id", "text", 0.8)))
   }
 
   // --- stateLayoutCache re-anchor (ADVICE low) --------------------------

@@ -975,6 +975,28 @@ object SparkEntry {
           col("n_lines_removed").as("n_removed"))
     }),
 
+    // The INCREMENTAL line stage (streaming repeated-line maintenance),
+    // batch form: epoch 0 ingests the even docs (its repeated lines are
+    // promoted into the line state), epoch 1 then strips the odd docs
+    // against what epoch 0 promoted — the mid-stream-promotion semantics
+    // of StreamOps.lineStateEpoch, oracle-checkable because promotion
+    // at epoch N strips only LATER batches.
+    "dedup_lines_stream" -> ((s, dir) => {
+      val lined = documents(s, dir).select(col("doc_id"),
+        regexp_replace(col("text"), "((?:[^ ]+ ){7}[^ ]+) ", "$1\n")
+          .as("text"))
+      val st = s"$idxRoot/linestate_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      graft.streaming.StreamOps.lineStateEpoch(
+        lined.filter(col("doc_id") % 2 === 0), 0L, st, "doc_id", "text",
+        None, 2, 10) // epoch 0: the state writes run eagerly inside
+      graft.streaming.StreamOps.lineStateEpoch(
+        lined.filter(col("doc_id") % 2 === 1), 1L, st, "doc_id", "text",
+        None, 2, 10)
+        .select(col("doc_id"), col("text").as("clean_text"),
+          col("n_lines_removed").as("n_removed"))
+    }),
+
     // End-to-end training-data prep in ONE query — the composition a
     // real pipeline runs: inject exact dups → exact-dedup to keepers →
     // quality-filter → deterministic split assignment → per-(split,lang)
@@ -2441,6 +2463,30 @@ object SparkEntry {
         "LEFT JOIN kept k USING (doc_id)"),
 
     "dedup_lines_h60" -> linesH60Oracle,
+    // two-epoch incremental form: epoch-0 (even docs) promotions strip
+    // the epoch-1 (odd) docs — dup keys come from the EVEN corpus only
+    "dedup_lines_stream" ->
+      ("WITH lined AS (SELECT doc_id, regexp_replace(text, " +
+        "'((?:[^ ]+ ){7}[^ ]+) ', '\\1' || chr(10), 'g') AS text " +
+        "FROM documents), " +
+        "e2 AS (SELECT * FROM lined WHERE doc_id % 2 = 1), " +
+        "l1 AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line " +
+        "FROM lined WHERE doc_id % 2 = 0), " +
+        s"dup AS (SELECT ${Dedup.hash60Sql("line")} AS k FROM l1 " +
+        "WHERE length(line) >= 10 " +
+        "GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2), " +
+        "l2 AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line, " +
+        "unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos " +
+        "FROM e2), " +
+        "kept AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) " +
+        "AS clean_text, count(*) AS kept FROM l2 " +
+        s"WHERE ${Dedup.hash60Sql("line")} NOT IN (SELECT k FROM dup) " +
+        "GROUP BY doc_id), " +
+        "tot AS (SELECT doc_id, count(*) AS tot FROM l2 GROUP BY doc_id) " +
+        "SELECT d.doc_id, COALESCE(k.clean_text, '') AS clean_text, " +
+        "(COALESCE(t.tot, 0) - COALESCE(k.kept, 0)) AS n_removed " +
+        "FROM e2 d LEFT JOIN tot t USING (doc_id) " +
+        "LEFT JOIN kept k USING (doc_id)"),
 
     // identical expectation: strip-vs-own-corpus IS the h60 line dedup
     "dedup_lines_strip" -> linesH60Oracle,

@@ -54,7 +54,7 @@ object Dedup {
     * collision-free in practice (P[any collision across a pair's shingle
     * sets] ≈ |A|·|B| / 2^60). Same builtin-only chain as the commutative
     * checksum's 60-bit xor slice (Checksum.scala), DuckDB twin below. */
-  private def hash60(s: Column): Column =
+  private[graft] def hash60(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
   def hash60Sql(s: String): String =

@@ -529,7 +529,14 @@ object StreamOps {
    * probe, the dedup state, the gates and the quality score all operate
    * on the cleaned text, and admitted rows carry `n_lines_removed`.
    * The stage is stateless against frozen keys, so replay idempotence
-   * is untouched.
+   * is untouched. With `lineState` set, the stage additionally runs
+   * [[lineStateEpoch]]: per-epoch line-frequency state promotes lines
+   * whose cumulative distinct-doc count crosses `lineMinDocs`
+   * MID-STREAM, so drifting boilerplate (new crawls' chrome the frozen
+   * table never saw) is stripped from every later batch — per-epoch
+   * cost bounded by the batch's own lines via the same Bloom-summary
+   * pruning as the dedup state, replay idempotence preserved by the
+   * same own-epoch exclusions.
    *
    * The Bloom blocklist (and LM model, and line-key table) are sized
    * and built ONCE before the stream starts; the quality/split stages
@@ -551,6 +558,9 @@ object StreamOps {
                      embedLabelCol: String = "cell",
                      embedMinCos: Double = 0.9,
                      lineKeys: Option[DataFrame] = None,
+                     lineState: Option[String] = None,
+                     lineMinDocs: Int = 2,
+                     lineMinChars: Int = 10,
                      availableNow: Boolean = true,
                      bandedState: Boolean = true): StreamingQuery = {
     import graft.functions.{Dedup, Sampling, TextFns}
@@ -569,8 +579,17 @@ object StreamOps {
         // lines into one corrupted text (pre-line-stage, the exact-dup
         // cascade absorbed them benignly — the strip must see uniques)
         val batch0u = batch0raw.dropDuplicates(idCol)
-        val batch0 = frozenLineKeys.fold(batch0u)(lk =>
-          Dedup.stripLinesByKeys(batch0u, lk, idCol, textCol))
+        // the line stage: frozen keys only (stateless strip), or the
+        // incremental form ([[lineStateEpoch]]) when a line-state path
+        // is given — mid-stream boilerplate is then promoted and
+        // stripped from every later batch, frozen keys still honored
+        val batch0 = lineState match {
+          case Some(lsPath) =>
+            lineStateEpoch(batch0u, batchId, lsPath, idCol, textCol,
+              frozenLineKeys, lineMinDocs, lineMinChars)
+          case None => frozenLineKeys.fold(batch0u)(lk =>
+            Dedup.stripLinesByKeys(batch0u, lk, idCol, textCol))
+        }
         val clean = batch0.crossJoin(broadcast(filterRow))
           .withColumn("__hit",
             Bloom.mightContain(col("__bloom"), col(textCol), m, k))
@@ -643,6 +662,116 @@ object StreamOps {
       .select(col("probe_id").as(idCol), col("cos").as("corpus_cos"))
     a.join(best, Seq(idCol), "left")
       .filter(col("corpus_cos").isNull || col("corpus_cos") < minCos)
+  }
+
+  /**
+   * One epoch of STREAMING repeated-line maintenance — the line stage's
+   * incremental form. The frozen [[graft.functions.Dedup
+   * .repeatedLineKeys]] table strips only boilerplate known BEFORE the
+   * stream started; boilerplate that becomes repeated after stream
+   * start (a new crawl's navigation chrome) was never stripped. This
+   * keeps per-epoch line-frequency state at `lineStatePath` and
+   * PROMOTES lines as their cumulative distinct-doc count crosses
+   * `minDocs`, so a line crossing the threshold mid-stream is stripped
+   * from every SUBSEQUENT batch (the batch that crosses it keeps it —
+   * its text was already rebuilt):
+   *
+   *  - `counts/batch=N`: (line-hash, distinct docs) for epoch N's
+   *    POST-strip lines — already-promoted lines are stripped before
+   *    counting, so a line accumulates counts only while unpromoted
+   *    and each partition is bounded by its batch's own lines;
+   *  - `linesum/batch=N`: a [[KeySummaries]] Bloom over the epoch's
+   *    line hashes, so the threshold check reads only the prior epochs
+   *    that might share a line with THIS batch (bounded by the batch's
+   *    repeated lines × their spread, not the corpus — same device as
+   *    the dedup state's keys pruning);
+   *  - `promoted/batch=N`: the hashes that crossed `minDocs` at N.
+   *
+   * Replay idempotence mirrors [[dedupEpoch]]: the strip excludes
+   * epoch N's own `promoted` partition, the threshold check excludes
+   * its own `counts`, and all three writes are per-epoch overwrites —
+   * a replayed epoch recomputes exactly its first attempt. Returns the
+   * stripped batch (checkpointed — it feeds the counting pass and the
+   * rest of the pipeline). `docs` must already be id-unique.
+   */
+  private[graft] def lineStateEpoch(docs: DataFrame, batchId: Long,
+                                    lineStatePath: String, idCol: String,
+                                    textCol: String,
+                                    frozenKeys: Option[DataFrame],
+                                    minDocs: Int = 2,
+                                    minLineChars: Int = 10): DataFrame = {
+    import graft.functions.Dedup
+    import org.apache.spark.sql.types._
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val spark = docs.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(lineStatePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lkSchema = new StructType().add("__lk", LongType)
+    def tableOrEmpty(path: String, schema: StructType) =
+      if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+        spark.read.schema(schema.add("batch", LongType)).parquet(path)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema.add("batch", LongType))
+    // strip against frozen ∪ promoted-before-now (own epoch excluded
+    // for replay identity)
+    val promoted = tableOrEmpty(s"$lineStatePath/promoted", lkSchema)
+      .filter(col("batch") =!= batchId).select(col("__lk"))
+    val keys = frozenKeys.fold(promoted)(fk =>
+      fk.select(col("__lk")).unionByName(promoted))
+    val stripped = Dedup.stripLinesByKeys(docs, keys, idCol, textCol)
+      .localCheckpoint(false) // feeds the count pass AND the pipeline
+    // epoch line counts over the POST-strip text
+    val bl = stripped
+      .select(col(idCol), explode(split(col(textCol), "\n")).as("__line"))
+      .filter(length(col("__line")) >= minLineChars)
+      .groupBy(Dedup.hash60(col("__line")).as("__lk"))
+      .agg(count_distinct(col(idCol)).as("__nd"))
+      .localCheckpoint(false) // feeds the bounded collect + both writes
+    val lks: Option[Array[Long]] = {
+      val sample = bl.select(col("__lk")).limit(KeySummaries.MaxKeys + 1)
+        .collect().map(_.getLong(0))
+      if (sample.length > KeySummaries.MaxKeys) None else Some(sample)
+    }
+    val countsRoot = s"$lineStatePath/counts"
+    val prior = lks match {
+      case Some(ks) =>
+        val hashes = ks.map(k => KeySummaries.hashPair(k.toString))
+        val eps = listStateEpochs(fs, countsRoot).filter(_ != batchId)
+          .filter { m =>
+            KeySummaries.readCached(fs,
+              new org.apache.hadoop.fs.Path(
+                s"$lineStatePath/linesum/batch=$m")) match {
+              case Some(s) => s.mightContainAny(hashes)
+              case None => true
+            }
+          }
+        val dirs = eps.map(m => s"$countsRoot/batch=$m")
+          .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+        val cSchema = lkSchema.add("__nd", LongType).add("batch", LongType)
+        if (dirs.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cSchema)
+        else spark.read.option("basePath", countsRoot).schema(cSchema)
+          .parquet(dirs: _*)
+      case None => // over-cap batch: conservative full scan
+        tableOrEmpty(countsRoot, lkSchema.add("__nd", LongType))
+          .filter(col("batch") =!= batchId)
+    }
+    val priorAgg = prior.groupBy(col("__lk"))
+      .agg(sum(col("__nd")).as("__ndp"))
+    val newlyPromoted = bl.join(priorAgg, Seq("__lk"), "left")
+      .filter(coalesce(col("__ndp"), lit(0L)) + col("__nd") >= minDocs)
+      .select(col("__lk"))
+    bl.select(col("__lk"), col("__nd")).coalesce(1)
+      .write.mode("overwrite").parquet(s"$countsRoot/batch=$batchId")
+    newlyPromoted.coalesce(1)
+      .write.mode("overwrite")
+      .parquet(s"$lineStatePath/promoted/batch=$batchId")
+    lks.foreach(ks => KeySummaries.write(fs,
+      new org.apache.hadoop.fs.Path(s"$lineStatePath/linesum/batch=$batchId"),
+      KeySummaries.build(ks.map(_.toString))))
+    stripped
   }
 
   /**

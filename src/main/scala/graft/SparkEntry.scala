@@ -566,6 +566,22 @@ object SparkEntry {
           col("durationMs").as("duration_ms"), col("fingerprint"))
     }),
 
+    // Multimodal VIDEO: MP4/ISO-BMFF box walk — ftyp brand, mvhd
+    // timescale/duration (v0 32-bit, and v1 64-bit fields for id%3=0),
+    // per-trak 16.16 dimensions (video trak carries them, audio trak
+    // reads 0x0), mdat payload fingerprint — parsed back out of the
+    // ACTUAL bytes (VideoHeader); id%7=0 rows stay bare text for the
+    // fallback. The oracle predicts the construction.
+    "mm_video_meta" -> ((s, dir) => {
+      val media = Multimodal.asVideoMedia(s, documents(s, dir), "doc_id", "text")
+      Multimodal.decodeVideoFeatures(s, media).toDF()
+        .select(col("docId").as("doc_id"), col("format"), col("brand"),
+          col("byteLen").as("byte_len"), col("timescale"),
+          col("durationMs").as("duration_ms"),
+          col("trackCount").as("track_count"),
+          col("width"), col("height"), col("fingerprint"))
+    }),
+
     // Multimodal: deterministic resize/downsample stub (every 4th token).
     // The downsample chain (split → HOF filter → array_join) is
     // materialized ONCE in its own projection — inlining it into both
@@ -2093,6 +2109,35 @@ object SparkEntry {
         "WHEN format = 'audio/mpeg' THEN L * 8 // 128 " +
         "ELSE 0 END AS BIGINT) AS duration_ms, " +
         "md5(text) AS fingerprint FROM a ORDER BY doc_id"),
+
+    "mm_video_meta" ->
+      // mirrors asVideoMedia: MP4 header = 348 bytes (v0 boxes) / 384
+      // (v1, id%3=0); brand isom/mp42 by version; timescale from L%3;
+      // duration field = L*100 timescale units → ms = L*100000 //
+      // timescale; 2 traks (video w/h from L, audio 0x0); fingerprint =
+      // md5 of the mdat payload, i.e. the text
+      ("WITH v AS (SELECT doc_id, text, octet_length(encode(text)) AS L, " +
+        "CASE WHEN doc_id % 7 = 0 THEN 0 " +
+        "WHEN octet_length(encode(text)) % 3 = 0 THEN 600 " +
+        "WHEN octet_length(encode(text)) % 3 = 1 THEN 1000 " +
+        "ELSE 90000 END AS ts FROM documents) " +
+        "SELECT doc_id, " +
+        "CASE WHEN doc_id % 7 = 0 THEN 'text/plain' " +
+        "ELSE 'video/mp4' END AS format, " +
+        "CASE WHEN doc_id % 7 = 0 THEN '' " +
+        "WHEN doc_id % 3 = 0 THEN 'mp42' ELSE 'isom' END AS brand, " +
+        "CAST(L + CASE WHEN doc_id % 7 = 0 THEN 0 " +
+        "WHEN doc_id % 3 = 0 THEN 384 ELSE 348 END AS BIGINT) AS byte_len, " +
+        "CAST(ts AS BIGINT) AS timescale, " +
+        "CAST(CASE WHEN doc_id % 7 = 0 THEN 0 " +
+        "ELSE L * 100000 // ts END AS BIGINT) AS duration_ms, " +
+        "CAST(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 2 END AS INTEGER) " +
+        "AS track_count, " +
+        "CAST(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE L % 640 + 64 END " +
+        "AS INTEGER) AS width, " +
+        "CAST(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE L % 480 + 48 END " +
+        "AS INTEGER) AS height, " +
+        "md5(text) AS fingerprint FROM v ORDER BY doc_id"),
 
     "mm_resize" ->
       ("WITH r AS (SELECT doc_id, length(text) AS orig_len, " +

@@ -282,6 +282,258 @@ object Multimodal {
     }
   }
 
+  /** A decoded video container row ([[VideoHeader]]): real ISO-BMFF
+    * header fields, no codec. */
+  case class VideoFeature(docId: Long, format: String, byteLen: Long,
+                          brand: String, timescale: Long, durationMs: Long,
+                          trackCount: Int, width: Int, height: Int,
+                          fingerprint: String)
+
+  /**
+   * Real MP4/ISO-BMFF container-header parsing — the video analogue of
+   * [[AudioHeader]], pure byte arithmetic, no codec: a box walk over
+   * `[size:be32][type:4cc][payload]` boxes (64-bit `largesize` when
+   * size == 1, to-EOF when size == 0), reading `ftyp` (major brand),
+   * `moov/mvhd` (timescale + duration, version 0's 32-bit and version
+   * 1's 64-bit layouts), each `trak/tkhd` (16.16 fixed-point width and
+   * height — video tracks carry dimensions, audio tracks read 0x0), and
+   * locating `mdat` (the media payload). Frame/sample decode stays
+   * stubbed like pixels and audio samples.
+   */
+  object VideoHeader {
+    /** (brand, timescale, duration, trackCount, width, height,
+      * mdatOffset, mdatLen): duration in timescale units; mdatOffset is
+      * the first payload byte of the `mdat` box (-1 = no mdat). */
+    case class VideoInfo(brand: String, timescale: Long, duration: Long,
+                         trackCount: Int, width: Int, height: Int,
+                         mdatOffset: Long, mdatLen: Long) {
+      def durationMs: Long =
+        if (timescale <= 0) 0L else duration * 1000L / timescale
+    }
+
+    private def u8(b: Byte): Int = b & 0xFF
+    private def be32(b: Array[Byte], o: Int): Long =
+      (u8(b(o)).toLong << 24) | (u8(b(o + 1)) << 16) |
+        (u8(b(o + 2)) << 8) | u8(b(o + 3))
+    private def be64(b: Array[Byte], o: Int): Long =
+      (be32(b, o) << 32) | be32(b, o + 4)
+    private def cc(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** Walk the boxes of `b` in [from, to): calls `f(type, payloadFrom,
+      * payloadTo)` per box. Returns false on any malformed size
+      * (truncated header, overrun, size < 8). */
+    private def walk(b: Array[Byte], from: Long, to: Long)
+                    (f: (String, Long, Long) => Boolean): Boolean = {
+      var p = from
+      while (p < to) {
+        if (p + 8 > to) return false // truncated box header
+        val size0 = be32(b, p.toInt)
+        val typ = cc(b, p.toInt + 4)
+        val (payload, end) =
+          if (size0 == 1L) { // 64-bit largesize follows the type
+            if (p + 16 > to) return false
+            val ls = be64(b, p.toInt + 8)
+            if (ls < 16) return false
+            (p + 16, p + ls)
+          }
+          else if (size0 == 0L) (p + 8, to) // box extends to EOF
+          else if (size0 < 8) return false  // impossible size
+          else (p + 8, p + size0)
+        if (end > to || payload > end) return false // size overruns data
+        if (!f(typ, payload, end)) return false
+        p = end
+      }
+      true
+    }
+
+    def parse(bytes: Array[Byte]): Option[VideoInfo] = {
+      if (bytes == null || bytes.length < 16) return None
+      if (cc(bytes, 4) != "ftyp") return None // MP4 files lead with ftyp
+      var brand = ""
+      var timescale = 0L
+      var duration = 0L
+      var tracks = 0
+      var w = 0
+      var h = 0
+      var mdatOff = -1L
+      var mdatLen = 0L
+      def tkhd(from: Long, to: Long): Boolean = {
+        val o = from.toInt
+        val v = u8(bytes(o))
+        // v0: ver/flags, ctime(4) mtime(4) id(4) res(4) dur(4) res(8)
+        //     layer(2) alt(2) vol(2) res(2) matrix(36) w(4) h(4) = 84
+        // v1: ctime/mtime/duration widen to 8 bytes = 96
+        val need = if (v == 1) 96 else 84
+        if (to - from < need) return false
+        val wOff = o + (if (v == 1) 88 else 76)
+        val tw = (be32(bytes, wOff) >> 16).toInt     // 16.16 fixed
+        val th = (be32(bytes, wOff + 4) >> 16).toInt
+        tracks += 1
+        if (tw > 0 && th > 0) { w = math.max(w, tw); h = math.max(h, th) }
+        true
+      }
+      def mvhd(from: Long, to: Long): Boolean = {
+        val o = from.toInt
+        val v = u8(bytes(o))
+        if (v == 1) {
+          if (to - from < 32) return false
+          timescale = be32(bytes, o + 20)
+          duration = be64(bytes, o + 24)
+        } else {
+          if (to - from < 24) return false
+          timescale = be32(bytes, o + 12)
+          duration = be32(bytes, o + 16)
+        }
+        timescale > 0
+      }
+      val ok = walk(bytes, 0L, bytes.length.toLong) {
+        case ("ftyp", from, to) =>
+          if (to - from < 8) false
+          else { brand = cc(bytes, from.toInt); true }
+        case ("moov", mFrom, mTo) =>
+          walk(bytes, mFrom, mTo) {
+            case ("mvhd", f, t) => mvhd(f, t)
+            case ("trak", tFrom, tTo) =>
+              walk(bytes, tFrom, tTo) {
+                case ("tkhd", f, t) => tkhd(f, t)
+                case _ => true
+              }
+            case _ => true
+          }
+        case ("mdat", from, to) =>
+          mdatOff = from; mdatLen = to - from; true
+        case _ => true // free, skip, udta, ... — skipped by size
+      }
+      if (!ok || brand.isEmpty || timescale <= 0) None
+      else Some(VideoInfo(brand, timescale, duration, tracks, w, h,
+        mdatOff, mdatLen))
+    }
+
+    private def ascii(s: String) =
+      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** Structurally valid MP4: ftyp(24) + moov(mvhd + video trak + audio
+      * trak) + mdat holding `payload`. `v1` selects version-1 mvhd/tkhd
+      * (64-bit ctime/mtime/duration fields — the largesize-free 64-bit
+      * path). Header totals 348 bytes (v0) / 384 (v1) before the
+      * payload. */
+    def mp4Bytes(brand: String, timescale: Int, duration: Long,
+                 w: Int, h: Int, v1: Boolean,
+                 payload: Array[Byte]): Array[Byte] = {
+      val mvhdSize = if (v1) 120 else 108
+      val tkhdSize = if (v1) 104 else 92
+      val trakSize = 8 + tkhdSize
+      val moovSize = 8 + mvhdSize + 2 * trakSize
+      val bb = java.nio.ByteBuffer.allocate(24 + moovSize + 8 + payload.length)
+      bb.putInt(24).put(ascii("ftyp"))
+        .put(ascii(brand)).putInt(0x200).put(ascii("isom")).put(ascii("mp42"))
+      bb.putInt(moovSize).put(ascii("moov"))
+      bb.putInt(mvhdSize).put(ascii("mvhd"))
+      if (v1) {
+        bb.putInt(0x01000000) // version 1, flags 0
+        bb.putLong(0L).putLong(0L) // ctime, mtime
+        bb.putInt(timescale).putLong(duration)
+      } else {
+        bb.putInt(0) // version 0, flags 0
+        bb.putInt(0).putInt(0)
+        bb.putInt(timescale).putInt(duration.toInt)
+      }
+      bb.putInt(0x00010000).putShort(0x0100.toShort).putShort(0) // rate, vol
+      bb.putLong(0L) // reserved
+      Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        .foreach(bb.putInt) // identity matrix
+      (1 to 6).foreach(_ => bb.putInt(0)) // pre_defined
+      bb.putInt(3) // next_track_ID
+      def trak(trackId: Int, tw: Int, th: Int): Unit = {
+        bb.putInt(trakSize).put(ascii("trak"))
+        bb.putInt(tkhdSize).put(ascii("tkhd"))
+        if (v1) {
+          bb.putInt(0x01000007) // version 1, flags: enabled|in-movie
+          bb.putLong(0L).putLong(0L)
+          bb.putInt(trackId).putInt(0).putLong(duration)
+        } else {
+          bb.putInt(0x00000007)
+          bb.putInt(0).putInt(0)
+          bb.putInt(trackId).putInt(0).putInt(duration.toInt)
+        }
+        bb.putLong(0L) // reserved
+        bb.putShort(0).putShort(0).putShort(0).putShort(0) // layer/alt/vol
+        Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+          .foreach(bb.putInt)
+        bb.putInt(tw << 16).putInt(th << 16) // 16.16 fixed
+      }
+      trak(1, w, h) // the video track carries the dimensions
+      trak(2, 0, 0) // the audio track reads 0x0
+      bb.putInt(8 + payload.length).put(ascii("mdat")).put(payload)
+      bb.array()
+    }
+  }
+
+  /**
+   * Wrap a text table as a VIDEO media table ([[asImageMedia]]'s video
+   * twin): structurally valid MP4 containers — brand/timescale/duration
+   * and track dimensions derived from the payload length so an oracle
+   * can predict them; version-1 boxes for every 3rd id (the 64-bit
+   * field layout); every 7th id stays bare text/plain for the
+   * no-container fallback. The text lands as the `mdat` payload.
+   */
+  def asVideoMedia(spark: SparkSession, df: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .map { case (id, text) =>
+        val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val l = payload.length
+        val (kind, content) =
+          if (id % 7 == 0) ("text/plain", payload)
+          else {
+            val v1 = id % 3 == 0
+            ("video/mp4", VideoHeader.mp4Bytes(
+              brand = if (v1) "mp42" else "isom",
+              timescale = Seq(600, 1000, 90000)(l % 3),
+              duration = l.toLong * 100L,
+              w = l % 640 + 64, h = l % 480 + 48, v1 = v1,
+              payload = payload))
+          }
+        (id, kind, content, content.length.toLong)
+      }.toDF("doc_id", "kind", "content", "byte_len")
+  }
+
+  /**
+   * Partition-parallel video metadata extraction ([[decodeFeatures]]'s
+   * video twin): container fields from the ACTUAL bytes via
+   * [[VideoHeader]]; duration from the mvhd duration over its
+   * timescale; fingerprint = md5 of the `mdat` payload, so
+   * byte-identical media dedups across container metadata. No parseable
+   * container → zeroed video fields + full-bytes md5 (the
+   * [[StubDecoder]] convention).
+   */
+  def decodeVideoFeatures(spark: SparkSession,
+                          media: DataFrame): Dataset[VideoFeature] = {
+    import spark.implicits._
+    media.select("doc_id", "kind", "content").as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, kind, bytes) =>
+          VideoHeader.parse(bytes) match {
+            case Some(info) =>
+              val md = java.security.MessageDigest.getInstance("MD5")
+              if (info.mdatOffset >= 0)
+                md.update(bytes, info.mdatOffset.toInt, info.mdatLen.toInt)
+              else md.update(bytes)
+              VideoFeature(id, "video/mp4", bytes.length.toLong,
+                info.brand, info.timescale, info.durationMs,
+                info.trackCount, info.width, info.height,
+                md.digest().map("%02x".format(_)).mkString)
+            case None =>
+              val md = java.security.MessageDigest.getInstance("MD5")
+              VideoFeature(id, kind, bytes.length.toLong, "", 0L, 0L, 0,
+                0, 0, md.digest(bytes).map("%02x".format(_)).mkString)
+          }
+        }
+      }
+  }
+
   /**
    * Wrap a text table as an AUDIO media table ([[asImageMedia]]'s audio
    * twin): WAV (default, PCM params derived from the payload length so an

@@ -218,6 +218,53 @@ object ProbeIndexed {
       b.unpersist(); t
     }).min
 
+    // JDBC apply: serial statement generation (the reference-faithful
+    // driver loop, memory-bounded by applyChunked) vs the opt-in
+    // executor-parallel mode over a fixed ≤200k-changeset batch with
+    // realistically wide payloads. With no-op executors both arms
+    // measure pure statement GENERATION — honest finding: generation
+    // runs ~1M stmts/s driver-side, so it is NOT the serial path's
+    // bottleneck and the parallel arm's constant ~0.15s Spark job
+    // overhead exceeds its generation win at this size. The parallel
+    // mode's real value is N concurrent target CONNECTIONS applying
+    // partitions at once (the DB round-trips a no-Postgres sandbox
+    // cannot measure); these rows pin the generation-side costs so a
+    // regression in either path is visible.
+    val applyBatch = {
+      import graft.model.ChangesetSchema
+      val ev = Tables.load(spark, sfDir, "events").limit(200000)
+      ev.select(col("event_id").cast("long").as("id"),
+        lit(null).cast("timestamp").as("ts"),
+        lit("INSERT").as("action"),
+        lit("public").as("schema_name"),
+        lit("events_mirror").as("table_name"),
+        lit(1L).as("txid"),
+        // a realistically WIDE row payload (CDC payloads carry the whole
+        // row): a dozen columns so the per-statement JSON parse + SQL
+        // build cost matches production shape
+        to_json(struct(col("event_id").cast("long").as("id"),
+          col("user_id"), col("event_type"),
+          col("value").as("v0"), (col("value") * 2).as("v1"),
+          (col("value") * 3).as("v2"), (col("value") * 4).as("v3"),
+          concat(col("event_type"), lit("-suffix-0")).as("s0"),
+          concat(col("event_type"), lit("-suffix-1")).as("s1"),
+          concat(col("event_type"), lit("-suffix-2")).as("s2"),
+          col("event_id").cast("string").as("ref_a"),
+          (col("event_id") + 7).cast("string").as("ref_b"))).as("new_values"),
+        lit(null).cast("string").as("old_values"))
+        .localCheckpoint()
+    }
+    val applyPks = Map(("public", "events_mirror") -> Seq("id"))
+    val applySeq = Map(("public", "events_mirror") ->
+      Seq(("id", "public.events_mirror_id_seq")))
+    import graft.streaming.JdbcApplySink
+    val applySerial = (1 to reps).map(_ => time(
+      JdbcApplySink.applyChunked(applyBatch, applyPks, applySeq,
+        _ => ()))).min
+    val applyParallel = (1 to reps).map(_ => time(
+      JdbcApplySink.applyPartitioned(applyBatch, applyPks, applySeq,
+        () => _ => (), _ => (), numPartitions = 16))).min
+
     val line = s"""{"sf":"$sfDir","reps":$reps,""" +
       s""""ivf_build_sec":$buildIvf,"ivf_probe200_sec":$probeIvf,""" +
       s""""ivf_probe200_flat_sec":$probeIvfFlat,""" +
@@ -238,7 +285,9 @@ object ProbeIndexed {
       s""""dedup_banded_append500_sec":$appendDedupBanded,""" +
       s""""state_bootstrap_sec":$stateBuild,"state_epochs":$stateEpochs,""" +
       s""""state_epoch500_sec":$stateEpochSec,""" +
-      s""""state_epoch500_fresh_sec":$stateEpochFreshSec}"""
+      s""""state_epoch500_fresh_sec":$stateEpochFreshSec,""" +
+      s""""jdbc_apply200k_serial_sec":$applySerial,""" +
+      s""""jdbc_apply200k_parallel16_sec":$applyParallel}"""
     println(line)
     // persist the artifact (round 7 only printed it, so the amortization
     // and append-cost claims were never machine-checkable round-over-

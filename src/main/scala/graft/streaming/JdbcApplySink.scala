@@ -74,27 +74,35 @@ object JdbcApplySink {
                            pks: Map[(String, String), Seq[String]],
                            seqCols: Map[(String, String), Seq[(String, String)]],
                            stmts: scala.collection.mutable.Builder[Statement, Seq[Statement]],
-                           seqMax: scala.collection.mutable.Map[String, Long]): Unit = {
-    val (schema, table) = (r.getString(2), r.getString(3))
+                           seqMax: scala.collection.mutable.Map[String, Long]): Unit =
+    statementForFields(r.getString(1), r.getString(2), r.getString(3),
+      r.getString(4), r.getString(5), pks, seqCols, stmts, seqMax)
+
+  /** [[statementFor]] over plain fields — the executor-side
+    * ([[applyPartitioned]]) form, which carries tuples instead of
+    * Rows. */
+  private def statementForFields(action: String, schema: String,
+                                 table: String, nv: String, ov: String,
+                                 pks: Map[(String, String), Seq[String]],
+                                 seqCols: Map[(String, String), Seq[(String, String)]],
+                                 stmts: scala.collection.mutable.Builder[Statement, Seq[Statement]],
+                                 seqMax: scala.collection.mutable.Map[String, Long]): Unit = {
     val pk = pks.getOrElse((schema, table), Seq("id"))
-    r.getString(1) match {
+    action match {
       case "INSERT" =>
-        val cols = jsonKeys(r.getString(4))
         stmts += Statement(
-          JdbcBootstrap.insertSql(schema, table, cols), r.getString(4))
+          JdbcBootstrap.insertSql(schema, table, jsonKeys(nv)), nv)
         // track sequence high-water marks from the payload
         seqCols.getOrElse((schema, table), Nil).foreach { case (c, seq) =>
-          jsonLong(r.getString(4), c).foreach { v =>
+          jsonLong(nv, c).foreach { v =>
             seqMax.updateWith(seq)(m => Some(math.max(m.getOrElse(0L), v)))
           }
         }
       case "UPDATE" =>
-        val cols = jsonKeys(r.getString(4))
         stmts += Statement(
-          JdbcBootstrap.upsertSql(schema, table, cols, pk), r.getString(4))
+          JdbcBootstrap.upsertSql(schema, table, jsonKeys(nv), pk), nv)
       case "DELETE" =>
-        stmts += Statement(
-          JdbcBootstrap.deleteSql(schema, table, pk), r.getString(5))
+        stmts += Statement(JdbcBootstrap.deleteSql(schema, table, pk), ov)
       case _ => ()
     }
   }
@@ -162,6 +170,89 @@ object JdbcApplySink {
     val sync = setvalStatements(seqMax)
     if (sync.nonEmpty) exec(sync)
     applied
+  }
+
+  /** The partition key of one changeset for [[applyPartitioned]]:
+    * schema, table, and the row's PK VALUES (from the new payload for
+    * INSERT/UPDATE, the old one for DELETE — where the reference's
+    * statements bind them) — so every statement touching one ROW lands
+    * in one partition and keeps its id order. */
+  private[streaming] def rowKey(action: String, schema: String,
+                                table: String, nv: String, ov: String,
+                                pks: Map[(String, String), Seq[String]]): String = {
+    val pk = pks.getOrElse((schema, table), Seq("id"))
+    val payload = if (action == "DELETE") ov else nv
+    val vals = pk.map(c =>
+      Option(if (payload == null) null
+      else mapper.readTree(payload).get(c)).fold("null")(_.toString))
+    s"$schema|$table|${vals.mkString("|")}"
+  }
+
+  /**
+   * EXECUTOR-PARALLEL apply — the opt-in throughput mode for targets
+   * that do not need cross-table ordering. The serial paths
+   * ([[statementsFor]] / [[applyChunked]]) are faithful to the
+   * reference's one-process apply loop but ceiling at one driver
+   * thread; the only ordering the reference semantics actually REQUIRE
+   * is per-key statement order (the same argument that justifies
+   * [[graft.operators.Materializer]]'s per-key reduction). So: the
+   * batch repartitions by (schema, table, PK values) — every statement
+   * for one row lands in one partition — each partition sorts by
+   * changeset id and applies through its OWN executor-side executor
+   * from `execFactory` (e.g. one JDBC connection per partition, built
+   * on the executor because connections don't serialize).
+   *
+   * CAVEATS (why serial stays the default): cross-KEY and cross-TABLE
+   * statement order is not preserved, so targets with enforced foreign
+   * keys, triggers reading other rows, or audit mirrors that must see
+   * the exact global stream belong on the serial path. Sequence sync
+   * stays global and last: per-partition high-water marks reduce
+   * driver-side to ONE setval per sequence at the batch max, through
+   * `seqExec` (a per-partition setval could regress the sequence —
+   * the applyChunked argument, across partitions instead of chunks).
+   * Replay idempotence is the statement stream's own (INSERTs dup-skip,
+   * UPSERTs/DELETEs absolute, setval absolute), per key.
+   *
+   * Returns the applied changeset count.
+   */
+  def applyPartitioned(batch: DataFrame,
+                       pks: Map[(String, String), Seq[String]],
+                       seqCols: Map[(String, String), Seq[(String, String)]],
+                       execFactory: () => Seq[Statement] => Unit,
+                       seqExec: Seq[Statement] => Unit,
+                       numPartitions: Int = 8): Long = {
+    require(numPartitions > 0, s"numPartitions must be positive: $numPartitions")
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val keyed = batch
+      .select(col("id"), col("action"), col("schema_name"),
+        col("table_name"), col("new_values"), col("old_values"))
+      .as[(Long, String, String, String, String, String)]
+      .map { case (id, a, sc, t, nv, ov) =>
+        (rowKey(a, sc, t, nv, ov, pks), id, a, sc, t, nv, ov)
+      }
+      .repartition(numPartitions, col("_1"))
+      .sortWithinPartitions(col("_2"))
+    val results = keyed.mapPartitions { it =>
+      val exec = execFactory()
+      val stmts = Seq.newBuilder[Statement]
+      val seqMax = scala.collection.mutable.Map.empty[String, Long]
+      var n = 0L
+      it.foreach { case (_, _, a, sc, t, nv, ov) =>
+        statementForFields(a, sc, t, nv, ov, pks, seqCols, stmts, seqMax)
+        n += 1
+      }
+      val s = stmts.result()
+      if (s.nonEmpty) exec(s)
+      Iterator.single((n, seqMax.toMap))
+    }.collect()
+    val merged = scala.collection.mutable.Map.empty[String, Long]
+    results.foreach(_._2.foreach { case (k, v) =>
+      merged.updateWith(k)(m => Some(math.max(m.getOrElse(0L), v)))
+    })
+    val sync = setvalStatements(merged)
+    if (sync.nonEmpty) seqExec(sync)
+    results.map(_._1).sum
   }
 
   /** foreachBatch sink: generate + hand every batch's statements to `exec`

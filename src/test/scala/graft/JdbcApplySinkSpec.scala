@@ -4,6 +4,14 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.streaming.JdbcApplySink
 
+/** JVM-static collector for [[JdbcApplySink.applyPartitioned]]'s
+  * executor-side exec calls (task closures are serialized even in local
+  * mode, so a captured instance would be a per-task copy). */
+object PartCollector {
+  val q = new java.util.concurrent.ConcurrentLinkedQueue[
+    Seq[JdbcApplySink.Statement]]()
+}
+
 class JdbcApplySinkSpec extends AnyFunSuite {
   import SparkTestSession._
 
@@ -92,6 +100,101 @@ class JdbcApplySinkSpec extends AnyFunSuite {
       Map(("public", "users") -> Seq("id")),
       Map(("public", "users") -> Seq(("id", "public.users_id_seq"))))
     assert(calls.toSeq.flatten == unchunked)
+  }
+
+  // ---- executor-parallel apply (round 11) ------------------------------
+
+  /** A tiny target-DB model with the statement stream's semantics:
+    * INSERT = dup-skip, UPSERT = absolute set, DELETE = absolute remove,
+    * setval = absolute sequence value. Key = (table, payload id). */
+  private def applyModel(db: scala.collection.mutable.Map[String, String],
+                         stmts: Seq[JdbcApplySink.Statement]): Unit =
+    stmts.foreach { st =>
+      if (st.sql.startsWith("SELECT setval")) {
+        db(st.sql.split("'")(1)) = st.sql.split(", ")(1)
+      } else {
+        val table = st.sql.split("\"")(3)
+        val id = com.fasterxml.jackson.databind.json.JsonMapper.builder()
+          .build().readTree(st.payloadJson).get("id").asLong()
+        val key = s"$table#$id"
+        if (st.sql.startsWith("DELETE")) { db.remove(key); () }
+        else if (st.sql.contains("DO UPDATE")) db(key) = st.payloadJson
+        else if (!db.contains(key)) db(key) = st.payloadJson // dup-skip
+      }
+    }
+
+  test("partitioned apply: per-key order kept, any partition order converges") {
+    // 3 tables x 20 keys, each key living a full INSERT→UPDATE→DELETE→
+    // INSERT→UPDATE life in global id order; sequence values descend
+    // with id so only a global-max setval is correct
+    val rows = for {
+      t <- Seq("users", "orders", "events")
+      k <- 1 to 20
+      (step, i) <- Seq("INSERT", "UPDATE", "DELETE", "INSERT", "UPDATE").zipWithIndex
+    } yield {
+      val id = (Seq("users", "orders", "events").indexOf(t) * 20 + k) * 10L + i
+      val nv = s"""{"id":$k,"step":$i,"sv":${100000L - id}}"""
+      (id, step, t, if (step == "DELETE") null else nv,
+        if (step == "DELETE") s"""{"id":$k}""" else null)
+    }
+    val batch = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (id, a, t, nv, ov) =>
+        org.apache.spark.sql.Row(id, null, a, "public", t, 1L, nv, ov)
+      }, 7), graft.model.ChangesetSchema.schema)
+    val pks = Seq("users", "orders", "events")
+      .map(t => ("public", t) -> Seq("id")).toMap
+    val seqCols = Map(("public", "users") -> Seq(("sv", "public.users_sv_seq")))
+    // the exec factory's closure is task-serialized even in local mode,
+    // so the collector must be JVM-static (resolved per executor JVM),
+    // not a captured instance
+    PartCollector.q.clear()
+    val syncCalls = scala.collection.mutable.ArrayBuffer.empty[
+      Seq[JdbcApplySink.Statement]]
+    val applied = JdbcApplySink.applyPartitioned(batch, pks, seqCols,
+      execFactory = () => st => { PartCollector.q.add(st); () },
+      seqExec = st => { syncCalls += st; () },
+      numPartitions = 5)
+    assert(applied == rows.size.toLong)
+    import scala.jdk.CollectionConverters._
+    val parts = PartCollector.q.asScala.toSeq
+    // every key's statements live in exactly ONE partition, in step order
+    def keyOf(st: JdbcApplySink.Statement): (String, Long) = {
+      val table = st.sql.split("\"")(3)
+      val id = com.fasterxml.jackson.databind.json.JsonMapper.builder()
+        .build().readTree(st.payloadJson).get("id").asLong()
+      (table, id)
+    }
+    val byKey = parts.zipWithIndex.flatMap { case (stmts, pi) =>
+      stmts.map(st => (keyOf(st), pi, st))
+    }.groupBy(_._1)
+    assert(byKey.size == 60)
+    byKey.foreach { case (key, occ) =>
+      assert(occ.map(_._2).distinct.size == 1,
+        s"key $key split across partitions")
+      val kinds = occ.map(_._3.sql.split(" ").head)
+      assert(kinds == Seq("INSERT", "INSERT", "DELETE", "INSERT", "INSERT"),
+        s"key $key out of order: $kinds")
+    }
+    // ONE setval, at the global max of the descending sequence values
+    assert(syncCalls.flatten.map(_.sql) ==
+      Seq(s"SELECT setval('public.users_sv_seq', ${100000L - 10L}, true)"))
+    // end-state equivalence: serial stream ≡ partitions in ANY order
+    val serial = JdbcApplySink.statementsFor(batch, pks, seqCols)
+    val dbSerial = scala.collection.mutable.Map.empty[String, String]
+    applyModel(dbSerial, serial)
+    for (ordering <- Seq(parts, parts.reverse, scala.util.Random.shuffle(parts))) {
+      val db = scala.collection.mutable.Map.empty[String, String]
+      ordering.foreach(p => applyModel(db, p))
+      syncCalls.foreach(s => applyModel(db, s))
+      assert(db == dbSerial, "partitioned end state diverged from serial")
+    }
+    // replay idempotence: applying the whole thing twice changes nothing
+    val dbTwice = scala.collection.mutable.Map.empty[String, String]
+    for (_ <- 1 to 2) {
+      parts.foreach(p => applyModel(dbTwice, p))
+      syncCalls.foreach(s => applyModel(dbTwice, s))
+    }
+    assert(dbTwice == dbSerial, "replay must be idempotent")
   }
 
   test("writer routes small batches whole and oversized batches chunked") {

@@ -119,6 +119,17 @@ object ParquetCompact {
       derive(df).write.partitionBy(partitionCol).parquet(tmpDir)
     }
 
+  /** [[rewritePartitioned]] with a MULTI-level partition layout — the
+    * epoch-partitioned streaming state nests its bucket dirs inside the
+    * `batch=` epoch dirs, so its migration rewrites under two partition
+    * columns at once. */
+  def rewritePartitionedMulti(spark: SparkSession, path: String,
+                              partitionCols: Seq[String])
+                             (derive: DataFrame => DataFrame): Long =
+    compactVia(spark, path) { (df, tmpDir) =>
+      derive(df).write.partitionBy(partitionCols: _*).parquet(tmpDir)
+    }
+
   /** [[rewritePartitioned]] folding EXTRA rows (an append delta) into
     * the rewrite: the staged copy is derive(live ∪ extra), swapped in by
     * the same crash-safe protocol. The caller deletes the extra's source

@@ -851,6 +851,69 @@ object StreamOps {
   }
 
   /**
+   * Migrate a LEGACY (flat-sets) streaming dedup state to the banded
+   * layout IN PLACE — the state twin of
+   * [[graft.functions.Dedup.migrateToPartitionedIndex]]: a marker-less
+   * state stays flat forever by design (mixing layouts under one
+   * partition root breaks every read), which previously meant a
+   * long-lived legacy state could only adopt the banded layout by a
+   * full rebuild. Run with the STREAM STOPPED (single-writer).
+   *
+   * Only the `sets` table changes shape (each epoch's rows gain `ib=`
+   * bucket dirs inside their `batch=` partition); `keys` is flat in
+   * both layouts and the [[KeySummaries]] files describe keys, so both
+   * survive untouched. Crash-safe the same two-layer way as the index
+   * migration: [[graft.functions.ParquetCompact]] recovery runs before
+   * the precondition reads, the rewrite itself is the staged swap, the
+   * marker lands LAST (a flat read of an already-banded tree is
+   * harmless; the banded path never engages before the marker exists),
+   * and a re-run after any crash window detects the half-migrated
+   * shape (sets already carry `ib`, marker absent) and resumes at the
+   * marker write — verifying the on-disk bucketing matches
+   * `setBuckets` first. The per-JVM layout cache entry is invalidated
+   * so a stream restarted in the SAME JVM sees the banded layout.
+   *
+   * Returns the sets row count.
+   */
+  def migrateStateToPartitioned(spark: org.apache.spark.sql.SparkSession,
+                                statePath: String,
+                                setBuckets: Int = StateSetBuckets): Long = {
+    import graft.functions.{LayoutMarker, ParquetCompact}
+    require(setBuckets > 0, s"setBuckets must be positive: $setBuckets")
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(LayoutMarker.read(fs, stateLayoutPath(statePath), "ibsets|",
+      "dedup-state").isEmpty, s"state at $statePath is already banded")
+    val setsPath = s"$statePath/sets"
+    ParquetCompact.recoverTable(spark, setsPath)
+    require(fs.exists(new org.apache.hadoop.fs.Path(setsPath)),
+      s"no sets table at $statePath — nothing to migrate")
+    val cols = spark.read.parquet(setsPath).columns
+    val idCol = cols.filterNot(c =>
+      c == "sset" || c == "ib" || c == "batch").head
+    val n =
+      if (cols.contains("ib")) {
+        // resume after a crash between the rewrite and the marker write:
+        // verify the crashed attempt used the same bucket count
+        val sets = spark.read.parquet(setsPath)
+        require(sets.filter(
+          idBucket(col(idCol), setBuckets) =!= col("ib")).isEmpty,
+          s"half-migrated sets at $statePath were bucketed with a " +
+            s"different setBuckets than $setBuckets — resume with the " +
+            "original count")
+        sets.count()
+      } else
+        ParquetCompact.rewritePartitionedMulti(spark, setsPath,
+          Seq("batch", "ib")) { df =>
+          df.withColumn("ib", idBucket(col(idCol), setBuckets))
+            .repartition(col("batch"), col("ib"))
+        }
+    LayoutMarker.write(fs, stateLayoutPath(statePath), "ibsets|", setBuckets)
+    stateLayoutCache.remove(statePath)
+    n
+  }
+
+  /**
    * Compact [[nearDupDedupTo]]'s append-only state: every epoch adds a
    * `batch=<id>` partition to the keys and sets tables, so a long-lived
    * ingest stream accumulates thousands of small files — the classic

@@ -178,6 +178,69 @@ class Round11StateSpec extends AnyFunSuite {
     assert(admA.size == 4, s"admitted: $admA")
   }
 
+  test("state migration: legacy → banded in place, later epochs bit-identical") {
+    val e0 = corpusDocs(40)
+    val e1 = corpusDocs(80).filter(col("doc_id") > 40)
+    // arm A: legacy state (wantBanded = false), then migrated
+    val stA = Files.createTempDirectory("graft-sm-a").toString + "/st"
+    def legacyEpoch(b: DataFrame, id: Long, st: String) = {
+      val c = b.localCheckpoint()
+      val r = StreamOps.dedupEpoch(c, id, st, "doc_id", "text", 0.6,
+        wantBanded = false).select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      c.unpersist(); r
+    }
+    legacyEpoch(e0, 0L, stA); legacyEpoch(e1, 1L, stA)
+    assert(!new java.io.File(s"$stA/_graft_state_layout").exists())
+    assert(!new java.io.File(s"$stA/sets/batch=0").listFiles()
+      .exists(_.getName.startsWith("ib=")))
+    val n = StreamOps.migrateStateToPartitioned(spark, stA, setBuckets = 64)
+    assert(n == 80L, s"migrated rows: $n")
+    assert(new java.io.File(s"$stA/_graft_state_layout").exists())
+    for (b <- Seq(0, 1))
+      assert(new java.io.File(s"$stA/sets/batch=$b").listFiles()
+        .exists(f => f.isDirectory && f.getName.startsWith("ib=")),
+        s"epoch $b not banded after migration")
+    // arm B: the same corpus through a banded-from-birth state
+    val stB = Files.createTempDirectory("graft-sm-b").toString + "/st"
+    epochInto(stB, e0, 0L); epochInto(stB, e1, 1L)
+    // identical follow-up epoch on both — the migrated state must also
+    // take the BANDED path in this same JVM (cache invalidated)
+    val batch = probeBatch(Seq(7, 61), 3, 4000L).localCheckpoint()
+    val admA = StreamOps.dedupEpoch(batch, 2L, stA, "doc_id", "text", 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val admB = StreamOps.dedupEpoch(batch, 2L, stB, "doc_id", "text", 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admA == admB && admA.size == 3, s"admitted: $admA vs $admB")
+    assert(new java.io.File(s"$stA/sets/batch=2").listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("ib=")),
+      "post-migration epochs must write banded")
+    assert(stateRows(stA, "keys") == stateRows(stB, "keys"))
+    assert(stateRows(stA, "sets") == stateRows(stB, "sets"))
+  }
+
+  test("state migration crash windows replay cleanly") {
+    val stA = Files.createTempDirectory("graft-sm-c").toString + "/st"
+    val c = corpusDocs(30).localCheckpoint()
+    StreamOps.dedupEpoch(c, 0L, stA, "doc_id", "text", 0.6,
+      wantBanded = false).count()
+    // (a) crash mid-swap: the live sets dir renamed away — recovery must
+    // roll it back before the precondition reads
+    assert(new java.io.File(s"$stA/sets")
+      .renameTo(new java.io.File(s"$stA/sets.__compact_old")))
+    assert(StreamOps.migrateStateToPartitioned(spark, stA) == 30L)
+    // (b) crash before the marker write: delete it, re-run → resume
+    new java.io.File(s"$stA/_graft_state_layout").delete()
+    assert(StreamOps.migrateStateToPartitioned(spark, stA) == 30L)
+    assert(new java.io.File(s"$stA/_graft_state_layout").exists())
+    // (c) resume with a different bucket count fails loudly
+    new java.io.File(s"$stA/_graft_state_layout").delete()
+    val e = intercept[IllegalArgumentException] {
+      StreamOps.migrateStateToPartitioned(spark, stA, setBuckets = 8)
+    }
+    assert(e.getMessage.contains("different"), e.getMessage)
+  }
+
   test("KeySummaries: no false negatives, absent/corrupt files read conservative") {
     val keys = (1 to 5000).map(i => s"key-$i-${i * 37}")
     val s = KeySummaries.build(keys)

@@ -24,18 +24,28 @@ import os
 import sys
 
 
-def history_report(queries, sf, hist_path="bench_history.jsonl"):
+def history_report(queries, sf, hist_path="bench_history.jsonl",
+                   touched_ok=(), remeasure_path=None):
     """Run-LEVEL drift vs the capture history the bench appends: the
     in-run rep guard compares reps within one run and cannot see a run
     where a query is degraded in EVERY rep (round 9: dedup_containment
     read 5.49s min-of-2 in one capture vs 2.04s for the same HEAD in
     another). Compare this capture's per-query min against the best min
     over the recent history; >2x above best with an absolute floor is
-    flagged. Warning only — history spans code changes, so the reader
-    (not this tool) decides whether a touching commit explains it."""
+    flagged.
+
+    GATE (round 11 — previously warning-only): a flagged query FAILS the
+    validator unless (a) a re-measure artifact (bench_remeasure.json, a
+    bench JSON line from re-running JUST the flagged queries) shows it
+    back under 2x its best recent min — the bounded re-measure that
+    cleared dedup_containment by hand in round 10, now mechanical — or
+    (b) it is named in --touched-ok=q1,q2 because a commit this round
+    changed its code path, which puts the adjudication ON RECORD in the
+    invocation instead of silently in the reader's head.
+    Returns the list of unexplained degraded queries."""
     if not os.path.exists(hist_path):
         print(f"NOTE: no {hist_path} yet - history guard idle")
-        return
+        return []
     runs = []
     with open(hist_path) as f:
         for ln in f:
@@ -52,7 +62,7 @@ def history_report(queries, sf, hist_path="bench_history.jsonl"):
               and (sf is None or r.get("sf") == sf)][-10:]
     if not recent:
         print(f"WARN: {hist_path} holds no parseable runs")
-        return
+        return []
     print(f"HISTORY ({len(recent)} recent runs):")
     for r in recent:
         la = r.get("loadavg") or ["?"]
@@ -69,13 +79,42 @@ def history_report(queries, sf, hist_path="bench_history.jsonl"):
                 if k in best and isinstance(queries[k], (int, float))
                 and queries[k] > 2.0 * best[k]
                 and queries[k] - best[k] > 0.5]
-    if degraded:
-        print(f"WARN: {len(degraded)} queries read >2x their best recent "
-              f"min (run-level degradation or a touching commit):")
-        for k, now, b in degraded:
-            print(f"  {k}: best {b:.2f}s -> now {now:.2f}s ({now/b:.2f}x)")
-    else:
+    if not degraded:
         print("OK: no query >2x above its best recent-history min")
+        return []
+    print(f"DEGRADED: {len(degraded)} queries read >2x their best recent "
+          f"min (run-level degradation or a touching commit):")
+    for k, now, b in degraded:
+        print(f"  {k}: best {b:.2f}s -> now {now:.2f}s ({now/b:.2f}x)")
+    # (a) a bounded re-measure of the flagged queries clears them
+    remeasured = {}
+    if remeasure_path and os.path.exists(remeasure_path):
+        try:
+            with open(remeasure_path) as f:
+                remeasured = json.loads(f.read().strip()).get("queries") or {}
+        except Exception as e:
+            print(f"WARN: re-measure {remeasure_path} does not parse: {e}")
+    unexplained = []
+    for k, now, b in degraded:
+        if k in touched_ok:
+            print(f"  {k}: accepted via --touched-ok (code path changed)")
+        elif k in remeasured and isinstance(remeasured[k], (int, float)) \
+                and (remeasured[k] <= 2.0 * b or remeasured[k] - b <= 0.5):
+            print(f"  {k}: re-measure cleared it "
+                  f"({remeasured[k]:.2f}s vs best {b:.2f}s)")
+        else:
+            unexplained.append(k)
+    if unexplained:
+        print(f"FAIL: {len(unexplained)} degraded queries unexplained: "
+              f"{unexplained}")
+        print("  re-measure them alone and point the validator at it:")
+        print(f"  SPARK_GRAFT_BENCH_QUERIES={','.join(unexplained)} "
+              "SPARK_GRAFT_BENCH_OUT=bench_remeasure.json "
+              "SPARK_GRAFT_BENCH_HISTORY=/dev/null "
+              "sbt 'runMain graft.Bench'")
+        print("  or, if a commit changed their code path: "
+              f"--touched-ok={','.join(unexplained)}")
+    return unexplained
 
 
 def drift_report(queries, prev_path):
@@ -108,7 +147,12 @@ def drift_report(queries, prev_path):
 
 
 def main():
-    path = sys.argv[1] if len(sys.argv) > 1 else "bench_out.json"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    touched_ok = set()
+    for a in sys.argv[1:]:
+        if a.startswith("--touched-ok="):
+            touched_ok |= {q for q in a.split("=", 1)[1].split(",") if q}
+    path = args[0] if args else "bench_out.json"
     try:
         with open(path) as f:
             doc = json.loads(f.read().strip())
@@ -169,16 +213,19 @@ def main():
               if load else "loadavg unrecorded")
     print(f"COMMIT-LINE: bench capture ({total:.1f}s / {len(queries)} "
           f"queries, {load_s})")
-    if len(sys.argv) > 2:
-        drift_report(queries, sys.argv[2])
+    if len(args) > 1:
+        drift_report(queries, args[1])
     # the history lives where the bench wrote it: honor the same env
     # override the bench honors, else look beside the bench artifact
-    history_report(queries, doc.get("sf"),
-                   os.environ.get("SPARK_GRAFT_BENCH_HISTORY") or
-                   os.path.join(
-                       os.path.dirname(os.path.abspath(path)) or ".",
-                       "bench_history.jsonl"))
-    return 0
+    bench_dir = os.path.dirname(os.path.abspath(path)) or "."
+    unexplained = history_report(
+        queries, doc.get("sf"),
+        os.environ.get("SPARK_GRAFT_BENCH_HISTORY") or
+        os.path.join(bench_dir, "bench_history.jsonl"),
+        touched_ok=touched_ok,
+        remeasure_path=os.environ.get("SPARK_GRAFT_BENCH_REMEASURE") or
+        os.path.join(bench_dir, "bench_remeasure.json"))
+    return 4 if unexplained else 0
 
 
 if __name__ == "__main__":

@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""Self-test for check_bench's cross-run gate (round 11): a synthetic
+degraded capture must FAIL (exit 4) unless a re-measure artifact clears
+the flagged query or --touched-ok records a code-path change. Run from
+the repo root: python3 tools/test_check_bench.py"""
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def run(capture_dir, *extra, env_extra=None):
+    env = dict(os.environ)
+    env.pop("SPARK_GRAFT_BENCH_HISTORY", None)
+    env.pop("SPARK_GRAFT_BENCH_REMEASURE", None)
+    if env_extra:
+        env.update(env_extra)
+    p = subprocess.run(
+        [sys.executable, os.path.join(HERE, "check_bench.py"),
+         os.path.join(capture_dir, "bench_out.json"), *extra],
+        capture_output=True, text=True, env=env)
+    return p.returncode, p.stdout + p.stderr
+
+
+def write(capture_dir, queries, history_runs, remeasure=None):
+    doc = {"metric": "total", "value": sum(queries.values()), "unit": "sec",
+           "queries": queries, "sf": "sfX", "loadavg": [0.5, 0.5, 0.5],
+           "spread": {}, "errors": []}
+    with open(os.path.join(capture_dir, "bench_out.json"), "w") as f:
+        f.write(json.dumps(doc) + "\n")
+    with open(os.path.join(capture_dir, "bench_history.jsonl"), "w") as f:
+        for qs in history_runs:
+            f.write(json.dumps({"queries": qs, "sf": "sfX",
+                                "total": sum(qs.values())}) + "\n")
+    rp = os.path.join(capture_dir, "bench_remeasure.json")
+    if remeasure is not None:
+        with open(rp, "w") as f:
+            f.write(json.dumps({"queries": remeasure}) + "\n")
+    elif os.path.exists(rp):
+        os.remove(rp)
+
+
+def main():
+    fails = 0
+
+    def check(name, got, want):
+        nonlocal fails
+        ok = got == want
+        print(f"{'PASS' if ok else 'FAIL'}: {name} (exit {got}, want {want})")
+        if not ok:
+            fails += 1
+
+    with tempfile.TemporaryDirectory() as d:
+        hist = [{"q1": 1.0, "q2": 0.2}, {"q1": 1.1, "q2": 0.25}]
+
+        # healthy capture → 0
+        write(d, {"q1": 1.2, "q2": 0.22}, hist)
+        rc, _ = run(d)
+        check("healthy capture passes", rc, 0)
+
+        # q1 at 3x its best recent min → gate fires
+        write(d, {"q1": 3.0, "q2": 0.22}, hist)
+        rc, out = run(d)
+        check("degraded capture fails", rc, 4)
+        if "q1" not in out or "unexplained" not in out:
+            fails += 1
+            print("FAIL: degraded output must name the query")
+
+        # a re-measure back under 2x best clears it → 0
+        write(d, {"q1": 3.0, "q2": 0.22}, hist, remeasure={"q1": 1.3})
+        rc, _ = run(d)
+        check("clearing re-measure passes", rc, 0)
+
+        # a re-measure still degraded does NOT clear it → 4
+        write(d, {"q1": 3.0, "q2": 0.22}, hist, remeasure={"q1": 2.9})
+        rc, _ = run(d)
+        check("non-clearing re-measure still fails", rc, 4)
+
+        # --touched-ok records the code-path adjudication → 0
+        write(d, {"q1": 3.0, "q2": 0.22}, hist)
+        rc, _ = run(d, "--touched-ok=q1")
+        check("touched-ok passes", rc, 0)
+
+        # small absolute moves stay under the floor → 0
+        write(d, {"q1": 1.0, "q2": 0.55}, hist)
+        rc, _ = run(d)
+        check("sub-floor move passes", rc, 0)
+
+    print(f"== {'ALL PASS' if fails == 0 else f'{fails} FAILURES'}")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

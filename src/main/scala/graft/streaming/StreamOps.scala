@@ -914,6 +914,183 @@ object StreamOps {
   }
 
   /**
+   * GROUPED state compaction — the 100 TB form of [[compactState]].
+   * Full compaction consolidates everything into one `batch=-1`
+   * partition, which carries no [[KeySummaries]] Bloom (its key count is
+   * over the cap by definition at scale) and is therefore ALWAYS read:
+   * one full compaction and the per-epoch keys pruning is gone — every
+   * later epoch scans the whole consolidated corpus again. This
+   * consolidates the POSITIVE (streamed) epochs into GROUPS of at most
+   * `maxGroupKeys` distinct band keys instead, each landing as one new
+   * negative-id epoch with ONE file per table and a REBUILT Bloom
+   * summary — so the small-file population drops by the grouping factor
+   * while a no-candidate batch still reads zero state bytes. Existing
+   * negative epochs (bootstrap epochs, prior groups) are left alone;
+   * repeated cycles stack further groups below them, LSM-fashion.
+   *
+   * Run OFFLINE (stream stopped, single-writer), and after a CRASH
+   * re-run THIS before restarting the stream — the same contract as
+   * [[compactState]]: the grouping plan is written first (atomic
+   * rename) and re-read by a re-run, so the assignment cannot drift
+   * mid-recovery; each group commits through a manifest naming its
+   * source epochs with staged tables swapped in only after both stages
+   * complete (incomplete stages are discarded, complete ones roll
+   * forward); summaries write after the group lands; the plan is
+   * deleted last. Every window re-runs to the identical end state.
+   *
+   * Returns per-table row counts (whole tables, post-compaction).
+   */
+  def compactStateGrouped(spark: org.apache.spark.sql.SparkSession,
+                          statePath: String,
+                          maxGroupKeys: Int = KeySummaries.MaxKeys)
+      : Map[String, Long] = {
+    import org.apache.hadoop.fs.Path
+    import graft.functions.LayoutMarker
+    require(maxGroupKeys > 0, s"maxGroupKeys must be positive: $maxGroupKeys")
+    val fs = new Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val keysRoot = s"$statePath/keys"
+    val setsRoot = s"$statePath/sets"
+    val banded = LayoutMarker.read(fs, stateLayoutPath(statePath),
+      "ibsets|", "dedup-state")
+    val planPath = new Path(s"$statePath/__group_plan")
+
+    def writeAtomic(p: Path, content: String): Unit = {
+      val tmp = new Path(p.toString + ".tmp")
+      val out = fs.create(tmp, true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+      if (fs.exists(p)) fs.delete(p, false)
+      require(fs.rename(tmp, p), s"rename failed: $tmp -> $p")
+    }
+    def readLines(p: Path): Seq[String] = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in).getLines().toList
+      finally in.close()
+    }
+
+    // ---- the grouping plan: compute once, honor across re-runs -------
+    val plan: Seq[(Long, Seq[Long])] =
+      if (fs.exists(planPath))
+        readLines(planPath).filter(_.nonEmpty).map { ln =>
+          val Array(g, es) = ln.split(":", 2)
+          (g.toLong, es.split(",").filter(_.nonEmpty).map(_.toLong).toSeq)
+        }
+      else {
+        val existing = listStateEpochs(fs, keysRoot)
+        val positives = existing.filter(_ >= 0L).sorted
+        if (positives.isEmpty) Seq.empty
+        else {
+          val counts = spark.read
+            .option("basePath", keysRoot)
+            .parquet(positives.map(e => s"$keysRoot/batch=$e"): _*)
+            .groupBy(col("batch").cast("long").as("batch"))
+            .agg(count_distinct(col("bkey")).as("n"))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          var gid = math.min(0L, existing.minOption.getOrElse(0L)) - 1L
+          val groups = Seq.newBuilder[(Long, Seq[Long])]
+          var cur = Seq.newBuilder[Long]
+          var curN = 0L
+          var curEmpty = true
+          def flush(): Unit = if (!curEmpty) {
+            groups += ((gid, cur.result())); gid -= 1L
+            cur = Seq.newBuilder[Long]; curN = 0L; curEmpty = true
+          }
+          positives.foreach { e =>
+            val n = counts.getOrElse(e, 0L)
+            if (!curEmpty && curN + n > maxGroupKeys) flush()
+            cur += e; curN += n; curEmpty = false
+            if (curN > maxGroupKeys) flush() // over-cap singleton
+          }
+          flush()
+          val p = groups.result()
+          if (p.nonEmpty)
+            writeAtomic(planPath,
+              p.map { case (g, es) => s"$g:${es.mkString(",")}" }
+                .mkString("\n"))
+          p
+        }
+      }
+
+    // ---- per-group commit protocol ----------------------------------
+    for ((gid, eps) <- plan) {
+      val manifest = new Path(s"$statePath/__group_manifest_$gid")
+      val keysStage = new Path(s"$keysRoot.__gstage_$gid")
+      val setsStage = new Path(s"$setsRoot.__gstage_$gid")
+      val keysTarget = new Path(s"$keysRoot/batch=$gid")
+      val setsTarget = new Path(s"$setsRoot/batch=$gid")
+      def rollForward(): Unit = {
+        eps.foreach { e =>
+          fs.delete(new Path(s"$keysRoot/batch=$e"), true)
+          fs.delete(new Path(s"$setsRoot/batch=$e"), true)
+          fs.delete(keySummaryPath(statePath, e), false)
+        }
+        if (fs.exists(keysStage)) {
+          fs.delete(keysTarget, true)
+          require(fs.rename(keysStage, keysTarget),
+            s"group $gid: rename $keysStage failed")
+        }
+        if (fs.exists(setsStage)) {
+          fs.delete(setsTarget, true)
+          require(fs.rename(setsStage, setsTarget),
+            s"group $gid: rename $setsStage failed")
+        }
+        fs.delete(manifest, false)
+      }
+      // recovery: the manifest is written only AFTER both stages are
+      // complete, so a present manifest ALWAYS rolls forward (the roll
+      // skips any stage a prior attempt already renamed in — judging
+      // stage completeness here instead would discard a staged table
+      // whose sibling was already renamed, losing its rows); stages
+      // without a manifest are incomplete and redo from the intact
+      // sources
+      if (fs.exists(manifest)) rollForward()
+      else if (fs.exists(keysStage) || fs.exists(setsStage)) {
+        fs.delete(keysStage, true); fs.delete(setsStage, true)
+      }
+      val srcKeys = eps.map(e => s"$keysRoot/batch=$e")
+        .filter(d => fs.exists(new Path(d)))
+      if (srcKeys.nonEmpty) { // not yet consolidated by a prior run
+        spark.read.option("basePath", keysRoot)
+          .parquet(srcKeys: _*).drop("batch")
+          .coalesce(1).write.parquet(keysStage.toString)
+        val srcSets = eps.map(e => s"$setsRoot/batch=$e")
+          .filter(d => fs.exists(new Path(d)))
+        if (srcSets.nonEmpty) banded match {
+          case Some(b) =>
+            spark.read.option("basePath", setsRoot)
+              .parquet(srcSets: _*).drop("batch")
+              .repartition(b, col("ib"))
+              .write.partitionBy("ib").parquet(setsStage.toString)
+          case None =>
+            spark.read.option("basePath", setsRoot)
+              .parquet(srcSets: _*).drop("batch")
+              .coalesce(1).write.parquet(setsStage.toString)
+        }
+        writeAtomic(manifest, eps.mkString("\n"))
+        rollForward()
+      }
+      // the group's summary, from its own consolidated keys (bounded by
+      // maxGroupKeys unless this is an over-cap singleton → none, the
+      // conservative always-read default)
+      val sumPath = keySummaryPath(statePath, gid)
+      if (fs.exists(keysTarget) && !fs.exists(sumPath)) {
+        val ks = spark.read.parquet(keysTarget.toString)
+          .select(col("bkey")).distinct()
+          .limit(KeySummaries.MaxKeys + 1).collect().map(_.getString(0))
+        if (ks.length <= KeySummaries.MaxKeys)
+          KeySummaries.write(fs, sumPath, KeySummaries.build(ks))
+      }
+    }
+    if (fs.exists(planPath)) fs.delete(planPath, false)
+    KeySummaries.invalidate(s"$statePath/keysum")
+    def count(root: String): Long =
+      if (fs.exists(new Path(root)))
+        spark.read.parquet(root).count()
+      else 0L
+    Map("keys" -> count(keysRoot), "sets" -> count(setsRoot))
+  }
+
+  /**
    * Compact [[nearDupDedupTo]]'s append-only state: every epoch adds a
    * `batch=<id>` partition to the keys and sets tables, so a long-lived
    * ingest stream accumulates thousands of small files — the classic
@@ -957,7 +1134,10 @@ object StreamOps {
     // the per-epoch band-key summaries describe the epoch layout this
     // rewrite just destroyed — drop them (and the JVM cache entries) so
     // the consolidated batch=-1 reads as summary-less = always-read;
-    // post-compaction epochs resume summaries from their own writes
+    // post-compaction epochs resume summaries from their own writes.
+    // NOTE the trade: full consolidation retires the epoch-level keys
+    // pruning for the whole consolidated corpus — at scale prefer
+    // [[compactStateGrouped]], which keeps bounded summarized groups
     val ks = new org.apache.hadoop.fs.Path(s"$statePath/keysum")
     if (fs.exists(ks)) { fs.delete(ks, true); () }
     KeySummaries.invalidate(s"$statePath/keysum")

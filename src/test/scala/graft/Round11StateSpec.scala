@@ -241,6 +241,112 @@ class Round11StateSpec extends AnyFunSuite {
     assert(e.getMessage.contains("different"), e.getMessage)
   }
 
+  private def filesUnder(path: String): Int = {
+    def walk(f: java.io.File): Int =
+      if (f.isFile) 1
+      else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0)
+    walk(new java.io.File(path))
+  }
+
+  test("grouped compaction: fewer files, summaries survive, admissions identical") {
+    val st = Files.createTempDirectory("graft-gc-a").toString + "/st"
+    // five streamed epochs of ~25 docs each
+    for (e <- 0 until 5)
+      epochInto(st, corpusDocs(125)
+        .filter(col("doc_id") > e * 25 && col("doc_id") <= (e + 1) * 25),
+        e.toLong)
+    val stKeep = Files.createTempDirectory("graft-gc-k").toString + "/st"
+    cpR(st, stKeep) // the uncompacted reference arm
+    val filesBefore = filesUnder(s"$st/keys") + filesUnder(s"$st/sets")
+    // each 25-doc epoch has ≤100 distinct band keys → cap 250 groups
+    // roughly two epochs together
+    val counts = StreamOps.compactStateGrouped(spark, st, maxGroupKeys = 250)
+    assert(counts("keys") == 125L * 4 && counts("sets") == 125L,
+      s"counts: $counts")
+    val epochs = new java.io.File(s"$st/keys").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSet
+    assert(epochs.nonEmpty && epochs.forall(_.stripPrefix("batch=").toLong < 0),
+      s"positives must be consolidated: $epochs")
+    assert(epochs.size > 1 && epochs.size < 5,
+      s"expected real grouping, got $epochs")
+    // every group carries a summary; the old epoch summaries are gone
+    for (e <- epochs)
+      assert(new java.io.File(
+        s"$st/keysum/${e}").exists(), s"group $e lacks a summary")
+    assert(!new java.io.File(s"$st/keysum/batch=0").exists())
+    assert(filesUnder(s"$st/keys") + filesUnder(s"$st/sets") < filesBefore,
+      "grouping must shrink the file population")
+    // idempotent re-run (before the probe epochs add new positives)
+    assert(StreamOps.compactStateGrouped(spark, st, maxGroupKeys = 250)
+      == counts)
+    // identical admissions vs the uncompacted state
+    val batch = probeBatch(Seq(7, 60, 110), 4, 3000L).localCheckpoint()
+    val admC = StreamOps.dedupEpoch(batch, 9L, st, "doc_id", "text", 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val admK = StreamOps.dedupEpoch(batch, 9L, stKeep, "doc_id", "text", 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admC == admK && admC.size == 4, s"admitted: $admC vs $admK")
+    // pruning still engages post-compaction: a fresh batch reads ~zero
+    // state bytes (the whole point of grouping over full compaction)
+    val fresh = probeBatch(Seq.empty, 8, 70000L).localCheckpoint()
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("parquet.hadoop.vectored.io.enabled", "false")
+    val withSum = try {
+      val b0 = fileBytesRead()
+      StreamOps.dedupEpoch(fresh, 10L, st, "doc_id", "text", 0.6).count()
+      fileBytesRead() - b0
+    } finally hc.unset("parquet.hadoop.vectored.io.enabled")
+    val stateBytes = dirBytes(s"$st/keys") + dirBytes(s"$st/sets")
+    assert(withSum <= dirBytes(s"$st/keysum") + stateBytes / 10,
+      s"post-compaction pruning lost: read=$withSum state=$stateBytes")
+  }
+
+  test("grouped compaction honors a saved plan and heals crash windows") {
+    val st = Files.createTempDirectory("graft-gc-b").toString + "/st"
+    epochInto(st, corpusDocs(20), 0L)
+    epochInto(st, corpusDocs(40).filter(col("doc_id") > 20), 1L)
+    // (a) a SAVED plan wins over recomputation: force one group per
+    // epoch even though both would fit one cap
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(st, "__group_plan"),
+      "-1:0\n-2:1".getBytes("UTF-8"))
+    StreamOps.compactStateGrouped(spark, st, maxGroupKeys = 100000)
+    val epochs = new java.io.File(s"$st/keys").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSet
+    assert(epochs == Set("batch=-1", "batch=-2"), s"plan ignored: $epochs")
+    assert(!new java.io.File(s"$st/__group_plan").exists())
+
+    // (b) crash mid-rollForward: keys already renamed in, sets still
+    // staged, manifest present — the re-run must finish the group, not
+    // discard the staged sets (the round-11 review caught exactly this
+    // window: judging stage completeness on recovery would throw away a
+    // staged table whose sibling had already renamed)
+    val st2 = Files.createTempDirectory("graft-gc-c").toString + "/st"
+    epochInto(st2, corpusDocs(25), 0L)
+    def mv(a: String, b: String) =
+      assert(new java.io.File(a).renameTo(new java.io.File(b)))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(st2, "__group_plan"),
+      "-2:0".getBytes("UTF-8"))
+    val sets0 = s"$st2/sets.__gstage_-2"
+    mv(s"$st2/sets/batch=0", sets0) // sets staged, source gone
+    new java.io.File(s"$sets0/_SUCCESS").createNewFile()
+    mv(s"$st2/keys/batch=0", s"$st2/keys/batch=-2") // keys already rolled
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(st2, "__group_manifest_-2"),
+      "0".getBytes("UTF-8"))
+    StreamOps.compactStateGrouped(spark, st2, maxGroupKeys = 100000)
+    assert(new java.io.File(s"$st2/sets/batch=-2").exists(),
+      "staged sets must roll forward, not be discarded")
+    assert(!new java.io.File(sets0).exists() &&
+      !new java.io.File(s"$st2/__group_manifest_-2").exists())
+    // the state still answers correctly (epoch-0 rows all present)
+    val b2 = probeBatch(Seq(5), 2, 6000L).localCheckpoint()
+    val adm = StreamOps.dedupEpoch(b2, 2L, st2, "doc_id", "text", 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(adm.size == 2, s"near-dup of doc 5 must still be dropped: $adm")
+  }
+
   test("KeySummaries: no false negatives, absent/corrupt files read conservative") {
     val keys = (1 to 5000).map(i => s"key-$i-${i * 37}")
     val s = KeySummaries.build(keys)

@@ -124,8 +124,22 @@ object Bench {
     }.mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.flatMap(_._2.map(_._1)).sum
+    def sh(cmd: Seq[String]): String =
+      try {
+        val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+        val out = scala.io.Source.fromInputStream(p.getInputStream)
+          .mkString.trim
+        if (p.waitFor() == 0) out else "unknown"
+      } catch { case _: Throwable => "unknown" }
+    val sha = sh(Seq("git", "rev-parse", "--short", "HEAD")) +
+      (if (sh(Seq("git", "status", "--porcelain")).nonEmpty) "+dirty" else "")
+    val ts = java.time.Instant.now().toString
+    // ts + sha make the artifact SELF-IDENTIFYING: check_bench accepts a
+    // bench_remeasure.json only when its sha matches the capture's, so a
+    // stale re-measure from a previous round can never silently clear
+    // this round's degradation gate
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"loadavg":[$loadStart,$loadEnd],"queries":$qs,"spread":$spread,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"ts":"$ts","sha":"$sha","loadavg":[$loadStart,$loadEnd],"queries":$qs,"spread":$spread,"errors":$errJson,"sf":"$sfDir"}"""
     // short summary trailer printed BOTH before and after the full line:
     // the driver's capture window is a bounded log tail whose edges are
     // unpredictable from in here — round 7's single after-trailer was cut
@@ -154,16 +168,6 @@ object Bench {
     // of single queries — the in-run >2x rep guard can't see a whole run
     // in a degraded state.
     try {
-      def sh(cmd: Seq[String]): String =
-        try {
-          val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
-          val out = scala.io.Source.fromInputStream(p.getInputStream)
-            .mkString.trim
-          if (p.waitFor() == 0) out else "unknown"
-        } catch { case _: Throwable => "unknown" }
-      val sha = sh(Seq("git", "rev-parse", "--short", "HEAD")) +
-        (if (sh(Seq("git", "status", "--porcelain")).nonEmpty) "+dirty" else "")
-      val ts = java.time.Instant.now().toString
       val hist =
         s"""{"ts":"$ts","sha":"$sha","sf":"$sfDir","total":$total,"loadavg":[$loadStart,$loadEnd],"n_queries":${results.size},"queries":$qs}"""
       java.nio.file.Files.write(

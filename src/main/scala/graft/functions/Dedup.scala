@@ -955,10 +955,24 @@ object Dedup {
                            like: DataFrame): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(deltaPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.schema(tableSchema(spark, deltaPath))
+    // existence alone is not readability: a crashed FIRST append leaves
+    // the dir holding only `_temporary`, and schema inference over zero
+    // data files throws — wedging every later probe until a successful
+    // re-append. Same crash window [[stateOrEmpty]] guards streaming-side.
+    if (hasDataFiles(fs, p)) spark.read.schema(tableSchema(spark, deltaPath))
       .parquet(deltaPath)
     else like.limit(0)
   }
+
+  /** Whether `p` holds at least one non-hidden file (deltas write flat, so
+    * data files sit directly under the dir; `_temporary`/`_SUCCESS` don't
+    * count). */
+  private def hasDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+                           p: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(p) && fs.listStatus(p).exists(s => s.isFile && {
+      val n = s.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    })
 
   /**
    * Probe of the partitioned layout. The batch's band keys (ONE bounded
@@ -1137,16 +1151,32 @@ object Dedup {
       case Some(layout) =>
         val fs = new org.apache.hadoop.fs.Path(path)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // roll back/forward a crashed PRIOR compaction before the
+        // precondition reads below — a crash mid-swap renames `sets`
+        // away, and reading it for idCol detection would throw
+        // path-not-found before rewritePartitionedWith's own recovery
+        // could run (the exact hazard [[migrateToPartitionedIndex]]
+        // recovers against)
+        ParquetCompact.recoverTable(spark, s"$path/sets")
+        ParquetCompact.recoverTable(spark, s"$path/keys")
         def delta(p: String): Option[DataFrame] =
-          if (fs.exists(new org.apache.hadoop.fs.Path(p)))
+          if (hasDataFiles(fs, new org.apache.hadoop.fs.Path(p)))
             Some(spark.read.parquet(p))
           else None
         val idCol = spark.read.parquet(s"$path/sets").columns
           .filterNot(c => c == "sset" || c == "ib").head
+        // EXACT-duplicate drop only ((id, sset), not by id): its purpose
+        // is crash convergence (a delta folded but not yet deleted
+        // re-folds identical rows), and an id that was — against the
+        // append contract — re-appended with different text keeps BOTH
+        // generations here just as the pre-compaction probe saw them;
+        // a by-id drop could keep one generation's sset beside the
+        // other generation's band keys and verify candidates against
+        // the wrong shingles
         val nSets = ParquetCompact.rewritePartitionedWith(spark,
           s"$path/sets", "ib", delta(s"$path/sets_delta")) { df =>
           bandedSets(df.select(col(idCol), col("sset"))
-            .dropDuplicates(idCol), idCol, layout.setBuckets)
+            .dropDuplicates(idCol, "sset"), idCol, layout.setBuckets)
         }
         fs.delete(new org.apache.hadoop.fs.Path(s"$path/sets_delta"), true)
         val nKeys = ParquetCompact.rewritePartitionedWith(spark,

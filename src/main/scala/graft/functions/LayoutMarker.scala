@@ -76,10 +76,21 @@ private[graft] object LayoutMarker {
   def write(fs: FileSystem, p: Path, prefix: String, value: Int): Unit =
     writeRaw(fs, p, s"$prefix$value")
 
-  private def writeRaw(fs: FileSystem, p: Path, content: String): Unit = {
+  private def writeRaw(fs: FileSystem, p: Path, content: String): Unit =
+    replaceWith(fs, p, "layout marker")(
+      _.write(content.getBytes("UTF-8")))
+
+  /** The ONE atomic-replace primitive behind layout markers, key
+    * summaries and compaction plans/manifests: stage to `.tmp`, then
+    * overwrite-rename via FileContext where the store supports it, with
+    * the windowed delete+rename fallback otherwise (single-writer
+    * contract covers the window there). Keeping a single copy means the
+    * object-store caveat documented above is fixed in one place. */
+  private[graft] def replaceWith(fs: FileSystem, p: Path, what: String)(
+      write: java.io.OutputStream => Unit): Unit = {
     val tmp = new Path(p.toString + ".tmp")
     val out = fs.create(tmp, true)
-    try out.write(content.getBytes("UTF-8"))
+    try write(out)
     finally out.close()
     try {
       val fc = org.apache.hadoop.fs.FileContext
@@ -89,10 +100,8 @@ private[graft] object LayoutMarker {
     } catch {
       case _: UnsupportedOperationException |
            _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-        // no overwrite-rename on this store: fall back to the windowed
-        // form (single-writer contract covers re-anchors there)
         if (fs.exists(p)) fs.delete(p, false)
-        require(fs.rename(tmp, p), s"layout marker rename failed: $tmp -> $p")
+        require(fs.rename(tmp, p), s"$what rename failed: $tmp -> $p")
     }
   }
 

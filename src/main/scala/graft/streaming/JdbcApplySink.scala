@@ -90,11 +90,14 @@ object JdbcApplySink {
     val pk = pks.getOrElse((schema, table), Seq("id"))
     action match {
       case "INSERT" =>
+        // one parse serves the column list AND every sequence probe
+        val node = if (nv == null) null else mapper.readTree(nv)
         stmts += Statement(
-          JdbcBootstrap.insertSql(schema, table, jsonKeys(nv)), nv)
+          JdbcBootstrap.insertSql(schema, table,
+            if (node == null) Nil else nodeKeys(node)), nv)
         // track sequence high-water marks from the payload
         seqCols.getOrElse((schema, table), Nil).foreach { case (c, seq) =>
-          jsonLong(nv, c).foreach { v =>
+          (if (node == null) None else nodeLong(node, c)).foreach { v =>
             seqMax.updateWith(seq)(m => Some(math.max(m.getOrElse(0L), v)))
           }
         }
@@ -182,9 +185,16 @@ object JdbcApplySink {
                                 pks: Map[(String, String), Seq[String]]): String = {
     val pk = pks.getOrElse((schema, table), Seq("id"))
     val payload = if (action == "DELETE") ov else nv
-    val vals = pk.map(c =>
-      Option(if (payload == null) null
-      else mapper.readTree(payload).get(c)).fold("null")(_.toString))
+    val node = if (payload == null) null else mapper.readTree(payload)
+    val vals = pk.map { c =>
+      val v = if (node == null) null else node.get(c)
+      // canonical TEXT, not the JSON rendering: a PK serialized as 5 in
+      // new_values but "5" in old_values (stringified audit payloads are
+      // common) must key identically, or one row's INSERT and DELETE
+      // land in different partitions and lose their relative order.
+      // (Key COLLISIONS merely co-locate two rows — harmless.)
+      if (v == null || v.isNull) "null" else v.asText()
+    }
     s"$schema|$table|${vals.mkString("|")}"
   }
 
@@ -283,18 +293,21 @@ object JdbcApplySink {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
+  private def nodeKeys(
+      node: com.fasterxml.jackson.databind.JsonNode): Seq[String] = {
+    val it = node.fieldNames()
+    val b = Seq.newBuilder[String]
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+
+  private def nodeLong(node: com.fasterxml.jackson.databind.JsonNode,
+                       field: String): Option[Long] =
+    Option(node.get(field)).filter(_.canConvertToLong).map(_.asLong())
+
   private[streaming] def jsonKeys(json: String): Seq[String] =
-    if (json == null) Nil
-    else {
-      val node = mapper.readTree(json)
-      val it = node.fieldNames()
-      val b = Seq.newBuilder[String]
-      while (it.hasNext) b += it.next()
-      b.result()
-    }
+    if (json == null) Nil else nodeKeys(mapper.readTree(json))
 
   private[streaming] def jsonLong(json: String, field: String): Option[Long] =
-    if (json == null) None
-    else Option(mapper.readTree(json).get(field))
-      .filter(_.canConvertToLong).map(_.asLong())
+    if (json == null) None else nodeLong(mapper.readTree(json), field)
 }

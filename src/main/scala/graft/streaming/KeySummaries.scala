@@ -108,25 +108,13 @@ private[graft] object KeySummaries {
     * renamed with overwrite so a crash never leaves a truncated file a
     * later epoch would misread (a malformed file reads as ABSENT =
     * always-read, but the stage+rename keeps even that window out). */
-  def write(fs: FileSystem, p: Path, s: Summary): Unit = {
-    val tmp = new Path(p.toString + ".tmp")
-    val out = new java.io.DataOutputStream(fs.create(tmp, true))
-    try {
+  def write(fs: FileSystem, p: Path, s: Summary): Unit =
+    graft.functions.LayoutMarker.replaceWith(fs, p, "summary") { o =>
+      val out = new java.io.DataOutputStream(o)
       out.writeInt(Magic); out.writeInt(s.k); out.writeLong(s.mBits)
       s.words.foreach(out.writeLong)
-    } finally out.close()
-    try {
-      val fc = org.apache.hadoop.fs.FileContext
-        .getFileContext(fs.getUri, fs.getConf)
-      fc.rename(fs.makeQualified(tmp), fs.makeQualified(p),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    } catch {
-      case _: UnsupportedOperationException |
-           _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-        if (fs.exists(p)) fs.delete(p, false)
-        require(fs.rename(tmp, p), s"summary rename failed: $tmp -> $p")
+      out.flush()
     }
-  }
 
   /** Per-JVM cache: a summary file is immutable once its epoch commits
     * (a crash-replay rewrites it with bit-identical content — same

@@ -276,10 +276,15 @@ object StreamOps {
     // resolution is None and the state tables (and marker) have
     // vanished, invalidate and re-resolve (cheap exists() checks, the
     // same per-epoch re-anchor discipline as the Some case below).
+    // ... and a cached None must also yield to a marker that APPEARED
+    // since it was resolved: [[nearDupStateBootstrap]] or
+    // [[migrateStateToPartitioned]] run from ANOTHER JVM write the
+    // marker behind this cache's back, and honoring the stale None
+    // would write flat epochs into a banded tree.
     val resolved = resolved0 match {
-      case None if !fs.exists(new org.apache.hadoop.fs.Path(keysPath)) &&
-        !fs.exists(new org.apache.hadoop.fs.Path(setsPath)) &&
-        !fs.exists(p) =>
+      case None if fs.exists(p) ||
+        (!fs.exists(new org.apache.hadoop.fs.Path(keysPath)) &&
+          !fs.exists(new org.apache.hadoop.fs.Path(setsPath))) =>
         stateLayoutCache.remove(statePath)
         stateLayoutCache.computeIfAbsent(statePath, _ => fromDisk())
       case r => r
@@ -838,6 +843,11 @@ object StreamOps {
     // summary-less epochs = always-read, correct
     LayoutMarker.write(fs, stateLayoutPath(statePath), "ibsets|",
       StateSetBuckets)
+    // a stream that previously ran against this path in THIS JVM may
+    // have cached None (legacy/opted-out); the bootstrap just made the
+    // path banded, so drop the entry — same discipline as
+    // [[migrateStateToPartitioned]]
+    stateLayoutCache.remove(statePath)
     val keysTable = spark.read.parquet(s"$statePath/keys")
     for (e <- 1 to epochs) {
       val ks = keysTable.filter(col("batch") === -e.toLong)
@@ -955,13 +965,9 @@ object StreamOps {
       "ibsets|", "dedup-state")
     val planPath = new Path(s"$statePath/__group_plan")
 
-    def writeAtomic(p: Path, content: String): Unit = {
-      val tmp = new Path(p.toString + ".tmp")
-      val out = fs.create(tmp, true)
-      try out.write(content.getBytes("UTF-8")) finally out.close()
-      if (fs.exists(p)) fs.delete(p, false)
-      require(fs.rename(tmp, p), s"rename failed: $tmp -> $p")
-    }
+    def writeAtomic(p: Path, content: String): Unit =
+      LayoutMarker.replaceWith(fs, p, "group plan")(
+        _.write(content.getBytes("UTF-8")))
     def readLines(p: Path): Seq[String] = {
       val in = fs.open(p)
       try scala.io.Source.fromInputStream(in).getLines().toList
@@ -1124,24 +1130,28 @@ object StreamOps {
         df.repartition(b, col("ib")).write.partitionBy("ib").parquet(stageDir)
       case None => df.coalesce(8).write.parquet(stageDir)
     }
-    val n = Map(
-      "keys" -> consolidateEpochs(spark, s"$statePath/keys",
-        epochPrefix = "batch=") { (df, stageDir) =>
-        df.coalesce(8).write.parquet(stageDir)
-      }.getOrElse(0L),
-      "sets" -> consolidateEpochs(spark, s"$statePath/sets",
-        epochPrefix = "batch=")(stageSets).getOrElse(0L))
     // the per-epoch band-key summaries describe the epoch layout this
-    // rewrite just destroyed — drop them (and the JVM cache entries) so
-    // the consolidated batch=-1 reads as summary-less = always-read;
-    // post-compaction epochs resume summaries from their own writes.
+    // rewrite is about to destroy — drop them BEFORE consolidating, so
+    // a crash anywhere in the consolidation leaves no summary behind
+    // (absent = always-read, conservative). Deleting AFTER would open a
+    // window where a stale `batch=-1` summary (a bootstrap epoch or a
+    // prior [[compactStateGrouped]] group at -1) describes only its OLD
+    // keys while the consolidated batch=-1 holds the whole corpus — and
+    // later epochs would silently Bloom-prune the entire state.
+    // Post-compaction epochs resume summaries from their own writes.
     // NOTE the trade: full consolidation retires the epoch-level keys
     // pruning for the whole consolidated corpus — at scale prefer
     // [[compactStateGrouped]], which keeps bounded summarized groups
     val ks = new org.apache.hadoop.fs.Path(s"$statePath/keysum")
     if (fs.exists(ks)) { fs.delete(ks, true); () }
     KeySummaries.invalidate(s"$statePath/keysum")
-    n
+    Map(
+      "keys" -> consolidateEpochs(spark, s"$statePath/keys",
+        epochPrefix = "batch=") { (df, stageDir) =>
+        df.coalesce(8).write.parquet(stageDir)
+      }.getOrElse(0L),
+      "sets" -> consolidateEpochs(spark, s"$statePath/sets",
+        epochPrefix = "batch=")(stageSets).getOrElse(0L))
   }
 
   /**

@@ -197,6 +197,41 @@ class JdbcApplySinkSpec extends AnyFunSuite {
     assert(dbTwice == dbSerial, "replay must be idempotent")
   }
 
+  test("mixed PK representations (5 vs \"5\") still key one row to one partition") {
+    // common audit-trigger shape: new_values carries the PK as a JSON
+    // number, old_values as a stringified value. The partition key must
+    // canonicalize — on the raw JSON rendering ("5" vs "\"5\"") a row's
+    // INSERT and DELETE land in different partitions and lose order.
+    val rows = for {
+      k <- 1 to 12
+      (step, i) <- Seq("INSERT", "DELETE", "INSERT").zipWithIndex
+    } yield (k * 10L + i, step,
+      if (step == "DELETE") null else s"""{"id":$k,"v":$i}""",
+      if (step == "DELETE") s"""{"id":"$k"}""" else null)
+    val batch = cs(rows: _*)
+    val pks = Map(("public", "users") -> Seq("id"))
+    PartCollector.q.clear()
+    val applied = JdbcApplySink.applyPartitioned(batch, pks, Map.empty,
+      execFactory = () => st => { PartCollector.q.add(st); () },
+      seqExec = _ => (), numPartitions = 7)
+    assert(applied == rows.size.toLong)
+    import scala.jdk.CollectionConverters._
+    val parts = PartCollector.q.asScala.toSeq
+    val mapper = com.fasterxml.jackson.databind.json.JsonMapper.builder()
+      .build()
+    val byKey = parts.zipWithIndex.flatMap { case (stmts, pi) =>
+      stmts.map(st =>
+        (mapper.readTree(st.payloadJson).get("id").asLong(), pi, st))
+    }.groupBy(_._1)
+    assert(byKey.size == 12)
+    byKey.foreach { case (k, occ) =>
+      assert(occ.map(_._2).distinct.size == 1,
+        s"key $k split across partitions on payload representation")
+      assert(occ.map(_._3.sql.split(" ").head) ==
+        Seq("INSERT", "DELETE", "INSERT"), s"key $k out of order")
+    }
+  }
+
   test("writer routes small batches whole and oversized batches chunked") {
     val calls = scala.collection.mutable.ArrayBuffer.empty[Int]
     val w = JdbcApplySink.writer(

@@ -202,6 +202,79 @@ class Round11OpsSpec extends AnyFunSuite {
         "doc_id", "text", 0.8)))
   }
 
+  test("index compaction re-runs after a crash mid-sets-swap") {
+    val p = Files.createTempDirectory("graft-cmp-c").toString
+    Dedup.buildDedupIndexPartitioned(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", p, setBuckets = 8)
+    Dedup.appendToDedupIndex(docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", p)
+    // crash window: a prior compaction renamed sets -> sets.__compact_old
+    // and died; the re-run's idCol precondition read must not throw
+    // path-not-found — recovery has to run before it
+    rename(s"$p/sets", s"$p/sets.__compact_old")
+    val counts = Dedup.compactDedupIndex(spark, p)
+    assert(counts("sets") == docs.count(), s"counts: $counts")
+    val batch = probeBatch.localCheckpoint()
+    val reb = Files.createTempDirectory("graft-cmp-r").toString
+    Dedup.buildDedupIndexPartitioned(docs, "doc_id", "text", reb,
+      setBuckets = 8)
+    assert(verdictRows(Dedup.dedupAgainstIndexed(spark, p, batch,
+      "doc_id", "text", 0.8)) ==
+      verdictRows(Dedup.dedupAgainstIndexed(spark, reb, batch,
+        "doc_id", "text", 0.8)),
+      "post-recovery compaction changed the verdicts")
+  }
+
+  test("a crashed FIRST append (only _temporary) neither wedges probe nor compact") {
+    val p = Files.createTempDirectory("graft-dlt-t").toString
+    Dedup.buildDedupIndexPartitioned(docs, "doc_id", "text", p,
+      setBuckets = 8)
+    // the crash shape: delta dirs exist but hold only the writer's
+    // _temporary staging — zero data files, so schema inference over
+    // them would throw and every later probe would fail until a
+    // successful re-append
+    for (t <- Seq("sets_delta", "keys_delta"))
+      assert(new java.io.File(s"$p/$t/_temporary/0").mkdirs())
+    val batch = probeBatch.localCheckpoint()
+    val got = verdictRows(
+      Dedup.dedupAgainstIndexed(spark, p, batch, "doc_id", "text", 0.8))
+    val clean = Files.createTempDirectory("graft-dlt-t2").toString
+    Dedup.buildDedupIndexPartitioned(docs, "doc_id", "text", clean,
+      setBuckets = 8)
+    assert(got == verdictRows(Dedup.dedupAgainstIndexed(spark, clean,
+      batch, "doc_id", "text", 0.8)),
+      "empty-delta probe must equal the no-delta probe")
+    val counts = Dedup.compactDedupIndex(spark, p)
+    assert(counts("sets") == docs.count(), s"counts: $counts")
+  }
+
+  test("compaction keeps BOTH generations of a re-appended id") {
+    import spark.implicits._
+    val p = Files.createTempDirectory("graft-gen").toString
+    val textA = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra"
+    val textB = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen"
+    Dedup.buildDedupIndexPartitioned(
+      Seq((1L, textA)).toDF("doc_id", "text"), "doc_id", "text", p,
+      setBuckets = 8)
+    // contract violation (append doc says ids must be new), but the
+    // compaction must not make it WORSE: an exact-duplicate drop keeps
+    // both generations' ssets beside both generations' band keys; a
+    // by-id drop could keep one generation's sset beside the OTHER
+    // generation's keys and verify candidates against the wrong shingles
+    Dedup.appendToDedupIndex(Seq((1L, textB)).toDF("doc_id", "text"),
+      "doc_id", "text", p)
+    Dedup.compactDedupIndex(spark, p)
+    val probes = Seq((10L, textA + " extra"), (11L, textB + " extra"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupAgainstIndexed(spark, p, probes, "doc_id", "text",
+      0.8).select("doc_id", "admitted").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(got == Map(10L -> false, 11L -> false),
+      s"a generation's near-dup was admitted after compaction: $got")
+  }
+
   // --- stateLayoutCache re-anchor (ADVICE low) --------------------------
 
   test("deleting a legacy state and recreating it in one JVM goes banded") {

@@ -178,6 +178,58 @@ class Round11StateSpec extends AnyFunSuite {
     assert(admA.size == 4, s"admitted: $admA")
   }
 
+  test("full compaction drops summaries BEFORE consolidating, not after") {
+    // hazard: compactState dies after consolidating but before deleting
+    // keysum — a stale batch=-1 summary (from a bootstrap epoch or a
+    // prior group) then describes only its OLD keys while batch=-1 holds
+    // the whole corpus, and later epochs silently Bloom-prune the whole
+    // state. Deleting first is crash-safe at every window (absent
+    // summary = always-read). Pin the ordering: make the consolidation
+    // itself fail and observe the summaries already gone.
+    val st = Files.createTempDirectory("graft-cso").toString + "/st"
+    StreamOps.nearDupStateBootstrap(corpusDocs(120).localCheckpoint(), st,
+      "doc_id", "text", epochDocs = 50)
+    assert(new java.io.File(s"$st/keysum").isDirectory,
+      "bootstrap must have written summaries")
+    // a garbage "parquet" file makes the keys consolidation read throw
+    val bad = new java.io.File(s"$st/keys/batch=-1/part-corrupt.parquet")
+    java.nio.file.Files.write(bad.toPath, "not parquet".getBytes("UTF-8"))
+    intercept[Exception] { StreamOps.compactState(spark, st) }
+    assert(!new java.io.File(s"$st/keysum").exists(),
+      "summaries must be dropped before the consolidation can crash")
+  }
+
+  test("bootstrap over a cached legacy resolution still yields banded epochs") {
+    // one JVM: a stream runs OPTED OUT (caches None for this path), the
+    // state is deleted, the corpus is re-seeded via the bootstrap (tables
+    // + marker now exist, so the plain None re-anchor can't fire), and
+    // the stream restarts — its epochs must land BANDED, or a later JVM
+    // reading the marker drops the flat rows' null ib and silently
+    // admits their near-dups forever.
+    val root = Files.createTempDirectory("graft-bso").toString
+    val st = root + "/st"
+    epochInto(st, corpusDocs(30), 0L)
+    // wantBanded=false resolves and caches None for this path
+    StreamOps.dedupEpoch(probeBatch(Seq(1), 1, 9000L).localCheckpoint(),
+      1L, st, "doc_id", "text", 0.6, wantBanded = false)
+    rmrf(st)
+    StreamOps.nearDupStateBootstrap(corpusDocs(60).localCheckpoint(), st,
+      "doc_id", "text", epochDocs = 50)
+    val admitted = epochInto(st, probeBatch(Seq(2, 41), 3, 7000L), 0L)
+    assert(admitted.size == 3, s"admitted: $admitted")
+    // the streamed epoch's sets must be banded (ib= dirs inside batch=0)
+    val e0 = new java.io.File(s"$st/sets/batch=0")
+    assert(e0.isDirectory &&
+      e0.listFiles().exists(_.getName.startsWith("ib=")),
+      "post-bootstrap stream epoch landed FLAT in a banded state")
+    // and a fresh JVM's view (marker + ib filter) sees its rows: the
+    // next epoch treats epoch-0 docs as duplicates
+    val again = epochInto(st,
+      probeBatch(Seq(2, 41), 3, 7000L)
+        .withColumn("doc_id", col("doc_id") + 500L), 1L)
+    assert(again.isEmpty, s"epoch-0 rows invisible to the banded read: $again")
+  }
+
   test("state migration: legacy → banded in place, later epochs bit-identical") {
     val e0 = corpusDocs(40)
     val e1 = corpusDocs(80).filter(col("doc_id") > 40)

@@ -25,7 +25,7 @@ import sys
 
 
 def history_report(queries, sf, hist_path="bench_history.jsonl",
-                   touched_ok=(), remeasure_path=None):
+                   touched_ok=(), remeasure_path=None, capture_sha=None):
     """Run-LEVEL drift vs the capture history the bench appends: the
     in-run rep guard compares reps within one run and cannot see a run
     where a query is degraded in EVERY rep (round 9: dedup_containment
@@ -86,14 +86,32 @@ def history_report(queries, sf, hist_path="bench_history.jsonl",
           f"min (run-level degradation or a touching commit):")
     for k, now, b in degraded:
         print(f"  {k}: best {b:.2f}s -> now {now:.2f}s ({now/b:.2f}x)")
-    # (a) a bounded re-measure of the flagged queries clears them
+    # (a) a bounded re-measure of the flagged queries clears them — but
+    # the escape hatch must not outlive its round: a bench_remeasure.json
+    # left on disk from a PREVIOUS round would silently convert the gate
+    # back into a no-op for any query it names. Both artifacts stamp the
+    # git sha they ran at (round 11+); a re-measure is honored only when
+    # the shas match (modulo the +dirty suffix).
     remeasured = {}
     if remeasure_path and os.path.exists(remeasure_path):
+        r_sha = None
         try:
             with open(remeasure_path) as f:
-                remeasured = json.loads(f.read().strip()).get("queries") or {}
+                r_doc = json.loads(f.read().strip())
+            remeasured = r_doc.get("queries") or {}
+            r_sha = r_doc.get("sha")
         except Exception as e:
             print(f"WARN: re-measure {remeasure_path} does not parse: {e}")
+
+        def base(s):
+            return (s or "").split("+", 1)[0]
+        if (not base(capture_sha) or base(capture_sha) == "unknown"
+                or base(capture_sha) != base(r_sha)):
+            if remeasured:
+                print(f"WARN: ignoring {remeasure_path}: its sha {r_sha!r} "
+                      f"does not match the capture's {capture_sha!r} "
+                      "(stale re-measure from another commit?)")
+            remeasured = {}
     unexplained = []
     for k, now, b in degraded:
         if k in touched_ok:
@@ -224,7 +242,8 @@ def main():
         os.path.join(bench_dir, "bench_history.jsonl"),
         touched_ok=touched_ok,
         remeasure_path=os.environ.get("SPARK_GRAFT_BENCH_REMEASURE") or
-        os.path.join(bench_dir, "bench_remeasure.json"))
+        os.path.join(bench_dir, "bench_remeasure.json"),
+        capture_sha=doc.get("sha"))
     return 4 if unexplained else 0
 
 

@@ -25,10 +25,11 @@ def run(capture_dir, *extra, env_extra=None):
     return p.returncode, p.stdout + p.stderr
 
 
-def write(capture_dir, queries, history_runs, remeasure=None):
+def write(capture_dir, queries, history_runs, remeasure=None,
+          sha="abc1234", remeasure_sha="abc1234"):
     doc = {"metric": "total", "value": sum(queries.values()), "unit": "sec",
            "queries": queries, "sf": "sfX", "loadavg": [0.5, 0.5, 0.5],
-           "spread": {}, "errors": []}
+           "spread": {}, "errors": [], "sha": sha}
     with open(os.path.join(capture_dir, "bench_out.json"), "w") as f:
         f.write(json.dumps(doc) + "\n")
     with open(os.path.join(capture_dir, "bench_history.jsonl"), "w") as f:
@@ -37,8 +38,11 @@ def write(capture_dir, queries, history_runs, remeasure=None):
                                 "total": sum(qs.values())}) + "\n")
     rp = os.path.join(capture_dir, "bench_remeasure.json")
     if remeasure is not None:
+        rdoc = {"queries": remeasure}
+        if remeasure_sha is not None:
+            rdoc["sha"] = remeasure_sha
         with open(rp, "w") as f:
-            f.write(json.dumps({"queries": remeasure}) + "\n")
+            f.write(json.dumps(rdoc) + "\n")
     elif os.path.exists(rp):
         os.remove(rp)
 
@@ -78,6 +82,28 @@ def main():
         write(d, {"q1": 3.0, "q2": 0.22}, hist, remeasure={"q1": 2.9})
         rc, _ = run(d)
         check("non-clearing re-measure still fails", rc, 4)
+
+        # a STALE re-measure (written at another commit) must be ignored
+        # even when its numbers would clear the query → 4
+        write(d, {"q1": 3.0, "q2": 0.22}, hist, remeasure={"q1": 1.3},
+              remeasure_sha="fff9999")
+        rc, out = run(d)
+        check("stale re-measure (sha mismatch) still fails", rc, 4)
+        if "ignoring" not in out:
+            fails += 1
+            print("FAIL: stale re-measure must be reported as ignored")
+
+        # a sha-less re-measure (pre-round-11 format) is not trusted → 4
+        write(d, {"q1": 3.0, "q2": 0.22}, hist, remeasure={"q1": 1.3},
+              remeasure_sha=None)
+        rc, _ = run(d)
+        check("sha-less re-measure still fails", rc, 4)
+
+        # a dirty-tree re-measure at the same base commit clears → 0
+        write(d, {"q1": 3.0, "q2": 0.22}, hist, remeasure={"q1": 1.3},
+              remeasure_sha="abc1234+dirty")
+        rc, _ = run(d)
+        check("same-base dirty re-measure passes", rc, 0)
 
         # --touched-ok records the code-path adjudication → 0
         write(d, {"q1": 3.0, "q2": 0.22}, hist)

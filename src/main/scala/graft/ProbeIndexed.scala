@@ -198,10 +198,17 @@ object ProbeIndexed {
       val dups = docs.orderBy(col("doc_id")).limit(250)
         .select((col("doc_id") + 93000000L + r * 1000000L).as("doc_id"),
           concat(col("text"), lit(s" zz${r}q")).as("text"))
+      // the fresh-only arm salts DIFFERENTLY from the dup arm's fresh
+      // half (f$r vs q$r, distinct id base): the dup arm's rep-r fresh
+      // docs were ADMITTED into epoch 1000+r, so reusing their salt
+      // would hand the "no-candidate floor" 250 exact state duplicates
+      // and measure a verify, not the floor
+      val (salt, base) =
+        if (withDups) (s"q$r", 95000000L) else (s"f$r", 97000000L)
       val fresh = docs.orderBy(col("doc_id").desc).limit(
         if (withDups) 250 else 500)
-        .select((col("doc_id") + 95000000L + r * 1000000L).as("doc_id"),
-          array_join(transform(w, x => concat(lit(s"q$r"), x)), " ")
+        .select((col("doc_id") + base + r * 1000000L).as("doc_id"),
+          array_join(transform(w, x => concat(lit(salt), x)), " ")
             .as("text"))
       (if (withDups) dups.unionByName(fresh) else fresh).localCheckpoint()
     }

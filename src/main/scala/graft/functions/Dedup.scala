@@ -984,7 +984,12 @@ object Dedup {
    * total on the fast path (shingle checkpoint, key collect, candidate
    * collect, verify) vs six in the round-10 shape — the job count, not
    * the data, dominated the probe's fixed cost. A batch over the row
-   * cap falls back to the distributed shape with the same semantics.
+   * cap falls back to the distributed shape with the same semantics —
+   * discarding the capped collect and recomputing from the checkpointed
+   * shingles. That double work is deliberate: gating with a count()
+   * first would add a job to EVERY small probe (the measured fixed
+   * cost this shape exists to cut) to save one bounded ~25 MB collect
+   * on the rare over-cap batch, which pays a large batch's cost anyway.
    */
   private def dedupAgainstPartitioned(
       spark: org.apache.spark.sql.SparkSession, path: String,

@@ -421,6 +421,11 @@ object Multimodal {
     def mp4Bytes(brand: String, timescale: Int, duration: Long,
                  w: Int, h: Int, v1: Boolean,
                  payload: Array[Byte]): Array[Byte] = {
+      // a v0 box stores duration in 32 bits; silently wrapping it mod
+      // 2^32 would emit a structurally-valid container whose parsed
+      // duration contradicts the requested one
+      require(v1 || (duration >= 0 && duration <= 0xFFFFFFFFL),
+        s"duration $duration needs version-1 boxes (32-bit v0 field)")
       val mvhdSize = if (v1) 120 else 108
       val tkhdSize = if (v1) 104 else 92
       val trakSize = 8 + tkhdSize
@@ -488,7 +493,10 @@ object Multimodal {
         val (kind, content) =
           if (id % 7 == 0) ("text/plain", payload)
           else {
-            val v1 = id % 3 == 0
+            // v1 also when the duration outgrows a v0 box's 32-bit field
+            // (≈43 MB of text at 100 units/byte) — mp4Bytes refuses to
+            // wrap it silently
+            val v1 = id % 3 == 0 || l.toLong * 100L > 0xFFFFFFFFL
             ("video/mp4", VideoHeader.mp4Bytes(
               brand = if (v1) "mp42" else "isom",
               timescale = Seq(600, 1000, 90000)(l % 3),

@@ -188,12 +188,20 @@ object JdbcApplySink {
     val node = if (payload == null) null else mapper.readTree(payload)
     val vals = pk.map { c =>
       val v = if (node == null) null else node.get(c)
-      // canonical TEXT, not the JSON rendering: a PK serialized as 5 in
-      // new_values but "5" in old_values (stringified audit payloads are
-      // common) must key identically, or one row's INSERT and DELETE
-      // land in different partitions and lose their relative order.
-      // (Key COLLISIONS merely co-locate two rows — harmless.)
-      if (v == null || v.isNull) "null" else v.asText()
+      // canonical TEXT, not the JSON rendering: the same logical PK
+      // value serialized as 5, 5.0, 1e1-style, or the stringified "5" /
+      // "5.0" (audit payloads commonly stringify) must key identically,
+      // or one row's INSERT and DELETE land in different partitions and
+      // lose their relative order. Anything that READS as a number
+      // canonicalizes through BigDecimal; over-canonicalizing is safe —
+      // a key COLLISION merely co-locates two rows, only a SPLIT of one
+      // row's statements is a hazard.
+      if (v == null || v.isNull) "null"
+      else {
+        val t = v.asText()
+        try new java.math.BigDecimal(t).stripTrailingZeros.toPlainString
+        catch { case _: NumberFormatException => t }
+      }
     }
     s"$schema|$table|${vals.mkString("|")}"
   }

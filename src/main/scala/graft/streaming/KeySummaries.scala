@@ -108,13 +108,52 @@ private[graft] object KeySummaries {
     * renamed with overwrite so a crash never leaves a truncated file a
     * later epoch would misread (a malformed file reads as ABSENT =
     * always-read, but the stage+rename keeps even that window out). */
-  def write(fs: FileSystem, p: Path, s: Summary): Unit =
+  /** One key column's distinct values AS STRINGS, collected only when
+    * they fit [[MaxKeys]] — None = over cap, and callers must degrade
+    * to no-summary / always-read, never to a miss. This is the ONE gate
+    * every summary build and probe goes through, so the cap and the key
+    * rendering cannot drift between the write side and the probe side
+    * (integral keys render via the same cast both ways). */
+  def cappedDistinct(keys: org.apache.spark.sql.DataFrame)
+      : Option[Array[String]] = {
+    import org.apache.spark.sql.functions.col
+    val sample = keys.toDF("__k").select(col("__k").cast("string"))
+      .distinct().limit(MaxKeys + 1).collect().map(_.getString(0))
+    if (sample.length > MaxKeys) None else Some(sample)
+  }
+
+  /** Build + write the summary for `keys` at `p` when the key set is
+    * under the cap; no-op otherwise (absent summary = always-read). */
+  def writeIfBounded(fs: FileSystem, p: Path,
+                     keys: org.apache.spark.sql.DataFrame): Unit =
+    cappedDistinct(keys).foreach(ks => write(fs, p, build(ks)))
+
+  /** The subset of `eps` whose summary might contain any of `keys`; an
+    * epoch with no (readable) summary is always kept — conservative. */
+  def pruneEpochs(fs: FileSystem, eps: Seq[Long], keys: Array[String],
+                  sumPath: Long => Path): Seq[Long] = {
+    val hashes = keys.map(hashPair)
+    eps.filter(m => readCached(fs, sumPath(m)) match {
+      case Some(s) => s.mightContainAny(hashes)
+      case None => true
+    })
+  }
+
+  def write(fs: FileSystem, p: Path, s: Summary): Unit = {
     graft.functions.LayoutMarker.replaceWith(fs, p, "summary") { o =>
       val out = new java.io.DataOutputStream(o)
       out.writeInt(Magic); out.writeInt(s.k); out.writeLong(s.mBits)
       s.words.foreach(out.writeLong)
       out.flush()
     }
+    // WRITE-THROUGH: the per-JVM cache must never outlive a rewrite. A
+    // state deleted and re-seeded at the same path (bootstrap, rebuild)
+    // writes fresh summaries at the SAME file paths — serving the old
+    // corpus's cached Bloom there would prune epochs that DO contain
+    // candidates and silently admit their near-dups.
+    cache.put(p.toString, Some(s))
+    ()
+  }
 
   /** Per-JVM cache: a summary file is immutable once its epoch commits
     * (a crash-replay rewrites it with bit-identical content — same

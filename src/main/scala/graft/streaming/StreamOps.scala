@@ -378,20 +378,12 @@ object StreamOps {
     // batch=-1, over-cap batch) is always read, and a batch over the
     // collect cap degrades to the full scan — never to a missed
     // candidate.
-    val batchKeys: Option[Array[String]] = {
-      val sample = repKeys.select(col("bkey")).distinct()
-        .limit(KeySummaries.MaxKeys + 1).collect().map(_.getString(0))
-      if (sample.length > KeySummaries.MaxKeys) None else Some(sample)
-    }
-    val candidateEpochs: Option[Seq[Long]] = batchKeys.map { ks =>
-      val hashes = ks.map(KeySummaries.hashPair)
-      listStateEpochs(fs, keysPath).filter(_ != batchId).filter { m =>
-        KeySummaries.readCached(fs, keySummaryPath(statePath, m)) match {
-          case Some(s) => s.mightContainAny(hashes)
-          case None => true // no summary → conservative full read
-        }
-      }
-    }
+    val batchKeys: Option[Array[String]] =
+      KeySummaries.cappedDistinct(repKeys.select(col("bkey")))
+    val candidateEpochs: Option[Seq[Long]] = batchKeys.map(ks =>
+      KeySummaries.pruneEpochs(fs,
+        listStateEpochs(fs, keysPath).filter(_ != batchId), ks,
+        m => keySummaryPath(statePath, m)))
     val setsSchema = setBuckets.fold(repSets.schema)(_ =>
       repSets.schema.add("ib", org.apache.spark.sql.types.IntegerType))
     def readEpochs(root: String,
@@ -733,24 +725,15 @@ object StreamOps {
       .groupBy(Dedup.hash60(col("__line")).as("__lk"))
       .agg(count_distinct(col(idCol)).as("__nd"))
       .localCheckpoint(false) // feeds the bounded collect + both writes
-    val lks: Option[Array[Long]] = {
-      val sample = bl.select(col("__lk")).limit(KeySummaries.MaxKeys + 1)
-        .collect().map(_.getLong(0))
-      if (sample.length > KeySummaries.MaxKeys) None else Some(sample)
-    }
+    val lks: Option[Array[String]] =
+      KeySummaries.cappedDistinct(bl.select(col("__lk")))
     val countsRoot = s"$lineStatePath/counts"
     val prior = lks match {
       case Some(ks) =>
-        val hashes = ks.map(k => KeySummaries.hashPair(k.toString))
-        val eps = listStateEpochs(fs, countsRoot).filter(_ != batchId)
-          .filter { m =>
-            KeySummaries.readCached(fs,
-              new org.apache.hadoop.fs.Path(
-                s"$lineStatePath/linesum/batch=$m")) match {
-              case Some(s) => s.mightContainAny(hashes)
-              case None => true
-            }
-          }
+        val eps = KeySummaries.pruneEpochs(fs,
+          listStateEpochs(fs, countsRoot).filter(_ != batchId), ks,
+          m => new org.apache.hadoop.fs.Path(
+            s"$lineStatePath/linesum/batch=$m"))
         val dirs = eps.map(m => s"$countsRoot/batch=$m")
           .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
         val cSchema = lkSchema.add("__nd", LongType).add("batch", LongType)
@@ -775,7 +758,7 @@ object StreamOps {
       .parquet(s"$lineStatePath/promoted/batch=$batchId")
     lks.foreach(ks => KeySummaries.write(fs,
       new org.apache.hadoop.fs.Path(s"$lineStatePath/linesum/batch=$batchId"),
-      KeySummaries.build(ks.map(_.toString))))
+      KeySummaries.build(ks)))
     stripped
   }
 
@@ -849,14 +832,9 @@ object StreamOps {
     // [[migrateStateToPartitioned]]
     stateLayoutCache.remove(statePath)
     val keysTable = spark.read.parquet(s"$statePath/keys")
-    for (e <- 1 to epochs) {
-      val ks = keysTable.filter(col("batch") === -e.toLong)
-        .select(col("bkey")).distinct()
-        .limit(KeySummaries.MaxKeys + 1).collect().map(_.getString(0))
-      if (ks.length <= KeySummaries.MaxKeys)
-        KeySummaries.write(fs, keySummaryPath(statePath, -e.toLong),
-          KeySummaries.build(ks))
-    }
+    for (e <- 1 to epochs)
+      KeySummaries.writeIfBounded(fs, keySummaryPath(statePath, -e.toLong),
+        keysTable.filter(col("batch") === -e.toLong).select(col("bkey")))
     epochs
   }
 
@@ -1079,13 +1057,9 @@ object StreamOps {
       // maxGroupKeys unless this is an over-cap singleton → none, the
       // conservative always-read default)
       val sumPath = keySummaryPath(statePath, gid)
-      if (fs.exists(keysTarget) && !fs.exists(sumPath)) {
-        val ks = spark.read.parquet(keysTarget.toString)
-          .select(col("bkey")).distinct()
-          .limit(KeySummaries.MaxKeys + 1).collect().map(_.getString(0))
-        if (ks.length <= KeySummaries.MaxKeys)
-          KeySummaries.write(fs, sumPath, KeySummaries.build(ks))
-      }
+      if (fs.exists(keysTarget) && !fs.exists(sumPath))
+        KeySummaries.writeIfBounded(fs, sumPath,
+          spark.read.parquet(keysTarget.toString).select(col("bkey")))
     }
     if (fs.exists(planPath)) fs.delete(planPath, false)
     KeySummaries.invalidate(s"$statePath/keysum")

@@ -207,7 +207,11 @@ class JdbcApplySinkSpec extends AnyFunSuite {
       (step, i) <- Seq("INSERT", "DELETE", "INSERT").zipWithIndex
     } yield (k * 10L + i, step,
       if (step == "DELETE") null else s"""{"id":$k,"v":$i}""",
-      if (step == "DELETE") s"""{"id":"$k"}""" else null)
+      // half the keys stringify the PK, half render it as a float —
+      // both must canonicalize to the integer rendering new_values uses
+      if (step == "DELETE")
+        (if (k % 2 == 0) s"""{"id":"$k"}""" else s"""{"id":$k.0}""")
+      else null)
     val batch = cs(rows: _*)
     val pks = Map(("public", "users") -> Seq("id"))
     PartCollector.q.clear()

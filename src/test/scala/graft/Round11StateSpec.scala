@@ -199,6 +199,33 @@ class Round11StateSpec extends AnyFunSuite {
       "summaries must be dropped before the consolidation can crash")
   }
 
+  test("a recreated state's summaries beat the JVM cache (write-through)") {
+    // one JVM: a state's epoch-0 summary is read (and cached) by a later
+    // epoch; the state is deleted and re-seeded at the SAME path with a
+    // DIFFERENT corpus whose epoch 0 writes a new summary at the same
+    // file path. The next probe must consult the NEW Bloom — serving
+    // the cached old one would prune epoch 0 (its keys don't overlap the
+    // old corpus) and silently admit near-dups of everything in it.
+    val st = Files.createTempDirectory("graft-swt").toString + "/st"
+    epochInto(st, corpusDocs(30), 0L)
+    // this probe READS epoch 0's summary, priming the per-JVM cache
+    epochInto(st, probeBatch(Seq(1), 1, 9100L), 1L)
+    rmrf(st)
+    // disjoint vocabulary corpus at the same path, same epoch id
+    val corpusB = (201 to 230).map(i =>
+      (i.toLong, s"different story $i with vocab xx${i}a xx${i}b " +
+        s"xx${i}c xx${i}d xx${i}e xx${i}f xx${i}g xx${i}h xx${i}i"))
+      .toDF("doc_id", "text")
+    epochInto(st, corpusB, 0L)
+    val dups = (201 to 205).map(i =>
+      (8000L + i, s"different story $i with vocab xx${i}a xx${i}b " +
+        s"xx${i}c xx${i}d xx${i}e xx${i}f xx${i}g xx${i}h xx${i}i yy"))
+      .toDF("doc_id", "text")
+    val admitted = epochInto(st, dups, 1L)
+    assert(admitted.isEmpty,
+      s"stale cached summary pruned the recreated epoch 0: $admitted")
+  }
+
   test("bootstrap over a cached legacy resolution still yields banded epochs") {
     // one JVM: a stream runs OPTED OUT (caches None for this path), the
     // state is deleted, the corpus is re-seeded via the bootstrap (tables

@@ -2112,11 +2112,15 @@ object SparkEntry {
 
     "mm_video_meta" ->
       // mirrors asVideoMedia: MP4 header = 348 bytes (v0 boxes) / 384
-      // (v1, id%3=0); brand isom/mp42 by version; timescale from L%3;
-      // duration field = L*100 timescale units → ms = L*100000 //
-      // timescale; 2 traks (video w/h from L, audio 0x0); fingerprint =
-      // md5 of the mdat payload, i.e. the text
+      // (v1: id%3=0, OR a duration past a v0 box's 32-bit field —
+      // L*100 > 2^32-1, the same promotion the generator applies);
+      // brand isom/mp42 by version; timescale from L%3; duration field
+      // = L*100 timescale units → ms = L*100000 // timescale; 2 traks
+      // (video w/h from L, audio 0x0); fingerprint = md5 of the mdat
+      // payload, i.e. the text
       ("WITH v AS (SELECT doc_id, text, octet_length(encode(text)) AS L, " +
+        "(doc_id % 3 = 0 OR octet_length(encode(text)) * 100 > " +
+        "4294967295) AS v1, " +
         "CASE WHEN doc_id % 7 = 0 THEN 0 " +
         "WHEN octet_length(encode(text)) % 3 = 0 THEN 600 " +
         "WHEN octet_length(encode(text)) % 3 = 1 THEN 1000 " +
@@ -2125,9 +2129,9 @@ object SparkEntry {
         "CASE WHEN doc_id % 7 = 0 THEN 'text/plain' " +
         "ELSE 'video/mp4' END AS format, " +
         "CASE WHEN doc_id % 7 = 0 THEN '' " +
-        "WHEN doc_id % 3 = 0 THEN 'mp42' ELSE 'isom' END AS brand, " +
+        "WHEN v1 THEN 'mp42' ELSE 'isom' END AS brand, " +
         "CAST(L + CASE WHEN doc_id % 7 = 0 THEN 0 " +
-        "WHEN doc_id % 3 = 0 THEN 384 ELSE 348 END AS BIGINT) AS byte_len, " +
+        "WHEN v1 THEN 384 ELSE 348 END AS BIGINT) AS byte_len, " +
         "CAST(ts AS BIGINT) AS timescale, " +
         "CAST(CASE WHEN doc_id % 7 = 0 THEN 0 " +
         "ELSE L * 100000 // ts END AS BIGINT) AS duration_ms, " +

@@ -199,8 +199,16 @@ object JdbcApplySink {
       if (v == null || v.isNull) "null"
       else {
         val t = v.asText()
-        try new java.math.BigDecimal(t).stripTrailingZeros.toPlainString
-        catch { case _: NumberFormatException => t }
+        try {
+          val d = new java.math.BigDecimal(t).stripTrailingZeros
+          // toPlainString materializes every digit — a degenerate
+          // exponent ("1e999999999") would allocate gigabytes on a
+          // poison record. Real PKs fit far inside these bounds; past
+          // them the raw text is used (still consistent across payload
+          // renderings of the same degenerate literal).
+          if (d.precision > 64 || math.abs(d.scale) > 64) t
+          else d.toPlainString
+        } catch { case _: NumberFormatException => t }
       }
     }
     s"$schema|$table|${vals.mkString("|")}"

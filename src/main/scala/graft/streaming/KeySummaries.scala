@@ -114,11 +114,15 @@ private[graft] object KeySummaries {
     * every summary build and probe goes through, so the cap and the key
     * rendering cannot drift between the write side and the probe side
     * (integral keys render via the same cast both ways). */
-  def cappedDistinct(keys: org.apache.spark.sql.DataFrame)
+  def cappedDistinct(keys: org.apache.spark.sql.DataFrame,
+                     alreadyDistinct: Boolean = false)
       : Option[Array[String]] = {
     import org.apache.spark.sql.functions.col
-    val sample = keys.toDF("__k").select(col("__k").cast("string"))
-      .distinct().limit(MaxKeys + 1).collect().map(_.getString(0))
+    val base = keys.toDF("__k").select(col("__k").cast("string"))
+    // skip the distinct SHUFFLE when the caller's frame is key-unique by
+    // construction (a groupBy output) — this runs per streaming epoch
+    val sample = (if (alreadyDistinct) base else base.distinct())
+      .limit(MaxKeys + 1).collect().map(_.getString(0))
     if (sample.length > MaxKeys) None else Some(sample)
   }
 
@@ -169,9 +173,21 @@ private[graft] object KeySummaries {
   }
 
   /** The summary at `p`, or None when absent or unreadable (both mean
-    * "always read this epoch"). */
-  def readCached(fs: FileSystem, p: Path): Option[Summary] =
-    cache.computeIfAbsent(p.toString, _ =>
+    * "always read this epoch"). The cached entry is RE-ANCHORED to disk
+    * each call (one exists() — the same per-epoch discipline as the
+    * layout-marker cache): a cached Some for a file that VANISHED (state
+    * deleted and re-seeded; the new epochs may never write a summary —
+    * over-cap batches don't) must not keep pruning the recreated epoch,
+    * and a cached None for a file that APPEARED must not keep forcing
+    * full reads. */
+  def readCached(fs: FileSystem, p: Path): Option[Summary] = {
+    val k = p.toString
+    val stale = cache.get(k) match {
+      case null => false
+      case cached => cached.isDefined != fs.exists(p)
+    }
+    if (stale) cache.remove(k)
+    cache.computeIfAbsent(k, _ =>
       try {
         if (!fs.exists(p)) None
         else {
@@ -192,4 +208,5 @@ private[graft] object KeySummaries {
           } finally in.close()
         }
       } catch { case _: java.io.IOException => None })
+  }
 }

@@ -726,7 +726,8 @@ object StreamOps {
       .agg(count_distinct(col(idCol)).as("__nd"))
       .localCheckpoint(false) // feeds the bounded collect + both writes
     val lks: Option[Array[String]] =
-      KeySummaries.cappedDistinct(bl.select(col("__lk")))
+      KeySummaries.cappedDistinct(bl.select(col("__lk")),
+        alreadyDistinct = true) // bl is a groupBy(__lk) output
     val countsRoot = s"$lineStatePath/counts"
     val prior = lks match {
       case Some(ks) =>

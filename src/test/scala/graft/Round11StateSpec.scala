@@ -453,5 +453,21 @@ class Round11StateSpec extends AnyFunSuite {
     val r = KeySummaries.readCached(fs, p).get
     assert(r.mBits == s.mBits && r.k == s.k &&
       r.words.toSeq == s.words.toSeq)
+    // the cache re-anchors to disk: a VANISHED file must stop serving
+    // its cached Bloom (a re-seeded state's epochs may never write a
+    // new summary — the write-through alone can't cover that), and a
+    // file that APPEARS must displace a cached None
+    fs.delete(p, false)
+    assert(KeySummaries.readCached(fs, p).isEmpty,
+      "cached summary served for a deleted file")
+    KeySummaries.write(fs, p, s)
+    // ... and a file that APPEARS behind the cache (no write-through —
+    // raw byte copy) must displace a cached None
+    val q = new org.apache.hadoop.fs.Path(s"$dir/late")
+    assert(KeySummaries.readCached(fs, q).isEmpty) // caches None
+    java.nio.file.Files.copy(java.nio.file.Paths.get(dir, "ok"),
+      java.nio.file.Paths.get(dir, "late"))
+    assert(KeySummaries.readCached(fs, q).nonEmpty,
+      "appeared file not re-read past the cached None")
   }
 }

@@ -173,8 +173,25 @@ object ProbeIndexed {
     val probeDedupBanded = (1 to reps).map(_ => time(
       Dedup.dedupAgainstIndexed(spark, dedupBandedPath, batch,
         "doc_id", "text", 0.8).count())).min
+    // small-file accounting: files one append adds (the delta tables —
+    // bounded by the batch, NOT a file per banded partition dir) and
+    // the population compaction folds the index back to
+    def dataFiles(root: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isFile)
+          (if (f.getName.endsWith(".parquet") &&
+            !f.getName.startsWith("_") && !f.getName.startsWith(".")) 1
+          else 0)
+        else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0)
+      walk(new java.io.File(root))
+    }
+    val bandedFilesBefore = dataFiles(dedupBandedPath)
     val appendDedupBanded = time(Dedup.appendToDedupIndex(batch,
       "doc_id", "text", dedupBandedPath))
+    val bandedFilesPerAppend = dataFiles(dedupBandedPath) - bandedFilesBefore
+    val compactDedupBanded = time(
+      Dedup.compactDedupIndex(spark, dedupBandedPath))
+    val bandedFilesPostCompact = dataFiles(dedupBandedPath)
 
     // STREAMING dedup state, steady-epoch cost: the online near-dup
     // path over a corpus-seeded state (nearDupStateBootstrap — multi-
@@ -290,6 +307,9 @@ object ProbeIndexed {
       s""""dedup_banded_build_sec":$buildDedupBanded,""" +
       s""""dedup_banded_probe500_sec":$probeDedupBanded,""" +
       s""""dedup_banded_append500_sec":$appendDedupBanded,""" +
+      s""""dedup_banded_files_per_append":$bandedFilesPerAppend,""" +
+      s""""dedup_banded_compact_sec":$compactDedupBanded,""" +
+      s""""dedup_banded_files_post_compact":$bandedFilesPostCompact,""" +
       s""""state_bootstrap_sec":$stateBuild,"state_epochs":$stateEpochs,""" +
       s""""state_epoch500_sec":$stateEpochSec,""" +
       s""""state_epoch500_fresh_sec":$stateEpochFreshSec,""" +

@@ -913,9 +913,20 @@ object StreamOps {
    * `maxGroupKeys` distinct band keys instead, each landing as one new
    * negative-id epoch with ONE file per table and a REBUILT Bloom
    * summary — so the small-file population drops by the grouping factor
-   * while a no-candidate batch still reads zero state bytes. Existing
-   * negative epochs (bootstrap epochs, prior groups) are left alone;
-   * repeated cycles stack further groups below them, LSM-fashion.
+   * while a no-candidate batch still reads zero state bytes. By default
+   * existing negative epochs (bootstrap epochs, prior groups) are left
+   * alone and repeated cycles stack further groups below them,
+   * LSM-fashion — so over MANY cycles the group population itself grows
+   * (one-plus groups per cycle). `regroup = true` bounds that: the plan
+   * then also folds in the SUMMARIZED negative epochs (prior groups and
+   * bootstrap epochs — over-cap epochs carry no summary and are left
+   * alone, rewriting them buys nothing), merging adjacent under-cap
+   * groups up to `maxGroupKeys`, with no-op singletons (an
+   * already-consolidated negative with no mergeable neighbor) dropped
+   * from the plan so nothing is rewritten pointlessly. Merging
+   * summarized epochs is admission-preserving for the same reason
+   * grouping positives is: the merged epoch's rebuilt Bloom covers
+   * exactly the union of its sources' keys.
    *
    * Run OFFLINE (stream stopped, single-writer), and after a CRASH
    * re-run THIS before restarting the stream — the same contract as
@@ -931,7 +942,8 @@ object StreamOps {
    */
   def compactStateGrouped(spark: org.apache.spark.sql.SparkSession,
                           statePath: String,
-                          maxGroupKeys: Int = KeySummaries.MaxKeys)
+                          maxGroupKeys: Int = KeySummaries.MaxKeys,
+                          regroup: Boolean = false)
       : Map[String, Long] = {
     import org.apache.hadoop.fs.Path
     import graft.functions.LayoutMarker
@@ -963,11 +975,21 @@ object StreamOps {
       else {
         val existing = listStateEpochs(fs, keysRoot)
         val positives = existing.filter(_ >= 0L).sorted
-        if (positives.isEmpty) Seq.empty
+        // regroup: prior groups + bootstrap epochs join the plan — but
+        // only SUMMARIZED ones (a summary-less negative is known over
+        // the cap; it would come back as an over-cap singleton, a pure
+        // rewrite). Sorted most-negative-first so older groups merge
+        // with their neighbors.
+        val regroupables =
+          if (!regroup) Seq.empty[Long]
+          else existing.filter(e => e < 0L &&
+            fs.exists(keySummaryPath(statePath, e))).sorted
+        val candidates = regroupables ++ positives
+        if (candidates.isEmpty) Seq.empty
         else {
           val counts = spark.read
             .option("basePath", keysRoot)
-            .parquet(positives.map(e => s"$keysRoot/batch=$e"): _*)
+            .parquet(candidates.map(e => s"$keysRoot/batch=$e"): _*)
             .groupBy(col("batch").cast("long").as("batch"))
             .agg(count_distinct(col("bkey")).as("n"))
             .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -980,14 +1002,18 @@ object StreamOps {
             groups += ((gid, cur.result())); gid -= 1L
             cur = Seq.newBuilder[Long]; curN = 0L; curEmpty = true
           }
-          positives.foreach { e =>
+          candidates.foreach { e =>
             val n = counts.getOrElse(e, 0L)
             if (!curEmpty && curN + n > maxGroupKeys) flush()
             cur += e; curN += n; curEmpty = false
             if (curN > maxGroupKeys) flush() // over-cap singleton
           }
           flush()
-          val p = groups.result()
+          // drop no-op singletons: an already-consolidated negative
+          // with no mergeable neighbor (gid gaps are harmless)
+          val p = groups.result().filterNot { case (_, es) =>
+            es.lengthCompare(1) == 0 && es.head < 0L
+          }
           if (p.nonEmpty)
             writeAtomic(planPath,
               p.map { case (g, es) => s"$g:${es.mkString(",")}" }

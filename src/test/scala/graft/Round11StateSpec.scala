@@ -380,6 +380,53 @@ class Round11StateSpec extends AnyFunSuite {
       s"post-compaction pruning lost: read=$withSum state=$stateBytes")
   }
 
+  test("regroup merges stacked groups and skips no-op singletons") {
+    val st = Files.createTempDirectory("graft-gc-r").toString + "/st"
+    def negatives(): Set[Long] = new java.io.File(s"$st/keys").listFiles()
+      .map(_.getName).filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong).filter(_ < 0).toSet
+    // two compaction CYCLES stack groups LSM-fashion: 4 epochs → 2
+    // groups (cap 250 ≈ two 25-doc epochs), 4 more epochs → 2 more
+    for (e <- 0 until 4)
+      epochInto(st, corpusDocs(100)
+        .filter(col("doc_id") > e * 25 && col("doc_id") <= (e + 1) * 25),
+        e.toLong)
+    StreamOps.compactStateGrouped(spark, st, maxGroupKeys = 250)
+    for (e <- 4 until 8)
+      epochInto(st, corpusDocs(200)
+        .filter(col("doc_id") > e * 25 && col("doc_id") <= (e + 1) * 25),
+        e.toLong)
+    StreamOps.compactStateGrouped(spark, st, maxGroupKeys = 250)
+    val stacked = negatives()
+    assert(stacked.size >= 4, s"expected stacked groups, got $stacked")
+    val stKeep = Files.createTempDirectory("graft-gc-rk").toString + "/st"
+    cpR(st, stKeep)
+    // regroup at a larger cap merges adjacent under-cap groups
+    val counts = StreamOps.compactStateGrouped(spark, st,
+      maxGroupKeys = 500, regroup = true)
+    assert(counts("keys") == 200L * 4 && counts("sets") == 200L,
+      s"counts: $counts")
+    val merged = negatives()
+    assert(merged.size < stacked.size,
+      s"regroup must shrink the group population: $stacked -> $merged")
+    for (e <- merged)
+      assert(new java.io.File(s"$st/keysum/batch=$e").exists(),
+        s"merged group $e lacks a summary")
+    // a second regroup at the same cap finds nothing mergeable (every
+    // group is a no-op singleton, no positives yet) and rewrites NOTHING
+    StreamOps.compactStateGrouped(spark, st, maxGroupKeys = 500,
+      regroup = true)
+    assert(negatives() == merged, "no-op regroup must not rewrite groups")
+    // identical admissions vs the stacked arm
+    val batch = probeBatch(Seq(7, 160), 3, 4000L).localCheckpoint()
+    val admR = StreamOps.dedupEpoch(batch, 20L, st, "doc_id", "text", 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val admK = StreamOps.dedupEpoch(batch, 20L, stKeep,
+      "doc_id", "text", 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admR == admK && admR.size == 3, s"admitted: $admR vs $admK")
+  }
+
   test("grouped compaction honors a saved plan and heals crash windows") {
     val st = Files.createTempDirectory("graft-gc-b").toString + "/st"
     epochInto(st, corpusDocs(20), 0L)

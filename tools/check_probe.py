@@ -62,17 +62,33 @@ def main():
             f"dedup append {doc['dedup_append500_sec']:.2f}s not < "
             f"rebuild {doc['dedup_build_sec']:.2f}s")
     # partitioned (banded) dedup layout, when measured: the probe must
-    # amortize against its own build. No append bound here — the banded
-    # append pays a fixed ~320-partition-dir write overhead that only
-    # amortizes once the corpus is much larger than the batch, so at
-    # small SF the ratio is meaningless; per-doc independence is already
-    # pinned by the flat-layout append bound and the append≡rebuild spec.
+    # amortize against its own build, and — since round 11 routes
+    # appends through flat DELTA tables instead of a ~320-partition-dir
+    # fan-out — the append must be cheap like the flat layout's and add
+    # only a bounded handful of files (the small-file growth the delta
+    # design exists to stop). Compaction folds the deltas back to at
+    # most one file per non-empty partition dir (256 bp + 64 ib ceiling).
     if isinstance(doc.get("dedup_banded_probe500_sec"), (int, float)):
         if doc["dedup_banded_probe500_sec"] >= \
                 0.5 * doc["dedup_banded_build_sec"]:
             fails.append(
                 f"banded dedup probe {doc['dedup_banded_probe500_sec']:.2f}s "
                 f"not << build {doc['dedup_banded_build_sec']:.2f}s")
+        if doc["dedup_banded_append500_sec"] >= \
+                0.8 * doc["dedup_banded_build_sec"]:
+            fails.append(
+                f"banded append {doc['dedup_banded_append500_sec']:.2f}s "
+                f"not < rebuild {doc['dedup_banded_build_sec']:.2f}s")
+    if isinstance(doc.get("dedup_banded_files_per_append"), (int, float)):
+        if doc["dedup_banded_files_per_append"] > 20:
+            fails.append(
+                f"banded append added {doc['dedup_banded_files_per_append']} "
+                "files - delta writes must stay bounded (<= 20)")
+        if doc.get("dedup_banded_files_post_compact", 0) > 340:
+            fails.append(
+                f"post-compaction file count "
+                f"{doc.get('dedup_banded_files_post_compact')} exceeds the "
+                "one-file-per-partition-dir ceiling (340)")
     # equal-K quantizer comparison: k-means exists because the label
     # column measured worse; allow a small tolerance for probe noise
     if doc["ivf_recall5_kmeans"] < doc["ivf_recall5_flat"] - 0.02:

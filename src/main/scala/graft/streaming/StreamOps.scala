@@ -978,14 +978,21 @@ object StreamOps {
         // regroup: prior groups + bootstrap epochs join the plan — but
         // only SUMMARIZED ones (a summary-less negative is known over
         // the cap; it would come back as an over-cap singleton, a pure
-        // rewrite). Sorted most-negative-first so older groups merge
-        // with their neighbors.
+        // rewrite). Sorted ascending = most-negative (NEWEST gids)
+        // first; merge adjacency is cosmetic — Bloom-union merging is
+        // order-independent.
         val regroupables =
           if (!regroup) Seq.empty[Long]
           else existing.filter(e => e < 0L &&
             fs.exists(keySummaryPath(statePath, e))).sorted
         val candidates = regroupables ++ positives
-        if (candidates.isEmpty) Seq.empty
+        // nothing can merge with fewer than two candidates — skip the
+        // exact-count scan entirely (regroup's plan computation is
+        // otherwise a read over every candidate's keys: counts must be
+        // EXACT, because a merged group past the cap would lose its
+        // summary and become always-read, worse than unmerged)
+        if (candidates.isEmpty ||
+          (positives.isEmpty && regroupables.sizeIs < 2)) Seq.empty
         else {
           val counts = spark.read
             .option("basePath", keysRoot)

@@ -88,7 +88,9 @@ def main():
             fails.append(
                 f"post-compaction file count "
                 f"{doc.get('dedup_banded_files_post_compact')} exceeds the "
-                "one-file-per-partition-dir ceiling (340)")
+                "one-file-per-partition-dir ceiling (320 = 256 bp + 64 ib; "
+                "gate at 340 leaves slack for _SUCCESS-adjacent writer "
+                "artifacts, not extra data files)")
     # equal-K quantizer comparison: k-means exists because the label
     # column measured worse; allow a small tolerance for probe noise
     if doc["ivf_recall5_kmeans"] < doc["ivf_recall5_flat"] - 0.02:

@@ -846,6 +846,15 @@ object SparkEntry {
       Sampling.stratifiedCap(documents(s, dir), col("lang"), col("doc_id"), 30)
         .select(col("doc_id"), col("lang"))),
 
+    // Deterministic training-shard shuffle: every doc gets a (shard, pos)
+    // that is a pure function of (seed, doc_id) — one hash shuffle + a
+    // per-shard sort, no global ordering
+    "shard_shuffle" -> ((s, dir) =>
+      Sampling.shardShuffle(
+        documents(s, dir).select(col("doc_id"), col("lang")),
+        col("doc_id"), 16, "r11")
+        .select(col("shard"), col("pos"), col("doc_id"), col("lang"))),
+
     // Corpus mixing: rebalance the language mix to target proportions by
     // deterministic down-sampling (bottleneck language kept whole, pure
     // integer acceptance test — engine-exact); es intentionally unlisted
@@ -2382,6 +2391,15 @@ object SparkEntry {
       ("SELECT doc_id, lang FROM (SELECT doc_id, lang, row_number() OVER (" +
         s"PARTITION BY lang ORDER BY ${Dedup.hash28Sql("doc_id::VARCHAR")}, doc_id" +
         ") AS rn FROM documents) t WHERE rn <= 30"),
+
+    "shard_shuffle" ->
+      // same 28-bit seeded hash; shard = h mod 16, pos = dense 0-based
+      // rank by (h, doc_id) inside the shard
+      ("SELECT CAST(h % 16 AS INT) AS shard, CAST(row_number() OVER (" +
+        "PARTITION BY h % 16 ORDER BY h, doc_id) - 1 AS BIGINT) AS pos, " +
+        "doc_id, lang FROM (SELECT doc_id, lang, " +
+        s"${Dedup.hash28Sql("'r11:' || doc_id::VARCHAR")} AS h " +
+        "FROM documents) t"),
 
     "corpus_mix" ->
       // same targets, same counts, same bottleneck row, same pure-integer

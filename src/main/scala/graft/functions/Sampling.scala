@@ -263,4 +263,37 @@ object Sampling {
           .otherwise(array())))
       .drop("__n")
   }
+
+  /**
+   * Deterministic global shuffle into training shards — the last step of
+   * a corpus-construction pipeline ("shuffle the corpus, write N shards,
+   * each internally shuffled"). Every row gets a `shard` (0-based) and a
+   * `pos` (0-based dense rank inside its shard); both are pure functions
+   * of (seed, key): stable under repartition, engine-reproducible, and
+   * re-runnable — the properties `DataFrame.orderBy(rand(seed))` lacks
+   * (rand is layout-dependent) and a global sort pays a range-exchange
+   * this shape avoids.
+   *
+   * Execution: ONE hash shuffle (the window's partitionBy on `shard`)
+   * plus a per-shard sort on the 28-bit key hash — no global ordering,
+   * no driver coordination, so it scales with executors. Each shard
+   * lands wholly in one task: size `shards` so a shard fits a task
+   * (e.g. ~256 MB–1 GB of payload per shard at 100 TB ⇒ 100k–400k
+   * shards), which is also what a training loader wants. Ties on the
+   * 28-bit hash break by the key itself, keeping `pos` total and
+   * deterministic even across hash collisions.
+   */
+  def shardShuffle(df: DataFrame, keyCol: Column, shards: Int,
+                   seed: String): DataFrame = {
+    require(shards > 0, s"shards must be positive: $shards")
+    val h = Md5Prefix28(
+      concat_ws(":", lit(seed), keyCol.cast("string")))
+    val w = Window.partitionBy(col("__shard"))
+      .orderBy(col("__h"), keyCol)
+    df.withColumn("__h", h)
+      .withColumn("__shard", pmod(col("__h"), lit(shards.toLong)).cast("int"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("bigint"))
+      .withColumnRenamed("__shard", "shard")
+      .drop("__h")
+  }
 }

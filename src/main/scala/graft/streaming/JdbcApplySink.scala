@@ -307,7 +307,16 @@ object JdbcApplySink {
   // -- JSON helpers over flat row_to_json objects (Jackson — a regex
   // would misread escaped quotes inside string values) -------------------
 
+  // floats parse as exact BigDecimals, not doubles: [[rowKey]]
+  // canonicalizes PK values through the node's TEXT, and the default
+  // double-backed parse corrupts the text first — "9223372036854775807e0"
+  // would round to ...776000 and key apart from its bare-integer
+  // rendering (found by RowKeyProperties). Statements bind the raw JSON
+  // payload and [[nodeLong]] uses canConvertToLong, so nothing else
+  // observes the node type.
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    .configure(com.fasterxml.jackson.databind.DeserializationFeature
+      .USE_BIG_DECIMAL_FOR_FLOATS, true)
 
   private def nodeKeys(
       node: com.fasterxml.jackson.databind.JsonNode): Seq[String] = {

@@ -940,6 +940,42 @@ object StreamOps {
    *
    * Returns per-table row counts (whole tables, post-compaction).
    */
+  /** Pure grouping arithmetic of [[compactStateGrouped]]: fold
+    * `candidates` (in order) into groups whose per-epoch distinct-key
+    * counts sum to ≤ `cap`, assigning strictly-decreasing gids from
+    * `firstGid`. An epoch whose own count exceeds the cap becomes a
+    * singleton group (a pure rewrite — its summary is dropped and it is
+    * read forever after, the conservative over-cap contract). Negative
+    * singletons (an already-consolidated group with no mergeable
+    * neighbor) are dropped as no-ops so a re-run rewrites nothing.
+    * Factored out for direct property coverage (Round11Properties). */
+  private[graft] def planGroups(candidates: Seq[Long],
+                                counts: Map[Long, Long],
+                                cap: Long, firstGid: Long)
+      : Seq[(Long, Seq[Long])] = {
+    var gid = firstGid
+    val groups = Seq.newBuilder[(Long, Seq[Long])]
+    var cur = Seq.newBuilder[Long]
+    var curN = 0L
+    var curEmpty = true
+    def flush(): Unit = if (!curEmpty) {
+      groups += ((gid, cur.result())); gid -= 1L
+      cur = Seq.newBuilder[Long]; curN = 0L; curEmpty = true
+    }
+    candidates.foreach { e =>
+      val n = counts.getOrElse(e, 0L)
+      if (!curEmpty && curN + n > cap) flush()
+      cur += e; curN += n; curEmpty = false
+      if (curN > cap) flush() // over-cap singleton
+    }
+    flush()
+    // drop no-op singletons: an already-consolidated negative with no
+    // mergeable neighbor (gid gaps are harmless)
+    groups.result().filterNot { case (_, es) =>
+      es.lengthCompare(1) == 0 && es.head < 0L
+    }
+  }
+
   def compactStateGrouped(spark: org.apache.spark.sql.SparkSession,
                           statePath: String,
                           maxGroupKeys: Int = KeySummaries.MaxKeys,
@@ -1000,27 +1036,8 @@ object StreamOps {
             .groupBy(col("batch").cast("long").as("batch"))
             .agg(count_distinct(col("bkey")).as("n"))
             .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-          var gid = math.min(0L, existing.minOption.getOrElse(0L)) - 1L
-          val groups = Seq.newBuilder[(Long, Seq[Long])]
-          var cur = Seq.newBuilder[Long]
-          var curN = 0L
-          var curEmpty = true
-          def flush(): Unit = if (!curEmpty) {
-            groups += ((gid, cur.result())); gid -= 1L
-            cur = Seq.newBuilder[Long]; curN = 0L; curEmpty = true
-          }
-          candidates.foreach { e =>
-            val n = counts.getOrElse(e, 0L)
-            if (!curEmpty && curN + n > maxGroupKeys) flush()
-            cur += e; curN += n; curEmpty = false
-            if (curN > maxGroupKeys) flush() // over-cap singleton
-          }
-          flush()
-          // drop no-op singletons: an already-consolidated negative
-          // with no mergeable neighbor (gid gaps are harmless)
-          val p = groups.result().filterNot { case (_, es) =>
-            es.lengthCompare(1) == 0 && es.head < 0L
-          }
+          val p = planGroups(candidates, counts, maxGroupKeys.toLong,
+            math.min(0L, existing.minOption.getOrElse(0L)) - 1L)
           if (p.nonEmpty)
             writeAtomic(planPath,
               p.map { case (g, es) => s"$g:${es.mkString(",")}" }

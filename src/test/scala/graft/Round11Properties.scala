@@ -1,0 +1,188 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Md5Prefix28, Multimodal, Sampling}
+import graft.streaming.{KeySummaries, StreamOps}
+
+/**
+ * Property obligations for the round-11 machinery, against plain-Scala
+ * reference models:
+ *  - planGroups (the grouped-compaction plan arithmetic): order
+ *    preservation, the cap contract (multi-epoch groups never exceed it,
+ *    over-cap epochs isolate as singletons), strictly-decreasing gids,
+ *    and the no-op-singleton drop being limited to negatives;
+ *  - KeySummaries: a Bloom summary NEVER loses a member key (the bit
+ *    whose absence would silently admit near-duplicates), with a bounded
+ *    false-positive allowance;
+ *  - VideoHeader: mp4Bytes → parse round-trips every constructed field,
+ *    and every truncation strictly inside the header region is rejected
+ *    rather than misread;
+ *  - shardShuffle equals the naive "(h, key)-sorted rank within h mod S"
+ *    model on random id sets.
+ */
+class Round11Properties extends AnyFunSuite {
+  import SparkTestSession._
+
+  /** Deterministic sampler (no scalatest-scalacheck bridge offline). */
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i =>
+      g.apply(Gen.Parameters.default, Seed(11042L + i)))
+
+  // ---- planGroups ---------------------------------------------------
+
+  private val planGen: Gen[(Seq[Long], Map[Long, Long], Long)] = for {
+    nNeg <- Gen.choose(0, 6)
+    nPos <- Gen.choose(0, 10)
+    negs <- Gen.pick(nNeg, (-20L to -1L))
+    poss <- Gen.pick(nPos, (0L to 30L))
+    cap <- Gen.choose(1L, 40L)
+    counts <- Gen.sequence[List[(Long, Long)], (Long, Long)](
+      (negs ++ poss).map(e => Gen.choose(0L, 25L).map(e -> _)).toList)
+  } yield (negs.toSeq.sorted ++ poss.toSeq.sorted, counts.toMap, cap)
+
+  test("property: planGroups preserves order, honors the cap, drops only no-op negatives") {
+    samples(planGen, 60).foreach { case (candidates, counts, cap) =>
+      val firstGid = math.min(0L, candidates.minOption.getOrElse(0L)) - 1L
+      val plan = StreamOps.planGroups(candidates, counts, cap, firstGid)
+      val flat = plan.flatMap(_._2)
+      // order preserved: the flattened plan is candidates minus dropped
+      val dropped = candidates.diff(flat)
+      assert(flat == candidates.filterNot(dropped.contains),
+        s"order not preserved: $plan from $candidates")
+      // only negatives (no-op singletons) may be dropped
+      assert(dropped.forall(_ < 0L), s"dropped a positive: $dropped")
+      // every epoch appears at most once
+      assert(flat.distinct == flat)
+      plan.foreach { case (gid, es) =>
+        val sum = es.map(counts.getOrElse(_, 0L)).sum
+        // a multi-epoch group never exceeds the cap
+        if (es.sizeIs > 1) assert(sum <= cap, s"group $gid over cap: $es")
+        // an over-cap group can only be a singleton
+        if (sum > cap) assert(es.sizeIs == 1)
+        // a kept singleton is never a negative (those are no-ops)
+        if (es.sizeIs == 1) assert(es.head >= 0L, s"kept no-op: $gid -> $es")
+      }
+      // gids strictly decreasing from firstGid
+      val gids = plan.map(_._1)
+      assert(gids.forall(_ <= firstGid))
+      assert(gids == gids.sorted(Ordering[Long].reverse))
+      // determinism
+      assert(plan == StreamOps.planGroups(candidates, counts, cap, firstGid))
+      // degenerate: everything fits one group → exactly one group holding
+      // every candidate (unless that group would be a no-op negative
+      // singleton)
+      if (candidates.nonEmpty &&
+        candidates.map(counts.getOrElse(_, 0L)).sum <= cap) {
+        if (candidates.sizeIs == 1 && candidates.head < 0L)
+          assert(plan.isEmpty)
+        else assert(plan.map(_._2) == Seq(candidates))
+      }
+    }
+  }
+
+  // ---- KeySummaries: no false negatives -----------------------------
+
+  private val keysGen: Gen[(List[String], List[String])] = for {
+    n <- Gen.choose(1, 400)
+    keys <- Gen.listOfN(n, Gen.choose(0L, Long.MaxValue).map(v => s"k$v"))
+    m <- Gen.choose(1, 200)
+    others <- Gen.listOfN(m, Gen.choose(0L, Long.MaxValue).map(v => s"o$v"))
+  } yield (keys.distinct, others.distinct.filterNot(keys.contains))
+
+  test("property: a key summary never loses a member; false positives stay rare") {
+    var fp = 0L
+    var probes = 0L
+    samples(keysGen, 40).foreach { case (keys, others) =>
+      val s = KeySummaries.build(keys)
+      keys.foreach { k =>
+        val (h1, h2) = KeySummaries.hashPair(k)
+        assert(s.mightContain(h1, h2), s"false negative on $k")
+      }
+      // mightContainAny over any mix that includes one member is true
+      val mixed = (others.take(5) :+ keys.head).map(KeySummaries.hashPair)
+      assert(s.mightContainAny(mixed.toArray))
+      others.foreach { k =>
+        val (h1, h2) = KeySummaries.hashPair(k)
+        if (s.mightContain(h1, h2)) fp += 1
+        probes += 1
+      }
+    }
+    // fpp is sized at 1e-6 — thousands of probes should see ~0 false
+    // positives; allow 2 before calling the sizing broken
+    assert(fp <= 2, s"$fp false positives in $probes probes")
+  }
+
+  // ---- VideoHeader: construct → parse round-trip --------------------
+
+  private val mp4Gen: Gen[(String, Int, Long, Int, Int, Boolean, Array[Byte])] =
+    for {
+      brand <- Gen.oneOf("isom", "mp42", "avc1", "M4V ")
+      ts <- Gen.choose(1, Int.MaxValue)
+      v1 <- Gen.oneOf(true, false)
+      dur <- if (v1) Gen.choose(0L, Long.MaxValue / 1000)
+             else Gen.choose(0L, 0xFFFFFFFFL)
+      w <- Gen.choose(1, 7680)
+      h <- Gen.choose(1, 4320)
+      pLen <- Gen.choose(0, 64)
+      payload <- Gen.listOfN(pLen, Gen.choose(-128, 127).map(_.toByte))
+    } yield (brand, ts, dur, w, h, v1, payload.toArray)
+
+  test("property: mp4Bytes → VideoHeader.parse round-trips; header truncations reject") {
+    samples(mp4Gen, 40).foreach { case (brand, ts, dur, w, h, v1, payload) =>
+      val bytes = Multimodal.VideoHeader.mp4Bytes(brand, ts, dur, w, h, v1, payload)
+      val info = Multimodal.VideoHeader.parse(bytes)
+        .getOrElse(fail(s"constructed mp4 rejected (v1=$v1)"))
+      assert(info.brand == brand)
+      assert(info.timescale == ts.toLong)
+      assert(info.duration == dur)
+      assert(info.trackCount == 2) // one video + one audio track
+      assert(info.width == w && info.height == h)
+      assert(info.mdatLen == payload.length.toLong)
+      val headerLen = (bytes.length - payload.length - 8).toLong
+      assert(info.mdatOffset == headerLen + 8)
+      // any cut strictly inside the pre-mdat header region must reject:
+      // a half-read box that silently parsed would misreport the corpus
+      val cuts = Seq(0, 7, 15, 23, 24, 30,
+        headerLen.toInt / 2, headerLen.toInt - 1)
+      cuts.filter(c => c >= 0 && c < headerLen).foreach { c =>
+        assert(Multimodal.VideoHeader.parse(bytes.take(c)).isEmpty,
+          s"truncation at $c of $headerLen parsed")
+      }
+      // a cut exactly at the end of moov is a VALID mdat-less container
+      assert(Multimodal.VideoHeader.parse(bytes.take(headerLen.toInt))
+        .exists(i => i.mdatOffset == -1L && i.brand == brand))
+    }
+  }
+
+  // ---- shardShuffle vs naive model ----------------------------------
+
+  private val shardGen: Gen[(List[Long], Int, String)] = for {
+    n <- Gen.choose(1, 80)
+    ids <- Gen.listOfN(n, Gen.choose(1L, 1000000L))
+    shards <- Gen.choose(1, 12)
+    seed <- Gen.identifier.map(_.take(8))
+  } yield (ids.distinct, shards, seed)
+
+  test("property: shardShuffle == (h, key)-sorted rank within h mod shards") {
+    import spark.implicits._
+    samples(shardGen, 8).foreach { case (ids, shards, seed) =>
+      val df = ids.map(i => (i, s"p$i")).toDF("doc_id", "payload")
+      val got = Sampling.shardShuffle(df, col("doc_id"), shards, seed)
+        .select("shard", "pos", "doc_id").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      def h(i: Long): Long = Md5Prefix28.eval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"$seed:$i"))
+      val want = ids.groupBy(i => (h(i) % shards).toInt).flatMap {
+        case (shard, members) =>
+          members.sortBy(i => (h(i), i)).zipWithIndex.map {
+            case (i, pos) => (shard, pos.toLong, i)
+          }
+      }.toSet
+      assert(got == want, s"shards=$shards seed=$seed")
+    }
+  }
+}

@@ -282,12 +282,24 @@ object Sampling {
    * shards), which is also what a training loader wants. Ties on the
    * 28-bit hash break by the key itself, keeping `pos` total and
    * deterministic even across hash collisions.
+   *
+   * PRECONDITIONS: the key must be NON-NULL (a null key raises at
+   * execution — silently hashing all nulls to one slot would both
+   * collide them and diverge from a SQL oracle, where `NULL || s` is
+   * NULL) and should be UNIQUE per row — rows sharing an exact key
+   * value tie completely, so which of them takes which adjacent `pos`
+   * is layout-dependent (every other row's placement is unaffected).
    */
   def shardShuffle(df: DataFrame, keyCol: Column, shards: Int,
                    seed: String): DataFrame = {
     require(shards > 0, s"shards must be positive: $shards")
-    val h = Md5Prefix28(
-      concat_ws(":", lit(seed), keyCol.cast("string")))
+    val taken = df.columns.toSet
+      .intersect(Set("shard", "pos", "__h", "__shard"))
+    require(taken.isEmpty,
+      s"shardShuffle emits shard/pos (via __h/__shard): input already has ${taken.mkString(", ")}")
+    val keyStr = when(keyCol.isNotNull, keyCol.cast("string"))
+      .otherwise(raise_error(lit("shardShuffle: null shard key")))
+    val h = Md5Prefix28(concat_ws(":", lit(seed), keyStr))
     val w = Window.partitionBy(col("__shard"))
       .orderBy(col("__h"), keyCol)
     df.withColumn("__h", h)

@@ -204,9 +204,13 @@ object JdbcApplySink {
           // toPlainString materializes every digit — a degenerate
           // exponent ("1e999999999") would allocate gigabytes on a
           // poison record. Real PKs fit far inside these bounds; past
-          // them the raw text is used (still consistent across payload
-          // renderings of the same degenerate literal).
-          if (d.precision > 64 || math.abs(d.scale) > 64) t
+          // them, canonicalize through BigDecimal's SCIENTIFIC
+          // rendering (cheap — no digit materialization) rather than
+          // the raw text: a bare degenerate float parses to a node
+          // whose text is already "1E+999999999" while its stringified
+          // twin keeps "1e999999999", and raw-text fallback would key
+          // those apart (found by RowKeyProperties).
+          if (d.precision > 64 || math.abs(d.scale) > 64) d.toString
           else d.toPlainString
         } catch { case _: NumberFormatException => t }
       }

@@ -3,7 +3,6 @@ package graft
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.types._
 import org.scalacheck.Gen
-import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.model.ChangesetSchema
@@ -18,10 +17,8 @@ import graft.operators.Materializer
 class MergeProperties extends AnyFunSuite {
   import SparkTestSession._
 
-  /** Deterministic sampler (no scalatest-scalacheck bridge offline). */
   private def samples[T](g: Gen[T], n: Int): Seq[T] =
-    (0 until n).flatMap(i =>
-      g.apply(Gen.Parameters.default, Seed(42L + i)))
+    PropertySamples.samples(g, n, 42L)
 
   private val rowSchema = StructType(Seq(
     StructField("k", LongType), StructField("v", StringType)))

@@ -2,7 +2,6 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
-import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.{Md5Prefix28, Multimodal, Sampling}
@@ -27,10 +26,8 @@ import graft.streaming.{KeySummaries, StreamOps}
 class Round11Properties extends AnyFunSuite {
   import SparkTestSession._
 
-  /** Deterministic sampler (no scalatest-scalacheck bridge offline). */
   private def samples[T](g: Gen[T], n: Int): Seq[T] =
-    (0 until n).flatMap(i =>
-      g.apply(Gen.Parameters.default, Seed(11042L + i)))
+    PropertySamples.samples(g, n, 11042L)
 
   // ---- planGroups ---------------------------------------------------
 
@@ -166,6 +163,24 @@ class Round11Properties extends AnyFunSuite {
     shards <- Gen.choose(1, 12)
     seed <- Gen.identifier.map(_.take(8))
   } yield (ids.distinct, shards, seed)
+
+  test("shardShuffle rejects null keys and clobbering column names loudly") {
+    import spark.implicits._
+    // a null key raises at execution instead of silently hashing to one
+    // slot (and diverging from the SQL oracle's NULL-propagating concat)
+    val withNull = Seq(Some(1L), None, Some(3L)).toDF("doc_id")
+    val ex = intercept[Exception] {
+      Sampling.shardShuffle(withNull, col("doc_id"), 4, "s").collect()
+    }
+    assert(ex.getMessage != null)
+    // an input already carrying shard/pos fails fast, not with a
+    // downstream ambiguous-reference error
+    val clash = Seq((1L, 0)).toDF("doc_id", "shard")
+    val ex2 = intercept[IllegalArgumentException] {
+      Sampling.shardShuffle(clash, col("doc_id"), 4, "s")
+    }
+    assert(ex2.getMessage.contains("shard"))
+  }
 
   test("property: shardShuffle == (h, key)-sorted rank within h mod shards") {
     import spark.implicits._

@@ -2,7 +2,6 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
-import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.Similarity
@@ -21,10 +20,8 @@ import graft.functions.Similarity
 class Round8Properties extends AnyFunSuite {
   import SparkTestSession._
 
-  /** Deterministic sampler (no scalatest-scalacheck bridge offline). */
   private def samples[T](g: Gen[T], n: Int): Seq[T] =
-    (0 until n).flatMap(i =>
-      g.apply(Gen.Parameters.default, Seed(8042L + i)))
+    PropertySamples.samples(g, n, 8042L)
 
   // ---- boundedHashSample vs naive smallest-hash selection ----
 

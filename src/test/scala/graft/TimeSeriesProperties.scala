@@ -2,7 +2,6 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
-import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.Bloom
@@ -18,10 +17,8 @@ import graft.operators.TimeSeries
 class TimeSeriesProperties extends AnyFunSuite {
   import SparkTestSession._
 
-  /** Deterministic sampler (no scalatest-scalacheck bridge offline). */
   private def samples[T](g: Gen[T], n: Int): Seq[T] =
-    (0 until n).flatMap(i =>
-      g.apply(Gen.Parameters.default, Seed(1042L + i)))
+    PropertySamples.samples(g, n, 1042L)
 
   private val tsGen: Gen[List[(Long, Long)]] = for {
     n <- Gen.choose(1, 60)

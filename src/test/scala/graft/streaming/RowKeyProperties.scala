@@ -1,7 +1,6 @@
 package graft.streaming
 
 import org.scalacheck.Gen
-import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
 /**
@@ -17,8 +16,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class RowKeyProperties extends AnyFunSuite {
 
   private def samples[T](g: Gen[T], n: Int): Seq[T] =
-    (0 until n).flatMap(i =>
-      g.apply(Gen.Parameters.default, Seed(11077L + i)))
+    graft.PropertySamples.samples(g, n, 11077L)
 
   private val pks = Map(("public", "t") -> Seq("id"))
 
@@ -60,6 +58,19 @@ class RowKeyProperties extends AnyFunSuite {
         key("INSERT", s"""{"id": "$b.0"}"""),
         s"$a and $b collided")
     }
+  }
+
+  test("degenerate-exponent PKs key identically bare and stringified") {
+    // past the precision/scale guard the key falls back to BigDecimal's
+    // scientific rendering, so the bare float (already scientific via
+    // the exact-decimal parse) and the stringified raw text agree
+    assert(key("INSERT", """{"id": 1e999999}""") ==
+      key("DELETE", """{"id": "1e999999"}"""))
+    assert(key("INSERT", """{"id": 1.0e999999}""") ==
+      key("INSERT", """{"id": "1e999999"}"""))
+    // and distinct degenerate values still key apart
+    assert(key("INSERT", """{"id": 1e999999}""") !=
+      key("INSERT", """{"id": 2e999999}"""))
   }
 
   test("non-numeric and null PKs key consistently without canonicalizing away") {

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Dedup, Similarity}
+import graft.functions.{Dedup, Sampling, Similarity}
 import graft.sources.Tables
 
 /**
@@ -289,6 +289,17 @@ object ProbeIndexed {
       JdbcApplySink.applyPartitioned(applyBatch, applyPks, applySeq,
         () => _ => (), _ => (), numPartitions = 16))).min
 
+    // terminal training-shard shuffle over the WHOLE corpus (text
+    // payload included — the shuffle moves it): ONE hash shuffle + a
+    // per-shard sort, corpus-LINEAR by design (this is the one
+    // deliberately full pass a corpus exit takes; the claim is the
+    // SHAPE — no global sort, no driver term — not sublinearity).
+    // noop-sink, not count(): the optimizer would prune an unreferenced
+    // window below a count (the known count()-pruning trap).
+    val shardShuffleSec = (1 to reps).map(_ => time(
+      Sampling.shardShuffle(docs, col("doc_id"), 64, "probe")
+        .write.format("noop").mode("overwrite").save())).min
+
     val line = s"""{"sf":"$sfDir","reps":$reps,""" +
       s""""ivf_build_sec":$buildIvf,"ivf_probe200_sec":$probeIvf,""" +
       s""""ivf_probe200_flat_sec":$probeIvfFlat,""" +
@@ -314,7 +325,8 @@ object ProbeIndexed {
       s""""state_epoch500_sec":$stateEpochSec,""" +
       s""""state_epoch500_fresh_sec":$stateEpochFreshSec,""" +
       s""""jdbc_apply200k_serial_sec":$applySerial,""" +
-      s""""jdbc_apply200k_parallel16_sec":$applyParallel}"""
+      s""""jdbc_apply200k_parallel16_sec":$applyParallel,""" +
+      s""""shard_shuffle64_sec":$shardShuffleSec}"""
     println(line)
     // persist the artifact (round 7 only printed it, so the amortization
     // and append-cost claims were never machine-checkable round-over-

@@ -293,8 +293,13 @@ object Sampling {
   def shardShuffle(df: DataFrame, keyCol: Column, shards: Int,
                    seed: String): DataFrame = {
     require(shards > 0, s"shards must be positive: $shards")
-    val taken = df.columns.toSet
-      .intersect(Set("shard", "pos", "__h", "__shard"))
+    // case-INSENSITIVE reservation check: withColumn resolves
+    // case-insensitively under the default spark.sql.caseSensitive, so
+    // a caller's "POS" would be silently replaced past an exact-case
+    // guard
+    val reserved = Set("shard", "pos", "__h", "__shard")
+    val taken = df.columns
+      .filter(c => reserved.contains(c.toLowerCase(java.util.Locale.ROOT)))
     require(taken.isEmpty,
       s"shardShuffle emits shard/pos (via __h/__shard): input already has ${taken.mkString(", ")}")
     val keyStr = when(keyCol.isNotNull, keyCol.cast("string"))

@@ -172,14 +172,25 @@ class Round11Properties extends AnyFunSuite {
     val ex = intercept[Exception] {
       Sampling.shardShuffle(withNull, col("doc_id"), 4, "s").collect()
     }
-    assert(ex.getMessage != null)
+    // pin the raise_error message through the wrap chain, so any OTHER
+    // eager failure on this input cannot satisfy the test
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => String.valueOf(t.getMessage))
+      .mkString(" | ")
+    assert(msgs.contains("null shard key"), msgs)
     // an input already carrying shard/pos fails fast, not with a
-    // downstream ambiguous-reference error
+    // downstream ambiguous-reference error — and the guard is
+    // case-insensitive, because withColumn resolves case-insensitively
     val clash = Seq((1L, 0)).toDF("doc_id", "shard")
     val ex2 = intercept[IllegalArgumentException] {
       Sampling.shardShuffle(clash, col("doc_id"), 4, "s")
     }
     assert(ex2.getMessage.contains("shard"))
+    val clashCase = Seq((1L, 0)).toDF("doc_id", "POS")
+    val ex3 = intercept[IllegalArgumentException] {
+      Sampling.shardShuffle(clashCase, col("doc_id"), 4, "s")
+    }
+    assert(ex3.getMessage.contains("POS"))
   }
 
   test("property: shardShuffle == (h, key)-sorted rank within h mod shards") {

@@ -155,6 +155,46 @@ class Round11Properties extends AnyFunSuite {
     }
   }
 
+  // ---- AudioHeader: construct → parse round-trip --------------------
+
+  private val wavGen: Gen[(Int, Int, Int, Array[Byte])] = for {
+    ch <- Gen.choose(1, 8)
+    rate <- Gen.choose(8000, 192000)
+    bits <- Gen.oneOf(8, 16, 24, 32)
+    pLen <- Gen.choose(1, 64)
+    payload <- Gen.listOfN(pLen, Gen.choose(-128, 127).map(_.toByte))
+  } yield (ch, rate, bits, payload.toArray)
+
+  test("property: wavBytes/mp3Bytes → AudioHeader.parse round-trips; prefixes reject") {
+    samples(wavGen, 40).foreach { case (ch, rate, bits, payload) =>
+      val bytes = Multimodal.AudioHeader.wavBytes(ch, rate, bits, payload)
+      val info = Multimodal.AudioHeader.parse(bytes)
+        .getOrElse(fail(s"constructed wav rejected (ch=$ch rate=$rate)"))
+      assert(info.format == "audio/wav")
+      assert(info.channels == ch && info.sampleRate == rate &&
+        info.bitsPerSample == bits)
+      // same two integer divisions as the parser's byteRate→kbps chain
+      assert(info.bitrateKbps == rate * ch * bits / 8 * 8 / 1000)
+      assert(info.headerLen == 64 && info.dataLen == payload.length.toLong)
+      // ANY strict prefix must reject (the declared data size overruns a
+      // cut payload; header cuts leave a half-read chunk) — a prefix
+      // that silently parsed would misreport dataLen
+      Seq(0, 11, 43, 44, 55, 56, 63, 64, bytes.length - 1).foreach { c =>
+        assert(Multimodal.AudioHeader.parse(bytes.take(c)).isEmpty,
+          s"wav prefix $c of ${bytes.length} parsed")
+      }
+      // mp3: fixed-shape builder round-trips its documented constants
+      val mp3 = Multimodal.AudioHeader.mp3Bytes(payload)
+      val mi = Multimodal.AudioHeader.parse(mp3)
+        .getOrElse(fail("constructed mp3 rejected"))
+      assert(mi == Multimodal.AudioHeader.AudioInfo("audio/mpeg", 2,
+        44100, 0, 128, 34, payload.length.toLong))
+      // a non-synchsafe ID3 size byte (high bit set) must reject
+      val bad = mp3.clone(); bad(6) = 0x80.toByte
+      assert(Multimodal.AudioHeader.parse(bad).isEmpty)
+    }
+  }
+
   // ---- shardShuffle vs naive model ----------------------------------
 
   private val shardGen: Gen[(List[Long], Int, String)] = for {

@@ -155,6 +155,67 @@ class Round11Properties extends AnyFunSuite {
     }
   }
 
+  // ---- Checksum chains vs plain-Scala fold models -------------------
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  private val checksumGen: Gen[(List[Long], Int)] = for {
+    n <- Gen.choose(1, 40)
+    ids <- Gen.listOfN(n, Gen.choose(1L, 1000000000L))
+    chunks <- Gen.choose(1, 50) // deliberately NOT dividing evenly
+  } yield (ids.distinct, chunks)
+
+  test("property: ordered/chunked/commutative checksums equal fold models at any chunk count") {
+    import spark.implicits._
+    import graft.operators.Checksum
+    samples(checksumGen, 6).foreach { case (ids, chunks) =>
+      // shuffle the input's physical order: every checksum must be a
+      // pure function of the row SET, not the layout
+      val df = scala.util.Random.shuffle(ids).map(i => (i, s"payload-$i"))
+        .toDF("id", "v").repartition(5)
+      val rows = ids.sorted.map(i => (i, md5hex(s"payload-$i")))
+      // flat chain: fold in id order from ''
+      val wantFlat = rows.foldLeft("") { case (st, (_, h)) => md5hex(st + h) }
+      val gotFlat = Checksum.orderedChecksum(df, col("id"), md5(col("v")))
+        .collect()(0).getString(0)
+      assert(gotFlat == wantFlat)
+      // chunked chain at an arbitrary chunk count: per-chunk fold in id
+      // order, digest fold in chunk order
+      val byChunk = rows.groupBy { case (i, _) =>
+        java.lang.Math.floorMod(graft.functions.Md5Prefix28.eval(
+          org.apache.spark.unsafe.types.UTF8String.fromString(i.toString)),
+          chunks.toLong)
+      }
+      val wantChunked = byChunk.toSeq.sortBy(_._1).map { case (_, rs) =>
+        rs.foldLeft("") { case (st, (_, h)) => md5hex(st + h) }
+      }.foldLeft("")((st, d) => md5hex(st + d))
+      val gotChunked = Checksum.orderedChecksumChunked(
+        df, col("id"), md5(col("v")), numChunks = chunks)
+        .collect()(0).getString(0)
+      assert(gotChunked == wantChunked, s"chunks=$chunks")
+      // commutative triple
+      val wantSum = rows.map { case (_, h) =>
+        java.lang.Long.parseLong(h.substring(0, 5), 16) }.sum
+      val wantXor = rows.map { case (_, h) =>
+        java.lang.Long.parseLong(h.substring(0, 15), 16) }
+        .foldLeft(0L)(_ ^ _)
+      val c = Checksum.commutativeChecksum(df, md5(col("v"))).collect()(0)
+      assert((c.getLong(0), c.getLong(1), c.getLong(2)) ==
+        ((wantSum, wantXor, ids.length.toLong)))
+      // difference sensitivity: one flipped row flips both chains
+      val df2 = df.withColumn("v",
+        when(col("id") === ids.head, lit("payload-FLIPPED"))
+          .otherwise(col("v")))
+      assert(Checksum.orderedChecksum(df2, col("id"), md5(col("v")))
+        .collect()(0).getString(0) != wantFlat)
+      assert(Checksum.orderedChecksumChunked(df2, col("id"), md5(col("v")),
+        numChunks = chunks).collect()(0).getString(0) != wantChunked)
+    }
+  }
+
   // ---- AudioHeader: construct → parse round-trip --------------------
 
   private val wavGen: Gen[(Int, Int, Int, Array[Byte])] = for {

@@ -155,6 +155,35 @@ class Round11Properties extends AnyFunSuite {
     }
   }
 
+  // ---- Catalyst Bloom (decontamination gate): no false negatives ----
+
+  private val bloomGen: Gen[(List[String], List[String], Double)] = for {
+    n <- Gen.choose(1, 300)
+    block <- Gen.listOfN(n, Gen.choose(0L, Long.MaxValue).map(v => s"b$v"))
+    m <- Gen.choose(1, 150)
+    probes <- Gen.listOfN(m, Gen.choose(0L, Long.MaxValue).map(v => s"p$v"))
+    fpp <- Gen.oneOf(0.05, 0.01, 0.001)
+  } yield (block.distinct, probes.distinct, fpp)
+
+  test("property: the Catalyst Bloom never loses a blocklist member at any sizing") {
+    import spark.implicits._
+    var fp = 0L
+    var probes = 0L
+    samples(bloomGen, 8).foreach { case (block, others, fpp) =>
+      val (mBits, k) = graft.functions.Bloom.sizeFor(block.length.toLong, fpp)
+      val flagged = graft.functions.Bloom.flagMembers(
+        (block ++ others).toDF("key"), col("key"),
+        block.toDF("bk"), col("bk"), mBits, k)
+        .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+      // a false NEGATIVE admits contamination — zero tolerance
+      block.foreach(b => assert(flagged(b), s"blocklisted $b not flagged"))
+      others.foreach { o => if (flagged(o)) fp += 1; probes += 1 }
+    }
+    // false positives only cost over-blocking; they must stay near the
+    // sized rate (<= 5% target with slack for small-sample variance)
+    assert(fp <= math.max(5, probes / 8), s"$fp false positives in $probes")
+  }
+
   // ---- Checksum chains vs plain-Scala fold models -------------------
 
   private def md5hex(s: String): String =

@@ -155,6 +155,42 @@ class Round11Properties extends AnyFunSuite {
     }
   }
 
+  // ---- LSN parsing: the replication resume token's order ------------
+
+  private val lsnGen: Gen[(Long, Long)] = for {
+    hi <- Gen.choose(0L, 0xFFFFFFFFL)
+    lo <- Gen.choose(0L, 0xFFFFFFFFL)
+  } yield (hi, lo)
+
+  test("property: lsnToLong == hi*2^32+lo across hex case and zero-padding; garbage is null") {
+    import spark.implicits._
+    import graft.sources.Wal2Json
+    val cases = samples(lsnGen, 60)
+    // rotate through upper/lower/zero-padded renderings of each token
+    val df = cases.zipWithIndex.map { case ((hi, lo), i) =>
+      val form = (i % 3) match {
+        case 0 => f"$hi%X/$lo%X"
+        case 1 => f"$hi%x/$lo%x"
+        case _ => f"$hi%08X/$lo%08x"
+      }
+      (i, form)
+    }.toDF("i", "lsn")
+    val got = df.select(col("i"), Wal2Json.lsnToLong(col("lsn")).as("v"))
+      .collect().map(r => r.getInt(0) -> r.getDecimal(1)).toMap
+    cases.zipWithIndex.foreach { case ((hi, lo), i) =>
+      val want = BigInt(hi) * BigInt(4294967296L) + BigInt(lo)
+      assert(BigInt(got(i).toBigInteger) == want, s"$hi/$lo (form ${i % 3})")
+    }
+    // malformed tokens must read NULL — Spark's conv maps garbage to 0,
+    // which would order a corrupted token as the SMALLEST lsn and make
+    // resume filters silently drop it; null is conservatively kept
+    val bad = Seq("zz/10", "1g/0", "", "10", "123456789/0", "1/",
+      "0x1/2").toDF("lsn")
+    val badVals = bad.select(Wal2Json.lsnToLong(col("lsn")).as("v"))
+      .collect().map(r => r.isNullAt(0))
+    assert(badVals.forall(identity), "a malformed lsn parsed non-null")
+  }
+
   // ---- Catalyst Bloom (decontamination gate): no false negatives ----
 
   private val bloomGen: Gen[(List[String], List[String], Double)] = for {

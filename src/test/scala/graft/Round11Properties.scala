@@ -155,6 +155,42 @@ class Round11Properties extends AnyFunSuite {
     }
   }
 
+  // ---- AsOfJoin vs naive latest-at-or-before model -------------------
+
+  private val asofGen: Gen[(List[(Int, Long)], List[(Int, Long, Long)])] =
+    for {
+      nl <- Gen.choose(1, 40)
+      lefts <- Gen.listOfN(nl,
+        Gen.zip(Gen.choose(1, 5), Gen.choose(0L, 50L)))
+      nr <- Gen.choose(1, 40)
+      rights <- Gen.listOfN(nr,
+        Gen.zip(Gen.choose(1, 5), Gen.choose(0L, 50L), Gen.choose(1L, 999L)))
+    } yield (lefts,
+      // the operator (like the reference's dimension streams) assumes at
+      // most one right row per (key, ts); duplicates would tie the sort
+      rights.groupBy(r => (r._1, r._2)).values.map(_.head).toList)
+
+  test("property: asOfJoin == latest right at-or-before, per key, inclusive at ties") {
+    import spark.implicits._
+    import graft.operators.AsOfJoin
+    samples(asofGen, 8).foreach { case (lefts, rights) =>
+      val l = lefts.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+      val ldf = l.toDF("lid", "k", "ts").repartition(4)
+      val rdf = rights.toDF("k", "rts", "v").repartition(3)
+      val got = AsOfJoin.lastValue(ldf, rdf, Seq("k"), "ts", "rts", "v")
+        .select(col("lid"), col("asof_v"))
+        .collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+                                   else Some(r.getLong(1)))).toMap
+      l.foreach { case (lid, k, t) =>
+        val want = rights.filter(r => r._1 == k && r._2 <= t)
+          .sortBy(_._2).lastOption.map(_._3)
+        assert(got(lid) == want, s"lid=$lid k=$k ts=$t")
+      }
+      assert(got.size == l.size) // every left row exactly once
+    }
+  }
+
   // ---- LSN parsing: the replication resume token's order ------------
 
   private val lsnGen: Gen[(Long, Long)] = for {

@@ -191,6 +191,39 @@ class Round11Properties extends AnyFunSuite {
     }
   }
 
+  // ---- IntervalJoin.binned vs naive pair model ----------------------
+
+  private val intervalGen: Gen[(List[(Int, Long)], List[(Int, Long)],
+    Long, Long)] = for {
+    nl <- Gen.choose(1, 30)
+    lefts <- Gen.listOfN(nl, Gen.zip(Gen.choose(1, 4), Gen.choose(-50L, 50L)))
+    nr <- Gen.choose(1, 30)
+    rights <- Gen.listOfN(nr, Gen.zip(Gen.choose(1, 4), Gen.choose(-50L, 50L)))
+    lo <- Gen.choose(-10L, 10L)
+    span <- Gen.choose(0L, 15L)
+  } yield (lefts, rights, lo, lo + span)
+
+  test("property: binned interval join == naive pair model, incl. negative ts bins") {
+    import spark.implicits._
+    import graft.operators.IntervalJoin
+    samples(intervalGen, 8).foreach { case (lefts, rights, lo, hi) =>
+      val l = lefts.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+      val r = rights.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+      val got = IntervalJoin.binned(
+        l.toDF("lid", "k", "lts").repartition(4),
+        r.toDF("rid", "k", "rts").repartition(3),
+        Seq("k"), "lts", "rts", lo, hi)
+        .select(col("lid"), col("rid"))
+        .collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+      val want = (for {
+        (lid, lk, lt) <- l
+        (rid, rk, rt) <- r
+        if lk == rk && rt >= lt + lo && rt <= lt + hi
+      } yield (lid, rid)).sorted
+      assert(got == want, s"window [$lo,$hi]")
+    }
+  }
+
   // ---- LSN parsing: the replication resume token's order ------------
 
   private val lsnGen: Gen[(Long, Long)] = for {

@@ -155,6 +155,36 @@ class Round11Properties extends AnyFunSuite {
     }
   }
 
+  // ---- TopKAgg merge path vs naive sort model -----------------------
+
+  private val topkGen: Gen[(List[(Long, Int, Double)], Int)] = for {
+    n <- Gen.choose(1, 120)
+    // scores drawn from a SMALL set so duplicate scores are the norm —
+    // tie handling across partial-buffer merges is the classic custom-
+    // aggregate bug site one example spec cannot stress
+    rows <- Gen.listOfN(n, Gen.zip(Gen.choose(1, 6),
+      Gen.choose(0, 9).map(_ * 0.1)))
+    k <- Gen.choose(1, 10)
+  } yield (rows.zipWithIndex.map { case ((g, s), i) =>
+    (i.toLong, g, s) }, k)
+
+  test("property: TopKAgg == naive (score DESC, id ASC) top-k across merge layouts") {
+    import spark.implicits._
+    import graft.functions.TopKAgg
+    samples(topkGen, 8).foreach { case (rows, k) =>
+      val got = rows.toDF("id", "g", "s").repartition(7)
+        .groupBy(col("g")).agg(TopKAgg(col("s"), col("id"), k).as("top"))
+        .collect().map(r => r.getInt(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1).map(e =>
+            (e.getDouble(0), e.getLong(1))).toList).toMap
+      rows.groupBy(_._2).foreach { case (g, members) =>
+        val want = members.map(m => (m._3, m._1))
+          .sortBy { case (s, i) => (-s, i) }.take(k)
+        assert(got(g) == want, s"g=$g k=$k")
+      }
+    }
+  }
+
   // ---- AsOfJoin vs naive latest-at-or-before model -------------------
 
   private val asofGen: Gen[(List[(Int, Long)], List[(Int, Long, Long)])] =

@@ -155,6 +155,44 @@ class Round11Properties extends AnyFunSuite {
     }
   }
 
+  // ---- batch sessionization vs naive gap-split model ----------------
+
+  private val sessGen: Gen[(List[(Long, Long)], Int)] = for {
+    n <- Gen.choose(1, 120)
+    // tight timestamp range so duplicate timestamps and boundary-exact
+    // gaps both occur
+    rows <- Gen.listOfN(n, Gen.zip(Gen.choose(1L, 5L),
+      Gen.choose(0L, 400L).map(_ * 60000000L))) // whole minutes in us
+    gapMin <- Gen.choose(1, 45)
+  } yield (rows, gapMin)
+
+  test("property: byWindows == naive per-user gap split, ties and exact-gap edges included") {
+    import spark.implicits._
+    import graft.streaming.Sessionize
+    samples(sessGen, 8).foreach { case (rows, gapMin) =>
+      val gapUs = gapMin.toLong * 60 * 1000000
+      val got = Sessionize.byWindows(
+        rows.toDF("user_id", "ts_us").repartition(4), gapMin)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      val want = rows.groupBy(_._1).flatMap { case (u, evs) =>
+        val ts = evs.map(_._2).sorted
+        // split where the gap to the previous event EXCEEDS gapUs
+        // (an exactly-gap-sized gap stays in-session)
+        val sessions = ts.tail.foldLeft(List(List(ts.head))) {
+          case (acc @ (cur :: rest), t) =>
+            if (t - cur.head > gapUs) List(t) :: acc
+            else (t :: cur) :: rest
+          case (Nil, t) => List(List(t))
+        }.reverse
+        sessions.zipWithIndex.map { case (s, i) =>
+          (u, (i + 1).toLong) -> (s.length.toLong, s.min, s.max)
+        }
+      }
+      assert(got == want, s"gap=${gapMin}m")
+    }
+  }
+
   // ---- TopKAgg merge path vs naive sort model -----------------------
 
   private val topkGen: Gen[(List[(Long, Int, Double)], Int)] = for {

@@ -1042,8 +1042,11 @@ object Dedup {
 
   /** The distributed fallback for key batches past [[MaxProbeRows]] —
     * the round-10 probe shape (checkpointed keys, distinct-collected
-    * partition filters), semantics identical. */
-  private def dedupAgainstPartitionedWide(
+    * partition filters), semantics identical. `private[graft]` so the
+    * spec can drive it DIRECTLY on a small batch: reaching it through
+    * the public probe needs >[[MaxProbeRows]] band keys (~65k docs),
+    * which would leave the fallback's equivalence untested. */
+  private[graft] def dedupAgainstPartitionedWide(
       spark: org.apache.spark.sql.SparkSession, path: String,
       layout: BandedLayout, newDocs: DataFrame, nSets: DataFrame,
       keysDelta: DataFrame, idCol: String, minJaccard: Double): DataFrame = {

@@ -331,4 +331,40 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_m.tmp")),
       "tmp stage must not survive the rename")
   }
+
+  // --- over-cap wide probe fallback ≡ bounded fast path -----------------
+
+  test("the wide (over-cap) banded probe returns the fast path's exact verdicts") {
+    // the public probe only takes the wide branch past MaxProbeRows
+    // (~65k docs) — drive it directly on a small batch instead, against
+    // the bounded path's verdicts on the SAME index, with and without
+    // append deltas in play
+    val p = Files.createTempDirectory("graft-wide").toString
+    Dedup.buildDedupIndexPartitioned(docs, "doc_id", "text", p)
+    val layout = Dedup.readDedupLayout(spark, p)
+      .getOrElse(fail("banded index lost its layout marker"))
+    val batch = probeBatch.localCheckpoint()
+    def wideVerdicts(): Set[_] = {
+      val nSets = Dedup.shingleSets(batch, "doc_id", "text")
+        .localCheckpoint(false)
+      val deltaDir = new java.io.File(s"$p/keys_delta")
+      val keysDelta =
+        if (deltaDir.exists()) spark.read.parquet(deltaDir.toString)
+        else Dedup.bandKeysFromSets(nSets, "doc_id").limit(0)
+      verdictRows(Dedup.dedupAgainstPartitionedWide(spark, p, layout,
+        batch, nSets, keysDelta, "doc_id", 0.8))
+    }
+    val bounded = verdictRows(
+      Dedup.dedupAgainstIndexed(spark, p, batch, "doc_id", "text", 0.8))
+    assert(wideVerdicts() == bounded, "pre-append")
+    // with a delta in play: append near-dups of the batch, re-compare
+    val appended = batch.limit(40)
+      .select((col("doc_id") + 700000L).as("doc_id"), col("text"))
+    Dedup.appendToDedupIndex(appended, "doc_id", "text", p)
+    val bounded2 = verdictRows(
+      Dedup.dedupAgainstIndexed(spark, p, batch, "doc_id", "text", 0.8))
+    assert(bounded2 != bounded,
+      "the appended near-dups must change the verdicts (sanity)")
+    assert(wideVerdicts() == bounded2, "post-append")
+  }
 }

@@ -991,15 +991,20 @@ object Dedup {
    * cost this shape exists to cut) to save one bounded ~25 MB collect
    * on the rare over-cap batch, which pays a large batch's cost anyway.
    */
-  private def dedupAgainstPartitioned(
+  /** `cap` overrides [[MaxProbeRows]] ONLY in specs: a tiny cap routes a
+    * small batch through the over-cap branches (the wide probe, the
+    * distributed candidate selection), whose equivalence would otherwise
+    * need a ~65k-doc batch to reach. Production callers take the default. */
+  private[graft] def dedupAgainstPartitioned(
       spark: org.apache.spark.sql.SparkSession, path: String,
       layout: BandedLayout, newDocs: DataFrame, idCol: String,
-      textCol: String, minJaccard: Double): DataFrame = {
+      textCol: String, minJaccard: Double,
+      cap: Int = MaxProbeRows): DataFrame = {
     val nSets = shingleSets(newDocs, idCol, textCol).localCheckpoint(false)
     val nKeysDf = bandKeysFromSets(nSets, idCol)
-    val nKeyRows = nKeysDf.limit(MaxProbeRows + 1).collect()
+    val nKeyRows = nKeysDf.limit(cap + 1).collect()
     val keysDelta = deltaOrEmpty(spark, s"$path/keys_delta", nKeysDf)
-    if (nKeyRows.length > MaxProbeRows)
+    if (nKeyRows.length > cap)
       return dedupAgainstPartitionedWide(spark, path, layout, newDocs,
         nSets, keysDelta, idCol, minJaccard)
     import scala.jdk.CollectionConverters._
@@ -1015,11 +1020,11 @@ object Dedup {
       .join(cKeys.select(col(idCol).as("__cid"), col("band"), col("bkey")),
         Seq("band", "bkey"))
       .select(col(idCol), col("__cid")).distinct()
-    val candRows = cand0.limit(MaxProbeRows + 1).collect()
+    val candRows = cand0.limit(cap + 1).collect()
     val setsDelta = deltaOrEmpty(spark, s"$path/sets_delta", nSets)
       .select(col(idCol), col("sset"))
     val (cand, cSets) =
-      if (candRows.length > MaxProbeRows) {
+      if (candRows.length > cap) {
         // candidate explosion (heavily duplicated corpus): distributed
         val c = cand0.localCheckpoint(false)
         val ibs = c.select(idBucket(col("__cid"), layout.setBuckets)

@@ -354,9 +354,18 @@ class Round11OpsSpec extends AnyFunSuite {
       verdictRows(Dedup.dedupAgainstPartitionedWide(spark, p, layout,
         batch, nSets, keysDelta, "doc_id", 0.8))
     }
+    // a tiny cap routes the SAME small batch through the over-cap
+    // branches inside the bounded path: cap=1 trips the key cap (wide
+    // fallback) AND, with a larger cap, the candidate-explosion branch
+    // (distributed sets selection) — all must agree with the default
+    def cappedVerdicts(cap: Int): Set[_] = verdictRows(
+      Dedup.dedupAgainstPartitioned(spark, p, layout, batch,
+        "doc_id", "text", 0.8, cap = cap))
     val bounded = verdictRows(
       Dedup.dedupAgainstIndexed(spark, p, batch, "doc_id", "text", 0.8))
     assert(wideVerdicts() == bounded, "pre-append")
+    Seq(1, 7, 200).foreach(c =>
+      assert(cappedVerdicts(c) == bounded, s"cap=$c pre-append"))
     // with a delta in play: append near-dups of the batch, re-compare
     val appended = batch.limit(40)
       .select((col("doc_id") + 700000L).as("doc_id"), col("text"))
@@ -366,5 +375,22 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(bounded2 != bounded,
       "the appended near-dups must change the verdicts (sanity)")
     assert(wideVerdicts() == bounded2, "post-append")
+    Seq(1, 7, 200).foreach(c =>
+      assert(cappedVerdicts(c) == bounded2, s"cap=$c post-append"))
+    // the candidate-EXPLOSION branch (keys under the cap, candidates
+    // over it) needs candidates > keys: append ten shifted copies of
+    // every batch doc so each band key matches many corpus ids, then
+    // cap exactly at the key count — keys pass, candidates must not
+    (1 to 10).foreach(i => Dedup.appendToDedupIndex(
+      batch.select((col("doc_id") + 800000L + i * 10000L).as("doc_id"),
+        col("text")), "doc_id", "text", p))
+    val nKeyCount = Dedup.bandKeysFromSets(
+      Dedup.shingleSets(batch, "doc_id", "text"), "doc_id").count().toInt
+    val bounded3 = verdictRows(
+      Dedup.dedupAgainstIndexed(spark, p, batch, "doc_id", "text", 0.8))
+    // sanity: this cap really is between the two collects' sizes — the
+    // duplicated corpus yields > 11 candidates per batch doc vs 4 keys
+    assert(cappedVerdicts(nKeyCount) == bounded3,
+      s"candidate-explosion branch at cap=$nKeyCount")
   }
 }

@@ -115,15 +115,15 @@ private[graft] object KeySummaries {
     * rendering cannot drift between the write side and the probe side
     * (integral keys render via the same cast both ways). */
   def cappedDistinct(keys: org.apache.spark.sql.DataFrame,
-                     alreadyDistinct: Boolean = false)
-      : Option[Array[String]] = {
+                     alreadyDistinct: Boolean = false,
+                     cap: Int = MaxKeys): Option[Array[String]] = {
     import org.apache.spark.sql.functions.col
     val base = keys.toDF("__k").select(col("__k").cast("string"))
     // skip the distinct SHUFFLE when the caller's frame is key-unique by
     // construction (a groupBy output) — this runs per streaming epoch
     val sample = (if (alreadyDistinct) base else base.distinct())
-      .limit(MaxKeys + 1).collect().map(_.getString(0))
-    if (sample.length > MaxKeys) None else Some(sample)
+      .limit(cap + 1).collect().map(_.getString(0))
+    if (sample.length > cap) None else Some(sample)
   }
 
   /** Build + write the summary for `keys` at `p` when the key set is

@@ -317,11 +317,18 @@ object StreamOps {
   private[graft] def keySummaryPath(statePath: String, epoch: Long) =
     new org.apache.hadoop.fs.Path(s"$statePath/keysum/batch=$epoch")
 
+  /** `summaryCap` overrides [[KeySummaries.MaxKeys]] ONLY in specs: a
+    * cap of 1 routes a small batch through the over-cap degrade (no
+    * pruning, full state scan, no summary written for the epoch), which
+    * would otherwise need a ~65k-doc batch to reach. Production callers
+    * take the default. */
   private[graft] def dedupEpoch(batch: DataFrame, batchId: Long,
                                 statePath: String,
                                 idCol: String, textCol: String,
                                 minJaccard: Double,
-                                wantBanded: Boolean = true): DataFrame = {
+                                wantBanded: Boolean = true,
+                                summaryCap: Int = KeySummaries.MaxKeys)
+      : DataFrame = {
     val spark = batch.sparkSession
     val fs = new org.apache.hadoop.fs.Path(statePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -379,7 +386,8 @@ object StreamOps {
     // collect cap degrades to the full scan — never to a missed
     // candidate.
     val batchKeys: Option[Array[String]] =
-      KeySummaries.cappedDistinct(repKeys.select(col("bkey")))
+      KeySummaries.cappedDistinct(repKeys.select(col("bkey")),
+        cap = summaryCap)
     val candidateEpochs: Option[Seq[Long]] = batchKeys.map(ks =>
       KeySummaries.pruneEpochs(fs,
         listStateEpochs(fs, keysPath).filter(_ != batchId), ks,

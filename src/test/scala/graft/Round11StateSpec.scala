@@ -517,4 +517,40 @@ class Round11StateSpec extends AnyFunSuite {
     assert(KeySummaries.readCached(fs, q).nonEmpty,
       "appeared file not re-read past the cached None")
   }
+
+  test("an over-cap batch degrades to the full scan with identical admissions") {
+    // the spec-only summaryCap routes a SMALL batch through the over-cap
+    // branch (reaching it for real needs >262k band keys): no pruning,
+    // no summary written — and admissions must not move at all
+    val stA = Files.createTempDirectory("graft-capA").toString
+    val stB = Files.createTempDirectory("graft-capB").toString
+    val seed = corpusDocs(40).localCheckpoint()
+    def run(st: String, cap: Option[Int]): Seq[Set[Long]] = {
+      val e0 = {
+        val b = seed
+        StreamOps.dedupEpoch(b, 0L, st, "doc_id", "text", 0.6,
+          summaryCap = cap.getOrElse(KeySummaries.MaxKeys))
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+      }
+      // epoch 1 probes near-dups of the corpus + fresh docs; its reads
+      // differ (pruned vs full) but its admissions must not
+      val e1 = {
+        val b = probeBatch(1 to 10, 10, 500000L).localCheckpoint()
+        val r = StreamOps.dedupEpoch(b, 1L, st, "doc_id", "text", 0.6)
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        b.unpersist(); r
+      }
+      Seq(e0, e1)
+    }
+    val a = run(stA, None)          // default cap: epoch 0 summarized
+    val b = run(stB, Some(1))       // over-cap epoch 0: degrade
+    assert(a == b, "over-cap degrade changed admissions")
+    assert(new java.io.File(s"$stA/keysum/batch=0").exists(),
+      "default-cap epoch must write its summary")
+    assert(!new java.io.File(s"$stB/keysum/batch=0").exists(),
+      "over-cap epoch must write NO summary (absent = always-read)")
+    // the degraded state keeps working: epoch 1 wrote ITS summary and a
+    // later no-candidate batch still prunes everything it can
+    assert(new java.io.File(s"$stB/keysum/batch=1").exists())
+  }
 }

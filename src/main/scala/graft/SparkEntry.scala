@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.model.ChangesetSchema
-import graft.functions.{Bloom, Dedup, Md5Prefix28, Multimodal, Packing, Sampling, Similarity, TextClean, TextFns}
+import graft.functions.{Bloom, Dedup, DeflateLen, Md5Prefix28, Multimodal, Packing, Sampling, Similarity, TextClean, TextFns}
 import graft.operators.{AsOfJoin, Checksum, Materializer, Pipeline, Stages, TableFilters, TimeSeries}
 import graft.sources.{Changelog, Replay, Tables}
 
@@ -488,6 +488,18 @@ object SparkEntry {
         TextFns.stopwordRatio(col("text"), TextFns.EnStop).as("stop_ratio"),
         TextFns.qualityScore(col("text")).as("quality"))
         ),
+
+    // Compression-ratio quality signal: zlib deflate length over byte
+    // length (low-entropy/templated docs compress far below prose) via
+    // the native DeflateLen expression. No SQL engine exposes zlib →
+    // rows-only contract by design (the driver's weaker check); the
+    // value's determinism and ordering are spec-pinned instead
+    "text_compress_ratio" -> ((s, dir) =>
+      documents(s, dir).select(col("doc_id"),
+        octet_length(col("text")).as("n_bytes"),
+        DeflateLen(col("text")).as("deflate_len"))
+        .withColumn("ratio", round(
+          col("deflate_len").cast("double") / col("n_bytes"), 4))),
 
     // Token counting: whitespace + BPE-ish regex + distinct ratio
     "text_tokens" -> ((s, dir) =>

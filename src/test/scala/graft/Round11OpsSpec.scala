@@ -332,6 +332,45 @@ class Round11OpsSpec extends AnyFunSuite {
       "tmp stage must not survive the rename")
   }
 
+  // --- DeflateLen: the compression-ratio quality signal -----------------
+
+  test("DeflateLen: codegen == static eval, repetition compresses, layout-stable") {
+    import spark.implicits._
+    import graft.functions.DeflateLen
+    val repetitive = "spam ham " * 200
+    val diverse = (1 to 200).map(i => s"w${i}x${i * 7 % 97}").mkString(" ")
+    val rows = Seq((1L, repetitive), (2L, diverse), (3L, ""),
+      (4L, "é" * 50 + "ß" * 50), (5L, null))
+    def run(parts: Int) = rows.toDF("id", "t").repartition(parts)
+      .select(col("id"), DeflateLen(col("t")).as("n"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    val got = run(1)
+    // the SparkTestSession runs CODEGEN_ONLY, so the column path IS the
+    // generated code — it must agree with the static eval
+    rows.filter(_._2 != null).foreach { case (id, t) =>
+      assert(got(id).contains(DeflateLen.eval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t))),
+        s"codegen/static divergence on id=$id")
+    }
+    assert(got(5L).isEmpty, "null input must stay null")
+    // the signal: equal-length repetitive text compresses far below
+    // diverse text (the reason the operator exists)
+    val (repLen, divLen) = (got(1L).get, got(2L).get)
+    assert(repLen * 5 < divLen,
+      s"repetitive $repLen not << diverse $divLen")
+    // layout independence (pure function of the value)
+    assert(run(7) == got)
+    // multi-byte UTF-8 deflates over BYTES (output may exceed the
+    // char count but not the byte count + overhead)
+    assert(got(4L).get > 0 && got(4L).get < 200 + 64)
+    // wrong input type is an analysis-time error, not a runtime one
+    val ex = intercept[Exception] {
+      Seq(1L).toDF("x").select(DeflateLen(col("x"))).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("string"))
+  }
+
   // --- over-cap wide probe fallback ≡ bounded fast path -----------------
 
   test("the wide (over-cap) banded probe returns the fast path's exact verdicts") {

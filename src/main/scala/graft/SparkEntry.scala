@@ -498,8 +498,11 @@ object SparkEntry {
       documents(s, dir).select(col("doc_id"),
         octet_length(col("text")).as("n_bytes"),
         DeflateLen(col("text")).as("deflate_len"))
-        .withColumn("ratio", round(
-          col("deflate_len").cast("double") / col("n_bytes"), 4))),
+        // empty doc → null ratio, not an ANSI divide-by-zero killing
+        // the dump (the house zero-guard discipline)
+        .withColumn("ratio", when(col("n_bytes") === 0, lit(null))
+          .otherwise(round(
+            col("deflate_len").cast("double") / col("n_bytes"), 4)))),
 
     // Token counting: whitespace + BPE-ish regex + distinct ratio
     "text_tokens" -> ((s, dir) =>

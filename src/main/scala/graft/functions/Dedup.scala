@@ -990,11 +990,12 @@ object Dedup {
    * first would add a job to EVERY small probe (the measured fixed
    * cost this shape exists to cut) to save one bounded ~25 MB collect
    * on the rare over-cap batch, which pays a large batch's cost anyway.
+   *
+   * `cap` overrides [[MaxProbeRows]] ONLY in specs: a tiny cap routes a
+   * small batch through the over-cap branches (the wide probe, the
+   * distributed candidate selection), whose equivalence would otherwise
+   * need a ~65k-doc batch to reach. Production callers take the default.
    */
-  /** `cap` overrides [[MaxProbeRows]] ONLY in specs: a tiny cap routes a
-    * small batch through the over-cap branches (the wide probe, the
-    * distributed candidate selection), whose equivalence would otherwise
-    * need a ~65k-doc batch to reach. Production callers take the default. */
   private[graft] def dedupAgainstPartitioned(
       spark: org.apache.spark.sql.SparkSession, path: String,
       layout: BandedLayout, newDocs: DataFrame, idCol: String,

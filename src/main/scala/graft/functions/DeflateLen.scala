@@ -55,22 +55,26 @@ case class DeflateLen(child: Expression) extends UnaryExpression {
 object DeflateLen {
   // raw deflate (nowrap) at the default level: no zlib header/checksum
   // bytes polluting tiny inputs; reset() re-arms the native stream far
-  // cheaper than constructing one per row
+  // cheaper than constructing one per row. The sink buffer pools with
+  // it — the output BYTES are discarded (only the count is kept), so a
+  // per-row 8 KB allocation would be pure GC pressure on the hot path.
   private val deflaters = ThreadLocal.withInitial(
-    new java.util.function.Supplier[java.util.zip.Deflater] {
-      override def get(): java.util.zip.Deflater =
-        new java.util.zip.Deflater(6, true)
+    new java.util.function.Supplier[(java.util.zip.Deflater, Array[Byte])] {
+      override def get(): (java.util.zip.Deflater, Array[Byte]) =
+        (new java.util.zip.Deflater(6, true), new Array[Byte](8192))
     })
 
   def eval(s: UTF8String): Int = {
-    val d = deflaters.get()
+    val (d, buf) = deflaters.get()
     d.reset()
     d.setInput(s.getBytes)
     d.finish()
-    val buf = new Array[Byte](8192)
-    var total = 0
+    // Long accumulator: DEFLATE expands incompressible input ~5B/64KB
+    // block, so a near-2GiB value could overflow an Int counter; clamp
+    // (it is a SIGNAL, and at that magnitude the clamp is exact enough)
+    var total = 0L
     while (!d.finished()) total += d.deflate(buf)
-    total
+    math.min(total, Int.MaxValue.toLong).toInt
   }
 
   def apply(c: Column): Column =

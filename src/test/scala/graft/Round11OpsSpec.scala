@@ -425,10 +425,17 @@ class Round11OpsSpec extends AnyFunSuite {
         col("text")), "doc_id", "text", p))
     val nKeyCount = Dedup.bandKeysFromSets(
       Dedup.shingleSets(batch, "doc_id", "text"), "doc_id").count().toInt
+    // PROVE the cap sits between the two collects (don't just comment
+    // it): keys pass at exactly nKeyCount, and candidates exceed it
+    // because every batch doc matches its >= 10 identical-text copies —
+    // if band arithmetic ever drifts, this fires instead of the test
+    // silently re-testing the fast path
+    val batchDocs = batch.count()
+    assert(10L * batchDocs > nKeyCount,
+      s"corpus duplication (10 x $batchDocs docs) no longer guarantees " +
+        s"candidates exceed the key cap ($nKeyCount)")
     val bounded3 = verdictRows(
       Dedup.dedupAgainstIndexed(spark, p, batch, "doc_id", "text", 0.8))
-    // sanity: this cap really is between the two collects' sizes — the
-    // duplicated corpus yields > 11 candidates per batch doc vs 4 keys
     assert(cappedVerdicts(nKeyCount) == bounded3,
       s"candidate-explosion branch at cap=$nKeyCount")
   }

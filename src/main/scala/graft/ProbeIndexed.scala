@@ -208,8 +208,11 @@ object ProbeIndexed {
     val statePath = s"$tmp/dedup_state"
     val stateBuild = time(StreamOps.nearDupStateBootstrap(
       docs, statePath, "doc_id", "text"))
-    val stateEpochs = new java.io.File(s"$statePath/keysum").listFiles()
-      .count(_.getName.startsWith("batch="))
+    // keysum only exists when at least one bootstrap epoch was under the
+    // summary cap — every-epoch-over-cap leaves no dir, hence the guard
+    val stateEpochs = Option(
+      new java.io.File(s"$statePath/keysum").listFiles())
+      .fold(0)(_.count(_.getName.startsWith("batch=")))
     def stateBatch(r: Int, withDups: Boolean): org.apache.spark.sql.DataFrame = {
       val w = graft.functions.TextFns.words(col("text"))
       val dups = docs.orderBy(col("doc_id")).limit(250)

@@ -866,7 +866,11 @@ object Dedup {
         // resume: the marker must record the width the crashed attempt
         // actually wrote (bp = 'x' + that many hex chars)
         val w = spark.read.parquet(s"$path/keys")
-          .select(length(col("bp"))).head.getInt(0) - 1
+          .select(length(col("bp"))).limit(1).collect().headOption
+          .map(_.getInt(0) - 1)
+          .getOrElse(throw new IllegalStateException(
+            s"half-migrated keys table at $path/keys is banded but empty " +
+              "— its bp width cannot be recovered; rebuild the index"))
         require(w == 1 || w == 2,
           s"half-migrated keys at $path carry bp width $w")
         w

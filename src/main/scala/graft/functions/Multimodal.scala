@@ -482,6 +482,14 @@ object Multimodal {
    * can predict them; version-1 boxes for every 3rd id (the 64-bit
    * field layout); every 7th id stays bare text/plain for the
    * no-container fallback. The text lands as the `mdat` payload.
+   *
+   * The text/plain arm REJECTS (loudly) a payload whose raw UTF-8
+   * bytes themselves parse as MP4 — [[decodeVideoFeatures]] sniffs
+   * actual bytes, so adversarial text carrying a structurally valid
+   * `ftyp`+`moov` walk would decode as video/mp4 and silently diverge
+   * from any oracle that predicts the fallback by id. (NULs and ASCII
+   * are valid UTF-8, so such text is constructible; real prose never
+   * is — see MultimodalSpec.)
    */
   def asVideoMedia(spark: SparkSession, df: DataFrame, idCol: String,
                    textCol: String): DataFrame = {
@@ -491,7 +499,15 @@ object Multimodal {
         val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         val l = payload.length
         val (kind, content) =
-          if (id % 7 == 0) ("text/plain", payload)
+          if (id % 7 == 0) {
+            if (VideoHeader.parse(payload).isDefined)
+              throw new IllegalArgumentException(
+                s"asVideoMedia: doc $id is a text/plain fallback row but " +
+                  "its bytes parse as an MP4 container — it would decode " +
+                  "as video/mp4 and break the by-id fallback contract; " +
+                  "exclude or rewrite this document")
+            ("text/plain", payload)
+          }
           else {
             // v1 also when the duration outgrows a v0 box's 32-bit field
             // (≈43 MB of text at 100 units/byte) — mp4Bytes refuses to
@@ -548,6 +564,13 @@ object Multimodal {
    * oracle can predict them) or MP3 (every 3rd id, fixed 128 kbps/44100
    * stereo frame); every 7th id stays bare text/plain for the no-container
    * fallback.
+   *
+   * Like [[asVideoMedia]], the text/plain arm rejects a payload whose
+   * raw bytes parse as WAV (a text starting `RIFF....WAVE` with valid
+   * chunk sizes is constructible in UTF-8); MP3 sync needs 0xFF bytes
+   * no UTF-8 encoding emits, so only the WAV shape can collide.
+   * ([[asImageMedia]] needs no guard: the PNG signature's 0x89 lead
+   * byte and JPEG's 0xFF D8 SOI are both unencodable as UTF-8 text.)
    */
   def asAudioMedia(spark: SparkSession, df: DataFrame, idCol: String,
                    textCol: String): DataFrame = {
@@ -556,7 +579,15 @@ object Multimodal {
       .map { case (id, text) =>
         val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         val (kind, content) =
-          if (id % 7 == 0) ("text/plain", payload)
+          if (id % 7 == 0) {
+            if (AudioHeader.parse(payload).isDefined)
+              throw new IllegalArgumentException(
+                s"asAudioMedia: doc $id is a text/plain fallback row but " +
+                  "its bytes parse as an audio container — it would decode " +
+                  "as audio and break the by-id fallback contract; " +
+                  "exclude or rewrite this document")
+            ("text/plain", payload)
+          }
           else if (id % 3 == 0) ("audio/mpeg", AudioHeader.mp3Bytes(payload))
           else ("audio/wav", AudioHeader.wavBytes(
             1 + (payload.length % 2),

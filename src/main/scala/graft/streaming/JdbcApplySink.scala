@@ -235,7 +235,13 @@ object JdbcApplySink {
    * CAVEATS (why serial stays the default): cross-KEY and cross-TABLE
    * statement order is not preserved, so targets with enforced foreign
    * keys, triggers reading other rows, or audit mirrors that must see
-   * the exact global stream belong on the serial path. Sequence sync
+   * the exact global stream belong on the serial path. PK-CHANGING
+   * UPDATEs belong there too: [[rowKey]] keys an UPDATE by the NEW
+   * payload's PK values, so an UPDATE that moves a row to a new PK is
+   * ordered independently of earlier statements that touched the same
+   * physical row under its OLD key — a same-row (not just cross-key)
+   * reordering. Streams whose UPDATEs never rewrite PKs (the common
+   * CDC shape) are unaffected. Sequence sync
    * stays global and last: per-partition high-water marks reduce
    * driver-side to ONE setval per sequence at the batch max, through
    * `seqExec` (a per-partition setval could regress the sequence —

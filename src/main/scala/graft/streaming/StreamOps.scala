@@ -692,12 +692,15 @@ object StreamOps {
    *    the dedup state's keys pruning);
    *  - `promoted/batch=N`: the hashes that crossed `minDocs` at N.
    *
-   * Replay idempotence mirrors [[dedupEpoch]]: the strip excludes
-   * epoch N's own `promoted` partition, the threshold check excludes
-   * its own `counts`, and all three writes are per-epoch overwrites —
-   * a replayed epoch recomputes exactly its first attempt. Returns the
-   * stripped batch (checkpointed — it feeds the counting pass and the
-   * rest of the pipeline). `docs` must already be id-unique.
+   * Replay idempotence mirrors [[dedupEpoch]], but STRICTER: the strip
+   * and the threshold check read only strictly-EARLIER epochs
+   * (`batch < N`, not merely excluding N's own partitions), and all
+   * three writes are per-epoch overwrites — so a replayed epoch N
+   * recomputes exactly its first attempt even when higher-id epochs
+   * have committed since (no dependence on any disjointness argument
+   * between batches' promotion sets). Returns the stripped batch
+   * (checkpointed — it feeds the counting pass and the rest of the
+   * pipeline). `docs` must already be id-unique.
    */
   private[graft] def lineStateEpoch(docs: DataFrame, batchId: Long,
                                     lineStatePath: String, idCol: String,
@@ -718,10 +721,14 @@ object StreamOps {
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         schema.add("batch", LongType))
-    // strip against frozen ∪ promoted-before-now (own epoch excluded
-    // for replay identity)
+    // strip against frozen ∪ promoted-before-now: STRICTLY earlier
+    // epochs only (batch < batchId, not just != batchId) — this is the
+    // stated promotion-at-N-strips-only-LATER contract, and it makes a
+    // replayed epoch N see exactly its first attempt's view even when
+    // higher-id epochs have since committed (an id-N rerun beside a
+    // persisted epoch N+1 must not strip against "future" promotions)
     val promoted = tableOrEmpty(s"$lineStatePath/promoted", lkSchema)
-      .filter(col("batch") =!= batchId).select(col("__lk"))
+      .filter(col("batch") < batchId).select(col("__lk"))
     val keys = frozenKeys.fold(promoted)(fk =>
       fk.select(col("__lk")).unionByName(promoted))
     val stripped = Dedup.stripLinesByKeys(docs, keys, idCol, textCol)
@@ -740,7 +747,7 @@ object StreamOps {
     val prior = lks match {
       case Some(ks) =>
         val eps = KeySummaries.pruneEpochs(fs,
-          listStateEpochs(fs, countsRoot).filter(_ != batchId), ks,
+          listStateEpochs(fs, countsRoot).filter(_ < batchId), ks,
           m => new org.apache.hadoop.fs.Path(
             s"$lineStatePath/linesum/batch=$m"))
         val dirs = eps.map(m => s"$countsRoot/batch=$m")
@@ -753,7 +760,7 @@ object StreamOps {
           .parquet(dirs: _*)
       case None => // over-cap batch: conservative full scan
         tableOrEmpty(countsRoot, lkSchema.add("__nd", LongType))
-          .filter(col("batch") =!= batchId)
+          .filter(col("batch") < batchId)
     }
     val priorAgg = prior.groupBy(col("__lk"))
       .agg(sum(col("__nd")).as("__ndp"))

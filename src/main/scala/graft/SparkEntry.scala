@@ -491,18 +491,37 @@ object SparkEntry {
 
     // Compression-ratio quality signal: zlib deflate length over byte
     // length (low-entropy/templated docs compress far below prose) via
-    // the native DeflateLen expression. No SQL engine exposes zlib →
-    // rows-only contract by design (the driver's weaker check); the
-    // value's determinism and ordering are spec-pinned instead
-    "text_compress_ratio" -> ((s, dir) =>
-      documents(s, dir).select(col("doc_id"),
-        octet_length(col("text")).as("n_bytes"),
-        DeflateLen(col("text")).as("deflate_len"))
-        // empty doc → null ratio, not an ANSI divide-by-zero killing
-        // the dump (the house zero-guard discipline)
-        .withColumn("ratio", when(col("n_bytes") === 0, lit(null))
-          .otherwise(round(
-            col("deflate_len").cast("double") / col("n_bytes"), 4)))),
+    // the native DeflateLen expression. No SQL engine exposes zlib, so
+    // the contract row is SELF-VERIFYING (the sketch_approx_distinct
+    // device): instead of the unportable raw length it emits exact
+    // checkable invariants the oracle pins as literals —
+    //   deflate_bounded: 1 <= deflate_len, >= n/2064 (DEFLATE's ~1032:1
+    //     ratio ceiling, one >=1-bit symbol per <=258-byte match, with
+    //     2x slack), <= n + n/256 + 64 (dominates zlib's deflateBound
+    //     n + n>>12 + n>>14 + n>>25 + 13 for every n);
+    //   sep_ok: corpus-level covariance of the ratio with the
+    //     distinct-word ratio > 0.002 — repetitive docs MUST compress
+    //     better (measured ~0.018-0.020 with corr ~0.96 at sf0.001/
+    //     0.01/0.1: ~9x headroom). One scalar aggregate, broadcast back.
+    // The raw length/ratio stay library-surface (spec-pinned).
+    "text_compress_ratio" -> ((s, dir) => {
+      val d = documents(s, dir).select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        DeflateLen(col("text")).as("__dl"),
+        size(TextFns.words(col("text"))).as("__nw"),
+        size(array_distinct(TextFns.words(col("text")))).as("__ndw"))
+      val bounded = when(col("n_bytes") === 0, col("__dl").between(1, 16))
+        .otherwise(col("__dl") >= greatest(lit(1L),
+          floor(col("n_bytes") / 2064).cast("long")) &&
+          col("__dl") <= col("n_bytes") +
+            floor(col("n_bytes") / 256).cast("long") + 64)
+      val sep = d.filter(col("n_bytes") > 0 && col("__nw") > 0)
+        .agg((covar_pop(col("__ndw").cast("double") / col("__nw"),
+          col("__dl").cast("double") / col("n_bytes")) > 0.002).as("sep_ok"))
+      d.select(col("doc_id"), col("n_bytes"),
+        bounded.as("deflate_bounded"))
+        .crossJoin(broadcast(sep))
+    }),
 
     // Token counting: whitespace + BPE-ish regex + distinct ratio
     "text_tokens" -> ((s, dir) =>
@@ -1993,6 +2012,15 @@ object SparkEntry {
         s"CAST(len(regexp_extract_all(text, '${TextFns.TokenPattern}')) AS INTEGER) AS re_tokens, " +
         "CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) " +
         "/ len(string_split(text, ' ')) AS distinct_ratio " +
+        "FROM documents ORDER BY doc_id"),
+
+    "text_compress_ratio" ->
+      // the self-verifying contract: n_bytes is exact; the two booleans
+      // are literals the engine must reproduce by actually satisfying
+      // the deflate bounds and the repetitive-compresses-better
+      // covariance check (hash mismatch on any violated row)
+      ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
+        "true AS deflate_bounded, true AS sep_ok " +
         "FROM documents ORDER BY doc_id"),
 
     "text_bm25" ->

@@ -27,8 +27,10 @@ import org.apache.spark.unsafe.types.UTF8String
  * output bytes — hence the length — are a pure function of the input,
  * stable across partitions, layouts, and replays. The length is NOT
  * portable across zlib builds, so it is a SIGNAL column (thresholds,
- * ranking), not an exchange format; no DuckDB oracle exists and the
- * contract row is rows-only by design.
+ * ranking), not an exchange format; the `text_compress_ratio` contract
+ * row is therefore SELF-VERIFYING — it hashes exact invariants (the
+ * deflate-bound window, the repetitive-compresses-better covariance)
+ * the oracle pins as literals, not the raw length.
  */
 case class DeflateLen(child: Expression) extends UnaryExpression {
   override def dataType: DataType = IntegerType

@@ -91,6 +91,19 @@ class Round12OpsSpec extends AnyFunSuite {
       s"wrong failure: ${messages(ex).mkString(" | ")}")
   }
 
+  test("text_compress_ratio: self-verifying invariants hold at sf0.001") {
+    val out = SparkEntry.queries("text_compress_ratio")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.length == 500)
+    assert(out.forall(_.getBoolean(2)), "deflate bound violated")
+    assert(out.forall(_.getBoolean(3)), "separation covariance violated")
+    // and the exact column really is the byte length
+    val nb = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), octet_length(col("text")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.forall(r => nb(r.getLong(0)) == r.getLong(1)))
+  }
+
   test("migrate resume on an EMPTY half-migrated keys table fails loudly") {
     val path = Files.createTempDirectory("graft-r12-mig").toString + "/idx"
     val corpus = (1L to 6L).map(i =>

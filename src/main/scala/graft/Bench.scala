@@ -14,6 +14,29 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // CLOSING mode (round-12 verdict task 1): the round-11 close shipped
+    // a capture taken at loadavg 3.98 on which the cross-run gate FAILED
+    // — contention reads, adjudicated only by a judge-side idle
+    // re-measure after the fact. A capture meant to become the round
+    // artifact now refuses to even START on a busy machine, so the
+    // protocol slip (committing a contended close) is impossible rather
+    // than merely detectable. Opt-in (SPARK_GRAFT_BENCH_CLOSING=1)
+    // because the DRIVER's per-round capture runs under load it does not
+    // control and must still produce an artifact; the closing flag is
+    // recorded in the JSON so tools/check_bench.py can hold a "closing"
+    // capture to the idle threshold it promised.
+    val closing = sys.env.get("SPARK_GRAFT_BENCH_CLOSING")
+      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
+    val maxLoad = sys.env.get("SPARK_GRAFT_BENCH_MAX_LOAD")
+      .flatMap(_.toDoubleOption).getOrElse(1.5)
+    val load0 = loadavg()
+    if (closing && load0 > maxLoad) {
+      System.err.println(
+        f"[bench] CLOSING capture refused: 1-min loadavg $load0%.2f > " +
+          f"$maxLoad%.2f - wait for idle or override " +
+          "SPARK_GRAFT_BENCH_MAX_LOAD")
+      sys.exit(3)
+    }
     // default 1× cores; override to audit higher parallelism (AQE
     // coalesces the excess, so 4× cores mainly tests skew masking)
     val shufflePartitions = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
@@ -139,7 +162,7 @@ object Bench {
     // stale re-measure from a previous round can never silently clear
     // this round's degradation gate
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"ts":"$ts","sha":"$sha","loadavg":[$loadStart,$loadEnd],"queries":$qs,"spread":$spread,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"ts":"$ts","sha":"$sha","closing":$closing,"loadavg":[$loadStart,$loadEnd],"queries":$qs,"spread":$spread,"errors":$errJson,"sf":"$sfDir"}"""
     // short summary trailer printed BOTH before and after the full line:
     // the driver's capture window is a bounded log tail whose edges are
     // unpredictable from in here — round 7's single after-trailer was cut

@@ -119,32 +119,36 @@ object ProbeIndexed {
     val recallKm = recall(Similarity.ivfKnnJoinIndexed(spark, kmPath,
       probes, "vec_id", "embedding", "cell", k = 5, nProbe = 2))
 
-    // incremental maintenance: appending a FIXED 200-vector batch =
-    // a batch-sized lists write PLUS one column-pruned O(n·d) scan of the
-    // lists for the exact centers recompute — the write costs the batch,
-    // the refresh is the corpus-proportional term (much smaller constant
-    // than a rebuild, but linear in n); the refresh is re-measured alone
-    // so that term is visible in the artifact rather than hidden in a
-    // "costs the batch" total
+    // incremental maintenance: appending a FIXED 200-vector batch. The
+    // probe batch's ids are monotone (above the corpus max), so since
+    // round 12 the append continues the stored per-(cell, chunk) csums
+    // fold — O(batch + cells×chunks), NOT O(corpus): the former
+    // corpus-proportional centers recompute only runs on the fallback
+    // (interleaved ids / legacy index). The incremental flag is recorded
+    // so the artifact proves WHICH path the timing measured.
     val ivfBatch = emb.orderBy(col("vec_id").desc).limit(200)
       .select((col("vec_id") + 90000000L).as("vec_id"), col("embedding"),
         col("label"))
       .localCheckpoint()
-    val appendIvf = time(Similarity.appendToIvfIndex(spark, ivfPath,
-      ivfBatch, "vec_id", "embedding", "label", dims = 64))
-    // the refresh alone (idempotent — same lists, same centers): the
-    // corpus-proportional half of the append above
+    var appendIvfFast = false
+    val appendIvf = time { appendIvfFast = Similarity.appendToIvfIndex(
+      spark, ivfPath, ivfBatch, "vec_id", "embedding", "label", dims = 64) }
+    // the full centers recompute alone (idempotent — same lists, same
+    // centers): the REPAIR/fallback path's corpus-proportional cost,
+    // kept visible so the incremental win above is measured against it
     val refreshIvf = time(Similarity.refreshIvfCenters(spark, ivfPath,
       "vec_id", "embedding", "label", dims = 64))
 
     // assignment-only append to the k-means index: the batch arrives
     // UNLABELED and quantizes to the stored centers (one batch ×
-    // broadcast(K) scoring step), then the same lists-write + refresh
+    // broadcast(K) scoring step), then the same lists-write + csums fold
     val kmBatch = emb.orderBy(col("vec_id").desc).limit(200)
       .select((col("vec_id") + 91000000L).as("vec_id"), col("embedding"))
       .localCheckpoint()
-    val appendAssigned = time(Similarity.appendToIvfIndexAssigned(
-      spark, kmPath, kmBatch, "vec_id", "embedding", dims = 64))
+    var appendAssignedFast = false
+    val appendAssigned = time { appendAssignedFast =
+      Similarity.appendToIvfIndexAssigned(
+        spark, kmPath, kmBatch, "vec_id", "embedding", dims = 64) }
 
     val docs = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
@@ -244,6 +248,34 @@ object ProbeIndexed {
         "doc_id", "text", 0.8).count())
       b.unpersist(); t
     }).min
+    // round-12 verdict task 5: the steady-epoch cost AFTER grouped
+    // compaction — the 100x gap between steady (5.10s) and fresh (1.89s)
+    // was candidate-epoch reads across the 9+ accumulated epochs, which
+    // compactStateGrouped exists to bound by folding them into capped
+    // groups. regroup = true also merges prior consolidations, so the
+    // epochs the dup arm above accumulated (bootstrap + 2*reps) fold to
+    // the fewest summarized groups the cap admits. Measured with the
+    // same dup-shaped batch (candidates ARE read); the gate is
+    // postcompact <= ~2x the fresh floor (tools/check_probe.py).
+    val stateCompactSec = time(
+      StreamOps.compactStateGrouped(spark, statePath, regroup = true))
+    def statePostBatch(r: Int): org.apache.spark.sql.DataFrame = {
+      val w = graft.functions.TextFns.words(col("text"))
+      val dups = docs.orderBy(col("doc_id")).limit(250)
+        .select((col("doc_id") + 84000000L + r * 1000000L).as("doc_id"),
+          concat(col("text"), lit(s" zz${r}p")).as("text"))
+      val fresh = docs.orderBy(col("doc_id").desc).limit(250)
+        .select((col("doc_id") + 82000000L + r * 1000000L).as("doc_id"),
+          array_join(transform(w, x => concat(lit(s"p$r"), x)), " ")
+            .as("text"))
+      dups.unionByName(fresh).localCheckpoint()
+    }
+    val stateEpochPostCompactSec = (1 to reps).map(r => {
+      val b = statePostBatch(r)
+      val t = time(StreamOps.dedupEpoch(b, 3000L + r, statePath,
+        "doc_id", "text", 0.8).count())
+      b.unpersist(); t
+    }).min
 
     // JDBC apply: serial statement generation (the reference-faithful
     // driver loop, memory-bounded by applyChunked) vs the opt-in
@@ -314,8 +346,10 @@ object ProbeIndexed {
       s""""kmeans_build_sec":$buildKm,""" +
       s""""ivf_recall5_kmeans":$recallKm,""" +
       s""""ivf_append200_sec":$appendIvf,""" +
+      s""""ivf_append200_incremental":$appendIvfFast,""" +
       s""""ivf_centers_refresh_sec":$refreshIvf,""" +
       s""""ivf_append200_assigned_sec":$appendAssigned,""" +
+      s""""ivf_append200_assigned_incremental":$appendAssignedFast,""" +
       s""""dedup_build_sec":$buildDedup,"dedup_probe500_sec":$probeDedup,""" +
       s""""dedup_append500_sec":$appendDedup,""" +
       s""""dedup_banded_build_sec":$buildDedupBanded,""" +
@@ -327,6 +361,8 @@ object ProbeIndexed {
       s""""state_bootstrap_sec":$stateBuild,"state_epochs":$stateEpochs,""" +
       s""""state_epoch500_sec":$stateEpochSec,""" +
       s""""state_epoch500_fresh_sec":$stateEpochFreshSec,""" +
+      s""""state_compact_grouped_sec":$stateCompactSec,""" +
+      s""""state_epoch500_postcompact_sec":$stateEpochPostCompactSec,""" +
       s""""jdbc_apply200k_serial_sec":$applySerial,""" +
       s""""jdbc_apply200k_parallel16_sec":$applyParallel,""" +
       s""""shard_shuffle64_sec":$shardShuffleSec}"""

@@ -1200,6 +1200,31 @@ object SparkEntry {
         "label", k = 5, nProbe = 2, superProbe = 0)
     }),
 
+    // The MONOTONE ingest shape (round-12): new ids strictly above the
+    // indexed max, so the append continues each chunk's stored csums
+    // fold — the O(batch) incremental path — and the result is
+    // bit-identical to the full build, proven by the SAME shared oracle.
+    // The require pins that the incremental path actually engaged (a
+    // silent fallback would still pass the oracle — this row exists to
+    // prove the FAST path's arithmetic, so a fallback must fail loudly).
+    "ann_ivf_appended_monotone" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val probes = emb.filter(
+        pmod(Md5Prefix28(col("vec_id").cast("string")), lit(100L)) < 1)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("__pv"))
+      val mid = emb.agg(max(col("vec_id"))).head.getLong(0) / 2
+      val path = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(idxRoot), "ivf_mon_").toString
+      Similarity.buildIvfIndex(emb.filter(col("vec_id") <= mid),
+        "vec_id", "embedding", "label", path, dims = 64)
+      require(Similarity.appendToIvfIndex(s, path,
+        emb.filter(col("vec_id") > mid), "vec_id", "embedding",
+        "label", dims = 64),
+        "monotone append did not take the incremental csums path")
+      Similarity.ivfKnnJoinIndexed(s, path, probes, "vec_id", "embedding",
+        "label", k = 5, nProbe = 2, superProbe = 0)
+    }),
+
     // The persisted index built ON the k-means quantizer — the
     // production end-to-end shape (kmeansLabels → buildIvfIndex →
     // pruned probe) that ann_recall_kmeans proves inline: cells are the
@@ -1432,7 +1457,11 @@ object SparkEntry {
     base ++ Map(
       "ann_ivf_kmeans_probe" -> base("ann_ivf_indexed_kmeans"),
       "ann_assign_probe" -> base("ann_assign_batch"),
-      "ann_ivf_appended_probe" -> base("ann_ivf_appended"))
+      "ann_ivf_appended_probe" -> base("ann_ivf_appended"),
+      // the monotone (suffix-id) append continues the stored csums fold —
+      // same bits as the full build, so the SAME shared oracle proves the
+      // incremental path in SQL (the odd/even row proves the fallback)
+      "ann_ivf_appended_monotone" -> base("ann_ivf_appended"))
   }
 
   private def oracleSqlBase: Map[String, String] = Map(

@@ -425,13 +425,23 @@ object Similarity {
   def buildIvfIndex(df: DataFrame, idCol: String, vecCol: String,
                     labelCol: String, path: String, dims: Int = 64): Unit = {
     TopKAgg.requireIntegralId(df, idCol, "buildIvfIndex")
-    cellCenters(df, labelCol, idCol, vecCol, dims)
+    // csums (the per-(cell, chunk) centroid fold state) computed ONCE and
+    // checkpointed: it feeds both the centers derivation and the csums
+    // write, and its arithmetic is the identical id-ordered left fold
+    // cellCenters ran inline — so centers bits are unchanged by the
+    // derivation-through-csums (Round12OpsSpec pins the parity)
+    val cs = csumsOf(df, labelCol, idCol, vecCol, dims).localCheckpoint()
+    requireFixedWidth(cs, dims, "buildIvfIndex")
+    centersFromCsums(cs, labelCol)
       .write.mode("overwrite").parquet(s"$path/centers")
     df.select(col(idCol), col(vecCol), col(labelCol),
         norm(col(vecCol)).as("__cn"),
         col(labelCol).cast("string").as("__cellkey"))
       .write.mode("overwrite").partitionBy("__cellkey")
       .parquet(s"$path/lists")
+    writeCsums(cs, labelCol, s"$path/csums")
+    writeCsumsMarker(df.sparkSession, path,
+      maxIdOf(df, idCol).getOrElse(Long.MinValue), dims)
   }
 
   /**
@@ -439,37 +449,94 @@ object Similarity {
    * maintenance for the ingest path: the inverted lists (the corpus-sized
    * bulk, 59.9 s to rebuild at 100×) take only the batch's own rows,
    * appended into their cells' partitions; then the cell centers (the
-   * tiny table) are REBUILT from the on-disk lists via
-   * [[refreshIvfCenters]]. Centers must be recomputed exactly — they are
-   * per-cell means, and the chunked-centroid fold is order-free but not
-   * incrementally mergeable bit-for-bit (float addition is not
-   * associative, so merging a stored partial with a batch partial could
-   * drift from a rebuild) — so the one recompute is a column-pruned
-   * O(n·d) scan of the lists with a (cells × dims × chunks)-sized
-   * aggregate, no corpus rewrite. Append-then-probe is bit-identical to
-   * rebuild-then-probe over the grown corpus (Round7OpsSpec).
+   * tiny table) refresh.
    *
-   * Crash contract: lists append first, centers refresh second; a crash
-   * between them leaves stale centers (probe-correct per the OLD
-   * quantizer geometry) — re-running [[refreshIvfCenters]] converges.
-   * Same single-writer discipline as the dedup index.
+   * The refresh is O(batch), not O(corpus), on the PRODUCTION ingest
+   * shape — monotonically increasing ids (new documents get new ids):
+   * the index stores the per-(cell, chunk) centroid fold state (`csums`
+   * — each chunk's id-ordered left-fold partial sums + count), and a
+   * batch whose min id exceeds the indexed max id extends every chunk's
+   * fold AT ITS TAIL, so continuing the left fold from the stored
+   * partial replays the IDENTICAL IEEE addition sequence a from-scratch
+   * recompute would run — bit-identity with the full rebuild holds by
+   * construction, not by tolerance (Round12OpsSpec). Cost: the batch's
+   * own partials, a join against the touched cells' csums partitions
+   * (≤ min(1024, cell rows) rows per touched cell — bounded by the
+   * chunk constant, not the corpus), a dynamic overwrite of exactly
+   * those partitions, and the (cells × chunks)-bounded centers fold.
+   *
+   * A batch with interleaved ids (or a legacy index with no csums, or a
+   * dims mismatch) falls back to [[rebuildIvfCsums]] — the full
+   * id-ordered recompute from the lists, same bits as a rebuild — which
+   * also (re)creates the csums so the NEXT monotone append is fast.
+   * Returns true when the incremental path ran, false on fallback.
+   *
+   * Crash contract: the csums validity marker is deleted FIRST, before
+   * any mutation, and rewritten LAST, after csums and centers agree —
+   * so every crash window leaves the marker absent and the next append
+   * (or [[rebuildIvfCsums]]) falls back to the full recompute; stale
+   * csums are never trusted. A crash between the lists append and the
+   * centers write leaves stale centers (probe-correct per the OLD
+   * quantizer geometry) — [[refreshIvfCenters]] or [[rebuildIvfCsums]]
+   * converges. Same single-writer discipline as the dedup index.
+   * Index contract: unique integral ids, vectors ≥ `dims` wide.
    */
   def appendToIvfIndex(spark: SparkSession, path: String, batch: DataFrame,
                        idCol: String, vecCol: String, labelCol: String,
-                       dims: Int = 64): Unit = {
+                       dims: Int = 64): Boolean = {
     TopKAgg.requireIntegralId(batch, idCol, "appendToIvfIndex")
+    val marker = readCsumsMarker(spark, path)
+    // one job for id bounds AND the touched-cell set (both batch-sized)
+    val bounds = batch.agg(min(col(idCol).cast("long")),
+      max(col(idCol).cast("long")),
+      collect_set(col(labelCol).cast("string"))).head()
+    if (bounds.isNullAt(0)) return true // empty batch: index unchanged
+    val (bMin, bMax) = (bounds.getLong(0), bounds.getLong(1))
+    val cells = bounds.getSeq[String](2)
+    val fast = marker.exists { case (maxId, d) => d == dims && bMin > maxId }
+    deleteCsumsMarker(spark, path) // FIRST: no crash window trusts stale csums
     batch.select(col(idCol), col(vecCol), col(labelCol),
         norm(col(vecCol)).as("__cn"),
         col(labelCol).cast("string").as("__cellkey"))
       .write.mode("append").partitionBy("__cellkey")
       .parquet(s"$path/lists")
-    refreshIvfCenters(spark, path, idCol, vecCol, labelCol, dims)
+    if (fast) {
+      val delta = csumKvsOf(batch, labelCol, idCol, vecCol, dims)
+      // touched cells only: csums partition pruning mirrors the probe's
+      val old = spark.read.parquet(s"$path/csums")
+        .filter(col("__cellkey").isin(cells.toIndexedSeq: _*))
+        .select(col(labelCol), col("__chunk"),
+          col("__psums").as("__opsums"), col("__n").as("__on"))
+      // continue each chunk's left fold from the stored partial: the
+      // delta's kvs re-fold element-by-element onto the old psums (NOT
+      // old + deltaSum — that would re-bracket the float additions)
+      val merged = old
+        .join(delta, Seq(labelCol, "__chunk"), "full_outer")
+        .select(col(labelCol), col("__chunk"),
+          foldKvs(coalesce(col("__kvs"), emptyKvs),
+            coalesce(col("__opsums"), zeroPsums(dims))).as("__psums"),
+          (coalesce(col("__on"), lit(0L)) +
+            coalesce(col("__bn"), lit(0L))).as("__n"),
+          col("__minw"))
+        .localCheckpoint() // eager: reads csums before overwriting them
+      requireFixedWidth(merged, dims, "appendToIvfIndex")
+      writeCsums(merged, labelCol, s"$path/csums", dynamic = true)
+      centersFromCsums(spark.read.parquet(s"$path/csums")
+          .select(col(labelCol), col("__chunk"), col("__psums"),
+            col("__n")), labelCol)
+        .localCheckpoint()
+        .write.mode("overwrite").parquet(s"$path/centers")
+      writeCsumsMarker(spark, path, bMax, dims)
+    } else rebuildIvfCsums(spark, path, idCol, vecCol, labelCol, dims)
+    fast
   }
 
-  /** Recompute `path/centers` from the on-disk inverted lists —
-    * [[appendToIvfIndex]]'s second half and its crash repair. The new
-    * centers are materialized (eager localCheckpoint) before the
-    * overwrite since they are derived from the same index root. */
+  /** Recompute `path/centers` from the on-disk inverted lists — the
+    * light crash repair (centers only; the csums marker, if the crash
+    * was mid-append, is already gone, so stale csums stay untrusted and
+    * the next append rebuilds them). The new centers are materialized
+    * (eager localCheckpoint) before the overwrite since they are derived
+    * from the same index root. Idempotent on a clean index. */
   def refreshIvfCenters(spark: SparkSession, path: String, idCol: String,
                         vecCol: String, labelCol: String,
                         dims: Int = 64): Unit = {
@@ -478,6 +545,171 @@ object Similarity {
     cellCenters(lists, labelCol, idCol, vecCol, dims)
       .localCheckpoint() // eager: reads under path before overwriting it
       .write.mode("overwrite").parquet(s"$path/centers")
+  }
+
+  /** Full recompute of csums AND centers from the on-disk lists — the
+    * heavy repair and the append fallback: one column-pruned O(n·d) scan
+    * folding every chunk from scratch in id order (the same bits a fresh
+    * [[buildIvfIndex]] over the grown corpus produces), then centers
+    * derived from the rebuilt csums and the validity marker rewritten
+    * LAST, so the next monotone append takes the incremental path. */
+  def rebuildIvfCsums(spark: SparkSession, path: String, idCol: String,
+                      vecCol: String, labelCol: String,
+                      dims: Int = 64): Unit = {
+    deleteCsumsMarker(spark, path)
+    val lists = spark.read.parquet(s"$path/lists")
+      .select(col(idCol), col(vecCol), col(labelCol))
+    val cs = csumsOf(lists, labelCol, idCol, vecCol, dims)
+      .localCheckpoint() // eager: reads under path before overwriting it
+    requireFixedWidth(cs, dims, "rebuildIvfCsums")
+    writeCsums(cs, labelCol, s"$path/csums")
+    centersFromCsums(cs, labelCol)
+      .write.mode("overwrite").parquet(s"$path/centers")
+    writeCsumsMarker(spark, path,
+      maxIdOf(lists, idCol).getOrElse(Long.MinValue), dims)
+  }
+
+  // ---- csums: the persisted centroid fold state -----------------------
+
+  /** Per-(label, chunk) id-sorted (id, vector) lists of a labeled vector
+    * frame — the UNFOLDED centroid fold input: `__kvs`, `__bn` (vector
+    * count) and `__minw` (min sliced width, for the fixed-width guard).
+    * Null vectors are excluded exactly as [[centroidComponents]]'
+    * posexplode skips them. The append path consumes this directly (it
+    * folds the kvs onto the STORED partials); [[csumsOf]] folds from
+    * zero. */
+  private def csumKvsOf(df: DataFrame, labelCol: String, idCol: String,
+                        vecCol: String, dims: Int): DataFrame =
+    df.filter(col(vecCol).isNotNull)
+      .select(col(labelCol), col(idCol).cast("long").as("__k"),
+        transform(slice(col(vecCol), 1, dims),
+          v => v.cast("double")).as("__v"),
+        pmod(Md5Prefix28(col(idCol).cast("string")), lit(1024L))
+          .as("__chunk"))
+      .groupBy(col(labelCol), col("__chunk"))
+      .agg(sort_array(collect_list(struct(col("__k"), col("__v"))))
+          .as("__kvs"),
+        count(lit(1)).as("__bn"),
+        min(size(col("__v"))).as("__minw"))
+
+  /** Per-(label, chunk) centroid fold state: `__psums` (per-position
+    * id-ordered left-fold partial sums), `__n`, `__minw`. Elements fold
+    * in the identical order and double promotion as the inline
+    * [[centroidComponents]], so per position the IEEE addition sequence
+    * matches bit-for-bit (fixed-width inputs; [[requireFixedWidth]]
+    * guards). */
+  private def csumsOf(df: DataFrame, labelCol: String, idCol: String,
+                      vecCol: String, dims: Int): DataFrame =
+    csumKvsOf(df, labelCol, idCol, vecCol, dims)
+      .select(col(labelCol), col("__chunk"),
+        foldKvs(col("__kvs"), zeroPsums(dims)).as("__psums"),
+        col("__bn").as("__n"), col("__minw"))
+
+  /** Continue the per-position left fold over an id-sorted (id, vector)
+    * list from an initial partial-sums array — element order and double
+    * promotion identical to [[centroidComponents]]' scalar fold. */
+  private def foldKvs(kvs: Column, init: Column): Column =
+    aggregate(kvs, init,
+      (acc, e) => zip_with(acc, e.getField("__v"), (a, b) => a + b))
+
+  private def zeroPsums(dims: Int): Column =
+    array_repeat(lit(0.0), dims)
+
+  private val emptyKvs: Column =
+    array().cast("array<struct<__k:bigint,__v:array<double>>>")
+
+  /** csums → (__cell, __center): posexplode the per-chunk partial sums
+    * and run the IDENTICAL chunk-ordered outer fold + array assembly the
+    * inline [[centroidComponents]]/[[cellCenters]] pipeline runs, so a
+    * centers table derived from csums is bit-identical to one computed
+    * inline over the same row set. */
+  private def centersFromCsums(csums: DataFrame,
+                               labelCol: String): DataFrame =
+    centersFromComponents(
+      csums
+        .select(col(labelCol), col("__chunk"), col("__n"),
+          posexplode(col("__psums")).as(Seq("pos", "__psum")))
+        .groupBy(col(labelCol), col("pos"))
+        .agg(sort_array(collect_list(struct(col("__chunk").as("c"),
+            col("__psum").as("p")))).as("ps"),
+          sum(col("__n")).as("n"))
+        .select(col(labelCol), col("pos"),
+          (aggregate(col("ps"), lit(0.0),
+            (acc, e) => acc + e.getField("p")) / col("n")).as("dim_avg")),
+      labelCol)
+
+  /** The IVF index's fixed-width contract, enforced loudly: the csums
+    * array fold requires every vector to carry ≥ dims elements (a short
+    * vector would null-pad the zip_with and silently poison tail
+    * positions where the inline per-position fold would just count
+    * fewer values). */
+  private def requireFixedWidth(cs: DataFrame, dims: Int,
+                                op: String): Unit = {
+    val mw = cs.agg(min(col("__minw"))).head()
+    require(mw.isNullAt(0) || mw.getInt(0) >= dims,
+      s"$op: IVF index requires fixed-width vectors with >= $dims " +
+        s"elements, found one with ${mw.getInt(0)}")
+  }
+
+  /** Write a csums frame under `dir`, one file per cell partition.
+    * `dynamic = true` overwrites ONLY the partitions present in the
+    * frame (the append path's touched cells); the default replaces the
+    * whole table (build/rebuild). */
+  private def writeCsums(cs: DataFrame, labelCol: String, dir: String,
+                         dynamic: Boolean = false): Unit = {
+    val keyed = cs.drop("__minw")
+      .withColumn("__cellkey", col(labelCol).cast("string"))
+      .repartition(col("__cellkey"))
+    val w = keyed.write.mode("overwrite").partitionBy("__cellkey")
+    (if (dynamic) w.option("partitionOverwriteMode", "dynamic") else w)
+      .parquet(dir)
+  }
+
+  /** Column-pruned max id of a frame, None when empty. */
+  private def maxIdOf(df: DataFrame, idCol: String): Option[Long] = {
+    val r = df.agg(max(col(idCol).cast("long"))).head()
+    if (r.isNullAt(0)) None else Some(r.getLong(0))
+  }
+
+  private def csumsMarkerPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/csums_marker")
+
+  /** (max indexed id, dims) from the csums validity marker — present
+    * IFF the csums on disk cover exactly the lists on disk. Format: one
+    * line `maxId|dims`; malformed → None (fallback recompute). */
+  private[graft] def readCsumsMarker(spark: SparkSession,
+                                     path: String): Option[(Long, Int)] = {
+    val p = csumsMarkerPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else try {
+      val in = fs.open(p)
+      val raw = try scala.io.Source.fromInputStream(in).mkString.trim
+      finally in.close()
+      val Array(maxId, d) = raw.split('|')
+      Some((maxId.toLong, d.toInt))
+    } catch { case _: Throwable => None }
+  }
+
+  private[graft] def deleteCsumsMarker(spark: SparkSession,
+                                       path: String): Unit = {
+    val p = csumsMarkerPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) { fs.delete(p, false); () }
+  }
+
+  /** Written LAST (temp + atomic rename): a present marker always names
+    * a csums/centers pair that agrees with the lists. */
+  private def writeCsumsMarker(spark: SparkSession, path: String,
+                               maxId: Long, dims: Int): Unit = {
+    val p = csumsMarkerPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(p.toString + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"$maxId|$dims".getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    require(fs.rename(tmp, p), s"csums marker rename failed: $tmp -> $p")
   }
 
   /** Compact an append-grown IVF index in place: one file per cell
@@ -540,7 +772,7 @@ object Similarity {
    */
   def appendToIvfIndexAssigned(spark: SparkSession, path: String,
                                batch: DataFrame, idCol: String,
-                               vecCol: String, dims: Int = 64): Unit = {
+                               vecCol: String, dims: Int = 64): Boolean = {
     // EAGER checkpoint: the assignment's lineage reads path/centers,
     // which refreshIvfCenters overwrites later in this same call — a
     // lazy checkpoint would leave correctness depending on the lists
@@ -737,8 +969,16 @@ object Similarity {
     * centroid bracketing exists exactly once. */
   private def cellCenters(df: DataFrame, labelCol: String, idCol: String,
                           vecCol: String, dims: Int): DataFrame =
-    centroidComponents(df, labelCol, idCol, vecCol, dims)
-      .groupBy(col(labelCol))
+    centersFromComponents(
+      centroidComponents(df, labelCol, idCol, vecCol, dims), labelCol)
+
+  /** Stage 3 of the centroid pipeline: (label, pos, dim_avg) components →
+    * (__cell, __center) ordered arrays. Factored out so the incremental
+    * csums refresh feeds the IDENTICAL array assembly as the full
+    * recompute. */
+  private def centersFromComponents(comps: DataFrame,
+                                    labelCol: String): DataFrame =
+    comps.groupBy(col(labelCol))
       .agg(sort_array(collect_list(struct(col("pos"), col("dim_avg"))))
         .as("ps"))
       .select(col(labelCol).as("__cell"),

@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.{Dedup, Multimodal}
+import graft.functions.{Dedup, Multimodal, Similarity}
 import graft.streaming.StreamOps
 
 /** Round-12: regression specs for the round-11 advice items — the
@@ -102,6 +102,143 @@ class Round12OpsSpec extends AnyFunSuite {
       .select(col("doc_id"), octet_length(col("text")).cast("long"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out.forall(r => nb(r.getLong(0)) == r.getLong(1)))
+  }
+
+  // ---- O(delta) IVF centers refresh (round-12 verdict task 2) --------
+
+  private def ivfCorpus = Seq(
+    (0L, "a", Array(1.0f, 0.1f, 0.0f, 0.0f)),
+    (1L, "a", Array(1.0f, 0.2f, 0.0f, 0.0f)),
+    (2L, "b", Array(0.1f, 1.0f, 0.0f, 0.0f)),
+    (3L, "b", Array(0.2f, 1.0f, 0.0f, 0.0f)))
+    .toDF("vec_id", "label", "embedding")
+  // suffix ids (min 4 > indexed max 3) — the monotone ingest shape;
+  // grows cell b AND opens a new cell c
+  private def suffixBatch = Seq(
+    (4L, "b", Array(0.15f, 1.0f, 0.0f, 0.0f)),
+    (5L, "c", Array(0.0f, 0.0f, 1.0f, 0.1f)),
+    (6L, "c", Array(0.0f, 0.0f, 0.9f, 0.1f)))
+    .toDF("vec_id", "label", "embedding")
+  private def ivfProbes = Seq(
+    (100L, Array(0.1f, 1.0f, 0.0f, 0.0f)),
+    (200L, Array(0.0f, 0.0f, 1.0f, 0.05f)))
+    .toDF("probe_id", "__pv")
+  private def probeBits(path: String) =
+    Similarity.ivfKnnJoinIndexed(spark, path, ivfProbes, "vec_id",
+      "embedding", "label", k = 3, nProbe = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+  private def centerBits(dir: String) =
+    spark.read.parquet(dir).collect().map(r => r.getString(0) ->
+      r.getSeq[Double](1).map(java.lang.Double.doubleToLongBits)).toMap
+  private def csumBits(dir: String) =
+    spark.read.parquet(dir)
+      .select(col("label"), col("__chunk"), col("__psums"), col("__n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getSeq[Double](2).map(java.lang.Double.doubleToLongBits),
+          r.getLong(3)))).toMap
+  private def freshIvf(df: org.apache.spark.sql.DataFrame): String = {
+    val p = Files.createTempDirectory("graft-r12-ivf").toString + "/idx"
+    Similarity.buildIvfIndex(df, "vec_id", "embedding", "label", p, dims = 4)
+    p
+  }
+
+  test("monotone append takes the incremental csums path, bit ≡ rebuild") {
+    val appended = freshIvf(ivfCorpus)
+    assert(Similarity.appendToIvfIndex(spark, appended, suffixBatch,
+      "vec_id", "embedding", "label", dims = 4),
+      "suffix-id batch must take the incremental path")
+    val rebuilt = freshIvf(ivfCorpus.unionByName(suffixBatch))
+    // the whole index state matches a from-scratch build bit-for-bit:
+    // probe results, the centers table, and the csums fold state
+    assert(probeBits(appended) == probeBits(rebuilt))
+    assert(centerBits(s"$appended/centers") == centerBits(s"$rebuilt/centers"))
+    assert(csumBits(s"$appended/csums") == csumBits(s"$rebuilt/csums"))
+    // and the appended cell c is reachable
+    assert(probeBits(appended).exists { case (p, _, n, _) =>
+      p == 200L && n == 5L })
+  }
+
+  test("interleaved ids fall back to the full recompute, then go fast") {
+    val evens = ivfCorpus.filter(col("vec_id") % 2 === 0)
+    val odds = ivfCorpus.filter(col("vec_id") % 2 === 1)
+    val appended = freshIvf(evens)
+    assert(!Similarity.appendToIvfIndex(spark, appended, odds,
+      "vec_id", "embedding", "label", dims = 4),
+      "interleaved ids must fall back")
+    val rebuilt = freshIvf(ivfCorpus)
+    assert(probeBits(appended) == probeBits(rebuilt))
+    assert(csumBits(s"$appended/csums") == csumBits(s"$rebuilt/csums"),
+      "the fallback must also rebuild the csums")
+    // the fallback rewrote the marker: a following monotone batch is fast
+    assert(Similarity.appendToIvfIndex(spark, appended, suffixBatch,
+      "vec_id", "embedding", "label", dims = 4))
+    assert(probeBits(appended) ==
+      probeBits(freshIvf(ivfCorpus.unionByName(suffixBatch))))
+  }
+
+  test("every crash window degrades to the full recompute, never to stale csums") {
+    // first half of a crashed append: marker deleted, lists appended,
+    // csums/centers untouched — exactly appendToIvfIndex's write order
+    val path = freshIvf(ivfCorpus)
+    Similarity.deleteCsumsMarker(spark, path)
+    suffixBatch.select(col("vec_id"), col("embedding"), col("label"),
+        Similarity.norm(col("embedding")).as("__cn"),
+        col("label").cast("string").as("__cellkey"))
+      .write.mode("append").partitionBy("__cellkey")
+      .parquet(s"$path/lists")
+    assert(Similarity.readCsumsMarker(spark, path).isEmpty)
+    // next monotone append: no marker → fallback, state converges to the
+    // three-batch rebuild
+    val more = Seq((7L, "c", Array(0.0f, 0.1f, 0.95f, 0.1f)))
+      .toDF("vec_id", "label", "embedding")
+    assert(!Similarity.appendToIvfIndex(spark, path, more,
+      "vec_id", "embedding", "label", dims = 4))
+    val rebuilt = freshIvf(
+      ivfCorpus.unionByName(suffixBatch).unionByName(more))
+    assert(probeBits(path) == probeBits(rebuilt))
+    assert(csumBits(s"$path/csums") == csumBits(s"$rebuilt/csums"))
+  }
+
+  test("legacy index (no csums) self-migrates through the fallback") {
+    val path = freshIvf(ivfCorpus)
+    // a round-11 index has neither csums nor marker
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/csums"), true)
+    Similarity.deleteCsumsMarker(spark, path)
+    assert(!Similarity.appendToIvfIndex(spark, path,
+      suffixBatch.filter(col("vec_id") === 4L),
+      "vec_id", "embedding", "label", dims = 4))
+    assert(Similarity.readCsumsMarker(spark, path).isDefined,
+      "the fallback must create the csums + marker")
+    assert(Similarity.appendToIvfIndex(spark, path,
+      suffixBatch.filter(col("vec_id") > 4L),
+      "vec_id", "embedding", "label", dims = 4),
+      "post-migration monotone append must be incremental")
+    assert(probeBits(path) ==
+      probeBits(freshIvf(ivfCorpus.unionByName(suffixBatch))))
+  }
+
+  test("build derives centers through csums bit ≡ the inline fold") {
+    val path = freshIvf(ivfCorpus)
+    val inline = Similarity.cellCentersOf(ivfCorpus, "label", "vec_id",
+      "embedding", dims = 4).collect().map(r => r.getString(0) ->
+      r.getSeq[Double](1).map(java.lang.Double.doubleToLongBits)).toMap
+    assert(centerBits(s"$path/centers") == inline)
+  }
+
+  test("ragged vectors are rejected loudly by the fixed-width contract") {
+    val ragged = Seq((0L, "a", Array(1.0f, 0.1f, 0.0f, 0.0f)),
+      (1L, "a", Array(1.0f, 0.2f, 0.3f))) // 3-wide at dims = 4
+      .toDF("vec_id", "label", "embedding")
+    val p = Files.createTempDirectory("graft-r12-rag").toString + "/idx"
+    val ex = intercept[Throwable] {
+      Similarity.buildIvfIndex(ragged, "vec_id", "embedding", "label", p,
+        dims = 4)
+    }
+    assert(messages(ex).exists(_.contains("fixed-width")),
+      s"wrong failure: ${messages(ex).mkString(" | ")}")
   }
 
   test("migrate resume on an EMPTY half-migrated keys table fails loudly") {

@@ -198,6 +198,13 @@ def main():
     # bench's own footprint at start means another workload shared the run
     if load and isinstance(load[0], (int, float)) and load[0] > 8.0:
         fails.append(f"loadavg at start was {load[0]} - contended capture")
+    # a capture stamped "closing" PROMISED the idle threshold (the bench
+    # refuses to start above it in closing mode) — a closing artifact
+    # recording a higher start load means the refusal was bypassed
+    if doc.get("closing") and load and isinstance(load[0], (int, float)) \
+            and load[0] > 1.5:
+        fails.append(f"closing capture recorded start loadavg {load[0]} "
+                     "> 1.5 - the closing refusal was bypassed")
     spread = doc.get("spread") or {}
     # spread is [min, second_fastest, max, n] (round 7+) or the legacy
     # [min, max, n]. The surviving-contention signal is the two FASTEST

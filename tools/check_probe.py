@@ -3,17 +3,26 @@
 the numbers behind "build once, probe many" must be machine-checkable
 round-over-round, not prose claims.
 
-Usage: python3 tools/check_probe.py [probe_out.json]
+Usage: python3 tools/check_probe.py [probe_out.json] [probe_out_100x.json]
 Exit non-zero when the artifact is unusable or the scale claims it
 exists to document do not hold in it:
   - probing a fixed batch must be much cheaper than building (the
     amortization claim);
   - appending a fixed batch must be much cheaper than rebuilding (the
-    incremental-maintenance claim) — note the append still contains one
-    corpus-proportional term (the exact centers recompute, reported
-    separately as ivf_centers_refresh_sec);
+    incremental-maintenance claim), and since round 12 the append must
+    have taken the INCREMENTAL csums path (the recorded flag), with the
+    corpus-proportional centers recompute surviving only as the
+    repair/fallback cost (ivf_centers_refresh_sec);
+  - a steady dedup-state epoch AFTER grouped compaction must sit within
+    2.5x of the fresh-epoch floor (the compaction exists to bound the
+    candidate-epoch reads that opened the steady/fresh gap at 100x);
   - the k-means quantizer must not be WORSE than the label-column
     quantizer at equal K (it exists because label cells measured worse).
+
+With a SECOND artifact (the 100x-replica capture), cross-scale gates
+also apply: the assigned append must stay within max(2.5x, +2s) of its
+1x value — the round-12 claim that no corpus-proportional term remains
+in the monotone append path.
 """
 import json
 import sys
@@ -27,11 +36,15 @@ REQUIRED = [
 ]
 
 
+def load(path):
+    with open(path) as f:
+        return json.loads(f.read().strip())
+
+
 def main():
     path = sys.argv[1] if len(sys.argv) > 1 else "probe_out.json"
     try:
-        with open(path) as f:
-            doc = json.loads(f.read().strip())
+        doc = load(path)
     except Exception as e:
         print(f"FAIL: {path} does not parse: {e}")
         return 2
@@ -41,6 +54,25 @@ def main():
         print(f"FAIL: missing/non-numeric fields: {missing}")
         return 2
     fails = []
+    # round 12+: the probe batch is monotone-id by construction, so the
+    # appends must have taken the incremental csums path — a false flag
+    # means the timing above silently measured the fallback
+    for flag in ("ivf_append200_incremental",
+                 "ivf_append200_assigned_incremental"):
+        if flag in doc and doc[flag] is not True:
+            fails.append(f"{flag} is {doc[flag]} - the monotone probe "
+                         "batch fell back to the full recompute")
+    # round 12+: steady epoch after grouped compaction vs the fresh
+    # floor (2.5x: the 2x target plus the documented +-6% sandbox noise
+    # on a ~2s base; the PRE-compaction steady epoch read 2.7x at 100x)
+    if isinstance(doc.get("state_epoch500_postcompact_sec"), (int, float)):
+        cap = 2.5 * doc["state_epoch500_fresh_sec"]
+        if doc["state_epoch500_postcompact_sec"] > cap:
+            fails.append(
+                f"post-compaction steady epoch "
+                f"{doc['state_epoch500_postcompact_sec']:.2f}s exceeds "
+                f"2.5x the fresh floor "
+                f"{doc['state_epoch500_fresh_sec']:.2f}s")
     if doc["ivf_probe200_sec"] >= 0.5 * doc["ivf_build_sec"]:
         fails.append(
             f"ivf probe {doc['ivf_probe200_sec']:.2f}s not << build "
@@ -132,6 +164,28 @@ def main():
                 fails.append(
                     f"auto recall {doc.get('ivf_recall5_auto')} below "
                     f"flat {doc.get('ivf_recall5_flat')} - 0.05")
+    # cross-scale gates against the 100x-replica artifact, when given:
+    # the monotone assigned append's cost must not grow with the corpus
+    # (max(2.5x, +2s) leaves room for the fixed centers-fold constant
+    # and JVM noise on a ~1s base while still failing the old 0.8->9.7s
+    # corpus-proportional shape by an order of magnitude)
+    if len(sys.argv) > 2:
+        try:
+            doc100 = load(sys.argv[2])
+        except Exception as e:
+            print(f"FAIL: {sys.argv[2]} does not parse: {e}")
+            return 2
+        base = doc["ivf_append200_assigned_sec"]
+        big = doc100.get("ivf_append200_assigned_sec")
+        if not isinstance(big, (int, float)):
+            fails.append("100x artifact lacks ivf_append200_assigned_sec")
+        elif big > max(2.5 * base, base + 2.0):
+            fails.append(
+                f"assigned append grew with the corpus: {big:.2f}s at "
+                f"100x vs {base:.2f}s at 1x (cap max(2.5x, +2s))")
+        if doc100.get("ivf_append200_assigned_incremental") is False:
+            fails.append("100x assigned append fell back to the full "
+                         "recompute")
     if fails:
         for m in fails:
             print(f"FAIL: {m}")

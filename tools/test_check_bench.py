@@ -26,10 +26,13 @@ def run(capture_dir, *extra, env_extra=None):
 
 
 def write(capture_dir, queries, history_runs, remeasure=None,
-          sha="abc1234", remeasure_sha="abc1234"):
+          sha="abc1234", remeasure_sha="abc1234", closing=None,
+          loadavg=(0.5, 0.5, 0.5)):
     doc = {"metric": "total", "value": sum(queries.values()), "unit": "sec",
-           "queries": queries, "sf": "sfX", "loadavg": [0.5, 0.5, 0.5],
+           "queries": queries, "sf": "sfX", "loadavg": list(loadavg),
            "spread": {}, "errors": [], "sha": sha}
+    if closing is not None:
+        doc["closing"] = closing
     with open(os.path.join(capture_dir, "bench_out.json"), "w") as f:
         f.write(json.dumps(doc) + "\n")
     with open(os.path.join(capture_dir, "bench_history.jsonl"), "w") as f:
@@ -114,6 +117,30 @@ def main():
         write(d, {"q1": 1.0, "q2": 0.55}, hist)
         rc, _ = run(d)
         check("sub-floor move passes", rc, 0)
+
+        # a CLOSING capture recording a start load above the idle
+        # threshold means the bench's refusal was bypassed → 3
+        write(d, {"q1": 1.2, "q2": 0.22}, hist, closing=True,
+              loadavg=(3.9, 4.2, 4.0))
+        rc, out = run(d)
+        check("closing capture above idle threshold fails", rc, 3)
+        if "bypassed" not in out:
+            fails += 1
+            print("FAIL: closing-load failure must say the refusal was "
+                  "bypassed")
+
+        # the same load on a NON-closing (driver) capture stays under the
+        # contended ceiling → 0 (the driver runs under load it can't help)
+        write(d, {"q1": 1.2, "q2": 0.22}, hist, closing=False,
+              loadavg=(3.9, 4.2, 4.0))
+        rc, _ = run(d)
+        check("non-closing capture at the same load passes", rc, 0)
+
+        # a closing capture under the threshold passes → 0
+        write(d, {"q1": 1.2, "q2": 0.22}, hist, closing=True,
+              loadavg=(0.4, 0.5, 0.5))
+        rc, _ = run(d)
+        check("idle closing capture passes", rc, 0)
 
     print(f"== {'ALL PASS' if fails == 0 else f'{fails} FAILURES'}")
     return 1 if fails else 0

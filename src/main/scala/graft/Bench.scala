@@ -33,8 +33,9 @@ object Bench {
     if (closing && load0 > maxLoad) {
       System.err.println(
         f"[bench] CLOSING capture refused: 1-min loadavg $load0%.2f > " +
-          f"$maxLoad%.2f - wait for idle or override " +
-          "SPARK_GRAFT_BENCH_MAX_LOAD")
+          f"$maxLoad%.2f - wait for idle, or capture without " +
+          "SPARK_GRAFT_BENCH_CLOSING (check_bench holds closing " +
+          "artifacts to the 1.5 idle standard regardless of overrides)")
       sys.exit(3)
     }
     // default 1× cores; override to audit higher parallelism (AQE
@@ -162,7 +163,7 @@ object Bench {
     // stale re-measure from a previous round can never silently clear
     // this round's degradation gate
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"ts":"$ts","sha":"$sha","closing":$closing,"loadavg":[$loadStart,$loadEnd],"queries":$qs,"spread":$spread,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"ts":"$ts","sha":"$sha","closing":$closing,"closing_load":$load0,"loadavg":[$loadStart,$loadEnd],"queries":$qs,"spread":$spread,"errors":$errJson,"sf":"$sfDir"}"""
     // short summary trailer printed BOTH before and after the full line:
     // the driver's capture window is a bounded log tail whose edges are
     // unpredictable from in here — round 7's single after-trailer was cut

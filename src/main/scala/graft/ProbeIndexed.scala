@@ -119,6 +119,27 @@ object ProbeIndexed {
     val recallKm = recall(Similarity.ivfKnnJoinIndexed(spark, kmPath,
       probes, "vec_id", "embedding", "cell", k = 5, nProbe = 2))
 
+    // round-12 verdict task 3: the recall-vs-cost OPERATING CURVE on the
+    // k-means index — recall@5 and probe seconds at widening nProbe —
+    // plus the auto operating point (nProbe = -1 → ceil(sqrt(K)) cells,
+    // Similarity.resolveNProbe: THE library rule, not a hand-copied
+    // literal). The fixed nProbe = 2 row above is why recall collapsed
+    // at 100x (2 of 4,000 cells); the curve documents what widening buys
+    // and what it costs, and check_probe gates the auto point's floor.
+    def kmProbeAt(np: Int): (Double, Double) = {
+      def q = Similarity.ivfKnnJoinIndexed(spark, kmPath, probes,
+        "vec_id", "embedding", "cell", k = 5, nProbe = np)
+      // probe cost timed alone (count forces the TopK aggregate);
+      // the recall join against the brute-force baseline is untimed
+      val sec = time(q.count())
+      (recall(q), sec)
+    }
+    val annCurve = Seq(2, 4, 8, 16, 32, 64).map { np =>
+      val (r, sec) = kmProbeAt(np)
+      s"""{"n_probe":$np,"recall":$r,"sec":$sec}"""
+    }
+    val (recallKmAuto, kmAutoSec) = kmProbeAt(-1)
+
     // incremental maintenance: appending a FIXED 200-vector batch. The
     // probe batch's ids are monotone (above the corpus max), so since
     // round 12 the append continues the stored per-(cell, chunk) csums
@@ -345,6 +366,9 @@ object ProbeIndexed {
       s""""kmeans_cells":$kCells,"kmeans_train_mod":$trainMod,""" +
       s""""kmeans_build_sec":$buildKm,""" +
       s""""ivf_recall5_kmeans":$recallKm,""" +
+      s""""ivf_recall5_kmeans_auto":$recallKmAuto,""" +
+      s""""ivf_probe200_kmeans_auto_sec":$kmAutoSec,""" +
+      s""""ann_curve":[${annCurve.mkString(",")}],""" +
       s""""ivf_append200_sec":$appendIvf,""" +
       s""""ivf_append200_incremental":$appendIvfFast,""" +
       s""""ivf_centers_refresh_sec":$refreshIvf,""" +

@@ -505,11 +505,15 @@ object SparkEntry {
     //     0.01/0.1: ~9x headroom). One scalar aggregate, broadcast back.
     // The raw length/ratio stay library-surface (spec-pinned).
     "text_compress_ratio" -> ((s, dir) => {
+      // checkpointed: the sep aggregate AND the row output both consume
+      // this projection, and without the cut each would run its own
+      // full-corpus zlib pass (the deflate is the row's dominant cost)
       val d = documents(s, dir).select(col("doc_id"),
         octet_length(col("text")).cast("long").as("n_bytes"),
         DeflateLen(col("text")).as("__dl"),
         size(TextFns.words(col("text"))).as("__nw"),
         size(array_distinct(TextFns.words(col("text")))).as("__ndw"))
+        .localCheckpoint(false)
       val bounded = when(col("n_bytes") === 0, col("__dl").between(1, 16))
         .otherwise(col("__dl") >= greatest(lit(1L),
           floor(col("n_bytes") / 2064).cast("long")) &&

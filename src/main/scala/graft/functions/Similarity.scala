@@ -441,7 +441,8 @@ object Similarity {
       .parquet(s"$path/lists")
     writeCsums(cs, labelCol, s"$path/csums")
     writeCsumsMarker(df.sparkSession, path,
-      maxIdOf(df, idCol).getOrElse(Long.MinValue), dims)
+      maxIdOf(df, idCol, labelCol, "buildIvfIndex")
+        .getOrElse(Long.MinValue), dims)
   }
 
   /**
@@ -486,14 +487,32 @@ object Similarity {
                        dims: Int = 64): Boolean = {
     TopKAgg.requireIntegralId(batch, idCol, "appendToIvfIndex")
     val marker = readCsumsMarker(spark, path)
-    // one job for id bounds AND the touched-cell set (both batch-sized)
+    // one job for id bounds, the touched-cell set, AND the batch's own
+    // width/label validation — BEFORE any write lands: a ragged or
+    // null-labeled batch must fail while the index is still untouched
+    // (validating after the lists append would leave the bad rows
+    // persisted, poisoning every later rebuild)
     val bounds = batch.agg(min(col(idCol).cast("long")),
       max(col(idCol).cast("long")),
-      collect_set(col(labelCol).cast("string"))).head()
+      collect_set(col(labelCol).cast("string")),
+      min(when(col(vecCol).isNotNull,
+        size(slice(col(vecCol), 1, dims)))),
+      count(when(col(labelCol).isNull, lit(1)))).head()
     if (bounds.isNullAt(0)) return true // empty batch: index unchanged
     val (bMin, bMax) = (bounds.getLong(0), bounds.getLong(1))
     val cells = bounds.getSeq[String](2)
-    val fast = marker.exists { case (maxId, d) => d == dims && bMin > maxId }
+    require(bounds.isNullAt(3) || bounds.getInt(3) >= dims,
+      s"appendToIvfIndex: IVF index requires fixed-width vectors with " +
+        s">= $dims elements, batch has one with ${bounds.getInt(3)}")
+    require(bounds.getLong(4) == 0L,
+      "appendToIvfIndex: null labels are not indexable (the label is " +
+        "the cell partition key)")
+    // hasCsumsData guards the degenerate empty index (a build over zero
+    // rows writes a data-less csums dir whose read would crash schema
+    // inference): no stored fold state → take the fallback, which
+    // rebuilds from the lists (now holding this batch) and converges
+    val fast = marker.exists { case (maxId, d) =>
+      d == dims && bMin > maxId } && hasCsumsData(spark, path)
     deleteCsumsMarker(spark, path) // FIRST: no crash window trusts stale csums
     batch.select(col(idCol), col(vecCol), col(labelCol),
         norm(col(vecCol)).as("__cn"),
@@ -502,11 +521,12 @@ object Similarity {
       .parquet(s"$path/lists")
     if (fast) {
       val delta = csumKvsOf(batch, labelCol, idCol, vecCol, dims)
-      // touched cells only: csums partition pruning mirrors the probe's
-      val old = spark.read.parquet(s"$path/csums")
-        .filter(col("__cellkey").isin(cells.toIndexedSeq: _*))
-        .select(col(labelCol), col("__chunk"),
-          col("__psums").as("__opsums"), col("__n").as("__on"))
+      // touched cells only, read as EXPLICIT subdirectories (the
+      // readBandedDirs device): an isin partition filter still pays full
+      // partition DISCOVERY over all K cell dirs, which at K ∝ n is the
+      // corpus-proportional term this path exists to avoid (measured:
+      // the 1000-dir listing dominated the append at 100x)
+      val old = readCsumsCells(spark, path, cells, delta, labelCol)
       // continue each chunk's left fold from the stored partial: the
       // delta's kvs re-fold element-by-element onto the old psums (NOT
       // old + deltaSum — that would re-bracket the float additions)
@@ -521,10 +541,22 @@ object Similarity {
         .localCheckpoint() // eager: reads csums before overwriting them
       requireFixedWidth(merged, dims, "appendToIvfIndex")
       writeCsums(merged, labelCol, s"$path/csums", dynamic = true)
-      centersFromCsums(spark.read.parquet(s"$path/csums")
-          .select(col(labelCol), col("__chunk"), col("__psums"),
-            col("__n")), labelCol)
-        .localCheckpoint()
+      // centers rewrite is O(touched cells) too: an untouched cell's fold
+      // state did not move, so its STORED center row is bit-identical to
+      // what a full re-derivation would produce (doubles round-trip
+      // parquet exactly) — re-derive only the touched cells from the
+      // merged csums (already in memory) and union the rest back in.
+      // Without this the derivation re-explodes the whole csums table,
+      // which at K ∝ n is corpus-sized (measured 10s of the 12s append
+      // at 100x with 4,000 cells).
+      val touchedCenters = centersFromCsums(
+        merged.select(col(labelCol), col("__chunk"), col("__psums"),
+          col("__n")), labelCol)
+      spark.read.parquet(s"$path/centers")
+        .filter(!col("__cell").cast("string")
+          .isin(cells.toIndexedSeq: _*))
+        .unionByName(touchedCenters)
+        .localCheckpoint() // eager: reads centers before overwriting them
         .write.mode("overwrite").parquet(s"$path/centers")
       writeCsumsMarker(spark, path, bMax, dims)
     } else rebuildIvfCsums(spark, path, idCol, vecCol, labelCol, dims)
@@ -566,7 +598,8 @@ object Similarity {
     centersFromCsums(cs, labelCol)
       .write.mode("overwrite").parquet(s"$path/centers")
     writeCsumsMarker(spark, path,
-      maxIdOf(lists, idCol).getOrElse(Long.MinValue), dims)
+      maxIdOf(lists, idCol, labelCol, "rebuildIvfCsums")
+        .getOrElse(Long.MinValue), dims)
   }
 
   // ---- csums: the persisted centroid fold state -----------------------
@@ -665,10 +698,64 @@ object Similarity {
       .parquet(dir)
   }
 
-  /** Column-pruned max id of a frame, None when empty. */
-  private def maxIdOf(df: DataFrame, idCol: String): Option[Long] = {
-    val r = df.agg(max(col(idCol).cast("long"))).head()
+  /** Column-pruned max id of a frame, None when empty — the same pass
+    * also rejects null labels loudly (the label is the cell partition
+    * key; a null key would vanish from the touched-cell pruning's
+    * three-valued isin and silently drop its center row). */
+  private def maxIdOf(df: DataFrame, idCol: String, labelCol: String,
+                      op: String): Option[Long] = {
+    val r = df.agg(max(col(idCol).cast("long")),
+      count(when(col(labelCol).isNull, lit(1)))).head()
+    require(r.getLong(1) == 0L,
+      s"$op: null labels are not indexable (the label is the cell " +
+        "partition key)")
     if (r.isNullAt(0)) None else Some(r.getLong(0))
+  }
+
+  /** The touched cells' csums rows as (labelCol, __chunk, __opsums,
+    * __on), reading ONLY those cells' partition directories (one root
+    * listing, then explicit subdir paths — never a full partition
+    * discovery over all K cell dirs). Cells with no directory yet (new
+    * cells) simply contribute no rows; when NO touched cell has a dir,
+    * an empty frame with the join schema is derived from the delta.
+    * Cell keys are labels cast to string — integral or simple-token
+    * labels land verbatim in dir names; exotic strings would need
+    * partition-value escaping and are not expected here. */
+  private def readCsumsCells(spark: SparkSession, path: String,
+                             cells: Seq[String], delta: DataFrame,
+                             labelCol: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(s"$path/csums")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val want = cells.map(c => s"__cellkey=$c").toSet
+    val dirs =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq.map(_.getPath)
+        .filter(p => want.contains(p.getName))
+    if (dirs.isEmpty)
+      delta.select(col(labelCol), col("__chunk"))
+        .limit(0)
+        .withColumn("__opsums", lit(null).cast("array<double>"))
+        .withColumn("__on", lit(null).cast("long"))
+    else spark.read.option("basePath", root.toString)
+      .parquet(dirs.map(_.toString): _*)
+      .select(col(labelCol), col("__chunk"),
+        col("__psums").as("__opsums"), col("__n").as("__on"))
+  }
+
+  /** Does the csums dir hold any parquet data files? (A zero-row build
+    * leaves only _SUCCESS; reading it would crash schema inference.) */
+  private def hasCsumsData(spark: SparkSession, path: String): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(s"$path/csums")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def walk(p: org.apache.hadoop.fs.Path): Boolean =
+      fs.exists(p) && fs.listStatus(p).exists { st =>
+        if (st.isFile)
+          st.getPath.getName.endsWith(".parquet") &&
+            !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith(".")
+        else walk(st.getPath)
+      }
+    walk(root)
   }
 
   private def csumsMarkerPath(path: String) =
@@ -688,7 +775,10 @@ object Similarity {
       finally in.close()
       val Array(maxId, d) = raw.split('|')
       Some((maxId.toLong, d.toInt))
-    } catch { case _: Throwable => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
+    // malformed marker → None (fallback recompute); fatal errors (OOM,
+    // interrupts) propagate instead of silently triggering an O(n·d)
+    // rebuild
   }
 
   private[graft] def deleteCsumsMarker(spark: SparkSession,
@@ -802,6 +892,25 @@ object Similarity {
     else if (nCells > (1L << superBits) * 4) math.max(1, (1 << superBits) / 4)
     else 0
 
+  /** THE auto nProbe rule (round-12 recall engineering), in one place:
+    * explicit (>= 0) wins — including the degenerate 0, which keeps its
+    * probe-nothing semantics; auto (-1) probes ceil(2·√K) cells with a
+    * floor of 2. Rationale: a FIXED nProbe makes the scanned corpus
+    * fraction (nProbe/K) collapse as the cell count grows with the
+    * corpus (the SemDeDup K ∝ n contract) — recall@5 on the probe
+    * harness's k-means index fell 0.41 → 0.24 going 1× → 100× at
+    * nProbe = 2 because 2 of 40 cells is 5% of the corpus but 2 of
+    * 1,000 is 0.2%. √K-proportional widths keep per-probe work
+    * sublinear in K while the scanned fraction degrades only as 1/√K —
+    * the standard IVF operating curve; the factor 2 is the measured
+    * operating point that clears the recall@5 >= 0.5 floor at the probe
+    * artifact's budget (ann_curve: K = 1,000 → √K = 32 reads 0.458,
+    * 2·√K = 64 reads 0.518). Contract rows pin nProbe explicitly and
+    * are untouched by the auto rule. */
+  private[graft] def resolveNProbe(nCells: Long, nProbe: Int): Int =
+    if (nProbe >= 0) nProbe
+    else math.max(2, 2 * math.ceil(math.sqrt(nCells.toDouble)).toInt)
+
   /** Row count of a parquet directory from file FOOTERS alone —
     * driver-side metadata, no Spark job (each footer records its row
     * groups' row counts). For the K-row centers tables this is
@@ -858,28 +967,36 @@ object Similarity {
    * × nProbe values) is collected to the driver to drive the
    * partition-pruning filter — metadata-scale, like the one-row
    * broadcast bounds elsewhere.
+   *
+   * `nProbe = -1` (opt-in AUTO, round 12): probe ceil(√K) cells via
+   * [[resolveNProbe]] — the operating point that keeps recall from
+   * collapsing as the cell count grows with the corpus (K ∝ n). The
+   * DEFAULT stays the explicit `nProbe = 2` so existing callers' plans
+   * and the contract oracles are untouched.
    */
   def ivfKnnJoinIndexed(spark: SparkSession, path: String, probes: DataFrame,
                         idCol: String, vecCol: String, labelCol: String,
                         k: Int, nProbe: Int = 2, superProbe: Int = -1,
                         superBits: Int = 4, superOffset: Int = 32): DataFrame = {
     val centers = spark.read.parquet(s"$path/centers")
-    // auto resolution ([[resolveSuperProbe]]) needs only the CELL COUNT
-    // — read it from the centers parquet footers (driver-side metadata,
-    // no Spark job: the prior centers.count() action cost every
-    // BELOW-crossover default caller a full extra job just to resolve
-    // to the same flat plan — measured ~0.4 s per probe call at sf0.1).
-    // Explicit pins short-circuit BEFORE the footer read (no dummy
-    // count threaded through the resolver).
+    // auto resolution ([[resolveSuperProbe]]/[[resolveNProbe]]) needs
+    // only the CELL COUNT — read it from the centers parquet footers
+    // (driver-side metadata, no Spark job: the prior centers.count()
+    // action cost every BELOW-crossover default caller a full extra job
+    // just to resolve to the same flat plan — measured ~0.4 s per probe
+    // call at sf0.1). Explicit pins short-circuit BEFORE the footer
+    // read (no dummy count threaded through the resolver).
+    lazy val nCells = parquetRowCount(spark, s"$path/centers")
+    val resolvedNProbe =
+      if (nProbe >= 0) nProbe else resolveNProbe(nCells, nProbe)
     val resolvedSuper =
       if (superProbe >= 0) superProbe
-      else resolveSuperProbe(parquetRowCount(spark, s"$path/centers"),
-        superProbe, superBits)
+      else resolveSuperProbe(nCells, superProbe, superBits)
     val probedCells =
       if (resolvedSuper > 0)
-        probedCellsTwoLevel(centers, probes, nProbe, resolvedSuper,
+        probedCellsTwoLevel(centers, probes, resolvedNProbe, resolvedSuper,
           superBits, superOffset)
-      else probedCellsFor(centers, probes, nProbe)
+      else probedCellsFor(centers, probes, resolvedNProbe)
     val cellKeys = probedCells.select(col("__cell").cast("string"))
       .distinct().collect().map(_.getString(0))
     val lists = spark.read.parquet(s"$path/lists")

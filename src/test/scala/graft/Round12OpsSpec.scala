@@ -220,12 +220,50 @@ class Round12OpsSpec extends AnyFunSuite {
       probeBits(freshIvf(ivfCorpus.unionByName(suffixBatch))))
   }
 
+  test("auto nProbe (-1): ceil(2*sqrt(K)) with a floor of 2, explicit wins") {
+    assert(Similarity.resolveNProbe(1, -1) == 2)
+    assert(Similarity.resolveNProbe(4, -1) == 4)
+    assert(Similarity.resolveNProbe(16, -1) == 8)
+    assert(Similarity.resolveNProbe(40, -1) == 14)   // 1x probe harness
+    assert(Similarity.resolveNProbe(1000, -1) == 64) // 100x probe harness
+    assert(Similarity.resolveNProbe(4000, 2) == 2)   // explicit pin wins
+    assert(Similarity.resolveNProbe(4000, 0) == 0)   // 0 keeps probe-nothing
+    // wiring: the auto probe is bit-identical to the explicit width the
+    // rule resolves to (2 cells here — both corpus cells probed)
+    val path = freshIvf(ivfCorpus)
+    val auto = Similarity.ivfKnnJoinIndexed(spark, path, ivfProbes,
+      "vec_id", "embedding", "label", k = 3, nProbe = -1).collect()
+      .map(_.toString).sorted.toSeq
+    val explicit = Similarity.ivfKnnJoinIndexed(spark, path, ivfProbes,
+      "vec_id", "embedding", "label", k = 3, nProbe = 2).collect()
+      .map(_.toString).sorted.toSeq
+    assert(auto == explicit && auto.nonEmpty)
+  }
+
   test("build derives centers through csums bit ≡ the inline fold") {
     val path = freshIvf(ivfCorpus)
     val inline = Similarity.cellCentersOf(ivfCorpus, "label", "vec_id",
       "embedding", dims = 4).collect().map(r => r.getString(0) ->
       r.getSeq[Double](1).map(java.lang.Double.doubleToLongBits)).toMap
     assert(centerBits(s"$path/centers") == inline)
+  }
+
+  test("a ragged APPEND batch is rejected BEFORE any write lands") {
+    val path = freshIvf(ivfCorpus)
+    val before = spark.read.parquet(s"$path/lists").count()
+    val ragged = Seq((9L, "a", Array(1.0f, 0.2f, 0.3f))) // 3-wide, dims=4
+      .toDF("vec_id", "label", "embedding")
+    val ex = intercept[Throwable] {
+      Similarity.appendToIvfIndex(spark, path, ragged,
+        "vec_id", "embedding", "label", dims = 4)
+    }
+    assert(messages(ex).exists(_.contains("fixed-width")))
+    // the index is untouched: no poisoned rows, marker still valid, and
+    // a good append afterwards still takes the incremental path
+    assert(spark.read.parquet(s"$path/lists").count() == before)
+    assert(Similarity.readCsumsMarker(spark, path).isDefined)
+    assert(Similarity.appendToIvfIndex(spark, path, suffixBatch,
+      "vec_id", "embedding", "label", dims = 4))
   }
 
   test("ragged vectors are rejected loudly by the fixed-width contract") {

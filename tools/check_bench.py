@@ -198,13 +198,22 @@ def main():
     # bench's own footprint at start means another workload shared the run
     if load and isinstance(load[0], (int, float)) and load[0] > 8.0:
         fails.append(f"loadavg at start was {load[0]} - contended capture")
-    # a capture stamped "closing" PROMISED the idle threshold (the bench
-    # refuses to start above it in closing mode) — a closing artifact
-    # recording a higher start load means the refusal was bypassed
-    if doc.get("closing") and load and isinstance(load[0], (int, float)) \
-            and load[0] > 1.5:
-        fails.append(f"closing capture recorded start loadavg {load[0]} "
-                     "> 1.5 - the closing refusal was bypassed")
+    # a capture stamped "closing" PROMISED the idle standard (the bench
+    # refuses to start above it in closing mode). The gate reads the
+    # PRE-JVM sample the refusal itself evaluated (closing_load) when
+    # recorded — loadavg[0] is taken after Spark init and can drift a
+    # tenth or two — and holds it to the absolute 1.5 regardless of any
+    # SPARK_GRAFT_BENCH_MAX_LOAD override: a raised threshold must not
+    # launder a contended closing capture through validation.
+    if doc.get("closing"):
+        gate_load = doc.get("closing_load")
+        if not isinstance(gate_load, (int, float)):
+            gate_load = load[0] if load and \
+                isinstance(load[0], (int, float)) else None
+        if gate_load is not None and gate_load > 1.5:
+            fails.append(f"closing capture recorded start loadavg "
+                         f"{gate_load} > 1.5 - the closing refusal was "
+                         "bypassed or overridden")
     spread = doc.get("spread") or {}
     # spread is [min, second_fastest, max, n] (round 7+) or the legacy
     # [min, max, n]. The surviving-contention signal is the two FASTEST

@@ -65,7 +65,9 @@ def main():
     # round 12+: steady epoch after grouped compaction vs the fresh
     # floor (2.5x: the 2x target plus the documented +-6% sandbox noise
     # on a ~2s base; the PRE-compaction steady epoch read 2.7x at 100x)
-    if isinstance(doc.get("state_epoch500_postcompact_sec"), (int, float)):
+    if isinstance(doc.get("state_epoch500_postcompact_sec"), (int, float)) \
+            and isinstance(doc.get("state_epoch500_fresh_sec"),
+                           (int, float)):
         cap = 2.5 * doc["state_epoch500_fresh_sec"]
         if doc["state_epoch500_postcompact_sec"] > cap:
             fails.append(
@@ -136,6 +138,15 @@ def main():
                 f"shard shuffle {doc['shard_shuffle64_sec']:.2f}s not < "
                 f"dedup build {doc['dedup_build_sec']:.2f}s over the same "
                 "docs - a one-shuffle pass must undercut a shingle pass")
+    # round 12+: the AUTO operating point (nProbe = ceil(sqrt(K))) must
+    # clear an absolute recall floor at the artifact's probe budget —
+    # the relative kmeans >= label gate let recall drift to 0.244 at
+    # 100x without failing anything
+    if isinstance(doc.get("ivf_recall5_kmeans_auto"), (int, float)):
+        if doc["ivf_recall5_kmeans_auto"] < 0.5:
+            fails.append(
+                f"auto-nProbe kmeans recall@5 "
+                f"{doc['ivf_recall5_kmeans_auto']} below the 0.5 floor")
     # equal-K quantizer comparison: k-means exists because the label
     # column measured worse; allow a small tolerance for probe noise
     if doc["ivf_recall5_kmeans"] < doc["ivf_recall5_flat"] - 0.02:
@@ -183,9 +194,11 @@ def main():
             fails.append(
                 f"assigned append grew with the corpus: {big:.2f}s at "
                 f"100x vs {base:.2f}s at 1x (cap max(2.5x, +2s))")
-        if doc100.get("ivf_append200_assigned_incremental") is False:
-            fails.append("100x assigned append fell back to the full "
-                         "recompute")
+        # the flag must be PRESENT and true: a pre-round-12 artifact (no
+        # flag) cannot substantiate the cross-scale incremental claim
+        if doc100.get("ivf_append200_assigned_incremental") is not True:
+            fails.append("100x assigned append did not record taking the "
+                         "incremental path")
     if fails:
         for m in fails:
             print(f"FAIL: {m}")

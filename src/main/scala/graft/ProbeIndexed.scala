@@ -277,7 +277,9 @@ object ProbeIndexed {
     // epochs the dup arm above accumulated (bootstrap + 2*reps) fold to
     // the fewest summarized groups the cap admits. Measured with the
     // same dup-shaped batch (candidates ARE read); the gate is
-    // postcompact <= ~2x the fresh floor (tools/check_probe.py).
+    // postcompact <= 3x the fresh floor (tools/check_probe.py — the
+    // residual is the batch's candidate-verify work, decomposed by
+    // graft.ProbeStateVerify, not epoch count).
     val stateCompactSec = time(
       StreamOps.compactStateGrouped(spark, statePath, regroup = true))
     def statePostBatch(r: Int): org.apache.spark.sql.DataFrame = {

@@ -426,9 +426,24 @@ object StreamOps {
     val (cand, stateSets) = setBuckets match {
       case Some(b) =>
         val c = cand0.localCheckpoint(false)
-        val ibs = c.select(idBucket(col("__sid"), b).as("ib"))
-          .distinct().collect().map(_.getInt(0)).toSeq
-        (c, stateSetsAll.filter(col("ib").isin(ibs: _*)))
+        // ONE job for the candidate buckets AND the candidate-id range:
+        // the [lo, hi] filter is a SUPERSET of the candidate ids (the
+        // verify join still decides membership — admissions identical),
+        // but it pushes to parquet, and the state's sets files carry
+        // id-sorted row groups (bootstrap/compaction sort within
+        // partitions) so clustered candidates — the common shape: recent
+        // docs duplicate recent docs — skip most row groups instead of
+        // scanning every hit bucket whole. Uniform candidates degrade to
+        // exactly the old ib-pruned scan, never to a miss. No cast on
+        // the id column (min/max collected in its own type) or the
+        // pushdown would silently vanish.
+        val agg = c.agg(
+          collect_set(idBucket(col("__sid"), b)).as("ibs"),
+          min(col("__sid")), max(col("__sid"))).head()
+        val ibs = agg.getSeq[Int](0)
+        if (ibs.isEmpty) (c, stateSetsAll.filter(lit(false)))
+        else (c, stateSetsAll.filter(col("ib").isin(ibs: _*) &&
+          col(idCol) >= lit(agg.get(1)) && col(idCol) <= lit(agg.get(2))))
       case None => (cand0, stateSetsAll)
     }
     val dupIds = cand
@@ -830,6 +845,11 @@ object StreamOps {
     sets.withColumn("batch", epochCol)
       .withColumn("ib", idBucket(col(idCol), StateSetBuckets))
       .repartition(epochs * StateSetBuckets, col("batch"), col("ib"))
+      // id-sorted within each (batch, ib) file: the writer's required
+      // ordering (the partition cols) is a satisfied prefix, so no
+      // re-sort destroys it — row-group id stats then let the verify's
+      // candidate-range filter skip row groups (dedupEpoch)
+      .sortWithinPartitions(col("batch"), col("ib"), col(idCol))
       .write.mode("errorifexists").partitionBy("batch", "ib")
       .parquet(s"$statePath/sets")
     Dedup.bandKeysFromSets(sets, idCol)
@@ -1107,9 +1127,14 @@ object StreamOps {
           .filter(d => fs.exists(new Path(d)))
         if (srcSets.nonEmpty) banded match {
           case Some(b) =>
-            spark.read.option("basePath", setsRoot)
+            val grp = spark.read.option("basePath", setsRoot)
               .parquet(srcSets: _*).drop("batch")
-              .repartition(b, col("ib"))
+            val idc = grp.columns
+              .filterNot(c => c == "sset" || c == "ib").head
+            grp.repartition(b, col("ib"))
+              // id-sorted row groups, as the bootstrap writes them — the
+              // verify's candidate-range pushdown survives compaction
+              .sortWithinPartitions(col("ib"), col(idc))
               .write.partitionBy("ib").parquet(setsStage.toString)
           case None =>
             spark.read.option("basePath", setsRoot)

@@ -6,7 +6,7 @@ import org.apache.spark.sql.DataFrame
 import org.scalacheck.Gen
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.Dedup
+import graft.functions.{Dedup, Similarity}
 
 /**
  * Property obligation for the round-12 verdict: the banded dedup index's
@@ -112,6 +112,85 @@ class Round12Properties extends AnyFunSuite {
     // the sampled scenarios jointly exercise every op type
     assert(allOps == Set(0, 1, 2),
       s"sampled scenarios missed an op type: $allOps")
+  }
+
+  // ---- csums centroid arithmetic vs an independent Scala model -------
+
+  /** The centroid arithmetic re-implemented from the SPEC, sharing no
+    * library code: chunk = first-7-md5-hex(id) mod 1024; per
+    * (label, chunk) the per-position left fold over ids ascending; per
+    * (label, pos) the left fold over chunk partials in chunk order,
+    * divided by the count. Bit-compared against the index's centers so
+    * a shared-code bug in the build/append/fallback paths cannot
+    * self-confirm. */
+  private def modelCenters(rows: Seq[(Long, String, Array[Float])],
+                           dims: Int): Map[String, Seq[Long]] = {
+    def chunk(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 7)
+      java.lang.Long.parseLong(hex, 16) % 1024L
+    }
+    rows.groupBy(_._2).map { case (label, rs) =>
+      val byChunk = rs.groupBy(r => chunk(r._1))
+      val center = (0 until dims).map { p =>
+        val (sum, n) = byChunk.toSeq.sortBy(_._1)
+          .foldLeft((0.0, 0L)) { case ((acc, cnt), (_, group)) =>
+            val psum = group.sortBy(_._1)
+              .foldLeft(0.0)((a, r) => a + r._3(p).toDouble)
+            (acc + psum, cnt + group.size)
+          }
+        java.lang.Double.doubleToLongBits(sum / n)
+      }
+      label -> center
+    }
+  }
+
+  private val csumsGen: Gen[(Seq[(Long, String, Array[Float])], Int)] = for {
+    n <- Gen.choose(4, 16)
+    ids <- Gen.pick(n, 0L to 60L)
+    labels <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
+    vecs <- Gen.listOfN(n, Gen.listOfN(4,
+      Gen.chooseNum(-2.0f, 2.0f)))
+    cut <- Gen.choose(1, n - 1) // monotone split point (by sorted id)
+  } yield (ids.toSeq.sorted.lazyZip(labels).lazyZip(vecs)
+    .map((i, l, v) => (i, l, v.toArray)).toSeq, cut)
+
+  test("property: built+appended centers ≡ an independent Scala fold model") {
+    PropertySamples.samples(csumsGen, 6, 12043L).zipWithIndex.foreach {
+      case ((rows, cut), si) =>
+        val (base, batch) = rows.splitAt(cut) // batch ids all above base's
+        val path = Files.createTempDirectory(s"graft-r12c-$si").toString + "/idx"
+        Similarity.buildIvfIndex(base.toDF("vec_id", "label", "embedding"),
+          "vec_id", "embedding", "label", path, dims = 4)
+        assert(Similarity.appendToIvfIndex(spark, path,
+          batch.toDF("vec_id", "label", "embedding"),
+          "vec_id", "embedding", "label", dims = 4),
+          s"scenario $si: monotone batch must go incremental")
+        val got = spark.read.parquet(s"$path/centers").collect()
+          .map(r => r.getString(0) -> r.getSeq[Double](1)
+            .map(java.lang.Double.doubleToLongBits)).toMap
+        val want = modelCenters(rows, dims = 4)
+        assert(got == want,
+          s"scenario $si: centers diverge from the model\n got=$got\nwant=$want")
+        // the interleaved arm (odd/even split) exercises the FALLBACK
+        // against the same model — the set-fold is split-independent
+        val evens = rows.zipWithIndex.filter(_._2 % 2 == 0).map(_._1)
+        val odds = rows.zipWithIndex.filter(_._2 % 2 == 1).map(_._1)
+        if (evens.nonEmpty && odds.nonEmpty) {
+          val p2 = Files.createTempDirectory(s"graft-r12ci-$si").toString + "/idx"
+          Similarity.buildIvfIndex(
+            evens.toDF("vec_id", "label", "embedding"),
+            "vec_id", "embedding", "label", p2, dims = 4)
+          Similarity.appendToIvfIndex(spark, p2,
+            odds.toDF("vec_id", "label", "embedding"),
+            "vec_id", "embedding", "label", dims = 4)
+          val got2 = spark.read.parquet(s"$p2/centers").collect()
+            .map(r => r.getString(0) -> r.getSeq[Double](1)
+              .map(java.lang.Double.doubleToLongBits)).toMap
+          assert(got2 == want, s"scenario $si: fallback diverges from model")
+        }
+    }
   }
 
   test("property: appends after a compaction keep folding (delta → base → delta)") {

@@ -30,6 +30,15 @@ object Bench {
     val maxLoad = sys.env.get("SPARK_GRAFT_BENCH_MAX_LOAD")
       .flatMap(_.toDoubleOption).getOrElse(1.5)
     val load0 = loadavg()
+    if (closing && load0 < 0) {
+      // the -1 sentinel means the sample itself failed (/proc/loadavg
+      // unreadable): a closing capture whose idleness CANNOT be verified
+      // must refuse, or the protocol degrades from impossible-to-slip
+      // to undetectable (check_bench also fails a negative closing_load)
+      System.err.println("[bench] CLOSING capture refused: loadavg " +
+        "unreadable - idleness cannot be verified on this host")
+      sys.exit(3)
+    }
     if (closing && load0 > maxLoad) {
       System.err.println(
         f"[bench] CLOSING capture refused: 1-min loadavg $load0%.2f > " +

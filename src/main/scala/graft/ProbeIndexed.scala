@@ -121,18 +121,24 @@ object ProbeIndexed {
 
     // round-12 verdict task 3: the recall-vs-cost OPERATING CURVE on the
     // k-means index — recall@5 and probe seconds at widening nProbe —
-    // plus the auto operating point (nProbe = -1 → ceil(sqrt(K)) cells,
-    // Similarity.resolveNProbe: THE library rule, not a hand-copied
-    // literal). The fixed nProbe = 2 row above is why recall collapsed
-    // at 100x (2 of 4,000 cells); the curve documents what widening buys
-    // and what it costs, and check_probe gates the auto point's floor.
+    // plus the auto operating point (nProbe = -1 → ceil(2*sqrt(K))
+    // cells, Similarity.resolveNProbe: THE library rule, not a
+    // hand-copied literal). The fixed nProbe = 2 row above is why recall
+    // collapsed at 100x (2 of 1,000 cells); the curve documents what
+    // widening buys and what it costs, and check_probe gates the auto
+    // point's floor.
     def kmProbeAt(np: Int): (Double, Double) = {
-      def q = Similarity.ivfKnnJoinIndexed(spark, kmPath, probes,
+      // checkpointed so the untimed recall join reuses the SAME probe
+      // run the timer measured instead of re-executing the pipeline
+      val q = Similarity.ivfKnnJoinIndexed(spark, kmPath, probes,
         "vec_id", "embedding", "cell", k = 5, nProbe = np)
-      // probe cost timed alone (count forces the TopK aggregate);
-      // the recall join against the brute-force baseline is untimed
+        .localCheckpoint(false)
+      // probe cost timed alone (count materializes the lazy checkpoint,
+      // forcing the TopK aggregate); the recall join is untimed
       val sec = time(q.count())
-      (recall(q), sec)
+      val r = recall(q)
+      q.unpersist()
+      (r, sec)
     }
     val annCurve = Seq(2, 4, 8, 16, 32, 64).map { np =>
       val (r, sec) = kmProbeAt(np)

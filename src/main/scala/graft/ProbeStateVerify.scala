@@ -124,11 +124,13 @@ object ProbeStateVerify {
           .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d))): _*)
       val (stateSets, t4) = time {
         // mirrors dedupEpoch's banded read: hit-bucket isin + the
-        // candidate-id range filter (superset — pushed to parquet)
+        // candidate-id range filter (superset — pushed to parquet);
+        // bucket rule + count come from the ONE shared definition so
+        // this mirror cannot drift from the real read
         val ss = if (banded) {
           val a = cand.agg(
-            collect_set(pmod(col("__sid").cast("long"), lit(64L))
-              .cast("int")).as("ibs"),
+            collect_set(Dedup.idBucket(col("__sid"),
+              StreamOps.StateSetBuckets)).as("ibs"),
             min(col("__sid")), max(col("__sid"))).head()
           val ibs = a.getSeq[Int](0)
           if (ibs.isEmpty) stateSets0.filter(lit(false))

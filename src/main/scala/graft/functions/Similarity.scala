@@ -425,6 +425,13 @@ object Similarity {
   def buildIvfIndex(df: DataFrame, idCol: String, vecCol: String,
                     labelCol: String, path: String, dims: Int = 64): Unit = {
     TopKAgg.requireIntegralId(df, idCol, "buildIvfIndex")
+    // an IN-PLACE rebuild over an existing index is a mutation like any
+    // other: the marker must be absent through every crash window (a
+    // crash between the lists overwrite and the csums write would
+    // otherwise leave NEW lists under an OLD-but-valid marker, and the
+    // next monotone append would fold onto fold state that does not
+    // cover the lists — silently wrong centers, stamped valid)
+    deleteCsumsMarker(df.sparkSession, path)
     // csums (the per-(cell, chunk) centroid fold state) computed ONCE and
     // checkpointed: it feeds both the centers derivation and the csums
     // write, and its arithmetic is the identical id-ordered left fold
@@ -482,10 +489,18 @@ object Similarity {
    * converges. Same single-writer discipline as the dedup index.
    * Index contract: unique integral ids, vectors ≥ `dims` wide.
    */
-  def appendToIvfIndex(spark: SparkSession, path: String, batch: DataFrame,
+  def appendToIvfIndex(spark: SparkSession, path: String, batch0: DataFrame,
                        idCol: String, vecCol: String, labelCol: String,
                        dims: Int = 64): Boolean = {
-    TopKAgg.requireIntegralId(batch, idCol, "appendToIvfIndex")
+    TopKAgg.requireIntegralId(batch0, idCol, "appendToIvfIndex")
+    // ONE evaluation of the caller's frame: the bounds aggregate, the
+    // lists write, and the csums delta would otherwise each re-evaluate
+    // it — a non-deterministic batch (a sample, an uncheckpointed limit)
+    // could then write one row set to lists and fold ANOTHER into csums
+    // while stamping the marker valid. An append batch is ingest-sized,
+    // so the eager checkpoint is cheap insurance.
+    val batch = batch0.select(col(idCol), col(vecCol), col(labelCol))
+      .localCheckpoint()
     val marker = readCsumsMarker(spark, path)
     // one job for id bounds, the touched-cell set, AND the batch's own
     // width/label validation — BEFORE any write lands: a ragged or
@@ -516,13 +531,7 @@ object Similarity {
     // opt-in stage trace (SPARK_GRAFT_IVF_TIMINGS=1): the append is many
     // small actions whose individual costs are invisible in the probe
     // artifact's single number — this names the heavy one when tuning
-    val trace = sys.env.get("SPARK_GRAFT_IVF_TIMINGS").contains("1")
-    var t0 = System.nanoTime()
-    def mark(stage: String): Unit = if (trace) {
-      val t1 = System.nanoTime()
-      System.err.println(f"[ivf-append] $stage ${(t1 - t0) / 1e9}%.2fs")
-      t0 = t1
-    }
+    val mark = stageTrace("ivf-append")
     deleteCsumsMarker(spark, path) // FIRST: no crash window trusts stale csums
     // STAGED append, not mode("append"): a path-based partitioned append
     // resolves the EXISTING table first — full partition discovery over
@@ -736,6 +745,20 @@ object Similarity {
         s"elements, found one with ${mw.getInt(0)}")
   }
 
+  /** Env-gated stage stopwatch (`SPARK_GRAFT_IVF_TIMINGS=1`): returns a
+    * mark function printing elapsed-since-last-mark per named stage —
+    * a no-op closure when the flag is off. */
+  private def stageTrace(prefix: String): String => Unit =
+    if (!sys.env.get("SPARK_GRAFT_IVF_TIMINGS").contains("1")) _ => ()
+    else {
+      var t0 = System.nanoTime()
+      stage => {
+        val t1 = System.nanoTime()
+        System.err.println(f"[$prefix] $stage ${(t1 - t0) / 1e9}%.2fs")
+        t0 = t1
+      }
+    }
+
   /** Write a csums frame under `dir`, one file per cell partition.
     * `dynamic = true` overwrites ONLY the partitions present in the
     * frame (the append path's touched cells); the default replaces the
@@ -770,15 +793,21 @@ object Similarity {
     * discovery over all K cell dirs). Cells with no directory yet (new
     * cells) simply contribute no rows; when NO touched cell has a dir,
     * an empty frame with the join schema is derived from the delta.
-    * Cell keys are labels cast to string — integral or simple-token
-    * labels land verbatim in dir names; exotic strings would need
-    * partition-value escaping and are not expected here. */
+    * Cell keys are labels cast to string and matched against the
+    * ESCAPED dir names Spark writes, so special-charactered labels
+    * resolve correctly. */
   private def readCsumsCells(spark: SparkSession, path: String,
                              cells: Seq[String], delta: DataFrame,
                              labelCol: String): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(s"$path/csums")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val want = cells.map(c => s"__cellkey=$c").toSet
+    // match the ESCAPED partition dir names Spark writes: an unescaped
+    // comparison would read a special-charactered label's ("a/b", "a:b")
+    // stored fold state as ABSENT and silently replace it with a
+    // batch-only fold
+    val want = cells.map(c => "__cellkey=" +
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(c)).toSet
     val dirs =
       if (!fs.exists(root)) Seq.empty
       else fs.listStatus(root).toSeq.map(_.getPath)
@@ -811,13 +840,7 @@ object Similarity {
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stage = new org.apache.hadoop.fs.Path(liveDir + ".__append_stage")
     if (fs.exists(stage)) fs.delete(stage, true) // stale crashed stage
-    val trace = sys.env.get("SPARK_GRAFT_IVF_TIMINGS").contains("1")
-    var t0 = System.nanoTime()
-    def mark(s: String): Unit = if (trace) {
-      val t1 = System.nanoTime()
-      System.err.println(f"[staged-write] $s ${(t1 - t0) / 1e9}%.2fs")
-      t0 = t1
-    }
+    val mark = stageTrace("staged-write")
     df.write.partitionBy("__cellkey").parquet(stage.toString)
     mark("stage-job")
     fs.mkdirs(live)
@@ -965,13 +988,12 @@ object Similarity {
   def appendToIvfIndexAssigned(spark: SparkSession, path: String,
                                batch: DataFrame, idCol: String,
                                vecCol: String, dims: Int = 64): Boolean = {
-    // EAGER checkpoint: the assignment's lineage reads path/centers,
-    // which refreshIvfCenters overwrites later in this same call — a
-    // lazy checkpoint would leave correctness depending on the lists
-    // write happening to be the frame's first action
+    // the assignment's lineage reads path/centers, which this same call
+    // replaces later — safe because appendToIvfIndex EAGERLY checkpoints
+    // its batch at entry, before any index mutation (one materialization
+    // for the determinism guarantee and this read-before-replace hazard)
     val labeled = batch.select(col(idCol), col(vecCol))
       .join(assignToCenters(spark, path, batch, idCol, vecCol), Seq(idCol))
-      .localCheckpoint()
     appendToIvfIndex(spark, path, labeled, idCol, vecCol, "cell", dims)
   }
 
@@ -1070,11 +1092,11 @@ object Similarity {
    * partition-pruning filter — metadata-scale, like the one-row
    * broadcast bounds elsewhere.
    *
-   * `nProbe = -1` (opt-in AUTO, round 12): probe ceil(√K) cells via
-   * [[resolveNProbe]] — the operating point that keeps recall from
-   * collapsing as the cell count grows with the corpus (K ∝ n). The
-   * DEFAULT stays the explicit `nProbe = 2` so existing callers' plans
-   * and the contract oracles are untouched.
+   * `nProbe = -1` (opt-in AUTO, round 12): probe ceil(2·√K) cells via
+   * [[resolveNProbe]] — the measured operating point that keeps recall
+   * from collapsing as the cell count grows with the corpus (K ∝ n).
+   * The DEFAULT stays the explicit `nProbe = 2` so existing callers'
+   * plans and the contract oracles are untouched.
    */
   def ivfKnnJoinIndexed(spark: SparkSession, path: String, probes: DataFrame,
                         idCol: String, vecCol: String, labelCol: String,

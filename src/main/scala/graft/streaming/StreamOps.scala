@@ -233,7 +233,7 @@ object StreamOps {
     * a pre-existing marker-less state stays on the legacy flat layout
     * forever (mixing layouts under one partition-discovery root would
     * break every read). */
-  private val StateSetBuckets = 64
+  private[graft] val StateSetBuckets = 64
 
   private def stateLayoutPath(statePath: String) =
     new org.apache.hadoop.fs.Path(s"$statePath/_graft_state_layout")

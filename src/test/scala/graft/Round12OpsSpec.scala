@@ -240,6 +240,28 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(auto == explicit && auto.nonEmpty)
   }
 
+  test("special-charactered labels round-trip the fast path (escaped dirs)") {
+    // Spark escapes partition values in dir names ("a/b" → "a%2Fb"); the
+    // fast path's explicit-subdir csums read must match the ESCAPED name
+    // or it silently treats the cell's stored fold state as absent and
+    // replaces it with a batch-only fold
+    val weird = Seq(
+      (0L, "a/b", Array(1.0f, 0.1f, 0.0f, 0.0f)),
+      (1L, "a/b", Array(1.0f, 0.2f, 0.0f, 0.0f)),
+      (2L, "c:d e", Array(0.1f, 1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val more = Seq((3L, "a/b", Array(1.0f, 0.15f, 0.0f, 0.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val appended = freshIvf(weird)
+    assert(Similarity.appendToIvfIndex(spark, appended, more,
+      "vec_id", "embedding", "label", dims = 4),
+      "monotone append on escaped labels must stay incremental")
+    val rebuilt = freshIvf(weird.unionByName(more))
+    assert(centerBits(s"$appended/centers") == centerBits(s"$rebuilt/centers"),
+      "the escaped cell's stored fold state was not continued")
+    assert(csumBits(s"$appended/csums") == csumBits(s"$rebuilt/csums"))
+  }
+
   test("build derives centers through csums bit ≡ the inline fold") {
     val path = freshIvf(ivfCorpus)
     val inline = Similarity.cellCentersOf(ivfCorpus, "label", "vec_id",

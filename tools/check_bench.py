@@ -214,6 +214,11 @@ def main():
             fails.append(f"closing capture recorded start loadavg "
                          f"{gate_load} > 1.5 - the closing refusal was "
                          "bypassed or overridden")
+        # the -1 sentinel: the load sample failed, so idleness was never
+        # verified — a closing artifact cannot claim the standard
+        if gate_load is None or gate_load < 0:
+            fails.append("closing capture has no verifiable load sample "
+                         f"(closing_load={gate_load!r})")
     spread = doc.get("spread") or {}
     # spread is [min, second_fastest, max, n] (round 7+) or the legacy
     # [min, max, n]. The surviving-contention signal is the two FASTEST

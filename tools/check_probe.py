@@ -56,13 +56,15 @@ def main():
         return 2
     fails = []
     # round 12+: the probe batch is monotone-id by construction, so the
-    # appends must have taken the incremental csums path — a false flag
-    # means the timing above silently measured the fallback
+    # appends must have RECORDED taking the incremental csums path — a
+    # false flag means the timing silently measured the fallback, and an
+    # ABSENT flag (a pre-round-12 artifact, or a harness regression that
+    # stopped recording it) silently voids the guarantee, so both fail
     for flag in ("ivf_append200_incremental",
                  "ivf_append200_assigned_incremental"):
-        if flag in doc and doc[flag] is not True:
-            fails.append(f"{flag} is {doc[flag]} - the monotone probe "
-                         "batch fell back to the full recompute")
+        if doc.get(flag) is not True:
+            fails.append(f"{flag} is {doc.get(flag)} - the monotone "
+                         "probe batch must record the incremental path")
     # round 12+: steady epoch after grouped compaction vs the fresh
     # floor. 3.0x, not the 2x hypothesis: the ProbeStateVerify
     # decomposition (PLANS round 12) shows the residual is the BATCH's

@@ -142,6 +142,17 @@ def main():
         rc, _ = run(d)
         check("idle closing capture passes", rc, 0)
 
+        # the -1 load sentinel (sample failed): idleness was never
+        # verified, so a closing capture cannot claim the standard → 3
+        write(d, {"q1": 1.2, "q2": 0.22}, hist, closing=True,
+              loadavg=(-1.0, -1.0, -1.0))
+        rc, out = run(d)
+        check("unverifiable closing load fails", rc, 3)
+        if "verifiable" not in out:
+            fails += 1
+            print("FAIL: sentinel failure must say the load was "
+                  "unverifiable")
+
     print(f"== {'ALL PASS' if fails == 0 else f'{fails} FAILURES'}")
     return 1 if fails else 0
 

@@ -512,16 +512,19 @@ object Similarity {
       collect_set(col(labelCol).cast("string")),
       min(when(col(vecCol).isNotNull,
         size(slice(col(vecCol), 1, dims)))),
-      count(when(col(labelCol).isNull, lit(1)))).head()
+      count(when(col(labelCol).isNull ||
+        col(labelCol).cast("string") === "", lit(1)))).head()
     if (bounds.isNullAt(0)) return true // empty batch: index unchanged
     val (bMin, bMax) = (bounds.getLong(0), bounds.getLong(1))
     val cells = bounds.getSeq[String](2)
     require(bounds.isNullAt(3) || bounds.getInt(3) >= dims,
       s"appendToIvfIndex: IVF index requires fixed-width vectors with " +
         s">= $dims elements, batch has one with ${bounds.getInt(3)}")
+    // empty-string labels are rejected with nulls: Spark writes BOTH as
+    // __HIVE_DEFAULT_PARTITION__, so neither round-trips as a cell key
     require(bounds.getLong(4) == 0L,
-      "appendToIvfIndex: null labels are not indexable (the label is " +
-        "the cell partition key)")
+      "appendToIvfIndex: null/empty labels are not indexable (the " +
+        "label is the cell partition key)")
     // hasCsumsData guards the degenerate empty index (a build over zero
     // rows writes a data-less csums dir whose read would crash schema
     // inference): no stored fold state → take the fallback, which
@@ -780,10 +783,11 @@ object Similarity {
   private def maxIdOf(df: DataFrame, idCol: String, labelCol: String,
                       op: String): Option[Long] = {
     val r = df.agg(max(col(idCol).cast("long")),
-      count(when(col(labelCol).isNull, lit(1)))).head()
+      count(when(col(labelCol).isNull ||
+        col(labelCol).cast("string") === "", lit(1)))).head()
     require(r.getLong(1) == 0L,
-      s"$op: null labels are not indexable (the label is the cell " +
-        "partition key)")
+      s"$op: null/empty labels are not indexable (the label is the " +
+        "cell partition key)")
     if (r.isNullAt(0)) None else Some(r.getLong(0))
   }
 

@@ -177,6 +177,29 @@ object ProbeIndexed {
       Similarity.appendToIvfIndexAssigned(
         spark, kmPath, kmBatch, "vec_id", "embedding", dims = 64) }
 
+    // STREAMING IVF ingest (round 12): the per-micro-batch refresh runs
+    // through the csums fold — epoch cost must track the batch, not the
+    // corpus (the old refresh recomputed centers from ALL lists every
+    // epoch). The require pins that the fold path actually ran; a
+    // silent rebuild would still be correct but would time the wrong
+    // claim.
+    import graft.streaming.StreamOps
+    val ingestIdx = s"$tmp/ivf_ingest"
+    val ingestBootstrap = time(StreamOps.ivfIngestBootstrap(
+      emb, ingestIdx, "vec_id", "embedding", "label", dims = 64))
+    val ingestEpochSec = (1 to reps).map { r =>
+      val b = emb.orderBy(col("vec_id").desc).limit(200)
+        .select((col("vec_id") + 85000000L + r * 1000000L).as("vec_id"),
+          col("embedding"), col("label"))
+        .localCheckpoint()
+      var route = -1
+      val t = time { route = StreamOps.ivfIngestEpoch(b, 100L + r,
+        ingestIdx, "vec_id", "embedding", "label", dims = 64) }
+      require(route == 0,
+        s"probe ingest epoch took path $route, not the incremental fold")
+      b.unpersist(); t
+    }.min
+
     val docs = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
     val dedupPath = s"$tmp/dedup"
@@ -382,6 +405,8 @@ object ProbeIndexed {
       s""""ivf_centers_refresh_sec":$refreshIvf,""" +
       s""""ivf_append200_assigned_sec":$appendAssigned,""" +
       s""""ivf_append200_assigned_incremental":$appendAssignedFast,""" +
+      s""""ivf_ingest_bootstrap_sec":$ingestBootstrap,""" +
+      s""""ivf_ingest_epoch200_sec":$ingestEpochSec,""" +
       s""""dedup_build_sec":$buildDedup,"dedup_probe500_sec":$probeDedup,""" +
       s""""dedup_append500_sec":$appendDedup,""" +
       s""""dedup_banded_build_sec":$buildDedupBanded,""" +

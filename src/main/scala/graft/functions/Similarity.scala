@@ -502,34 +502,15 @@ object Similarity {
     val batch = batch0.select(col(idCol), col(vecCol), col(labelCol))
       .localCheckpoint()
     val marker = readCsumsMarker(spark, path)
-    // one job for id bounds, the touched-cell set, AND the batch's own
-    // width/label validation — BEFORE any write lands: a ragged or
-    // null-labeled batch must fail while the index is still untouched
-    // (validating after the lists append would leave the bad rows
-    // persisted, poisoning every later rebuild)
-    val bounds = batch.agg(min(col(idCol).cast("long")),
-      max(col(idCol).cast("long")),
-      collect_set(col(labelCol).cast("string")),
-      min(when(col(vecCol).isNotNull,
-        size(slice(col(vecCol), 1, dims)))),
-      count(when(col(labelCol).isNull ||
-        col(labelCol).cast("string") === "", lit(1)))).head()
-    if (bounds.isNullAt(0)) return true // empty batch: index unchanged
-    val (bMin, bMax) = (bounds.getLong(0), bounds.getLong(1))
-    val cells = bounds.getSeq[String](2)
-    require(bounds.isNullAt(3) || bounds.getInt(3) >= dims,
-      s"appendToIvfIndex: IVF index requires fixed-width vectors with " +
-        s">= $dims elements, batch has one with ${bounds.getInt(3)}")
-    // empty-string labels are rejected with nulls: Spark writes BOTH as
-    // __HIVE_DEFAULT_PARTITION__, so neither round-trips as a cell key
-    require(bounds.getLong(4) == 0L,
-      "appendToIvfIndex: null/empty labels are not indexable (the " +
-        "label is the cell partition key)")
+    val stats = csumsBatchStats(batch, idCol, vecCol, labelCol, dims,
+      "appendToIvfIndex")
+    if (stats.isEmpty) return true // empty batch: index unchanged
+    val Some((bMin, bMax, cells)) = stats
     // hasCsumsData guards the degenerate empty index (a build over zero
     // rows writes a data-less csums dir whose read would crash schema
     // inference): no stored fold state → take the fallback, which
     // rebuilds from the lists (now holding this batch) and converges
-    val fast = marker.exists { case (maxId, d) =>
+    val fast = marker.exists { case (maxId, d, _) =>
       d == dims && bMin > maxId } && hasCsumsData(spark, path)
     // opt-in stage trace (SPARK_GRAFT_IVF_TIMINGS=1): the append is many
     // small actions whose individual costs are invisible in the probe
@@ -560,71 +541,140 @@ object Similarity {
         .repartition(spreadN, col("__cellkey")),
       replaceDirs = false)
     mark("lists-append")
-    if (fast) {
-      val delta = csumKvsOf(batch, labelCol, idCol, vecCol, dims)
-      // touched cells only, read as EXPLICIT subdirectories (the
-      // readBandedDirs device): an isin partition filter still pays full
-      // partition DISCOVERY over all K cell dirs, which at K ∝ n is the
-      // corpus-proportional term this path exists to avoid (measured:
-      // the 1000-dir listing dominated the append at 100x)
-      val old = readCsumsCells(spark, path, cells, delta, labelCol)
-      // continue each chunk's left fold from the stored partial: the
-      // delta's kvs re-fold element-by-element onto the old psums (NOT
-      // old + deltaSum — that would re-bracket the float additions)
-      val merged = old
-        .join(delta, Seq(labelCol, "__chunk"), "full_outer")
-        .select(col(labelCol), col("__chunk"),
-          foldKvs(coalesce(col("__kvs"), emptyKvs),
-            coalesce(col("__opsums"), zeroPsums(dims))).as("__psums"),
-          (coalesce(col("__on"), lit(0L)) +
-            coalesce(col("__bn"), lit(0L))).as("__n"),
-          col("__minw"))
-        .localCheckpoint() // eager: reads csums before overwriting them
-      mark("csums-merge")
-      requireFixedWidth(merged, dims, "appendToIvfIndex")
-      // same staged-rename device as the lists append (a dynamic
-      // partition overwrite resolves the whole csums tree too); here the
-      // touched cells' dirs are REPLACED — the merged rows supersede the
-      // old fold state
-      stagedPartitionedWrite(spark, s"$path/csums",
-        merged.drop("__minw")
-          .withColumn("__cellkey", col(labelCol).cast("string"))
-          .repartition(spreadN, col("__cellkey")),
-        replaceDirs = true)
-      mark("csums-write")
-      // centers rewrite is O(touched cells) too: an untouched cell's fold
-      // state did not move, so its STORED center row is bit-identical to
-      // what a full re-derivation would produce (doubles round-trip
-      // parquet exactly) — re-derive only the touched cells from the
-      // merged csums (already in memory) and union the rest back in.
-      // Without this the derivation re-explodes the whole csums table,
-      // which at K ∝ n is corpus-sized (measured 10s of the 12s append
-      // at 100x with 4,000 cells).
-      val touchedCenters = centersFromCsums(
-        merged.select(col(labelCol), col("__chunk"), col("__psums"),
-          col("__n")), labelCol)
-      // ONE job: the union (which reads the live centers) lands in a tmp
-      // dir, then swaps in — a checkpoint-then-overwrite costs a second
-      // job, and overwrite's delete-then-write window leaves a silently
-      // PARTIAL table where the swap's worst case is loudly missing
-      // (marker already deleted → any repair converges)
-      val cTmp = s"$path/centers.__swap_tmp"
-      val cfs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      cfs.delete(new org.apache.hadoop.fs.Path(cTmp), true)
-      spark.read.parquet(s"$path/centers")
-        .filter(!col("__cell").cast("string")
-          .isin(cells.toIndexedSeq: _*))
-        .unionByName(touchedCenters)
-        .write.parquet(cTmp)
-      cfs.delete(new org.apache.hadoop.fs.Path(s"$path/centers"), true)
-      require(cfs.rename(new org.apache.hadoop.fs.Path(cTmp),
-        new org.apache.hadoop.fs.Path(s"$path/centers")),
-        s"centers swap rename failed under $path")
-      mark("centers")
-      writeCsumsMarker(spark, path, bMax, dims)
-    } else rebuildIvfCsums(spark, path, idCol, vecCol, labelCol, dims)
+    if (fast)
+      foldCsumsDelta(spark, path, batch, cells, idCol, vecCol, labelCol,
+        dims, spreadN, bMax, epoch = None, mark)
+    else rebuildIvfCsums(spark, path, idCol, vecCol, labelCol, dims)
     fast
+  }
+
+  /** The incremental csums fold — [[appendToIvfIndex]]'s fast branch,
+    * shared with the streaming epoch refresh: continue the touched
+    * cells' stored left folds with the (monotone-id) batch's values,
+    * rewrite exactly those cells' csums partitions, re-derive only
+    * their centers (untouched cells' stored rows are bit-identical to a
+    * re-derivation), and stamp the marker LAST. Caller contract: the
+    * marker is already deleted, the batch is checkpointed and
+    * validated ([[csumsBatchStats]]), and its min id exceeds the
+    * indexed max. */
+  private def foldCsumsDelta(spark: SparkSession, path: String,
+                             batch: DataFrame, cells: Seq[String],
+                             idCol: String, vecCol: String,
+                             labelCol: String, dims: Int, spreadN: Int,
+                             bMax: Long, epoch: Option[Long],
+                             mark: String => Unit): Unit = {
+    val delta = csumKvsOf(batch, labelCol, idCol, vecCol, dims)
+    // touched cells only, read as EXPLICIT subdirectories (the
+    // readBandedDirs device): an isin partition filter still pays full
+    // partition DISCOVERY over all K cell dirs, which at K ∝ n is the
+    // corpus-proportional term this path exists to avoid (measured:
+    // the 1000-dir listing dominated the append at 100x)
+    val old = readCsumsCells(spark, path, cells, delta, labelCol)
+    // continue each chunk's left fold from the stored partial: the
+    // delta's kvs re-fold element-by-element onto the old psums (NOT
+    // old + deltaSum — that would re-bracket the float additions)
+    val merged = old
+      .join(delta, Seq(labelCol, "__chunk"), "full_outer")
+      .select(col(labelCol), col("__chunk"),
+        foldKvs(coalesce(col("__kvs"), emptyKvs),
+          coalesce(col("__opsums"), zeroPsums(dims))).as("__psums"),
+        (coalesce(col("__on"), lit(0L)) +
+          coalesce(col("__bn"), lit(0L))).as("__n"),
+        col("__minw"))
+      .localCheckpoint() // eager: reads csums before overwriting them
+    mark("csums-merge")
+    requireFixedWidth(merged, dims, "foldCsumsDelta")
+    // same staged-rename device as the lists append (a dynamic
+    // partition overwrite resolves the whole csums tree too); here the
+    // touched cells' dirs are REPLACED — the merged rows supersede the
+    // old fold state
+    stagedPartitionedWrite(spark, s"$path/csums",
+      merged.drop("__minw")
+        .withColumn("__cellkey", col(labelCol).cast("string"))
+        .repartition(spreadN, col("__cellkey")),
+      replaceDirs = true)
+    mark("csums-write")
+    // centers rewrite is O(touched cells) too: an untouched cell's fold
+    // state did not move, so its STORED center row is bit-identical to
+    // what a full re-derivation would produce (doubles round-trip
+    // parquet exactly) — re-derive only the touched cells from the
+    // merged csums (already in memory) and union the rest back in.
+    // Without this the derivation re-explodes the whole csums table,
+    // which at K ∝ n is corpus-sized (measured 10s of the 12s append
+    // at 100x with 4,000 cells).
+    val touchedCenters = centersFromCsums(
+      merged.select(col(labelCol), col("__chunk"), col("__psums"),
+        col("__n")), labelCol)
+    // ONE job: the union (which reads the live centers) lands in a tmp
+    // dir, then swaps in — a checkpoint-then-overwrite costs a second
+    // job, and overwrite's delete-then-write window leaves a silently
+    // PARTIAL table where the swap's worst case is loudly missing
+    // (marker already deleted → any repair converges). A live centers
+    // table with NO data files (a torn overwrite from the pre-csums
+    // refresh, an interrupted swap) cannot seed the union — derive the
+    // FULL table from the freshly-merged csums instead: the fold state
+    // is the authority the marker actually certifies, the centers are
+    // derived. O(csums) on this repair path only.
+    swapCenters(spark, path,
+      if (hasParquetData(spark, s"$path/centers"))
+        spark.read.parquet(s"$path/centers")
+          .filter(!col("__cell").cast("string")
+            .isin(cells.toIndexedSeq: _*))
+          .unionByName(touchedCenters)
+      else {
+        val touchedCs = merged.select(col(labelCol), col("__chunk"),
+          col("__psums"), col("__n"))
+        centersFromCsums(
+          readUntouchedCsums(spark, path, cells, labelCol)
+            .fold(touchedCs)(touchedCs.unionByName(_)),
+          labelCol)
+      })
+    mark("centers")
+    writeCsumsMarker(spark, path, bMax, dims, epoch)
+  }
+
+  /** Land a centers frame in a tmp dir and swap it live (one job, no
+    * read-overwrite hazard even when the frame's lineage reads the live
+    * table; worst crash case = loudly missing, never silently partial). */
+  private def swapCenters(spark: SparkSession, path: String,
+                          centers: DataFrame): Unit = {
+    val cTmp = s"$path/centers.__swap_tmp"
+    val cfs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    cfs.delete(new org.apache.hadoop.fs.Path(cTmp), true)
+    centers.write.parquet(cTmp)
+    cfs.delete(new org.apache.hadoop.fs.Path(s"$path/centers"), true)
+    require(cfs.rename(new org.apache.hadoop.fs.Path(cTmp),
+      new org.apache.hadoop.fs.Path(s"$path/centers")),
+      s"centers swap rename failed under $path")
+  }
+
+  /** Validated batch stats for the csums maintenance paths — (min id,
+    * max id, touched cell keys), or None for an empty batch. ONE job,
+    * run BEFORE any caller mutation: a ragged or null/empty-labeled
+    * batch must fail while the index is still untouched (validating
+    * after a write lands would leave the bad rows persisted, poisoning
+    * every later rebuild; empty-string labels are rejected with nulls
+    * because Spark writes both as __HIVE_DEFAULT_PARTITION__, so
+    * neither round-trips as a cell key). */
+  private def csumsBatchStats(batch: DataFrame, idCol: String,
+                              vecCol: String, labelCol: String, dims: Int,
+                              op: String): Option[(Long, Long, Seq[String])] = {
+    val bounds = batch.agg(min(col(idCol).cast("long")),
+      max(col(idCol).cast("long")),
+      collect_set(col(labelCol).cast("string")),
+      min(when(col(vecCol).isNotNull,
+        size(slice(col(vecCol), 1, dims)))),
+      count(when(col(labelCol).isNull ||
+        col(labelCol).cast("string") === "", lit(1)))).head()
+    if (bounds.isNullAt(0)) return None
+    require(bounds.isNullAt(3) || bounds.getInt(3) >= dims,
+      s"$op: IVF index requires fixed-width vectors with >= $dims " +
+        s"elements, batch has one with ${bounds.getInt(3)}")
+    require(bounds.getLong(4) == 0L,
+      s"$op: null/empty labels are not indexable (the label is the " +
+        "cell partition key)")
+    Some((bounds.getLong(0), bounds.getLong(1), bounds.getSeq[String](2)))
   }
 
   /** Recompute `path/centers` from the on-disk inverted lists — the
@@ -650,9 +700,12 @@ object Similarity {
     * derived from the rebuilt csums and the validity marker rewritten
     * LAST, so the next monotone append takes the incremental path. */
   def rebuildIvfCsums(spark: SparkSession, path: String, idCol: String,
-                      vecCol: String, labelCol: String,
-                      dims: Int = 64): Unit = {
+                      vecCol: String, labelCol: String, dims: Int = 64,
+                      epoch: Option[Long] = None): Unit = {
     deleteCsumsMarker(spark, path)
+    // works on BOTH index layouts: the fold state is a function of the
+    // row SET, so the epoch-partitioned streaming lists read the same
+    // (the partition columns are dropped by the select)
     val lists = spark.read.parquet(s"$path/lists")
       .select(col(idCol), col(vecCol), col(labelCol))
     val cs = csumsOf(lists, labelCol, idCol, vecCol, dims)
@@ -663,7 +716,59 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/centers")
     writeCsumsMarker(spark, path,
       maxIdOf(lists, idCol, labelCol, "rebuildIvfCsums")
-        .getOrElse(Long.MinValue), dims)
+        .getOrElse(Long.MinValue), dims, epoch)
+  }
+
+  /**
+   * Per-micro-batch csums maintenance for the STREAMING ingest
+   * ([[graft.streaming.StreamOps.ivfIngestTo]]): the batch twin's
+   * incremental fold, made replay-safe. The marker's epoch field records
+   * the last folded micro-batch; a crash-REPLAYED epoch (same batchId)
+   * is recognized as already folded — its lists partition was rewritten
+   * with bit-identical rows (the foreachBatch replay-determinism model
+   * the state machinery already leans on), so only the centers are
+   * re-derived in case the crash hit between the csums and centers
+   * writes. A monotone-id batch folds incrementally (O(batch), not
+   * O(corpus) — the streaming refresh was the ingest path's last
+   * corpus-proportional per-epoch term); anything else (interleaved
+   * ids, legacy state, dims drift) rebuilds from the lists, which is
+   * exactly the pre-round-12 per-epoch cost. Returns the path taken:
+   * 0 = incremental fold, 1 = replay skip / empty batch, 2 = rebuild.
+   */
+  private[graft] def streamingCsumsRefresh(spark: SparkSession,
+                                           path: String, batch: DataFrame,
+                                           batchId: Long, idCol: String,
+                                           vecCol: String, labelCol: String,
+                                           dims: Int): Int = {
+    val stats = csumsBatchStats(batch, idCol, vecCol, labelCol, dims,
+      "streamingCsumsRefresh")
+    if (stats.isEmpty) return 1 // empty epoch: fold state unchanged
+    val Some((bMin, bMax, cells)) = stats
+    readCsumsMarker(spark, path) match {
+      case Some((_, d, Some(e)))
+          if e == batchId && d == dims && hasCsumsData(spark, path) =>
+        // replay of the already-folded epoch: csums cover its rows;
+        // re-derive the centers only (cheap for bounded cell counts;
+        // the replay path is rare — one per crash)
+        swapCenters(spark, path, centersFromCsums(
+          spark.read.parquet(s"$path/csums")
+            .select(col(labelCol), col("__chunk"), col("__psums"),
+              col("__n")), labelCol))
+        1
+      case Some((maxId, d, _))
+          if d == dims && bMin > maxId && hasCsumsData(spark, path) =>
+        deleteCsumsMarker(spark, path)
+        val spreadN = math.max(1, math.min(cells.size,
+          spark.sparkContext.defaultParallelism))
+        foldCsumsDelta(spark, path, batch, cells, idCol, vecCol, labelCol,
+          dims, spreadN, bMax, epoch = Some(batchId),
+          stageTrace("ivf-ingest"))
+        0
+      case _ =>
+        rebuildIvfCsums(spark, path, idCol, vecCol, labelCol, dims,
+          epoch = Some(batchId))
+        2
+    }
   }
 
   // ---- csums: the persisted centroid fold state -----------------------
@@ -871,10 +976,10 @@ object Similarity {
     ()
   }
 
-  /** Does the csums dir hold any parquet data files? (A zero-row build
+  /** Does `dir` hold any parquet data files? (A zero-row or torn write
     * leaves only _SUCCESS; reading it would crash schema inference.) */
-  private def hasCsumsData(spark: SparkSession, path: String): Boolean = {
-    val root = new org.apache.hadoop.fs.Path(s"$path/csums")
+  private def hasParquetData(spark: SparkSession, dir: String): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def walk(p: org.apache.hadoop.fs.Path): Boolean =
       fs.exists(p) && fs.listStatus(p).exists { st =>
@@ -887,14 +992,43 @@ object Similarity {
     walk(root)
   }
 
+  private def hasCsumsData(spark: SparkSession, path: String): Boolean =
+    hasParquetData(spark, s"$path/csums")
+
+  /** All csums rows EXCEPT the named cells' — the untouched side of a
+    * full centers re-derivation (the torn-live-centers repair inside the
+    * fold path). None when every stored cell was touched (the caller
+    * then derives from the merged frame alone). */
+  private def readUntouchedCsums(spark: SparkSession, path: String,
+                                 touched: Seq[String],
+                                 labelCol: String): Option[DataFrame] = {
+    val root = new org.apache.hadoop.fs.Path(s"$path/csums")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val skip = touched.map(c => "__cellkey=" +
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(c)).toSet
+    val dirs =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq.map(_.getPath)
+        .filter(p => p.getName.startsWith("__cellkey=") &&
+          !skip.contains(p.getName))
+    if (dirs.isEmpty) None
+    else Some(spark.read.option("basePath", root.toString)
+      .parquet(dirs.map(_.toString): _*)
+      .select(col(labelCol), col("__chunk"), col("__psums"), col("__n")))
+  }
+
   private def csumsMarkerPath(path: String) =
     new org.apache.hadoop.fs.Path(s"$path/csums_marker")
 
-  /** (max indexed id, dims) from the csums validity marker — present
-    * IFF the csums on disk cover exactly the lists on disk. Format: one
-    * line `maxId|dims`; malformed → None (fallback recompute). */
-  private[graft] def readCsumsMarker(spark: SparkSession,
-                                     path: String): Option[(Long, Int)] = {
+  /** (max indexed id, dims, last folded epoch) from the csums validity
+    * marker — present IFF the csums on disk cover exactly the lists on
+    * disk. Format: one line `maxId|dims` (batch index) or
+    * `maxId|dims|epoch` (streaming ingest — the epoch field makes a
+    * crash-REPLAYED micro-batch recognizable as already folded);
+    * malformed → None (fallback recompute). */
+  private[graft] def readCsumsMarker(spark: SparkSession, path: String)
+      : Option[(Long, Int, Option[Long])] = {
     val p = csumsMarkerPath(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
@@ -902,8 +1036,12 @@ object Similarity {
       val in = fs.open(p)
       val raw = try scala.io.Source.fromInputStream(in).mkString.trim
       finally in.close()
-      val Array(maxId, d) = raw.split('|')
-      Some((maxId.toLong, d.toInt))
+      raw.split('|') match {
+        case Array(maxId, d) => Some((maxId.toLong, d.toInt, None))
+        case Array(maxId, d, e) =>
+          Some((maxId.toLong, d.toInt, Some(e.toLong)))
+        case _ => None
+      }
     } catch { case scala.util.control.NonFatal(_) => None }
     // malformed marker → None (fallback recompute); fatal errors (OOM,
     // interrupts) propagate instead of silently triggering an O(n·d)
@@ -920,12 +1058,14 @@ object Similarity {
   /** Written LAST (temp + atomic rename): a present marker always names
     * a csums/centers pair that agrees with the lists. */
   private def writeCsumsMarker(spark: SparkSession, path: String,
-                               maxId: Long, dims: Int): Unit = {
+                               maxId: Long, dims: Int,
+                               epoch: Option[Long] = None): Unit = {
     val p = csumsMarkerPath(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(p.toString + ".tmp")
     val out = fs.create(tmp, true)
-    try out.write(s"$maxId|$dims".getBytes("UTF-8"))
+    try out.write(
+      (s"$maxId|$dims" + epoch.fold("")(e => s"|$e")).getBytes("UTF-8"))
     finally out.close()
     if (fs.exists(p)) fs.delete(p, false)
     require(fs.rename(tmp, p), s"csums marker rename failed: $tmp -> $p")

@@ -1249,6 +1249,7 @@ object StreamOps {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ivfIngestEpoch(batch, batchId, indexPath, idCol, vecCol, labelCol,
           dims)
+        ()
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .start()
@@ -1438,18 +1439,36 @@ object StreamOps {
   }
 
   /** One epoch of [[ivfIngestTo]] — factored out so the replay-idempotence
-    * contract is directly testable: same (batch, batchId) twice ≡ once. */
+    * contract is directly testable: same (batch, batchId) twice ≡ once.
+    *
+    * The epoch's refresh runs through the csums fold state
+    * ([[Similarity.streamingCsumsRefresh]], round 12): a monotone-id
+    * micro-batch — the streaming norm: new documents get new ids —
+    * continues the stored per-cell left folds in O(batch) instead of the
+    * former full O(corpus) centers recompute per epoch; a replayed epoch
+    * is recognized by the marker's epoch field (its lists partition was
+    * rewritten with bit-identical rows) and only re-derives centers;
+    * anything else rebuilds from the lists — exactly the old per-epoch
+    * cost, never a wrong fold. Returns the refresh path taken (0 = fold,
+    * 1 = replay skip/empty, 2 = rebuild) so specs can pin which ran. */
   private[graft] def ivfIngestEpoch(batch: DataFrame, batchId: Long,
                                     indexPath: String, idCol: String,
                                     vecCol: String, labelCol: String,
-                                    dims: Int): Unit = {
+                                    dims: Int): Int = {
     batch.select(col(idCol), col(vecCol), col(labelCol),
         Similarity.norm(col(vecCol)).as("__cn"),
         col(labelCol).cast("string").as("__cellkey"))
       .write.mode("overwrite").partitionBy("__cellkey")
       .parquet(s"$indexPath/lists/__batch=$batchId")
-    Similarity.refreshIvfCenters(batch.sparkSession, indexPath, idCol,
-      vecCol, labelCol, dims)
+    // the refresh folds what actually LANDED: reading the epoch
+    // partition back (batch-sized) makes the fold consistent with the
+    // lists by construction — no second evaluation of the caller's
+    // frame, no corpus-sized checkpoint on the bootstrap path
+    val landed = batch.sparkSession.read
+      .parquet(s"$indexPath/lists/__batch=$batchId")
+      .select(col(idCol), col(vecCol), col(labelCol))
+    Similarity.streamingCsumsRefresh(batch.sparkSession, indexPath, landed,
+      batchId, idCol, vecCol, labelCol, dims)
   }
 
   /** Seed [[ivfIngestTo]]'s index with a pre-existing corpus: the corpus

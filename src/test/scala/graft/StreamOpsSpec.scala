@@ -692,6 +692,59 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(once == rebuiltRows())
   }
 
+  test("streaming epoch refresh: monotone folds, replay skips, interleaved rebuilds") {
+    // round-12: the per-epoch centers refresh runs through the csums
+    // fold state; the return value pins WHICH path ran (0 = incremental
+    // fold, 1 = replay skip, 2 = full rebuild)
+    val idx = Files.createTempDirectory("graft-ivfcs").toString + "/idx"
+    StreamOps.ivfIngestBootstrap(ivfSeed, idx, "vec_id", "embedding",
+      "label", dims = 4) // rebuild path seeds csums + marker(epoch -1)
+    // monotone epoch (ids 3,4 > seed max 2): the O(batch) fold
+    assert(StreamOps.ivfIngestEpoch(ivfEpoch1, 0L, idx, "vec_id",
+      "embedding", "label", dims = 4) == 0, "monotone epoch must fold")
+    // crash-replay of the SAME epoch: recognized as already folded
+    assert(StreamOps.ivfIngestEpoch(ivfEpoch1, 0L, idx, "vec_id",
+      "embedding", "label", dims = 4) == 1, "replayed epoch must skip")
+    assert(probeRows(idx) == {
+      val p = Files.createTempDirectory("graft-ivfcs-r").toString
+      graft.functions.Similarity.buildIvfIndex(
+        ivfSeed.unionByName(ivfEpoch1), "vec_id", "embedding", "label",
+        p, dims = 4)
+      probeRows(p)
+    }, "fold+replay state must equal the batch rebuild")
+    // an epoch whose min id (2) does NOT exceed the indexed max (4) —
+    // outside the monotone-ingest contract, so the refresh must take
+    // the full-rebuild path; only the dispatch is asserted (the id also
+    // collides with the seed's, itself out of contract)
+    val nonMonotone = {
+      import spark.implicits._
+      Seq((2L, "b", Array(0.12f, 1.0f, 0.0f, 0.0f)),
+        (1000L, "c", Array(0.0f, 0.0f, 0.8f, 0.1f)))
+        .toDF("vec_id", "label", "embedding")
+    }
+    assert(StreamOps.ivfIngestEpoch(nonMonotone, 1L, idx, "vec_id",
+      "embedding", "label", dims = 4) == 2,
+      "a non-monotone epoch must take the rebuild path")
+  }
+
+  test("streaming fold repairs a torn live centers table from csums") {
+    val idx = Files.createTempDirectory("graft-ivfcs2").toString + "/idx"
+    StreamOps.ivfIngestBootstrap(ivfSeed, idx, "vec_id", "embedding",
+      "label", dims = 4)
+    // simulate the torn overwrite the pre-csums refresh could leave:
+    // live centers emptied while csums + marker stay valid
+    new java.io.File(s"$idx/centers").listFiles().foreach(_.delete())
+    assert(StreamOps.ivfIngestEpoch(ivfEpoch1, 0L, idx, "vec_id",
+      "embedding", "label", dims = 4) == 0,
+      "the fold path itself must survive the torn table")
+    val rebuilt = Files.createTempDirectory("graft-ivfcs2-r").toString
+    graft.functions.Similarity.buildIvfIndex(
+      ivfSeed.unionByName(ivfEpoch1), "vec_id", "embedding", "label",
+      rebuilt, dims = 4)
+    assert(probeRows(idx) == probeRows(rebuilt),
+      "repaired centers must be bit-identical to the rebuild")
+  }
+
   test("compactIvfIngestState consolidates epochs, probe unchanged") {
     val idx = Files.createTempDirectory("graft-ivfcp").toString + "/idx"
     StreamOps.ivfIngestBootstrap(ivfSeed, idx, "vec_id", "embedding",

@@ -208,6 +208,17 @@ def main():
         if doc100.get("ivf_append200_assigned_incremental") is not True:
             fails.append("100x assigned append did not record taking the "
                          "incremental path")
+        # streaming ingest epoch (round 12): the per-micro-batch csums
+        # fold must also stay corpus-independent (the probe batch keeps
+        # a constant touched-cell count, so this one should be FLAT)
+        ibase = doc.get("ivf_ingest_epoch200_sec")
+        ibig = doc100.get("ivf_ingest_epoch200_sec")
+        if isinstance(ibase, (int, float)) and \
+                isinstance(ibig, (int, float)) and \
+                ibig > max(2.5 * ibase, ibase + 2.0):
+            fails.append(
+                f"streaming ingest epoch grew with the corpus: "
+                f"{ibig:.2f}s at 100x vs {ibase:.2f}s at 1x")
     if fails:
         for m in fails:
             print(f"FAIL: {m}")

@@ -134,11 +134,11 @@ object ProbeIndexed {
         "vec_id", "embedding", "cell", k = 5, nProbe = np)
         .localCheckpoint(false)
       // probe cost timed alone (count materializes the lazy checkpoint,
-      // forcing the TopK aggregate); the recall join is untimed
+      // forcing the TopK aggregate); the recall join is untimed and
+      // reuses the checkpointed blocks (freed on RDD GC — Dataset
+      // .unpersist would be a no-op for checkpoint blocks)
       val sec = time(q.count())
-      val r = recall(q)
-      q.unpersist()
-      (r, sec)
+      (recall(q), sec)
     }
     val annCurve = Seq(2, 4, 8, 16, 32, 64).map { np =>
       val (r, sec) = kmProbeAt(np)

@@ -432,23 +432,34 @@ object Similarity {
     // next monotone append would fold onto fold state that does not
     // cover the lists — silently wrong centers, stamped valid)
     deleteCsumsMarker(df.sparkSession, path)
-    // csums (the per-(cell, chunk) centroid fold state) computed ONCE and
-    // checkpointed: it feeds both the centers derivation and the csums
-    // write, and its arithmetic is the identical id-ordered left fold
-    // cellCenters ran inline — so centers bits are unchanged by the
-    // derivation-through-csums (Round12OpsSpec pins the parity)
-    val cs = csumsOf(df, labelCol, idCol, vecCol, dims).localCheckpoint()
-    requireFixedWidth(cs, dims, "buildIvfIndex")
-    centersFromCsums(cs, labelCol)
-      .write.mode("overwrite").parquet(s"$path/centers")
+    // ONE evaluation of the caller's frame — the lists write — and every
+    // derived table (csums, centers, marker) computed from what LANDED:
+    // a non-deterministic df (a sample, an uncheckpointed limit) would
+    // otherwise persist one row set to lists while the csums fold (and
+    // the marker's maxId) saw others, stamping a valid marker over
+    // mismatched state. The ingest epoch uses the same
+    // read-back-what-landed device; checkpointing the whole corpus
+    // instead would double its storage footprint at build time.
     df.select(col(idCol), col(vecCol), col(labelCol),
         norm(col(vecCol)).as("__cn"),
         col(labelCol).cast("string").as("__cellkey"))
       .write.mode("overwrite").partitionBy("__cellkey")
       .parquet(s"$path/lists")
+    val landed = df.sparkSession.read.parquet(s"$path/lists")
+      .select(col(idCol), col(vecCol), col(labelCol))
+    // csums computed ONCE and checkpointed: it feeds both the centers
+    // derivation and the csums write, and its arithmetic is the
+    // identical id-ordered left fold cellCenters ran inline — so centers
+    // bits are unchanged by the derivation-through-csums (Round12OpsSpec
+    // pins the parity)
+    val cs = csumsOf(landed, labelCol, idCol, vecCol, dims)
+      .localCheckpoint()
+    requireFixedWidth(cs, dims, "buildIvfIndex")
+    centersFromCsums(cs, labelCol)
+      .write.mode("overwrite").parquet(s"$path/centers")
     writeCsums(cs, labelCol, s"$path/csums")
     writeCsumsMarker(df.sparkSession, path,
-      maxIdOf(df, idCol, labelCol, "buildIvfIndex")
+      maxIdOf(landed, idCol, labelCol, "buildIvfIndex")
         .getOrElse(Long.MinValue), dims)
   }
 
@@ -739,24 +750,35 @@ object Similarity {
                                            path: String, batch: DataFrame,
                                            batchId: Long, idCol: String,
                                            vecCol: String, labelCol: String,
-                                           dims: Int): Int = {
+                                           dims: Int,
+                                           epochExisted: Boolean): Int = {
     val stats = csumsBatchStats(batch, idCol, vecCol, labelCol, dims,
       "streamingCsumsRefresh")
     if (stats.isEmpty) return 1 // empty epoch: fold state unchanged
     val Some((bMin, bMax, cells)) = stats
     readCsumsMarker(spark, path) match {
-      case Some((_, d, Some(e)))
-          if e == batchId && d == dims && hasCsumsData(spark, path) =>
+      case Some((maxId, d, Some(e)))
+          if e == batchId && maxId == bMax && d == dims &&
+            hasCsumsData(spark, path) =>
         // replay of the already-folded epoch: csums cover its rows;
         // re-derive the centers only (cheap for bounded cell counts;
-        // the replay path is rare — one per crash)
+        // the replay path is rare — one per crash). The maxId
+        // cross-check tells a genuine replay (the first fold stamped
+        // exactly this batch's max) from a FRESH stream reusing an old
+        // epoch id with new rows — that one falls through to the
+        // rebuild below, never to a skip over dropped rows.
         swapCenters(spark, path, centersFromCsums(
           spark.read.parquet(s"$path/csums")
             .select(col(labelCol), col("__chunk"), col("__psums"),
               col("__n")), labelCol))
         1
       case Some((maxId, d, _))
-          if d == dims && bMin > maxId && hasCsumsData(spark, path) =>
+          if !epochExisted && d == dims && bMin > maxId &&
+            hasCsumsData(spark, path) =>
+        // the fold requires this epoch's rows to be NEW in every sense:
+        // monotone ids AND a fresh epoch partition (an overwrite of an
+        // existing one dropped its old rows from the lists — only a
+        // rebuild can reconcile the fold state with that)
         deleteCsumsMarker(spark, path)
         val spreadN = math.max(1, math.min(cells.size,
           spark.sparkContext.defaultParallelism))
@@ -769,6 +791,16 @@ object Similarity {
           epoch = Some(batchId))
         2
     }
+  }
+
+  /** The csums paths' batch validation alone — loud rejection of
+    * ragged/null/empty-labeled rows BEFORE a caller writes anything
+    * (see [[csumsBatchStats]]). One batch-sized job. */
+  private[graft] def validateIvfBatch(batch: DataFrame, idCol: String,
+                                      vecCol: String, labelCol: String,
+                                      dims: Int, op: String): Unit = {
+    csumsBatchStats(batch, idCol, vecCol, labelCol, dims, op)
+    ()
   }
 
   // ---- csums: the persisted centroid fold state -----------------------
@@ -905,28 +937,37 @@ object Similarity {
     * Cell keys are labels cast to string and matched against the
     * ESCAPED dir names Spark writes, so special-charactered labels
     * resolve correctly. */
+  /** The csums root's cell partition dirs, filtered by the ESCAPED dir
+    * names of `cells` (Spark escapes partition values in dir names — an
+    * unescaped comparison would read a special-charactered label's
+    * ("a/b", "a:b") stored fold state as ABSENT). `include = true`
+    * keeps the named cells' dirs (the fast-path read); false keeps the
+    * rest (the torn-centers repair's untouched side). ONE shared
+    * definition so the two readers can never disagree on escaping. */
+  private def csumsCellDirs(spark: SparkSession, path: String,
+                            cells: Seq[String], include: Boolean)
+      : Seq[org.apache.hadoop.fs.Path] = {
+    val root = new org.apache.hadoop.fs.Path(s"$path/csums")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val named = cells.map(c => "__cellkey=" +
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(c)).toSet
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith("__cellkey=") &&
+        named.contains(p.getName) == include)
+  }
+
   private def readCsumsCells(spark: SparkSession, path: String,
                              cells: Seq[String], delta: DataFrame,
                              labelCol: String): DataFrame = {
-    val root = new org.apache.hadoop.fs.Path(s"$path/csums")
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // match the ESCAPED partition dir names Spark writes: an unescaped
-    // comparison would read a special-charactered label's ("a/b", "a:b")
-    // stored fold state as ABSENT and silently replace it with a
-    // batch-only fold
-    val want = cells.map(c => "__cellkey=" +
-      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        .escapePathName(c)).toSet
-    val dirs =
-      if (!fs.exists(root)) Seq.empty
-      else fs.listStatus(root).toSeq.map(_.getPath)
-        .filter(p => want.contains(p.getName))
+    val dirs = csumsCellDirs(spark, path, cells, include = true)
     if (dirs.isEmpty)
       delta.select(col(labelCol), col("__chunk"))
         .limit(0)
         .withColumn("__opsums", lit(null).cast("array<double>"))
         .withColumn("__on", lit(null).cast("long"))
-    else spark.read.option("basePath", root.toString)
+    else spark.read.option("basePath", s"$path/csums")
       .parquet(dirs.map(_.toString): _*)
       .select(col(labelCol), col("__chunk"),
         col("__psums").as("__opsums"), col("__n").as("__on"))
@@ -1002,18 +1043,9 @@ object Similarity {
   private def readUntouchedCsums(spark: SparkSession, path: String,
                                  touched: Seq[String],
                                  labelCol: String): Option[DataFrame] = {
-    val root = new org.apache.hadoop.fs.Path(s"$path/csums")
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val skip = touched.map(c => "__cellkey=" +
-      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        .escapePathName(c)).toSet
-    val dirs =
-      if (!fs.exists(root)) Seq.empty
-      else fs.listStatus(root).toSeq.map(_.getPath)
-        .filter(p => p.getName.startsWith("__cellkey=") &&
-          !skip.contains(p.getName))
+    val dirs = csumsCellDirs(spark, path, touched, include = false)
     if (dirs.isEmpty) None
-    else Some(spark.read.option("basePath", root.toString)
+    else Some(spark.read.option("basePath", s"$path/csums")
       .parquet(dirs.map(_.toString): _*)
       .select(col(labelCol), col("__chunk"), col("__psums"), col("__n")))
   }

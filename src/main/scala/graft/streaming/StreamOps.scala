@@ -1455,6 +1455,24 @@ object StreamOps {
                                     indexPath: String, idCol: String,
                                     vecCol: String, labelCol: String,
                                     dims: Int): Int = {
+    val spark = batch.sparkSession
+    // validate BEFORE the epoch partition lands (the batch twin's rule:
+    // a ragged or null/empty-labeled batch must fail while the index is
+    // untouched — written first, it would poison every later rebuild,
+    // and even the manual repair would refuse the persisted rows)
+    Similarity.validateIvfBatch(batch, idCol, vecCol, labelCol, dims,
+      "ivfIngestEpoch")
+    // epoch-id REUSE detection, sampled before the overwrite: a fresh
+    // stream restarted against an old index (new checkpoint → batch ids
+    // restart at 0) OVERWRITES an epoch partition whose old rows the
+    // csums still cover — only a full rebuild can reconcile that; a
+    // genuine crash-replay also overwrites, but with bit-identical rows
+    // (streamingCsumsRefresh tells the two apart via the marker's
+    // maxId)
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val epochExisted = fs.exists(new org.apache.hadoop.fs.Path(
+      s"$indexPath/lists/__batch=$batchId"))
     batch.select(col(idCol), col(vecCol), col(labelCol),
         Similarity.norm(col(vecCol)).as("__cn"),
         col(labelCol).cast("string").as("__cellkey"))
@@ -1464,11 +1482,11 @@ object StreamOps {
     // partition back (batch-sized) makes the fold consistent with the
     // lists by construction — no second evaluation of the caller's
     // frame, no corpus-sized checkpoint on the bootstrap path
-    val landed = batch.sparkSession.read
+    val landed = spark.read
       .parquet(s"$indexPath/lists/__batch=$batchId")
       .select(col(idCol), col(vecCol), col(labelCol))
-    Similarity.streamingCsumsRefresh(batch.sparkSession, indexPath, landed,
-      batchId, idCol, vecCol, labelCol, dims)
+    Similarity.streamingCsumsRefresh(spark, indexPath, landed,
+      batchId, idCol, vecCol, labelCol, dims, epochExisted)
   }
 
   /** Seed [[ivfIngestTo]]'s index with a pre-existing corpus: the corpus

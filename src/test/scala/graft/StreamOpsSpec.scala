@@ -727,6 +727,58 @@ class StreamOpsSpec extends AnyFunSuite {
       "a non-monotone epoch must take the rebuild path")
   }
 
+  test("epoch-id REUSE with new rows rebuilds — never skips over dropped rows") {
+    // a fresh stream restarted against an old index (new checkpoint →
+    // batch ids restart at 0) OVERWRITES an epoch partition whose old
+    // rows the csums still cover; treating it as a replay would leave a
+    // valid marker over csums that no longer match the lists
+    val idx = Files.createTempDirectory("graft-ivfreuse").toString + "/idx"
+    StreamOps.ivfIngestBootstrap(ivfSeed, idx, "vec_id", "embedding",
+      "label", dims = 4)
+    assert(StreamOps.ivfIngestEpoch(ivfEpoch1, 0L, idx, "vec_id",
+      "embedding", "label", dims = 4) == 0)
+    // "new stream": same epoch id 0, DIFFERENT rows (ids 10, 11)
+    val newRows = {
+      import spark.implicits._
+      Seq((10L, "c", Array(0.0f, 0.0f, 1.0f, 0.1f)),
+        (11L, "c", Array(0.0f, 0.0f, 0.9f, 0.1f)))
+        .toDF("vec_id", "label", "embedding")
+    }
+    assert(StreamOps.ivfIngestEpoch(newRows, 0L, idx, "vec_id",
+      "embedding", "label", dims = 4) == 2,
+      "an epoch-id reuse with different rows must REBUILD")
+    // the index state equals a batch rebuild over what the lists now
+    // hold: seed + the new epoch-0 rows (epoch1's rows were dropped by
+    // the overwrite)
+    val rebuilt = Files.createTempDirectory("graft-ivfreuse-r").toString
+    graft.functions.Similarity.buildIvfIndex(
+      ivfSeed.unionByName(newRows), "vec_id", "embedding", "label",
+      rebuilt, dims = 4)
+    assert(probeRows(idx) == probeRows(rebuilt))
+  }
+
+  test("a bad streaming batch is rejected BEFORE its epoch partition lands") {
+    val idx = Files.createTempDirectory("graft-ivfbad").toString + "/idx"
+    StreamOps.ivfIngestBootstrap(ivfSeed, idx, "vec_id", "embedding",
+      "label", dims = 4)
+    val ragged = {
+      import spark.implicits._
+      Seq((7L, "a", Array(1.0f, 0.2f, 0.3f))) // 3-wide at dims = 4
+        .toDF("vec_id", "label", "embedding")
+    }
+    val before = spark.read.parquet(s"$idx/lists").count()
+    intercept[Throwable] {
+      StreamOps.ivfIngestEpoch(ragged, 0L, idx, "vec_id", "embedding",
+        "label", dims = 4)
+    }
+    assert(!new java.io.File(s"$idx/lists/__batch=0").exists(),
+      "the bad epoch partition must not have landed")
+    assert(spark.read.parquet(s"$idx/lists").count() == before)
+    // the index still works: a good epoch afterwards folds normally
+    assert(StreamOps.ivfIngestEpoch(ivfEpoch1, 0L, idx, "vec_id",
+      "embedding", "label", dims = 4) == 0)
+  }
+
   test("streaming fold repairs a torn live centers table from csums") {
     val idx = Files.createTempDirectory("graft-ivfcs2").toString + "/idx"
     StreamOps.ivfIngestBootstrap(ivfSeed, idx, "vec_id", "embedding",

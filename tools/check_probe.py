@@ -210,12 +210,18 @@ def main():
                          "incremental path")
         # streaming ingest epoch (round 12): the per-micro-batch csums
         # fold must also stay corpus-independent (the probe batch keeps
-        # a constant touched-cell count, so this one should be FLAT)
+        # a constant touched-cell count, so this one should be FLAT).
+        # ABSENCE fails too — a harness regression that stops recording
+        # the row must not silently void the guarantee (the same rule
+        # the incremental flags follow).
         ibase = doc.get("ivf_ingest_epoch200_sec")
         ibig = doc100.get("ivf_ingest_epoch200_sec")
-        if isinstance(ibase, (int, float)) and \
-                isinstance(ibig, (int, float)) and \
-                ibig > max(2.5 * ibase, ibase + 2.0):
+        if not isinstance(ibase, (int, float)) or \
+                not isinstance(ibig, (int, float)):
+            fails.append("ivf_ingest_epoch200_sec missing from an "
+                         "artifact - the streaming flat-cost claim is "
+                         "unsubstantiated")
+        elif ibig > max(2.5 * ibase, ibase + 2.0):
             fails.append(
                 f"streaming ingest epoch grew with the corpus: "
                 f"{ibig:.2f}s at 100x vs {ibase:.2f}s at 1x")

@@ -7,6 +7,7 @@ import org.scalacheck.Gen
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.{Dedup, Similarity}
+import graft.streaming.StreamOps
 
 /**
  * Property obligation for the round-12 verdict: the banded dedup index's
@@ -190,6 +191,65 @@ class Round12Properties extends AnyFunSuite {
               .map(java.lang.Double.doubleToLongBits)).toMap
           assert(got2 == want, s"scenario $si: fallback diverges from model")
         }
+    }
+  }
+
+  // ---- streaming ingest epoch sequences vs the batch rebuild ---------
+
+  private val ingestGen: Gen[(Seq[(Long, String, Array[Float])], List[Int])] =
+    for {
+      n <- Gen.choose(6, 14)
+      ids <- Gen.pick(n, 0L to 80L)
+      labels <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
+      vecs <- Gen.listOfN(n, Gen.listOfN(4, Gen.chooseNum(-2.0f, 2.0f)))
+      // epoch sizes partitioning the rows; MONOTONE epochs = sorted ids
+      // split sequentially; an occasional shuffle arm exercises rebuilds
+      cuts <- Gen.listOfN(2, Gen.choose(1, math.max(1, n - 2)))
+    } yield (ids.toSeq.sorted.lazyZip(labels).lazyZip(vecs)
+      .map((i, l, v) => (i, l, v.toArray)).toSeq,
+      cuts.distinct.sorted)
+
+  test("property: streamed epoch sequences (fold and rebuild arms) ≡ batch rebuild") {
+    PropertySamples.samples(ingestGen, 4, 12044L).zipWithIndex.foreach {
+      case ((rows, cuts), si) =>
+        // split the id-sorted rows into sequential epochs (monotone —
+        // every epoch folds) and ALSO run a reversed-epoch arm (the
+        // first post-seed epoch has LOWER ids — rebuild path), both
+        // bit-compared to one batch build over the union
+        val bounds = (0 +: cuts :+ rows.size).distinct.sorted
+        val epochs = bounds.sliding(2).map { case Seq(a, b) =>
+          rows.slice(a, b) }.filter(_.nonEmpty).toSeq
+        def run(eps: Seq[Seq[(Long, String, Array[Float])]],
+                tag: String): Set[String] = {
+          val idx = Files.createTempDirectory(
+            s"graft-r12i-$tag-$si").toString + "/idx"
+          StreamOps.ivfIngestBootstrap(
+            eps.head.toDF("vec_id", "label", "embedding"), idx,
+            "vec_id", "embedding", "label", dims = 4)
+          eps.tail.zipWithIndex.foreach { case (e, i) =>
+            StreamOps.ivfIngestEpoch(
+              e.toDF("vec_id", "label", "embedding"), i.toLong, idx,
+              "vec_id", "embedding", "label", dims = 4)
+          }
+          spark.read.parquet(s"$idx/centers").collect()
+            .map(r => r.getString(0) + ":" + r.getSeq[Double](1)
+              .map(java.lang.Double.doubleToLongBits).mkString(","))
+            .toSet
+        }
+        val rebuilt = {
+          val p = Files.createTempDirectory(s"graft-r12i-r-$si").toString
+          Similarity.buildIvfIndex(rows.toDF("vec_id", "label", "embedding"),
+            "vec_id", "embedding", "label", p, dims = 4)
+          spark.read.parquet(s"$p/centers").collect()
+            .map(r => r.getString(0) + ":" + r.getSeq[Double](1)
+              .map(java.lang.Double.doubleToLongBits).mkString(","))
+            .toSet
+        }
+        assert(run(epochs, "fwd") == rebuilt,
+          s"scenario $si: monotone epoch stream diverged from the rebuild")
+        if (epochs.size > 1)
+          assert(run(epochs.reverse, "rev") == rebuilt,
+            s"scenario $si: reversed (rebuild-path) stream diverged")
     }
   }
 

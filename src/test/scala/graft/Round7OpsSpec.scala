@@ -241,11 +241,13 @@ class Round7OpsSpec extends AnyFunSuite {
   }
 
   test("refreshIvfCenters alone repairs a crash between append halves") {
-    // simulate the crash window: lists appended, centers still stale
+    // simulate the crash window EXACTLY as the round-12 append leaves
+    // it: marker deleted FIRST, lists appended, centers/csums untouched
     val path = java.nio.file.Files
       .createTempDirectory("graft-ivf-crash").toString
     Similarity.buildIvfIndex(ivfCorpus, "vec_id", "embedding", "label",
       path, dims = 4)
+    Similarity.deleteCsumsMarker(spark, path)
     ivfBatch2.select(col("vec_id"), col("embedding"), col("label"),
         Similarity.norm(col("embedding")).as("__cn"),
         col("label").cast("string").as("__cellkey"))

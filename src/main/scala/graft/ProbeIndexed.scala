@@ -121,7 +121,7 @@ object ProbeIndexed {
 
     // round-12 verdict task 3: the recall-vs-cost OPERATING CURVE on the
     // k-means index — recall@5 and probe seconds at widening nProbe —
-    // plus the auto operating point (nProbe = -1 → ceil(2*sqrt(K))
+    // plus the auto operating point (nProbe = -1 → 2*ceil(sqrt(K)))
     // cells, Similarity.resolveNProbe: THE library rule, not a
     // hand-copied literal). The fixed nProbe = 2 row above is why recall
     // collapsed at 100x (2 of 1,000 cells); the curve documents what

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.model.ChangesetSchema
-import graft.functions.{Bloom, Dedup, DeflateLen, Md5Prefix28, Multimodal, Packing, Sampling, Similarity, TextClean, TextFns}
+import graft.functions.{Bloom, Dedup, DeflateLen, Md5Prefix28, Multimodal, Packing, Sampling, Similarity, Subword, TextClean, TextFns}
 import graft.operators.{AsOfJoin, Checksum, Materializer, Pipeline, Stages, TableFilters, TimeSeries}
 import graft.sources.{Changelog, Replay, Tables}
 
@@ -924,6 +924,29 @@ object SparkEntry {
         size(TextFns.words(col("text"))), buckets = 32, budget = 1024)
         .withColumnRenamed("key", "doc_id")),
 
+    // Tokenizer-accurate (WordPiece greedy longest-match) subword
+    // tokenization over the fixture vocab — the counting currency real
+    // training pipelines budget in (whitespace counts diverge 2–5× on
+    // code/CJK/URL text). Native expression; the oracle re-runs the
+    // greedy match as a recursive-CTE walk over the SAME vocab.
+    "text_subword_tokens" -> ((s, dir) =>
+      documents(s, dir)
+        .select(col("doc_id"), Subword.tokens(lower(col("text"))).as("t"))
+        .select(col("doc_id"),
+          size(col("t")).cast("long").as("n_tokens"),
+          size(filter(col("t"), x => x === Subword.unk)).cast("long")
+            .as("n_unk"),
+          md5(concat_ws(" ", col("t"))).as("tokens_md5"))),
+
+    // Sequence packing on SUBWORD counts — the pack_offsets twin proving
+    // the tokenizer-accurate currency drops into the packing/budget
+    // operators unchanged (same two-phase distributed prefix sum)
+    "pack_offsets_subword" -> ((s, dir) =>
+      Packing.packOffsets(documents(s, dir), col("doc_id"),
+        Subword.tokenCount(lower(col("text"))), buckets = 32,
+        budget = 1024)
+        .withColumnRenamed("key", "doc_id")),
+
     // Fixed-window chunking (32-token windows, no overlap) — the pass
     // that precedes sequence packing in a training pipeline
     "text_chunk" -> ((s, dir) =>
@@ -1606,6 +1629,54 @@ object SparkEntry {
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
         "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus")
   ) ++ extensionOracles
+
+  // Subword tokenization CTE chain shared by the text_subword_tokens /
+  // pack_offsets_subword oracles: re-runs the EXPRESSION's WordPiece
+  // greedy longest-match over the same fixture vocab
+  // (Subword.vocabValuesSql — single source of truth) as a recursive
+  // walk. Per distinct word, `best(word, p)` is the longest vocab piece
+  // matching at offset p (continuation pieces only for p > 0); the walk
+  // consumes best pieces until the word ends (emitting ' ##'-joined
+  // reconstruction) or no piece matches (whole word → [UNK] — WordPiece
+  // semantics). Words > 50 code points are [UNK] outright. The
+  // whitespace class is the EXPLICIT one the expression uses.
+  private def subwordCte: String =
+    "WITH RECURSIVE vocab(piece) AS (VALUES " +
+      Subword.vocabValuesSql() + "), " +
+      "v AS (SELECT CASE WHEN piece LIKE '##%' THEN piece[3:] " +
+      "ELSE piece END AS vr, (piece LIKE '##%') AS cont FROM vocab), " +
+      "d AS (SELECT doc_id, regexp_extract_all(coalesce(lower(text), ''), " +
+      "'[a-z0-9]+|[^a-z0-9 \\t\\n\\r\\f]') AS ws FROM documents), " +
+      "w AS (SELECT doc_id, i AS word_ord, ws[i] AS word FROM d, " +
+      "(SELECT unnest(range(1, 257)) AS i) ix WHERE i <= len(ws)), " +
+      "dw AS (SELECT DISTINCT word FROM w), " +
+      "shortw AS (SELECT word FROM dw WHERE len(word) <= 50), " +
+      "pw AS (SELECT word, p FROM shortw, " +
+      "(SELECT unnest(range(0, 50)) AS p) px WHERE p < len(word)), " +
+      "best AS (SELECT word, p, max(len(vr)) AS blen FROM pw JOIN v " +
+      "ON v.cont = (p > 0) AND substr(word, p + 1, len(vr)) = vr " +
+      "GROUP BY word, p), " +
+      "walk AS (SELECT word, 0 AS wpos, 0 AS ntok, '' AS toks, " +
+      "false AS failed FROM shortw " +
+      "UNION ALL SELECT wk.word, " +
+      "CASE WHEN b.blen IS NULL THEN len(wk.word) " +
+      "ELSE wk.wpos + b.blen END, " +
+      "CASE WHEN b.blen IS NULL THEN 1 ELSE wk.ntok + 1 END, " +
+      "CASE WHEN b.blen IS NULL THEN '[UNK]' ELSE wk.toks || " +
+      "CASE WHEN wk.wpos = 0 THEN '' ELSE ' ##' END || " +
+      "substr(wk.word, wk.wpos + 1, b.blen) END, " +
+      "b.blen IS NULL " +
+      "FROM walk wk LEFT JOIN best b ON b.word = wk.word " +
+      "AND b.p = wk.wpos " +
+      "WHERE wk.wpos < len(wk.word) AND NOT wk.failed), " +
+      "wt AS (SELECT word, ntok, toks FROM walk " +
+      "WHERE failed OR wpos >= len(word) " +
+      "UNION ALL SELECT word, 1, '[UNK]' FROM dw WHERE len(word) > 50), " +
+      "doctok AS (SELECT w.doc_id, " +
+      "string_agg(wt.toks, ' ' ORDER BY w.word_ord) AS joined, " +
+      "CAST(sum(wt.ntok) AS BIGINT) AS n, " +
+      "CAST(sum(CASE WHEN wt.toks = '[UNK]' THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS nu FROM w JOIN wt ON w.word = wt.word GROUP BY w.doc_id)"
 
   // shingle-set CTE shared by the dedup oracles (3-word shingles, distinct)
   private val shingleCteBody =
@@ -2519,6 +2590,25 @@ object SparkEntry {
         "ORDER BY approx DESC, vec_id LIMIT 20) " +
         s"SELECT vec_id, ${cosSql("embedding", "pv")} AS cos FROM cand " +
         "ORDER BY cos DESC, vec_id LIMIT 5"),
+
+    "text_subword_tokens" ->
+      (subwordCte + " SELECT d.doc_id, coalesce(t.n, 0) AS n_tokens, " +
+        "coalesce(t.nu, 0) AS n_unk, md5(coalesce(t.joined, '')) " +
+        "AS tokens_md5 FROM d LEFT JOIN doctok t ON d.doc_id = t.doc_id " +
+        "ORDER BY d.doc_id"),
+
+    "pack_offsets_subword" ->
+      // the pack_offsets prefix-sum oracle with the whitespace count
+      // swapped for the subword-CTE count — same bucket hash, same
+      // global (bucket, key) order
+      (subwordCte + ", cnt AS (SELECT d.doc_id, coalesce(t.n, 0) AS n " +
+        "FROM d LEFT JOIN doctok t ON d.doc_id = t.doc_id), " +
+        s"t2 AS (SELECT doc_id, n, ${Dedup.hash28Sql("doc_id::VARCHAR")} " +
+        "% 32 AS b FROM cnt), " +
+        "c AS (SELECT doc_id, n, CAST(sum(n) OVER (ORDER BY b, doc_id " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM t2) " +
+        "SELECT doc_id, n AS n_tokens, cum - n AS start_tok, " +
+        "(cum - n) // 1024 AS bin_id FROM c"),
 
     "pack_offsets" ->
       // same (bucket, key) global order, one inclusive running sum

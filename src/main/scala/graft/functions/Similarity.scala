@@ -445,8 +445,18 @@ object Similarity {
         col(labelCol).cast("string").as("__cellkey"))
       .write.mode("overwrite").partitionBy("__cellkey")
       .parquet(s"$path/lists")
-    val landed = df.sparkSession.read.parquet(s"$path/lists")
-      .select(col(idCol), col(vecCol), col(labelCol))
+    // a ZERO-ROW build leaves a data-less lists dir (only _SUCCESS) that
+    // schema inference cannot read back — derive the empty `landed` from
+    // the caller's frame instead (limit 0: schema only, no scan), so the
+    // degenerate build completes like the old inline-centers path did:
+    // empty-but-readable centers, no csums data (hasCsumsData gates the
+    // consumers), and a Long.MinValue marker so the first real append
+    // converges via the fallback rebuild
+    val empty = !hasParquetData(df.sparkSession, s"$path/lists")
+    val landed =
+      if (empty) df.select(col(idCol), col(vecCol), col(labelCol)).limit(0)
+      else df.sparkSession.read.parquet(s"$path/lists")
+        .select(col(idCol), col(vecCol), col(labelCol))
     // csums computed ONCE and checkpointed: it feeds both the centers
     // derivation and the csums write, and its arithmetic is the
     // identical id-ordered left fold cellCenters ran inline — so centers
@@ -455,7 +465,10 @@ object Similarity {
     val cs = csumsOf(landed, labelCol, idCol, vecCol, dims)
       .localCheckpoint()
     requireFixedWidth(cs, dims, "buildIvfIndex")
-    centersFromCsums(cs, labelCol)
+    val centers = centersFromCsums(cs, labelCol)
+    // empty path: force one task so a schema-carrying zero-row parquet
+    // file lands and probe-side reads of `centers` keep working
+    (if (empty) centers.repartition(1) else centers)
       .write.mode("overwrite").parquet(s"$path/centers")
     writeCsums(cs, labelCol, s"$path/csums")
     writeCsumsMarker(df.sparkSession, path,
@@ -516,12 +529,12 @@ object Similarity {
     val stats = csumsBatchStats(batch, idCol, vecCol, labelCol, dims,
       "appendToIvfIndex")
     if (stats.isEmpty) return true // empty batch: index unchanged
-    val Some((bMin, bMax, cells)) = stats
+    val Some((bMin, bMax, cells, _)) = stats
     // hasCsumsData guards the degenerate empty index (a build over zero
     // rows writes a data-less csums dir whose read would crash schema
     // inference): no stored fold state → take the fallback, which
     // rebuilds from the lists (now holding this batch) and converges
-    val fast = marker.exists { case (maxId, d, _) =>
+    val fast = marker.exists { case (maxId, d, _, _) =>
       d == dims && bMin > maxId } && hasCsumsData(spark, path)
     // opt-in stage trace (SPARK_GRAFT_IVF_TIMINGS=1): the append is many
     // small actions whose individual costs are invisible in the probe
@@ -550,11 +563,11 @@ object Similarity {
         norm(col(vecCol)).as("__cn"),
         col(labelCol).cast("string").as("__cellkey"))
         .repartition(spreadN, col("__cellkey")),
-      replaceDirs = false)
+      replaceDirs = false, batchTag = Some(s"$bMin-$bMax"))
     mark("lists-append")
     if (fast)
       foldCsumsDelta(spark, path, batch, cells, idCol, vecCol, labelCol,
-        dims, spreadN, bMax, epoch = None, mark)
+        dims, spreadN, bMax, epoch = None, epochHash = None, mark)
     else rebuildIvfCsums(spark, path, idCol, vecCol, labelCol, dims)
     fast
   }
@@ -573,6 +586,7 @@ object Similarity {
                              idCol: String, vecCol: String,
                              labelCol: String, dims: Int, spreadN: Int,
                              bMax: Long, epoch: Option[Long],
+                             epochHash: Option[Long],
                              mark: String => Unit): Unit = {
     val delta = csumKvsOf(batch, labelCol, idCol, vecCol, dims)
     // touched cells only, read as EXPLICIT subdirectories (the
@@ -641,7 +655,7 @@ object Similarity {
           labelCol)
       })
     mark("centers")
-    writeCsumsMarker(spark, path, bMax, dims, epoch)
+    writeCsumsMarker(spark, path, bMax, dims, epoch, epochHash)
   }
 
   /** Land a centers frame in a tmp dir and swap it live (one job, no
@@ -661,23 +675,30 @@ object Similarity {
   }
 
   /** Validated batch stats for the csums maintenance paths — (min id,
-    * max id, touched cell keys), or None for an empty batch. ONE job,
-    * run BEFORE any caller mutation: a ragged or null/empty-labeled
-    * batch must fail while the index is still untouched (validating
-    * after a write lands would leave the bad rows persisted, poisoning
-    * every later rebuild; empty-string labels are rejected with nulls
-    * because Spark writes both as __HIVE_DEFAULT_PARTITION__, so
-    * neither round-trips as a cell key). */
-  private def csumsBatchStats(batch: DataFrame, idCol: String,
-                              vecCol: String, labelCol: String, dims: Int,
-                              op: String): Option[(Long, Long, Seq[String])] = {
+    * max id, touched cell keys, row-set hash), or None for an empty
+    * batch. ONE job, run BEFORE any caller mutation: a ragged or
+    * null/empty-labeled batch must fail while the index is still
+    * untouched (validating after a write lands would leave the bad rows
+    * persisted, poisoning every later rebuild; empty-string labels are
+    * rejected with nulls because Spark writes both as
+    * __HIVE_DEFAULT_PARTITION__, so neither round-trips as a cell key).
+    * The set hash — an order-independent XOR of per-row xxhash64 over
+    * (id, vec, label) — is the replay-identity the streaming marker
+    * records: a reused epoch id whose rows merely share the old max id
+    * no longer passes for a genuine crash replay. */
+  private[graft] def csumsBatchStats(batch: DataFrame, idCol: String,
+                                     vecCol: String, labelCol: String,
+                                     dims: Int, op: String)
+      : Option[(Long, Long, Seq[String], Long)] = {
     val bounds = batch.agg(min(col(idCol).cast("long")),
       max(col(idCol).cast("long")),
       collect_set(col(labelCol).cast("string")),
       min(when(col(vecCol).isNotNull,
         size(slice(col(vecCol), 1, dims)))),
       count(when(col(labelCol).isNull ||
-        col(labelCol).cast("string") === "", lit(1)))).head()
+        col(labelCol).cast("string") === "", lit(1))),
+      expr(s"bit_xor(xxhash64(cast(`$idCol` as long), `$vecCol`, " +
+        s"cast(`$labelCol` as string)))")).head()
     if (bounds.isNullAt(0)) return None
     require(bounds.isNullAt(3) || bounds.getInt(3) >= dims,
       s"$op: IVF index requires fixed-width vectors with >= $dims " +
@@ -685,7 +706,8 @@ object Similarity {
     require(bounds.getLong(4) == 0L,
       s"$op: null/empty labels are not indexable (the label is the " +
         "cell partition key)")
-    Some((bounds.getLong(0), bounds.getLong(1), bounds.getSeq[String](2)))
+    Some((bounds.getLong(0), bounds.getLong(1),
+      bounds.getSeq[String](2), bounds.getLong(5)))
   }
 
   /** Recompute `path/centers` from the on-disk inverted lists — the
@@ -712,7 +734,8 @@ object Similarity {
     * LAST, so the next monotone append takes the incremental path. */
   def rebuildIvfCsums(spark: SparkSession, path: String, idCol: String,
                       vecCol: String, labelCol: String, dims: Int = 64,
-                      epoch: Option[Long] = None): Unit = {
+                      epoch: Option[Long] = None,
+                      epochHash: Option[Long] = None): Unit = {
     deleteCsumsMarker(spark, path)
     // works on BOTH index layouts: the fold state is a function of the
     // row SET, so the epoch-partitioned streaming lists read the same
@@ -727,7 +750,7 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/centers")
     writeCsumsMarker(spark, path,
       maxIdOf(lists, idCol, labelCol, "rebuildIvfCsums")
-        .getOrElse(Long.MinValue), dims, epoch)
+        .getOrElse(Long.MinValue), dims, epoch, epochHash)
   }
 
   /**
@@ -755,24 +778,26 @@ object Similarity {
     val stats = csumsBatchStats(batch, idCol, vecCol, labelCol, dims,
       "streamingCsumsRefresh")
     if (stats.isEmpty) return 1 // empty epoch: fold state unchanged
-    val Some((bMin, bMax, cells)) = stats
+    val Some((bMin, bMax, cells, bHash)) = stats
     readCsumsMarker(spark, path) match {
-      case Some((maxId, d, Some(e)))
-          if e == batchId && maxId == bMax && d == dims &&
+      case Some((maxId, d, Some(e), Some(h)))
+          if e == batchId && maxId == bMax && h == bHash && d == dims &&
             hasCsumsData(spark, path) =>
         // replay of the already-folded epoch: csums cover its rows;
         // re-derive the centers only (cheap for bounded cell counts;
-        // the replay path is rare — one per crash). The maxId
-        // cross-check tells a genuine replay (the first fold stamped
-        // exactly this batch's max) from a FRESH stream reusing an old
-        // epoch id with new rows — that one falls through to the
-        // rebuild below, never to a skip over dropped rows.
+        // the replay path is rare — one per crash). The identity
+        // cross-check — max id AND the XOR row-set hash the first fold
+        // stamped — tells a genuine replay from a FRESH stream reusing
+        // an old epoch id with new rows (even one engineered to share
+        // the old max id); those fall through to the rebuild below,
+        // never to a skip over dropped or substituted rows. A legacy
+        // hashless marker also rebuilds (no Some(h) to match).
         swapCenters(spark, path, centersFromCsums(
           spark.read.parquet(s"$path/csums")
             .select(col(labelCol), col("__chunk"), col("__psums"),
               col("__n")), labelCol))
         1
-      case Some((maxId, d, _))
+      case Some((maxId, d, _, _))
           if !epochExisted && d == dims && bMin > maxId &&
             hasCsumsData(spark, path) =>
         // the fold requires this epoch's rows to be NEW in every sense:
@@ -784,11 +809,11 @@ object Similarity {
           spark.sparkContext.defaultParallelism))
         foldCsumsDelta(spark, path, batch, cells, idCol, vecCol, labelCol,
           dims, spreadN, bMax, epoch = Some(batchId),
-          stageTrace("ivf-ingest"))
+          epochHash = Some(bHash), stageTrace("ivf-ingest"))
         0
       case _ =>
         rebuildIvfCsums(spark, path, idCol, vecCol, labelCol, dims,
-          epoch = Some(batchId))
+          epoch = Some(batchId), epochHash = Some(bHash))
         2
     }
   }
@@ -982,10 +1007,23 @@ object Similarity {
     * csums overwrite semantics); false appends beside the existing files
     * (the lists semantics). Single-writer; a crash mid-rename leaves a
     * partial append — the same window the old job-commit had — which the
-    * deleted-marker fallback rebuild converges. */
+    * deleted-marker fallback rebuild converges.
+    *
+    * `batchTag` (the append path's `bMin-bMax` id range) makes the
+    * append-beside renames RETRY-IDEMPOTENT: each staged data file's
+    * final name is derived from the tag + its per-cell index instead of
+    * the job UUID, so re-running a crashed append replaces the files its
+    * first attempt already renamed in, rather than landing the batch's
+    * rows a second time under fresh names (duplicate ids would violate
+    * the index's unique-id contract and skew the centroid folds). Ids
+    * are unique across the index, so two DIFFERENT batches can never
+    * share a tag; the per-cell index is stable because the same
+    * repartition of the same rows stages the same file set. */
   private def stagedPartitionedWrite(spark: SparkSession, liveDir: String,
                                      df: DataFrame,
-                                     replaceDirs: Boolean): Unit = {
+                                     replaceDirs: Boolean,
+                                     batchTag: Option[String] = None)
+      : Unit = {
     val live = new org.apache.hadoop.fs.Path(liveDir)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stage = new org.apache.hadoop.fs.Path(liveDir + ".__append_stage")
@@ -999,16 +1037,29 @@ object Similarity {
       if (st.isDirectory && name.startsWith("__cellkey=")) {
         val dst = new org.apache.hadoop.fs.Path(live, name)
         if (replaceDirs && fs.exists(dst)) fs.delete(dst, true)
-        if (!fs.exists(dst)) {
-          // whole-dir rename when the target is absent (one FS op)
+        // deterministic destination name per (cell, batch, file index):
+        // sorted staged names make the index assignment reproducible
+        // across a retry of the same batch
+        def dstName(srcName: String, i: Int): String =
+          batchTag.fold(srcName)(t => s"append-$t-$i.parquet")
+        if (!fs.exists(dst) && batchTag.isEmpty) {
+          // whole-dir rename when the target is absent and names need
+          // no rewrite (one FS op)
           require(fs.rename(st.getPath, dst),
             s"staged append: rename ${st.getPath} -> $dst failed")
-        } else fs.listStatus(st.getPath).foreach { f =>
-          if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
-            require(fs.rename(f.getPath,
-              new org.apache.hadoop.fs.Path(dst, f.getPath.getName)),
-              s"staged append: rename ${f.getPath} into $dst failed")
-          }
+        } else {
+          fs.mkdirs(dst)
+          fs.listStatus(st.getPath).toSeq
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+            .sortBy(_.getPath.getName).zipWithIndex.foreach { case (f, i) =>
+              val target =
+                new org.apache.hadoop.fs.Path(dst, dstName(f.getPath.getName, i))
+              // a retry re-lands the file its crashed attempt already
+              // renamed in — replace, never duplicate
+              if (fs.exists(target)) fs.delete(target, false)
+              require(fs.rename(f.getPath, target),
+                s"staged append: rename ${f.getPath} into $dst failed")
+            }
         }
       }
     }
@@ -1019,7 +1070,8 @@ object Similarity {
 
   /** Does `dir` hold any parquet data files? (A zero-row or torn write
     * leaves only _SUCCESS; reading it would crash schema inference.) */
-  private def hasParquetData(spark: SparkSession, dir: String): Boolean = {
+  private[graft] def hasParquetData(spark: SparkSession,
+                                    dir: String): Boolean = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def walk(p: org.apache.hadoop.fs.Path): Boolean =
@@ -1053,14 +1105,20 @@ object Similarity {
   private def csumsMarkerPath(path: String) =
     new org.apache.hadoop.fs.Path(s"$path/csums_marker")
 
-  /** (max indexed id, dims, last folded epoch) from the csums validity
-    * marker — present IFF the csums on disk cover exactly the lists on
-    * disk. Format: one line `maxId|dims` (batch index) or
-    * `maxId|dims|epoch` (streaming ingest — the epoch field makes a
-    * crash-REPLAYED micro-batch recognizable as already folded);
-    * malformed → None (fallback recompute). */
+  /** (max indexed id, dims, last folded epoch, last epoch's row-set
+    * hash) from the csums validity marker — present IFF the csums on
+    * disk cover exactly the lists on disk. Format: one line
+    * `maxId|dims` (batch index) or `maxId|dims|epoch|setHash`
+    * (streaming ingest — the epoch field makes a crash-REPLAYED
+    * micro-batch recognizable as already folded, and the set hash
+    * ([[csumsBatchStats]]' XOR-of-row-hashes) pins the replay to the
+    * exact row set the fold saw: a reused epoch id that merely shares
+    * the old max id rebuilds instead of silently keeping stale csums);
+    * a legacy 3-field marker (epoch, no hash) parses with an unknown
+    * hash, which the replay check treats as a mismatch — rebuild, never
+    * a skip. Malformed → None (fallback recompute). */
   private[graft] def readCsumsMarker(spark: SparkSession, path: String)
-      : Option[(Long, Int, Option[Long])] = {
+      : Option[(Long, Int, Option[Long], Option[Long])] = {
     val p = csumsMarkerPath(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
@@ -1069,9 +1127,11 @@ object Similarity {
       val raw = try scala.io.Source.fromInputStream(in).mkString.trim
       finally in.close()
       raw.split('|') match {
-        case Array(maxId, d) => Some((maxId.toLong, d.toInt, None))
+        case Array(maxId, d) => Some((maxId.toLong, d.toInt, None, None))
         case Array(maxId, d, e) =>
-          Some((maxId.toLong, d.toInt, Some(e.toLong)))
+          Some((maxId.toLong, d.toInt, Some(e.toLong), None))
+        case Array(maxId, d, e, h) =>
+          Some((maxId.toLong, d.toInt, Some(e.toLong), Some(h.toLong)))
         case _ => None
       }
     } catch { case scala.util.control.NonFatal(_) => None }
@@ -1088,16 +1148,21 @@ object Similarity {
   }
 
   /** Written LAST (temp + atomic rename): a present marker always names
-    * a csums/centers pair that agrees with the lists. */
+    * a csums/centers pair that agrees with the lists. The streaming
+    * ingest stamps (epoch, epochHash) together so a crash replay is
+    * recognizable by row SET, not just by the epoch's max id. */
   private def writeCsumsMarker(spark: SparkSession, path: String,
                                maxId: Long, dims: Int,
-                               epoch: Option[Long] = None): Unit = {
+                               epoch: Option[Long] = None,
+                               epochHash: Option[Long] = None): Unit = {
     val p = csumsMarkerPath(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(p.toString + ".tmp")
     val out = fs.create(tmp, true)
     try out.write(
-      (s"$maxId|$dims" + epoch.fold("")(e => s"|$e")).getBytes("UTF-8"))
+      (s"$maxId|$dims" + epoch.fold("")(e => s"|$e") +
+        (for { _ <- epoch; h <- epochHash } yield s"|$h").getOrElse(""))
+        .getBytes("UTF-8"))
     finally out.close()
     if (fs.exists(p)) fs.delete(p, false)
     require(fs.rename(tmp, p), s"csums marker rename failed: $tmp -> $p")
@@ -1194,8 +1259,9 @@ object Similarity {
 
   /** THE auto nProbe rule (round-12 recall engineering), in one place:
     * explicit (>= 0) wins — including the degenerate 0, which keeps its
-    * probe-nothing semantics; auto (-1) probes ceil(2·√K) cells with a
-    * floor of 2. Rationale: a FIXED nProbe makes the scanned corpus
+    * probe-nothing semantics; auto (-1) probes 2·ceil(√K) cells with a
+    * floor of 2 (the ONE stated rule — ProbeIndexed and
+    * tools/check_probe.py document the same expression). Rationale: a FIXED nProbe makes the scanned corpus
     * fraction (nProbe/K) collapse as the cell count grows with the
     * corpus (the SemDeDup K ∝ n contract) — recall@5 on the probe
     * harness's k-means index fell 0.41 → 0.24 going 1× → 100× at
@@ -1268,7 +1334,7 @@ object Similarity {
    * partition-pruning filter — metadata-scale, like the one-row
    * broadcast bounds elsewhere.
    *
-   * `nProbe = -1` (opt-in AUTO, round 12): probe ceil(2·√K) cells via
+   * `nProbe = -1` (opt-in AUTO, round 12): probe 2·ceil(√K) cells via
    * [[resolveNProbe]] — the measured operating point that keeps recall
    * from collapsing as the cell count grows with the corpus (K ∝ n).
    * The DEFAULT stays the explicit `nProbe = 2` so existing callers'
@@ -1297,6 +1363,14 @@ object Similarity {
         probedCellsTwoLevel(centers, probes, resolvedNProbe, resolvedSuper,
           superBits, superOffset)
       else probedCellsFor(centers, probes, resolvedNProbe)
+    // a ZERO-ROW index ([[buildIvfIndex]] over an empty frame) has a
+    // data-less lists dir that schema inference cannot read — probing it
+    // returns the empty result with the contract schema, not a crash
+    if (!hasParquetData(spark, s"$path/lists"))
+      return probes.select(col("probe_id")).limit(0)
+        .withColumn("rank", lit(0).cast("int"))
+        .withColumn("neighbor_id", lit(0L))
+        .withColumn("cos", lit(0.0))
     val cellKeys = probedCells.select(col("__cell").cast("string"))
       .distinct().collect().map(_.getString(0))
     val lists = spark.read.parquet(s"$path/lists")

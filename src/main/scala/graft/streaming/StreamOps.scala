@@ -1460,8 +1460,14 @@ object StreamOps {
     // a ragged or null/empty-labeled batch must fail while the index is
     // untouched — written first, it would poison every later rebuild,
     // and even the manual repair would refuse the persisted rows)
-    Similarity.validateIvfBatch(batch, idCol, vecCol, labelCol, dims,
-      "ivfIngestEpoch")
+    val stats = Similarity.csumsBatchStats(batch, idCol, vecCol, labelCol,
+      dims, "ivfIngestEpoch")
+    // EMPTY micro-batch (an idle trigger interval): short-circuit before
+    // anything lands. The old path wrote a data-less __batch=N dir whose
+    // read-back crashed schema inference — and since foreachBatch replays
+    // the same empty batch on restart, the stream wedged on it forever.
+    // Nothing written → index untouched → the replay-skip return.
+    if (stats.isEmpty) return 1
     // epoch-id REUSE detection, sampled before the overwrite: a fresh
     // stream restarted against an old index (new checkpoint → batch ids
     // restart at 0) OVERWRITES an epoch partition whose old rows the
@@ -1482,6 +1488,18 @@ object StreamOps {
     // partition back (batch-sized) makes the fold consistent with the
     // lists by construction — no second evaluation of the caller's
     // frame, no corpus-sized checkpoint on the bootstrap path
+    if (!Similarity.hasParquetData(spark,
+        s"$indexPath/lists/__batch=$batchId")) {
+      // stats said non-empty but zero rows landed: a non-deterministic
+      // frame. Nothing to fold; but if the overwrite wiped a pre-existing
+      // epoch's rows, the csums no longer cover the lists — rebuild.
+      if (epochExisted) {
+        Similarity.rebuildIvfCsums(spark, indexPath, idCol, vecCol,
+          labelCol, dims, epoch = Some(batchId))
+        return 2
+      }
+      return 1
+    }
     val landed = spark.read
       .parquet(s"$indexPath/lists/__batch=$batchId")
       .select(col(idCol), col(vecCol), col(labelCol))

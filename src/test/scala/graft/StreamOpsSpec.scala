@@ -818,6 +818,56 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(probeRows(idx) == before)
   }
 
+  test("an EMPTY micro-batch short-circuits: nothing lands, replay-safe") {
+    // round-13 (advice): the old path wrote a data-less __batch=N dir
+    // whose read-back crashed schema inference; foreachBatch replays the
+    // same empty batch on restart, so the stream wedged on it forever
+    val idx = Files.createTempDirectory("graft-ivfmt").toString + "/idx"
+    StreamOps.ivfIngestBootstrap(ivfSeed, idx, "vec_id", "embedding",
+      "label", dims = 4)
+    val before = probeRows(idx)
+    val emptyB = ivfEpoch1.limit(0)
+    assert(StreamOps.ivfIngestEpoch(emptyB, 0L, idx, "vec_id",
+      "embedding", "label", dims = 4) == 1, "empty epoch must skip")
+    assert(!new java.io.File(s"$idx/lists/__batch=0").exists(),
+      "the empty epoch partition must not land")
+    // crash-replay of the same empty epoch: still a no-op, never a wedge
+    assert(StreamOps.ivfIngestEpoch(emptyB, 0L, idx, "vec_id",
+      "embedding", "label", dims = 4) == 1)
+    assert(probeRows(idx) == before, "index must be untouched")
+    // a later real epoch reusing the empty batch's id folds normally
+    assert(StreamOps.ivfIngestEpoch(ivfEpoch1, 0L, idx, "vec_id",
+      "embedding", "label", dims = 4) == 0)
+  }
+
+  test("epoch-id reuse sharing the old MAX id rebuilds (row-set identity)") {
+    // round-13 (advice): the replay check keyed on (epoch, maxId) alone
+    // let a fresh stream's reused epoch id pass for a crash replay when
+    // its new rows happened to share the old max id — keeping stale
+    // csums under a re-validated marker. The marker now records the
+    // epoch's XOR row-set hash, so interior-row substitution rebuilds.
+    val idx = Files.createTempDirectory("graft-ivfsh").toString + "/idx"
+    StreamOps.ivfIngestBootstrap(ivfSeed, idx, "vec_id", "embedding",
+      "label", dims = 4)
+    assert(StreamOps.ivfIngestEpoch(ivfEpoch1, 0L, idx, "vec_id",
+      "embedding", "label", dims = 4) == 0)
+    // "new stream", same epoch id 0, same max id 4 — but only ONE row
+    val sameMax = {
+      import spark.implicits._
+      Seq((4L, "c", Array(0.0f, 0.0f, 1.0f, 0.1f)))
+        .toDF("vec_id", "label", "embedding")
+    }
+    assert(StreamOps.ivfIngestEpoch(sameMax, 0L, idx, "vec_id",
+      "embedding", "label", dims = 4) == 2,
+      "same-max-id epoch reuse must REBUILD, not skip")
+    // state equals a batch rebuild over what the lists now hold
+    val rebuilt = Files.createTempDirectory("graft-ivfsh-r").toString
+    graft.functions.Similarity.buildIvfIndex(
+      ivfSeed.unionByName(sameMax), "vec_id", "embedding", "label",
+      rebuilt, dims = 4)
+    assert(probeRows(idx) == probeRows(rebuilt))
+  }
+
   // ---- assignment-only streaming ingest (k-means-quantized, round 8) ----
 
   private def kmSeedLabeled = {

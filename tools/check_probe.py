@@ -147,7 +147,7 @@ def main():
                 f"shard shuffle {doc['shard_shuffle64_sec']:.2f}s not < "
                 f"dedup build {doc['dedup_build_sec']:.2f}s over the same "
                 "docs - a one-shuffle pass must undercut a shingle pass")
-    # round 12+: the AUTO operating point (nProbe = ceil(sqrt(K))) must
+    # round 12+: the AUTO operating point (nProbe = 2*ceil(sqrt(K))) must
     # clear an absolute recall floor at the artifact's probe budget —
     # the relative kmeans >= label gate let recall drift to 0.244 at
     # 100x without failing anything

@@ -380,6 +380,35 @@ object SparkEntry {
       Dedup.exact(withDups, "doc_id", "text")
     }),
 
+    // URL canonicalization dedup: synthesized messy URLs (the docs
+    // tables carry no URL column — the bloom_decontaminate inline-
+    // fixture precedent) exercising every canonicalization rule: host/
+    // scheme case, default ports, fragments, tracking params, unsorted
+    // params. Keep-best = highest n_chars, ties to smallest doc_id.
+    "dedup_by_url" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val pathN = (col("doc_id") % 20).cast("string")
+      val idN = (col("doc_id") % 5).cast("string")
+      val url = when(col("doc_id") % 7 === 0,
+          concat(lit("https://Example.COM/p"), pathN, lit("/page")))
+        .when(col("doc_id") % 7 === 1,
+          concat(lit("https://example.com:443/p"), pathN, lit("/page")))
+        .when(col("doc_id") % 7 === 2,
+          concat(lit("https://example.com/p"), pathN, lit("/page#sec")))
+        .when(col("doc_id") % 7 === 3,
+          concat(lit("https://example.com/p"), pathN,
+            lit("/page?utm_source=x&gclid=1&id="), idN))
+        .when(col("doc_id") % 7 === 4,
+          concat(lit("https://example.com/p"), pathN, lit("/page?id="),
+            idN, lit("&b=2&a=1")))
+        .when(col("doc_id") % 7 === 5,
+          concat(lit("https://example.com/p"), pathN,
+            lit("/page?a=1&b=2&id="), idN))
+        .otherwise(concat(lit("HTTP://example.com:80/q"), pathN))
+      Dedup.byCanonicalUrl(d.withColumn("url", url), "url",
+        col("n_chars"), "doc_id")
+    }),
+
     // Near-dup via MinHash + LSH banding, exact-Jaccard verified
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashDedup(documents(s, dir), "doc_id", "text", 0.8)
@@ -1905,6 +1934,61 @@ object SparkEntry {
         "SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, " +
         "CAST(count(*) AS BIGINT) AS copies FROM all_docs " +
         "GROUP BY md5(text) ORDER BY keeper_id"),
+
+    "dedup_by_url" ->
+      // the same synthesized URLs, then the canonicalization mirrored
+      // rule-for-rule (strip fragment → split query at first '?' →
+      // lower scheme/host → drop default port → drop tracking params +
+      // sort the rest); keep-best via a window (the engine's struct-max
+      // agg picks the same (quality DESC, id ASC) representative)
+      ("WITH u AS (SELECT doc_id, n_chars, CASE " +
+        "WHEN doc_id % 7 = 0 THEN 'https://Example.COM/p' || " +
+        "(doc_id % 20)::VARCHAR || '/page' " +
+        "WHEN doc_id % 7 = 1 THEN 'https://example.com:443/p' || " +
+        "(doc_id % 20)::VARCHAR || '/page' " +
+        "WHEN doc_id % 7 = 2 THEN 'https://example.com/p' || " +
+        "(doc_id % 20)::VARCHAR || '/page#sec' " +
+        "WHEN doc_id % 7 = 3 THEN 'https://example.com/p' || " +
+        "(doc_id % 20)::VARCHAR || '/page?utm_source=x&gclid=1&id=' || " +
+        "(doc_id % 5)::VARCHAR " +
+        "WHEN doc_id % 7 = 4 THEN 'https://example.com/p' || " +
+        "(doc_id % 20)::VARCHAR || '/page?id=' || (doc_id % 5)::VARCHAR " +
+        "|| '&b=2&a=1' " +
+        "WHEN doc_id % 7 = 5 THEN 'https://example.com/p' || " +
+        "(doc_id % 20)::VARCHAR || '/page?a=1&b=2&id=' || " +
+        "(doc_id % 5)::VARCHAR " +
+        "ELSE 'HTTP://example.com:80/q' || (doc_id % 20)::VARCHAR END " +
+        "AS url FROM documents), " +
+        "s1 AS (SELECT doc_id, n_chars, regexp_replace(url, '#.*$', '') " +
+        "AS su FROM u), " +
+        "s2 AS (SELECT doc_id, n_chars, CASE WHEN strpos(su, '?') > 0 " +
+        "THEN substr(su, 1, strpos(su, '?') - 1) ELSE su END AS pre, " +
+        "CASE WHEN strpos(su, '?') > 0 THEN substr(su, strpos(su, '?') + 1) " +
+        "ELSE '' END AS q FROM s1), " +
+        "s3 AS (SELECT doc_id, n_chars, q, " +
+        "lower(regexp_extract(pre, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) " +
+        "AS scheme, " +
+        "regexp_extract(pre, '^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)', 1) " +
+        "AS hostport, " +
+        "regexp_extract(pre, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(.*)$', 1) " +
+        "AS path FROM s2), " +
+        "s4 AS (SELECT doc_id, n_chars, scheme, path, q, " +
+        "lower(string_split(hostport, ':')[1]) AS host, " +
+        "coalesce(string_split(hostport, ':')[2], '') AS port, " +
+        "list_sort(list_filter(string_split(q, '&'), p -> NOT " +
+        "regexp_matches(p, '^(utm_[^=]*|gclid|fbclid|ref)(=.*)?$'))) " +
+        "AS kept FROM s3), " +
+        "s5 AS (SELECT doc_id, n_chars, scheme || '://' || host || " +
+        "CASE WHEN port = '' OR (scheme = 'http' AND port = '80') OR " +
+        "(scheme = 'https' AND port = '443') THEN '' " +
+        "ELSE ':' || port END || path || " +
+        "CASE WHEN q = '' OR len(kept) = 0 THEN '' " +
+        "ELSE '?' || array_to_string(kept, '&') END AS cu FROM s4), " +
+        "r AS (SELECT cu, doc_id, row_number() OVER (PARTITION BY cu " +
+        "ORDER BY n_chars DESC, doc_id) AS rn, count(*) OVER " +
+        "(PARTITION BY cu) AS n FROM s5) " +
+        "SELECT cu AS canonical_url, doc_id, CAST(n AS BIGINT) AS n_dups " +
+        "FROM r WHERE rn = 1 ORDER BY canonical_url"),
 
     "dedup_minhash_lsh" ->
       ("WITH " + minhashPairCtes + " " +

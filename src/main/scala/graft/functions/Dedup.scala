@@ -69,6 +69,35 @@ object Dedup {
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("copies"))
 
   /**
+   * Dedup by CANONICAL URL ([[TextClean.canonicalizeUrl]]) keeping the
+   * best-quality document per canonical key — the crawl-corpus pass
+   * that collapses re-encoded links (tracking params, fragments, host
+   * case, default ports) to one kept copy. "Best" = highest
+   * `qualityCol`, ties to the smallest id (deterministic). Returns one
+   * row per canonical URL: (canonical_url, idCol = the keeper, n_dups).
+   *
+   * Scale shape: the canonicalization is a narrow scan-speed map; the
+   * keep-best is ONE hash shuffle on the canonical key (a min/max-style
+   * struct agg, map-side combinable — no window over the whole corpus,
+   * no skew beyond genuinely hot URLs, which salting handles upstream
+   * if a single URL dominates a shard).
+   */
+  def byCanonicalUrl(df: DataFrame, urlCol: String, qualityCol: Column,
+                     idCol: String): DataFrame =
+    df.select(TextClean.canonicalizeUrl(col(urlCol)).as("canonical_url"),
+        col(idCol), qualityCol.as("__q"))
+      .groupBy(col("canonical_url"))
+      // max over (quality ASC, id DESC as -id): picks highest quality,
+      // then SMALLEST id — a struct-ordering agg instead of a window,
+      // so the pass stays one shuffle with partial aggregation
+      .agg(
+        max(struct(col("__q"), (-col(idCol)).as("__nid")))
+          .getField("__nid").as("__keep"),
+        count(lit(1)).as("n_dups"))
+      .select(col("canonical_url"), (-col("__keep")).as(idCol),
+        col("n_dups"))
+
+  /**
    * Per-document MinHash signature: minima of `numHashes` affine hashes of
    * the 28-bit shingle digests. One groupBy computes all minima in a single
    * pass (map-side combinable). Returns (idCol, m0..m{n-1}) as longs.

@@ -49,4 +49,55 @@ object TextClean {
   /** Count of non-overlapping matches of `re` in the column. */
   def countMatches(c: Column, re: String): Column =
     size(regexp_extract_all(c, lit(re), lit(0)))
+
+  /** Query parameters dropped by [[canonicalizeUrl]] — the standard
+    * tracking set. Anchored; a bare name (no `=`) is dropped too. */
+  val TrackingParamRe = "^(utm_[^=]*|gclid|fbclid|ref)(=.*)?$"
+
+  /**
+   * Canonical URL normalization — the crawl-corpus dedup key (round-12
+   * verdict task 7): re-encoded links to the same resource ("tracking
+   * params, fragments, host case, default ports") should collide.
+   * Rules, in order (each mirrored expression-for-expression by the
+   * DuckDB oracle):
+   *
+   *  1. strip the fragment (`#` to end);
+   *  2. split off the query at the FIRST `?`;
+   *  3. lowercase the scheme and the host; the path keeps its case
+   *     (paths are case-sensitive on most origins);
+   *  4. drop the port when empty or the scheme default (http:80,
+   *     https:443); keep any other port;
+   *  5. drop tracking params ([[TrackingParamRe]]), sort the remaining
+   *     params byte-wise, rejoin with `&`; a query left empty drops its
+   *     `?` entirely.
+   *
+   * Pure Column work (regexp/string/array builtins — the [[normalize]]
+   * precedent): a narrow map, no shuffle, scan-speed at 100 TB.
+   * Deliberately SYNTACTIC — no percent-decoding, no IDN/punycode, no
+   * userinfo or IPv6 bracket handling (a `user@host` or `[::1]`
+   * authority passes through textually); those need a real URI parser
+   * and are out of scope for a dedup KEY, where a canonicalization
+   * that is merely consistent still groups correctly.
+   */
+  def canonicalizeUrl(u: Column): Column = {
+    val stripped = regexp_replace(u, "#.*$", "")
+    val halves = split(stripped, "\\?", 2)
+    val pre = get(halves, lit(0))
+    val query = coalesce(get(halves, lit(1)), lit(""))
+    val scheme = lower(regexp_extract(pre, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = regexp_extract(pre, "^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)", 1)
+    val hp = split(hostport, ":")
+    val host = lower(get(hp, lit(0)))
+    val port = coalesce(get(hp, lit(1)), lit(""))
+    val portPart = when(port === "" ||
+        (scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    val path = regexp_extract(pre, "^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(.*)$", 1)
+    val kept = array_sort(filter(split(query, "&"),
+      p => !p.rlike(TrackingParamRe)))
+    val qPart = when(query === "" || size(kept) === 0, lit(""))
+      .otherwise(concat(lit("?"), array_join(kept, "&")))
+    concat(scheme, lit("://"), host, portPart, path, qPart)
+  }
 }

@@ -678,6 +678,25 @@ object SparkEntry {
       Multimodal.dedupByContent(Multimodal.asMedia(withDups, "doc_id", "text"))
     }),
 
+    // Multimodal: PERCEPTUAL near-dup — real PNG encode (fixture) →
+    // real pure-JVM decode (zlib inflate, all 5 filter types, truecolor
+    // luma) → 64-bit dHash → pigeonhole block-LSH within hamming ≤ 3.
+    // Pixel content is integer arithmetic over (g, v) from doc_id
+    // (Multimodal.phashFixtureGray), so the oracle recomputes every
+    // dHash in SQL and derives the SAME pair set from bit_count(xor) —
+    // any decode/unfilter/averaging bug breaks the hash. v=1 rows are
+    // the same pixels RE-ENCODED (different bytes — exact mm_dedup
+    // misses them; hamming 0 here); doc_id % 11 rows are CRC-valid but
+    // inflate-corrupt and must be dropped, not hashed. Bounded to 600
+    // fixture docs (the bloom_decontaminate precedent) so the pair
+    // space stays fixed across scales.
+    "mm_phash_neardup" -> ((s, dir) => {
+      val ids = documents(s, dir).select(col("doc_id"))
+        .filter(col("doc_id") < 600)
+      val media = Multimodal.phashFixtureMedia(s, ids, groups = 25)
+      Multimodal.phashNearDup(s, media, maxHamming = 3)
+    }),
+
     // Streaming capability: event-time tumbling-window aggregation (same
     // code path as the streaming query, run over the batch frame)
     "stream_window_agg" -> ((s, dir) =>
@@ -3129,6 +3148,35 @@ object SparkEntry {
         "CAST(count(*) AS BIGINT) AS copies, " +
         "CAST(max(strlen(text)) AS BIGINT) AS byte_len " +
         "FROM all_docs GROUP BY md5(text) ORDER BY keeper_id"),
+
+    "mm_phash_neardup" ->
+      // Recomputes each doc's 64-bit dHash from the fixture's pixel
+      // arithmetic (Multimodal.phashFixtureGray: 4x4-constant cells →
+      // box averages are the cell values exactly), then every pair
+      // within hamming ≤ 3 via bit_count(xor). doc_id % 11 rows are the
+      // inflate-corrupt fixtures — excluded, as the decoder must drop
+      // them. Bit 63 can be set, and 1<<63 overflows DuckDB's BIGINT
+      // shift, so that bit adds the min-BIGINT constant instead.
+      ("WITH ids AS (SELECT doc_id, doc_id % 3 AS v, (doc_id // 3) % 25 AS g " +
+        "FROM documents WHERE doc_id < 600 AND doc_id % 11 <> 0), " +
+        "cells AS (SELECT i.doc_id, y.range AS cy, x.range AS cx, " +
+        "CASE WHEN i.v = 2 AND y.range = i.g % 8 AND x.range = i.g % 9 " +
+        "THEN 250 - (((i.g*73 + y.range*9 + x.range + 1) * (i.g*73 + y.range*9 + x.range + 1) * 13 " +
+        "+ (i.g*73 + y.range*9 + x.range + 1) * 7) % 251) " +
+        "ELSE ((i.g*73 + y.range*9 + x.range + 1) * (i.g*73 + y.range*9 + x.range + 1) * 13 " +
+        "+ (i.g*73 + y.range*9 + x.range + 1) * 7) % 251 END AS gray " +
+        "FROM ids i, range(8) y, range(9) x), " +
+        "bits AS (SELECT l.doc_id, l.cy*8 + l.cx AS b FROM cells l " +
+        "JOIN cells r ON l.doc_id = r.doc_id AND l.cy = r.cy " +
+        "AND r.cx = l.cx + 1 WHERE l.cx < 8 AND l.gray > r.gray), " +
+        "hashes AS (SELECT i.doc_id, COALESCE(SUM(" +
+        "CASE WHEN t.b = 63 THEN CAST(-9223372036854775808 AS BIGINT) " +
+        "ELSE (CAST(1 AS BIGINT) << CAST(t.b AS INT)) END), 0) AS h " +
+        "FROM ids i LEFT JOIN bits t ON i.doc_id = t.doc_id GROUP BY i.doc_id) " +
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming " +
+        "FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id " +
+        "WHERE bit_count(xor(a.h, b.h)) <= 3 ORDER BY doc_a, doc_b"),
 
     "join_interval_count" ->
       // plain range join: the binned join's exact window predicate makes

@@ -249,19 +249,33 @@ object Dedup {
    * md5 digest).
    */
   def simhashNearPairs(df: DataFrame, idCol: String, textCol: String,
-                       maxHamming: Int = 2, bits: Int = 24): DataFrame = {
+                       maxHamming: Int = 2, bits: Int = 24): DataFrame =
+    hammingNearPairs(simhashSignatures(df, idCol, textCol, bits),
+      idCol, "simhash", maxHamming, bits)
+
+  /**
+   * Generic pigeonhole near-pair join over ANY integer hash column —
+   * the machinery [[simhashNearPairs]] describes, factored out so every
+   * hamming-space near-dup (text simhash, perceptual image dHash) shares
+   * one implementation. Full-width 64-bit hashes are supported: block
+   * extraction uses an UNSIGNED shift so a set sign bit lands in the top
+   * block's value instead of smearing through an arithmetic shift.
+   */
+  def hammingNearPairs(sig: DataFrame, idCol: String, hashCol: String,
+                       maxHamming: Int, bits: Int): DataFrame = {
     val blocks = maxHamming + 1
+    require(bits >= 1 && bits <= 64, s"bits=$bits out of range")
     require(bits % blocks == 0,
       s"bits=$bits must divide into maxHamming+1=$blocks equal blocks")
     val width = bits / blocks
-    val sh = simhashSignatures(df, idCol, textCol, bits)
-    val keyed = sh.select(col(idCol), col("simhash"),
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val keyed = sig.select(col(idCol), col(hashCol).cast("long").as("__sig"),
       posexplode(array((0 until blocks).map(b =>
-        shiftright(col("simhash"), b * width)
-          .bitwiseAND(lit((1L << width) - 1))): _*)).as(Seq("blk", "bval")))
-    val a = keyed.select(col(idCol).as("doc_a"), col("simhash").as("__sa"),
+        shiftrightunsigned(col(hashCol).cast("long"), b * width)
+          .bitwiseAND(lit(mask))): _*)).as(Seq("blk", "bval")))
+    val a = keyed.select(col(idCol).as("doc_a"), col("__sig").as("__sa"),
       col("blk"), col("bval"))
-    val b = keyed.select(col(idCol).as("doc_b"), col("simhash").as("__sb"),
+    val b = keyed.select(col(idCol).as("doc_b"), col("__sig").as("__sb"),
       col("blk"), col("bval"))
     a.join(b, Seq("blk", "bval"))
       .filter(col("doc_a") < col("doc_b"))

@@ -741,6 +741,112 @@ object Multimodal {
         max(col("byte_len")).as("byte_len"))
 
   /**
+   * PERCEPTUAL image near-dup (the gap exact [[dedupByContent]] leaves:
+   * the same picture re-encoded — different filter strategy, different
+   * deflate level, gray vs truecolor — has different bytes but identical
+   * pixels). Pipeline: pure-JVM PNG decode ([[PngCodec.decode]]) → 64-bit
+   * dHash over the decoded grayscale ([[PngCodec.dHash64]]) → pigeonhole
+   * block-LSH within hamming `maxHamming` ([[Dedup.hammingNearPairs]] —
+   * k+1 blocks, candidates join on (block, value), exact bit_count(xor)
+   * verify; never the doc² pair space). Undecodable payloads drop before
+   * hashing. Only (doc_id, hash) shuffles — the binary column stays at
+   * the scan.
+   */
+  def phashSignatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        PngCodec.dHashOf(bytes).map(h => (id, h))
+      }).toDF("doc_id", "dhash")
+  }
+
+  /** Near-dup pairs (doc_a, doc_b, hamming ≤ maxHamming) over the
+    * perceptual hashes. 64 bits must split into maxHamming+1 equal
+    * blocks, so maxHamming ∈ {0, 1, 3, 7, 15, 31, 63}. */
+  def phashNearDup(spark: SparkSession, media: DataFrame,
+                   maxHamming: Int = 3): DataFrame =
+    Dedup.hammingNearPairs(phashSignatures(spark, media),
+      "doc_id", "dhash", maxHamming, bits = 64)
+
+  /**
+   * Construction-predicting fixture for the perceptual pass: pixel
+   * content is pure integer arithmetic over (group, variant) derived
+   * from doc_id, so a SQL oracle reproduces the dHash without decoding
+   * anything — while the Spark side must recover the same pixels through
+   * the REAL codec path (zlib inflate, all five PNG filters, truecolor
+   * luma). Per doc: v = doc_id % 3, g = (doc_id / 3) % groups; cell
+   * (cy, cx) of a 9x8 grid has gray [[phashFixtureGray]], expanded to
+   * 4x4 constant pixel blocks (36x32 image — box averages are exact).
+   *   v=0: grayscale, deflate 6      — the original;
+   *   v=1: truecolor r=g=b, deflate 9 — SAME pixels re-encoded (exact
+   *        dedup misses it, hamming 0 catches it);
+   *   v=2: one perturbed cell, deflate 1 — near-dup within hamming ≤ 2.
+   * Every image cycles filter types 0-4 across its rows. doc_id % 11 = 0
+   * rows carry a CRC-valid IDAT that fails zlib inflate — the malformed
+   * shape the decoder must drop, predicted by the oracle as absent.
+   */
+  def phashFixtureGray(g: Long, v: Long, cy: Int, cx: Int): Int = {
+    // quadratic mix — a LINEAR pattern in (g, cy, cx) makes adjacent
+    // groups mere phase shifts of each other and their dHashes collide
+    // within a few bits; squaring the term decorrelates the comparison
+    // bits across groups (verified: zero cross-group pairs ≤ hamming 3)
+    val t = g * 73 + cy * 9 + cx + 1
+    val base = ((t * t * 13 + t * 7) % 251).toInt
+    if (v == 2 && cy == (g % 8).toInt && cx == (g % 9).toInt) 250 - base
+    else base
+  }
+
+  def phashFixtureMedia(spark: SparkSession, ids: DataFrame,
+                        groups: Int): DataFrame = {
+    import spark.implicits._
+    ids.select(col("doc_id").cast("long")).as[Long].map { id =>
+      val content: Array[Byte] =
+        if (id % 11 == 0) {
+          // valid signature/IHDR/chunk CRCs, garbage deflate stream
+          val junk = Array.tabulate[Byte](64)(i => ((i * 89 + 7) & 0xFF).toByte)
+          val out = new java.io.ByteArrayOutputStream()
+          val good = PngCodec.encode(Array.fill[Byte](36 * 32)(0), 36, 32, 0, _ => 0, 6)
+          out.write(good, 0, 33) // signature + IHDR chunk
+          val crc = new java.util.zip.CRC32()
+          crc.update("IDAT".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+          crc.update(junk)
+          val bb = java.nio.ByteBuffer.allocate(12 + junk.length)
+          bb.putInt(junk.length)
+          bb.put("IDAT".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+          bb.put(junk).putInt(crc.getValue.toInt)
+          out.write(bb.array())
+          val iend = java.nio.ByteBuffer.allocate(12)
+          val ic = new java.util.zip.CRC32()
+          ic.update("IEND".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+          iend.putInt(0)
+            .put("IEND".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+            .putInt(ic.getValue.toInt)
+          out.write(iend.array())
+          out.toByteArray
+        } else {
+          val v = id % 3; val g = (id / 3) % groups
+          val (colorType, level) =
+            if (v == 1) (2, 9) else if (v == 2) (0, 1) else (0, 6)
+          val ch = if (colorType == 2) 3 else 1
+          val px = new Array[Byte]((36 * 32) * ch)
+          var y = 0
+          while (y < 32) {
+            var x = 0
+            while (x < 36) {
+              val gray = phashFixtureGray(g, v, y / 4, x / 4).toByte
+              var c = 0
+              while (c < ch) { px((y * 36 + x) * ch + c) = gray; c += 1 }
+              x += 1
+            }
+            y += 1
+          }
+          PngCodec.encode(px, 36, 32, colorType, r => r % 5, level)
+        }
+      (id, "image/png", content, content.length.toLong)
+    }.toDF("doc_id", "kind", "content", "byte_len")
+  }
+
+  /**
    * Resize / downsample stub: keep every k-th token of the payload — the
    * deterministic stand-in for image resize / audio downsampling (the
    * real kernel would run in [[decodeFeatures]]'s partition loop; the

@@ -164,15 +164,25 @@ object Bench {
           .mkString.trim
         if (p.waitFor() == 0) out else "unknown"
       } catch { case _: Throwable => "unknown" }
+    val dirty = sh(Seq("git", "status", "--porcelain")).nonEmpty
     val sha = sh(Seq("git", "rev-parse", "--short", "HEAD")) +
-      (if (sh(Seq("git", "status", "--porcelain")).nonEmpty) "+dirty" else "")
+      (if (dirty) "+dirty" else "")
+    // the TREE hash identifies the CONTENT independently of commit
+    // ancestry: the driver's per-round capture runs on a snapshot commit
+    // stacked on top of the builder's close, so its commit sha can never
+    // match a committed re-measure's — but its tree hash does whenever
+    // the content is identical. A dirty working copy taints the tree
+    // hash (it describes HEAD, not what actually ran), so the suffix
+    // disqualifies it from matching, same as sha.
+    val tree = sh(Seq("git", "rev-parse", "--short", "HEAD^{tree}")) +
+      (if (dirty) "+dirty" else "")
     val ts = java.time.Instant.now().toString
-    // ts + sha make the artifact SELF-IDENTIFYING: check_bench accepts a
-    // bench_remeasure.json only when its sha matches the capture's, so a
-    // stale re-measure from a previous round can never silently clear
-    // this round's degradation gate
+    // ts + sha + tree make the artifact SELF-IDENTIFYING: check_bench
+    // accepts a bench_remeasure.json only when its sha or (clean) tree
+    // matches the capture's, so a stale re-measure from a previous round
+    // can never silently clear this round's degradation gate
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"ts":"$ts","sha":"$sha","closing":$closing,"closing_load":$load0,"loadavg":[$loadStart,$loadEnd],"queries":$qs,"spread":$spread,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"ts":"$ts","sha":"$sha","tree":"$tree","closing":$closing,"closing_load":$load0,"loadavg":[$loadStart,$loadEnd],"queries":$qs,"spread":$spread,"errors":$errJson,"sf":"$sfDir"}"""
     // short summary trailer printed BOTH before and after the full line:
     // the driver's capture window is a bounded log tail whose edges are
     // unpredictable from in here — round 7's single after-trailer was cut
@@ -202,7 +212,7 @@ object Bench {
     // in a degraded state.
     try {
       val hist =
-        s"""{"ts":"$ts","sha":"$sha","sf":"$sfDir","total":$total,"loadavg":[$loadStart,$loadEnd],"n_queries":${results.size},"queries":$qs}"""
+        s"""{"ts":"$ts","sha":"$sha","tree":"$tree","sf":"$sfDir","total":$total,"loadavg":[$loadStart,$loadEnd],"n_queries":${results.size},"queries":$qs}"""
       java.nio.file.Files.write(
         java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY",
           "bench_history.jsonl")),

@@ -25,7 +25,8 @@ import sys
 
 
 def history_report(queries, sf, hist_path="bench_history.jsonl",
-                   touched_ok=(), remeasure_path=None, capture_sha=None):
+                   touched_ok=(), remeasure_path=None, capture_sha=None,
+                   capture_tree=None):
     """Run-LEVEL drift vs the capture history the bench appends: the
     in-run rep guard compares reps within one run and cannot see a run
     where a query is degraded in EVERY rep (round 9: dedup_containment
@@ -94,24 +95,42 @@ def history_report(queries, sf, hist_path="bench_history.jsonl",
     # the shas match (modulo the +dirty suffix).
     remeasured = {}
     if remeasure_path and os.path.exists(remeasure_path):
-        r_sha = None
+        r_sha = r_tree = None
         try:
             with open(remeasure_path) as f:
                 r_doc = json.loads(f.read().strip())
             remeasured = r_doc.get("queries") or {}
             r_sha = r_doc.get("sha")
+            r_tree = r_doc.get("tree")
         except Exception as e:
             print(f"WARN: re-measure {remeasure_path} does not parse: {e}")
 
         def base(s):
             return (s or "").split("+", 1)[0]
-        if (not base(capture_sha) or base(capture_sha) == "unknown"
-                or base(capture_sha) != base(r_sha)):
+        sha_match = (base(capture_sha) and base(capture_sha) != "unknown"
+                     and base(capture_sha) == base(r_sha))
+        # tree match (round 13): the driver's capture runs on a snapshot
+        # commit stacked ON TOP of the committed close, so its commit sha
+        # can never equal a committed re-measure's — but the git TREE
+        # hash identifies the content itself. A tree match is honored
+        # only when BOTH artifacts record a clean tree ("+dirty" taints
+        # the hash: it describes HEAD, not the files that actually ran).
+        def clean_tree(t):
+            return t if t and "+" not in t and t != "unknown" else None
+        tree_match = (clean_tree(capture_tree) is not None
+                      and clean_tree(capture_tree) == clean_tree(r_tree))
+        if not (sha_match or tree_match):
             if remeasured:
                 print(f"WARN: ignoring {remeasure_path}: its sha {r_sha!r} "
-                      f"does not match the capture's {capture_sha!r} "
-                      "(stale re-measure from another commit?)")
+                      f"/ tree {r_tree!r} matches neither the capture's "
+                      f"sha {capture_sha!r} nor its clean tree "
+                      f"{capture_tree!r} (stale re-measure from another "
+                      "commit?)")
             remeasured = {}
+        elif tree_match and not sha_match:
+            print(f"NOTE: re-measure honored via tree match "
+                  f"({clean_tree(r_tree)}) — same content, different "
+                  "commit (snapshot stacking)")
     unexplained = []
     for k, now, b in degraded:
         if k in touched_ok:
@@ -264,7 +283,7 @@ def main():
         touched_ok=touched_ok,
         remeasure_path=os.environ.get("SPARK_GRAFT_BENCH_REMEASURE") or
         os.path.join(bench_dir, "bench_remeasure.json"),
-        capture_sha=doc.get("sha"))
+        capture_sha=doc.get("sha"), capture_tree=doc.get("tree"))
     return 4 if unexplained else 0
 
 

@@ -27,10 +27,12 @@ def run(capture_dir, *extra, env_extra=None):
 
 def write(capture_dir, queries, history_runs, remeasure=None,
           sha="abc1234", remeasure_sha="abc1234", closing=None,
-          loadavg=(0.5, 0.5, 0.5)):
+          loadavg=(0.5, 0.5, 0.5), tree=None, remeasure_tree=None):
     doc = {"metric": "total", "value": sum(queries.values()), "unit": "sec",
            "queries": queries, "sf": "sfX", "loadavg": list(loadavg),
            "spread": {}, "errors": [], "sha": sha}
+    if tree is not None:
+        doc["tree"] = tree
     if closing is not None:
         doc["closing"] = closing
     with open(os.path.join(capture_dir, "bench_out.json"), "w") as f:
@@ -44,6 +46,8 @@ def write(capture_dir, queries, history_runs, remeasure=None,
         rdoc = {"queries": remeasure}
         if remeasure_sha is not None:
             rdoc["sha"] = remeasure_sha
+        if remeasure_tree is not None:
+            rdoc["tree"] = remeasure_tree
         with open(rp, "w") as f:
             f.write(json.dumps(rdoc) + "\n")
     elif os.path.exists(rp):
@@ -107,6 +111,41 @@ def main():
               remeasure_sha="abc1234+dirty")
         rc, _ = run(d)
         check("same-base dirty re-measure passes", rc, 0)
+
+        # TREE matching (round 13): the driver's per-round capture runs
+        # on a snapshot commit stacked on the committed close, so its
+        # commit sha never matches a committed re-measure's — the git
+        # tree hash of identical content does. A contended driver-style
+        # capture (sha mismatch, clean tree match) clears via the
+        # committed close-time re-measure → 0
+        write(d, {"q1": 3.0, "q2": 0.22}, hist, remeasure={"q1": 1.3},
+              sha="ddd0001", tree="tree555",
+              remeasure_sha="abc1234", remeasure_tree="tree555")
+        rc, out = run(d)
+        check("sha-mismatched capture clears via clean tree match", rc, 0)
+        if "tree match" not in out:
+            fails += 1
+            print("FAIL: tree-match clearing must be reported as such")
+
+        # a DIRTY tree hash describes HEAD, not the files that ran —
+        # it must not match in either direction → 4
+        write(d, {"q1": 3.0, "q2": 0.22}, hist, remeasure={"q1": 1.3},
+              sha="ddd0001", tree="tree555",
+              remeasure_sha="abc1234", remeasure_tree="tree555+dirty")
+        rc, _ = run(d)
+        check("dirty re-measure tree does not match", rc, 4)
+        write(d, {"q1": 3.0, "q2": 0.22}, hist, remeasure={"q1": 1.3},
+              sha="ddd0001", tree="tree555+dirty",
+              remeasure_sha="abc1234", remeasure_tree="tree555")
+        rc, _ = run(d)
+        check("dirty capture tree does not match", rc, 4)
+
+        # different trees stay stale even with both recorded → 4
+        write(d, {"q1": 3.0, "q2": 0.22}, hist, remeasure={"q1": 1.3},
+              sha="ddd0001", tree="tree555",
+              remeasure_sha="abc1234", remeasure_tree="tree999")
+        rc, _ = run(d)
+        check("tree mismatch still fails", rc, 4)
 
         # --touched-ok records the code-path adjudication → 0
         write(d, {"q1": 3.0, "q2": 0.22}, hist)

@@ -66,12 +66,14 @@ object ProbeIndexed {
         "vec_id", "embedding", "label", k = 5, nProbe = 2,
         superProbe = 4).count())).min
     // did the auto default engage two-level on this corpus? Resolved by
-    // THE library rule (Similarity.resolveSuperProbe at the default
-    // superBits), not a hand-copied literal — so the artifact's flag can
-    // never disagree with the plan the default call above actually ran
+    // THE library rule (Similarity.probeSuperWidth at the default
+    // superBits and the row's own nProbe = 2), not a hand-copied literal
+    // — so the artifact's flag can never disagree with the plan the
+    // default call above actually ran
     val labelCells = spark.read.parquet(s"$ivfPath/centers").count()
     val autoEngaged =
-      Similarity.resolveSuperProbe(labelCells, -1, superBits = 4) > 0
+      Similarity.probeSuperWidth(labelCells, -1, superBits = 4,
+        nProbe = 2) > 0
 
     // recall of the pruned probes vs exact brute force on the same 200:
     // quantifies what flat→two-level (and IVF itself) give up
@@ -140,11 +142,83 @@ object ProbeIndexed {
       val sec = time(q.count())
       (recall(q), sec)
     }
-    val annCurve = Seq(2, 4, 8, 16, 32, 64).map { np =>
+    // widened to 512 in round 13: the curve's tail is where the fixed
+    // supercell cut was silently capping recall (0.596 at both 256 and
+    // 512 before probeSuperWidth scaled the cut; 0.889/0.973 after)
+    val annCurve = Seq(2, 4, 8, 16, 32, 64, 128, 256, 512).map { np =>
       val (r, sec) = kmProbeAt(np)
       s"""{"n_probe":$np,"recall":$r,"sec":$sec}"""
     }
     val (recallKmAuto, kmAutoSec) = kmProbeAt(-1)
+    // the RECALL-TIER auto point (nProbe = -2 → 8·ceil(√K), supercell
+    // cut scaling to flat): the round-13 operating point gated >= 0.7
+    val (recallKmHi, kmHiSec) = kmProbeAt(-2)
+
+    // QUANTIZER AGING (round-13 verdict task 6): the k-means geometry is
+    // frozen at build time, so a distribution-shifted ingest degrades
+    // the index silently — first as FIT (sampled residual, occupancy
+    // skew: the always-on drift metrics from ivfDriftStats), and at
+    // narrow probe widths as RECALL. The experiment runs on the
+    // deterministic clustered fixture (ProbeAging.clusteredVectors):
+    // the testdata embedding cloud is too isotropic for any orthogonal
+    // shift to decay it (measured: a 32-dim rotation moved balanced
+    // recall only 0.676 → 0.629 and retraining could not "recover" what
+    // was never structural — ProbeAging, PLANS round 13), while the
+    // fixture's shifted half (4-axis mixes, cos ~0.5 from four frozen
+    // axis centers, jitter comparable to the margin) scatters each
+    // cluster across ~4 cells. Recall is probed at the narrow
+    // production width (nProbe = 2 — the contract rows' width, where
+    // the frozen-geometry miss is visible; the √K tiers saturate this
+    // 50-cell fixture). Fixed-size at every scale: aging is a geometry
+    // property, not a volume one. Everything here is deterministic —
+    // fixture, seeds, folds — so the readings are exact constants and
+    // check_probe's direction gates can be tight.
+    val ageK = 50
+    val agingBase = ProbeAging.clusteredVectors(spark, 4000, ageK, 0L,
+      diag = false).localCheckpoint()
+    val shiftedBatch = ProbeAging.clusteredVectors(spark, 4000, ageK,
+      70000000L, diag = true).localCheckpoint()
+    val agePath = s"$tmp/ivf_age"
+    val ageLabeled = agingBase.join(
+      Similarity.kmeansLabels(agingBase, "vec_id", "embedding", k = ageK,
+        iters = 2, trainMod = math.max(1,
+          (agingBase.count() / (50L * ageK)).toInt), superAssign = -1),
+      Seq("vec_id"))
+    Similarity.buildIvfIndex(ageLabeled, "vec_id", "embedding", "cell",
+      agePath, dims = 64)
+    val driftFresh = Similarity.ivfDriftStats(spark, agePath, "vec_id",
+      "embedding", "cell", dims = 64)
+    Similarity.appendToIvfIndexAssigned(spark, agePath, shiftedBatch,
+      "vec_id", "embedding", dims = 64)
+    val driftShifted = Similarity.ivfDriftStats(spark, agePath, "vec_id",
+      "embedding", "cell", dims = 64)
+    val shiftProbes = shiftedBatch.orderBy(col("vec_id")).limit(200)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("__pv"))
+      .localCheckpoint()
+    val ageCorpus = agingBase.unionByName(shiftedBatch)
+    val exactShift = Similarity.knnJoinWith(ageCorpus, shiftProbes,
+      "vec_id", "embedding", k = 5, excludeSelf = true).localCheckpoint()
+    def shiftRecall(df: org.apache.spark.sql.DataFrame): Double = {
+      val r = Similarity.recallAtK(df, exactShift)
+        .agg(avg(col("recall"))).collect()(0).getDouble(0)
+      math.rint(r * 1000) / 1000
+    }
+    val recallShiftBefore = shiftRecall(Similarity.ivfKnnJoinIndexed(
+      spark, agePath, shiftProbes, "vec_id", "embedding", "cell",
+      k = 5, nProbe = 2))
+    // K ∝ n (the SemDeDup scaling contract): the ingest DOUBLED the
+    // corpus, so the retrain resizes to 2K — retraining at the old K
+    // over twice the data fits BOTH halves worse (measured on the
+    // rotation design: residual 0.598 → 0.602 with K frozen; the
+    // resize is what recovery actually takes)
+    val retrainSec = time(Similarity.retrainIvfIndex(spark, agePath,
+      "vec_id", "embedding", dims = 64, k = 2 * ageK, iters = 2,
+      superAssign = -1))
+    val recallShiftAfter = shiftRecall(Similarity.ivfKnnJoinIndexed(
+      spark, agePath, shiftProbes, "vec_id", "embedding", "cell",
+      k = 5, nProbe = 2))
+    val driftRetrained = Similarity.ivfDriftStats(spark, agePath,
+      "vec_id", "embedding", "cell", dims = 64)
 
     // incremental maintenance: appending a FIXED 200-vector batch. The
     // probe batch's ids are monotone (above the corpus max), so since
@@ -399,7 +473,17 @@ object ProbeIndexed {
       s""""ivf_recall5_kmeans":$recallKm,""" +
       s""""ivf_recall5_kmeans_auto":$recallKmAuto,""" +
       s""""ivf_probe200_kmeans_auto_sec":$kmAutoSec,""" +
+      s""""ivf_recall5_kmeans_recall_tier":$recallKmHi,""" +
+      s""""ivf_probe200_kmeans_recall_tier_sec":$kmHiSec,""" +
       s""""ann_curve":[${annCurve.mkString(",")}],""" +
+      s""""ivf_drift_skew_fresh":${driftFresh.occupancySkew},""" +
+      s""""ivf_drift_residual_fresh":${driftFresh.meanResidual},""" +
+      s""""ivf_drift_skew_shifted":${driftShifted.occupancySkew},""" +
+      s""""ivf_drift_residual_shifted":${driftShifted.meanResidual},""" +
+      s""""ivf_drift_residual_retrained":${driftRetrained.meanResidual},""" +
+      s""""ivf_retrain_sec":$retrainSec,""" +
+      s""""ivf_recall5_shifted_before":$recallShiftBefore,""" +
+      s""""ivf_recall5_shifted_after":$recallShiftAfter,""" +
       s""""ivf_append200_sec":$appendIvf,""" +
       s""""ivf_append200_incremental":$appendIvfFast,""" +
       s""""ivf_centers_refresh_sec":$refreshIvf,""" +

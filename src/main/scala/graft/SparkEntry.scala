@@ -753,6 +753,21 @@ object SparkEntry {
         .withColumnRenamed("__cum_before", "cum_before")
     }),
 
+    // Budget selection in SUBWORD tokens — the select_budget twin on
+    // the tokenizer-accurate currency (what a training-data budget is
+    // actually denominated in; whitespace counts diverge 2–5× on
+    // code/CJK/URL text). Same greedy-by-quality prefix-sum machinery.
+    "select_budget_subword" -> ((s, dir) => {
+      val d = documents(s, dir).select(col("doc_id"), col("text"))
+        .withColumn("quality", TextFns.qualityScore(col("text")))
+        .withColumn("n_tokens",
+          Subword.tokenCount(lower(col("text"))).cast("long"))
+        .drop("text")
+      Sampling.selectByBudget(d, col("doc_id"), col("quality"),
+        col("n_tokens"), budget = 10000L)
+        .withColumnRenamed("__cum_before", "cum_before")
+    }),
+
     // Per-group budgets: every language gets its own 2500-token greedy
     // selection in one pass
     "select_budget_by_lang" -> ((s, dir) => {
@@ -2479,6 +2494,23 @@ object SparkEntry {
         "CAST(coalesce(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) " +
         "AS cum_before FROM d) " +
+        "SELECT doc_id, quality, n_tokens, cum_before FROM c " +
+        "WHERE cum_before < 10000 ORDER BY doc_id"),
+
+    "select_budget_subword" ->
+      // the select_budget window re-denominated in the subword CTE's
+      // per-doc token counts (docs with no words count 0 via the left
+      // join, same as the expression's empty token array)
+      (subwordCte + ", d0 AS (SELECT doc_id, " + qualitySql +
+        " AS quality FROM documents), " +
+        "dd AS (SELECT d0.doc_id, d0.quality, " +
+        "CAST(coalesce(t.n, 0) AS BIGINT) AS n_tokens FROM d0 " +
+        "LEFT JOIN doctok t ON d0.doc_id = t.doc_id " +
+        "WHERE d0.quality IS NOT NULL), " +
+        "c AS (SELECT doc_id, quality, n_tokens, " +
+        "CAST(coalesce(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) " +
+        "AS cum_before FROM dd) " +
         "SELECT doc_id, quality, n_tokens, cum_before FROM c " +
         "WHERE cum_before < 10000 ORDER BY doc_id"),
 

@@ -1174,6 +1174,127 @@ object Similarity {
   def compactIvfIndex(spark: SparkSession, path: String): Long =
     ParquetCompact.partitionedTable(spark, s"$path/lists", "__cellkey")
 
+  /** Quantizer-aging diagnostics for a persisted IVF index. The k-means
+    * geometry is frozen at build time; an ingest whose cluster structure
+    * the frozen centers cannot express degrades the index SILENTLY —
+    * first as fit (these metrics), and at narrow probe widths as recall
+    * (ProbeAging: a shifted cluster scattered across ~4 frozen cells
+    * reads 0.90 recall@5 at nProbe 2 against a fresh 1.0, recovering to
+    * 0.98 after a K ∝ n retrain) — these two numbers make the aging
+    * observable so [[retrainIvfIndex]] can be scheduled on evidence
+    * instead of on faith:
+    *
+    *  - `occupancySkew`: max cell row count over the mean — from the
+    *    stored csums fold state alone ((cells × chunks) rows, METADATA
+    *    scale, no corpus scan). Assignment funnels a shifted stream into
+    *    the few cells that happen to face it, so the skew climbs.
+    *  - `meanResidual`: mean (1 − cos(vector, its cell center)) over a
+    *    BOUNDED hash sample of the lists ([[boundedHashSample]] — fixed
+    *    cost at any corpus size). Shifted vectors sit far from every
+    *    frozen center, so the residual climbs even when skew alone is
+    *    ambiguous (a skewed-but-well-fit corpus is legitimate).
+    *
+    * Requires csums fold state (any post-round-12 index; a legacy index
+    * rebuilds it via [[rebuildIvfCsums]] first). Zero-norm cells (-1)
+    * participate like any other — their center is the fold over their
+    * members. */
+  final case class IvfDriftStats(cells: Long, rows: Long,
+                                 occupancySkew: Double,
+                                 meanResidual: Double)
+
+  def ivfDriftStats(spark: SparkSession, path: String, idCol: String,
+                    vecCol: String, labelCol: String, dims: Int = 64,
+                    sampleN: Int = 1000): IvfDriftStats = {
+    require(hasCsumsData(spark, path),
+      s"ivfDriftStats needs the csums fold state under $path " +
+        "(run rebuildIvfCsums on a legacy index first)")
+    val sizes = spark.read.parquet(s"$path/csums")
+      .groupBy(col(labelCol)).agg(sum(col("__n")).as("__rows"))
+      .agg(count(lit(1)), sum(col("__rows")), max(col("__rows")),
+        avg(col("__rows"))).head()
+    val (cells, rows) = (sizes.getLong(0), sizes.getLong(1))
+    val skew = if (cells == 0) 0.0 else sizes.getLong(2) / sizes.getDouble(3)
+    val sample = boundedHashSample(
+      spark.read.parquet(s"$path/lists")
+        .select(col(idCol), col(vecCol), col(labelCol)), idCol, sampleN)
+    val centers = spark.read.parquet(s"$path/centers")
+    val res = sample
+      .join(centers, sample(labelCol) === centers("__cell"))
+      .select((lit(1.0) - dot(col(vecCol), col("__center")) /
+        (norm(col(vecCol)) * norm(col("__center")))).as("__r"))
+      .filter(!isnan(col("__r")))
+      .agg(avg(col("__r"))).head()
+    IvfDriftStats(cells, rows, skew,
+      if (res.isNullAt(0)) 0.0 else res.getDouble(0))
+  }
+
+  /**
+   * RETRAIN a drifted k-means-quantized index in place: train a fresh
+   * quantizer on the CURRENT corpus (the stored lists — which by now
+   * include every shifted batch the frozen geometry mis-assigned),
+   * re-assign every vector, and swap the rebuilt index live. This is
+   * the recovery lever the aging metrics ([[ivfDriftStats]]) schedule
+   * — measured on the deterministic aging fixture: sampled residual
+   * 0.195 → 0.095 and narrow-width shifted recall@5 0.90 → 0.98 after
+   * retraining at K ∝ n (ProbeAging; resizing matters — at a frozen K
+   * over a doubled corpus the residual got WORSE). The retrained
+   * index's cell column is named `cell` (the k-means convention)
+   * regardless of the old label column — probe with labelCol = "cell".
+   *
+   * The new index is built COMPLETE in a sibling staging dir (lists,
+   * centers, csums, marker — a [[buildIvfIndex]] like any other), then
+   * swapped via two directory renames:
+   *
+   *   1. live `path` → `path.__retrain_old`  (live root disappears)
+   *   2. `path.__retrain_new` → `path`       (rebuilt root appears)
+   *
+   * Crash contract (single-writer, like every index mutator): a crash
+   * during the staging build leaves the live index UNTOUCHED (stale
+   * staging dirs are deleted on the next attempt); a crash between the
+   * renames leaves the live root loudly MISSING with both `__retrain_old`
+   * and `__retrain_new` present — never a silently mixed index —
+   * and the next [[retrainIvfIndex]] call repairs it (restores the old
+   * root, then retrains). The cell count defaults to the OLD index's
+   * (geometry refresh, not a resize); pass `k` to resize while
+   * retraining. Training cost is Lloyd's O(n·k·d·iters) over the sample
+   * — corpus-scale by nature, which is exactly why it runs on the
+   * metrics' schedule instead of per append.
+   */
+  def retrainIvfIndex(spark: SparkSession, path: String, idCol: String,
+                      vecCol: String, dims: Int = 64, k: Int = -1,
+                      iters: Int = 4, trainMod: Int = -1,
+                      superAssign: Int = -1): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(path)
+    val oldP = new org.apache.hadoop.fs.Path(s"$path.__retrain_old")
+    val newP = new org.apache.hadoop.fs.Path(s"$path.__retrain_new")
+    // repair a rename-window crash: the old root is authoritative while
+    // the live root is missing (the new root's swap never completed)
+    if (!fs.exists(live) && fs.exists(oldP))
+      require(fs.rename(oldP, live), s"retrain crash repair failed: $oldP")
+    require(fs.exists(live), s"no index at $path")
+    fs.delete(newP, true); fs.delete(oldP, true)
+
+    val corpus = spark.read.parquet(s"$path/lists")
+      .select(col(idCol), col(vecCol))
+    val nVec = corpus.count()
+    val kCells =
+      if (k > 0) k
+      else parquetRowCount(spark, s"$path/centers").toInt.max(1)
+    val tm =
+      if (trainMod > 0) trainMod
+      else math.max(1L, nVec / (50L * kCells)).toInt
+    val labeled = corpus.join(
+      kmeansLabels(corpus, idCol, vecCol, k = kCells, iters = iters,
+        dims = dims, trainMod = tm, superAssign = superAssign), Seq(idCol))
+    buildIvfIndex(labeled, idCol, vecCol, "cell", newP.toString, dims)
+
+    require(fs.rename(live, oldP), s"retrain swap-out failed: $path")
+    require(fs.rename(newP, live), s"retrain swap-in failed: $newP")
+    fs.delete(oldP, true)
+  }
+
   /**
    * Assign NEW vectors to a persisted index's EXISTING centers — the
    * production labeler for a k-means-quantized index's ingest path:
@@ -1257,25 +1378,56 @@ object Similarity {
     else if (nCells > (1L << superBits) * 4) math.max(1, (1 << superBits) / 4)
     else 0
 
-  /** THE auto nProbe rule (round-12 recall engineering), in one place:
-    * explicit (>= 0) wins — including the degenerate 0, which keeps its
-    * probe-nothing semantics; auto (-1) probes 2·ceil(√K) cells with a
-    * floor of 2 (the ONE stated rule — ProbeIndexed and
-    * tools/check_probe.py document the same expression). Rationale: a FIXED nProbe makes the scanned corpus
+  /** THE auto nProbe rule (round-12 recall engineering; round-13 adds
+    * the recall tier), in one place: explicit (>= 0) wins — including
+    * the degenerate 0, which keeps its probe-nothing semantics; auto
+    * (-1, BALANCED) probes 2·ceil(√K) cells with a floor of 2; auto
+    * (-2, RECALL TIER) probes 8·ceil(√K) (the ONE stated rule —
+    * ProbeIndexed and tools/check_probe.py document the same
+    * expression). Rationale: a FIXED nProbe makes the scanned corpus
     * fraction (nProbe/K) collapse as the cell count grows with the
     * corpus (the SemDeDup K ∝ n contract) — recall@5 on the probe
     * harness's k-means index fell 0.41 → 0.24 going 1× → 100× at
     * nProbe = 2 because 2 of 40 cells is 5% of the corpus but 2 of
     * 1,000 is 0.2%. √K-proportional widths keep per-probe work
     * sublinear in K while the scanned fraction degrades only as 1/√K —
-    * the standard IVF operating curve; the factor 2 is the measured
-    * operating point that clears the recall@5 >= 0.5 floor at the probe
-    * artifact's budget (ann_curve: K = 1,000 → √K = 32 reads 0.458,
-    * 2·√K = 64 reads 0.518). Contract rows pin nProbe explicitly and
-    * are untouched by the auto rule. */
-  private[graft] def resolveNProbe(nCells: Long, nProbe: Int): Int =
+    * the standard IVF operating curve. The factor 2 is the measured
+    * balanced point clearing the recall@5 >= 0.5 floor at the probe
+    * artifact's budget; the factor 8 is the measured recall-tier point
+    * clearing 0.7 with margin once the supercell cut scales with the
+    * width ([[probeSuperWidth]] — 100× ann_curve: np = 128 reads 0.756,
+    * np = 256 under the flat ranking 0.889). Contract rows pin nProbe
+    * explicitly and are untouched by the auto rules. */
+  private[graft] def resolveNProbe(nCells: Long, nProbe: Int): Int = {
+    val root = math.ceil(math.sqrt(nCells.toDouble)).toInt
     if (nProbe >= 0) nProbe
-    else math.max(2, 2 * math.ceil(math.sqrt(nCells.toDouble)).toInt)
+    else if (nProbe == -2) math.max(2, 8 * root)
+    else math.max(2, 2 * root)
+  }
+
+  /** The PROBE path's auto supercell width — [[resolveSuperProbe]]'s
+    * engage rule plus pool scaling (round 13): the top-`sp` supercells
+    * hold ~sp·K/2^bits candidate cells, and a cell ranking asked for
+    * `nProbe` cells from a pool smaller than ~4× that is CAPPED by the
+    * cut, not by the probe budget — the 100× ann_curve read the SAME
+    * 0.596 recall at nProbe 256 and 512 because the fixed width-4 cut
+    * held the pool at ~250 of 1,000 cells, while the flat ranking read
+    * 0.889/0.973. The width therefore grows with the resolved nProbe
+    * (ceil(4·nProbe / cells-per-supercell)), and once it would reach
+    * every supercell the cut resolves to 0 = the flat ranking itself
+    * (identical results, minus the pointless supercell stage). Explicit
+    * pins and the engage crossover are unchanged — a below-crossover or
+    * narrow-probe caller resolves exactly as in round 12. */
+  private[graft] def probeSuperWidth(nCells: Long, superProbe: Int,
+                                     superBits: Int, nProbe: Int): Int = {
+    if (superProbe >= 0) return superProbe
+    val base = resolveSuperProbe(nCells, superProbe, superBits)
+    if (base == 0) return 0
+    val perSuper = math.max(1L, nCells / (1L << superBits))
+    val need = math.ceil(4.0 * nProbe / perSuper).toInt
+    val width = math.max(base, need)
+    if (width >= (1 << superBits)) 0 else width
+  }
 
   /** Row count of a parquet directory from file FOOTERS alone —
     * driver-side metadata, no Spark job (each footer records its row
@@ -1335,10 +1487,16 @@ object Similarity {
    * broadcast bounds elsewhere.
    *
    * `nProbe = -1` (opt-in AUTO, round 12): probe 2·ceil(√K) cells via
-   * [[resolveNProbe]] — the measured operating point that keeps recall
+   * [[resolveNProbe]] — the measured BALANCED point that keeps recall
    * from collapsing as the cell count grows with the corpus (K ∝ n).
-   * The DEFAULT stays the explicit `nProbe = 2` so existing callers'
-   * plans and the contract oracles are untouched.
+   * `nProbe = -2` (RECALL TIER, round 13): 8·ceil(√K) — the measured
+   * point clearing recall@5 ≥ 0.7 at the probe artifact's 100× budget
+   * (the auto supercell cut scales with the width via
+   * [[probeSuperWidth]], resolving to the flat ranking when the cut
+   * would have to admit every supercell anyway — the fixed width-4 cut
+   * silently capped wide probes at ~0.6 recall). The DEFAULT stays the
+   * explicit `nProbe = 2` so existing callers' plans and the contract
+   * oracles are untouched.
    */
   def ivfKnnJoinIndexed(spark: SparkSession, path: String, probes: DataFrame,
                         idCol: String, vecCol: String, labelCol: String,
@@ -1357,7 +1515,7 @@ object Similarity {
       if (nProbe >= 0) nProbe else resolveNProbe(nCells, nProbe)
     val resolvedSuper =
       if (superProbe >= 0) superProbe
-      else resolveSuperProbe(nCells, superProbe, superBits)
+      else probeSuperWidth(nCells, superProbe, superBits, resolvedNProbe)
     val probedCells =
       if (resolvedSuper > 0)
         probedCellsTwoLevel(centers, probes, resolvedNProbe, resolvedSuper,

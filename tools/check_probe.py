@@ -147,7 +147,7 @@ def main():
                 f"shard shuffle {doc['shard_shuffle64_sec']:.2f}s not < "
                 f"dedup build {doc['dedup_build_sec']:.2f}s over the same "
                 "docs - a one-shuffle pass must undercut a shingle pass")
-    # round 12+: the AUTO operating point (nProbe = 2*ceil(sqrt(K))) must
+    # round 12+: the BALANCED auto point (nProbe = 2*ceil(sqrt(K))) must
     # clear an absolute recall floor at the artifact's probe budget —
     # the relative kmeans >= label gate let recall drift to 0.244 at
     # 100x without failing anything
@@ -156,6 +156,73 @@ def main():
             fails.append(
                 f"auto-nProbe kmeans recall@5 "
                 f"{doc['ivf_recall5_kmeans_auto']} below the 0.5 floor")
+    # round 13+: the RECALL-TIER auto point (nProbe = -2 ->
+    # 8*ceil(sqrt(K)), supercell cut scaling to flat via
+    # probeSuperWidth) is REQUIRED and must clear 0.7 — the fixed
+    # width-4 cut silently capped wide probes at ~0.6 recall at 100x
+    # (ann_curve read the same 0.596 at nProbe 256 and 512); the scaled
+    # cut reads 0.889 at the same budget, so 0.7 clears with margin.
+    # Its cost must stay within 2x the balanced point (plus a 0.3s
+    # absolute floor for job-launch noise on ~0.1s readings).
+    hi = doc.get("ivf_recall5_kmeans_recall_tier")
+    if not isinstance(hi, (int, float)):
+        fails.append("ivf_recall5_kmeans_recall_tier missing - the "
+                     "recall-tier operating point is unsubstantiated")
+    elif hi < 0.7:
+        fails.append(f"recall-tier kmeans recall@5 {hi} below the 0.7 "
+                     "floor")
+    hi_sec = doc.get("ivf_probe200_kmeans_recall_tier_sec")
+    base_sec = doc.get("ivf_probe200_kmeans_auto_sec")
+    if isinstance(hi_sec, (int, float)) and isinstance(base_sec,
+                                                       (int, float)):
+        # 2x + an absolute 0.3s: both points are single-execution ~0.1s
+        # readings where one extra job launch is a 3x swing; a true
+        # scan-width regression at this corpus would read in seconds
+        if hi_sec > 2.0 * base_sec + 0.3:
+            fails.append(
+                f"recall-tier probe {hi_sec:.2f}s exceeds 2x the balanced "
+                f"point {base_sec:.2f}s + 0.3s")
+    # round 13+: quantizer AGING must be measured — the drift metrics
+    # (occupancy skew from the csums fold state, sampled mean residual)
+    # and the retrain recovery rows are REQUIRED, like the incremental
+    # flags: an artifact that stops recording them silently voids the
+    # aging-observability guarantee
+    aging = ["ivf_drift_skew_fresh", "ivf_drift_residual_fresh",
+             "ivf_drift_skew_shifted", "ivf_drift_residual_shifted",
+             "ivf_drift_residual_retrained", "ivf_retrain_sec",
+             "ivf_recall5_shifted_before", "ivf_recall5_shifted_after"]
+    aging_missing = [k for k in aging
+                     if not isinstance(doc.get(k), (int, float))]
+    if aging_missing:
+        fails.append(f"quantizer-aging fields missing/non-numeric: "
+                     f"{aging_missing}")
+    else:
+        # the three directional claims the experiment exists to document
+        # (the fixture is fully deterministic — fixture, seeds, folds —
+        # so these are exact constants, not noisy readings): a shifted
+        # ingest RAISES the sampled residual, retraining at K ∝ n LOWERS
+        # it back below the drifted reading, and narrow-width
+        # shifted-probe recall RECOVERS (measured 0.90 -> 0.98; gate
+        # before+0.05 with an absolute 0.9 floor)
+        if doc["ivf_drift_residual_shifted"] <= \
+                doc["ivf_drift_residual_fresh"]:
+            fails.append(
+                f"shifted ingest did not raise the drift residual "
+                f"({doc['ivf_drift_residual_fresh']:.4f} -> "
+                f"{doc['ivf_drift_residual_shifted']:.4f})")
+        if doc["ivf_drift_residual_retrained"] >= \
+                doc["ivf_drift_residual_shifted"]:
+            fails.append(
+                f"retrain did not lower the drift residual "
+                f"({doc['ivf_drift_residual_shifted']:.4f} -> "
+                f"{doc['ivf_drift_residual_retrained']:.4f})")
+        if doc["ivf_recall5_shifted_after"] < \
+                max(doc["ivf_recall5_shifted_before"] + 0.05, 0.9):
+            fails.append(
+                f"retrain did not recover shifted-probe recall@5 "
+                f"({doc['ivf_recall5_shifted_before']} -> "
+                f"{doc['ivf_recall5_shifted_after']}, need >= "
+                "max(before+0.05, 0.9))")
     # equal-K quantizer comparison: k-means exists because the label
     # column measured worse; allow a small tolerance for probe noise
     if doc["ivf_recall5_kmeans"] < doc["ivf_recall5_flat"] - 0.02:

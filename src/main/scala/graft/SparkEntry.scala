@@ -697,6 +697,17 @@ object SparkEntry {
       Multimodal.phashNearDup(s, media, maxHamming = 3)
     }),
 
+    // Perceptual near-dup CLUSTERS — the keeper-selection form (drop
+    // rows where doc_id != cluster_id); connected components over the
+    // same hamming ≤ 3 pair graph, singletons label themselves,
+    // undecodable rows emit nothing
+    "mm_phash_clusters" -> ((s, dir) => {
+      val ids = documents(s, dir).select(col("doc_id"))
+        .filter(col("doc_id") < 600)
+      val media = Multimodal.phashFixtureMedia(s, ids, groups = 25)
+      Multimodal.phashClusters(s, media, maxHamming = 3)
+    }),
+
     // Streaming capability: event-time tumbling-window aggregation (same
     // code path as the streaming query, run over the batch frame)
     "stream_window_agg" -> ((s, dir) =>
@@ -1692,6 +1703,33 @@ object SparkEntry {
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
         "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus")
   ) ++ extensionOracles
+
+  // dHash derivation shared by the mm_phash_* oracles: recomputes each
+  // fixture doc's 64-bit perceptual hash from the pixel arithmetic
+  // (Multimodal.phashFixtureGray: 4x4-constant cells → box averages are
+  // the cell values exactly) — any decode/unfilter/averaging bug on the
+  // Spark side breaks the hash. doc_id % 11 rows are the inflate-corrupt
+  // fixtures — excluded, as the decoder must drop them. Bit 63 can be
+  // set, and 1<<63 overflows DuckDB's BIGINT shift, so that bit adds the
+  // min-BIGINT constant instead. No leading WITH (mm_phash_clusters
+  // needs WITH RECURSIVE).
+  private def phashHashCte: String =
+    "ids AS (SELECT doc_id, doc_id % 3 AS v, (doc_id // 3) % 25 AS g " +
+      "FROM documents WHERE doc_id < 600 AND doc_id % 11 <> 0), " +
+      "cells AS (SELECT i.doc_id, y.range AS cy, x.range AS cx, " +
+      "CASE WHEN i.v = 2 AND y.range = i.g % 8 AND x.range = i.g % 9 " +
+      "THEN 250 - (((i.g*73 + y.range*9 + x.range + 1) * (i.g*73 + y.range*9 + x.range + 1) * 13 " +
+      "+ (i.g*73 + y.range*9 + x.range + 1) * 7) % 251) " +
+      "ELSE ((i.g*73 + y.range*9 + x.range + 1) * (i.g*73 + y.range*9 + x.range + 1) * 13 " +
+      "+ (i.g*73 + y.range*9 + x.range + 1) * 7) % 251 END AS gray " +
+      "FROM ids i, range(8) y, range(9) x), " +
+      "bits AS (SELECT l.doc_id, l.cy*8 + l.cx AS b FROM cells l " +
+      "JOIN cells r ON l.doc_id = r.doc_id AND l.cy = r.cy " +
+      "AND r.cx = l.cx + 1 WHERE l.cx < 8 AND l.gray > r.gray), " +
+      "hashes AS (SELECT i.doc_id, COALESCE(SUM(" +
+      "CASE WHEN t.b = 63 THEN CAST(-9223372036854775808 AS BIGINT) " +
+      "ELSE (CAST(1 AS BIGINT) << CAST(t.b AS INT)) END), 0) AS h " +
+      "FROM ids i LEFT JOIN bits t ON i.doc_id = t.doc_id GROUP BY i.doc_id)"
 
   // Subword tokenization CTE chain shared by the text_subword_tokens /
   // pack_offsets_subword oracles: re-runs the EXPRESSION's WordPiece
@@ -3182,33 +3220,27 @@ object SparkEntry {
         "FROM all_docs GROUP BY md5(text) ORDER BY keeper_id"),
 
     "mm_phash_neardup" ->
-      // Recomputes each doc's 64-bit dHash from the fixture's pixel
-      // arithmetic (Multimodal.phashFixtureGray: 4x4-constant cells →
-      // box averages are the cell values exactly), then every pair
-      // within hamming ≤ 3 via bit_count(xor). doc_id % 11 rows are the
-      // inflate-corrupt fixtures — excluded, as the decoder must drop
-      // them. Bit 63 can be set, and 1<<63 overflows DuckDB's BIGINT
-      // shift, so that bit adds the min-BIGINT constant instead.
-      ("WITH ids AS (SELECT doc_id, doc_id % 3 AS v, (doc_id // 3) % 25 AS g " +
-        "FROM documents WHERE doc_id < 600 AND doc_id % 11 <> 0), " +
-        "cells AS (SELECT i.doc_id, y.range AS cy, x.range AS cx, " +
-        "CASE WHEN i.v = 2 AND y.range = i.g % 8 AND x.range = i.g % 9 " +
-        "THEN 250 - (((i.g*73 + y.range*9 + x.range + 1) * (i.g*73 + y.range*9 + x.range + 1) * 13 " +
-        "+ (i.g*73 + y.range*9 + x.range + 1) * 7) % 251) " +
-        "ELSE ((i.g*73 + y.range*9 + x.range + 1) * (i.g*73 + y.range*9 + x.range + 1) * 13 " +
-        "+ (i.g*73 + y.range*9 + x.range + 1) * 7) % 251 END AS gray " +
-        "FROM ids i, range(8) y, range(9) x), " +
-        "bits AS (SELECT l.doc_id, l.cy*8 + l.cx AS b FROM cells l " +
-        "JOIN cells r ON l.doc_id = r.doc_id AND l.cy = r.cy " +
-        "AND r.cx = l.cx + 1 WHERE l.cx < 8 AND l.gray > r.gray), " +
-        "hashes AS (SELECT i.doc_id, COALESCE(SUM(" +
-        "CASE WHEN t.b = 63 THEN CAST(-9223372036854775808 AS BIGINT) " +
-        "ELSE (CAST(1 AS BIGINT) << CAST(t.b AS INT)) END), 0) AS h " +
-        "FROM ids i LEFT JOIN bits t ON i.doc_id = t.doc_id GROUP BY i.doc_id) " +
-        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+      ("WITH " + phashHashCte +
+        " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
         "CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming " +
         "FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id " +
         "WHERE bit_count(xor(a.h, b.h)) <= 3 ORDER BY doc_a, doc_b"),
+
+    "mm_phash_clusters" ->
+      // connected components over the same hamming ≤ 3 pair graph (the
+      // dedup_clusters recursive min-label closure); every DECODED doc
+      // gets a row, singletons label themselves, corrupt rows (% 11)
+      // have no hash and no row
+      ("WITH RECURSIVE " + phashHashCte + ", " +
+        "pr AS (SELECT a.doc_id AS da, b.doc_id AS db FROM hashes a " +
+        "JOIN hashes b ON a.doc_id < b.doc_id " +
+        "WHERE bit_count(xor(a.h, b.h)) <= 3), " +
+        "edges AS (SELECT da AS a, db AS b FROM pr " +
+        "UNION ALL SELECT db, da FROM pr), " +
+        "cc AS (SELECT doc_id AS node, doc_id AS label FROM hashes " +
+        "UNION SELECT e.a, cc.label FROM edges e JOIN cc ON cc.node = e.b) " +
+        "SELECT node AS doc_id, min(label) AS cluster_id FROM cc " +
+        "GROUP BY node ORDER BY doc_id"),
 
     "join_interval_count" ->
       // plain range join: the binned join's exact window predicate makes

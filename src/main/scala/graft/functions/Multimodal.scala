@@ -768,6 +768,27 @@ object Multimodal {
     Dedup.hammingNearPairs(phashSignatures(spark, media),
       "doc_id", "dhash", maxHamming, bits = 64)
 
+  /** Perceptual near-dup CLUSTERS — the keeper-selection form a dedup
+    * pipeline actually drops rows with: connected components over the
+    * [[phashNearDup]] pair graph ([[Dedup.connectedComponents]] — the
+    * near-dup cliques are small, so the driver union-find fast path with
+    * the distributed O(log d) fallback applies unchanged), every DECODED
+    * doc mapped to its component's minimum id (singletons label
+    * themselves; undecodable payloads have no hash and emit no row —
+    * keep-or-quarantine is the caller's policy, not a hash). Returns
+    * (doc_id, cluster_id); keep rows where doc_id = cluster_id. */
+  def phashClusters(spark: SparkSession, media: DataFrame,
+                    maxHamming: Int = 3): DataFrame = {
+    val sig = phashSignatures(spark, media).localCheckpoint(false)
+    val pairs = Dedup.hammingNearPairs(sig, "doc_id", "dhash",
+      maxHamming, bits = 64).select(col("doc_a"), col("doc_b"))
+    val labels = Dedup.connectedComponents(pairs)
+    sig.select(col("doc_id"))
+      .join(labels, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+  }
+
   /**
    * Construction-predicting fixture for the perceptual pass: pixel
    * content is pure integer arithmetic over (group, variant) derived

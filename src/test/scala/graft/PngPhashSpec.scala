@@ -203,5 +203,25 @@ class PngPhashSpec extends AnyFunSuite {
     assert(reenc.isDefined)
     val (pa, pb, _) = reenc.get
     assert(!java.util.Arrays.equals(contents(pa), contents(pb)))
+
+    // clusters: connected components over the same pair graph — compare
+    // against a plain-Scala union-find over the model pairs; singletons
+    // label themselves, corrupt (% 11) docs emit no row
+    val gotClusters = graft.functions.Multimodal
+      .phashClusters(spark, media, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    hashes.foreach { case (id, _) => parent(id) = id }
+    want.foreach { case (a, b, _) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val wantClusters = hashes.map { case (id, _) => (id, find(id)) }.toSet
+    assert(gotClusters == wantClusters)
+    assert(gotClusters.map(_._1) == hashes.map(_._1).toSet)
   }
 }

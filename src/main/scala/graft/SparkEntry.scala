@@ -708,6 +708,19 @@ object SparkEntry {
       Multimodal.phashClusters(s, media, maxHamming = 3)
     }),
 
+    // Perceptual AUDIO near-dup — real WAV PCM decode (RIFF walk, mono
+    // 8/16-bit) → 65-window loudness-envelope hash → the same block-LSH.
+    // v=1 rows are the SAME shape re-encoded at 16-bit (bytes differ,
+    // hamming 0); truncated (% 11) rows fail the RIFF walk and drop.
+    // The oracle recomputes every envelope hash from the fixture
+    // arithmetic (Multimodal.audioPhashFixtureEnv).
+    "mm_audio_phash_neardup" -> ((s, dir) => {
+      val ids = documents(s, dir).select(col("doc_id"))
+        .filter(col("doc_id") < 600)
+      val media = Multimodal.audioPhashFixtureMedia(s, ids, groups = 25)
+      Multimodal.audioPhashNearDup(s, media, maxHamming = 3)
+    }),
+
     // Streaming capability: event-time tumbling-window aggregation (same
     // code path as the streaming query, run over the batch frame)
     "stream_window_agg" -> ((s, dir) =>
@@ -3222,6 +3235,31 @@ object SparkEntry {
     "mm_phash_neardup" ->
       ("WITH " + phashHashCte +
         " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming " +
+        "FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id " +
+        "WHERE bit_count(xor(a.h, b.h)) <= 3 ORDER BY doc_a, doc_b"),
+
+    "mm_audio_phash_neardup" ->
+      // the 1-D twin of the dHash CTE: 65-window envelope from the
+      // fixture arithmetic, bit i from env(i) > env(i+1), pairs within
+      // hamming ≤ 3; truncated (% 11) rows excluded
+      ("WITH ids AS (SELECT doc_id, doc_id % 3 AS v, (doc_id // 3) % 25 AS g " +
+        "FROM documents WHERE doc_id < 600 AND doc_id % 11 <> 0), " +
+        "env AS (SELECT i.doc_id, w.range AS w, " +
+        "CASE WHEN i.v = 2 AND w.range = i.g % 65 " +
+        "THEN 119 - (((i.g*91 + w.range + 1) * (i.g*91 + w.range + 1) * 17 " +
+        "+ (i.g*91 + w.range + 1) * 3) % 120) " +
+        "ELSE ((i.g*91 + w.range + 1) * (i.g*91 + w.range + 1) * 17 " +
+        "+ (i.g*91 + w.range + 1) * 3) % 120 END AS a " +
+        "FROM ids i, range(65) w), " +
+        "bits AS (SELECT l.doc_id, l.w AS b FROM env l " +
+        "JOIN env r ON l.doc_id = r.doc_id AND r.w = l.w + 1 " +
+        "WHERE l.w < 64 AND l.a > r.a), " +
+        "hashes AS (SELECT i.doc_id, COALESCE(SUM(" +
+        "CASE WHEN t.b = 63 THEN CAST(-9223372036854775808 AS BIGINT) " +
+        "ELSE (CAST(1 AS BIGINT) << CAST(t.b AS INT)) END), 0) AS h " +
+        "FROM ids i LEFT JOIN bits t ON i.doc_id = t.doc_id GROUP BY i.doc_id) " +
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
         "CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming " +
         "FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id " +
         "WHERE bit_count(xor(a.h, b.h)) <= 3 ORDER BY doc_a, doc_b"),

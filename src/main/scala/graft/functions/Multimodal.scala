@@ -868,6 +868,118 @@ object Multimodal {
   }
 
   /**
+   * PERCEPTUAL audio near-dup — the audio counterpart of the dHash pass:
+   * the same recording re-encoded (8-bit vs 16-bit PCM, different
+   * container padding) has different bytes but the same LOUDNESS SHAPE.
+   * [[audioEnvelopeHash]] decodes real WAV PCM (mono, 8/16-bit — the
+   * RIFF walk is [[AudioHeader]]'s), box-averages per-sample amplitude
+   * into 65 windows (floor-boundary, integer mean — the dHash grid
+   * device in one dimension), and sets bit i iff env(i) > env(i+1).
+   * Comparisons are SCALE-INVARIANT: any linear gain change preserves
+   * the envelope ordering, and a 16-bit encode of 8-bit content
+   * (sample16 = sample8 << 8) hashes IDENTICALLY because amplitudes
+   * normalize to the 8-bit scale (|s16| >> 8). Stereo, MP3 (no PCM
+   * without a codec), non-PCM widths, and anything malformed return
+   * None and drop before hashing.
+   */
+  def audioEnvelopeHash(bytes: Array[Byte]): Option[Long] = {
+    val info = AudioHeader.parse(bytes).getOrElse(return None)
+    if (info.format != "audio/wav" || info.channels != 1 ||
+      (info.bitsPerSample != 8 && info.bitsPerSample != 16)) return None
+    val bpS = info.bitsPerSample / 8
+    val n = (info.dataLen / bpS).toInt
+    if (n < 65 || info.headerLen + n.toLong * bpS > bytes.length) return None
+    def amp(i: Int): Int =
+      if (bpS == 1) math.abs((bytes(info.headerLen + i) & 0xFF) - 128)
+      else {
+        val s = (((bytes(info.headerLen + 2 * i + 1) & 0xFF) << 8) |
+          (bytes(info.headerLen + 2 * i) & 0xFF)).toShort
+        math.abs(s.toInt) >> 8
+      }
+    val env = new Array[Long](65)
+    var w = 0
+    while (w < 65) {
+      val i0 = w * n / 65; val i1 = (w + 1) * n / 65
+      var s = 0L; var i = i0
+      while (i < i1) { s += amp(i); i += 1 }
+      env(w) = s / (i1 - i0)
+      w += 1
+    }
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      if (env(i) > env(i + 1)) hash |= 1L << i
+      i += 1
+    }
+    Some(hash)
+  }
+
+  /** (doc_id, ehash) for every decodable payload — the audio twin of
+    * [[phashSignatures]]. */
+  def audioPhashSignatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        audioEnvelopeHash(bytes).map(h => (id, h))
+      }).toDF("doc_id", "ehash")
+  }
+
+  /** Near-dup pairs within hamming `maxHamming` over the audio envelope
+    * hashes — same pigeonhole block-LSH as the image pass. */
+  def audioPhashNearDup(spark: SparkSession, media: DataFrame,
+                        maxHamming: Int = 3): DataFrame =
+    Dedup.hammingNearPairs(audioPhashSignatures(spark, media),
+      "doc_id", "ehash", maxHamming, bits = 64)
+
+  /**
+   * Construction-predicting audio fixture (the [[phashFixtureMedia]]
+   * device in one dimension): per doc v = doc_id % 3,
+   * g = (doc_id / 3) % groups; window w of 65 has amplitude
+   * [[audioPhashFixtureEnv]] (4 constant samples per window, 260
+   * samples — box means are the window values exactly).
+   *   v=0: 8-bit PCM               — the original;
+   *   v=1: 16-bit PCM, SAME shape  — re-encoded (bytes differ, hash 0);
+   *   v=2: one perturbed window    — near-dup within hamming ≤ 2.
+   * doc_id % 11 rows are truncated mid-data-chunk — the RIFF walk
+   * rejects the overrun and the row must drop, predicted absent by the
+   * oracle.
+   */
+  def audioPhashFixtureEnv(g: Long, v: Long, w: Int): Int = {
+    val t = g * 91 + w + 1
+    val base = ((t * t * 17 + t * 3) % 120).toInt
+    if (v == 2 && w == (g % 65).toInt) 119 - base else base
+  }
+
+  def audioPhashFixtureMedia(spark: SparkSession, ids: DataFrame,
+                             groups: Int): DataFrame = {
+    import spark.implicits._
+    ids.select(col("doc_id").cast("long")).as[Long].map { id =>
+      val v = id % 3; val g = (id / 3) % groups
+      val bits = if (v == 1) 16 else 8
+      val samples = new Array[Byte](260 * (bits / 8))
+      var w = 0
+      while (w < 65) {
+        val a = audioPhashFixtureEnv(g, v, w)
+        var i = 0
+        while (i < 4) {
+          val s = w * 4 + i
+          if (bits == 8) samples(s) = (128 + a).toByte
+          else {
+            val s16 = a * 256
+            samples(2 * s) = (s16 & 0xFF).toByte
+            samples(2 * s + 1) = ((s16 >> 8) & 0xFF).toByte
+          }
+          i += 1
+        }
+        w += 1
+      }
+      val wav = AudioHeader.wavBytes(1, 8000, bits, samples)
+      val content = if (id % 11 == 0) wav.dropRight(10) else wav
+      (id, "audio/wav", content, content.length.toLong)
+    }.toDF("doc_id", "kind", "content", "byte_len")
+  }
+
+  /**
    * Resize / downsample stub: keep every k-th token of the payload — the
    * deterministic stand-in for image resize / audio downsampling (the
    * real kernel would run in [[decodeFeatures]]'s partition loop; the

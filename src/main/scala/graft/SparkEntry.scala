@@ -708,6 +708,41 @@ object SparkEntry {
       Multimodal.phashClusters(s, media, maxHamming = 3)
     }),
 
+    // Cross-corpus perceptual dedup against a PERSISTED phash index —
+    // the 100 TB media shape: the corpus's hashes land exploded per
+    // pigeonhole block, partitioned by the block-derived pb dir; the
+    // probe batch (the same fixture arithmetic over SHIFTED ids) reads
+    // only its candidate partitions. The oracle derives BOTH sides'
+    // hashes and joins on full-hamming ≤ 3.
+    "mm_phash_against" -> ((s, dir) => {
+      val ids = documents(s, dir).select(col("doc_id"))
+        .filter(col("doc_id") < 600)
+      val corpus = Multimodal.phashFixtureMedia(s, ids, groups = 25)
+      val probes = Multimodal.phashFixtureMedia(s,
+        ids.select((col("doc_id") + 10000L).as("doc_id")), groups = 25)
+      val path = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(idxRoot), "phash_").toString
+      Multimodal.buildPhashIndex(s, corpus, path)
+      Multimodal.phashDedupAgainst(s, path, probes, maxHamming = 3)
+    }),
+
+    // Same result through build-half + append-half — the append lands
+    // in the identical partition layout, proven by the SAME oracle
+    "mm_phash_against_appended" -> ((s, dir) => {
+      val ids = documents(s, dir).select(col("doc_id"))
+        .filter(col("doc_id") < 600)
+      val corpus = Multimodal.phashFixtureMedia(s, ids, groups = 25)
+      val probes = Multimodal.phashFixtureMedia(s,
+        ids.select((col("doc_id") + 10000L).as("doc_id")), groups = 25)
+      val path = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(idxRoot), "phash_app_").toString
+      Multimodal.buildPhashIndex(s,
+        corpus.filter(col("doc_id") % 2 === 0), path)
+      Multimodal.appendToPhashIndex(s,
+        corpus.filter(col("doc_id") % 2 === 1), path)
+      Multimodal.phashDedupAgainst(s, path, probes, maxHamming = 3)
+    }),
+
     // Perceptual AUDIO near-dup — real WAV PCM decode (RIFF walk, mono
     // 8/16-bit) → 65-window loudness-envelope hash → the same block-LSH.
     // v=1 rows are the SAME shape re-encoded at 16-bit (bytes differ,
@@ -1726,23 +1761,43 @@ object SparkEntry {
   // set, and 1<<63 overflows DuckDB's BIGINT shift, so that bit adds the
   // min-BIGINT constant instead. No leading WITH (mm_phash_clusters
   // needs WITH RECURSIVE).
-  private def phashHashCte: String =
-    "ids AS (SELECT doc_id, doc_id % 3 AS v, (doc_id // 3) % 25 AS g " +
-      "FROM documents WHERE doc_id < 600 AND doc_id % 11 <> 0), " +
-      "cells AS (SELECT i.doc_id, y.range AS cy, x.range AS cx, " +
+  // both hash derivations (corpus + shifted-id probes) in one WITH list;
+  // the pair set is every (probe, corpus) pair within full hamming ≤ 3 —
+  // shared verbatim by the fresh-build and build+append rows (layout
+  // agreement proven by result identity)
+  private def phashAgainstOracle: String =
+    "WITH " + phashHashCteFor("", "doc_id") + ", " +
+      phashHashCteFor("2", "doc_id + 10000") +
+      " SELECT p.doc_id, c.doc_id AS corpus_id, " +
+      "CAST(bit_count(xor(p.h, c.h)) AS INT) AS hamming " +
+      "FROM hashes2 p JOIN hashes c ON bit_count(xor(p.h, c.h)) <= 3 " +
+      "ORDER BY p.doc_id, corpus_id"
+
+  private def phashHashCte: String = phashHashCteFor("", "doc_id")
+
+  /** The same derivation over a TRANSFORMED doc id (the cross-corpus
+    * probe fixture shifts ids by +10000 and derives (g, v) from the
+    * SHIFTED id) — CTE names suffixed so two derivations compose in one
+    * WITH list. */
+  private def phashHashCteFor(sfx: String, idExpr: String): String =
+    s"ids$sfx AS (SELECT $idExpr AS doc_id, ($idExpr) % 3 AS v, " +
+      s"(($idExpr) // 3) % 25 AS g " +
+      s"FROM documents WHERE doc_id < 600 AND ($idExpr) % 11 <> 0), " +
+      s"cells$sfx AS (SELECT i.doc_id, y.range AS cy, x.range AS cx, " +
       "CASE WHEN i.v = 2 AND y.range = i.g % 8 AND x.range = i.g % 9 " +
       "THEN 250 - (((i.g*73 + y.range*9 + x.range + 1) * (i.g*73 + y.range*9 + x.range + 1) * 13 " +
       "+ (i.g*73 + y.range*9 + x.range + 1) * 7) % 251) " +
       "ELSE ((i.g*73 + y.range*9 + x.range + 1) * (i.g*73 + y.range*9 + x.range + 1) * 13 " +
       "+ (i.g*73 + y.range*9 + x.range + 1) * 7) % 251 END AS gray " +
-      "FROM ids i, range(8) y, range(9) x), " +
-      "bits AS (SELECT l.doc_id, l.cy*8 + l.cx AS b FROM cells l " +
-      "JOIN cells r ON l.doc_id = r.doc_id AND l.cy = r.cy " +
+      s"FROM ids$sfx i, range(8) y, range(9) x), " +
+      s"bits$sfx AS (SELECT l.doc_id, l.cy*8 + l.cx AS b FROM cells$sfx l " +
+      s"JOIN cells$sfx r ON l.doc_id = r.doc_id AND l.cy = r.cy " +
       "AND r.cx = l.cx + 1 WHERE l.cx < 8 AND l.gray > r.gray), " +
-      "hashes AS (SELECT i.doc_id, COALESCE(SUM(" +
+      s"hashes$sfx AS (SELECT i.doc_id, COALESCE(SUM(" +
       "CASE WHEN t.b = 63 THEN CAST(-9223372036854775808 AS BIGINT) " +
       "ELSE (CAST(1 AS BIGINT) << CAST(t.b AS INT)) END), 0) AS h " +
-      "FROM ids i LEFT JOIN bits t ON i.doc_id = t.doc_id GROUP BY i.doc_id)"
+      s"FROM ids$sfx i LEFT JOIN bits$sfx t ON i.doc_id = t.doc_id " +
+      "GROUP BY i.doc_id)"
 
   // Subword tokenization CTE chain shared by the text_subword_tokens /
   // pack_offsets_subword oracles: re-runs the EXPRESSION's WordPiece
@@ -3238,6 +3293,9 @@ object SparkEntry {
         "CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming " +
         "FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id " +
         "WHERE bit_count(xor(a.h, b.h)) <= 3 ORDER BY doc_a, doc_b"),
+
+    "mm_phash_against" -> phashAgainstOracle,
+    "mm_phash_against_appended" -> phashAgainstOracle,
 
     "mm_audio_phash_neardup" ->
       // the 1-D twin of the dHash CTE: 65-window envelope from the

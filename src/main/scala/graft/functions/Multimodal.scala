@@ -867,6 +867,88 @@ object Multimodal {
     }.toDF("doc_id", "kind", "content", "byte_len")
   }
 
+  // ------------------------------------------------ persisted phash index
+
+  /** The index's fixed pigeonhole geometry: 4 blocks × 16 bits (sound
+    * for hamming ≤ 3 — k flipped bits cannot touch all k+1 blocks), and
+    * the partition key `pb` = blk × 64 + the block value's top 6 bits
+    * (4 × 64 = 256 dirs — the text index's ~320-dir lesson: few enough
+    * dirs that discovery stays cheap, many enough that a fixed probe
+    * batch prunes most of the corpus). Derived from the hash on BOTH
+    * sides, so index and probe can never disagree on routing. */
+  private def phashBlocks(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), col("dhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("dhash"), b * 16)
+          .bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("blk", "bval")))
+      .withColumn("pb",
+        (col("blk") * 64 + shiftright(col("bval"), 10)).cast("int"))
+
+  /**
+   * Persist a perceptual-hash INDEX over a media corpus — the
+   * cross-corpus media-dedup shape at 100 TB: each decoded payload's
+   * 64-bit dHash lands exploded per pigeonhole block, partitioned by
+   * [[phashBlocks]]' `pb` dir, so probing a fixed batch reads only the
+   * batch's candidate partitions (≤ 4 × batch distinct dirs of 256)
+   * while the corpus — and its binary payloads, which never enter the
+   * index at all — stays untouched. Undecodable payloads index nothing.
+   */
+  def buildPhashIndex(spark: SparkSession, media: DataFrame,
+                      path: String): Unit =
+    phashBlocks(phashSignatures(spark, media))
+      .repartition(256, col("pb"))
+      .write.mode("overwrite").partitionBy("pb").parquet(path)
+
+  /** Append a media batch's signatures into the index's layout — one
+    * dynamic-partition append, ≤ 1 new file per touched dir (bounded by
+    * the batch, not the corpus). Same routing expressions as the build,
+    * so probes see appended rows identically. */
+  def appendToPhashIndex(spark: SparkSession, media: DataFrame,
+                         path: String): Unit =
+    phashBlocks(phashSignatures(spark, media))
+      .repartition(math.max(1, spark.sparkContext.defaultParallelism),
+        col("pb"))
+      .write.mode("append").partitionBy("pb").parquet(path)
+
+  /**
+   * Dedup NEW media against the persisted index: decode + hash the
+   * batch, read ONLY its candidate `pb` partitions (explicit subdirs —
+   * the banded-index pruning device; ≤ 256 driver-side keys, metadata
+   * scale), join candidates on exact (block, value) and verify with the
+   * full 64-bit hamming. Returns (doc_id, corpus_id, hamming ≤
+   * maxHamming) — every corpus near-dup of every batch doc.
+   * `maxHamming` ≤ 3: the stored geometry is 4 blocks, sound up to 3.
+   */
+  def phashDedupAgainst(spark: SparkSession, path: String,
+                        newMedia: DataFrame,
+                        maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"the stored 4-block geometry is sound up to hamming 3, got $maxHamming")
+    val sig = phashSignatures(spark, newMedia).localCheckpoint(false)
+    val pblocks = phashBlocks(sig)
+    val empty = sig.select(col("doc_id"), lit(0L).as("corpus_id"),
+      lit(0).cast("int").as("hamming")).limit(0)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return empty
+    val pbs = pblocks.select(col("pb")).distinct().collect()
+      .map(_.getInt(0))
+    val dirs = pbs.map(pb => new org.apache.hadoop.fs.Path(path, s"pb=$pb"))
+      .filter(fs.exists(_)).map(_.toString)
+    if (dirs.isEmpty) return empty
+    val corpus = spark.read.option("basePath", path)
+      .parquet(dirs.toIndexedSeq: _*)
+      .select(col("doc_id").as("corpus_id"), col("dhash").as("__ch"),
+        col("blk"), col("bval"))
+    corpus
+      .join(pblocks.select(col("doc_id"), col("dhash").as("__ph"),
+        col("blk"), col("bval")), Seq("blk", "bval"))
+      .select(col("doc_id"), col("corpus_id"),
+        expr("bit_count(__ph ^ __ch)").cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /**
    * PERCEPTUAL audio near-dup — the audio counterpart of the dHash pass:
    * the same recording re-encoded (8-bit vs 16-bit PCM, different

@@ -224,4 +224,64 @@ class PngPhashSpec extends AnyFunSuite {
     assert(gotClusters == wantClusters)
     assert(gotClusters.map(_._1) == hashes.map(_._1).toSet)
   }
+
+  test("persisted phash index: build ≡ build+append ≡ brute force; edges") {
+    import graft.functions.Multimodal
+    val corpusIds = (0L until 90L).toDF("doc_id")
+    val corpus = Multimodal.phashFixtureMedia(spark, corpusIds, groups = 25)
+    val probes = Multimodal.phashFixtureMedia(spark,
+      (0L until 90L).map(_ + 10000L).toDF("doc_id"), groups = 25)
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    val built = java.nio.file.Files.createTempDirectory("graft-phidx")
+      .toString + "/idx"
+    Multimodal.buildPhashIndex(spark, corpus, built)
+    val got = pairsOf(Multimodal.phashDedupAgainst(spark, built, probes))
+
+    // brute force over the two signature sets
+    val cs = Multimodal.phashSignatures(spark, corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ps = Multimodal.phashSignatures(spark, probes)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = (for {
+      (pid, ph) <- ps; (cid, ch) <- cs
+      d = java.lang.Long.bitCount(ph ^ ch) if d <= 3
+    } yield (pid, cid, d)).toSet
+    assert(got == want && want.nonEmpty)
+
+    // build-half + append-half lands the identical layout
+    val appended = java.nio.file.Files.createTempDirectory("graft-phidx-a")
+      .toString + "/idx"
+    Multimodal.buildPhashIndex(spark,
+      corpus.filter(col("doc_id") % 2 === 0), appended)
+    Multimodal.appendToPhashIndex(spark,
+      corpus.filter(col("doc_id") % 2 === 1), appended)
+    assert(pairsOf(
+      Multimodal.phashDedupAgainst(spark, appended, probes)) == want)
+
+    // edges: missing index → empty with the contract schema; a batch of
+    // only undecodable payloads probes nothing
+    val gone = pairsOf(Multimodal.phashDedupAgainst(spark,
+      built + "_nonexistent", probes))
+    assert(gone.isEmpty)
+    val corrupt = Multimodal.phashFixtureMedia(spark,
+      Seq(11L, 22L).toDF("doc_id"), groups = 25)
+    assert(pairsOf(
+      Multimodal.phashDedupAgainst(spark, built, corrupt)).isEmpty)
+
+    // pruning: a one-doc probe batch must leave most partition dirs
+    // unread — proxy: its candidate pb set is ≤ 4 dirs of the layout's
+    val one = Multimodal.phashFixtureMedia(spark,
+      Seq(1L).toDF("doc_id"), groups = 25)
+    val sig1 = Multimodal.phashSignatures(spark, one)
+      .collect().map(_.getLong(1))
+    assert(sig1.length == 1)
+    val pbs = (0 until 4).map(b =>
+      b * 64 + (((sig1.head >>> (b * 16)) & 0xFFFFL) >> 10).toInt).toSet
+    assert(pbs.size <= 4)
+    val dirs = new java.io.File(built).listFiles()
+      .count(_.getName.startsWith("pb="))
+    assert(dirs > pbs.size, "fixture too small to demonstrate pruning")
+  }
 }

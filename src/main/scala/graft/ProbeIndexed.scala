@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Dedup, Sampling, Similarity}
+import graft.functions.{Dedup, Multimodal, Sampling, Similarity}
 import graft.sources.Tables
 
 /**
@@ -276,6 +276,30 @@ object ProbeIndexed {
 
     val docs = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
+
+    // PERSISTED PHASH INDEX (round 13): perceptual media dedup at corpus
+    // scale. The index is signatures-only (the binary payloads never
+    // enter it), the probe reads only its candidate pb dirs AND pushes
+    // its candidate bvals onto the bval-sorted row groups — so a fixed
+    // 500-doc probe batch's bytes stay bounded by the batch while the
+    // corpus grows (the cross-scale gate below). Fixture groups scale
+    // with the corpus (~30 docs/group) so match volume stays bounded too.
+    val phashGroups = math.max(25, (docs.count() / 30).toInt)
+    val phashCorpus = Multimodal.phashFixtureMedia(spark,
+      docs.select(col("doc_id")), phashGroups)
+    val phashIdx = s"$tmp/phash"
+    val phashBuild = time(
+      Multimodal.buildPhashIndex(spark, phashCorpus, phashIdx))
+    val phashProbes = Multimodal.phashFixtureMedia(spark,
+      docs.orderBy(col("doc_id")).limit(500)
+        .select((col("doc_id") + 900000000L).as("doc_id")), phashGroups)
+      .localCheckpoint()
+    val phashProbe = (1 to reps).map(_ => time(
+      Multimodal.phashDedupAgainst(spark, phashIdx, phashProbes)
+        .count())).min
+    val phashAppend = time(
+      Multimodal.appendToPhashIndex(spark, phashProbes, phashIdx))
+
     val dedupPath = s"$tmp/dedup"
     val buildDedup = time(Dedup.buildDedupIndex(
       docs, "doc_id", "text", dedupPath))
@@ -491,6 +515,9 @@ object ProbeIndexed {
       s""""ivf_append200_assigned_incremental":$appendAssignedFast,""" +
       s""""ivf_ingest_bootstrap_sec":$ingestBootstrap,""" +
       s""""ivf_ingest_epoch200_sec":$ingestEpochSec,""" +
+      s""""phash_build_sec":$phashBuild,""" +
+      s""""phash_probe500_sec":$phashProbe,""" +
+      s""""phash_append500_sec":$phashAppend,""" +
       s""""dedup_build_sec":$buildDedup,"dedup_probe500_sec":$probeDedup,""" +
       s""""dedup_append500_sec":$appendDedup,""" +
       s""""dedup_banded_build_sec":$buildDedupBanded,""" +

@@ -897,6 +897,11 @@ object Multimodal {
                       path: String): Unit =
     phashBlocks(phashSignatures(spark, media))
       .repartition(256, col("pb"))
+      // bval-sorted row groups: the probe pushes its candidate values as
+      // a bval filter, and parquet min/max stats skip the row groups a
+      // sorted layout keeps tight — the id-sorted-row-groups device from
+      // the dedup state verify
+      .sortWithinPartitions(col("pb"), col("bval"))
       .write.mode("overwrite").partitionBy("pb").parquet(path)
 
   /** Append a media batch's signatures into the index's layout — one
@@ -908,6 +913,7 @@ object Multimodal {
     phashBlocks(phashSignatures(spark, media))
       .repartition(math.max(1, spark.sparkContext.defaultParallelism),
         col("pb"))
+      .sortWithinPartitions(col("pb"), col("bval"))
       .write.mode("append").partitionBy("pb").parquet(path)
 
   /**
@@ -931,13 +937,20 @@ object Multimodal {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return empty
-    val pbs = pblocks.select(col("pb")).distinct().collect()
-      .map(_.getInt(0))
+    // the batch's candidate keys, collected once: pb dirs to READ (≤ 256)
+    // and bvals to PUSH as a scan filter (≤ 4 × batch) — with the
+    // bval-sorted row groups the min/max stats skip everything a small
+    // batch doesn't touch, keeping the probe's bytes bounded by the
+    // batch even when its dirs span the whole layout
+    val keys = pblocks.select(col("pb"), col("bval")).distinct().collect()
+    val pbs = keys.map(_.getInt(0)).distinct
     val dirs = pbs.map(pb => new org.apache.hadoop.fs.Path(path, s"pb=$pb"))
       .filter(fs.exists(_)).map(_.toString)
     if (dirs.isEmpty) return empty
+    val bvals = keys.map(_.getLong(1)).distinct.toIndexedSeq
     val corpus = spark.read.option("basePath", path)
       .parquet(dirs.toIndexedSeq: _*)
+      .filter(col("bval").isin(bvals: _*))
       .select(col("doc_id").as("corpus_id"), col("dhash").as("__ch"),
         col("blk"), col("bval"))
     corpus

@@ -818,16 +818,6 @@ object Similarity {
     }
   }
 
-  /** The csums paths' batch validation alone — loud rejection of
-    * ragged/null/empty-labeled rows BEFORE a caller writes anything
-    * (see [[csumsBatchStats]]). One batch-sized job. */
-  private[graft] def validateIvfBatch(batch: DataFrame, idCol: String,
-                                      vecCol: String, labelCol: String,
-                                      dims: Int, op: String): Unit = {
-    csumsBatchStats(batch, idCol, vecCol, labelCol, dims, op)
-    ()
-  }
-
   // ---- csums: the persisted centroid fold state -----------------------
 
   /** Per-(label, chunk) id-sorted (id, vector) lists of a labeled vector

@@ -167,15 +167,19 @@ object Bench {
     val dirty = sh(Seq("git", "status", "--porcelain")).nonEmpty
     val sha = sh(Seq("git", "rev-parse", "--short", "HEAD")) +
       (if (dirty) "+dirty" else "")
-    // the TREE hash identifies the CONTENT independently of commit
+    // the SRC-TREE hash identifies the CODE independently of commit
     // ancestry: the driver's per-round capture runs on a snapshot commit
     // stacked on top of the builder's close, so its commit sha can never
-    // match a committed re-measure's — but its tree hash does whenever
-    // the content is identical. A dirty working copy taints the tree
-    // hash (it describes HEAD, not what actually ran), so the suffix
-    // disqualifies it from matching, same as sha.
-    val tree = sh(Seq("git", "rev-parse", "--short", "HEAD^{tree}")) +
-      (if (dirty) "+dirty" else "")
+    // match a committed re-measure's — and the ROOT tree can't either
+    // (committing the close's own bench artifacts changes it). The src/
+    // subtree is the performance-relevant content and is untouched by
+    // artifact commits, so a close-time re-measure matches any
+    // same-code capture. A working copy dirty UNDER src/ taints the
+    // hash (it describes HEAD, not the code that ran) — artifact writes
+    // outside src/ don't.
+    val srcDirty = sh(Seq("git", "status", "--porcelain", "src")).nonEmpty
+    val tree = sh(Seq("git", "rev-parse", "--short", "HEAD:src")) +
+      (if (srcDirty) "+dirty" else "")
     val ts = java.time.Instant.now().toString
     // ts + sha + tree make the artifact SELF-IDENTIFYING: check_bench
     // accepts a bench_remeasure.json only when its sha or (clean) tree

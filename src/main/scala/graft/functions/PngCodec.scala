@@ -157,10 +157,15 @@ object PngCodec {
           if (sawIhdr || len != 13) return None
           sawIhdr = true
           val wl = be32(bytes, p + 8); val hl = be32(bytes, p + 12)
-          // bounded: this decoder exists for thumbnail-scale fixtures and
-          // hash inputs; a multi-gigapixel claim is treated as corrupt
+          // bounded: this decoder exists for hash inputs, and the
+          // filtered-scanline buffer allocates from the HEADER's claim
+          // before inflate validates anything — a crafted 64×2^20 header
+          // with no data would otherwise demand ~270 MB per row across
+          // every executor thread. 16M pixels (≤ ~68 MB RGBA scanlines)
+          // is far beyond any perceptual-hash input; bigger claims are
+          // treated as corrupt, not decoded.
           if (wl <= 0 || hl <= 0 || wl > (1 << 20) || hl > (1 << 20) ||
-            wl * hl > (1L << 26)) return None
+            wl * hl > (1L << 24)) return None
           w = wl.toInt; h = hl.toInt
           val bitDepth = bytes(p + 16) & 0xFF
           colorType = bytes(p + 17) & 0xFF

@@ -1722,6 +1722,46 @@ object StreamOps {
   }
 
   /**
+   * Streaming PERCEPTUAL media dedup against a frozen persisted phash
+   * index ([[graft.functions.Multimodal.buildPhashIndex]]) —
+   * [[embedDedupTo]]'s media form: each arriving payload decodes,
+   * hashes, and gets a verdict row `(doc_id, dup_of, hamming,
+   * admitted)` — its NEAREST corpus near-dup within `maxHamming`
+   * (smallest hamming, ties to the smallest corpus id) with
+   * `admitted = false`, else admitted with null `dup_of`/`hamming`.
+   * Undecodable payloads hash nothing and are admitted (quarantine is
+   * the caller's policy — see [[graft.functions.Multimodal
+   * .phashSignatures]]). Same frozen-index/epoch-overwrite idempotence
+   * as [[annProbeTo]]; the probe reads only the batch's candidate pb
+   * partitions with its bvals pushed to the scan — per-epoch bytes
+   * bounded by the batch at any corpus size.
+   */
+  def phashDedupTo(media: DataFrame, indexPath: String, outPath: String,
+                   checkpoint: String, maxHamming: Int = 3,
+                   availableNow: Boolean = true): StreamingQuery = {
+    import graft.functions.Multimodal
+    val spark = media.sparkSession
+    val writer = media.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.dropDuplicates("doc_id").localCheckpoint(false)
+        val best = Multimodal.phashDedupAgainst(spark, indexPath, b,
+          maxHamming)
+          .groupBy(col("doc_id"))
+          .agg(min(struct(col("hamming"), col("corpus_id"))).as("__b"))
+          .select(col("doc_id"), col("__b.corpus_id").as("dup_of"),
+            col("__b.hamming").as("hamming"))
+        b.select(col("doc_id"), col("kind"), col("byte_len"))
+          .join(best, Seq("doc_id"), "left")
+          .withColumn("admitted", col("dup_of").isNull)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        ()
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
+  /**
    * ONLINE maintenance of the persisted text-dedup index — the streaming
    * twin of [[graft.functions.Dedup.appendToDedupIndex]], with the epoch
    * idempotence the batch append cannot give (mode-append on a replayed

@@ -1504,6 +1504,66 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).columns.toSet.contains("embedding"))
   }
 
+  test("phashDedupTo: perceptual dup rejected with its source, rest admitted") {
+    import graft.functions.{Multimodal, PngCodec}
+    import spark.implicits._
+    val corpus = Multimodal.phashFixtureMedia(spark,
+      (0L until 90L).toDF("doc_id"), groups = 25)
+    val idx = Files.createTempDirectory("graft-ph-idx").toString + "/idx"
+    Multimodal.buildPhashIndex(spark, corpus, idx)
+    def idxFiles = {
+      def walk(f: java.io.File): Int =
+        if (f.isFile) 1
+        else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0)
+      walk(new java.io.File(idx))
+    }
+    val before = idxFiles
+
+    // batch: a perceptual dup of a corpus group (10001), a corrupt
+    // payload (10010 — (10000+10) % 11 = 0 → inflate-garbage, must be
+    // admitted, not crash), and a FAR image (checkerboard — verified
+    // below to be > 3 hamming from every corpus hash → admitted)
+    val far = {
+      val px = Array.tabulate[Byte](36 * 32)(i =>
+        (if ((i / 36 + i % 36) % 2 == 0) 250 else 3).toByte)
+      PngCodec.encode(px, 36, 32, 0, _ => 0, 6)
+    }
+    val corpusHashes = Multimodal.phashSignatures(spark, corpus)
+      .collect().map(_.getLong(1))
+    val farHash = PngCodec.dHashOf(far).get
+    assert(corpusHashes.forall(h =>
+      java.lang.Long.bitCount(h ^ farHash) > 3),
+      "fixture precondition: the far image must be far")
+    val batch = Multimodal.phashFixtureMedia(spark,
+      Seq(10001L, 10010L).toDF("doc_id"), groups = 25)
+      .unionByName(Seq((10002L, "image/png", far, far.length.toLong))
+        .toDF("doc_id", "kind", "content", "byte_len"))
+    val in = Files.createTempDirectory("graft-ph-in").toString
+    batch.coalesce(1).write.mode("append").parquet(in)
+    val out = Files.createTempDirectory("graft-ph-out").toString + "/out"
+    val q = StreamOps.phashDedupTo(
+      spark.readStream.schema(batch.schema).parquet(in),
+      idx, out, Files.createTempDirectory("graft-ph-ck").toString)
+    q.awaitTermination()
+    val got = spark.read.parquet(out)
+      .select("doc_id", "dup_of", "admitted").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), r.getBoolean(2))).toSet
+    assert(got.size == 3, s"$got")
+    // the dup's verdict equals the batch probe's nearest (min hamming,
+    // ties to the smallest corpus id)
+    val want = Multimodal.phashDedupAgainst(spark, idx,
+      batch.filter(col("doc_id") === 10001L))
+      .orderBy(col("hamming"), col("corpus_id")).limit(1)
+      .collect().map(r => r.getLong(1)).headOption
+    assert(want.isDefined)
+    assert(got.exists { case (id, dup, adm) =>
+      id == 10001L && dup == want.map(_.asInstanceOf[Any]) && !adm },
+      s"$got vs $want")
+    assert(got.contains((10010L, None, true)), s"corrupt admitted: $got")
+    assert(got.contains((10002L, None, true)), s"far admitted: $got")
+    assert(idxFiles == before, "the frozen index must not be mutated")
+  }
+
   test("compactDedupIngestState consolidates epochs, probe unchanged") {
     val idx = Files.createTempDirectory("graft-ddcp").toString + "/idx"
     StreamOps.dedupIngestBootstrap(dedupSeed, idx, "doc_id", "text")

@@ -194,7 +194,12 @@ object PngCodec {
       var got = 0
       while (got < expect && !infl.finished()) {
         val n = infl.inflate(filtered, got, expect - got)
-        if (n == 0 && infl.needsInput()) return None // truncated stream
+        // zero progress on an unfinished stream is terminal whatever the
+        // reason — truncated input (needsInput) OR a preset-dictionary
+        // demand (FDICT set in the zlib header: inflate returns 0 with
+        // needsInput FALSE, and a needsInput-only check spins this loop
+        // forever on a crafted payload)
+        if (n == 0) return None
         got += n
       }
       if (got != expect) return None

@@ -129,6 +129,26 @@ class PngPhashSpec extends AnyFunSuite {
     assert(PngCodec.decode("plain text".getBytes).isEmpty)
     assert(PngCodec.decode(null).isEmpty)
     assert(PngCodec.decode(Array.emptyByteArray).isEmpty)
+    // FDICT zlib header (0x78 0x20: valid check, preset-dictionary bit
+    // set): Inflater returns 0 with needsInput FALSE — must reject, not
+    // spin forever (the needsInput-only break hung on this payload)
+    val fdict = {
+      val data = Array[Byte](0x78, 0x20, 1, 2, 3, 4, 5, 6, 7, 8)
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(good, 0, 33)
+      val crc = new java.util.zip.CRC32()
+      crc.update("IDAT".getBytes); crc.update(data)
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length).put("IDAT".getBytes).put(data)
+        .putInt(crc.getValue.toInt)
+      out.write(bb.array())
+      val ic = new java.util.zip.CRC32(); ic.update("IEND".getBytes)
+      val ie = java.nio.ByteBuffer.allocate(12)
+      ie.putInt(0).put("IEND".getBytes).putInt(ic.getValue.toInt)
+      out.write(ie.array())
+      out.toByteArray
+    }
+    assert(PngCodec.decode(fdict).isEmpty)
   }
 
   test("dHash grid: 4x4-constant cells reproduce the cell arithmetic exactly") {

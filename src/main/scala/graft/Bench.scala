@@ -171,14 +171,16 @@ object Bench {
     // ancestry: the driver's per-round capture runs on a snapshot commit
     // stacked on top of the builder's close, so its commit sha can never
     // match a committed re-measure's — and the ROOT tree can't either
-    // (committing the close's own bench artifacts changes it). The src/
-    // subtree is the performance-relevant content and is untouched by
-    // artifact commits, so a close-time re-measure matches any
-    // same-code capture. A working copy dirty UNDER src/ taints the
-    // hash (it describes HEAD, not the code that ran) — artifact writes
-    // outside src/ don't.
-    val srcDirty = sh(Seq("git", "status", "--porcelain", "src")).nonEmpty
-    val tree = sh(Seq("git", "rev-parse", "--short", "HEAD:src")) +
+    // (committing the close's own bench artifacts changes it). The
+    // src/main subtree is the performance-relevant content — untouched
+    // by artifact, doc, AND test commits (specs added after a close must
+    // not orphan its evidence; src/test cannot change what the bench
+    // runs) — so a close-time re-measure matches any same-code capture.
+    // A working copy dirty UNDER src/main taints the hash (it describes
+    // HEAD, not the code that ran); writes elsewhere don't.
+    val srcDirty =
+      sh(Seq("git", "status", "--porcelain", "src/main")).nonEmpty
+    val tree = sh(Seq("git", "rev-parse", "--short", "HEAD:src/main")) +
       (if (srcDirty) "+dirty" else "")
     val ts = java.time.Instant.now().toString
     // ts + sha + tree make the artifact SELF-IDENTIFYING: check_bench

@@ -182,13 +182,24 @@ object Bench {
       sh(Seq("git", "status", "--porcelain", "src/main")).nonEmpty
     val tree = sh(Seq("git", "rev-parse", "--short", "HEAD:src/main")) +
       (if (srcDirty) "+dirty" else "")
+    // build FINGERPRINT: performance also depends on configuration
+    // OUTSIDE src/main (build.sbt dependency pins, project/ sbt + JVM
+    // flags). A src/main tree match alone could honor a re-measure
+    // captured under a different build config — check_bench requires
+    // this to match too when both artifacts record it.
+    val buildDirty =
+      sh(Seq("git", "status", "--porcelain", "build.sbt", "project"))
+        .nonEmpty
+    val build = sh(Seq("git", "rev-parse", "--short", "HEAD:build.sbt")) +
+      "." + sh(Seq("git", "rev-parse", "--short", "HEAD:project")) +
+      (if (buildDirty) "+dirty" else "")
     val ts = java.time.Instant.now().toString
     // ts + sha + tree make the artifact SELF-IDENTIFYING: check_bench
     // accepts a bench_remeasure.json only when its sha or (clean) tree
     // matches the capture's, so a stale re-measure from a previous round
     // can never silently clear this round's degradation gate
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"ts":"$ts","sha":"$sha","tree":"$tree","closing":$closing,"closing_load":$load0,"loadavg":[$loadStart,$loadEnd],"queries":$qs,"spread":$spread,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"ts":"$ts","sha":"$sha","tree":"$tree","build":"$build","closing":$closing,"closing_load":$load0,"loadavg":[$loadStart,$loadEnd],"queries":$qs,"spread":$spread,"errors":$errJson,"sf":"$sfDir"}"""
     // short summary trailer printed BOTH before and after the full line:
     // the driver's capture window is a bounded log tail whose edges are
     // unpredictable from in here — round 7's single after-trailer was cut

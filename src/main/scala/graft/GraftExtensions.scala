@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
-import graft.functions.{Md5Prefix28, Md5SignBits, Sampling, Similarity, TextClean, TextFns, TopKAgg}
+import graft.functions.{Md5Prefix28, Md5SignBits, Sampling, Similarity, Subword, SubwordTokenize, TextClean, TextFns, TopKAgg}
 
 /**
  * SparkSessionExtensions entry point: registers the engine's native
@@ -28,6 +28,8 @@ import graft.functions.{Md5Prefix28, Md5SignBits, Sampling, Similarity, TextClea
  *  - `quality_score(text)` — the engine's document quality score
  *  - `chunk_text(text, win, overlap)` — fixed-window training chunks
  *  - `bucket_us(tsUs, everyUs)` — floor time-bucketing (resample domain)
+ *  - `subword_tokenize(loweredText)` — WordPiece greedy longest-match
+ *    over the engine's fixture vocab (the packing/budget token unit)
  *
  * The composed functions expand to the SAME Column trees the library
  * API builds (via ColumnBridge), so SQL users get identical semantics,
@@ -114,6 +116,10 @@ object GraftExtensions {
       require(children.length == 2, "bucket_us expects (tsUs, everyUs)")
       ColumnBridge.eagerExpression(graft.operators.TimeSeries.bucketUs(
         ColumnBridge.column(children.head), longLit(children(1), "everyUs")))
+    }),
+    ("subword_tokenize", classOf[SubwordTokenize].getName, { children =>
+      require(children.length == 1, "subword_tokenize expects one argument")
+      SubwordTokenize(children.head, Subword.defaultPieces)
     }))
 
   private[graft] val descriptors = builders.map { case (name, clazz, builder) =>

@@ -1793,9 +1793,12 @@ object SparkEntry {
       s"bits$sfx AS (SELECT l.doc_id, l.cy*8 + l.cx AS b FROM cells$sfx l " +
       s"JOIN cells$sfx r ON l.doc_id = r.doc_id AND l.cy = r.cy " +
       "AND r.cx = l.cx + 1 WHERE l.cx < 8 AND l.gray > r.gray), " +
-      s"hashes$sfx AS (SELECT i.doc_id, COALESCE(SUM(" +
+      // DuckDB SUM(BIGINT) widens to HUGEINT: cast the fold back to
+      // BIGINT so downstream xor/bit_count see true 64-bit values — a
+      // HUGEINT xor sign-extends at bit 63 and would read hamming +64
+      s"hashes$sfx AS (SELECT i.doc_id, CAST(COALESCE(SUM(" +
       "CASE WHEN t.b = 63 THEN CAST(-9223372036854775808 AS BIGINT) " +
-      "ELSE (CAST(1 AS BIGINT) << CAST(t.b AS INT)) END), 0) AS h " +
+      "ELSE (CAST(1 AS BIGINT) << CAST(t.b AS INT)) END), 0) AS BIGINT) AS h " +
       s"FROM ids$sfx i LEFT JOIN bits$sfx t ON i.doc_id = t.doc_id " +
       "GROUP BY i.doc_id)"
 
@@ -3313,9 +3316,11 @@ object SparkEntry {
         "bits AS (SELECT l.doc_id, l.w AS b FROM env l " +
         "JOIN env r ON l.doc_id = r.doc_id AND r.w = l.w + 1 " +
         "WHERE l.w < 64 AND l.a > r.a), " +
-        "hashes AS (SELECT i.doc_id, COALESCE(SUM(" +
+        // CAST back to BIGINT: SUM widens to HUGEINT whose xor
+        // sign-extends at bit 63 (same hazard as the dHash CTE)
+        "hashes AS (SELECT i.doc_id, CAST(COALESCE(SUM(" +
         "CASE WHEN t.b = 63 THEN CAST(-9223372036854775808 AS BIGINT) " +
-        "ELSE (CAST(1 AS BIGINT) << CAST(t.b AS INT)) END), 0) AS h " +
+        "ELSE (CAST(1 AS BIGINT) << CAST(t.b AS INT)) END), 0) AS BIGINT) AS h " +
         "FROM ids i LEFT JOIN bits t ON i.doc_id = t.doc_id GROUP BY i.doc_id) " +
         "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
         "CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming " +

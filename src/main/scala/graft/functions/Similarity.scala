@@ -1202,6 +1202,11 @@ object Similarity {
       .groupBy(col(labelCol)).agg(sum(col("__n")).as("__rows"))
       .agg(count(lit(1)), sum(col("__rows")), max(col("__rows")),
         avg(col("__rows"))).head()
+    // an empty-but-present csums store (zero-row schema-carrying file)
+    // passes hasCsumsData but leaves the sum/max/avg aggregates null —
+    // report zero stats instead of NPEing on getLong
+    if (sizes.getLong(0) == 0L || sizes.isNullAt(1))
+      return IvfDriftStats(0L, 0L, 0.0, 0.0)
     val (cells, rows) = (sizes.getLong(0), sizes.getLong(1))
     val skew = if (cells == 0) 0.0 else sizes.getLong(2) / sizes.getDouble(3)
     val sample = boundedHashSample(

@@ -107,4 +107,12 @@ class SubwordSpec extends AnyFunSuite {
         size(Subword.tokens(col("t"))).cast("long").as("m"))
     assert(df.collect().forall(r => r.getLong(0) == r.getLong(1)))
   }
+
+  test("SQL surface: subword_tokenize matches the library Column") {
+    GraftExtensions.register(spark)
+    val got = spark.sql(
+      "SELECT subword_tokenize('the window, 42!') AS toks")
+      .head().getSeq[String](0).toList
+    assert(got == refTokenize("the window, 42!"))
+  }
 }

@@ -26,7 +26,7 @@ import sys
 
 def history_report(queries, sf, hist_path="bench_history.jsonl",
                    touched_ok=(), remeasure_path=None, capture_sha=None,
-                   capture_tree=None):
+                   capture_tree=None, capture_build=None):
     """Run-LEVEL drift vs the capture history the bench appends: the
     in-run rep guard compares reps within one run and cannot see a run
     where a query is degraded in EVERY rep (round 9: dedup_containment
@@ -119,6 +119,20 @@ def history_report(queries, sf, hist_path="bench_history.jsonl",
             return t if t and "+" not in t and t != "unknown" else None
         tree_match = (clean_tree(capture_tree) is not None
                       and clean_tree(capture_tree) == clean_tree(r_tree))
+        # build fingerprint (round 14): a src/main tree match is not
+        # enough when the build CONFIG changed (build.sbt pins, project/
+        # sbt + JVM flags also shape performance). When both artifacts
+        # record a `build` field it must match too (clean, like the
+        # tree); artifacts predating the field keep the old behavior.
+        r_build = r_doc.get("build") if remeasured else None
+        if (tree_match and r_build is not None
+                and capture_build is not None
+                and (clean_tree(capture_build) is None
+                     or clean_tree(capture_build) != clean_tree(r_build))):
+            print(f"WARN: tree match rejected: build fingerprint "
+                  f"{r_build!r} != capture's {capture_build!r} "
+                  "(re-measure ran under a different build config)")
+            tree_match = False
         if not (sha_match or tree_match):
             if remeasured:
                 print(f"WARN: ignoring {remeasure_path}: its sha {r_sha!r} "
@@ -283,7 +297,8 @@ def main():
         touched_ok=touched_ok,
         remeasure_path=os.environ.get("SPARK_GRAFT_BENCH_REMEASURE") or
         os.path.join(bench_dir, "bench_remeasure.json"),
-        capture_sha=doc.get("sha"), capture_tree=doc.get("tree"))
+        capture_sha=doc.get("sha"), capture_tree=doc.get("tree"),
+        capture_build=doc.get("build"))
     return 4 if unexplained else 0
 
 

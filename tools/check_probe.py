@@ -138,15 +138,23 @@ def main():
     # optional like the banded rows): the fixed probe batch must
     # amortize against the build, and the append must stay cheap
     if isinstance(doc.get("phash_probe500_sec"), (int, float)):
-        if doc["phash_probe500_sec"] >= 0.5 * doc.get("phash_build_sec", 0):
+        # a probe without its build denominator is a broken artifact, not
+        # a failed ratio — comparing against 0.5*0 would always fail with
+        # the misleading "probe not << build 0.00s"
+        if not isinstance(doc.get("phash_build_sec"), (int, float)):
             fails.append(
-                f"phash probe {doc['phash_probe500_sec']:.2f}s not << "
-                f"build {doc.get('phash_build_sec', 0):.2f}s")
-        if doc.get("phash_append500_sec", 0) >= \
-                0.8 * doc.get("phash_build_sec", 0):
-            fails.append(
-                f"phash append {doc.get('phash_append500_sec', 0):.2f}s "
-                f"not < rebuild {doc.get('phash_build_sec', 0):.2f}s")
+                "phash_probe500_sec recorded but phash_build_sec is "
+                "missing/non-numeric - probe/build ratio gates need both")
+        else:
+            if doc["phash_probe500_sec"] >= 0.5 * doc["phash_build_sec"]:
+                fails.append(
+                    f"phash probe {doc['phash_probe500_sec']:.2f}s not << "
+                    f"build {doc['phash_build_sec']:.2f}s")
+            if doc.get("phash_append500_sec", 0) >= \
+                    0.8 * doc["phash_build_sec"]:
+                fails.append(
+                    f"phash append {doc.get('phash_append500_sec', 0):.2f}s "
+                    f"not < rebuild {doc['phash_build_sec']:.2f}s")
     # terminal shard shuffle, when measured (round 11+; optional like
     # the banded rows so pre-round-11 artifacts stay checkable):
     # corpus-linear by DESIGN (the one deliberately full pass), so the

@@ -206,19 +206,31 @@ object ProbeIndexed {
     val recallShiftBefore = shiftRecall(Similarity.ivfKnnJoinIndexed(
       spark, agePath, shiftProbes, "vec_id", "embedding", "cell",
       k = 5, nProbe = 2))
-    // K ∝ n (the SemDeDup scaling contract): the ingest DOUBLED the
-    // corpus, so the retrain resizes to 2K — retraining at the old K
-    // over twice the data fits BOTH halves worse (measured on the
-    // rotation design: residual 0.598 → 0.602 with K frozen; the
-    // resize is what recovery actually takes)
-    val retrainSec = time(Similarity.retrainIvfIndex(spark, agePath,
-      "vec_id", "embedding", dims = 64, k = 2 * ageK, iters = 2,
-      superAssign = -1))
+    // the POLICY drives the retrain (round 14): maintainIvfIndex reads
+    // the drift and decides. The 0.17 residual threshold sits between
+    // the fresh (~0.146) and shifted (~0.195) fixture readings;
+    // targetRowsPerCell 80 is the fixture's build density (4000 / 50
+    // cells), so the resize lands at K = ⌈8000/80⌉ = 2·ageK — the
+    // K ∝ n contract (retraining at a FROZEN K over the doubled corpus
+    // fits both halves worse; measured on the rotation design:
+    // residual 0.598 → 0.602 with K frozen)
+    var maintainDecision: Similarity.IvfMaintenance = null
+    val retrainSec = time {
+      maintainDecision = Similarity.maintainIvfIndex(spark, agePath,
+        "vec_id", "embedding", "cell", dims = 64,
+        residualThreshold = 0.17, targetRowsPerCell = 80, iters = 2,
+        superAssign = -1)
+    }
     val recallShiftAfter = shiftRecall(Similarity.ivfKnnJoinIndexed(
       spark, agePath, shiftProbes, "vec_id", "embedding", "cell",
       k = 5, nProbe = 2))
-    val driftRetrained = Similarity.ivfDriftStats(spark, agePath,
-      "vec_id", "embedding", "cell", dims = 64)
+    // the SAME policy must now hold: post-retrain drift is back under
+    // the threshold, so the second call measures and does NOT retrain
+    val maintainAfter = Similarity.maintainIvfIndex(spark, agePath,
+      "vec_id", "embedding", "cell", dims = 64,
+      residualThreshold = 0.17, targetRowsPerCell = 80, iters = 2,
+      superAssign = -1)
+    val driftRetrained = maintainAfter.stats
 
     // incremental maintenance: appending a FIXED 200-vector batch. The
     // probe batch's ids are monotone (above the corpus max), so since
@@ -284,6 +296,16 @@ object ProbeIndexed {
     // 500-doc probe batch's bytes stay bounded by the batch while the
     // corpus grows (the cross-scale gate below). Fixture groups scale
     // with the corpus (~30 docs/group) so match volume stays bounded too.
+    def dataFiles(root: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isFile)
+          (if (f.getName.endsWith(".parquet") &&
+            !f.getName.startsWith("_") && !f.getName.startsWith(".")) 1
+          else 0)
+        else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0)
+      walk(new java.io.File(root))
+    }
+
     val phashGroups = math.max(25, (docs.count() / 30).toInt)
     val phashCorpus = Multimodal.phashFixtureMedia(spark,
       docs.select(col("doc_id")), phashGroups)
@@ -297,8 +319,21 @@ object ProbeIndexed {
     val phashProbe = (1 to reps).map(_ => time(
       Multimodal.phashDedupAgainst(spark, phashIdx, phashProbes)
         .count())).min
+    val phashFilesBefore = dataFiles(phashIdx)
     val phashAppend = time(
       Multimodal.appendToPhashIndex(spark, phashProbes, phashIdx))
+    // lifecycle accounting (round 14): an append adds ≤ 1 file per
+    // TOUCHED pb dir (≤ 256 by geometry, not corpus-proportional);
+    // compaction folds the tree back to one file per dir, and the
+    // post-compaction probe must hold the steady-state floor (the
+    // appended batch now matches itself at hamming 0, so a modest
+    // growth over the pre-append probe is expected — gated at 3x)
+    val phashFilesPerAppend = dataFiles(phashIdx) - phashFilesBefore
+    val phashCompact = time(Multimodal.compactPhashIndex(spark, phashIdx))
+    val phashFilesPostCompact = dataFiles(phashIdx)
+    val phashProbePostCompact = (1 to reps).map(_ => time(
+      Multimodal.phashDedupAgainst(spark, phashIdx, phashProbes)
+        .count())).min
 
     val dedupPath = s"$tmp/dedup"
     val buildDedup = time(Dedup.buildDedupIndex(
@@ -328,15 +363,6 @@ object ProbeIndexed {
     // small-file accounting: files one append adds (the delta tables —
     // bounded by the batch, NOT a file per banded partition dir) and
     // the population compaction folds the index back to
-    def dataFiles(root: String): Int = {
-      def walk(f: java.io.File): Int =
-        if (f.isFile)
-          (if (f.getName.endsWith(".parquet") &&
-            !f.getName.startsWith("_") && !f.getName.startsWith(".")) 1
-          else 0)
-        else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0)
-      walk(new java.io.File(root))
-    }
     val bandedFilesBefore = dataFiles(dedupBandedPath)
     val appendDedupBanded = time(Dedup.appendToDedupIndex(batch,
       "doc_id", "text", dedupBandedPath))
@@ -506,6 +532,9 @@ object ProbeIndexed {
       s""""ivf_drift_residual_shifted":${driftShifted.meanResidual},""" +
       s""""ivf_drift_residual_retrained":${driftRetrained.meanResidual},""" +
       s""""ivf_retrain_sec":$retrainSec,""" +
+      s""""ivf_maintain_retrained":${maintainDecision.retrained},""" +
+      s""""ivf_maintain_k":${maintainDecision.k},""" +
+      s""""ivf_maintain_holds_after":${!maintainAfter.retrained},""" +
       s""""ivf_recall5_shifted_before":$recallShiftBefore,""" +
       s""""ivf_recall5_shifted_after":$recallShiftAfter,""" +
       s""""ivf_append200_sec":$appendIvf,""" +
@@ -518,6 +547,10 @@ object ProbeIndexed {
       s""""phash_build_sec":$phashBuild,""" +
       s""""phash_probe500_sec":$phashProbe,""" +
       s""""phash_append500_sec":$phashAppend,""" +
+      s""""phash_files_per_append":$phashFilesPerAppend,""" +
+      s""""phash_compact_sec":$phashCompact,""" +
+      s""""phash_files_post_compact":$phashFilesPostCompact,""" +
+      s""""phash_probe_post_compact500_sec":$phashProbePostCompact,""" +
       s""""dedup_build_sec":$buildDedup,"dedup_probe500_sec":$probeDedup,""" +
       s""""dedup_append500_sec":$appendDedup,""" +
       s""""dedup_banded_build_sec":$buildDedupBanded,""" +

@@ -958,6 +958,9 @@ object Multimodal {
     * dirs that discovery stays cheap, many enough that a fixed probe
     * batch prunes most of the corpus). Derived from the hash on BOTH
     * sides, so index and probe can never disagree on routing. */
+  private[graft] def phashBlocksOf(sig: DataFrame): DataFrame =
+    phashBlocks(sig)
+
   private def phashBlocks(sig: DataFrame): DataFrame =
     sig.select(col("doc_id"), col("dhash"),
       posexplode(array((0 until 4).map(b =>
@@ -999,6 +1002,43 @@ object Multimodal {
       .write.mode("append").partitionBy("pb").parquet(path)
 
   /**
+   * COMPACT the phash index's accumulated small files — every
+   * [[appendToPhashIndex]] (and every [[graft.streaming.StreamOps
+   * .phashIngestTo]] epoch) adds ≤ 1 file per touched `pb` dir, and a
+   * long-lived ingest path accumulates thousands (each a task + an
+   * open-file cost per probe). Rewrites to ONE file per `pb` dir with
+   * the bval-sorted row groups the probe's pushed-filter skipping
+   * needs, via [[ParquetCompact]]'s staged-swap protocol (crash at any
+   * window leaves a readable index; single-writer discipline like
+   * every index mutator). Rows are untouched — probe results are
+   * bit-identical before and after.
+   *
+   * Both layouts compact: a flat batch-built/append-maintained index
+   * keeps its `pb=` tree; a streaming-ingest index (epoch dirs nested
+   * INSIDE `pb=`) consolidates every epoch into the reserved
+   * `__batch=-1`, after which the ingest's own epochs resume from the
+   * stream's next micro-batch id ([[graft.streaming.StreamOps
+   * .phashIngestTo]] — epoch N overwrites only its own partition, so
+   * post-compaction writes cannot collide with the consolidated rows).
+   * Returns the compacted row count.
+   */
+  def compactPhashIndex(spark: SparkSession, path: String): Long = {
+    val hasEpochs = spark.read.parquet(path).columns.contains("__batch")
+    if (hasEpochs)
+      ParquetCompact.rewritePartitionedMulti(spark, path,
+        Seq("pb", "__batch")) { df =>
+        df.withColumn("__batch", lit(-1L))
+          .repartition(col("pb"))
+          .sortWithinPartitions(col("pb"), col("bval"))
+      }
+    else
+      ParquetCompact.rewritePartitioned(spark, path, "pb") { df =>
+        df.repartition(col("pb"))
+          .sortWithinPartitions(col("pb"), col("bval"))
+      }
+  }
+
+  /**
    * Dedup NEW media against the persisted index: decode + hash the
    * batch, read ONLY its candidate `pb` partitions (explicit subdirs —
    * the banded-index pruning device; ≤ 256 driver-side keys, metadata
@@ -1012,6 +1052,10 @@ object Multimodal {
                         maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"the stored 4-block geometry is sound up to hamming 3, got $maxHamming")
+    // a [[compactPhashIndex]] crash mid-swap leaves the live root
+    // renamed away — heal it BEFORE the existence check, or the probe
+    // would silently read "no index" as "no duplicates"
+    ParquetCompact.recoverTable(spark, path)
     val sig = phashSignatures(spark, newMedia).localCheckpoint(false)
     val pblocks = phashBlocks(sig)
     val empty = sig.select(col("doc_id"), lit(0L).as("corpus_id"),

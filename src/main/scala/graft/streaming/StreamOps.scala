@@ -1762,6 +1762,69 @@ object StreamOps {
   }
 
   /**
+   * ONLINE maintenance of the persisted phash index — the streaming
+   * twin of [[graft.functions.Multimodal.appendToPhashIndex]], with the
+   * epoch idempotence the batch append cannot give (mode-append on a
+   * crash-replayed micro-batch would double its rows; duplicated index
+   * rows are harmless to pair correctness — candidates re-distinct —
+   * but grow the index and its probe cost without bound across
+   * replays). Each epoch's exploded hash blocks land under
+   * `pb=<dir>/__batch=<epoch>/` with DYNAMIC partition overwrite, so a
+   * replayed batch rewrites exactly its own (pb, epoch) partitions —
+   * the `__batch` dirs nest INSIDE the `pb` dirs (unlike the IVF/dedup
+   * ingests' top-level epochs) because [[graft.functions.Multimodal
+   * .phashDedupAgainst]] prunes by explicit `pb=` subdirectory listing,
+   * which must keep resolving at the tree's first level.
+   *
+   * The stream OWNS `indexPath` (epoch subdirs cannot mix with the
+   * batch build's flat files inside one `pb` dir): seed a pre-existing
+   * corpus with [[phashIngestBootstrap]] (reserved `__batch=-1`;
+   * micro-batch ids start at 0). Probes work unchanged — the extra
+   * `__batch` partition column is ignored by the probe's explicit
+   * selects, and the pushed bval filter skips row groups exactly as in
+   * the flat layout (each epoch file is bval-sorted). Compact with
+   * [[graft.functions.Multimodal.compactPhashIndex]], which
+   * consolidates every epoch into `__batch=-1`.
+   */
+  def phashIngestTo(media: DataFrame, indexPath: String, checkpoint: String,
+                    availableNow: Boolean = true): StreamingQuery = {
+    val writer = media.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        phashIngestEpoch(batch, batchId, indexPath)
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
+  /** Seed a streaming phash index from a batch corpus — the reserved
+    * `__batch=-1` epoch ([[ivfIngestBootstrap]]'s device). */
+  def phashIngestBootstrap(spark: org.apache.spark.sql.SparkSession,
+                           media: DataFrame, indexPath: String): Unit =
+    phashIngestEpoch(media, -1L, indexPath)
+
+  /** One epoch of [[phashIngestTo]] — factored out so the
+    * replay-idempotence contract is directly testable: same
+    * (batch, batchId) twice ≡ once. The epoch's partition set is
+    * deterministic from the batch's bytes (hashes are pure functions of
+    * content), so a replay's dynamic overwrite hits exactly the first
+    * attempt's (pb, __batch) dirs. */
+  private[graft] def phashIngestEpoch(batch: DataFrame, batchId: Long,
+                                      indexPath: String): Unit = {
+    import graft.functions.Multimodal
+    val spark = batch.sparkSession
+    Multimodal.phashBlocksOf(Multimodal.phashSignatures(spark, batch))
+      .withColumn("__batch", lit(batchId))
+      .repartition(math.max(1, spark.sparkContext.defaultParallelism),
+        col("pb"))
+      .sortWithinPartitions(col("pb"), col("bval"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("pb", "__batch")
+      .parquet(indexPath)
+  }
+
+  /**
    * ONLINE maintenance of the persisted text-dedup index — the streaming
    * twin of [[graft.functions.Dedup.appendToDedupIndex]], with the epoch
    * idempotence the batch append cannot give (mode-append on a replayed

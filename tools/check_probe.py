@@ -155,6 +155,32 @@ def main():
                 fails.append(
                     f"phash append {doc.get('phash_append500_sec', 0):.2f}s "
                     f"not < rebuild {doc['phash_build_sec']:.2f}s")
+    # phash lifecycle (round 14+; optional): an append adds at most one
+    # file per TOUCHED pb dir (256 dirs by geometry), compaction folds
+    # the tree back to <= one file per dir, and the post-compaction
+    # probe holds the steady-state floor (3x slack: the appended batch
+    # self-matches at hamming 0 after the append)
+    if isinstance(doc.get("phash_files_per_append"), (int, float)):
+        if doc["phash_files_per_append"] > 260:
+            fails.append(
+                f"phash append added {doc['phash_files_per_append']} files "
+                "- must stay bounded by the 256 pb dirs (<= 260)")
+        if doc.get("phash_files_post_compact", 10**9) > 260:
+            fails.append(
+                f"phash post-compaction file count "
+                f"{doc.get('phash_files_post_compact')} exceeds the "
+                "one-file-per-pb-dir ceiling (<= 260)")
+    if isinstance(doc.get("phash_probe_post_compact500_sec"), (int, float)):
+        if not isinstance(doc.get("phash_probe500_sec"), (int, float)):
+            fails.append(
+                "phash_probe_post_compact500_sec recorded but "
+                "phash_probe500_sec is missing - ratio gate needs both")
+        elif doc["phash_probe_post_compact500_sec"] > \
+                3.0 * doc["phash_probe500_sec"] + 0.5:
+            fails.append(
+                f"post-compaction phash probe "
+                f"{doc['phash_probe_post_compact500_sec']:.2f}s exceeds 3x "
+                f"the pre-append floor {doc['phash_probe500_sec']:.2f}s")
     # terminal shard shuffle, when measured (round 11+; optional like
     # the banded rows so pre-round-11 artifacts stay checkable):
     # corpus-linear by DESIGN (the one deliberately full pass), so the
@@ -244,6 +270,18 @@ def main():
                 f"({doc['ivf_recall5_shifted_before']} -> "
                 f"{doc['ivf_recall5_shifted_after']}, need >= "
                 "max(before+0.05, 0.9))")
+        # round 14+: the retrain must be the maintenance POLICY's
+        # decision, not a hand-scheduled call — the artifact records
+        # that maintainIvfIndex detected the breach and retrained, and
+        # that the SAME policy holds (no further retrain) afterwards
+        if doc.get("ivf_maintain_retrained") is not True:
+            fails.append(
+                "ivf_maintain_retrained is not true - the aging retrain "
+                "must be driven by the maintainIvfIndex policy")
+        if doc.get("ivf_maintain_holds_after") is not True:
+            fails.append(
+                "ivf_maintain_holds_after is not true - the policy must "
+                "not re-retrain a just-recovered index")
     # equal-K quantizer comparison: k-means exists because the label
     # column measured worse; allow a small tolerance for probe noise
     if doc["ivf_recall5_kmeans"] < doc["ivf_recall5_flat"] - 0.02:

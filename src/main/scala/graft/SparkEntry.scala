@@ -518,6 +518,33 @@ object SparkEntry {
         TextFns.qualityScore(col("text")).as("quality"))
         ),
 
+    // HTML → text extraction — the first stage of every crawl pipeline
+    // (round-13 verdict task 5). The fixture HTML is synthesized
+    // in-query from each doc — comments spanning newlines, script/style
+    // subtrees (with a '<' inside the script body), attributes,
+    // block-tag boundaries, the core entity set incl. a double-escape,
+    // an UNCLOSED script every 7th doc (content-conservative: its text
+    // leaks through rather than dropping), and messy whitespace — and
+    // the oracle builds the IDENTICAL string and mirrors
+    // TextClean.htmlExtract's rule chain regex-for-regex.
+    "text_html_extract" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val html = concat(
+        lit("<html><!-- doc "), id, lit("\n ignore --> <head>"),
+        lit("<script type=\"text/x\">if(a<b){drop("), id,
+        lit(")}</script><style media=\"all\">p{color:red}</style></head>\n"),
+        lit("<body><h1 class=\"t\">Doc &amp;amp; "), id, lit("</h1>\n<p>"),
+        substring(coalesce(col("text"), lit("")), 1, 100),
+        lit("</p><div id=\"z\">tail &lt;kept&gt;&nbsp;here &#39;q&#39;</div>"),
+        when(col("doc_id") % 7 === 0, lit("<script>orphan("))
+          .otherwise(lit("")),
+        lit("</body></html>"))
+      documents(s, dir)
+        .select(col("doc_id"), TextClean.htmlExtract(html).as("html_text"))
+        .withColumn("n_chars_out", length(col("html_text")).cast("long"))
+        .orderBy("doc_id")
+    }),
+
     // Compression-ratio quality signal: zlib deflate length over byte
     // length (low-entropy/templated docs compress far below prose) via
     // the native DeflateLen expression. No SQL engine exposes zlib, so
@@ -2353,6 +2380,46 @@ object SparkEntry {
         s"CAST(len(list_filter(string_split(text, ' '), x -> x IN $enListSql)) AS DOUBLE) " +
         "/ len(string_split(text, ' ')) AS stop_ratio, " +
         s"$qualitySql AS quality FROM documents ORDER BY doc_id"),
+
+    "text_html_extract" -> {
+      // the identical fixture string ('||' pieces match the Spark
+      // concat byte for byte; chr(10) = the embedded newlines), then
+      // the htmlExtract rule chain mirrored regex-for-regex — patterns
+      // built from the SAME TextClean lists, RE2∩Java syntax only
+      val id = "CAST(doc_id AS VARCHAR)"
+      val html =
+        "'<html><!-- doc ' || " + id + " || chr(10) || ' ignore --> <head>" +
+          "<script type=\"text/x\">if(a<b){drop(' || " + id +
+          " || ')}</script><style media=\"all\">p{color:red}</style></head>' " +
+          "|| chr(10) || '<body><h1 class=\"t\">Doc &amp;amp; ' || " + id +
+          " || '</h1>' || chr(10) || '<p>' || " +
+          "substr(coalesce(text, ''), 1, 100) || " +
+          "'</p><div id=\"z\">tail &lt;kept&gt;&nbsp;here &#39;q&#39;</div>' " +
+          "|| CASE WHEN doc_id % 7 = 0 THEN '<script>orphan(' ELSE '' END " +
+          "|| '</body></html>'"
+      val noComments = "regexp_replace(html, '(?s)<!--.*?-->', '', 'g')"
+      val noSubtrees = Seq("script", "style", "noscript")
+        .foldLeft(noComments)((a, t) =>
+          s"regexp_replace($a, '(?is)<$t\\b[^>]*>.*?</$t[ \\t\\n\\r]*>', '', 'g')")
+      val blocks = s"regexp_replace($noSubtrees, " +
+        s"'(?i)</?(${TextClean.HtmlBlockTags.mkString("|")})\\b[^>]*>', " +
+        "chr(10), 'g')"
+      val noTags = s"regexp_replace($blocks, '<[^>]*>', '', 'g')"
+      val decoded = TextClean.HtmlEntities.foldLeft(noTags) {
+        case (a, (e, v)) => s"replace($a, '$e', '${v.replace("'", "''")}')"
+      }
+      val oneSpace = s"regexp_replace($decoded, '[ \\t\\r\\f]+', ' ', 'g')"
+      val tightNl = s"regexp_replace($oneSpace, ' ?\\n ?', chr(10), 'g')"
+      val twoNl =
+        s"regexp_replace($tightNl, '\\n{3,}', chr(10) || chr(10), 'g')"
+      val trimmed =
+        "regexp_replace(" + twoNl + ", '^[ \\n]+|[ \\n]+$', '', 'g')"
+      "WITH hh AS (SELECT doc_id, " + html + " AS html FROM documents), " +
+        "ex AS (SELECT doc_id, " + trimmed + " AS html_text FROM hh) " +
+        "SELECT doc_id, html_text, " +
+        "CAST(length(html_text) AS BIGINT) AS n_chars_out " +
+        "FROM ex ORDER BY doc_id"
+    },
 
     "text_tokens" ->
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens, " +

@@ -79,6 +79,73 @@ object TextClean {
    * and are out of scope for a dedup KEY, where a canonicalization
    * that is merely consistent still groups correctly.
    */
+  /** The block-level tags whose boundaries become newlines in
+    * [[htmlExtract]] — shared with the oracle builder so both sides
+    * derive the pattern from one list. */
+  val HtmlBlockTags: Seq[String] = Seq(
+    "p", "div", "br", "li", "ul", "ol", "h1", "h2", "h3", "h4", "h5",
+    "h6", "tr", "td", "th", "table", "blockquote", "pre", "section",
+    "article", "header", "footer")
+
+  /** The entity decode table of [[htmlExtract]], in APPLICATION ORDER
+    * (`&amp;` last, so `&amp;lt;` decodes to the literal `&lt;` — the
+    * standard double-escape behavior). Shared with the oracle. */
+  val HtmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#34;" -> "\"",
+    "&apos;" -> "'", "&#39;" -> "'", "&nbsp;" -> " ", "&#160;" -> " ",
+    "&amp;" -> "&")
+
+  /**
+   * HTML → text extraction — the FIRST stage of every real crawl
+   * pipeline (round-13 verdict task 5): [[graft.functions.Dedup]]'s
+   * line-level pass strips repeated boilerplate, but nothing removed
+   * markup. The FULL rule, stated once (the DuckDB oracle mirrors it
+   * regex-for-regex and the property model re-implements it as an
+   * independent char-level walk):
+   *
+   *  1. drop `<!-- … -->` comments (non-greedy, dot-matches-newline; an
+   *     unclosed comment stays — the rule never invents structure);
+   *  2. drop script/style/noscript SUBTREES: an opening
+   *     `<tag\b[^>]*>` through the nearest `</tag[ws]*>`, case-
+   *     insensitive; an opening with no close stays and falls through
+   *     to the tag strip (content kept — conservative for dedup);
+   *  3. block-tag boundaries ([[HtmlBlockTags]], opening or closing,
+   *     any attributes, self-closing included) become `\n`;
+   *  4. every remaining `<…>` tag is dropped (a `<` with no closing
+   *     `>` is TEXT and stays);
+   *  5. entity decode, [[HtmlEntities] order (`&amp;` last);
+   *  6. whitespace: runs of space/tab/CR/FF collapse to one space,
+   *     spaces hug into newlines, 3+ newlines collapse to 2, and the
+   *     result is trimmed of leading/trailing spaces/newlines.
+   *
+   * Pure Column work (codegen'd regexp/string expressions, the
+   * [[normalize]] precedent — RE2∩Java syntax only: no backreferences,
+   * no lookaround, explicit whitespace classes because Java's and
+   * RE2's `\s` disagree on `\x0B`): a narrow map, no shuffle,
+   * scan-speed at 100 TB. Deliberately REGEX-shaped, not a parser —
+   * no CDATA, no conditional comments, no nested same-tag subtrees
+   * (`<div>` nesting is irrelevant: every block boundary is a newline
+   * regardless of depth); malformed markup degrades to keeping text,
+   * never to dropping it. Null → empty string.
+   */
+  def htmlExtract(html: Column): Column = {
+    val noComments =
+      regexp_replace(coalesce(html, lit("")), "(?s)<!--.*?-->", "")
+    val noSubtrees = Seq("script", "style", "noscript")
+      .foldLeft(noComments)((c, t) =>
+        regexp_replace(c, s"(?is)<$t\\b[^>]*>.*?</$t[ \\t\\n\\r]*>", ""))
+    val blocks = regexp_replace(noSubtrees,
+      s"(?i)</?(${HtmlBlockTags.mkString("|")})\\b[^>]*>", "\n")
+    val noTags = regexp_replace(blocks, "<[^>]*>", "")
+    val decoded = HtmlEntities.foldLeft(noTags) { case (c, (e, v)) =>
+      replace(c, lit(e), lit(v))
+    }
+    val oneSpace = regexp_replace(decoded, "[ \\t\\r\\f]+", " ")
+    val tightNl = regexp_replace(oneSpace, " ?\\n ?", "\n")
+    val twoNl = regexp_replace(tightNl, "\\n{3,}", "\n\n")
+    regexp_replace(twoNl, "^[ \\n]+|[ \\n]+$", "")
+  }
+
   def canonicalizeUrl(u: Column): Column = {
     val stripped = regexp_replace(u, "#.*$", "")
     val halves = split(stripped, "\\?", 2)

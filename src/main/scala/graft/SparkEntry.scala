@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.model.ChangesetSchema
-import graft.functions.{Bloom, Dedup, DeflateLen, Md5Prefix28, Multimodal, Packing, Sampling, Similarity, Subword, TextClean, TextFns}
+import graft.functions.{Bloom, Bpe, Dedup, DeflateLen, Md5Prefix28, Multimodal, Packing, Sampling, Similarity, Subword, TextClean, TextFns}
 import graft.operators.{AsOfJoin, Checksum, Materializer, Pipeline, Stages, TableFilters, TimeSeries}
 import graft.sources.{Changelog, Replay, Tables}
 
@@ -1103,6 +1103,19 @@ object SparkEntry {
             .as("n_unk"),
           md5(concat_ws(" ", col("t"))).as("tokens_md5"))),
 
+    // Merge-rank BPE beside WordPiece (round-13 verdict task 6):
+    // GPT-family budgets count ranked-merge tokens, which diverge from
+    // greedy longest-match. The oracle replays the merge loop as a
+    // recursive replace chain over the DISTINCT word set (task 2's
+    // oracle-budget lesson applied up front — measured ~seconds at 10×,
+    // not the recursive-per-doc cliff).
+    "text_bpe_tokens" -> ((s, dir) =>
+      documents(s, dir)
+        .select(col("doc_id"), Bpe.tokens(lower(col("text"))).as("t"))
+        .select(col("doc_id"),
+          size(col("t")).cast("long").as("n_tokens"),
+          md5(concat_ws(" ", col("t"))).as("tokens_md5"))),
+
     // Sequence packing on SUBWORD counts — the pack_offsets twin proving
     // the tokenizer-accurate currency drops into the packing/budget
     // operators unchanged (same two-phase distributed prefix sum)
@@ -1892,6 +1905,53 @@ object SparkEntry {
       "CAST(sum(wt.ntok) AS BIGINT) AS n, " +
       "CAST(sum(CASE WHEN wt.toks = '[UNK]' THEN 1 ELSE 0 END) AS BIGINT) " +
       "AS nu FROM w JOIN wt ON w.word = wt.word GROUP BY w.doc_id)"
+
+  // Merge-rank BPE CTE chain for the text_bpe_tokens oracle: replays
+  // the EXPRESSION's ranked-merge loop (Bpe.mergesValuesSql — single
+  // source of truth) per DISTINCT word. A word's token state is a
+  // bracket-delimited string (chr(2) tok chr(3) per segment), so one
+  // replace() of '(a)(b)' → '(ab)' IS "merge every left-to-right
+  // non-overlapping occurrence" (replace continues after the replaced
+  // span and brackets forbid mid-token matches). Each recursion step
+  // applies the LOWEST-ranked merge present anywhere in the word
+  // (NOT EXISTS over lower ranks); the walk's last iterate per word is
+  // the token sequence. Words > 50 code points skip merging (the
+  // expression's bound). Same word splitter and ≤256-words-per-doc
+  // unnest as the subword CTE.
+  private def bpeCte: String = {
+    val pat = "chr(2)||%s.a||chr(3)||chr(2)||%s.b||chr(3)"
+    "WITH RECURSIVE merges(a, b, rank) AS (VALUES " +
+      Bpe.mergesValuesSql() + "), " +
+      "d AS (SELECT doc_id, regexp_extract_all(coalesce(lower(text), ''), " +
+      "'[a-z0-9]+|[^a-z0-9 \\t\\n\\r\\f]') AS ws FROM documents), " +
+      "w AS (SELECT doc_id, i AS word_ord, ws[i] AS word FROM d, " +
+      "(SELECT unnest(range(1, 257)) AS i) ix WHERE i <= len(ws)), " +
+      "dw AS (SELECT DISTINCT word FROM w), " +
+      "walk(word, s, it) AS (" +
+      "SELECT word, chr(2) || list_aggr(string_split(word, ''), " +
+      "'string_agg', chr(3)||chr(2)) || chr(3), 0 FROM dw " +
+      "WHERE len(word) <= 50 " +
+      "UNION ALL SELECT w2.word, " +
+      s"replace(w2.s, ${pat.format("m", "m")}, " +
+      "chr(2)||m.a||m.b||chr(3)), w2.it + 1 " +
+      "FROM walk w2 JOIN merges m " +
+      s"ON position(${pat.format("m", "m")} IN w2.s) > 0 " +
+      "WHERE NOT EXISTS (SELECT 1 FROM merges m2 WHERE m2.rank < m.rank " +
+      s"AND position(${pat.format("m2", "m2")} IN w2.s) > 0)), " +
+      "wfin AS (SELECT word, s FROM walk " +
+      "QUALIFY row_number() OVER (PARTITION BY word ORDER BY it DESC) = 1 " +
+      "UNION ALL SELECT word, chr(2) || list_aggr(string_split(word, ''), " +
+      "'string_agg', chr(3)||chr(2)) || chr(3) FROM dw " +
+      "WHERE len(word) > 50), " +
+      "wt AS (SELECT word, CAST(length(s) - length(replace(s, chr(2), ''))" +
+      " AS BIGINT) AS ntok, " +
+      "replace(substr(s, 2, length(s) - 2), chr(3)||chr(2), ' ') AS joined " +
+      "FROM wfin), " +
+      "doctok AS (SELECT w.doc_id, " +
+      "string_agg(wt.joined, ' ' ORDER BY w.word_ord) AS joined, " +
+      "CAST(sum(wt.ntok) AS BIGINT) AS n " +
+      "FROM w JOIN wt ON w.word = wt.word GROUP BY w.doc_id)"
+  }
 
   // shingle-set CTE shared by the dedup oracles (3-word shingles, distinct)
   private val shingleCteBody =
@@ -2922,6 +2982,12 @@ object SparkEntry {
       (subwordCte + " SELECT d.doc_id, coalesce(t.n, 0) AS n_tokens, " +
         "coalesce(t.nu, 0) AS n_unk, md5(coalesce(t.joined, '')) " +
         "AS tokens_md5 FROM d LEFT JOIN doctok t ON d.doc_id = t.doc_id " +
+        "ORDER BY d.doc_id"),
+
+    "text_bpe_tokens" ->
+      (bpeCte + " SELECT d.doc_id, coalesce(t.n, 0) AS n_tokens, " +
+        "md5(coalesce(t.joined, '')) AS tokens_md5 " +
+        "FROM d LEFT JOIN doctok t ON d.doc_id = t.doc_id " +
         "ORDER BY d.doc_id"),
 
     "pack_offsets_subword" ->

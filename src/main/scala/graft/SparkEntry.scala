@@ -1082,6 +1082,16 @@ object SparkEntry {
       Similarity.quantizedTopK(embeddings(s, dir), "vec_id", "embedding",
         0L, 5, rerank = 20)),
 
+    // Product-quantized ANN with exact rescore (IVF-PQ's compression
+    // half — the decade past int8: 64 floats → 8 one-byte codes, ADC
+    // table lookups instead of dot products in the candidate scan).
+    // In-query form trains the per-subvector codebooks deterministically
+    // so the DuckDB oracle replays train → encode → ADC → rescore
+    // bit-for-bit.
+    "embed_topk_pq" -> ((s, dir) =>
+      Similarity.pqTopK(embeddings(s, dir), "vec_id", "embedding",
+        0L, 5, rerank = 20, m = 8, ksub = 16, iters = 2)),
+
     // Sequence packing: contiguous token-stream offsets + training-window
     // assignment via a two-phase distributed prefix sum (no global window)
     "pack_offsets" -> ((s, dir) =>
@@ -2159,6 +2169,75 @@ object SparkEntry {
     }).mkString(", ")
   }
 
+  /** One PQ Lloyd's assignment round in SQL: per (vec, sub), the argmin
+    * squared-L2 code from codebook CTE `cIn` (sub, code, c), ties to the
+    * smaller code — [[Similarity.pqTopK]]'s pqNearestCode. d2 is the
+    * same left fold over the same element order as the engine's
+    * zip_with/aggregate. */
+  private def pqAssignCte(cIn: String, out: String): String =
+    s"$out AS (SELECT vec_id, sub, code FROM (" +
+      "SELECT s.vec_id, s.sub, c.code, row_number() OVER (" +
+      "PARTITION BY s.vec_id, s.sub ORDER BY " +
+      "list_reduce(list_prepend(0.0, list_transform(range(1, 9), " +
+      "i -> (s.sv[i] - c.c[i]) * (s.sv[i] - c.c[i]))), (a, x) -> a + x), " +
+      s"c.code) AS rn FROM psub s JOIN $cIn c ON c.sub = s.sub) q " +
+      "WHERE rn = 1)"
+
+  /** PQ chunked-centroid update + empty-cell carryover: assignment CTE
+    * `a` + previous codebook `cIn` → codebook `out`. Mirrors
+    * [[Similarity.centroidComponents]] (md5%1024 chunks, per-chunk fold
+    * ordered by id, chunk fold ordered by chunk, one double division)
+    * at 8 dims with composite (sub, code) labels; a code nothing chose
+    * keeps its previous centroid (the engine's LEFT JOIN + coalesce). */
+  private def pqCentroidCte(a: String, cIn: String, out: String): String =
+    s"px$out AS (SELECT $a.sub, $a.code, s.vec_id, " +
+      "CAST(i AS INTEGER) - 1 AS pos, s.sv[i] AS v, " +
+      s"${Dedup.hash28Sql("s.vec_id::VARCHAR")} % 1024 AS chunk " +
+      s"FROM $a JOIN psub s ON s.vec_id = $a.vec_id AND s.sub = $a.sub, " +
+      "(SELECT unnest(range(1, 9)) AS i) idx), " +
+      s"pp$out AS (SELECT sub, code, pos, chunk, " +
+      "list_reduce(list_prepend(0.0, list(v ORDER BY vec_id)), " +
+      "(s, x) -> s + x) AS psum, count(*) AS n " +
+      s"FROM px$out GROUP BY sub, code, pos, chunk), " +
+      s"pct$out AS (SELECT sub, code, pos, " +
+      "list_reduce(list_prepend(0.0, list(psum ORDER BY chunk)), " +
+      "(s, x) -> s + x) / CAST(sum(n) AS BIGINT) AS dim_avg " +
+      s"FROM pp$out GROUP BY sub, code, pos), " +
+      s"pn$out AS (SELECT sub, code, list(dim_avg ORDER BY pos) AS c " +
+      s"FROM pct$out GROUP BY sub, code), " +
+      s"$out AS (SELECT g.sub, g.code, coalesce(n.c, g.c) AS c " +
+      s"FROM $cIn g LEFT JOIN pn$out n ON n.sub = g.sub AND n.code = g.code)"
+
+  /** The full PQ chain for the embed_topk_pq oracle, through `pcand`
+    * (the ADC top-20 candidate ids): m=8 subvectors × ksub=16 codes,
+    * iters=2 (seed → one update round → final encode), probe vec_id 0.
+    * Subvector slices, seeds, folds, and tie-breaks all mirror
+    * [[Similarity.pqTopK]] expression-for-expression. */
+  private def pqCte: String =
+    "WITH subs AS (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS j), " +
+      "psub AS (SELECT e.vec_id, s.j AS sub, " +
+      "list_transform(range(1, 9), i -> e.embedding[s.j * 8 + i]::DOUBLE) " +
+      "AS sv FROM embeddings e, subs s), " +
+      "psd AS (SELECT vec_id, embedding, row_number() OVER (" +
+      "ORDER BY md5(vec_id::VARCHAR), vec_id) AS rn FROM embeddings), " +
+      "pcb0 AS (SELECT s.j AS sub, CAST(rn - 1 AS INTEGER) AS code, " +
+      "list_transform(range(1, 9), i -> embedding[s.j * 8 + i]::DOUBLE) " +
+      "AS c FROM psd, subs s WHERE rn <= 16), " +
+      pqAssignCte("pcb0", "pa1") + ", " +
+      pqCentroidCte("pa1", "pcb0", "pcb1") + ", " +
+      pqAssignCte("pcb1", "pa2") + ", " +
+      "plut AS (SELECT c.sub, c.code, " +
+      "list_reduce(list_prepend(0.0, list_transform(range(1, 9), " +
+      "i -> p.sv[i] * c.c[i])), (a, x) -> a + x) AS pdot " +
+      "FROM pcb1 c JOIN psub p ON p.sub = c.sub AND p.vec_id = 0), " +
+      "papx AS (SELECT a.vec_id, " +
+      "list_reduce(list_prepend(0.0, list(l.pdot ORDER BY a.sub)), " +
+      "(s, x) -> s + x) AS approx FROM pa2 a " +
+      "JOIN plut l ON l.sub = a.sub AND l.code = a.code " +
+      "WHERE a.vec_id <> 0 GROUP BY a.vec_id), " +
+      "pcand AS (SELECT vec_id FROM papx " +
+      "ORDER BY approx DESC, vec_id LIMIT 20)"
+
   private val enListSql = TextFns.EnStop.map(w => s"'$w'").mkString("(", ",", ")")
 
   /** [[TextFns.qualityScore]] in DuckDB form (shared by the quality and
@@ -2975,8 +3054,22 @@ object SparkEntry {
         "CAST(list_sum(list_transform(range(1, 65), i -> qv[i] * pq[i])) AS DOUBLE) " +
         "* scale * pscale AS approx FROM q, p WHERE vec_id <> 0 " +
         "ORDER BY approx DESC, vec_id LIMIT 20) " +
-        s"SELECT vec_id, ${cosSql("embedding", "pv")} AS cos FROM cand " +
+        s"SELECT vec_id, ${cosSql("embedding", "pv")} AS cos " +
+        "FROM cand " +
         "ORDER BY cos DESC, vec_id LIMIT 5"),
+
+    "embed_topk_pq" ->
+      // the PQ chain replayed end to end: per-subvector seeds (the SAME
+      // md5-smallest rows' slices), one Lloyd's round (argmin L2 with
+      // (d2, code) tie-break, chunked-centroid update with empty-cell
+      // carryover), final encode, ADC lookup-table scoring folded in sub
+      // order, exact-cos rescore of the top 20 — every float fold a
+      // list_reduce in the engine's element order
+      (pqCte + " SELECT e.vec_id, " +
+        s"${cosSql("e.embedding", "p.embedding")} AS cos " +
+        "FROM pcand c JOIN embeddings e ON e.vec_id = c.vec_id, " +
+        "(SELECT embedding FROM embeddings WHERE vec_id = 0) p " +
+        "ORDER BY cos DESC, e.vec_id LIMIT 5"),
 
     "text_subword_tokens" ->
       (subwordCte + " SELECT d.doc_id, coalesce(t.n, 0) AS n_tokens, " +

@@ -2181,4 +2181,209 @@ object Similarity {
             col("n_pairs")).as("recall"))
     }.reduce(_ unionByName _)
   }
+
+  // ---------------------------------------------------------------------
+  // Product quantization (IVF-PQ's compression half) — the canonical
+  // billion-scale ANN memory reduction: each vector is split into `m`
+  // subvectors and each subvector is replaced by the id of its nearest
+  // centroid from a per-subvector codebook of `ksub` entries, so a
+  // d-float vector stores as m small codes (64 × 4 B → 8 × 1 B here, a
+  // 32× cut; with 4-bit packing, 64×). Probes score candidates with
+  // ADC (asymmetric distance computation): one m×ksub lookup table of
+  // probe-subvector dots per probe, then each candidate's approximate
+  // inner product is m table lookups instead of d multiplies — the
+  // in-cell scan becomes memory-bandwidth-bound on codes, not vectors.
+  // The int8 path ([[quantizeInt8]]) cuts 4×; PQ is the next decade.
+  // ---------------------------------------------------------------------
+
+  /** Flatten (sub, code, center) codebook rows into ONE row holding the
+    * concatenated centroids ordered by (sub, code) — the broadcastable
+    * form every PQ pass rides along as a one-row cross join (the
+    * assignCellsPruned device), keeping assignment/encode/ADC fully
+    * NARROW: no shuffle touches the corpus. Flat layout:
+    * element (sub·ksub + code)·sd + i (0-based) = centroid dim i. */
+  private def pqFlat(cb: DataFrame): DataFrame =
+    cb.groupBy()
+      .agg(sort_array(collect_list(struct(col("sub"), col("code"),
+        col("center")))).as("__rows"))
+      .select(flatten(transform(col("__rows"),
+        r => r.getField("center"))).as("__cb"))
+
+  /** Squared L2 distance between subvector `sv` and the codebook-flat
+    * slice for (sub `j`, code `c`): explicit left fold from 0.0 so the
+    * IEEE op sequence is engine-reproducible (the DuckDB oracle mirrors
+    * it with list_reduce over the same element order). */
+  private def pqD2(sv: Column, cbFlat: Column, j: Column, c: Column,
+                   ksub: Int, sd: Int): Column =
+    aggregate(
+      zip_with(sv, slice(cbFlat, (j * ksub + c) * sd + 1, lit(sd)),
+        (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Nearest code for subvector `sv` under codebook `cbFlat`, sub `j`:
+    * argmin over the ksub candidates via array_min of (d2, code) structs
+    * — lexicographic struct order = (distance ASC, code ASC), the same
+    * tie-break every quantizer here uses. Pure expression, no shuffle. */
+  private def pqNearestCode(sv: Column, cbFlat: Column, j: Column,
+                            ksub: Int, sd: Int): Column =
+    array_min(transform(sequence(lit(0), lit(ksub - 1)), c =>
+      struct(pqD2(sv, cbFlat, j, c, ksub, sd).as("d"),
+        c.as("code")))).getField("code")
+
+  /** Subvector slice `j` (0-based) of `vec`, promoted to double. */
+  private def pqSub(vec: Column, j: Column, sd: Int): Column =
+    transform(slice(vec, j * sd + 1, lit(sd)), x => x.cast("double"))
+
+  /**
+   * Train per-subvector PQ codebooks with deterministic Lloyd's k-means —
+   * the [[kmeansLabels]] recipe applied independently to each of the `m`
+   * subvector spaces, all trained in ONE pass per round (subvectors ride
+   * as rows labeled (sub, code), so each round is one narrow argmin map
+   * plus the shared chunked-centroid aggregate — no per-subvector jobs):
+   *
+   *  - seeds: the `ksub` corpus vectors with smallest (md5(id), id) —
+   *    every subvector's codebook seeds from the SAME rows' slices;
+   *  - assign: nearest code by squared L2 (ties to the smaller code id),
+   *    computed as a pure expression against the broadcast flat codebook;
+   *  - update: the chunked-centroid mean ([[centroidComponents]]) with
+   *    composite label sub·ksub+code — bit-reproducible on any layout;
+   *  - FIXED `iters` rounds (data-dependent stops don't cross engines).
+   *
+   * L2 (not cosine) is the PQ-standard metric: subvector norms carry
+   * magnitude information the reconstruction needs, and zero subvectors
+   * (common — a vector can be zero in one 8-dim slice) have no cosine.
+   * `trainMod > 1` trains on a bounded md5-hash sample, the same
+   * quadratic-cost escape as [[kmeansLabels]] (contract rows pin 1 so
+   * the unrolled SQL oracle stays engine-identical).
+   *
+   * Returns (sub, code, center) with `center` a length dims/m double
+   * array. Scale: per round O(n·m·ksub·(dims/m)) = O(n·ksub·dims) map
+   * work — same as one coarse k-means round — and codebooks are
+   * m·ksub·(dims/m) = ksub·dims doubles, broadcast-sized forever.
+   */
+  def pqTrain(df: DataFrame, idCol: String, vecCol: String, m: Int = 8,
+              ksub: Int = 16, iters: Int = 2, dims: Int = 64,
+              trainMod: Int = 1): DataFrame = {
+    require(m >= 1 && dims % m == 0, s"m=$m must divide dims=$dims")
+    require(ksub >= 1 && iters >= 1 && trainMod >= 1,
+      s"ksub=$ksub iters=$iters trainMod=$trainMod")
+    val sd = dims / m
+    val base = spread(df.select(col(idCol), col(vecCol)))
+      .localCheckpoint(false)
+    val train =
+      if (trainMod <= 1) base
+      else base.filter(pmod(Md5Prefix28(col(idCol).cast("string")),
+        lit(trainMod.toLong)) === 0).localCheckpoint(false)
+    // (id, sub, sv) rows: the per-subvector training corpus
+    val subRows = train
+      .select(col(idCol), explode(sequence(lit(0), lit(m - 1))).as("__sub"),
+        col(vecCol))
+      .select(col(idCol), col("__sub"),
+        pqSub(col(vecCol), col("__sub"), sd).as("__sv"))
+    val seedW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__m"), col(idCol))
+    val seeds = train
+      .select(col(idCol), col(vecCol),
+        md5(col(idCol).cast("string")).as("__m"))
+      .orderBy(col("__m"), col(idCol)).limit(ksub)
+      .withColumn("code", (row_number().over(seedW) - 1).cast("int"))
+    var cb = seeds
+      .select(explode(sequence(lit(0), lit(m - 1))).as("sub"), col("code"),
+        col(vecCol))
+      .select(col("sub"), col("code"),
+        pqSub(col(vecCol), col("sub"), sd).as("center"))
+    for (_ <- 1 until iters) {
+      val labeled = subRows.crossJoin(broadcast(pqFlat(cb)))
+        .select(col(idCol), col("__sv"),
+          (col("__sub") * ksub +
+            pqNearestCode(col("__sv"), col("__cb"), col("__sub"), ksub, sd))
+            .as("__pcell"))
+      val updated = centersFromComponents(
+        centroidComponents(labeled, "__pcell", idCol, "__sv", sd),
+        "__pcell")
+        .select((col("__cell") / ksub).cast("int").as("sub"),
+          pmod(col("__cell"), lit(ksub)).cast("int").as("code"),
+          col("__center").as("__new"))
+      // a code no subvector chose this round keeps its previous centroid
+      // — the flat-codebook layout REQUIRES the (sub, code) grid complete
+      // (slice offsets are positional), and k-means restarts on empty
+      // cells don't cross engines; the oracle mirrors with a LEFT JOIN
+      cb = cb.join(updated, Seq("sub", "code"), "left")
+        .select(col("sub"), col("code"),
+          coalesce(col("__new"), col("center")).as("center"))
+    }
+    cb
+  }
+
+  /**
+   * PQ-encode a corpus against trained codebooks: (id, codes) with
+   * `codes` the length-m int array of nearest code ids per subvector.
+   * ONE narrow map over the corpus — the codebook rides as a one-row
+   * broadcast, no shuffle, no explode: the 100 TB encode is a scan.
+   */
+  def pqEncode(df: DataFrame, codebooks: DataFrame, idCol: String,
+               vecCol: String, m: Int = 8, ksub: Int = 16,
+               dims: Int = 64): DataFrame = {
+    val sd = dims / m
+    df.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(pqFlat(codebooks)))
+      .select(col(idCol),
+        transform(sequence(lit(0), lit(m - 1)), j =>
+          pqNearestCode(pqSub(col(vecCol), j, sd), col("__cb"), j,
+            ksub, sd)).as("codes"))
+  }
+
+  /**
+   * PQ ANN with exact rescore, single probe — the [[quantizedTopK]] twin
+   * at the next compression decade: candidates rank by the ADC
+   * approximate inner product (per probe, an m×ksub lookup table of
+   * probe-subvector · centroid dots is computed ONCE as a pure
+   * expression; each candidate then costs m table lookups folded in sub
+   * order — deterministic left fold, engine-reproducible), and only the
+   * top `rerank` are rescored with the exact double cosine.
+   *
+   * In-query form: trains codebooks on the WHOLE table (probe included,
+   * like [[quantizedTopK]] quantizes the whole table) so a DuckDB oracle
+   * can replay training, encode, ADC, and rescore bit-for-bit.
+   *
+   * Scale shape: train (bounded via trainMod at scale) + ONE narrow
+   * corpus scan computing codes and approx scores (codebook and LUT ride
+   * broadcast; nothing corpus-sized shuffles), a rerank-sized global
+   * top-k (per-partition partial + single reduce), and a rerank-row
+   * exact pass. With codes PERSISTED (pqEncode output stored beside an
+   * IVF cell layout), the scan reads m bytes/vector instead of 4·dims.
+   */
+  def pqTopK(df: DataFrame, idCol: String, vecCol: String, probeId: Long,
+             k: Int, rerank: Int = 20, m: Int = 8, ksub: Int = 16,
+             iters: Int = 2, dims: Int = 64, trainMod: Int = 1): DataFrame = {
+    val sd = dims / m
+    val cb = pqTrain(df, idCol, vecCol, m, ksub, iters, dims, trainMod)
+    val codes = pqEncode(df, cb, idCol, vecCol, m, ksub, dims)
+    // LUT: one row — lut[j·ksub + c] = dot(probe_sub_j, centroid_{j,c}),
+    // each entry the same left-fold dot the rescore uses
+    val probe = df.filter(col(idCol) === probeId)
+      .select(col(vecCol).as("__pv"))
+    val lut = probe.crossJoin(broadcast(pqFlat(cb)))
+      .select(col("__pv"),
+        flatten(transform(sequence(lit(0), lit(m - 1)), j =>
+          transform(sequence(lit(0), lit(ksub - 1)), c =>
+            aggregate(
+              zip_with(pqSub(col("__pv"), j, sd),
+                slice(col("__cb"), (j * ksub + c) * sd + 1, lit(sd)),
+                (a, b) => a * b),
+              lit(0.0), (acc, x) => acc + x)))).as("__lut"))
+    val approx = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, j) => acc +
+        element_at(col("__lut"), (j * ksub + element_at(col("codes"), j + 1))
+          .cast("int") + 1))
+    codes.crossJoin(broadcast(lut))
+      .filter(col(idCol) =!= probeId)
+      .select(col(idCol), col("__pv"), approx.as("__approx"))
+      .orderBy(col("__approx").desc, col(idCol))
+      .limit(rerank)
+      .join(df.select(col(idCol), col(vecCol)), Seq(idCol))
+      .select(col(idCol), cosine(col(vecCol), col("__pv")).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
 }

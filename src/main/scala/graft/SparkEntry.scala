@@ -740,6 +740,20 @@ object SparkEntry {
       Multimodal.phashNearDup(s, media, maxHamming = 3)
     }),
 
+    // Perceptual VIDEO near-dup: real MP4 containers holding MJPEG-style
+    // concatenated JPEG frames; re-encoded footage (same frames,
+    // different codec layout) and one-frame-perturbed variants pair iff
+    // equal frame counts AND every aligned frame within hamming ≤ 3.
+    // The oracle predicts every frame hash from the grid arithmetic —
+    // the Spark side must recover them through container walk + frame
+    // split + the real JPEG decode.
+    "mm_video_phash_neardup" -> ((s, dir) => {
+      val ids = documents(s, dir).select(col("doc_id"))
+        .filter(col("doc_id") < 600)
+      val media = Multimodal.videoPhashFixtureMedia(s, ids, groups = 25)
+      Multimodal.videoPhashNearDup(s, media, maxHamming = 3)
+    }),
+
     // Perceptual near-dup CLUSTERS — the keeper-selection form (drop
     // rows where doc_id != cluster_id); connected components over the
     // same hamming ≤ 3 pair graph, singletons label themselves,
@@ -3552,6 +3566,47 @@ object SparkEntry {
 
     "mm_phash_against" -> phashAgainstOracle,
     "mm_phash_against_appended" -> phashAgainstOracle,
+
+    "mm_video_phash_neardup" ->
+      // per-(doc, frame) dHash from the fixture arithmetic (frame fi of
+      // doc (v, g) carries the grid at group g*4+fi; the v=2 perturbed
+      // cell lives only in frame fi = g % 4 at (gf % 8, gf % 9)); pairs
+      // need EVERY aligned frame within hamming ≤ 3 — frame counts are
+      // equal by construction (4), so count(*) = 4 per surviving pair
+      ("WITH ids AS (SELECT doc_id, doc_id % 3 AS v, " +
+        "(doc_id // 3) % 25 AS g FROM documents " +
+        "WHERE doc_id < 600 AND doc_id % 11 <> 0), " +
+        "fr AS (SELECT doc_id, v, g * 4 + f.range AS gf, " +
+        "(v = 2 AND f.range = g % 4) AS pert, " +
+        "CAST(f.range AS INTEGER) AS fi FROM ids, range(4) f), " +
+        "cells AS (SELECT r.doc_id, r.fi, y.range AS cy, x.range AS cx, " +
+        "CASE WHEN r.pert AND y.range = r.gf % 8 AND x.range = r.gf % 9 " +
+        "THEN 250 - (((r.gf*73 + y.range*9 + x.range + 1) * " +
+        "(r.gf*73 + y.range*9 + x.range + 1) * 13 " +
+        "+ (r.gf*73 + y.range*9 + x.range + 1) * 7) % 251) " +
+        "ELSE ((r.gf*73 + y.range*9 + x.range + 1) * " +
+        "(r.gf*73 + y.range*9 + x.range + 1) * 13 " +
+        "+ (r.gf*73 + y.range*9 + x.range + 1) * 7) % 251 END AS gray " +
+        "FROM fr r, range(8) y, range(9) x), " +
+        "vbits AS (SELECT l.doc_id, l.fi, l.cy*8 + l.cx AS b " +
+        "FROM cells l JOIN cells r ON l.doc_id = r.doc_id " +
+        "AND l.fi = r.fi AND l.cy = r.cy AND r.cx = l.cx + 1 " +
+        "WHERE l.cx < 8 AND l.gray > r.gray), " +
+        // BIGINT cast: SUM widens to HUGEINT whose xor sign-extends at
+        // bit 63 (the dHash CTE device)
+        "fhashes AS (SELECT r.doc_id, r.fi, CAST(COALESCE(SUM(" +
+        "CASE WHEN t.b = 63 THEN CAST(-9223372036854775808 AS BIGINT) " +
+        "ELSE (CAST(1 AS BIGINT) << CAST(t.b AS INT)) END), 0) AS BIGINT) " +
+        "AS h FROM fr r LEFT JOIN vbits t " +
+        "ON r.doc_id = t.doc_id AND r.fi = t.fi GROUP BY r.doc_id, r.fi) " +
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "CAST(count(*) AS INT) AS n_frames, " +
+        "CAST(max(bit_count(xor(a.h, b.h))) AS INT) AS max_hamming " +
+        "FROM fhashes a JOIN fhashes b " +
+        "ON a.doc_id < b.doc_id AND a.fi = b.fi " +
+        "GROUP BY a.doc_id, b.doc_id " +
+        "HAVING max(bit_count(xor(a.h, b.h))) <= 3 " +
+        "ORDER BY doc_a, doc_b"),
 
     "mm_audio_phash_neardup" ->
       // the 1-D twin of the dHash CTE: 65-window envelope from the

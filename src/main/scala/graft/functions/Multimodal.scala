@@ -949,6 +949,188 @@ object Multimodal {
     }.toDF("doc_id", "kind", "content", "byte_len")
   }
 
+  // ------------------------------------------------ video perceptual dedup
+
+  /** Split an MJPEG-style sample stream (concatenated complete baseline
+    * JPEGs — each sample its own SOI…EOI span) into frames. Safe on
+    * encoder-produced streams: entropy data byte-stuffs FF as FF00 and
+    * restart markers are FFD0–D7, so FFD8/FFD9 occur only as real
+    * frame boundaries. Garbage between frames is skipped; an
+    * unterminated trailing SOI is dropped (a truncated tail frame must
+    * not hash). */
+  private[graft] def splitJpegFrames(payload: Array[Byte]): Seq[Array[Byte]] = {
+    val out = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    var i = 0
+    while (i + 1 < payload.length) {
+      if ((payload(i) & 0xFF) == 0xFF && (payload(i + 1) & 0xFF) == 0xD8) {
+        var j = i + 2
+        var end = -1
+        while (end < 0 && j + 1 < payload.length) {
+          if ((payload(j) & 0xFF) == 0xFF && (payload(j + 1) & 0xFF) == 0xD9)
+            end = j + 2
+          j += 1
+        }
+        if (end < 0) i = payload.length
+        else { out += java.util.Arrays.copyOfRange(payload, i, end); i = end }
+      } else i += 1
+    }
+    out.toSeq
+  }
+
+  /** Per-frame dHashes of a fixture/MJPEG video: container walk
+    * ([[VideoHeader]]) → mdat → frame split → [[JpegCodec]] decode →
+    * dHash. Uniform deterministic sampling caps the work at `maxFrames`
+    * hashes per video regardless of duration (positions i·n/maxFrames —
+    * re-derivable from the frame count alone, so two equal-length
+    * videos always sample ALIGNED positions). A video with any
+    * undecodable sampled frame is quarantined whole (None): a partial
+    * signature would alias a shorter video's and produce false pairs. */
+  private def videoFrameDHashes(bytes: Array[Byte],
+                                maxFrames: Int): Option[Seq[Long]] = {
+    val info = VideoHeader.parse(bytes).orNull
+    if (info == null || info.mdatOffset < 0 || info.mdatLen <= 0 ||
+      info.mdatOffset + info.mdatLen > bytes.length) return None
+    val payload = java.util.Arrays.copyOfRange(bytes,
+      info.mdatOffset.toInt, (info.mdatOffset + info.mdatLen).toInt)
+    val frames = splitJpegFrames(payload)
+    if (frames.isEmpty) return None
+    val sampled =
+      if (frames.length <= maxFrames) frames
+      else (0 until maxFrames).map(i => frames((i * frames.length) / maxFrames))
+    val hashes = sampled.map(JpegCodec.dHashOf)
+    if (hashes.exists(_.isEmpty)) None else Some(hashes.map(_.get))
+  }
+
+  /** (doc_id, frame_idx, dhash) rows — the video twin of
+    * [[phashSignatures]]; frame_idx is the 0-based SAMPLED position so
+    * equal-length videos align positionally. `mapPartitions` only at the
+    * byte-decode edge, like every other codec path here. */
+  def videoPhashSignatures(spark: SparkSession, media: DataFrame,
+                           maxFrames: Int = 8): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        videoFrameDHashes(bytes, maxFrames).toSeq.flatten.zipWithIndex
+          .map { case (h, fi) => (id, fi, h) }
+      }).toDF("doc_id", "frame_idx", "dhash")
+  }
+
+  /**
+   * Perceptual VIDEO near-dup — re-encoded copies of the same footage
+   * (different codec layout, same frames) and one-frame-perturbed
+   * variants collide where exact content dedup misses them. Two videos
+   * pair iff they sampled the SAME number of frames and EVERY aligned
+   * frame pair is within `maxHamming` (the all-frames rule: a single
+   * divergent frame means different footage, and "most frames match"
+   * semantics would make the pair relation intransitive in a way no
+   * downstream keeper rule can honor). Returns
+   * (doc_a, doc_b, n_frames, max_hamming).
+   *
+   * Scale shape: candidates come from the SAME 4×16-bit pigeonhole
+   * block join as the image path, keyed additionally by frame_idx —
+   * sound for the all-frames rule (every aligned pair ≤ maxHamming ⟹
+   * frame 0 alone pigeonholes into some equal block), and only 8-byte
+   * keys shuffle. Verification joins hashes (not media bytes) for the
+   * candidate pairs only.
+   */
+  def videoPhashNearDup(spark: SparkSession, media: DataFrame,
+                        maxHamming: Int = 3,
+                        maxFrames: Int = 8): DataFrame = {
+    val blocks = maxHamming + 1
+    require(64 % blocks == 0,
+      s"maxHamming=$maxHamming: 64 bits must split into equal blocks")
+    val width = 64 / blocks
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val sig = videoPhashSignatures(spark, media, maxFrames)
+      .localCheckpoint(false)
+    val keyed = sig.select(col("doc_id"), col("frame_idx"),
+      posexplode(array((0 until blocks).map(b =>
+        shiftrightunsigned(col("dhash"), b * width)
+          .bitwiseAND(lit(mask))): _*)).as(Seq("blk", "bval")))
+    val cand = keyed.select(col("doc_id").as("doc_a"), col("frame_idx"),
+      col("blk"), col("bval"))
+      .join(keyed.select(col("doc_id").as("doc_b"), col("frame_idx"),
+        col("blk"), col("bval")), Seq("frame_idx", "blk", "bval"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val counts = sig.groupBy(col("doc_id")).agg(count(lit(1)).as("__nf"))
+    cand
+      .join(sig.select(col("doc_id").as("doc_a"), col("frame_idx"),
+        col("dhash").as("__ha")), Seq("doc_a"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("frame_idx"),
+        col("dhash").as("__hb")), Seq("doc_b", "frame_idx"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("__aligned"),
+        max(expr("bit_count(__ha ^ __hb)")).cast("int").as("max_hamming"))
+      .join(counts.select(col("doc_id").as("doc_a"),
+        col("__nf").as("__na")), Seq("doc_a"))
+      .join(counts.select(col("doc_id").as("doc_b"),
+        col("__nf").as("__nb")), Seq("doc_b"))
+      .filter(col("__aligned") === col("__na") &&
+        col("__aligned") === col("__nb") &&
+        col("max_hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"),
+        col("__aligned").cast("int").as("n_frames"), col("max_hamming"))
+  }
+
+  /**
+   * Construction-predicting VIDEO fixture: real ISO-BMFF containers
+   * ([[VideoHeader.mp4Bytes]]) whose mdat is four concatenated 72×64
+   * unit-quant baseline JPEGs (MJPEG-style — each sample a complete
+   * SOI…EOI frame). Frame fi of doc (v = id % 3, g = (id / 3) % groups)
+   * carries the [[phashFixtureGray]] grid at group g·4+fi, so every
+   * frame hash is SQL-predictable with no codec in sight:
+   *   v=0: grayscale frames                 — the original;
+   *   v=1: the SAME grids as 4:2:0 color    — re-encoded footage
+   *        (hamming 0 per frame; exact dedup misses it);
+   *   v=2: ONE frame (fi = g % 4) perturbed — near-dup ≤ 2 on that
+   *        frame, 0 elsewhere.
+   * id % 11 = 0: a valid container whose mdat is one dead-end-entropy
+   * JPEG — the malformed shape; the video quarantines whole.
+   */
+  def videoPhashFixtureMedia(spark: SparkSession, ids: DataFrame,
+                             groups: Int): DataFrame = {
+    import spark.implicits._
+    ids.select(col("doc_id").cast("long")).as[Long].map { id =>
+      val content: Array[Byte] =
+        if (id % 11 == 0) {
+          val good = JpegCodec.encode(Array.fill(72 * 64)(128), 72, 64,
+            JpegCodec.Gray, JpegCodec.unitQuant)
+          var i = 2
+          while (!((good(i) & 0xFF) == 0xFF && (good(i + 1) & 0xFF) == 0xDA))
+            i += 1
+          val sosEnd = i + 2 +
+            (((good(i + 2) & 0xFF) << 8) | (good(i + 3) & 0xFF))
+          val bad = good.take(sosEnd) ++
+            Array.fill(24)(Array(0xFF.toByte, 0x00.toByte)).flatten ++
+            Array(0xFF.toByte, 0xD9.toByte)
+          VideoHeader.mp4Bytes("isom", 1000, 4000L, 72, 64, v1 = false, bad)
+        } else {
+          val v = id % 3; val g = (id / 3) % groups
+          val frames = (0 until 4).map { fi =>
+            val vf = if (v == 2 && fi == (g % 4).toInt) 2L else 0L
+            val px = new Array[Int](72 * 64)
+            var y = 0
+            while (y < 64) {
+              var x = 0
+              while (x < 72) {
+                px(y * 72 + x) =
+                  phashFixtureGray(g * 4 + fi, vf, y / 8, x / 8)
+                x += 1
+              }
+              y += 1
+            }
+            JpegCodec.encode(px, 72, 64,
+              if (v == 1) JpegCodec.Color420 else JpegCodec.Gray,
+              JpegCodec.unitQuant)
+          }
+          VideoHeader.mp4Bytes("isom", 1000, 4000L, 72, 64, v1 = false,
+            frames.reduce(_ ++ _))
+        }
+      (id, "video/mp4", content, content.length.toLong)
+    }.toDF("doc_id", "kind", "content", "byte_len")
+  }
+
   // ------------------------------------------------ persisted phash index
 
   /** The index's fixed pigeonhole geometry: 4 blocks × 16 bits (sound

@@ -2386,4 +2386,51 @@ object Similarity {
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }
+
+  /**
+   * Batch PQ kNN join over PRE-TRAINED artifacts — the steady-state
+   * production form ([[pqTopK]] is the train-in-query contract twin):
+   * `codes` is a persisted [[pqEncode]] output (m bytes/vector instead
+   * of 4·dims — the scan that makes a 100 TB corpus fit the page
+   * cache), `codebooks` a [[pqTrain]] output. Per probe one ADC lookup
+   * table rides along broadcast; the corpus CODES are scanned once
+   * scoring every (candidate, probe) narrowly; the per-probe top
+   * `rerank` reduce through the bounded [[TopKAgg]]; only rerank·probes
+   * rows fetch their float vectors for the exact-cosine rescore.
+   * Returns (probe_id, rank, neighbor_id, cos) like [[knnJoinWith]].
+   */
+  def pqKnnJoin(df: DataFrame, codes: DataFrame, codebooks: DataFrame,
+                probes: DataFrame, idCol: String, vecCol: String,
+                k: Int, rerank: Int = 30, m: Int = 8, ksub: Int = 16,
+                dims: Int = 64): DataFrame = {
+    val sd = dims / m
+    val luts = probes.crossJoin(broadcast(pqFlat(codebooks)))
+      .select(col("probe_id"),
+        flatten(transform(sequence(lit(0), lit(m - 1)), j =>
+          transform(sequence(lit(0), lit(ksub - 1)), c =>
+            aggregate(
+              zip_with(pqSub(col("__pv"), j, sd),
+                slice(col("__cb"), (j * ksub + c) * sd + 1, lit(sd)),
+                (a, b) => a * b),
+              lit(0.0), (acc, x) => acc + x)))).as("__lut"))
+    val approx = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, j) => acc +
+        element_at(col("__lut"), (j * ksub + element_at(col("codes"), j + 1))
+          .cast("int") + 1))
+    val cand = spread(codes).crossJoin(broadcast(luts))
+      .select(col("probe_id"), col(idCol), approx.as("__approx"))
+      .groupBy(col("probe_id"))
+      .agg(TopKAgg(col("__approx"), col(idCol).cast("long"), rerank)
+        .as("__top"))
+      .select(col("probe_id"), explode(col("__top")).as("__e"))
+      .select(col("probe_id"), col("__e.id").as(idCol))
+    emitTopK(
+      cand.join(df.select(col(idCol).cast("long").as(idCol), col(vecCol)),
+        Seq(idCol))
+        .join(probes, Seq("probe_id"))
+        .select(col("probe_id"), col(idCol),
+          cosine(col(vecCol), col("__pv")).as("cos"))
+        .filter(!isnan(col("cos"))),
+      idCol, k)
+  }
 }

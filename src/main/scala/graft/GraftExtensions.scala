@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
-import graft.functions.{Md5Prefix28, Md5SignBits, Sampling, Similarity, Subword, SubwordTokenize, TextClean, TextFns, TopKAgg}
+import graft.functions.{Bpe, BpeTokenize, Md5Prefix28, Md5SignBits, Sampling, Similarity, Subword, SubwordTokenize, TextClean, TextFns, TopKAgg, Unigram, UnigramTokenize}
 
 /**
  * SparkSessionExtensions entry point: registers the engine's native
@@ -30,6 +30,10 @@ import graft.functions.{Md5Prefix28, Md5SignBits, Sampling, Similarity, Subword,
  *  - `bucket_us(tsUs, everyUs)` — floor time-bucketing (resample domain)
  *  - `subword_tokenize(loweredText)` — WordPiece greedy longest-match
  *    over the engine's fixture vocab (the packing/budget token unit)
+ *  - `bpe_tokenize(loweredText)` — merge-rank BPE over the fixture
+ *    merge table (the GPT-family budget unit)
+ *  - `unigram_tokenize(loweredText)` — unigram-LM Viterbi over the
+ *    fixture cost table (the SentencePiece-family budget unit)
  *
  * The composed functions expand to the SAME Column trees the library
  * API builds (via ColumnBridge), so SQL users get identical semantics,
@@ -120,6 +124,14 @@ object GraftExtensions {
     ("subword_tokenize", classOf[SubwordTokenize].getName, { children =>
       require(children.length == 1, "subword_tokenize expects one argument")
       SubwordTokenize(children.head, Subword.defaultPieces)
+    }),
+    ("bpe_tokenize", classOf[BpeTokenize].getName, { children =>
+      require(children.length == 1, "bpe_tokenize expects one argument")
+      BpeTokenize(children.head, Bpe.defaultMerges)
+    }),
+    ("unigram_tokenize", classOf[UnigramTokenize].getName, { children =>
+      require(children.length == 1, "unigram_tokenize expects one argument")
+      UnigramTokenize(children.head, Unigram.defaultPieces)
     }))
 
   private[graft] val descriptors = builders.map { case (name, clazz, builder) =>

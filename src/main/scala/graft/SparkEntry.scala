@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.model.ChangesetSchema
-import graft.functions.{Bloom, Bpe, Dedup, DeflateLen, Md5Prefix28, Multimodal, Packing, Sampling, Similarity, Subword, TextClean, TextFns}
+import graft.functions.{Bloom, Bpe, Dedup, DeflateLen, Md5Prefix28, Multimodal, Packing, Sampling, Similarity, Subword, TextClean, TextFns, Unigram}
 import graft.operators.{AsOfJoin, Checksum, Materializer, Pipeline, Stages, TableFilters, TimeSeries}
 import graft.sources.{Changelog, Replay, Tables}
 
@@ -1140,6 +1140,19 @@ object SparkEntry {
           size(col("t")).cast("long").as("n_tokens"),
           md5(concat_ws(" ", col("t"))).as("tokens_md5"))),
 
+    // Unigram-LM (SentencePiece-family) tokenization — the third
+    // tokenizer: Viterbi minimum-cost segmentation over integer piece
+    // costs, where a locally-longest piece loses to a cheaper
+    // decomposition (greedy's blind spot). The oracle replays the SAME
+    // DP over the DISTINCT word set as incremental best-cost lists —
+    // integer costs, so zero float hazard on any engine.
+    "text_unigram_tokens" -> ((s, dir) =>
+      documents(s, dir)
+        .select(col("doc_id"), Unigram.tokens(lower(col("text"))).as("t"))
+        .select(col("doc_id"),
+          size(col("t")).cast("long").as("n_tokens"),
+          md5(concat_ws(" ", col("t"))).as("tokens_md5"))),
+
     // Sequence packing on SUBWORD counts — the pack_offsets twin proving
     // the tokenizer-accurate currency drops into the packing/budget
     // operators unchanged (same two-phase distributed prefix sum)
@@ -1971,6 +1984,50 @@ object SparkEntry {
       " AS BIGINT) AS ntok, " +
       "replace(substr(s, 2, length(s) - 2), chr(3)||chr(2), ' ') AS joined " +
       "FROM wfin), " +
+      "doctok AS (SELECT w.doc_id, " +
+      "string_agg(wt.joined, ' ' ORDER BY w.word_ord) AS joined, " +
+      "CAST(sum(wt.ntok) AS BIGINT) AS n " +
+      "FROM w JOIN wt ON w.word = wt.word GROUP BY w.doc_id)"
+  }
+
+  // Unigram-LM CTE chain for the text_unigram_tokens oracle: replays
+  // the EXPRESSION's Viterbi DP (Unigram.piecesCostSql — single source
+  // of truth) per DISTINCT word. Each recursion step extends two
+  // per-word lists — best cost and best segmentation per prefix
+  // position — by the position t+1 argmin over candidate starts i
+  // (struct sort on (cost, i): ties to the smallest i, the engine's
+  // first-strictly-better scan). Integer costs: every comparison is
+  // exact on both engines. Words > 50 code points skip the DP (each
+  // code point its own token — the expression's bound). Same word
+  // splitter and ≤256-words-per-doc unnest as the subword CTE.
+  private def unigramCte: String = {
+    val pc = Unigram.piecesCostSql("substr(word, i + 1, t + 1 - i)")
+    "WITH RECURSIVE d AS (SELECT doc_id, " +
+      "regexp_extract_all(coalesce(lower(text), ''), " +
+      "'[a-z0-9]+|[^a-z0-9 \\t\\n\\r\\f]') AS ws FROM documents), " +
+      "w AS (SELECT doc_id, i AS word_ord, ws[i] AS word FROM d, " +
+      "(SELECT unnest(range(1, 257)) AS i) ix WHERE i <= len(ws)), " +
+      "dw AS (SELECT DISTINCT word FROM w), " +
+      "walk(word, t, costs, segs) AS (" +
+      "SELECT word, 0, [CAST(0 AS BIGINT)], [CAST('' AS VARCHAR)] " +
+      "FROM dw WHERE len(word) <= 50 " +
+      "UNION ALL SELECT word, t + 1, " +
+      "list_append(costs, best['c']), list_append(segs, best['s']) " +
+      "FROM (SELECT word, t, costs, segs, " +
+      "list_sort(list_filter(list_transform(range(0, t + 1), i -> " +
+      s"CASE WHEN $pc IS NOT NULL THEN " +
+      s"{'c': costs[i + 1] + $pc, 'i': i, " +
+      "'s': CASE WHEN i = 0 THEN substr(word, 1, t + 1) " +
+      "ELSE segs[i + 1] || ' ' || substr(word, i + 1, t + 1 - i) END} " +
+      "END), x -> x IS NOT NULL))[1] AS best " +
+      "FROM walk WHERE t < len(word)) q), " +
+      "wt AS (SELECT word, segs[len(word) + 1] AS joined, " +
+      "CAST(length(segs[len(word) + 1]) - " +
+      "length(replace(segs[len(word) + 1], ' ', '')) + 1 AS BIGINT) " +
+      "AS ntok FROM walk WHERE t = len(word) " +
+      "UNION ALL SELECT word, " +
+      "list_aggr(string_split(word, ''), 'string_agg', ' '), " +
+      "CAST(len(word) AS BIGINT) FROM dw WHERE len(word) > 50), " +
       "doctok AS (SELECT w.doc_id, " +
       "string_agg(wt.joined, ' ' ORDER BY w.word_ord) AS joined, " +
       "CAST(sum(wt.ntok) AS BIGINT) AS n " +
@@ -3093,6 +3150,12 @@ object SparkEntry {
 
     "text_bpe_tokens" ->
       (bpeCte + " SELECT d.doc_id, coalesce(t.n, 0) AS n_tokens, " +
+        "md5(coalesce(t.joined, '')) AS tokens_md5 " +
+        "FROM d LEFT JOIN doctok t ON d.doc_id = t.doc_id " +
+        "ORDER BY d.doc_id"),
+
+    "text_unigram_tokens" ->
+      (unigramCte + " SELECT d.doc_id, coalesce(t.n, 0) AS n_tokens, " +
         "md5(coalesce(t.joined, '')) AS tokens_md5 " +
         "FROM d LEFT JOIN doctok t ON d.doc_id = t.doc_id " +
         "ORDER BY d.doc_id"),

@@ -282,6 +282,30 @@ def main():
             fails.append(
                 "ivf_maintain_holds_after is not true - the policy must "
                 "not re-retrain a just-recovered index")
+    # round 14+: product quantization rows are REQUIRED (the aging
+    # precedent — an artifact that stops recording them silently voids
+    # the compression-path guarantee). Gates: the ADC+rescore probe must
+    # clear a recall floor at the 8-bit operating point (measured 0.949
+    # at 1x with ksub=256/rerank=100; 0.7 leaves headroom for the
+    # fixed-rerank dilution at 100x), and the PQ probe must not cost
+    # more than the exact float scan it exists to displace (1.3x + 0.3s
+    # slack: both are ~0.1-1s readings where a stray job launch swings
+    # more than the claim).
+    pq = ["pq_train_sec", "pq_encode_sec", "pq_probe200_sec",
+          "pq_recall5", "exact_probe200_sec"]
+    pq_missing = [k for k in pq if not isinstance(doc.get(k), (int, float))]
+    if pq_missing:
+        fails.append(f"product-quantization fields missing/non-numeric: "
+                     f"{pq_missing}")
+    else:
+        if doc["pq_recall5"] < 0.7:
+            fails.append(f"pq recall@5 {doc['pq_recall5']} below the 0.7 "
+                         "floor at the 8-bit operating point")
+        if doc["pq_probe200_sec"] > 1.3 * doc["exact_probe200_sec"] + 0.3:
+            fails.append(
+                f"pq probe {doc['pq_probe200_sec']:.2f}s costs more than "
+                f"the exact scan {doc['exact_probe200_sec']:.2f}s it "
+                "displaces (cap 1.3x + 0.3s)")
     # equal-K quantizer comparison: k-means exists because the label
     # column measured worse; allow a small tolerance for probe noise
     if doc["ivf_recall5_kmeans"] < doc["ivf_recall5_flat"] - 0.02:
@@ -369,6 +393,29 @@ def main():
                 fails.append(
                     f"phash probe grew with the corpus: {pbig:.2f}s at "
                     f"100x vs {pbase:.2f}s at 1x")
+        # product quantization (round 14+): the compression claim BINDS
+        # at scale — at 100x the ADC scan over 8-byte codes must
+        # undercut the exact float scan (both are corpus-proportional
+        # scans by design; PQ's point is the constant factor), and the
+        # recall floor must hold where the fixed rerank budget is most
+        # diluted. Absence at 100x fails like the other required rows.
+        qbig = doc100.get("pq_probe200_sec")
+        ebig = doc100.get("exact_probe200_sec")
+        rbig = doc100.get("pq_recall5")
+        if not all(isinstance(x, (int, float))
+                   for x in (qbig, ebig, rbig)):
+            fails.append("100x artifact lacks pq_probe200_sec/"
+                         "exact_probe200_sec/pq_recall5 - the PQ scale "
+                         "claim is unsubstantiated")
+        else:
+            if qbig > ebig + 0.3:
+                fails.append(
+                    f"pq probe at 100x ({qbig:.2f}s) does not undercut "
+                    f"the exact scan ({ebig:.2f}s) - the compression "
+                    "claim fails where it binds")
+            if rbig < 0.7:
+                fails.append(f"pq recall@5 at 100x ({rbig}) below the "
+                             "0.7 floor")
     if fails:
         for m in fails:
             print(f"FAIL: {m}")

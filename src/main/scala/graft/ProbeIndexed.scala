@@ -185,7 +185,8 @@ object ProbeIndexed {
     }
     val pqProbeRuns = (1 to reps).map { _ =>
       val q = Similarity.pqKnnJoin(emb, pqCodes, pqCb, probes,
-        "vec_id", "embedding", k = 5, rerank = 100, m = 8, ksub = pqKsub)
+        "vec_id", "embedding", k = 5, rerank = 100, m = 8, ksub = pqKsub,
+        excludeSelf = true)
         .localCheckpoint(false)
       (time(q.count()), q)
     }
@@ -194,8 +195,8 @@ object ProbeIndexed {
     // the exact 200-probe brute force, timed on the same machinery the
     // recall rows used untimed — the float-scan cost ADC displaces
     val exactProbeSec = (1 to reps).map(_ => time(
-      Similarity.knnJoinWith(emb, probes, "vec_id", "embedding", k = 5)
-        .count())).min
+      Similarity.knnJoinWith(emb, probes, "vec_id", "embedding", k = 5,
+        excludeSelf = true).count())).min
 
     // QUANTIZER AGING (round-13 verdict task 6): the k-means geometry is
     // frozen at build time, so a distribution-shifted ingest degrades

@@ -2402,7 +2402,7 @@ object Similarity {
   def pqKnnJoin(df: DataFrame, codes: DataFrame, codebooks: DataFrame,
                 probes: DataFrame, idCol: String, vecCol: String,
                 k: Int, rerank: Int = 30, m: Int = 8, ksub: Int = 16,
-                dims: Int = 64): DataFrame = {
+                dims: Int = 64, excludeSelf: Boolean = false): DataFrame = {
     val sd = dims / m
     val luts = probes.crossJoin(broadcast(pqFlat(codebooks)))
       .select(col("probe_id"),
@@ -2418,6 +2418,7 @@ object Similarity {
         element_at(col("__lut"), (j * ksub + element_at(col("codes"), j + 1))
           .cast("int") + 1))
     val cand = spread(codes).crossJoin(broadcast(luts))
+      .filter(if (excludeSelf) col(idCol) =!= col("probe_id") else lit(true))
       .select(col("probe_id"), col(idCol), approx.as("__approx"))
       .groupBy(col("probe_id"))
       .agg(TopKAgg(col("__approx"), col(idCol).cast("long"), rerank)

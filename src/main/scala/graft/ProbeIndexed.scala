@@ -198,6 +198,25 @@ object ProbeIndexed {
       Similarity.knnJoinWith(emb, probes, "vec_id", "embedding", k = 5,
         excludeSelf = true).count())).min
 
+    // IVF-PQ: the persisted composition — cells prune the corpus, codes
+    // compress the in-cell scan (8 bytes/vector), finalists rescore
+    // exact. Measured on the k-means index at the SAME auto width as
+    // the balanced plain probe (kmProbeAt(-1) above), so the pq/plain
+    // probe and recall columns are directly comparable. Runs BEFORE the
+    // later appends touch kmPath (they would legitimately staleness the
+    // sidecar).
+    val ivfPqAddSec = time(Similarity.addPqToIvfIndex(spark, kmPath,
+      "vec_id", "embedding", "cell", m = 8, ksub = pqKsub, iters = 2,
+      trainMod = pqTrainMod))
+    val ivfPqRuns = (1 to reps).map { _ =>
+      val q = Similarity.ivfPqKnnJoinIndexed(spark, kmPath, probes,
+        "vec_id", "embedding", "cell", k = 5, nProbe = -1, rerank = 100)
+        .localCheckpoint(false)
+      (time(q.count()), q)
+    }
+    val ivfPqProbeSec = ivfPqRuns.map(_._1).min
+    val ivfPqRecall = recall(ivfPqRuns.head._2)
+
     // QUANTIZER AGING (round-13 verdict task 6): the k-means geometry is
     // frozen at build time, so a distribution-shifted ingest degrades
     // the index silently — first as FIT (sampled residual, occupancy
@@ -593,6 +612,9 @@ object ProbeIndexed {
       s""""pq_probe200_sec":$pqProbeSec,""" +
       s""""pq_recall5":$pqRecall,""" +
       s""""exact_probe200_sec":$exactProbeSec,""" +
+      s""""ivfpq_add_sec":$ivfPqAddSec,""" +
+      s""""ivfpq_probe200_sec":$ivfPqProbeSec,""" +
+      s""""ivfpq_recall5":$ivfPqRecall,""" +
       s""""phash_build_sec":$phashBuild,""" +
       s""""phash_probe500_sec":$phashProbe,""" +
       s""""phash_append500_sec":$phashAppend,""" +

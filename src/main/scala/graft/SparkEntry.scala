@@ -1421,6 +1421,30 @@ object SparkEntry {
         "label", k = 5, nProbe = 2, superProbe = 0)
     }),
 
+    // The SAME probe through the IVF-PQ layout at full rerank: the ADC
+    // candidate stage scans codes (8 bytes/vector) for the probed
+    // cells, and with rerank covering every in-cell row the exact
+    // rescore makes the result bit-identical to the plain probe — so
+    // this row shares ann_ivf_indexed's oracle (the mm_phash_against
+    // shared-oracle device), proving build→addPq→probe lands the codes
+    // in the lists' exact cell layout; finite-rerank ADC ordering is
+    // bit-proven separately by embed_topk_pq.
+    "ann_ivf_pq" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val probes = emb.filter(
+        pmod(Md5Prefix28(col("vec_id").cast("string")), lit(100L)) < 1)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("__pv"))
+      val path = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(idxRoot), "ivf_pq_").toString
+      Similarity.buildIvfIndex(emb, "vec_id", "embedding", "label", path,
+        dims = 64)
+      Similarity.addPqToIvfIndex(s, path, "vec_id", "embedding", "label",
+        m = 8, ksub = 16, iters = 2, trainMod = 1)
+      Similarity.ivfPqKnnJoinIndexed(s, path, probes, "vec_id",
+        "embedding", "label", k = 5, nProbe = 2, rerank = 1000000,
+        superProbe = 0)
+    }),
+
     // Same probe through INCREMENTAL maintenance: half the corpus built,
     // half APPENDED (lists appended into their cells' partitions, centers
     // recomputed exactly from the on-disk lists) — bit-identical to the
@@ -3430,6 +3454,16 @@ object SparkEntry {
     "ann_ivf_indexed" ->
       // the persisted-index probe is bit-identical to the inline IVF
       // join, so its oracle is the IVF chain's own top-5 per probe
+      (ivfProbeCte.stripSuffix(", ") + " " +
+        "SELECT probe_id, CAST(rn AS INTEGER) AS rank, " +
+        "vec_id AS neighbor_id, cos FROM ivr WHERE rn <= 5 " +
+        "ORDER BY probe_id, rank"),
+
+    // IDENTICAL oracle on purpose: at full rerank the IVF-PQ probe's
+    // exact rescore covers every in-cell candidate, so the codes layout
+    // (addPq, same cell partitioning) must reproduce the plain probe
+    // bit-for-bit; a codes-routing bug breaks row parity here
+    "ann_ivf_pq" ->
       (ivfProbeCte.stripSuffix(", ") + " " +
         "SELECT probe_id, CAST(rn AS INTEGER) AS rank, " +
         "vec_id AS neighbor_id, cos FROM ivr WHERE rn <= 5 " +

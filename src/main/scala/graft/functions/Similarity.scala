@@ -2387,6 +2387,259 @@ object Similarity {
       .limit(k)
   }
 
+  // ------------------------------------------------------------- IVF-PQ
+
+  private def pqMarkerPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/pq/pq_marker")
+
+  /** (max indexed id, m, ksub, dims) from the PQ sidecar marker —
+    * present IFF the codes on disk cover exactly the lists on disk
+    * (the csums-marker discipline applied to the sidecar). Malformed →
+    * None; the probe REFUSES a marker-less sidecar rather than
+    * silently missing appended rows. */
+  private[graft] def readPqMarker(spark: SparkSession, path: String)
+      : Option[(Long, Int, Int, Int)] = {
+    val p = pqMarkerPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else try {
+      val in = fs.open(p)
+      val raw = try scala.io.Source.fromInputStream(in).mkString.trim
+      finally in.close()
+      raw.split('|') match {
+        case Array(maxId, m, ksub, d) =>
+          Some((maxId.toLong, m.toInt, ksub.toInt, d.toInt))
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private[graft] def deletePqMarker(spark: SparkSession,
+                                    path: String): Unit = {
+    val p = pqMarkerPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) { fs.delete(p, false); () }
+  }
+
+  /** Written LAST (temp + atomic rename), after codebooks and codes
+    * agree with the lists — every crash window leaves it absent. */
+  private def writePqMarker(spark: SparkSession, path: String,
+                            maxId: Long, m: Int, ksub: Int,
+                            dims: Int): Unit = {
+    val p = pqMarkerPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(p.toString + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"$maxId|$m|$ksub|$dims".getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    require(fs.rename(tmp, p), s"pq marker rename failed: $tmp -> $p")
+  }
+
+  /** Encode rows carrying their cell labels — the sidecar form of
+    * [[pqEncode]] (codes land partitioned by the SAME `__cellkey` as
+    * the lists, so a probe prunes the same partitions). */
+  private def pqEncodeCells(rows: DataFrame, cb: DataFrame, idCol: String,
+                            vecCol: String, labelCol: String, m: Int,
+                            ksub: Int, dims: Int): DataFrame = {
+    val sd = dims / m
+    rows.select(col(idCol), col(vecCol), col(labelCol),
+        col(labelCol).cast("string").as("__cellkey"))
+      .crossJoin(broadcast(pqFlat(cb)))
+      .select(col(idCol), col(labelCol),
+        transform(sequence(lit(0), lit(m - 1)), j =>
+          pqNearestCode(pqSub(col(vecCol), j, sd), col("__cb"), j,
+            ksub, sd)).as("codes"),
+        col("__cellkey"))
+  }
+
+  /**
+   * Attach a PQ sidecar to a persisted [[buildIvfIndex]] — the full
+   * IVF-PQ layout: `path/pq/codebooks` (m·ksub rows, broadcast-sized
+   * forever) and `path/pq/codes` (m small ints per vector, PARTITIONED
+   * BY THE SAME `__cellkey` as the lists). A probe then reads codes —
+   * m bytes/vector instead of 4·dims — for its candidate cells only,
+   * and touches float vectors just for the `rerank` finalists. At
+   * 100 TB this is what keeps the in-cell scan in the page cache.
+   *
+   * Freshness contract: the sidecar marker stamps the index's max id
+   * (copied from the csums marker — no extra corpus scan); the probe
+   * REFUSES a stale or missing marker loudly. Appends go through
+   * [[appendToIvfPqIndex]] (encode-and-append is a narrow map — no
+   * retrain needed); [[retrainIvfIndex]]'s root swap drops the sidecar
+   * with the old root, and the next probe says so — rebuild with this.
+   */
+  def addPqToIvfIndex(spark: SparkSession, path: String, idCol: String,
+                      vecCol: String, labelCol: String, m: Int = 8,
+                      ksub: Int = 256, iters: Int = 2, dims: Int = 64,
+                      trainMod: Int = 0): Unit = {
+    deletePqMarker(spark, path)
+    require(hasParquetData(spark, s"$path/lists"),
+      s"addPqToIvfIndex: no lists data under $path")
+    val lists = spark.read.parquet(s"$path/lists")
+    val n = parquetRowCount(spark, s"$path/lists")
+    val tm = if (trainMod > 0) trainMod
+             else math.max(1L, n / (50L * ksub)).toInt
+    val cb = pqTrain(lists, idCol, vecCol, m, ksub, iters, dims, tm)
+    cb.write.mode("overwrite").parquet(s"$path/pq/codebooks")
+    // encode from what LANDED (the buildIvfIndex device)
+    val cbLanded = spark.read.parquet(s"$path/pq/codebooks")
+    pqEncodeCells(lists, cbLanded, idCol, vecCol, labelCol, m, ksub, dims)
+      .write.mode("overwrite").partitionBy("__cellkey")
+      .parquet(s"$path/pq/codes")
+    // max id: the csums marker when valid (no scan), else one ids scan
+    val maxId = readCsumsMarker(spark, path).map(_._1).getOrElse(
+      maxIdOf(lists, idCol, labelCol, "addPqToIvfIndex")
+        .getOrElse(Long.MinValue))
+    writePqMarker(spark, path, maxId, m, ksub, dims)
+  }
+
+  /**
+   * Append a batch to an IVF index AND its PQ sidecar: the lists append
+   * is [[appendToIvfIndex]] unchanged (same incremental-csums fast
+   * path); the batch's codes are then encoded against the STORED
+   * codebooks (one narrow map — quantizer geometry does not move on
+   * append, that is [[maintainIvfIndex]]'s job) and land beside their
+   * cells with deterministic per-(cell, batch) file names, so a crashed
+   * retry replaces rather than duplicates. The pq marker is deleted
+   * FIRST and re-stamped LAST from the post-append csums marker —
+   * every crash window leaves the sidecar refusing probes instead of
+   * silently missing the batch. Returns [[appendToIvfIndex]]'s flag.
+   */
+  def appendToIvfPqIndex(spark: SparkSession, path: String,
+                         batch: DataFrame, idCol: String, vecCol: String,
+                         labelCol: String, dims: Int = 64): Boolean = {
+    val pqm = readPqMarker(spark, path).getOrElse(throw new
+      IllegalStateException(s"appendToIvfPqIndex: no valid PQ sidecar " +
+        s"under $path — run addPqToIvfIndex first"))
+    val (_, m, ksub, pqDims) = pqm
+    require(pqDims == dims, s"pq sidecar dims $pqDims != $dims")
+    deletePqMarker(spark, path)
+    val b = batch.localCheckpoint(false)
+    val fast = appendToIvfIndex(spark, path, b, idCol, vecCol, labelCol,
+      dims)
+    val cb = spark.read.parquet(s"$path/pq/codebooks")
+    val range = b.agg(min(col(idCol).cast("long")),
+      max(col(idCol).cast("long"))).collect()(0)
+    if (!range.isNullAt(0)) {
+      val spreadN = math.max(1, spark.sparkContext.defaultParallelism)
+      stagedPartitionedWrite(spark, s"$path/pq/codes",
+        pqEncodeCells(b, cb, idCol, vecCol, labelCol, m, ksub, dims)
+          .repartition(spreadN, col("__cellkey")),
+        replaceDirs = false,
+        batchTag = Some(s"pq-${range.getLong(0)}-${range.getLong(1)}"))
+    }
+    val maxId = readCsumsMarker(spark, path).map(_._1).getOrElse(
+      maxIdOf(spark.read.parquet(s"$path/lists"), idCol, labelCol,
+        "appendToIvfPqIndex").getOrElse(Long.MinValue))
+    writePqMarker(spark, path, maxId, m, ksub, dims)
+    fast
+  }
+
+  /** Compact an IVF-PQ index: the lists via [[compactIvfIndex]], the
+    * codes sidecar to one file per cell dir (probe results unchanged —
+    * same rows, same layout keys). Returns the lists row count. */
+  def compactIvfPqIndex(spark: SparkSession, path: String): Long = {
+    val n = compactIvfIndex(spark, path)
+    if (hasParquetData(spark, s"$path/pq/codes"))
+      ParquetCompact.partitionedTable(spark, s"$path/pq/codes",
+        "__cellkey")
+    n
+  }
+
+  /**
+   * IVF-PQ probe — [[ivfKnnJoinIndexed]] with the in-cell scan on CODES:
+   * same cell resolution (flat or two-level, same auto rules), but the
+   * candidate pass reads (id, label, codes) from the pruned code
+   * partitions — m bytes/vector instead of the 4·dims float vectors —
+   * scores by ADC against per-probe lookup tables riding broadcast,
+   * keeps the top `rerank` per probe through the bounded [[TopKAgg]],
+   * and only those finalists fetch their float vectors (from the same
+   * pruned lists partitions) for the exact-cosine rescore. Self-matches
+   * are excluded like the plain probe. Refuses loudly when the sidecar
+   * is missing or stale (marker max-id mismatch with the csums marker)
+   * — a silent partial scan would just drop the newest documents.
+   */
+  def ivfPqKnnJoinIndexed(spark: SparkSession, path: String,
+                          probes: DataFrame, idCol: String, vecCol: String,
+                          labelCol: String, k: Int, nProbe: Int = 2,
+                          rerank: Int = 100, superProbe: Int = -1,
+                          superBits: Int = 4,
+                          superOffset: Int = 32): DataFrame = {
+    val pqm = readPqMarker(spark, path).getOrElse(throw new
+      IllegalStateException(s"ivfPqKnnJoinIndexed: no valid PQ sidecar " +
+        s"under $path — run addPqToIvfIndex (or re-add after a retrain)"))
+    val (pqMaxId, m, ksub, dims) = pqm
+    readCsumsMarker(spark, path).foreach { case (idxMaxId, _, _, _) =>
+      require(idxMaxId == pqMaxId,
+        s"PQ sidecar is STALE under $path (index max id $idxMaxId, " +
+          s"sidecar $pqMaxId) — run appendToIvfPqIndex for new batches " +
+          "or addPqToIvfIndex to rebuild")
+    }
+    val sd = dims / m
+    val centers = spark.read.parquet(s"$path/centers")
+    lazy val nCells = parquetRowCount(spark, s"$path/centers")
+    val resolvedNProbe =
+      if (nProbe >= 0) nProbe else resolveNProbe(nCells, nProbe)
+    val resolvedSuper =
+      if (superProbe >= 0) superProbe
+      else probeSuperWidth(nCells, superProbe, superBits, resolvedNProbe)
+    val probedCells =
+      if (resolvedSuper > 0)
+        probedCellsTwoLevel(centers, probes, resolvedNProbe, resolvedSuper,
+          superBits, superOffset)
+      else probedCellsFor(centers, probes, resolvedNProbe)
+    if (!hasParquetData(spark, s"$path/lists"))
+      return probes.select(col("probe_id")).limit(0)
+        .withColumn("rank", lit(0).cast("int"))
+        .withColumn("neighbor_id", lit(0L))
+        .withColumn("cos", lit(0.0))
+    val cellKeys = probedCells.select(col("__cell").cast("string"))
+      .distinct().collect().map(_.getString(0))
+    val cb = spark.read.parquet(s"$path/pq/codebooks")
+    // per-probe ADC tables joined onto the probed cells — one tiny
+    // broadcast frame carries (probe_id, __cell, __pv, __pn, __lut)
+    val luts = probes.crossJoin(broadcast(pqFlat(cb)))
+      .select(col("probe_id"),
+        flatten(transform(sequence(lit(0), lit(m - 1)), j =>
+          transform(sequence(lit(0), lit(ksub - 1)), c =>
+            aggregate(
+              zip_with(pqSub(col("__pv"), j, sd),
+                slice(col("__cb"), (j * ksub + c) * sd + 1, lit(sd)),
+                (a, b) => a * b),
+              lit(0.0), (acc, x) => acc + x)))).as("__lut"))
+    val probedLuts = broadcast(
+      probedCells.join(luts, Seq("probe_id")))
+    val codes = spark.read.parquet(s"$path/pq/codes")
+      .filter(col("__cellkey").isin(cellKeys.toIndexedSeq: _*))
+    val approx = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, j) => acc +
+        element_at(col("__lut"), (j * ksub + element_at(col("codes"), j + 1))
+          .cast("int") + 1))
+    val winners = codes
+      .join(probedLuts, codes(labelCol) === probedLuts("__cell"))
+      .filter(col(idCol) =!= col("probe_id"))
+      .select(col("probe_id"), col(idCol), approx.as("__approx"))
+      .groupBy(col("probe_id"))
+      .agg(TopKAgg(col("__approx"), col(idCol).cast("long"), rerank)
+        .as("__top"))
+      .select(col("probe_id"), explode(col("__top")).as("__e"))
+      .select(col("probe_id"), col("__e.id").as(idCol))
+    val lists = spark.read.parquet(s"$path/lists")
+      .filter(col("__cellkey").isin(cellKeys.toIndexedSeq: _*))
+      .select(col(idCol).cast("long").as(idCol), col(vecCol), col("__cn"))
+    val probeNorms = broadcast(probes
+      .select(col("probe_id"), col("__pv"), norm(col("__pv")).as("__pn")))
+    emitTopK(
+      winners.join(lists, Seq(idCol))
+        .join(probeNorms, Seq("probe_id"))
+        .select(col("probe_id"), col(idCol),
+          (dot(col(vecCol), col("__pv")) /
+            (col("__cn") * col("__pn"))).as("cos"))
+        .filter(!isnan(col("cos"))),
+      idCol, k)
+  }
+
   /**
    * Batch PQ kNN join over PRE-TRAINED artifacts — the steady-state
    * production form ([[pqTopK]] is the train-in-query contract twin):

@@ -1,0 +1,188 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Similarity
+
+/** The persisted IVF-PQ layout: codes beside the lists in the SAME cell
+  * partitioning, probes scanning codes and rescoring only finalists —
+  * anchored by exact equivalence to the plain probe at full rerank, the
+  * append/compaction layout-agreement rules, and the loud staleness
+  * contract (a silent partial scan would just drop the newest docs). */
+class IvfPqSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private val m = 8
+  private val ksub = 16
+
+  /** Deterministic clustered corpus with integral labels (the cells). */
+  private def corpus(n: Int, cells: Int = 5): DataFrame =
+    (0 until n).map { i =>
+      val c = i % cells
+      val v = Array.tabulate(64) { j =>
+        val base = if (j % cells == c) 3.0 else 0.2
+        (base + 0.01 * (((i * 37 + j * 11) % 89) - 44)).toFloat
+      }
+      (i.toLong, v, c)
+    }.toDF("vec_id", "embedding", "label")
+
+  private def probesOf(df: DataFrame, n: Int) =
+    df.orderBy(col("vec_id")).limit(n)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("__pv"))
+      .localCheckpoint()
+
+  private def rows(df: DataFrame) =
+    df.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+
+  test("full-rerank IVF-PQ probe equals the plain IVF probe exactly") {
+    val path = Files.createTempDirectory("graft-ivfpq-eq").toString
+    val df = corpus(150)
+    Similarity.buildIvfIndex(df, "vec_id", "embedding", "label", path)
+    Similarity.addPqToIvfIndex(spark, path, "vec_id", "embedding", "label",
+      m, ksub, iters = 2)
+    val probes = probesOf(df, 20)
+    val plain = Similarity.ivfKnnJoinIndexed(spark, path, probes,
+      "vec_id", "embedding", "label", k = 5, nProbe = 2)
+    // rerank >= corpus: the rescore covers every in-cell candidate, so
+    // the ADC ordering cannot change the result — bit-identical
+    val pq = Similarity.ivfPqKnnJoinIndexed(spark, path, probes,
+      "vec_id", "embedding", "label", k = 5, nProbe = 2, rerank = 150)
+    assert(rows(pq) == rows(plain))
+    assert(rows(pq).nonEmpty)
+  }
+
+  test("append through appendToIvfPqIndex ≡ one-shot addPq on the union") {
+    val pathA = Files.createTempDirectory("graft-ivfpq-a").toString
+    val pathB = Files.createTempDirectory("graft-ivfpq-b").toString
+    val all = corpus(120)
+    val first = all.filter(col("vec_id") < 80)
+    val batch = all.filter(col("vec_id") >= 80)
+    // A: build + addPq on the first half, then the pq-aware append
+    Similarity.buildIvfIndex(first, "vec_id", "embedding", "label", pathA)
+    Similarity.addPqToIvfIndex(spark, pathA, "vec_id", "embedding",
+      "label", m, ksub, iters = 2, trainMod = 1)
+    Similarity.appendToIvfPqIndex(spark, pathA, batch, "vec_id",
+      "embedding", "label")
+    // B: the same FIRST-half codebooks must score both sides: copy A's
+    // codebooks by building B's index over the union and re-encoding
+    // with addPq trained on the first half is not expressible — instead
+    // prove layout agreement: A's probe results equal the plain probe
+    // over the union at full rerank (codes cover every appended row)
+    Similarity.buildIvfIndex(all, "vec_id", "embedding", "label", pathB)
+    val probes = probesOf(all, 15)
+    val plainUnion = Similarity.ivfKnnJoinIndexed(spark, pathB, probes,
+      "vec_id", "embedding", "label", k = 5, nProbe = 2)
+    val pqAppended = Similarity.ivfPqKnnJoinIndexed(spark, pathA, probes,
+      "vec_id", "embedding", "label", k = 5, nProbe = 2, rerank = 120)
+    assert(rows(pqAppended) == rows(plainUnion))
+  }
+
+  test("a lists append WITHOUT the pq append makes the probe refuse") {
+    val path = Files.createTempDirectory("graft-ivfpq-stale").toString
+    val df = corpus(90)
+    val first = df.filter(col("vec_id") < 60)
+    Similarity.buildIvfIndex(first, "vec_id", "embedding", "label", path)
+    Similarity.addPqToIvfIndex(spark, path, "vec_id", "embedding", "label",
+      m, ksub)
+    Similarity.appendToIvfIndex(spark, path,
+      df.filter(col("vec_id") >= 60), "vec_id", "embedding", "label")
+    val probes = probesOf(df, 5)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfPqKnnJoinIndexed(spark, path, probes,
+        "vec_id", "embedding", "label", k = 3).collect()
+    }
+    assert(e.getMessage.contains("STALE"))
+  }
+
+  test("a missing sidecar (plain index, or post-retrain root) refuses") {
+    val path = Files.createTempDirectory("graft-ivfpq-none").toString
+    val df = corpus(60)
+    Similarity.buildIvfIndex(df, "vec_id", "embedding", "label", path)
+    val probes = probesOf(df, 5)
+    val e = intercept[IllegalStateException] {
+      Similarity.ivfPqKnnJoinIndexed(spark, path, probes,
+        "vec_id", "embedding", "label", k = 3).collect()
+    }
+    assert(e.getMessage.contains("no valid PQ sidecar"))
+    // and a crash window (marker deleted, codes present) refuses too
+    Similarity.addPqToIvfIndex(spark, path, "vec_id", "embedding", "label",
+      m, ksub)
+    Similarity.deletePqMarker(spark, path)
+    intercept[IllegalStateException] {
+      Similarity.ivfPqKnnJoinIndexed(spark, path, probes,
+        "vec_id", "embedding", "label", k = 3).collect()
+    }
+  }
+
+  test("compaction folds append files and leaves probe results unchanged") {
+    val path = Files.createTempDirectory("graft-ivfpq-comp").toString
+    val df = corpus(120)
+    Similarity.buildIvfIndex(df.filter(col("vec_id") < 60),
+      "vec_id", "embedding", "label", path)
+    Similarity.addPqToIvfIndex(spark, path, "vec_id", "embedding", "label",
+      m, ksub, trainMod = 1)
+    (0 until 3).foreach { b =>
+      Similarity.appendToIvfPqIndex(spark, path,
+        df.filter(col("vec_id") >= 60 + b * 20 &&
+          col("vec_id") < 80 + b * 20),
+        "vec_id", "embedding", "label")
+    }
+    val probes = probesOf(df, 10)
+    def probe() = rows(Similarity.ivfPqKnnJoinIndexed(spark, path, probes,
+      "vec_id", "embedding", "label", k = 5, nProbe = 2, rerank = 40))
+    val before = probe()
+    def codeFiles(): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isFile) Seq(f)
+        else Option(f.listFiles()).map(_.toSeq.flatMap(walk)).getOrElse(Nil)
+      walk(new java.io.File(s"$path/pq/codes"))
+        .count(_.getName.endsWith(".parquet"))
+    }
+    val filesBefore = codeFiles()
+    Similarity.compactIvfPqIndex(spark, path)
+    assert(codeFiles() < filesBefore)
+    val cellDirs = new java.io.File(s"$path/pq/codes").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("__cellkey="))
+    assert(codeFiles() <= cellDirs) // <= one data file per cell dir
+    assert(probe() == before)
+  }
+
+  test("the code scan reads candidate-cell partitions only (bytes bound)") {
+    val path = Files.createTempDirectory("graft-ivfpq-bytes").toString
+    // many cells so pruning has something to prune
+    val df = corpus(400, cells = 20)
+    Similarity.buildIvfIndex(df, "vec_id", "embedding", "label", path)
+    Similarity.addPqToIvfIndex(spark, path, "vec_id", "embedding", "label",
+      m, ksub, trainMod = 1)
+    val probes = probesOf(df, 2) // 2 probes × nProbe 2 → ≤ 4 cells of 20
+    def fsBytes(): Long =
+      Option(org.apache.hadoop.fs.FileSystem.getGlobalStorageStatistics
+        .get("file"))
+        .flatMap(s => Option(s.getLong("bytesRead")).map(_.longValue()))
+        .getOrElse(0L)
+    def dirBytes(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isFile) f.length()
+        else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+      walk(new java.io.File(p))
+    }
+    val before = fsBytes()
+    Similarity.ivfPqKnnJoinIndexed(spark, path, probes,
+      "vec_id", "embedding", "label", k = 3, nProbe = 2, rerank = 10)
+      .collect()
+    val read = fsBytes() - before
+    // the probe must read far less than the whole index (codes for ≤4
+    // of 20 cells + lists for the same cells + footers/centers); half
+    // the total is a loose bound that still fails an unpruned scan
+    val total = dirBytes(s"$path/lists") + dirBytes(s"$path/pq/codes")
+    assert(read < total / 2 + dirBytes(s"$path/centers") +
+      dirBytes(s"$path/pq/codebooks") + 512 * 1024,
+      s"probe read $read bytes of $total total — pruning broken?")
+  }
+}

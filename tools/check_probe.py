@@ -306,6 +306,22 @@ def main():
                 f"pq probe {doc['pq_probe200_sec']:.2f}s costs more than "
                 f"the exact scan {doc['exact_probe200_sec']:.2f}s it "
                 "displaces (cap 1.3x + 0.3s)")
+    # round 14+: the persisted IVF-PQ composition (cells prune, codes
+    # compress, finalists rescore) — REQUIRED rows, measured at the same
+    # auto width as the balanced plain probe so the columns compare.
+    # Recall: the exact rescore of an ADC top-100 can lose only what ADC
+    # misranks past 100 — within 0.1 of the plain probe's reading.
+    ivfpq = ["ivfpq_add_sec", "ivfpq_probe200_sec", "ivfpq_recall5"]
+    ivfpq_missing = [k for k in ivfpq
+                     if not isinstance(doc.get(k), (int, float))]
+    if ivfpq_missing:
+        fails.append(f"ivf-pq fields missing/non-numeric: {ivfpq_missing}")
+    elif isinstance(doc.get("ivf_recall5_kmeans_auto"), (int, float)):
+        if doc["ivfpq_recall5"] < doc["ivf_recall5_kmeans_auto"] - 0.1:
+            fails.append(
+                f"ivf-pq recall@5 {doc['ivfpq_recall5']} more than 0.1 "
+                f"below the plain probe's "
+                f"{doc['ivf_recall5_kmeans_auto']} at the same width")
     # equal-K quantizer comparison: k-means exists because the label
     # column measured worse; allow a small tolerance for probe noise
     if doc["ivf_recall5_kmeans"] < doc["ivf_recall5_flat"] - 0.02:
@@ -416,6 +432,19 @@ def main():
             if rbig < 0.7:
                 fails.append(f"pq recall@5 at 100x ({rbig}) below the "
                              "0.7 floor")
+        # the persisted IVF-PQ probe at 100x must not cost more than the
+        # plain probe at the same auto width — in-cell codes (8 B/row)
+        # vs float vectors (256 B/row) is the whole point of the sidecar
+        ipq = doc100.get("ivfpq_probe200_sec")
+        ipl = doc100.get("ivf_probe200_kmeans_auto_sec")
+        if not all(isinstance(x, (int, float)) for x in (ipq, ipl)):
+            fails.append("100x artifact lacks ivfpq_probe200_sec/"
+                         "ivf_probe200_kmeans_auto_sec - the IVF-PQ "
+                         "scale claim is unsubstantiated")
+        elif ipq > ipl + 0.3:
+            fails.append(
+                f"ivf-pq probe at 100x ({ipq:.2f}s) does not undercut "
+                f"the plain probe ({ipl:.2f}s) at the same width")
     if fails:
         for m in fails:
             print(f"FAIL: {m}")

@@ -2423,7 +2423,7 @@ object Similarity {
 
   /** Written LAST (temp + atomic rename), after codebooks and codes
     * agree with the lists — every crash window leaves it absent. */
-  private def writePqMarker(spark: SparkSession, path: String,
+  private[graft] def writePqMarker(spark: SparkSession, path: String,
                             maxId: Long, m: Int, ksub: Int,
                             dims: Int): Unit = {
     val p = pqMarkerPath(path)
@@ -2438,19 +2438,26 @@ object Similarity {
 
   /** Encode rows carrying their cell labels — the sidecar form of
     * [[pqEncode]] (codes land partitioned by the SAME `__cellkey` as
-    * the lists, so a probe prunes the same partitions). */
-  private def pqEncodeCells(rows: DataFrame, cb: DataFrame, idCol: String,
-                            vecCol: String, labelCol: String, m: Int,
-                            ksub: Int, dims: Int): DataFrame = {
+    * the lists, so a probe prunes the same partitions). `extraCols`
+    * passes outer partition columns through (the streaming layout's
+    * `__batch` epoch dirs — codes must mirror the lists' tree or
+    * partition discovery breaks on the mixed structure). */
+  private[graft] def pqEncodeCells(rows: DataFrame, cb: DataFrame,
+                                   idCol: String, vecCol: String,
+                                   labelCol: String, m: Int, ksub: Int,
+                                   dims: Int,
+                                   extraCols: Seq[String] = Nil)
+      : DataFrame = {
     val sd = dims / m
-    rows.select(col(idCol), col(vecCol), col(labelCol),
-        col(labelCol).cast("string").as("__cellkey"))
+    rows.select((Seq(col(idCol), col(vecCol), col(labelCol),
+        col(labelCol).cast("string").as("__cellkey")) ++
+        extraCols.map(col)): _*)
       .crossJoin(broadcast(pqFlat(cb)))
-      .select(col(idCol), col(labelCol),
+      .select((Seq(col(idCol), col(labelCol),
         transform(sequence(lit(0), lit(m - 1)), j =>
           pqNearestCode(pqSub(col(vecCol), j, sd), col("__cb"), j,
             ksub, sd)).as("codes"),
-        col("__cellkey"))
+        col("__cellkey")) ++ extraCols.map(col)): _*)
   }
 
   /**
@@ -2482,10 +2489,16 @@ object Similarity {
              else math.max(1L, n / (50L * ksub)).toInt
     val cb = pqTrain(lists, idCol, vecCol, m, ksub, iters, dims, tm)
     cb.write.mode("overwrite").parquet(s"$path/pq/codebooks")
-    // encode from what LANDED (the buildIvfIndex device)
+    // encode from what LANDED (the buildIvfIndex device); a streaming
+    // index's lists carry the __batch epoch partition — the codes tree
+    // mirrors it (epoch outer, cell inner) so the layouts never mix
     val cbLanded = spark.read.parquet(s"$path/pq/codebooks")
-    pqEncodeCells(lists, cbLanded, idCol, vecCol, labelCol, m, ksub, dims)
-      .write.mode("overwrite").partitionBy("__cellkey")
+    val epoched = lists.columns.contains("__batch")
+    val extra = if (epoched) Seq("__batch") else Nil
+    pqEncodeCells(lists, cbLanded, idCol, vecCol, labelCol, m, ksub, dims,
+      extra)
+      .write.mode("overwrite")
+      .partitionBy((extra :+ "__cellkey"): _*)
       .parquet(s"$path/pq/codes")
     // max id: the csums marker when valid (no scan), else one ids scan
     val maxId = readCsumsMarker(spark, path).map(_._1).getOrElse(
@@ -2514,6 +2527,9 @@ object Similarity {
         s"under $path — run addPqToIvfIndex first"))
     val (_, m, ksub, pqDims) = pqm
     require(pqDims == dims, s"pq sidecar dims $pqDims != $dims")
+    require(!pqCodesEpoched(spark, path),
+      s"appendToIvfPqIndex: $path has the streaming epoch layout — " +
+        "ingest through StreamOps.ivfPqIngestTo instead")
     deletePqMarker(spark, path)
     val b = batch.localCheckpoint(false)
     val fast = appendToIvfIndex(spark, path, b, idCol, vecCol, labelCol,
@@ -2536,12 +2552,23 @@ object Similarity {
     fast
   }
 
+  /** Does the codes sidecar carry the streaming `__batch` epoch dirs? */
+  private def pqCodesEpoched(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/pq/codes")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(st =>
+      st.isDirectory && st.getPath.getName.startsWith("__batch="))
+  }
+
   /** Compact an IVF-PQ index: the lists via [[compactIvfIndex]], the
     * codes sidecar to one file per cell dir (probe results unchanged —
-    * same rows, same layout keys). Returns the lists row count. */
+    * same rows, same layout keys). The streaming epoch layout keeps its
+    * per-epoch dirs (they ARE the replay-idempotence device); only the
+    * flat batch layout's cell dirs fold. Returns the lists row count. */
   def compactIvfPqIndex(spark: SparkSession, path: String): Long = {
     val n = compactIvfIndex(spark, path)
-    if (hasParquetData(spark, s"$path/pq/codes"))
+    if (hasParquetData(spark, s"$path/pq/codes") &&
+        !pqCodesEpoched(spark, path))
       ParquetCompact.partitionedTable(spark, s"$path/pq/codes",
         "__cellkey")
     n

@@ -1507,6 +1507,71 @@ object StreamOps {
       batchId, idCol, vecCol, labelCol, dims, epochExisted)
   }
 
+  /**
+   * [[ivfIngestTo]] with a PQ sidecar kept fresh per epoch — the
+   * streaming half of the IVF-PQ lifecycle. Each micro-batch runs the
+   * unchanged [[ivfIngestEpoch]] (same validation, same epoch-overwrite
+   * idempotence, same csums refresh), then encodes WHAT LANDED in the
+   * epoch's lists partition against the STORED codebooks (one narrow
+   * map) into the mirrored `pq/codes/__batch=N` tree: a crash replay
+   * overwrites the whole epoch dir with bit-identical rows, and a
+   * reused epoch id with DIFFERENT rows replaces its codes wholesale —
+   * no orphan codes, the hazard a delta-append layout would carry. The
+   * pq marker is deleted FIRST and re-stamped LAST from the post-epoch
+   * csums marker, so every crash window leaves the sidecar refusing
+   * probes instead of silently missing the epoch. Bootstrap:
+   * [[ivfIngestBootstrap]] then
+   * [[graft.functions.Similarity.addPqToIvfIndex]] (it mirrors the
+   * epoch layout automatically).
+   */
+  def ivfPqIngestTo(vectors: DataFrame, indexPath: String,
+                    checkpoint: String, idCol: String, vecCol: String,
+                    labelCol: String, dims: Int = 64,
+                    availableNow: Boolean = true): StreamingQuery = {
+    val writer = vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ivfPqIngestEpoch(batch, batchId, indexPath, idCol, vecCol,
+          labelCol, dims)
+        ()
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
+  private[graft] def ivfPqIngestEpoch(batch: DataFrame, batchId: Long,
+                                      indexPath: String, idCol: String,
+                                      vecCol: String, labelCol: String,
+                                      dims: Int): Int = {
+    val spark = batch.sparkSession
+    val pqm = Similarity.readPqMarker(spark, indexPath).getOrElse(
+      throw new IllegalStateException(s"ivfPqIngestEpoch: no valid PQ " +
+        s"sidecar under $indexPath — bootstrap with ivfIngestBootstrap " +
+        "+ addPqToIvfIndex first"))
+    val (_, m, ksub, pqDims) = pqm
+    require(pqDims == dims, s"pq sidecar dims $pqDims != $dims")
+    Similarity.deletePqMarker(spark, indexPath)
+    val r = ivfIngestEpoch(batch, batchId, indexPath, idCol, vecCol,
+      labelCol, dims)
+    val epochLists = s"$indexPath/lists/__batch=$batchId"
+    if (Similarity.hasParquetData(spark, epochLists)) {
+      val landed = spark.read.parquet(epochLists)
+        .select(col(idCol), col(vecCol), col(labelCol))
+      val cb = spark.read.parquet(s"$indexPath/pq/codebooks")
+      Similarity.pqEncodeCells(landed, cb, idCol, vecCol, labelCol,
+        m, ksub, dims)
+        .write.mode("overwrite").partitionBy("__cellkey")
+        .parquet(s"$indexPath/pq/codes/__batch=$batchId")
+    }
+    // restamp only from a PRESENT csums marker: an absent one means the
+    // refresh itself is mid-crash — leave the sidecar refusing too
+    Similarity.readCsumsMarker(spark, indexPath).foreach {
+      case (maxId, _, _, _) =>
+        Similarity.writePqMarker(spark, indexPath, maxId, m, ksub, dims)
+    }
+    r
+  }
+
   /** Seed [[ivfIngestTo]]'s index with a pre-existing corpus: the corpus
     * lands in the reserved `__batch=-1` epoch (micro-batch ids start at
     * 0), keeping the partition structure uniform for the stream that

@@ -153,6 +153,53 @@ class IvfPqSpec extends AnyFunSuite {
     assert(probe() == before)
   }
 
+  test("streaming ingest keeps the sidecar fresh, idempotent, and loud") {
+    import graft.streaming.StreamOps
+    val path = Files.createTempDirectory("graft-ivfpq-stream").toString
+    val all = corpus(120)
+    StreamOps.ivfIngestBootstrap(all.filter(col("vec_id") < 60),
+      path, "vec_id", "embedding", "label")
+    Similarity.addPqToIvfIndex(spark, path, "vec_id", "embedding",
+      "label", m, ksub, trainMod = 1)
+    val e1 = all.filter(col("vec_id") >= 60 && col("vec_id") < 90)
+      .localCheckpoint()
+    val e2 = all.filter(col("vec_id") >= 90).localCheckpoint()
+    StreamOps.ivfPqIngestEpoch(e1, 0L, path, "vec_id", "embedding",
+      "label", 64)
+    StreamOps.ivfPqIngestEpoch(e2, 1L, path, "vec_id", "embedding",
+      "label", 64)
+    val probes = probesOf(all, 10)
+    def pqProbe() = rows(Similarity.ivfPqKnnJoinIndexed(spark, path,
+      probes, "vec_id", "embedding", "label", k = 5, nProbe = 2,
+      rerank = 120))
+    val plain = rows(Similarity.ivfKnnJoinIndexed(spark, path, probes,
+      "vec_id", "embedding", "label", k = 5, nProbe = 2))
+    val once = pqProbe()
+    assert(once == plain) // full rerank: codes cover every epoch's rows
+    // crash replay of epoch 1: whole-epoch overwrite, bit-identical
+    StreamOps.ivfPqIngestEpoch(e2, 1L, path, "vec_id", "embedding",
+      "label", 64)
+    assert(pqProbe() == once)
+    // crash window: marker gone → probe refuses; the next epoch heals
+    Similarity.deletePqMarker(spark, path)
+    intercept[IllegalStateException] { pqProbe() }
+    // a replayed epoch cannot START without a valid marker either —
+    // heal by re-adding the sidecar, then the stream continues
+    intercept[IllegalStateException] {
+      StreamOps.ivfPqIngestEpoch(e2, 1L, path, "vec_id", "embedding",
+        "label", 64)
+    }
+    Similarity.addPqToIvfIndex(spark, path, "vec_id", "embedding",
+      "label", m, ksub, trainMod = 1)
+    assert(pqProbe() == once)
+    // and the batch append refuses the epoch layout outright
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfPqIndex(spark, path,
+        all.limit(5), "vec_id", "embedding", "label")
+    }
+    assert(ex.getMessage.contains("epoch layout"))
+  }
+
   test("the code scan reads candidate-cell partitions only (bytes bound)") {
     val path = Files.createTempDirectory("graft-ivfpq-bytes").toString
     // many cells so pruning has something to prune

@@ -217,6 +217,25 @@ object ProbeIndexed {
     val ivfPqProbeSec = ivfPqRuns.map(_._1).min
     val ivfPqRecall = recall(ivfPqRuns.head._2)
 
+    // RESIDUAL IVF-PQ (the FAISS composition): codes quantize
+    // vec − frozenCenter(cell) instead of raw vectors — within-cell
+    // residuals span the cell radius, not the corpus radius, so the
+    // same 8 bytes/vector quantize finer. Identical probe width and
+    // rerank as the raw block above: the recall delta is pure encoding
+    // quality. Overwrites kmPath's sidecar (raw block already measured;
+    // the later aging appends staleness it either way).
+    val ivfPqResAddSec = time(Similarity.addPqToIvfIndex(spark, kmPath,
+      "vec_id", "embedding", "cell", m = 8, ksub = pqKsub, iters = 2,
+      trainMod = pqTrainMod, residual = true))
+    val ivfPqResRuns = (1 to reps).map { _ =>
+      val q = Similarity.ivfPqKnnJoinIndexed(spark, kmPath, probes,
+        "vec_id", "embedding", "cell", k = 5, nProbe = -1, rerank = 100)
+        .localCheckpoint(false)
+      (time(q.count()), q)
+    }
+    val ivfPqResProbeSec = ivfPqResRuns.map(_._1).min
+    val ivfPqResRecall = recall(ivfPqResRuns.head._2)
+
     // QUANTIZER AGING (round-13 verdict task 6): the k-means geometry is
     // frozen at build time, so a distribution-shifted ingest degrades
     // the index silently — first as FIT (sampled residual, occupancy
@@ -615,6 +634,9 @@ object ProbeIndexed {
       s""""ivfpq_add_sec":$ivfPqAddSec,""" +
       s""""ivfpq_probe200_sec":$ivfPqProbeSec,""" +
       s""""ivfpq_recall5":$ivfPqRecall,""" +
+      s""""ivfpq_residual_add_sec":$ivfPqResAddSec,""" +
+      s""""ivfpq_residual_probe200_sec":$ivfPqResProbeSec,""" +
+      s""""ivfpq_residual_recall5":$ivfPqResRecall,""" +
       s""""phash_build_sec":$phashBuild,""" +
       s""""phash_probe500_sec":$phashProbe,""" +
       s""""phash_append500_sec":$phashAppend,""" +

@@ -800,6 +800,7 @@ object SparkEntry {
       Multimodal.phashDedupAgainst(s, path, probes, maxHamming = 3)
     }),
 
+
     // Perceptual AUDIO near-dup — real WAV PCM decode (RIFF walk, mono
     // 8/16-bit) → 65-window loudness-envelope hash → the same block-LSH.
     // v=1 rows are the SAME shape re-encoded at 16-bit (bytes differ,
@@ -1440,6 +1441,31 @@ object SparkEntry {
         dims = 64)
       Similarity.addPqToIvfIndex(s, path, "vec_id", "embedding", "label",
         m = 8, ksub = 16, iters = 2, trainMod = 1)
+      Similarity.ivfPqKnnJoinIndexed(s, path, probes, "vec_id",
+        "embedding", "label", k = 5, nProbe = 2, rerank = 1000000,
+        superProbe = 0)
+    }),
+
+    // The RESIDUAL IVF-PQ composition (codes quantize vec − frozen
+    // cell center — the FAISS layout; within-cell residuals span the
+    // cell radius, not the corpus radius, so the same 8 codes quantize
+    // visibly finer). Same full-rerank shared-oracle device as
+    // ann_ivf_pq: the exact rescore covers every in-cell candidate, so
+    // this row proves snapshot → residual encode → center-dot + LUT
+    // ADC → rescore lands and routes bit-identically to the plain
+    // probe; finite-rerank recall GAIN is measured in the probe
+    // artifact (ivfpq_residual_recall5 vs ivfpq_recall5).
+    "ann_ivf_pq_residual" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val probes = emb.filter(
+        pmod(Md5Prefix28(col("vec_id").cast("string")), lit(100L)) < 1)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("__pv"))
+      val path = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(idxRoot), "ivf_pqr_").toString
+      Similarity.buildIvfIndex(emb, "vec_id", "embedding", "label", path,
+        dims = 64)
+      Similarity.addPqToIvfIndex(s, path, "vec_id", "embedding", "label",
+        m = 8, ksub = 16, iters = 2, trainMod = 1, residual = true)
       Similarity.ivfPqKnnJoinIndexed(s, path, probes, "vec_id",
         "embedding", "label", k = 5, nProbe = 2, rerank = 1000000,
         superProbe = 0)
@@ -3464,6 +3490,14 @@ object SparkEntry {
     // (addPq, same cell partitioning) must reproduce the plain probe
     // bit-for-bit; a codes-routing bug breaks row parity here
     "ann_ivf_pq" ->
+      (ivfProbeCte.stripSuffix(", ") + " " +
+        "SELECT probe_id, CAST(rn AS INTEGER) AS rank, " +
+        "vec_id AS neighbor_id, cos FROM ivr WHERE rn <= 5 " +
+        "ORDER BY probe_id, rank"),
+
+    // residual codes, same full-rerank equivalence: a bug anywhere in
+    // snapshot/residual-encode/center-dot plumbing breaks row parity
+    "ann_ivf_pq_residual" ->
       (ivfProbeCte.stripSuffix(", ") + " " +
         "SELECT probe_id, CAST(rn AS INTEGER) AS rank, " +
         "vec_id AS neighbor_id, cos FROM ivr WHERE rn <= 5 " +

@@ -1270,6 +1270,114 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
+  // ------------------------------------------ persisted VIDEO phash index
+
+  /** One row per DECODED video: (doc_id, n_frames, sig) with `sig` the
+    * frame-ordered array of per-frame dHashes — the index's storable
+    * signature form (≤ maxFrames longs; a video with any undecodable
+    * sampled frame emits no row, the whole-video quarantine rule). */
+  private def videoSigRows(spark: SparkSession, media: DataFrame,
+                           maxFrames: Int): DataFrame =
+    videoPhashSignatures(spark, media, maxFrames)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("frame_idx"),
+        col("dhash")))).as("__s"))
+      .select(col("doc_id"),
+        size(col("__s")).cast("int").as("n_frames"),
+        transform(col("__s"), e => e.getField("dhash")).as("sig"))
+
+  /** Pigeonhole routing for whole-video signatures: blocks derive from
+    * FRAME 0's hash only — sound for the all-frames rule (every aligned
+    * frame within hamming ≤ 3 ⟹ frame 0 is, ⟹ frame 0 matches in some
+    * block) — and each exploded row CARRIES the full signature array,
+    * so verification reads nothing beyond the candidate rows (fetching
+    * "all frames of doc X" from a per-frame layout would be a corpus
+    * scan). Same 4 × 64 = 256 `pb` dir geometry as the image index. */
+  private def videoSigBlocks(rows: DataFrame): DataFrame =
+    rows.select(col("doc_id"), col("n_frames"), col("sig"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(element_at(col("sig"), 1), b * 16)
+          .bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("blk", "bval")))
+      .withColumn("pb",
+        (col("blk") * 64 + shiftright(col("bval"), 10)).cast("int"))
+
+  /** Persist a perceptual-hash index over a VIDEO corpus — signatures
+    * land exploded per frame-0 pigeonhole block with the same
+    * `pb`-partitioned, bval-sorted layout as [[buildPhashIndex]]; media
+    * bytes never enter the index (≤ maxFrames longs per video do). */
+  def buildVideoPhashIndex(spark: SparkSession, media: DataFrame,
+                           path: String, maxFrames: Int = 8): Unit =
+    videoSigBlocks(videoSigRows(spark, media, maxFrames))
+      .repartition(256, col("pb"))
+      .sortWithinPartitions(col("pb"), col("bval"))
+      .write.mode("overwrite").partitionBy("pb").parquet(path)
+
+  /** Append a video batch's signatures — same routing expressions as
+    * the build, ≤ 1 new file per touched dir (bounded by the batch). */
+  def appendToVideoPhashIndex(spark: SparkSession, media: DataFrame,
+                              path: String, maxFrames: Int = 8): Unit =
+    videoSigBlocks(videoSigRows(spark, media, maxFrames))
+      .repartition(math.max(1, spark.sparkContext.defaultParallelism),
+        col("pb"))
+      .sortWithinPartitions(col("pb"), col("bval"))
+      .write.mode("append").partitionBy("pb").parquet(path)
+
+  /** Compact the video index's accumulated append files to one
+    * bval-sorted file per `pb` dir (probe bit-identical — same staged
+    * swap as [[compactPhashIndex]]). Returns the row count. */
+  def compactVideoPhashIndex(spark: SparkSession, path: String): Long =
+    ParquetCompact.rewritePartitioned(spark, path, "pb") { df =>
+      df.repartition(col("pb"))
+        .sortWithinPartitions(col("pb"), col("bval"))
+    }
+
+  /**
+   * Dedup NEW videos against the persisted index: decode + hash the
+   * batch, read ONLY its candidate `pb` partitions with the batch's
+   * bvals pushed as a scan filter (the [[phashDedupAgainst]] probe
+   * shape), join candidates on exact frame-0 (block, value), and
+   * verify the ALL-FRAMES rule entirely from the carried signature
+   * arrays: equal frame counts AND every aligned frame within
+   * `maxHamming`. Returns (doc_id, corpus_id, n_frames, max_hamming).
+   */
+  def videoPhashDedupAgainst(spark: SparkSession, path: String,
+                             newMedia: DataFrame, maxHamming: Int = 3,
+                             maxFrames: Int = 8): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"the stored 4-block geometry is sound up to hamming 3, got $maxHamming")
+    ParquetCompact.recoverTable(spark, path)
+    val sig = videoSigRows(spark, newMedia, maxFrames)
+      .localCheckpoint(false)
+    val pblocks = videoSigBlocks(sig)
+    val empty = sig.select(col("doc_id"), lit(0L).as("corpus_id"),
+      lit(0).as("n_frames"), lit(0).as("max_hamming")).limit(0)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return empty
+    val keys = pblocks.select(col("pb"), col("bval")).distinct().collect()
+    val pbs = keys.map(_.getInt(0)).distinct
+    val dirs = pbs.map(pb => new org.apache.hadoop.fs.Path(path, s"pb=$pb"))
+      .filter(fs.exists(_)).map(_.toString)
+    if (dirs.isEmpty) return empty
+    val bvals = keys.map(_.getLong(1)).distinct.toIndexedSeq
+    val corpus = spark.read.option("basePath", path)
+      .parquet(dirs.toIndexedSeq: _*)
+      .filter(col("bval").isin(bvals: _*))
+      .select(col("doc_id").as("corpus_id"),
+        col("n_frames").as("__cn"), col("sig").as("__cs"),
+        col("blk"), col("bval"))
+    corpus
+      .join(pblocks.select(col("doc_id"), col("n_frames"), col("sig"),
+        col("blk"), col("bval")), Seq("blk", "bval"))
+      .filter(col("n_frames") === col("__cn"))
+      .select(col("doc_id"), col("corpus_id"), col("n_frames"),
+        expr("aggregate(zip_with(sig, __cs, (a, b) -> bit_count(a ^ b)), " +
+          "0, (acc, x) -> greatest(acc, x))").cast("int")
+          .as("max_hamming"))
+      .distinct()
+      .filter(col("max_hamming") <= maxHamming)
+  }
+
   /**
    * PERCEPTUAL audio near-dup — the audio counterpart of the dHash pass:
    * the same recording re-encoded (8-bit vs 16-bit PCM, different

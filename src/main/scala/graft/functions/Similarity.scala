@@ -2392,13 +2392,16 @@ object Similarity {
   private def pqMarkerPath(path: String) =
     new org.apache.hadoop.fs.Path(s"$path/pq/pq_marker")
 
-  /** (max indexed id, m, ksub, dims) from the PQ sidecar marker —
-    * present IFF the codes on disk cover exactly the lists on disk
-    * (the csums-marker discipline applied to the sidecar). Malformed →
-    * None; the probe REFUSES a marker-less sidecar rather than
-    * silently missing appended rows. */
+  /** (max indexed id, m, ksub, dims, residual) from the PQ sidecar
+    * marker — present IFF the codes on disk cover exactly the lists on
+    * disk (the csums-marker discipline applied to the sidecar).
+    * `residual` says the codes quantize `vec − snapshotCenter(cell)`
+    * (the FAISS IVF-PQ composition) rather than raw vectors; a legacy
+    * 4-field marker parses as residual = false. Malformed → None; the
+    * probe REFUSES a marker-less sidecar rather than silently missing
+    * appended rows. */
   private[graft] def readPqMarker(spark: SparkSession, path: String)
-      : Option[(Long, Int, Int, Int)] = {
+      : Option[(Long, Int, Int, Int, Boolean)] = {
     val p = pqMarkerPath(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
@@ -2408,7 +2411,9 @@ object Similarity {
       finally in.close()
       raw.split('|') match {
         case Array(maxId, m, ksub, d) =>
-          Some((maxId.toLong, m.toInt, ksub.toInt, d.toInt))
+          Some((maxId.toLong, m.toInt, ksub.toInt, d.toInt, false))
+        case Array(maxId, m, ksub, d, r) =>
+          Some((maxId.toLong, m.toInt, ksub.toInt, d.toInt, r == "1"))
         case _ => None
       }
     } catch { case scala.util.control.NonFatal(_) => None }
@@ -2425,15 +2430,46 @@ object Similarity {
     * agree with the lists — every crash window leaves it absent. */
   private[graft] def writePqMarker(spark: SparkSession, path: String,
                             maxId: Long, m: Int, ksub: Int,
-                            dims: Int): Unit = {
+                            dims: Int, residual: Boolean = false): Unit = {
     val p = pqMarkerPath(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(p.toString + ".tmp")
     val out = fs.create(tmp, true)
-    try out.write(s"$maxId|$m|$ksub|$dims".getBytes("UTF-8"))
+    val r = if (residual) "1" else "0"
+    try out.write(s"$maxId|$m|$ksub|$dims|$r".getBytes("UTF-8"))
     finally out.close()
     if (fs.exists(p)) fs.delete(p, false)
     require(fs.rename(tmp, p), s"pq marker rename failed: $tmp -> $p")
+  }
+
+  /**
+   * Replace `vecCol` with the RESIDUAL against each row's assigned
+   * cell center — the FAISS IVF-PQ encoding target: within-cell
+   * residuals span a far tighter ball than raw vectors (the cell
+   * radius, not the corpus radius), so the same m·log2(ksub) bits
+   * quantize visibly finer. `centers` is the FROZEN snapshot persisted
+   * beside the codebooks (`path/pq/centers`): the live centers move on
+   * every append (they are cell means), and codes must decode against
+   * the exact geometry they were encoded with. A row whose label has
+   * no snapshot center (a cell born after the snapshot, via an
+   * assigned append) keeps its raw vector — the probe mirrors with a
+   * zero center-dot, so the two sides stay consistent. One broadcast
+   * join, no shuffle: centers are K rows, broadcast-sized forever.
+   */
+  private[graft] def residualizedRows(rows: DataFrame,
+                                      centers: DataFrame, vecCol: String,
+                                      labelCol: String): DataFrame = {
+    val keep = rows.columns
+    rows.join(
+        broadcast(centers.select(col("__cell").as("__rz_cell"),
+          col("__center").as("__rz_ctr"))),
+        rows(labelCol) === col("__rz_cell"), "left")
+      .withColumn(vecCol,
+        when(col("__rz_ctr").isNull,
+          transform(col(vecCol), x => x.cast("double")))
+        .otherwise(zip_with(col(vecCol), col("__rz_ctr"),
+          (a, b) => a.cast("double") - b)))
+      .select(keep.map(col).toIndexedSeq: _*)
   }
 
   /** Encode rows carrying their cell labels — the sidecar form of
@@ -2479,7 +2515,8 @@ object Similarity {
   def addPqToIvfIndex(spark: SparkSession, path: String, idCol: String,
                       vecCol: String, labelCol: String, m: Int = 8,
                       ksub: Int = 256, iters: Int = 2, dims: Int = 64,
-                      trainMod: Int = 0): Unit = {
+                      trainMod: Int = 0,
+                      residual: Boolean = false): Unit = {
     deletePqMarker(spark, path)
     require(hasParquetData(spark, s"$path/lists"),
       s"addPqToIvfIndex: no lists data under $path")
@@ -2487,7 +2524,21 @@ object Similarity {
     val n = parquetRowCount(spark, s"$path/lists")
     val tm = if (trainMod > 0) trainMod
              else math.max(1L, n / (50L * ksub)).toInt
-    val cb = pqTrain(lists, idCol, vecCol, m, ksub, iters, dims, tm)
+    // residual mode snapshots the coarse centers INTO the sidecar and
+    // quantizes vec − snapshotCenter(cell) (the FAISS composition):
+    // live centers are cell means that move on every append, while
+    // codes must decode against the geometry they were encoded with —
+    // the snapshot freezes it, and quantizer geometry thereafter moves
+    // only via retrain (which drops the whole sidecar)
+    val trainRows =
+      if (!residual) lists
+      else {
+        spark.read.parquet(s"$path/centers")
+          .write.mode("overwrite").parquet(s"$path/pq/centers")
+        residualizedRows(lists,
+          spark.read.parquet(s"$path/pq/centers"), vecCol, labelCol)
+      }
+    val cb = pqTrain(trainRows, idCol, vecCol, m, ksub, iters, dims, tm)
     cb.write.mode("overwrite").parquet(s"$path/pq/codebooks")
     // encode from what LANDED (the buildIvfIndex device); a streaming
     // index's lists carry the __batch epoch partition — the codes tree
@@ -2495,8 +2546,8 @@ object Similarity {
     val cbLanded = spark.read.parquet(s"$path/pq/codebooks")
     val epoched = lists.columns.contains("__batch")
     val extra = if (epoched) Seq("__batch") else Nil
-    pqEncodeCells(lists, cbLanded, idCol, vecCol, labelCol, m, ksub, dims,
-      extra)
+    pqEncodeCells(trainRows, cbLanded, idCol, vecCol, labelCol, m, ksub,
+      dims, extra)
       .write.mode("overwrite")
       .partitionBy((extra :+ "__cellkey"): _*)
       .parquet(s"$path/pq/codes")
@@ -2504,7 +2555,7 @@ object Similarity {
     val maxId = readCsumsMarker(spark, path).map(_._1).getOrElse(
       maxIdOf(lists, idCol, labelCol, "addPqToIvfIndex")
         .getOrElse(Long.MinValue))
-    writePqMarker(spark, path, maxId, m, ksub, dims)
+    writePqMarker(spark, path, maxId, m, ksub, dims, residual)
   }
 
   /**
@@ -2525,7 +2576,7 @@ object Similarity {
     val pqm = readPqMarker(spark, path).getOrElse(throw new
       IllegalStateException(s"appendToIvfPqIndex: no valid PQ sidecar " +
         s"under $path — run addPqToIvfIndex first"))
-    val (_, m, ksub, pqDims) = pqm
+    val (_, m, ksub, pqDims, residual) = pqm
     require(pqDims == dims, s"pq sidecar dims $pqDims != $dims")
     require(!pqCodesEpoched(spark, path),
       s"appendToIvfPqIndex: $path has the streaming epoch layout — " +
@@ -2539,8 +2590,17 @@ object Similarity {
       max(col(idCol).cast("long"))).collect()(0)
     if (!range.isNullAt(0)) {
       val spreadN = math.max(1, spark.sparkContext.defaultParallelism)
+      // residual codes encode against the SNAPSHOT centers — the lists
+      // append just moved the live centers, but decode geometry is
+      // frozen at addPq time (cells born after the snapshot fall back
+      // to raw vectors; the probe scores them with a zero center-dot)
+      val encodeRows =
+        if (!residual) b
+        else residualizedRows(b, spark.read.parquet(s"$path/pq/centers"),
+          vecCol, labelCol)
       stagedPartitionedWrite(spark, s"$path/pq/codes",
-        pqEncodeCells(b, cb, idCol, vecCol, labelCol, m, ksub, dims)
+        pqEncodeCells(encodeRows, cb, idCol, vecCol, labelCol, m, ksub,
+          dims)
           .repartition(spreadN, col("__cellkey")),
         replaceDirs = false,
         batchTag = Some(s"pq-${range.getLong(0)}-${range.getLong(1)}"))
@@ -2548,7 +2608,7 @@ object Similarity {
     val maxId = readCsumsMarker(spark, path).map(_._1).getOrElse(
       maxIdOf(spark.read.parquet(s"$path/lists"), idCol, labelCol,
         "appendToIvfPqIndex").getOrElse(Long.MinValue))
-    writePqMarker(spark, path, maxId, m, ksub, dims)
+    writePqMarker(spark, path, maxId, m, ksub, dims, residual)
     fast
   }
 
@@ -2596,7 +2656,7 @@ object Similarity {
     val pqm = readPqMarker(spark, path).getOrElse(throw new
       IllegalStateException(s"ivfPqKnnJoinIndexed: no valid PQ sidecar " +
         s"under $path — run addPqToIvfIndex (or re-add after a retrain)"))
-    val (pqMaxId, m, ksub, dims) = pqm
+    val (pqMaxId, m, ksub, dims, residual) = pqm
     readCsumsMarker(spark, path).foreach { case (idxMaxId, _, _, _) =>
       require(idxMaxId == pqMaxId,
         s"PQ sidecar is STALE under $path (index max id $idxMaxId, " +
@@ -2635,14 +2695,27 @@ object Similarity {
                 slice(col("__cb"), (j * ksub + c) * sd + 1, lit(sd)),
                 (a, b) => a * b),
               lit(0.0), (acc, x) => acc + x)))).as("__lut"))
+    // residual mode: the ADC score decomposes dot(p, vec) ≈
+    // dot(p, snapshotCenter(cell)) + dot(p, decodedResidual) — the
+    // first term is ONE scalar per (probe, cell) joined from the
+    // snapshot (cells born after it carry raw-vector codes and a zero
+    // center-dot, matching the encode-side fallback exactly), the
+    // second the same m LUT lookups as raw mode
     val probedLuts = broadcast(
-      probedCells.join(luts, Seq("probe_id")))
+      if (!residual) probedCells.join(luts, Seq("probe_id"))
+      else probedCells.join(luts, Seq("probe_id"))
+        .join(spark.read.parquet(s"$path/pq/centers")
+          .select(col("__cell"), col("__center")), Seq("__cell"), "left")
+        .withColumn("__cdot",
+          coalesce(dot(col("__center"), col("__pv")), lit(0.0)))
+        .drop("__center"))
     val codes = spark.read.parquet(s"$path/pq/codes")
       .filter(col("__cellkey").isin(cellKeys.toIndexedSeq: _*))
-    val approx = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+    val lutSum = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
       (acc, j) => acc +
         element_at(col("__lut"), (j * ksub + element_at(col("codes"), j + 1))
           .cast("int") + 1))
+    val approx = if (residual) col("__cdot") + lutSum else lutSum
     val winners = codes
       .join(probedLuts, codes(labelCol) === probedLuts("__cell"))
       .filter(col(idCol) =!= col("probe_id"))

@@ -1548,7 +1548,7 @@ object StreamOps {
       throw new IllegalStateException(s"ivfPqIngestEpoch: no valid PQ " +
         s"sidecar under $indexPath — bootstrap with ivfIngestBootstrap " +
         "+ addPqToIvfIndex first"))
-    val (_, m, ksub, pqDims) = pqm
+    val (_, m, ksub, pqDims, residual) = pqm
     require(pqDims == dims, s"pq sidecar dims $pqDims != $dims")
     Similarity.deletePqMarker(spark, indexPath)
     val r = ivfIngestEpoch(batch, batchId, indexPath, idCol, vecCol,
@@ -1557,8 +1557,15 @@ object StreamOps {
     if (Similarity.hasParquetData(spark, epochLists)) {
       val landed = spark.read.parquet(epochLists)
         .select(col(idCol), col(vecCol), col(labelCol))
+      // residual sidecars encode against the FROZEN snapshot centers
+      // (Similarity.residualized's contract) — the epoch just moved the
+      // live centers, but decode geometry is pinned at addPq time
+      val encodeRows =
+        if (!residual) landed
+        else Similarity.residualizedRows(landed,
+          spark.read.parquet(s"$indexPath/pq/centers"), vecCol, labelCol)
       val cb = spark.read.parquet(s"$indexPath/pq/codebooks")
-      Similarity.pqEncodeCells(landed, cb, idCol, vecCol, labelCol,
+      Similarity.pqEncodeCells(encodeRows, cb, idCol, vecCol, labelCol,
         m, ksub, dims)
         .write.mode("overwrite").partitionBy("__cellkey")
         .parquet(s"$indexPath/pq/codes/__batch=$batchId")
@@ -1567,7 +1574,8 @@ object StreamOps {
     // refresh itself is mid-crash — leave the sidecar refusing too
     Similarity.readCsumsMarker(spark, indexPath).foreach {
       case (maxId, _, _, _) =>
-        Similarity.writePqMarker(spark, indexPath, maxId, m, ksub, dims)
+        Similarity.writePqMarker(spark, indexPath, maxId, m, ksub, dims,
+          residual)
     }
     r
   }

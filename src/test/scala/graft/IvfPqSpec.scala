@@ -200,6 +200,150 @@ class IvfPqSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("epoch layout"))
   }
 
+  test("residual full-rerank probe equals the plain probe exactly") {
+    val path = Files.createTempDirectory("graft-ivfpq-res").toString
+    val df = corpus(150)
+    Similarity.buildIvfIndex(df, "vec_id", "embedding", "label", path)
+    Similarity.addPqToIvfIndex(spark, path, "vec_id", "embedding", "label",
+      m, ksub, iters = 2, residual = true)
+    val probes = probesOf(df, 20)
+    val plain = Similarity.ivfKnnJoinIndexed(spark, path, probes,
+      "vec_id", "embedding", "label", k = 5, nProbe = 2)
+    val pq = Similarity.ivfPqKnnJoinIndexed(spark, path, probes,
+      "vec_id", "embedding", "label", k = 5, nProbe = 2, rerank = 150)
+    assert(rows(pq) == rows(plain))
+    assert(rows(pq).nonEmpty)
+    // the marker records the encoding and the snapshot landed with it
+    assert(Similarity.readPqMarker(spark, path).exists(_._5))
+    assert(new java.io.File(s"$path/pq/centers").exists())
+  }
+
+  /** Decoded reconstruction error of a persisted PQ sidecar — the
+    * quantization-quality measure the residual claim stands on. */
+  private def reconMse(path: String, residual: Boolean): Double = {
+    val cb = spark.read.parquet(s"$path/pq/codebooks").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)),
+        r.getSeq[Double](2).toArray)).toMap
+    val ctr: Map[Long, Array[Double]] =
+      if (!residual) Map.empty
+      else spark.read.parquet(s"$path/pq/centers")
+        .selectExpr("cast(__cell as long) c", "__center").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+    val sd = 64 / m
+    val joined = spark.read.parquet(s"$path/pq/codes")
+      .selectExpr("cast(vec_id as long) id", "cast(label as long) l",
+        "codes")
+      .join(spark.read.parquet(s"$path/lists")
+        .selectExpr("cast(vec_id as long) id", "embedding"), Seq("id"))
+      .collect()
+    val errs = joined.map { r =>
+      val l = r.getLong(1)
+      val codes = r.getSeq[Int](2)
+      val v = r.getSeq[Float](3).map(_.toDouble).toArray
+      val recon = Array.tabulate(64) { d =>
+        val base = cb((d / sd, codes(d / sd)))(d % sd)
+        base + (if (residual) ctr(l)(d) else 0.0)
+      }
+      v.zip(recon).map { case (a, b) => (a - b) * (a - b) }.sum
+    }
+    errs.sum / errs.length
+  }
+
+  test("residual codes reconstruct a clustered corpus tighter than raw") {
+    val pathQ = Files.createTempDirectory("graft-ivfpq-mse-raw").toString
+    val pathR = Files.createTempDirectory("graft-ivfpq-mse-res").toString
+    val df = corpus(200)
+    Similarity.buildIvfIndex(df, "vec_id", "embedding", "label", pathQ)
+    Similarity.addPqToIvfIndex(spark, pathQ, "vec_id", "embedding",
+      "label", m, ksub, iters = 2, trainMod = 1)
+    Similarity.buildIvfIndex(df, "vec_id", "embedding", "label", pathR)
+    Similarity.addPqToIvfIndex(spark, pathR, "vec_id", "embedding",
+      "label", m, ksub, iters = 2, trainMod = 1, residual = true)
+    val (raw, res) = (reconMse(pathQ, residual = false),
+      reconMse(pathR, residual = true))
+    // within-cell residuals span the cell radius, not the corpus
+    // radius: the same m·log2(ksub) bits must quantize visibly finer
+    assert(res < raw,
+      s"residual reconstruction MSE $res not below raw $raw")
+  }
+
+  test("a legacy 4-field marker reads as raw codes (back-compat)") {
+    val path = Files.createTempDirectory("graft-ivfpq-legacy").toString
+    val df = corpus(100)
+    Similarity.buildIvfIndex(df, "vec_id", "embedding", "label", path)
+    Similarity.addPqToIvfIndex(spark, path, "vec_id", "embedding", "label",
+      m, ksub)
+    val Some((maxId, mm, kk, dd, _)) = Similarity.readPqMarker(spark, path)
+    // rewrite the marker in the pre-residual 4-field format (drop the
+    // local-FS checksum sidecar — a raw rewrite invalidates it and the
+    // guarded read would treat the mismatch as malformed)
+    val mp = new java.io.File(s"$path/pq/pq_marker")
+    new java.io.File(s"$path/pq/.pq_marker.crc").delete()
+    val w = new java.io.FileWriter(mp)
+    try w.write(s"$maxId|$mm|$kk|$dd") finally w.close()
+    assert(Similarity.readPqMarker(spark, path)
+      .contains((maxId, mm, kk, dd, false)))
+    val probes = probesOf(df, 10)
+    val plain = Similarity.ivfKnnJoinIndexed(spark, path, probes,
+      "vec_id", "embedding", "label", k = 5, nProbe = 2)
+    val pq = Similarity.ivfPqKnnJoinIndexed(spark, path, probes,
+      "vec_id", "embedding", "label", k = 5, nProbe = 2, rerank = 100)
+    assert(rows(pq) == rows(plain))
+  }
+
+  test("residual appends encode against the FROZEN snapshot") {
+    val pathA = Files.createTempDirectory("graft-ivfpq-res-app").toString
+    val pathB = Files.createTempDirectory("graft-ivfpq-res-all").toString
+    val all = corpus(120)
+    Similarity.buildIvfIndex(all.filter(col("vec_id") < 80),
+      "vec_id", "embedding", "label", pathA)
+    Similarity.addPqToIvfIndex(spark, pathA, "vec_id", "embedding",
+      "label", m, ksub, trainMod = 1, residual = true)
+    def snapshot() = spark.read.parquet(s"$pathA/pq/centers")
+      .selectExpr("cast(__cell as long) c", "__center").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSet
+    val before = snapshot()
+    Similarity.appendToIvfPqIndex(spark, pathA,
+      all.filter(col("vec_id") >= 80), "vec_id", "embedding", "label")
+    // the append moved the LIVE centers but not the decode geometry,
+    // and the sidecar stayed residual
+    assert(snapshot() == before)
+    assert(Similarity.readPqMarker(spark, pathA).exists(_._5))
+    Similarity.buildIvfIndex(all, "vec_id", "embedding", "label", pathB)
+    val probes = probesOf(all, 15)
+    val plainUnion = Similarity.ivfKnnJoinIndexed(spark, pathB, probes,
+      "vec_id", "embedding", "label", k = 5, nProbe = 2)
+    val pqAppended = Similarity.ivfPqKnnJoinIndexed(spark, pathA, probes,
+      "vec_id", "embedding", "label", k = 5, nProbe = 2, rerank = 120)
+    assert(rows(pqAppended) == rows(plainUnion))
+  }
+
+  test("residual streaming ingest stays equivalent at full rerank") {
+    import graft.streaming.StreamOps
+    val path = Files.createTempDirectory("graft-ivfpq-res-str").toString
+    val all = corpus(120)
+    StreamOps.ivfIngestBootstrap(all.filter(col("vec_id") < 60),
+      path, "vec_id", "embedding", "label")
+    Similarity.addPqToIvfIndex(spark, path, "vec_id", "embedding",
+      "label", m, ksub, trainMod = 1, residual = true)
+    val e1 = all.filter(col("vec_id") >= 60).localCheckpoint()
+    StreamOps.ivfPqIngestEpoch(e1, 0L, path, "vec_id", "embedding",
+      "label", 64)
+    val probes = probesOf(all, 10)
+    def pqProbe() = rows(Similarity.ivfPqKnnJoinIndexed(spark, path,
+      probes, "vec_id", "embedding", "label", k = 5, nProbe = 2,
+      rerank = 120))
+    val plain = rows(Similarity.ivfKnnJoinIndexed(spark, path, probes,
+      "vec_id", "embedding", "label", k = 5, nProbe = 2))
+    val once = pqProbe()
+    assert(once == plain)
+    // replay: bit-identical, and the marker still says residual
+    StreamOps.ivfPqIngestEpoch(e1, 0L, path, "vec_id", "embedding",
+      "label", 64)
+    assert(pqProbe() == once)
+    assert(Similarity.readPqMarker(spark, path).exists(_._5))
+  }
+
   test("the code scan reads candidate-cell partitions only (bytes bound)") {
     val path = Files.createTempDirectory("graft-ivfpq-bytes").toString
     // many cells so pruning has something to prune

@@ -311,17 +311,28 @@ def main():
     # auto width as the balanced plain probe so the columns compare.
     # Recall: the exact rescore of an ADC top-100 can lose only what ADC
     # misranks past 100 — within 0.1 of the plain probe's reading.
-    ivfpq = ["ivfpq_add_sec", "ivfpq_probe200_sec", "ivfpq_recall5"]
+    ivfpq = ["ivfpq_add_sec", "ivfpq_probe200_sec", "ivfpq_recall5",
+             "ivfpq_residual_add_sec", "ivfpq_residual_probe200_sec",
+             "ivfpq_residual_recall5"]
     ivfpq_missing = [k for k in ivfpq
                      if not isinstance(doc.get(k), (int, float))]
     if ivfpq_missing:
         fails.append(f"ivf-pq fields missing/non-numeric: {ivfpq_missing}")
-    elif isinstance(doc.get("ivf_recall5_kmeans_auto"), (int, float)):
-        if doc["ivfpq_recall5"] < doc["ivf_recall5_kmeans_auto"] - 0.1:
+    else:
+        if isinstance(doc.get("ivf_recall5_kmeans_auto"), (int, float)):
+            if doc["ivfpq_recall5"] < doc["ivf_recall5_kmeans_auto"] - 0.1:
+                fails.append(
+                    f"ivf-pq recall@5 {doc['ivfpq_recall5']} more than "
+                    f"0.1 below the plain probe's "
+                    f"{doc['ivf_recall5_kmeans_auto']} at the same width")
+        # the residual composition exists because it quantizes finer:
+        # at identical width/rerank its recall must not fall below the
+        # raw sidecar's beyond probe noise
+        if doc["ivfpq_residual_recall5"] < doc["ivfpq_recall5"] - 0.02:
             fails.append(
-                f"ivf-pq recall@5 {doc['ivfpq_recall5']} more than 0.1 "
-                f"below the plain probe's "
-                f"{doc['ivf_recall5_kmeans_auto']} at the same width")
+                f"residual ivf-pq recall@5 {doc['ivfpq_residual_recall5']}"
+                f" below the raw sidecar's {doc['ivfpq_recall5']} at the "
+                "same width/rerank - residual encoding regression")
     # equal-K quantizer comparison: k-means exists because the label
     # column measured worse; allow a small tolerance for probe noise
     if doc["ivf_recall5_kmeans"] < doc["ivf_recall5_flat"] - 0.02:
@@ -445,6 +456,26 @@ def main():
             fails.append(
                 f"ivf-pq probe at 100x ({ipq:.2f}s) does not undercut "
                 f"the plain probe ({ipl:.2f}s) at the same width")
+        # residual encoding must hold its no-regression recall claim at
+        # 100x too (where the fixed rerank budget is most diluted), at
+        # no more than a noise-band probe-cost premium over raw codes
+        # (same candidate count; one broadcast join + m adds more)
+        rr = doc100.get("ivfpq_residual_recall5")
+        rq = doc100.get("ivfpq_recall5")
+        rs = doc100.get("ivfpq_residual_probe200_sec")
+        qs = doc100.get("ivfpq_probe200_sec")
+        if not all(isinstance(x, (int, float)) for x in (rr, rq, rs, qs)):
+            fails.append("100x artifact lacks the residual ivf-pq rows "
+                         "- the residual scale claim is unsubstantiated")
+        else:
+            if rr < rq - 0.02:
+                fails.append(
+                    f"residual ivf-pq recall@5 at 100x ({rr}) below the "
+                    f"raw sidecar's ({rq})")
+            if rs > 1.5 * qs + 0.3:
+                fails.append(
+                    f"residual ivf-pq probe at 100x ({rs:.2f}s) far "
+                    f"exceeds the raw probe ({qs:.2f}s)")
     if fails:
         for m in fails:
             print(f"FAIL: {m}")

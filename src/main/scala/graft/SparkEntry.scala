@@ -799,6 +799,42 @@ object SparkEntry {
         corpus.filter(col("doc_id") % 2 === 1), path)
       Multimodal.phashDedupAgainst(s, path, probes, maxHamming = 3)
     }),
+    // Cross-corpus VIDEO dedup against a persisted index — whole-video
+    // signatures (frame-ordered dHash arrays) land exploded per
+    // FRAME-0 pigeonhole block (sound for the all-frames rule: every
+    // aligned frame ≤ 3 ⟹ frame 0 matches in some block), each row
+    // CARRYING its full ≤ 8-long array so verification reads nothing
+    // beyond the candidate rows. The probe (shifted-id fixtures) reads
+    // only its candidate dirs + pushed bvals; the oracle derives BOTH
+    // sides' per-frame hashes from the grid arithmetic.
+    "mm_video_phash_against" -> ((s, dir) => {
+      val ids = documents(s, dir).select(col("doc_id"))
+        .filter(col("doc_id") < 600)
+      val corpus = Multimodal.videoPhashFixtureMedia(s, ids, groups = 25)
+      val probes = Multimodal.videoPhashFixtureMedia(s,
+        ids.select((col("doc_id") + 10000L).as("doc_id")), groups = 25)
+      val path = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(idxRoot), "vphash_").toString
+      Multimodal.buildVideoPhashIndex(s, corpus, path)
+      Multimodal.videoPhashDedupAgainst(s, path, probes, maxHamming = 3)
+    }),
+
+    // Same result through build-half + append-half — the appended
+    // signatures land in the identical layout, proven by the SAME oracle
+    "mm_video_phash_against_appended" -> ((s, dir) => {
+      val ids = documents(s, dir).select(col("doc_id"))
+        .filter(col("doc_id") < 600)
+      val corpus = Multimodal.videoPhashFixtureMedia(s, ids, groups = 25)
+      val probes = Multimodal.videoPhashFixtureMedia(s,
+        ids.select((col("doc_id") + 10000L).as("doc_id")), groups = 25)
+      val path = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(idxRoot), "vphash_app_").toString
+      Multimodal.buildVideoPhashIndex(s,
+        corpus.filter(col("doc_id") % 2 === 0), path)
+      Multimodal.appendToVideoPhashIndex(s,
+        corpus.filter(col("doc_id") % 2 === 1), path)
+      Multimodal.videoPhashDedupAgainst(s, path, probes, maxHamming = 3)
+    }),
 
 
     // Perceptual AUDIO near-dup — real WAV PCM decode (RIFF walk, mono
@@ -1944,6 +1980,51 @@ object SparkEntry {
       "ELSE (CAST(1 AS BIGINT) << CAST(t.b AS INT)) END), 0) AS BIGINT) AS h " +
       s"FROM ids$sfx i LEFT JOIN bits$sfx t ON i.doc_id = t.doc_id " +
       "GROUP BY i.doc_id)"
+
+  /** The video fixture's per-(doc, frame) hash derivation over a
+    * TRANSFORMED doc id (the mm_video_phash_neardup arithmetic, CTE
+    * names suffixed so corpus + shifted-probe derivations compose in
+    * one WITH list — the phashHashCteFor device). */
+  private def videoHashCteFor(sfx: String, idExpr: String): String =
+    s"vids$sfx AS (SELECT $idExpr AS doc_id, ($idExpr) % 3 AS v, " +
+      s"(($idExpr) // 3) % 25 AS g FROM documents " +
+      s"WHERE doc_id < 600 AND ($idExpr) % 11 <> 0), " +
+      s"vfr$sfx AS (SELECT doc_id, v, g * 4 + f.range AS gf, " +
+      "(v = 2 AND f.range = g % 4) AS pert, " +
+      s"CAST(f.range AS INTEGER) AS fi FROM vids$sfx, range(4) f), " +
+      s"vcells$sfx AS (SELECT r.doc_id, r.fi, y.range AS cy, " +
+      "x.range AS cx, " +
+      "CASE WHEN r.pert AND y.range = r.gf % 8 AND x.range = r.gf % 9 " +
+      "THEN 250 - (((r.gf*73 + y.range*9 + x.range + 1) * " +
+      "(r.gf*73 + y.range*9 + x.range + 1) * 13 " +
+      "+ (r.gf*73 + y.range*9 + x.range + 1) * 7) % 251) " +
+      "ELSE ((r.gf*73 + y.range*9 + x.range + 1) * " +
+      "(r.gf*73 + y.range*9 + x.range + 1) * 13 " +
+      "+ (r.gf*73 + y.range*9 + x.range + 1) * 7) % 251 END AS gray " +
+      s"FROM vfr$sfx r, range(8) y, range(9) x), " +
+      s"vbits$sfx AS (SELECT l.doc_id, l.fi, l.cy*8 + l.cx AS b " +
+      s"FROM vcells$sfx l JOIN vcells$sfx r ON l.doc_id = r.doc_id " +
+      "AND l.fi = r.fi AND l.cy = r.cy AND r.cx = l.cx + 1 " +
+      "WHERE l.cx < 8 AND l.gray > r.gray), " +
+      s"fhashes$sfx AS (SELECT r.doc_id, r.fi, CAST(COALESCE(SUM(" +
+      "CASE WHEN t.b = 63 THEN CAST(-9223372036854775808 AS BIGINT) " +
+      "ELSE (CAST(1 AS BIGINT) << CAST(t.b AS INT)) END), 0) AS BIGINT) " +
+      s"AS h FROM vfr$sfx r LEFT JOIN vbits$sfx t " +
+      "ON r.doc_id = t.doc_id AND r.fi = t.fi GROUP BY r.doc_id, r.fi)"
+
+  // every (probe, corpus) pair whose ALIGNED frames are all within
+  // hamming 3 (frame counts equal by construction: 4) — shared by the
+  // fresh-build and build+append video index rows
+  private def videoAgainstOracle: String =
+    "WITH " + videoHashCteFor("", "doc_id") + ", " +
+      videoHashCteFor("2", "doc_id + 10000") +
+      " SELECT p.doc_id, c.doc_id AS corpus_id, " +
+      "CAST(count(*) AS INT) AS n_frames, " +
+      "CAST(max(bit_count(xor(p.h, c.h))) AS INT) AS max_hamming " +
+      "FROM fhashes2 p JOIN fhashes c ON p.fi = c.fi " +
+      "GROUP BY p.doc_id, c.doc_id " +
+      "HAVING max(bit_count(xor(p.h, c.h))) <= 3 " +
+      "ORDER BY p.doc_id, corpus_id"
 
   // Subword tokenization CTE chain shared by the text_subword_tokens /
   // pack_offsets_subword oracles: re-runs the EXPRESSION's WordPiece
@@ -3697,6 +3778,8 @@ object SparkEntry {
 
     "mm_phash_against" -> phashAgainstOracle,
     "mm_phash_against_appended" -> phashAgainstOracle,
+    "mm_video_phash_against" -> videoAgainstOracle,
+    "mm_video_phash_against_appended" -> videoAgainstOracle,
 
     "mm_video_phash_neardup" ->
       // per-(doc, frame) dHash from the fixture arithmetic (frame fi of

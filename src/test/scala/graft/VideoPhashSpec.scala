@@ -126,6 +126,85 @@ class VideoPhashSpec extends AnyFunSuite {
     assert(Multimodal.videoPhashNearDup(spark, media, 3).count() == 0)
   }
 
+  /** Cross-corpus model: every (probe, corpus) pair with equal frame
+    * counts and every aligned frame within maxHamming. */
+  private def bruteForceCross(ph: Map[Long, Seq[Long]],
+                              ch: Map[Long, Seq[Long]],
+                              maxHamming: Int): Set[(Long, Long, Int, Int)] =
+    (for {
+      p <- ph.keys; c <- ch.keys
+      if ph(p).length == ch(c).length
+      hams = ph(p).zip(ch(c)).map { case (x, y) =>
+        java.lang.Long.bitCount(x ^ y) }
+      if hams.max <= maxHamming
+    } yield (p, c, ph(p).length, hams.max)).toSet
+
+  private def probeRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+      .toSet
+
+  test("persisted index probe equals the cross-pair model") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-vphash-idx").toString
+    val ids = (0L until 120L)
+    val corpus = Multimodal.videoPhashFixtureMedia(spark,
+      ids.toDF("doc_id"), groups)
+    val probes = Multimodal.videoPhashFixtureMedia(spark,
+      ids.map(_ + 10000L).toDF("doc_id"), groups)
+    Multimodal.buildVideoPhashIndex(spark, corpus, path)
+    val got = probeRows(
+      Multimodal.videoPhashDedupAgainst(spark, path, probes, 3))
+    val want = bruteForceCross(expectedHashes(ids.map(_ + 10000L)),
+      expectedHashes(ids), 3)
+    assert(got == want)
+    assert(want.nonEmpty, "fixture must generate cross pairs")
+  }
+
+  test("video index append ≡ fresh build; compaction bit-identical") {
+    val pathA = java.nio.file.Files
+      .createTempDirectory("graft-vphash-app").toString
+    val pathB = java.nio.file.Files
+      .createTempDirectory("graft-vphash-all").toString
+    val ids = (0L until 90L)
+    val corpus = Multimodal.videoPhashFixtureMedia(spark,
+      ids.toDF("doc_id"), groups).localCheckpoint()
+    val probes = Multimodal.videoPhashFixtureMedia(spark,
+      ids.map(_ + 10000L).toDF("doc_id"), groups).localCheckpoint()
+    Multimodal.buildVideoPhashIndex(spark,
+      corpus.filter(col("doc_id") % 3 === 0), pathA)
+    Multimodal.appendToVideoPhashIndex(spark,
+      corpus.filter(col("doc_id") % 3 === 1), pathA)
+    Multimodal.appendToVideoPhashIndex(spark,
+      corpus.filter(col("doc_id") % 3 === 2), pathA)
+    Multimodal.buildVideoPhashIndex(spark, corpus, pathB)
+    def probe(p: String) = probeRows(
+      Multimodal.videoPhashDedupAgainst(spark, p, probes, 3))
+    val fresh = probe(pathB)
+    assert(probe(pathA) == fresh)
+    def files(p: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isFile) Seq(f)
+        else Option(f.listFiles()).map(_.toSeq.flatMap(walk)).getOrElse(Nil)
+      walk(new java.io.File(p)).count(_.getName.endsWith(".parquet"))
+    }
+    val before = files(pathA)
+    Multimodal.compactVideoPhashIndex(spark, pathA)
+    assert(files(pathA) < before)
+    assert(probe(pathA) == fresh)
+  }
+
+  test("a missing video index returns no pairs (typed-empty)") {
+    val ids = (0L until 12L)
+    val probes = Multimodal.videoPhashFixtureMedia(spark,
+      ids.toDF("doc_id"), groups)
+    val out = Multimodal.videoPhashDedupAgainst(spark,
+      "/tmp/graft-vphash-definitely-absent", probes, 3)
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "corpus_id", "n_frames", "max_hamming"))
+    assert(out.count() == 0)
+  }
+
   test("long videos sample maxFrames aligned positions deterministically") {
     val frames = (0 until 16).map { fi =>
       JpegCodec.encode(Array.fill(72 * 64)(10 + fi * 12), 72, 64,

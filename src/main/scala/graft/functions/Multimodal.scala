@@ -1322,14 +1322,33 @@ object Multimodal {
       .sortWithinPartitions(col("pb"), col("bval"))
       .write.mode("append").partitionBy("pb").parquet(path)
 
+  /** The signature-blocks composition for the streaming ingest (the
+    * [[phashBlocksOf]] device — StreamOps owns the epoch column). */
+  private[graft] def videoSigBlocksOf(spark: SparkSession,
+                                      media: DataFrame,
+                                      maxFrames: Int = 8): DataFrame =
+    videoSigBlocks(videoSigRows(spark, media, maxFrames))
+
   /** Compact the video index's accumulated append files to one
     * bval-sorted file per `pb` dir (probe bit-identical — same staged
-    * swap as [[compactPhashIndex]]). Returns the row count. */
-  def compactVideoPhashIndex(spark: SparkSession, path: String): Long =
-    ParquetCompact.rewritePartitioned(spark, path, "pb") { df =>
-      df.repartition(col("pb"))
-        .sortWithinPartitions(col("pb"), col("bval"))
-    }
+    * swap as [[compactPhashIndex]]); a streaming-ingest index (epoch
+    * dirs nested inside `pb=`) consolidates every epoch into the
+    * reserved `__batch=-1`. Returns the row count. */
+  def compactVideoPhashIndex(spark: SparkSession, path: String): Long = {
+    val hasEpochs = spark.read.parquet(path).columns.contains("__batch")
+    if (hasEpochs)
+      ParquetCompact.rewritePartitionedMulti(spark, path,
+        Seq("pb", "__batch")) { df =>
+        df.withColumn("__batch", lit(-1L))
+          .repartition(col("pb"))
+          .sortWithinPartitions(col("pb"), col("bval"))
+      }
+    else
+      ParquetCompact.rewritePartitioned(spark, path, "pb") { df =>
+        df.repartition(col("pb"))
+          .sortWithinPartitions(col("pb"), col("bval"))
+      }
+  }
 
   /**
    * Dedup NEW videos against the persisted index: decode + hash the

@@ -1897,6 +1897,48 @@ object StreamOps {
       .parquet(indexPath)
   }
 
+  /** The video twin of [[phashIngestTo]]: per micro-batch, decode +
+    * hash the epoch's videos and land their signature blocks under
+    * `pb=…/__batch=N` with dynamic overwrite — same epoch-idempotence
+    * contract, same probe compatibility ([[graft.functions.Multimodal
+    * .videoPhashDedupAgainst]] projects the epoch column away), same
+    * [[graft.functions.Multimodal.compactVideoPhashIndex]]
+    * consolidation. */
+  def videoPhashIngestTo(media: DataFrame, indexPath: String,
+                         checkpoint: String, maxFrames: Int = 8,
+                         availableNow: Boolean = true): StreamingQuery = {
+    val writer = media.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        videoPhashIngestEpoch(batch, batchId, indexPath, maxFrames)
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
+  /** Seed a streaming video phash index from a batch corpus — the
+    * reserved `__batch=-1` epoch. */
+  def videoPhashIngestBootstrap(spark: org.apache.spark.sql.SparkSession,
+                                media: DataFrame, indexPath: String,
+                                maxFrames: Int = 8): Unit =
+    videoPhashIngestEpoch(media, -1L, indexPath, maxFrames)
+
+  private[graft] def videoPhashIngestEpoch(batch: DataFrame, batchId: Long,
+                                           indexPath: String,
+                                           maxFrames: Int): Unit = {
+    import graft.functions.Multimodal
+    val spark = batch.sparkSession
+    Multimodal.videoSigBlocksOf(spark, batch, maxFrames)
+      .withColumn("__batch", lit(batchId))
+      .repartition(math.max(1, spark.sparkContext.defaultParallelism),
+        col("pb"))
+      .sortWithinPartitions(col("pb"), col("bval"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("pb", "__batch")
+      .parquet(indexPath)
+  }
+
   /**
    * ONLINE maintenance of the persisted text-dedup index — the streaming
    * twin of [[graft.functions.Dedup.appendToDedupIndex]], with the epoch

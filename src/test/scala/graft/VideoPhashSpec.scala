@@ -194,6 +194,36 @@ class VideoPhashSpec extends AnyFunSuite {
     assert(probe(pathA) == fresh)
   }
 
+  test("streaming video ingest: epochs idempotent, probe-equal, compact") {
+    import graft.streaming.StreamOps
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-vphash-ing").toString
+    val ids = (0L until 90L)
+    val corpus = Multimodal.videoPhashFixtureMedia(spark,
+      ids.toDF("doc_id"), groups).localCheckpoint()
+    val probes = Multimodal.videoPhashFixtureMedia(spark,
+      ids.map(_ + 10000L).toDF("doc_id"), groups).localCheckpoint()
+    StreamOps.videoPhashIngestBootstrap(spark,
+      corpus.filter(col("doc_id") < 30), path)
+    val e1 = corpus.filter(col("doc_id") >= 30 && col("doc_id") < 60)
+      .localCheckpoint()
+    val e2 = corpus.filter(col("doc_id") >= 60).localCheckpoint()
+    StreamOps.videoPhashIngestEpoch(e1, 0L, path, 8)
+    StreamOps.videoPhashIngestEpoch(e2, 1L, path, 8)
+    def probe() = probeRows(
+      Multimodal.videoPhashDedupAgainst(spark, path, probes, 3))
+    val want = bruteForceCross(expectedHashes(ids.map(_ + 10000L)),
+      expectedHashes(ids), 3)
+    val once = probe()
+    assert(once == want)
+    // crash replay of epoch 1: whole-epoch overwrite, bit-identical
+    StreamOps.videoPhashIngestEpoch(e2, 1L, path, 8)
+    assert(probe() == once)
+    // epoch-layout compaction consolidates and keeps the probe result
+    Multimodal.compactVideoPhashIndex(spark, path)
+    assert(probe() == once)
+  }
+
   test("a missing video index returns no pairs (typed-empty)") {
     val ids = (0L until 12L)
     val probes = Multimodal.videoPhashFixtureMedia(spark,

@@ -47,24 +47,29 @@ object ProbeIndexed {
     val probes = emb.orderBy(col("vec_id")).limit(200)
       .select(col("vec_id").as("probe_id"), col("embedding").as("__pv"))
       .localCheckpoint()
-    // the library DEFAULT (superProbe = -1 auto): flat below the
-    // crossover, two-level beyond it — what a production caller gets
-    // without knowing the flag exists
-    val probeIvf = (1 to reps).map(_ => time(
-      Similarity.ivfKnnJoinIndexed(spark, ivfPath, probes,
-        "vec_id", "embedding", "label", k = 5, nProbe = 2).count())).min
-    // pinned flat: the O(probes × K) center ranking the auto rule
-    // retires at large K — kept so the artifact shows both sides of the
-    // crossover at every scale
-    val probeIvfFlat = (1 to reps).map(_ => time(
-      Similarity.ivfKnnJoinIndexed(spark, ivfPath, probes,
-        "vec_id", "embedding", "label", k = 5, nProbe = 2,
-        superProbe = 0).count())).min
-    // pinned two-level width (the explicit form)
-    val probeIvf2L = (1 to reps).map(_ => time(
+    // the three probe variants: the library DEFAULT (superProbe = -1
+    // auto — flat below the crossover, two-level beyond it), pinned
+    // flat (the O(probes × K) center ranking the auto rule retires at
+    // large K), and the pinned two-level width. Timed INTERLEAVED
+    // (rep 1 = auto, flat, 2level; rep 2 = auto, …) with per-variant
+    // minima: sequential per-variant blocks bill whichever variant runs
+    // first for session/codegen/page-cache warmup that min-of-reps
+    // cannot absorb — measured +0.3–0.6 s on the first block at 100×
+    // across three captures, with auto and the pinned two-level running
+    // the IDENTICAL plan (probeSuperWidth(100, −1, 4, 2) = 4) — which
+    // failed the auto ≤ 1.2×flat gate on position, not plan. An
+    // untimed warm-up run absorbs the first-compile cost up front.
+    def ivfProbeAt(sp: Int): Unit =
       Similarity.ivfKnnJoinIndexed(spark, ivfPath, probes,
         "vec_id", "embedding", "label", k = 5, nProbe = 2,
-        superProbe = 4).count())).min
+        superProbe = sp).count()
+    ivfProbeAt(-1) // untimed warm-up
+    val ivfVariantTimes = (1 to reps).flatMap(_ =>
+      Seq(-1, 0, 4).map(sp => sp -> time(ivfProbeAt(sp))))
+      .groupBy(_._1).map { case (sp, ts) => sp -> ts.map(_._2).min }
+    val probeIvf = ivfVariantTimes(-1)
+    val probeIvfFlat = ivfVariantTimes(0)
+    val probeIvf2L = ivfVariantTimes(4)
     // did the auto default engage two-level on this corpus? Resolved by
     // THE library rule (Similarity.probeSuperWidth at the default
     // superBits and the row's own nProbe = 2), not a hand-copied literal
@@ -321,13 +326,23 @@ object ProbeIndexed {
     // corpus-proportional centers recompute only runs on the fallback
     // (interleaved ids / legacy index). The incremental flag is recorded
     // so the artifact proves WHICH path the timing measured.
-    val ivfBatch = emb.orderBy(col("vec_id").desc).limit(200)
-      .select((col("vec_id") + 90000000L).as("vec_id"), col("embedding"),
-        col("label"))
-      .localCheckpoint()
+    // min of `reps` appends of DISTINCT monotone batches (the
+    // ingestEpochSec device): each append's cost is batch-bounded by
+    // design, so successive fresh-id batches measure the same claim and
+    // the min absorbs the GC/JIT spikes a single-shot reading bills to
+    // the append — the r14 cross-scale gate misfired at 3.02× on a
+    // single-shot 5.32 s capture whose three siblings read 2.5–2.7×.
     var appendIvfFast = false
-    val appendIvf = time { appendIvfFast = Similarity.appendToIvfIndex(
-      spark, ivfPath, ivfBatch, "vec_id", "embedding", "label", dims = 64) }
+    val appendIvf = (1 to reps).map { r =>
+      val ivfBatch = emb.orderBy(col("vec_id").desc).limit(200)
+        .select((col("vec_id") + 90000000L + r * 1000000L).as("vec_id"),
+          col("embedding"), col("label"))
+        .localCheckpoint()
+      val t = time { appendIvfFast = Similarity.appendToIvfIndex(
+        spark, ivfPath, ivfBatch, "vec_id", "embedding", "label",
+        dims = 64) }
+      ivfBatch.unpersist(); t
+    }.min
     // the full centers recompute alone (idempotent — same lists, same
     // centers): the REPAIR/fallback path's corpus-proportional cost,
     // kept visible so the incremental win above is measured against it
@@ -337,13 +352,17 @@ object ProbeIndexed {
     // assignment-only append to the k-means index: the batch arrives
     // UNLABELED and quantizes to the stored centers (one batch ×
     // broadcast(K) scoring step), then the same lists-write + csums fold
-    val kmBatch = emb.orderBy(col("vec_id").desc).limit(200)
-      .select((col("vec_id") + 91000000L).as("vec_id"), col("embedding"))
-      .localCheckpoint()
     var appendAssignedFast = false
-    val appendAssigned = time { appendAssignedFast =
-      Similarity.appendToIvfIndexAssigned(
-        spark, kmPath, kmBatch, "vec_id", "embedding", dims = 64) }
+    val appendAssigned = (1 to reps).map { r =>
+      val kmBatch = emb.orderBy(col("vec_id").desc).limit(200)
+        .select((col("vec_id") + 91000000L + r * 1000000L).as("vec_id"),
+          col("embedding"))
+        .localCheckpoint()
+      val t = time { appendAssignedFast =
+        Similarity.appendToIvfIndexAssigned(
+          spark, kmPath, kmBatch, "vec_id", "embedding", dims = 64) }
+      kmBatch.unpersist(); t
+    }.min
 
     // STREAMING IVF ingest (round 12): the per-micro-batch refresh runs
     // through the csums fold — epoch cost must track the batch, not the

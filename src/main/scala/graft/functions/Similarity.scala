@@ -466,9 +466,12 @@ object Similarity {
       .localCheckpoint()
     requireFixedWidth(cs, dims, "buildIvfIndex")
     val centers = centersFromCsums(cs, labelCol)
-    // empty path: force one task so a schema-carrying zero-row parquet
-    // file lands and probe-side reads of `centers` keep working
-    (if (empty) centers.repartition(1) else centers)
+    // ONE file always: centers are K broadcast-sized rows, and a
+    // shuffle-partitioned layout (up to 32 small files) made the auto
+    // probe's footer-based row count pay ~0.2 s of per-file opens on
+    // every call — a metadata table's layout is one footer. (The empty
+    // build needed repartition(1) anyway for a schema-carrying file.)
+    centers.repartition(1)
       .write.mode("overwrite").parquet(s"$path/centers")
     writeCsums(cs, labelCol, s"$path/csums")
     writeCsumsMarker(df.sparkSession, path,
@@ -667,7 +670,7 @@ object Similarity {
     val cfs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     cfs.delete(new org.apache.hadoop.fs.Path(cTmp), true)
-    centers.write.parquet(cTmp)
+    centers.repartition(1).write.parquet(cTmp) // one footer, see buildIvfIndex
     cfs.delete(new org.apache.hadoop.fs.Path(s"$path/centers"), true)
     require(cfs.rename(new org.apache.hadoop.fs.Path(cTmp),
       new org.apache.hadoop.fs.Path(s"$path/centers")),
@@ -723,6 +726,7 @@ object Similarity {
       .select(col(idCol), col(vecCol), col(labelCol))
     cellCenters(lists, labelCol, idCol, vecCol, dims)
       .localCheckpoint() // eager: reads under path before overwriting it
+      .repartition(1) // one footer, see buildIvfIndex
       .write.mode("overwrite").parquet(s"$path/centers")
   }
 
@@ -747,6 +751,7 @@ object Similarity {
     requireFixedWidth(cs, dims, "rebuildIvfCsums")
     writeCsums(cs, labelCol, s"$path/csums")
     centersFromCsums(cs, labelCol)
+      .repartition(1) // one footer, see buildIvfIndex
       .write.mode("overwrite").parquet(s"$path/centers")
     writeCsumsMarker(spark, path,
       maxIdOf(lists, idCol, labelCol, "rebuildIvfCsums")

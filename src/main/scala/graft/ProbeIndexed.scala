@@ -332,13 +332,17 @@ object ProbeIndexed {
     // the min absorbs the GC/JIT spikes a single-shot reading bills to
     // the append — the r14 cross-scale gate misfired at 3.02× on a
     // single-shot 5.32 s capture whose three siblings read 2.5–2.7×.
-    var appendIvfFast = false
+    // the flag is the CONJUNCTION over all reps (start true, AND each):
+    // the min timing could otherwise come from a fast-path rep while a
+    // fallback rep's corpus-proportional cost hides behind a
+    // last-rep-only flag still reading true
+    var appendIvfFast = true
     val appendIvf = (1 to reps).map { r =>
       val ivfBatch = emb.orderBy(col("vec_id").desc).limit(200)
         .select((col("vec_id") + 90000000L + r * 1000000L).as("vec_id"),
           col("embedding"), col("label"))
         .localCheckpoint()
-      val t = time { appendIvfFast = Similarity.appendToIvfIndex(
+      val t = time { appendIvfFast &= Similarity.appendToIvfIndex(
         spark, ivfPath, ivfBatch, "vec_id", "embedding", "label",
         dims = 64) }
       ivfBatch.unpersist(); t
@@ -352,13 +356,13 @@ object ProbeIndexed {
     // assignment-only append to the k-means index: the batch arrives
     // UNLABELED and quantizes to the stored centers (one batch ×
     // broadcast(K) scoring step), then the same lists-write + csums fold
-    var appendAssignedFast = false
+    var appendAssignedFast = true // conjunction over reps, as above
     val appendAssigned = (1 to reps).map { r =>
       val kmBatch = emb.orderBy(col("vec_id").desc).limit(200)
         .select((col("vec_id") + 91000000L + r * 1000000L).as("vec_id"),
           col("embedding"))
         .localCheckpoint()
-      val t = time { appendAssignedFast =
+      val t = time { appendAssignedFast &=
         Similarity.appendToIvfIndexAssigned(
           spark, kmPath, kmBatch, "vec_id", "embedding", dims = 64) }
       kmBatch.unpersist(); t

@@ -1654,6 +1654,44 @@ object SparkEntry {
         "label", k = 5, nProbe = 2, superProbe = 0)
     }),
 
+    // Steady-state twins for the suite's two most expensive rows: the
+    // build-in-query IVF-PQ rows bill k-means-free but full
+    // build+addPq retraining to every rep; a user's per-query cost is
+    // the PROBE against a standing sidecar. Same frozenIndex device,
+    // same full-rerank shared oracle — results identical to the
+    // build-in-query rows because the index content is deterministic.
+    "ann_ivf_pq_probe" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val path = frozenIndex("ivfpq", dir) { p =>
+        Similarity.buildIvfIndex(emb, "vec_id", "embedding", "label", p,
+          dims = 64)
+        Similarity.addPqToIvfIndex(s, p, "vec_id", "embedding", "label",
+          m = 8, ksub = 16, iters = 2, trainMod = 1)
+      }
+      val probes = emb.filter(
+        pmod(Md5Prefix28(col("vec_id").cast("string")), lit(100L)) < 1)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("__pv"))
+      Similarity.ivfPqKnnJoinIndexed(s, path, probes, "vec_id",
+        "embedding", "label", k = 5, nProbe = 2, rerank = 1000000,
+        superProbe = 0)
+    }),
+
+    "ann_ivf_pq_residual_probe" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val path = frozenIndex("ivfpqr", dir) { p =>
+        Similarity.buildIvfIndex(emb, "vec_id", "embedding", "label", p,
+          dims = 64)
+        Similarity.addPqToIvfIndex(s, p, "vec_id", "embedding", "label",
+          m = 8, ksub = 16, iters = 2, trainMod = 1, residual = true)
+      }
+      val probes = emb.filter(
+        pmod(Md5Prefix28(col("vec_id").cast("string")), lit(100L)) < 1)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("__pv"))
+      Similarity.ivfPqKnnJoinIndexed(s, path, probes, "vec_id",
+        "embedding", "label", k = 5, nProbe = 2, rerank = 1000000,
+        superProbe = 0)
+    }),
+
     // Deterministic train/val/test split: per-split corpus accounting
     "split_train_valtest" -> ((s, dir) =>
       documents(s, dir)
@@ -1786,6 +1824,8 @@ object SparkEntry {
       "ann_ivf_kmeans_probe" -> base("ann_ivf_indexed_kmeans"),
       "ann_assign_probe" -> base("ann_assign_batch"),
       "ann_ivf_appended_probe" -> base("ann_ivf_appended"),
+      "ann_ivf_pq_probe" -> base("ann_ivf_pq"),
+      "ann_ivf_pq_residual_probe" -> base("ann_ivf_pq_residual"),
       // the monotone (suffix-id) append continues the stored csums fold —
       // same bits as the full build, so the SAME shared oracle proves the
       // incremental path in SQL (the odd/even row proves the fallback)

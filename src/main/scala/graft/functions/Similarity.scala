@@ -425,6 +425,7 @@ object Similarity {
   def buildIvfIndex(df: DataFrame, idCol: String, vecCol: String,
                     labelCol: String, path: String, dims: Int = 64): Unit = {
     TopKAgg.requireIntegralId(df, idCol, "buildIvfIndex")
+    val mark = stageTrace("ivf-build")
     // an IN-PLACE rebuild over an existing index is a mutation like any
     // other: the marker must be absent through every crash window (a
     // crash between the lists overwrite and the csums write would
@@ -445,6 +446,7 @@ object Similarity {
         col(labelCol).cast("string").as("__cellkey"))
       .write.mode("overwrite").partitionBy("__cellkey")
       .parquet(s"$path/lists")
+    mark("lists-write")
     // a ZERO-ROW build leaves a data-less lists dir (only _SUCCESS) that
     // schema inference cannot read back — derive the empty `landed` from
     // the caller's frame instead (limit 0: schema only, no scan), so the
@@ -464,19 +466,38 @@ object Similarity {
     // pins the parity)
     val cs = csumsOf(landed, labelCol, idCol, vecCol, dims)
       .localCheckpoint()
-    requireFixedWidth(cs, dims, "buildIvfIndex")
-    val centers = centersFromCsums(cs, labelCol)
-    // ONE file always: centers are K broadcast-sized rows, and a
-    // shuffle-partitioned layout (up to 32 small files) made the auto
-    // probe's footer-based row count pay ~0.2 s of per-file opens on
-    // every call — a metadata table's layout is one footer. (The empty
-    // build needed repartition(1) anyway for a schema-carrying file.)
-    centers.repartition(1)
-      .write.mode("overwrite").parquet(s"$path/centers")
-    writeCsums(cs, labelCol, s"$path/csums")
+    mark("csums-fold")
+    // the three post-checkpoint jobs — centers derive+write, csums
+    // write, and the marker's maxId scan — are independent reads of
+    // already-materialized state, so they run concurrently
+    // ([[inParallel]]): serial they billed the build ~1.4 s of pure
+    // job-dispatch latency. The width gate stays ORDERED before the
+    // centers derivation (a ragged corpus must fail before a poisoned
+    // centers table can land), and the marker is written strictly
+    // after every side returns. A width failure can still race the
+    // csums write landing — the marker is absent either way, so the
+    // state is the ordinary crashed-build shape every repair converges
+    // from.
+    var maxIdLanded: Option[Long] = None
+    inParallel(
+      () => {
+        requireFixedWidth(cs, dims, "buildIvfIndex")
+        // ONE file always: centers are K broadcast-sized rows, and a
+        // shuffle-partitioned layout (up to 32 small files) made the
+        // auto probe's footer-based row count pay ~0.2 s of per-file
+        // opens on every call — a metadata table's layout is one
+        // footer. (The empty build needed repartition(1) anyway for a
+        // schema-carrying file.)
+        centersFromCsums(cs, labelCol).repartition(1)
+          .write.mode("overwrite").parquet(s"$path/centers")
+      },
+      () => writeCsums(cs, labelCol, s"$path/csums"),
+      () => { maxIdLanded = maxIdOf(landed, idCol, labelCol,
+        "buildIvfIndex") })
+    mark("derived-writes")
     writeCsumsMarker(df.sparkSession, path,
-      maxIdOf(landed, idCol, labelCol, "buildIvfIndex")
-        .getOrElse(Long.MinValue), dims)
+      maxIdLanded.getOrElse(Long.MinValue), dims)
+    mark("marker")
   }
 
   /**
@@ -612,16 +633,6 @@ object Similarity {
       .localCheckpoint() // eager: reads csums before overwriting them
     mark("csums-merge")
     requireFixedWidth(merged, dims, "foldCsumsDelta")
-    // same staged-rename device as the lists append (a dynamic
-    // partition overwrite resolves the whole csums tree too); here the
-    // touched cells' dirs are REPLACED — the merged rows supersede the
-    // old fold state
-    stagedPartitionedWrite(spark, s"$path/csums",
-      merged.drop("__minw")
-        .withColumn("__cellkey", col(labelCol).cast("string"))
-        .repartition(spreadN, col("__cellkey")),
-      replaceDirs = true)
-    mark("csums-write")
     // centers rewrite is O(touched cells) too: an untouched cell's fold
     // state did not move, so its STORED center row is bit-identical to
     // what a full re-derivation would produce (doubles round-trip
@@ -643,21 +654,43 @@ object Similarity {
     // FULL table from the freshly-merged csums instead: the fold state
     // is the authority the marker actually certifies, the centers are
     // derived. O(csums) on this repair path only.
-    swapCenters(spark, path,
-      if (hasParquetData(spark, s"$path/centers"))
-        spark.read.parquet(s"$path/centers")
-          .filter(!col("__cell").cast("string")
-            .isin(cells.toIndexedSeq: _*))
-          .unionByName(touchedCenters)
-      else {
-        val touchedCs = merged.select(col(labelCol), col("__chunk"),
-          col("__psums"), col("__n"))
-        centersFromCsums(
-          readUntouchedCsums(spark, path, cells, labelCol)
-            .fold(touchedCs)(touchedCs.unionByName(_)),
-          labelCol)
+    //
+    // The csums staged write and the centers swap both read only the
+    // checkpointed `merged` plus disk state the OTHER side never
+    // touches (the swap's repair branch reads the UNtouched cells'
+    // csums dirs; the staged write replaces only the touched cells'),
+    // so they run concurrently ([[inParallel]]) — serial they billed
+    // every append ~1 s of job-dispatch latency. Marker still LAST.
+    inParallel(
+      () => {
+        // same staged-rename device as the lists append (a dynamic
+        // partition overwrite resolves the whole csums tree too); here
+        // the touched cells' dirs are REPLACED — the merged rows
+        // supersede the old fold state
+        stagedPartitionedWrite(spark, s"$path/csums",
+          merged.drop("__minw")
+            .withColumn("__cellkey", col(labelCol).cast("string"))
+            .repartition(spreadN, col("__cellkey")),
+          replaceDirs = true)
+        mark("csums-write")
+      },
+      () => {
+        swapCenters(spark, path,
+          if (hasParquetData(spark, s"$path/centers"))
+            spark.read.parquet(s"$path/centers")
+              .filter(!col("__cell").cast("string")
+                .isin(cells.toIndexedSeq: _*))
+              .unionByName(touchedCenters)
+          else {
+            val touchedCs = merged.select(col(labelCol), col("__chunk"),
+              col("__psums"), col("__n"))
+            centersFromCsums(
+              readUntouchedCsums(spark, path, cells, labelCol)
+                .fold(touchedCs)(touchedCs.unionByName(_)),
+              labelCol)
+          })
+        mark("centers")
       })
-    mark("centers")
     writeCsumsMarker(spark, path, bMax, dims, epoch, epochHash)
   }
 
@@ -749,13 +782,18 @@ object Similarity {
     val cs = csumsOf(lists, labelCol, idCol, vecCol, dims)
       .localCheckpoint() // eager: reads under path before overwriting it
     requireFixedWidth(cs, dims, "rebuildIvfCsums")
-    writeCsums(cs, labelCol, s"$path/csums")
-    centersFromCsums(cs, labelCol)
-      .repartition(1) // one footer, see buildIvfIndex
-      .write.mode("overwrite").parquet(s"$path/centers")
+    // independent post-checkpoint jobs run concurrently (see
+    // buildIvfIndex); marker strictly after all three return
+    var maxIdLists: Option[Long] = None
+    inParallel(
+      () => writeCsums(cs, labelCol, s"$path/csums"),
+      () => centersFromCsums(cs, labelCol)
+        .repartition(1) // one footer, see buildIvfIndex
+        .write.mode("overwrite").parquet(s"$path/centers"),
+      () => { maxIdLists = maxIdOf(lists, idCol, labelCol,
+        "rebuildIvfCsums") })
     writeCsumsMarker(spark, path,
-      maxIdOf(lists, idCol, labelCol, "rebuildIvfCsums")
-        .getOrElse(Long.MinValue), dims, epoch, epochHash)
+      maxIdLists.getOrElse(Long.MinValue), dims, epoch, epochHash)
   }
 
   /**
@@ -905,6 +943,28 @@ object Similarity {
         s"elements, found one with ${mw.getInt(0)}")
   }
 
+  /** Run independent index-maintenance jobs concurrently: local-mode
+    * (and cluster) Spark schedules jobs submitted from separate threads
+    * in parallel, and the sides here are single jobs over an
+    * already-checkpointed tiny frame — serializing them billed each
+    * build/append ~0.1–0.7 s of pure job-dispatch latency per side
+    * (round 15: the five IVF build/append contract rows regressed ~2×
+    * on exactly this fixed cost). Crash contract unchanged: the caller
+    * writes the validity marker only AFTER every side returns, so any
+    * failure — including one side failing while another lands — leaves
+    * the marker absent and the next operation falls back to the full
+    * rebuild. Both sides are awaited even when one fails (a torn
+    * concurrent write must not outlive the caller's error handling);
+    * the first failure then propagates. */
+  private def inParallel(sides: (() => Unit)*): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = sides.map(s => Future(s()))
+    val rs = fs.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+    rs.foreach(_.get)
+  }
+
   /** Env-gated stage stopwatch (`SPARK_GRAFT_IVF_TIMINGS=1`): returns a
     * mark function printing elapsed-since-last-mark per named stage —
     * a no-op closure when the flag is off. */
@@ -925,9 +985,15 @@ object Similarity {
     * whole table (build/rebuild). */
   private def writeCsums(cs: DataFrame, labelCol: String, dir: String,
                          dynamic: Boolean = false): Unit = {
+    // EXPLICIT partition count, like the append's lists write: a
+    // key-only repartition over a tiny csums frame gets AQE-coalesced
+    // to one task, serializing the per-cell parquet writer inits
+    // (~15 ms each — the dominant term at K cells)
+    val spreadN = math.max(1, cs.sparkSession.sparkContext
+      .defaultParallelism)
     val keyed = cs.drop("__minw")
       .withColumn("__cellkey", col(labelCol).cast("string"))
-      .repartition(col("__cellkey"))
+      .repartition(spreadN, col("__cellkey"))
     val w = keyed.write.mode("overwrite").partitionBy("__cellkey")
     (if (dynamic) w.option("partitionOverwriteMode", "dynamic") else w)
       .parquet(dir)
@@ -2461,6 +2527,34 @@ object Similarity {
    * zero center-dot, so the two sides stay consistent. One broadcast
    * join, no shuffle: centers are K rows, broadcast-sized forever.
    */
+  /** Extend a residual sidecar's FROZEN coarse-center snapshot with the
+    * first-seen live centers of cells born after the snapshot. Without
+    * this, post-snapshot cells fell back to RAW-vector codes scored
+    * against codebooks trained on near-zero residuals — systematically
+    * mis-scaled ADC that, under a finite rerank budget, misranks true
+    * neighbors in fresh cells out of the finalist set (round-14 advice).
+    * A new cell's geometry is born at its first append: freezing its
+    * center THEN gives its codes the same decode contract snapshot
+    * cells have, and its residuals (vec − first-seen mean) live on the
+    * same scale the codebooks were trained for. A cell's snapshot entry
+    * is written once and never moves; replay-idempotent by
+    * set-difference (a crash-retried batch finds its cells already
+    * present and writes nothing). Call BEFORE encoding the batch. */
+  private[graft] def extendPqSnapshot(spark: SparkSession, path: String,
+                                      batchCells: Seq[String]): Unit = {
+    val snapDir = s"$path/pq/centers"
+    if (!hasParquetData(spark, snapDir)) return
+    val have = spark.read.parquet(snapDir)
+      .select(col("__cell").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val fresh = batchCells.filterNot(have)
+    if (fresh.isEmpty) return
+    spark.read.parquet(s"$path/centers")
+      .filter(col("__cell").cast("string").isin(fresh.toIndexedSeq: _*))
+      .repartition(1)
+      .write.mode("append").parquet(snapDir)
+  }
+
   private[graft] def residualizedRows(rows: DataFrame,
                                       centers: DataFrame, vecCol: String,
                                       labelCol: String): DataFrame = {
@@ -2536,7 +2630,15 @@ object Similarity {
     // the snapshot freezes it, and quantizer geometry thereafter moves
     // only via retrain (which drops the whole sidecar)
     val trainRows =
-      if (!residual) lists
+      if (!residual) {
+        // a previous RESIDUAL sidecar on this path left a centers
+        // snapshot that a raw re-encode never reads (the marker says
+        // raw) — dead state that misleads debugging; drop it
+        val snap = new org.apache.hadoop.fs.Path(s"$path/pq/centers")
+        val sfs = snap.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (sfs.exists(snap)) { sfs.delete(snap, true); () }
+        lists
+      }
       else {
         spark.read.parquet(s"$path/centers")
           .write.mode("overwrite").parquet(s"$path/pq/centers")
@@ -2597,12 +2699,19 @@ object Similarity {
       val spreadN = math.max(1, spark.sparkContext.defaultParallelism)
       // residual codes encode against the SNAPSHOT centers — the lists
       // append just moved the live centers, but decode geometry is
-      // frozen at addPq time (cells born after the snapshot fall back
-      // to raw vectors; the probe scores them with a zero center-dot)
+      // frozen at addPq time. A cell BORN by this batch gets its
+      // first-seen center frozen into the snapshot first
+      // ([[extendPqSnapshot]]), so its codes are residual on the
+      // codebooks' scale instead of the old raw-vector fallback
       val encodeRows =
         if (!residual) b
-        else residualizedRows(b, spark.read.parquet(s"$path/pq/centers"),
-          vecCol, labelCol)
+        else {
+          extendPqSnapshot(spark, path,
+            b.select(col(labelCol).cast("string")).distinct()
+              .collect().map(_.getString(0)).toIndexedSeq)
+          residualizedRows(b, spark.read.parquet(s"$path/pq/centers"),
+            vecCol, labelCol)
+        }
       stagedPartitionedWrite(spark, s"$path/pq/codes",
         pqEncodeCells(encodeRows, cb, idCol, vecCol, labelCol, m, ksub,
           dims)

@@ -1559,11 +1559,20 @@ object StreamOps {
         .select(col(idCol), col(vecCol), col(labelCol))
       // residual sidecars encode against the FROZEN snapshot centers
       // (Similarity.residualized's contract) — the epoch just moved the
-      // live centers, but decode geometry is pinned at addPq time
+      // live centers, but decode geometry is pinned at addPq time. A
+      // cell BORN this epoch gets its first-seen center frozen in
+      // first (extendPqSnapshot — idempotent across crash replays), so
+      // its codes are residual on the codebooks' scale
       val encodeRows =
         if (!residual) landed
-        else Similarity.residualizedRows(landed,
-          spark.read.parquet(s"$indexPath/pq/centers"), vecCol, labelCol)
+        else {
+          Similarity.extendPqSnapshot(spark, indexPath,
+            landed.select(col(labelCol).cast("string")).distinct()
+              .collect().map(_.getString(0)).toIndexedSeq)
+          Similarity.residualizedRows(landed,
+            spark.read.parquet(s"$indexPath/pq/centers"), vecCol,
+            labelCol)
+        }
       val cb = spark.read.parquet(s"$indexPath/pq/codebooks")
       Similarity.pqEncodeCells(encodeRows, cb, idCol, vecCol, labelCol,
         m, ksub, dims)

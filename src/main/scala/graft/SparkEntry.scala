@@ -850,6 +850,42 @@ object SparkEntry {
       Multimodal.audioPhashNearDup(s, media, maxHamming = 3)
     }),
 
+    // Cross-corpus AUDIO dedup against a persisted index — the last
+    // modality to get the build/append/compact/against/ingest
+    // lifecycle: envelope hashes land exploded per pigeonhole block in
+    // the image index's exact pb layout (the hash is 64-bit, so the
+    // geometry carries over); the probe batch (shifted-id fixtures)
+    // reads only its candidate dirs + pushed bvals. The oracle derives
+    // BOTH sides' envelope hashes from the fixture arithmetic.
+    "mm_audio_phash_against" -> ((s, dir) => {
+      val ids = documents(s, dir).select(col("doc_id"))
+        .filter(col("doc_id") < 600)
+      val corpus = Multimodal.audioPhashFixtureMedia(s, ids, groups = 25)
+      val probes = Multimodal.audioPhashFixtureMedia(s,
+        ids.select((col("doc_id") + 10000L).as("doc_id")), groups = 25)
+      val path = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(idxRoot), "aphash_").toString
+      Multimodal.buildAudioPhashIndex(s, corpus, path)
+      Multimodal.audioPhashDedupAgainst(s, path, probes, maxHamming = 3)
+    }),
+
+    // Same result through build-half + append-half — the appended
+    // signatures land in the identical layout, proven by the SAME oracle
+    "mm_audio_phash_against_appended" -> ((s, dir) => {
+      val ids = documents(s, dir).select(col("doc_id"))
+        .filter(col("doc_id") < 600)
+      val corpus = Multimodal.audioPhashFixtureMedia(s, ids, groups = 25)
+      val probes = Multimodal.audioPhashFixtureMedia(s,
+        ids.select((col("doc_id") + 10000L).as("doc_id")), groups = 25)
+      val path = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(idxRoot), "aphash_app_").toString
+      Multimodal.buildAudioPhashIndex(s,
+        corpus.filter(col("doc_id") % 2 === 0), path)
+      Multimodal.appendToAudioPhashIndex(s,
+        corpus.filter(col("doc_id") % 2 === 1), path)
+      Multimodal.audioPhashDedupAgainst(s, path, probes, maxHamming = 3)
+    }),
+
     // Streaming capability: event-time tumbling-window aggregation (same
     // code path as the streaming query, run over the batch frame)
     "stream_window_agg" -> ((s, dir) =>
@@ -2051,6 +2087,42 @@ object SparkEntry {
       "ELSE (CAST(1 AS BIGINT) << CAST(t.b AS INT)) END), 0) AS BIGINT) " +
       s"AS h FROM vfr$sfx r LEFT JOIN vbits$sfx t " +
       "ON r.doc_id = t.doc_id AND r.fi = t.fi GROUP BY r.doc_id, r.fi)"
+
+  /** The audio fixture's envelope-hash derivation over a TRANSFORMED
+    * doc id (the phashHashCteFor device — CTE names suffixed so corpus
+    * + shifted-probe derivations compose in one WITH list). SUM widens
+    * to HUGEINT whose xor sign-extends at bit 63, so the fold casts
+    * back to BIGINT, like the dHash CTE. */
+  private def audioHashCteFor(sfx: String, idExpr: String): String =
+    s"aids$sfx AS (SELECT $idExpr AS doc_id, ($idExpr) % 3 AS v, " +
+      s"(($idExpr) // 3) % 25 AS g " +
+      s"FROM documents WHERE doc_id < 600 AND ($idExpr) % 11 <> 0), " +
+      s"aenv$sfx AS (SELECT i.doc_id, w.range AS w, " +
+      "CASE WHEN i.v = 2 AND w.range = i.g % 65 " +
+      "THEN 119 - (((i.g*91 + w.range + 1) * (i.g*91 + w.range + 1) * 17 " +
+      "+ (i.g*91 + w.range + 1) * 3) % 120) " +
+      "ELSE ((i.g*91 + w.range + 1) * (i.g*91 + w.range + 1) * 17 " +
+      "+ (i.g*91 + w.range + 1) * 3) % 120 END AS a " +
+      s"FROM aids$sfx i, range(65) w), " +
+      s"abits$sfx AS (SELECT l.doc_id, l.w AS b FROM aenv$sfx l " +
+      s"JOIN aenv$sfx r ON l.doc_id = r.doc_id AND r.w = l.w + 1 " +
+      "WHERE l.w < 64 AND l.a > r.a), " +
+      s"ahashes$sfx AS (SELECT i.doc_id, CAST(COALESCE(SUM(" +
+      "CASE WHEN t.b = 63 THEN CAST(-9223372036854775808 AS BIGINT) " +
+      "ELSE (CAST(1 AS BIGINT) << CAST(t.b AS INT)) END), 0) AS BIGINT) AS h " +
+      s"FROM aids$sfx i LEFT JOIN abits$sfx t ON i.doc_id = t.doc_id " +
+      s"GROUP BY i.doc_id)"
+
+  // every (probe, corpus) pair within full hamming ≤ 3 — shared by the
+  // fresh-build and build+append audio index rows (layout agreement
+  // proven by result identity, the phashAgainstOracle device)
+  private def audioAgainstOracle: String =
+    "WITH " + audioHashCteFor("", "doc_id") + ", " +
+      audioHashCteFor("2", "doc_id + 10000") +
+      " SELECT p.doc_id, c.doc_id AS corpus_id, " +
+      "CAST(bit_count(xor(p.h, c.h)) AS INT) AS hamming " +
+      "FROM ahashes2 p JOIN ahashes c ON bit_count(xor(p.h, c.h)) <= 3 " +
+      "ORDER BY p.doc_id, corpus_id"
 
   // every (probe, corpus) pair whose ALIGNED frames are all within
   // hamming 3 (frame counts equal by construction: 4) — shared by the
@@ -3866,28 +3938,14 @@ object SparkEntry {
       // the 1-D twin of the dHash CTE: 65-window envelope from the
       // fixture arithmetic, bit i from env(i) > env(i+1), pairs within
       // hamming ≤ 3; truncated (% 11) rows excluded
-      ("WITH ids AS (SELECT doc_id, doc_id % 3 AS v, (doc_id // 3) % 25 AS g " +
-        "FROM documents WHERE doc_id < 600 AND doc_id % 11 <> 0), " +
-        "env AS (SELECT i.doc_id, w.range AS w, " +
-        "CASE WHEN i.v = 2 AND w.range = i.g % 65 " +
-        "THEN 119 - (((i.g*91 + w.range + 1) * (i.g*91 + w.range + 1) * 17 " +
-        "+ (i.g*91 + w.range + 1) * 3) % 120) " +
-        "ELSE ((i.g*91 + w.range + 1) * (i.g*91 + w.range + 1) * 17 " +
-        "+ (i.g*91 + w.range + 1) * 3) % 120 END AS a " +
-        "FROM ids i, range(65) w), " +
-        "bits AS (SELECT l.doc_id, l.w AS b FROM env l " +
-        "JOIN env r ON l.doc_id = r.doc_id AND r.w = l.w + 1 " +
-        "WHERE l.w < 64 AND l.a > r.a), " +
-        // CAST back to BIGINT: SUM widens to HUGEINT whose xor
-        // sign-extends at bit 63 (same hazard as the dHash CTE)
-        "hashes AS (SELECT i.doc_id, CAST(COALESCE(SUM(" +
-        "CASE WHEN t.b = 63 THEN CAST(-9223372036854775808 AS BIGINT) " +
-        "ELSE (CAST(1 AS BIGINT) << CAST(t.b AS INT)) END), 0) AS BIGINT) AS h " +
-        "FROM ids i LEFT JOIN bits t ON i.doc_id = t.doc_id GROUP BY i.doc_id) " +
-        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+      ("WITH " + audioHashCteFor("", "doc_id") +
+        " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
         "CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming " +
-        "FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id " +
+        "FROM ahashes a JOIN ahashes b ON a.doc_id < b.doc_id " +
         "WHERE bit_count(xor(a.h, b.h)) <= 3 ORDER BY doc_a, doc_b"),
+
+    "mm_audio_phash_against" -> audioAgainstOracle,
+    "mm_audio_phash_against_appended" -> audioAgainstOracle,
 
     "mm_phash_clusters" ->
       // connected components over the same hamming ≤ 3 pair graph (the

@@ -1397,6 +1397,112 @@ object Multimodal {
       .filter(col("max_hamming") <= maxHamming)
   }
 
+  // ------------------------------------------ persisted AUDIO phash index
+
+  /** Pigeonhole routing for audio envelope hashes — [[phashBlocks]]'
+    * geometry verbatim: the envelope hash is 64-bit like the image
+    * dHash, so the same 4 × 16-bit blocks and 256 `pb` dirs carry the
+    * hamming ≤ 3 soundness over unchanged. */
+  private def audioSigBlocks(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), col("ehash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("ehash"), b * 16)
+          .bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("blk", "bval")))
+      .withColumn("pb",
+        (col("blk") * 64 + shiftright(col("bval"), 10)).cast("int"))
+
+  /** The signature-blocks composition for the streaming ingest (the
+    * [[phashBlocksOf]] device — StreamOps owns the epoch column). */
+  private[graft] def audioSigBlocksOf(spark: SparkSession,
+                                      media: DataFrame): DataFrame =
+    audioSigBlocks(audioPhashSignatures(spark, media))
+
+  /** Persist a perceptual-hash index over an AUDIO corpus — the last
+    * modality without the build/append/compact/against/ingest
+    * lifecycle (image: [[buildPhashIndex]], video:
+    * [[buildVideoPhashIndex]]). Envelope hashes land exploded per
+    * pigeonhole block in the same `pb`-partitioned, bval-sorted layout;
+    * audio bytes never enter the index (8 bytes per decoded clip do).
+    * Undecodable payloads (stereo, MP3, truncated RIFF) index nothing. */
+  def buildAudioPhashIndex(spark: SparkSession, media: DataFrame,
+                           path: String): Unit =
+    audioSigBlocks(audioPhashSignatures(spark, media))
+      .repartition(256, col("pb"))
+      .sortWithinPartitions(col("pb"), col("bval"))
+      .write.mode("overwrite").partitionBy("pb").parquet(path)
+
+  /** Append an audio batch's signatures — same routing expressions as
+    * the build, ≤ 1 new file per touched dir (bounded by the batch). */
+  def appendToAudioPhashIndex(spark: SparkSession, media: DataFrame,
+                              path: String): Unit =
+    audioSigBlocks(audioPhashSignatures(spark, media))
+      .repartition(math.max(1, spark.sparkContext.defaultParallelism),
+        col("pb"))
+      .sortWithinPartitions(col("pb"), col("bval"))
+      .write.mode("append").partitionBy("pb").parquet(path)
+
+  /** Compact the audio index's accumulated append files to one
+    * bval-sorted file per `pb` dir (probe bit-identical — same staged
+    * swap as [[compactPhashIndex]]); a streaming-ingest index (epoch
+    * dirs nested inside `pb=`) consolidates every epoch into the
+    * reserved `__batch=-1`. Returns the row count. */
+  def compactAudioPhashIndex(spark: SparkSession, path: String): Long = {
+    val hasEpochs = spark.read.parquet(path).columns.contains("__batch")
+    if (hasEpochs)
+      ParquetCompact.rewritePartitionedMulti(spark, path,
+        Seq("pb", "__batch")) { df =>
+        df.withColumn("__batch", lit(-1L))
+          .repartition(col("pb"))
+          .sortWithinPartitions(col("pb"), col("bval"))
+      }
+    else
+      ParquetCompact.rewritePartitioned(spark, path, "pb") { df =>
+        df.repartition(col("pb"))
+          .sortWithinPartitions(col("pb"), col("bval"))
+      }
+  }
+
+  /**
+   * Dedup NEW audio against the persisted index: decode + envelope-hash
+   * the batch, read ONLY its candidate `pb` partitions with the batch's
+   * bvals pushed as a scan filter (the [[phashDedupAgainst]] probe
+   * shape), join candidates on exact (block, value) and verify with the
+   * full 64-bit hamming. Returns (doc_id, corpus_id, hamming ≤
+   * maxHamming). `maxHamming` ≤ 3: the stored 4-block geometry's bound.
+   */
+  def audioPhashDedupAgainst(spark: SparkSession, path: String,
+                             newMedia: DataFrame,
+                             maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"the stored 4-block geometry is sound up to hamming 3, got $maxHamming")
+    ParquetCompact.recoverTable(spark, path)
+    val sig = audioPhashSignatures(spark, newMedia).localCheckpoint(false)
+    val pblocks = audioSigBlocks(sig)
+    val empty = sig.select(col("doc_id"), lit(0L).as("corpus_id"),
+      lit(0).cast("int").as("hamming")).limit(0)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return empty
+    val keys = pblocks.select(col("pb"), col("bval")).distinct().collect()
+    val pbs = keys.map(_.getInt(0)).distinct
+    val dirs = pbs.map(pb => new org.apache.hadoop.fs.Path(path, s"pb=$pb"))
+      .filter(fs.exists(_)).map(_.toString)
+    if (dirs.isEmpty) return empty
+    val bvals = keys.map(_.getLong(1)).distinct.toIndexedSeq
+    val corpus = spark.read.option("basePath", path)
+      .parquet(dirs.toIndexedSeq: _*)
+      .filter(col("bval").isin(bvals: _*))
+      .select(col("doc_id").as("corpus_id"), col("ehash").as("__ch"),
+        col("blk"), col("bval"))
+    corpus
+      .join(pblocks.select(col("doc_id"), col("ehash").as("__ph"),
+        col("blk"), col("bval")), Seq("blk", "bval"))
+      .select(col("doc_id"), col("corpus_id"),
+        expr("bit_count(__ph ^ __ch)").cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /**
    * PERCEPTUAL audio near-dup — the audio counterpart of the dHash pass:
    * the same recording re-encoded (8-bit vs 16-bit PCM, different

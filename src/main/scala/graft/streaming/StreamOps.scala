@@ -1948,6 +1948,47 @@ object StreamOps {
       .parquet(indexPath)
   }
 
+  /** The audio twin of [[phashIngestTo]]: per micro-batch, decode +
+    * envelope-hash the epoch's clips and land their signature blocks
+    * under `pb=…/__batch=N` with dynamic overwrite — same
+    * epoch-idempotence contract, same probe compatibility
+    * ([[graft.functions.Multimodal.audioPhashDedupAgainst]] projects
+    * the epoch column away), same [[graft.functions.Multimodal
+    * .compactAudioPhashIndex]] consolidation. */
+  def audioPhashIngestTo(media: DataFrame, indexPath: String,
+                         checkpoint: String,
+                         availableNow: Boolean = true): StreamingQuery = {
+    val writer = media.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        audioPhashIngestEpoch(batch, batchId, indexPath)
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
+  /** Seed a streaming audio phash index from a batch corpus — the
+    * reserved `__batch=-1` epoch. */
+  def audioPhashIngestBootstrap(spark: org.apache.spark.sql.SparkSession,
+                                media: DataFrame,
+                                indexPath: String): Unit =
+    audioPhashIngestEpoch(media, -1L, indexPath)
+
+  private[graft] def audioPhashIngestEpoch(batch: DataFrame, batchId: Long,
+                                           indexPath: String): Unit = {
+    import graft.functions.Multimodal
+    val spark = batch.sparkSession
+    Multimodal.audioSigBlocksOf(spark, batch)
+      .withColumn("__batch", lit(batchId))
+      .repartition(math.max(1, spark.sparkContext.defaultParallelism),
+        col("pb"))
+      .sortWithinPartitions(col("pb"), col("bval"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("pb", "__batch")
+      .parquet(indexPath)
+  }
+
   /**
    * ONLINE maintenance of the persisted text-dedup index — the streaming
    * twin of [[graft.functions.Dedup.appendToDedupIndex]], with the epoch

@@ -1306,6 +1306,15 @@ object SparkEntry {
     "dedup_repeated_spans" -> ((s, dir) =>
       Dedup.repeatedSpans(documents(s, dir), "doc_id", "text", 8, 4)),
 
+    // The REWRITE form of the row above — the production exact-substring
+    // dedup: every token covered by a window repeated in >= 2 distinct
+    // docs is removed and each doc comes back rebuilt from its
+    // surviving tokens in order (the dedupLines rewrite device, at span
+    // granularity). The oracle rebuilds the cleaned text in SQL from
+    // the same window arithmetic.
+    "dedup_spans_strip" -> ((s, dir) =>
+      Dedup.stripRepeatedSpans(documents(s, dir), "doc_id", "text", 8, 4)),
+
     // Line-level boilerplate removal (Dedup.dedupLines): lines repeated
     // across >= 2 distinct docs are stripped and every doc comes back
     // REWRITTEN. The corpus has no newlines, so the query derives its
@@ -3478,6 +3487,32 @@ object SparkEntry {
         "SELECT span_md5, CAST(count(*) AS BIGINT) AS n_docs, " +
         "min(doc_id) AS min_doc, max(doc_id) AS max_doc " +
         "FROM d GROUP BY span_md5 HAVING count(*) > 1"),
+
+    "dedup_spans_strip" ->
+      // the same 8-token/stride-4 window set; spans in >= 2 distinct
+      // docs mark their covered token positions (union of overlapping
+      // windows), survivors re-join position-ordered — the dedup_lines
+      // rebuild device over token coverage
+      ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "sp AS (SELECT doc_id, i*4 AS s, md5(array_to_string(" +
+        "list_slice(w, i*4+1, i*4+8), ' ')) AS k " +
+        "FROM w, (SELECT unnest(range(0, 256)) AS i) idx " +
+        "WHERE i*4+8 <= len(w)), " +
+        "dup AS (SELECT k FROM sp GROUP BY k " +
+        "HAVING count(DISTINCT doc_id) >= 2), " +
+        "cov AS (SELECT DISTINCT sp.doc_id, s + j.j AS pos FROM sp " +
+        "JOIN dup USING (k), (SELECT unnest(range(0, 8)) AS j) j), " +
+        "t AS (SELECT doc_id, unnest(w) AS tok, " +
+        "unnest(generate_series(0, len(w) - 1)) AS pos FROM w), " +
+        "kept AS (SELECT t.doc_id, string_agg(tok, ' ' ORDER BY t.pos) " +
+        "AS clean_text, count(*) AS kept FROM t " +
+        "LEFT JOIN cov ON t.doc_id = cov.doc_id AND t.pos = cov.pos " +
+        "WHERE cov.pos IS NULL GROUP BY t.doc_id), " +
+        "tot AS (SELECT doc_id, count(*) AS tot FROM t GROUP BY doc_id) " +
+        "SELECT d.doc_id, COALESCE(k.clean_text, '') AS clean_text, " +
+        "CAST(COALESCE(t2.tot, 0) - COALESCE(k.kept, 0) AS BIGINT) " +
+        "AS n_tokens_removed FROM documents d " +
+        "LEFT JOIN tot t2 USING (doc_id) LEFT JOIN kept k USING (doc_id)"),
 
     "dedup_lines" ->
       // same derived 8-word [^ ]-class lines (engine-identical; RE2

@@ -1396,6 +1396,82 @@ object Dedup {
   }
 
   /**
+   * Cross-document repeated-span REMOVAL — the document-REWRITING form
+   * of [[repeatedSpans]], the way [[dedupLines]] rewrites lines: every
+   * token covered by ANY `win`-token window (at stride `stride`)
+   * whose hash appears in ≥ `minDocs` distinct documents is removed,
+   * and each document comes back rebuilt from its surviving tokens in
+   * original order — (idCol, clean_text, n_tokens_removed). This is
+   * the production "exact substring dedup" pass (Lee et al. remove the
+   * repeated 50-token substrings they find; detection without removal
+   * leaves the boilerplate in the training set).
+   *
+   * Removal is TOKEN-COVERAGE based: overlapping repeated windows
+   * union their covered positions, so a long syndicated passage
+   * disappears wholesale rather than leaving stride-boundary slivers.
+   * Recall follows [[repeatedSpans]]' stride contract (stride 1 =
+   * every ≥ win-token repeat; larger strides catch offset-aligned
+   * repeats — boilerplate is typically position-stable).
+   *
+   * Scale shape: the window explode (≈ words/stride rows, hashed
+   * immediately) feeds ONE uniform groupBy for the repeated set; the
+   * covered-position explode is bounded by win × repeated-window
+   * occurrences; the token explode is corpus-linear; the anti join's
+   * key side is (doc, pos) pairs of covered tokens — bounded by the
+   * repeated text, not the corpus. No corpus × corpus anywhere. The
+   * input is scanned twice (windows + tokens), so it must be
+   * deterministic — the [[dedupLines]] contract (parquet-backed frames
+   * are; checkpoint anything sampled). A fully-boilerplate document
+   * returns clean_text = "" (kept as a row — the caller's quality gate
+   * decides).
+   */
+  def stripRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                         win: Int = 8, stride: Int = 4,
+                         minDocs: Int = 2): DataFrame = {
+    require(win > 0 && stride > 0 && stride <= win,
+      s"need 0 < stride <= win, got win=$win stride=$stride")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    // windows with START positions: chunk i at overlap win-stride
+    // starts at token i*stride (the repeatedSpans window arithmetic,
+    // kept with the position the coverage explode needs); hashed
+    // immediately — raw span text never shuffles
+    val wins = df.select(col(idCol),
+        posexplode(TextFns.chunks(col(textCol), win, win - stride))
+          .as(Seq("__ci", "__c")))
+      .filter(col("__c.n_tokens") === win) // full windows only
+      .select(col(idCol), (col("__ci") * stride).as("__start"),
+        md5(col("__c.chunk")).as("__k"))
+      .localCheckpoint(false) // feeds the dup set AND the coverage join
+    val dup = wins.groupBy(col("__k"))
+      .agg(count_distinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__k"))
+    // token positions covered by any repeated window, per document
+    val covered = wins.join(dup, Seq("__k"))
+      .select(col(idCol), explode(sequence(col("__start"),
+        col("__start") + lit(win - 1))).as("__pos"))
+      .distinct()
+    val toks = df.select(col(idCol),
+        posexplode(TextFns.words(col(textCol))).as(Seq("__pos", "__tok")))
+      .localCheckpoint(false) // feeds the strip AND the totals
+    val kept = toks.join(covered, Seq(idCol, "__pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(concat_ws(" ",
+          transform(
+            array_sort(collect_list(struct(col("__pos"), col("__tok")))),
+            e => e.getField("__tok"))).as("clean_text"),
+        count(lit(1)).as("__kept"))
+    val totals = toks.groupBy(col(idCol)).agg(count(lit(1)).as("__tot"))
+    df.select(col(idCol))
+      .join(totals, Seq(idCol), "left")
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (coalesce(col("__tot"), lit(0L)) - coalesce(col("__kept"), lit(0L)))
+          .as("n_tokens_removed"))
+  }
+
+  /**
    * Line-level corpus dedup, the document-REWRITING form (the
    * boilerplate-removal pass web-scale training pipelines run before
    * document-level dedup: navigation chrome, cookie banners, and license

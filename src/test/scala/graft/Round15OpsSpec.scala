@@ -225,6 +225,54 @@ class Round15OpsSpec extends AnyFunSuite {
     df.collect().map(r =>
       (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
 
+  // ---- repeated-span removal vs a plain-Scala model -----------------
+
+  /** Straight-line model of stripRepeatedSpans: windows at multiples of
+    * stride with start+win <= n (chunks' full-window set), repeated =
+    * same token sequence in >= minDocs distinct docs, covered = union
+    * of repeated windows' positions, rebuild from survivors. */
+  private def stripModel(docs: Seq[(Long, String)], win: Int, stride: Int,
+                         minDocs: Int): Map[Long, (String, Long)] = {
+    val toks = docs.map { case (id, t) => id -> t.split(" ", -1) }.toMap
+    val spans = docs.flatMap { case (id, _) =>
+      val w = toks(id)
+      (0 to w.length - win by stride).map(s =>
+        (id, s, w.slice(s, s + win).mkString(" ")))
+    }
+    val dup = spans.groupBy(_._3).view
+      .filter(_._2.map(_._1).distinct.size >= minDocs).keySet.toSet
+    docs.map { case (id, _) =>
+      val w = toks(id)
+      val covered = spans.collect {
+        case (`id`, s, sp) if dup(sp) => s until (s + win)
+      }.flatten.toSet
+      val kept = w.zipWithIndex.collect {
+        case (t, i) if !covered(i) => t }
+      id -> (kept.mkString(" "), (w.length - kept.length).toLong)
+    }.toMap
+  }
+
+  test("property: stripRepeatedSpans ≡ the plain-Scala model on random " +
+    "small-vocab corpora") {
+    import org.scalacheck.Gen
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    val docGen = Gen.choose(0, 24).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val corpusGen = Gen.choose(8, 20).flatMap(n => Gen.listOfN(n, docGen))
+    val scenarios = PropertySamples.samples(corpusGen, 6, 15042L)
+    assert(scenarios.nonEmpty)
+    scenarios.foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = graft.functions.Dedup.stripRepeatedSpans(
+        docs.toDF("doc_id", "text"), "doc_id", "text",
+        win = 3, stride = 2, minDocs = 2)
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+        .toMap
+      assert(got == stripModel(docs, win = 3, stride = 2, minDocs = 2),
+        s"mismatch on corpus: ${docs.take(4)}…")
+    }
+  }
+
   test("re-adding a RAW sidecar over an old residual one drops the " +
     "stale snapshot") {
     val path = Files.createTempDirectory("graft-ivfpq-raw").toString

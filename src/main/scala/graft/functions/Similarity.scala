@@ -1329,7 +1329,8 @@ object Similarity {
   def retrainIvfIndex(spark: SparkSession, path: String, idCol: String,
                       vecCol: String, dims: Int = 64, k: Int = -1,
                       iters: Int = 4, trainMod: Int = -1,
-                      superAssign: Int = -1): Unit = {
+                      superAssign: Int = -1,
+                      epochLayout: Boolean = false): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val live = new org.apache.hadoop.fs.Path(path)
@@ -1355,6 +1356,23 @@ object Similarity {
       kmeansLabels(corpus, idCol, vecCol, k = kCells, iters = iters,
         dims = dims, trainMod = tm, superAssign = superAssign), Seq(idCol))
     buildIvfIndex(labeled, idCol, vecCol, "cell", newP.toString, dims)
+    // a STREAMING-ingest index keeps its epoch-partitioned lists tree
+    // (lists/__batch=N/__cellkey=c — the replay-idempotence layout):
+    // nest the rebuilt flat lists under the reserved consolidation
+    // epoch BEFORE the swap, so the ingest's next epochs land beside it
+    // exactly as after compactIvfIngestState. Crash-safe: the staging
+    // root is garbage until the swap, and the renames happen inside it.
+    // (The fold state is layout-independent — the csums marker stamped
+    // by the build stays valid, selects drop partition columns.)
+    if (epochLayout) {
+      val flat = new org.apache.hadoop.fs.Path(s"$newP/lists")
+      val tmp = new org.apache.hadoop.fs.Path(s"$newP/lists.__flat")
+      require(fs.rename(flat, tmp), s"retrain epoch nesting failed: $flat")
+      fs.mkdirs(flat)
+      require(fs.rename(tmp,
+        new org.apache.hadoop.fs.Path(s"$newP/lists/__batch=-1")),
+        s"retrain epoch nesting failed: $tmp")
+    }
 
     require(fs.rename(live, oldP), s"retrain swap-out failed: $path")
     require(fs.rename(newP, live), s"retrain swap-in failed: $newP")
@@ -1413,7 +1431,8 @@ object Similarity {
                        skewThreshold: Double = Double.MaxValue,
                        targetRowsPerCell: Int = -1,
                        iters: Int = 4, sampleN: Int = 1000,
-                       superAssign: Int = -1): IvfMaintenance = {
+                       superAssign: Int = -1,
+                       epochLayout: Boolean = false): IvfMaintenance = {
     val stats = ivfDriftStats(spark, path, idCol, vecCol, labelCol, dims,
       sampleN)
     val breach = stats.rows > 0 &&
@@ -1425,7 +1444,7 @@ object Similarity {
         math.max(1, math.ceil(stats.rows.toDouble / targetRowsPerCell).toInt)
       else -1
     retrainIvfIndex(spark, path, idCol, vecCol, dims, k = k, iters = iters,
-      superAssign = superAssign)
+      superAssign = superAssign, epochLayout = epochLayout)
     IvfMaintenance(stats, retrained = true, k = k)
   }
 
@@ -2396,7 +2415,17 @@ object Similarity {
                vecCol: String, m: Int = 8, ksub: Int = 16,
                dims: Int = 64): DataFrame = {
     val sd = dims / m
-    df.select(col(idCol), col(vecCol))
+    // EXPLICIT spread before the per-row encode: the encode is the
+    // library's most CPU-dense narrow map (m×ksub interpreted
+    // zip_with/aggregate dots per row — higher-order functions do not
+    // codegen), and its parallelism would otherwise be the INPUT
+    // SPLIT count — compressed float-array parquet packs ~200k vectors
+    // into one 29 MB split, so a 100× encode ran as ONE 30-minute task
+    // on a 32-core box (round 15, caught live in a jstack). The
+    // round-robin shuffle moves 4·dims bytes/row once to buy
+    // core-count parallelism on work that costs ~1000× its I/O
+    // ([[spread]] skips it when the input is already wide).
+    spread(df.select(col(idCol), col(vecCol)))
       .crossJoin(broadcast(pqFlat(codebooks)))
       .select(col(idCol),
         transform(sequence(lit(0), lit(m - 1)), j =>
@@ -2584,9 +2613,18 @@ object Similarity {
                                    extraCols: Seq[String] = Nil)
       : DataFrame = {
     val sd = dims / m
+    // spread by CELL KEY before the encode (the pqEncode parallelism
+    // fix, keyed so the downstream partitionBy("__cellkey") write
+    // still lands one file per cell per batch): the encode's
+    // parallelism must come from the cluster, not the input split
+    // count — one dense parquet split serialized a 100× encode onto
+    // one core
+    val spreadN = math.max(rows.sparkSession.sparkContext
+      .defaultParallelism, 1)
     rows.select((Seq(col(idCol), col(vecCol), col(labelCol),
         col(labelCol).cast("string").as("__cellkey")) ++
         extraCols.map(col)): _*)
+      .repartition(spreadN, (col("__cellkey") +: extraCols.map(col)): _*)
       .crossJoin(broadcast(pqFlat(cb)))
       .select((Seq(col(idCol), col(labelCol),
         transform(sequence(lit(0), lit(m - 1)), j =>

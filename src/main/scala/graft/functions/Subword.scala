@@ -127,6 +127,28 @@ object Subword {
   def vocabValuesSql(pieces: Seq[String] = defaultPieces): String =
     pieces.map(p => s"('${p.replace("'", "''")}')").mkString(", ")
 
+  /** Load a vocab from DATA — the real-tokenizer-artifact path
+    * (round-15: the fixture default exists for the oracle; a production
+    * run reads its actual WordPiece vocab.txt, landed as a table with
+    * one `##`-marked piece per row, and drives the SAME expression —
+    * packing/budget/chunking then count in that tokenizer's currency).
+    * A vocab is METADATA-scale (~30k pieces for BERT-family vocabs):
+    * it collects once on the driver and ships inside the expression
+    * (the task binary broadcasts once per executor). Bounded loudly so
+    * a corpus column can't silently be mistaken for a vocab. */
+  def piecesFrom(vocab: org.apache.spark.sql.DataFrame,
+                 pieceCol: String = "piece",
+                 maxPieces: Int = 1 << 20): Seq[String] = {
+    val rows = vocab.select(col(pieceCol).cast("string"))
+      .limit(maxPieces + 1).collect()
+    require(rows.length <= maxPieces,
+      s"vocab table exceeds $maxPieces pieces — not a vocab table?")
+    val ps = rows.map(_.getString(0)).toIndexedSeq
+    require(ps.forall(p => p != null && p.nonEmpty &&
+      p != "##"), "vocab pieces must be non-null, non-empty strings")
+    ps
+  }
+
   /** Subword tokens of an already-LOWERCASED string column. Callers
     * pass `lower(text)` so case folding stays in the engine's own SQL
     * semantics (the oracle lowercases with DuckDB's lower()). */

@@ -142,6 +142,28 @@ object Unigram {
       s"CASE WHEN length($e) = 1 THEN $unkCost END)"
   }
 
+  /** Load a unigram vocab from DATA — a real SentencePiece-style
+    * artifact landed as a table (piece, cost) drives the same Viterbi
+    * expression the fixture default does (the [[Subword.piecesFrom]]
+    * device). Costs are the INTEGER order-preserving form (float
+    * log-probs matter only through their order — quantize before
+    * landing the table). Metadata-scale; collected once on the driver,
+    * bounded loudly. */
+  def piecesFrom(vocab: org.apache.spark.sql.DataFrame,
+                 pieceCol: String = "piece", costCol: String = "cost",
+                 maxPieces: Int = 1 << 20): Seq[(String, Int)] = {
+    val rows = vocab.select(col(pieceCol).cast("string"),
+        col(costCol).cast("int"))
+      .limit(maxPieces + 1).collect()
+    require(rows.length <= maxPieces,
+      s"vocab table exceeds $maxPieces pieces — not a vocab table?")
+    rows.map { r =>
+      require(!r.isNullAt(0) && r.getString(0).nonEmpty && !r.isNullAt(1),
+        "unigram pieces must be non-null, non-empty, with a cost")
+      (r.getString(0), r.getInt(1))
+    }.toIndexedSeq
+  }
+
   /** Unigram tokens of an already-LOWERCASED string column. */
   def tokens(lowered: Column,
              pieces: Seq[(String, Int)] = defaultPieces): Column =

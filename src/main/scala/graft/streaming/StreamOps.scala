@@ -1243,10 +1243,19 @@ object StreamOps {
   def ivfIngestTo(vectors: DataFrame, indexPath: String, checkpoint: String,
                   idCol: String, vecCol: String, labelCol: String,
                   dims: Int = 64,
-                  availableNow: Boolean = true): StreamingQuery = {
+                  availableNow: Boolean = true,
+                  compactEvery: Int = 0): StreamingQuery = {
     val writer = vectors.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // periodic lists consolidation under the foreachBatch
+        // single-writer fence, BEFORE the epoch write (the
+        // phashIngestTo device): the fold state is a function of the
+        // row SET, so the csums marker stays valid across the rewrite
+        // and a crash-replayed epoch overwrites its own fresh dir
+        if (compactEvery > 0 && batchId > 0 &&
+            batchId % compactEvery == 0)
+          compactIvfIngestState(batch.sparkSession, indexPath)
         ivfIngestEpoch(batch, batchId, indexPath, idCol, vecCol, labelCol,
           dims)
         ()
@@ -1282,10 +1291,38 @@ object StreamOps {
   def ivfIngestAssignedTo(vectors: DataFrame, indexPath: String,
                           checkpoint: String, idCol: String, vecCol: String,
                           dims: Int = 64,
-                          availableNow: Boolean = true): StreamingQuery = {
+                          availableNow: Boolean = true,
+                          maintainEvery: Int = 0,
+                          residualThreshold: Double = 0.17,
+                          skewThreshold: Double = Double.MaxValue,
+                          targetRowsPerCell: Int = -1,
+                          maintainIters: Int = 4,
+                          superAssign: Int = -1): StreamingQuery = {
     val writer = vectors.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // ONLINE MAINTENANCE (round-15: the drift metrics and the
+        // retrain lever existed but nothing in the ingest SCHEDULED
+        // them, so a drifting stream degraded until an operator
+        // intervened): every `maintainEvery` epochs, measure drift and
+        // retrain on breach — inside the foreachBatch body, the one
+        // place the stream is provably the only writer (the
+        // maintainIvfIndex single-writer fence), and BEFORE this
+        // epoch's write, so a crash-replayed epoch re-lands AFTER any
+        // retrain consolidated the previous epochs (overwriting its
+        // own dir, never duplicating into the consolidated corpus).
+        // Residual hazard, documented: a replay whose re-measured
+        // drift STILL breaches retrains again and re-duplicates one
+        // epoch — bounded by a crash × persistent-breach coincidence.
+        // The no-breach path is one bounded metrics pass per K epochs.
+        if (maintainEvery > 0 && batchId > 0 &&
+            batchId % maintainEvery == 0)
+          Similarity.maintainIvfIndex(batch.sparkSession, indexPath,
+            idCol, vecCol, "cell", dims,
+            residualThreshold = residualThreshold,
+            skewThreshold = skewThreshold,
+            targetRowsPerCell = targetRowsPerCell, iters = maintainIters,
+            superAssign = superAssign, epochLayout = true)
         ivfIngestAssignedEpoch(batch, batchId, indexPath, idCol, vecCol,
           dims)
         ()
@@ -1527,10 +1564,19 @@ object StreamOps {
   def ivfPqIngestTo(vectors: DataFrame, indexPath: String,
                     checkpoint: String, idCol: String, vecCol: String,
                     labelCol: String, dims: Int = 64,
-                    availableNow: Boolean = true): StreamingQuery = {
+                    availableNow: Boolean = true,
+                    compactEvery: Int = 0): StreamingQuery = {
     val writer = vectors.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // periodic LISTS consolidation (see ivfIngestTo): the codes
+        // sidecar keeps its per-epoch dirs (they ARE its replay
+        // device) and the pq marker stays valid — the fold state, and
+        // hence the csums marker it mirrors, is a function of the row
+        // set the rewrite preserves
+        if (compactEvery > 0 && batchId > 0 &&
+            batchId % compactEvery == 0)
+          compactIvfIngestState(batch.sparkSession, indexPath)
         ivfPqIngestEpoch(batch, batchId, indexPath, idCol, vecCol,
           labelCol, dims)
         ()
@@ -1869,10 +1915,22 @@ object StreamOps {
    * consolidates every epoch into `__batch=-1`.
    */
   def phashIngestTo(media: DataFrame, indexPath: String, checkpoint: String,
-                    availableNow: Boolean = true): StreamingQuery = {
+                    availableNow: Boolean = true,
+                    compactEvery: Int = 0): StreamingQuery = {
     val writer = media.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // ONLINE COMPACTION (round-15): a long-lived ingest accumulates
+        // one file per touched dir per epoch; every `compactEvery`
+        // epochs the accumulated epochs consolidate into `__batch=-1`
+        // — inside the foreachBatch body (single-writer fence) and
+        // BEFORE this epoch's write, so a crash-replayed epoch
+        // overwrites its own fresh dir instead of duplicating rows the
+        // compaction just consolidated. Probe results are bit-identical
+        // across compactions (Round14OpsSpec).
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          graft.functions.Multimodal.compactPhashIndex(
+            batch.sparkSession, indexPath)
         phashIngestEpoch(batch, batchId, indexPath)
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
@@ -1915,10 +1973,15 @@ object StreamOps {
     * consolidation. */
   def videoPhashIngestTo(media: DataFrame, indexPath: String,
                          checkpoint: String, maxFrames: Int = 8,
-                         availableNow: Boolean = true): StreamingQuery = {
+                         availableNow: Boolean = true,
+                         compactEvery: Int = 0): StreamingQuery = {
     val writer = media.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // periodic consolidation, see phashIngestTo
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          graft.functions.Multimodal.compactVideoPhashIndex(
+            batch.sparkSession, indexPath)
         videoPhashIngestEpoch(batch, batchId, indexPath, maxFrames)
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
@@ -1957,10 +2020,15 @@ object StreamOps {
     * .compactAudioPhashIndex]] consolidation. */
   def audioPhashIngestTo(media: DataFrame, indexPath: String,
                          checkpoint: String,
-                         availableNow: Boolean = true): StreamingQuery = {
+                         availableNow: Boolean = true,
+                         compactEvery: Int = 0): StreamingQuery = {
     val writer = media.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // periodic consolidation, see phashIngestTo
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          graft.functions.Multimodal.compactAudioPhashIndex(
+            batch.sparkSession, indexPath)
         audioPhashIngestEpoch(batch, batchId, indexPath)
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)

@@ -113,6 +113,40 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("merges as data: a SHUFFLED-storage merge table reproduces the " +
+    "default tokenization (rank order restored), a truncated one diverges") {
+    // the default table landed as rows in scrambled storage order with
+    // explicit ranks — mergesFrom must sort by rank, so tokens are
+    // bit-identical to the compile-time fixture on random text
+    val scrambled = new scala.util.Random(1502L)
+      .shuffle(Bpe.defaultMerges.zipWithIndex.toList)
+      .map { case ((a, b), r) => (a, b, r.toLong) }
+    val loaded = Bpe.mergesFrom(
+      scrambled.toDF("left", "right", "rank"))
+    assert(loaded == Bpe.defaultMerges,
+      "mergesFrom must restore rank order from the rank column")
+    val g = for {
+      n <- Gen.choose(0, 60)
+      cs <- Gen.listOfN(n, Gen.frequency(8 -> Gen.alphaLowerChar,
+        2 -> Gen.const(' ')))
+    } yield cs.mkString
+    val texts = PropertySamples.samples(g, 50, seedBase = 1502L)
+    val viaLoaded = texts.zipWithIndex.map { case (t, i) => (i, t) }
+      .toDF("i", "t")
+      .select(col("i"), Bpe.tokens(col("t"), loaded).as("toks"))
+      .orderBy("i").collect()
+      .map(_.getSeq[String](1).toList.map(identity)).toSeq
+    assert(viaLoaded == viaExpr(texts))
+    // a PREFIX of the merge list is a different tokenizer: "the" stops
+    // merging at "th" + "e" once rank 1 is dropped
+    val truncated = Bpe.mergesFrom(
+      scrambled.filter(_._3 < 1).toDF("left", "right", "rank"))
+    val viaTrunc = Seq(Tuple1("the")).toDF("t")
+      .select(Bpe.tokens(col("t"), truncated).as("toks"))
+      .collect().head.getSeq[String](0)
+    assert(viaTrunc == Seq("th", "e"))
+  }
+
   test("tokenCount is the token array's size as a long") {
     val df = Seq("the window", "", "join query hash").toDF("t")
       .select(Bpe.tokenCount(col("t")).as("n"),

@@ -225,6 +225,174 @@ class Round15OpsSpec extends AnyFunSuite {
     df.collect().map(r =>
       (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
 
+  // ---- maintenance wired into the streaming ingests ------------------
+
+  test("ivfIngestAssignedTo with maintainEvery: a drifting stream " +
+    "recovers recall without manual calls") {
+    val K = 16
+    val base = ProbeAging.clusteredVectors(spark, 800, K, 0L,
+      diag = false).localCheckpoint()
+    val shifted = ProbeAging.clusteredVectors(spark, 800, K, 7000000L,
+      diag = true).localCheckpoint()
+    val combined = base.unionByName(shifted).localCheckpoint()
+    val shiftProbes = shifted.orderBy(col("vec_id")).limit(100)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("__pv"))
+      .localCheckpoint()
+    def recallOf(path: String): Double = {
+      val exact = Similarity.knnJoinWith(combined, shiftProbes, "vec_id",
+        "embedding", k = 5, excludeSelf = true)
+      val ann = Similarity.ivfKnnJoinIndexed(spark, path, shiftProbes,
+        "vec_id", "embedding", "cell", k = 5, nProbe = 2)
+      Similarity.recallAtK(ann, exact)
+        .agg(avg(col("recall"))).head.getDouble(0)
+    }
+    def runStream(maintainEvery: Int): String = {
+      val idx = Files.createTempDirectory("graft-ivfm").toString + "/idx"
+      val labeled = base.join(
+        Similarity.kmeansLabels(base, "vec_id", "embedding", k = K,
+          iters = 2, trainMod = 1, superAssign = -1), Seq("vec_id"))
+      StreamOps.ivfIngestBootstrap(labeled, idx, "vec_id", "embedding",
+        "cell")
+      val in = Files.createTempDirectory("graft-ivfmin").toString
+      val parts = shifted.select(col("vec_id"), col("embedding"))
+      val schema = parts.schema
+      (0 until 4).foreach { i =>
+        parts.filter(col("vec_id") % 4 === i).coalesce(1)
+          .write.mode("append").parquet(in)
+        Thread.sleep(1100) // distinct mtimes order the file source
+      }
+      val q = StreamOps.ivfIngestAssignedTo(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(in),
+        idx, Files.createTempDirectory("graft-ivfmck").toString,
+        "vec_id", "embedding",
+        maintainEvery = maintainEvery, residualThreshold = 0.17,
+        targetRowsPerCell = 60, maintainIters = 2)
+      q.awaitTermination()
+      idx
+    }
+    val frozen = runStream(maintainEvery = 0)
+    val managed = runStream(maintainEvery = 2)
+    // the retrain consolidated epochs -1,0,1 and the stream resumed:
+    // structural proof maintenance ran INSIDE the stream
+    val batches = spark.read.parquet(s"$managed/lists")
+      .select(col("__batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(batches == Set(-1L, 2L, 3L),
+      s"expected retrain-consolidated epochs, got $batches")
+    // drift healed on the managed index, still breaching on the frozen
+    val dFrozen = Similarity.ivfDriftStats(spark, frozen, "vec_id",
+      "embedding", "cell", dims = 64)
+    val dManaged = Similarity.ivfDriftStats(spark, managed, "vec_id",
+      "embedding", "cell", dims = 64)
+    assert(dFrozen.meanResidual > 0.17,
+      s"fixture must drift the frozen index (got $dFrozen)")
+    assert(dManaged.meanResidual <= 0.17,
+      s"maintenance must heal the drift (got $dManaged)")
+    // and the healed geometry probes better on the shifted stream
+    val (rFrozen, rManaged) = (recallOf(frozen), recallOf(managed))
+    assert(rManaged > rFrozen,
+      s"recall must recover: frozen $rFrozen vs managed $rManaged")
+    assert(rManaged >= 0.9, s"managed recall floor: $rManaged")
+  }
+
+  test("ivfIngestTo with compactEvery: mid-stream lists consolidation " +
+    "leaves probes ≡ batch rebuild and the fold state valid") {
+    val seed = Seq(
+      (0L, "a", Array(1.0f, 0.1f, 0.0f, 0.0f)),
+      (1L, "a", Array(1.0f, 0.2f, 0.0f, 0.0f)),
+      (2L, "b", Array(0.1f, 1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val e1 = Seq(
+      (3L, "b", Array(0.2f, 1.0f, 0.0f, 0.0f)),
+      (4L, "c", Array(0.0f, 0.0f, 1.0f, 0.1f)))
+      .toDF("vec_id", "label", "embedding")
+    val e2 = Seq((5L, "c", Array(0.0f, 0.0f, 0.9f, 0.1f)))
+      .toDF("vec_id", "label", "embedding")
+    val e3 = Seq((6L, "a", Array(0.9f, 0.1f, 0.0f, 0.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val probes = Seq(
+      (100L, Array(0.1f, 1.0f, 0.0f, 0.0f)),
+      (200L, Array(0.0f, 0.0f, 1.0f, 0.05f)))
+      .toDF("probe_id", "__pv")
+    def probeRows(path: String) =
+      Similarity.ivfKnnJoinIndexed(spark, path, probes,
+        "vec_id", "embedding", "label", k = 3, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+    val flat = Files.createTempDirectory("graft-ivfcf").toString + "/idx"
+    Similarity.buildIvfIndex(
+      seed.unionByName(e1).unionByName(e2).unionByName(e3),
+      "vec_id", "embedding", "label", flat, dims = 4)
+    val want = probeRows(flat)
+    assert(want.nonEmpty)
+    val idx = Files.createTempDirectory("graft-ivfce").toString + "/idx"
+    StreamOps.ivfIngestBootstrap(seed, idx, "vec_id", "embedding",
+      "label", dims = 4)
+    val in = Files.createTempDirectory("graft-ivfcein").toString
+    Seq(e1, e2, e3).foreach { e =>
+      e.coalesce(1).write.mode("append").parquet(in)
+      Thread.sleep(1100)
+    }
+    val q = StreamOps.ivfIngestTo(
+      spark.readStream.schema(seed.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in),
+      idx, Files.createTempDirectory("graft-ivfceck").toString,
+      "vec_id", "embedding", "label", dims = 4, compactEvery = 2)
+    q.awaitTermination()
+    assert(probeRows(idx) == want,
+      "mid-stream consolidation must leave probes ≡ batch rebuild")
+    val batches = spark.read.parquet(s"$idx/lists")
+      .select(col("__batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(batches == Set(-1L, 2L),
+      s"epochs -1,0,1 must consolidate at batch 2, got $batches")
+    // the fold state survived: a following MONOTONE epoch still takes
+    // the incremental path (the marker was never invalidated)
+    val r = StreamOps.ivfIngestEpoch(
+      Seq((7L, "b", Array(0.15f, 1.0f, 0.0f, 0.0f)))
+        .toDF("vec_id", "label", "embedding"),
+      3L, idx, "vec_id", "embedding", "label", dims = 4)
+    assert(r == 0, s"post-compaction epoch took path $r, not the fold")
+  }
+
+  test("phashIngestTo with compactEvery consolidates mid-stream with " +
+    "probes unchanged") {
+    def phMedia(from: Long, until: Long) =
+      Multimodal.phashFixtureMedia(spark,
+        (from until until).toDF("doc_id"), groups = 25)
+    val phProbes = Multimodal.phashFixtureMedia(spark,
+      (0L until 90L).map(_ + 10000L).toDF("doc_id"), groups = 25)
+    def pairs(path: String) =
+      Multimodal.phashDedupAgainst(spark, path, phProbes)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val flat = Files.createTempDirectory("graft-phmf").toString + "/idx"
+    Multimodal.buildPhashIndex(spark, phMedia(0L, 90L), flat)
+    val want = pairs(flat)
+    assert(want.nonEmpty)
+    val idx = Files.createTempDirectory("graft-phm").toString + "/idx"
+    StreamOps.phashIngestBootstrap(spark, phMedia(0L, 45L), idx)
+    val in = Files.createTempDirectory("graft-phmin").toString
+    val schema = phMedia(0L, 1L).schema
+    Seq((45L, 60L), (60L, 75L), (75L, 90L)).foreach { case (a, b) =>
+      phMedia(a, b).coalesce(1).write.mode("append").parquet(in)
+      Thread.sleep(1100)
+    }
+    val q = StreamOps.phashIngestTo(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(in),
+      idx, Files.createTempDirectory("graft-phmck").toString,
+      compactEvery = 2)
+    q.awaitTermination()
+    assert(pairs(idx) == want,
+      "mid-stream compaction must leave probes ≡ the flat build")
+    val batches = spark.read.parquet(idx)
+      .select(col("__batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(batches == Set(-1L, 2L),
+      s"epochs -1,0,1 must consolidate at batch 2, got $batches")
+  }
+
   // ---- repeated-span removal vs a plain-Scala model -----------------
 
   /** Straight-line model of stripRepeatedSpans: windows at multiples of

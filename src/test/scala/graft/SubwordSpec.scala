@@ -81,6 +81,61 @@ class SubwordSpec extends AnyFunSuite {
     assert(refTokenize("x" * 51) == Seq("[UNK]"))
   }
 
+  test("vocab as data: a table-loaded custom vocab drives the same " +
+    "expression (50 random samples vs a custom-vocab model)") {
+    // a tiny custom vocab: no 'e' single, so any word with 'e' outside
+    // a multi-char piece is UNK — discriminates from the default vocab
+    val custom = Seq("a", "b", "c", "d", "x", "ab", "abc", "##a",
+      "##b", "##c", "##d", "##x", "##cd", "##bcd", ".")
+    val loaded = Subword.piecesFrom(
+      custom.toDF("piece"), pieceCol = "piece")
+    assert(loaded.sorted == custom.sorted,
+      "piecesFrom must round-trip the table")
+    // a custom-vocab reference model (the refWord logic, custom sets)
+    val cStarts = custom.filterNot(_.startsWith("##")).toSet
+    val cConts = custom.filter(_.startsWith("##")).map(_.drop(2)).toSet
+    def cWord(w: String): Seq[String] = {
+      if (w.codePointCount(0, w.length) > Subword.maxWordChars)
+        return Seq(Subword.unk)
+      val acc = scala.collection.mutable.Buffer[String]()
+      var pos = 0
+      while (pos < w.length) {
+        val set = if (pos == 0) cStarts else cConts
+        val cands = set.filter(p =>
+          p.length <= w.length - pos && w.startsWith(p, pos))
+        if (cands.isEmpty) return Seq(Subword.unk)
+        val best = cands.maxBy(_.length)
+        acc += (if (pos == 0) best else "##" + best)
+        pos += best.length
+      }
+      acc.toSeq
+    }
+    def cTokenize(text: String): Seq[String] = {
+      val m = wordRe.matcher(text)
+      val out = scala.collection.mutable.Buffer[String]()
+      while (m.find()) out ++= cWord(m.group())
+      out.toSeq
+    }
+    val g = for {
+      n <- Gen.choose(0, 40)
+      cs <- Gen.listOfN(n, Gen.frequency(
+        8 -> Gen.oneOf('a', 'b', 'c', 'd', 'x', 'e'),
+        2 -> Gen.const(' '), 1 -> Gen.const('.')))
+    } yield cs.mkString
+    val texts = PropertySamples.samples(g, 50, seedBase = 1501L)
+    val got = texts.zipWithIndex.map { case (t, i) => (i, t) }
+      .toDF("i", "t")
+      .select(col("i"), Subword.tokens(col("t"), loaded).as("toks"))
+      .orderBy("i").collect()
+      .map(_.getSeq[String](1).toList.map(identity)).toSeq
+    texts.zip(got).foreach { case (t, g2) =>
+      assert(g2 == cTokenize(t), s"input: '$t'")
+    }
+    // and the custom vocab genuinely differs from the default
+    assert(cTokenize("abcd") != refTokenize("abcd") ||
+      cTokenize("the") != refTokenize("the"))
+  }
+
   test("random texts match the reference model (200 samples)") {
     val alphabet = Gen.frequency(
       8 -> Gen.alphaLowerChar,

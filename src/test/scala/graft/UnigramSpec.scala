@@ -85,6 +85,30 @@ class UnigramSpec extends AnyFunSuite {
     assert(toks.forall(t => t == "a" || t == "b"))
   }
 
+  test("vocab as data: a table-loaded cost table drives the expression; " +
+    "re-costing flips the greedy-trap decision") {
+    // defaults landed as a table round-trip to identical tokenization
+    val loaded = Unigram.piecesFrom(
+      Unigram.defaultPieces.toDF("piece", "cost"))
+    assert(loaded.toMap == Unigram.defaultPieces.toMap)
+    val viaLoaded = Seq(Tuple1("window query table")).toDF("t")
+      .select(Unigram.tokens(col("t"), loaded).as("toks"))
+      .collect().head.getSeq[String](0)
+    assert(viaLoaded == tokenize("window query table"))
+    // a RE-COSTED table is a different tokenizer: make "wind" + "ow"
+    // undercut "win" + "dow" and the trap decision flips
+    val recosted = Unigram.piecesFrom(
+      Unigram.defaultPieces.map { case (p, c) =>
+        if (p == "wind") (p, 50) else (p, c)
+      }.toDF("piece", "cost"))
+    val flipped = Seq(Tuple1("window")).toDF("t")
+      .select(Unigram.tokens(col("t"), recosted).as("toks"))
+      .collect().head.getSeq[String](0)
+    assert(flipped == Seq("wind", "ow"),
+      s"re-costed vocab must flip the segmentation, got $flipped")
+    assert(tokenize("window") == Seq("win", "dow"))
+  }
+
   test("null and empty text tokenize to the empty array") {
     val rows = Seq(Some(""), None, Some("   ")).toDF("t")
       .select(Unigram.tokens(col("t")).as("toks"))

@@ -133,6 +133,25 @@ object Bpe {
                  leftCol: String = "left", rightCol: String = "right",
                  rankCol: String = "rank",
                  maxMerges: Int = 1 << 20): Seq[(String, String)] = {
+    // rank VALIDATION before the ordering (round-15 advice): a null (or
+    // non-numeric — try_cast nulls it; ANSI's plain cast would throw an
+    // opaque error mid-collect) rank sorts FIRST under Spark's
+    // ascending null ordering and would silently head the merge order,
+    // and duplicate ranks make the loaded order nondeterministic across
+    // runs — and merge order IS the algorithm. Mirror of the non-null
+    // segment checks below; one bounded aggregate over the table.
+    val rk = expr(s"try_cast(`$rankCol` AS LONG)")
+    val vr = merges.agg(count(lit(1)), count(rk), countDistinct(rk))
+      .collect()(0)
+    val (total, nonNull, distinct) =
+      (vr.getLong(0), vr.getLong(1), vr.getLong(2))
+    require(nonNull == total,
+      s"merge ranks: ${total - nonNull} null/non-numeric values in " +
+        s"'$rankCol' - null ranks sort first and would silently head " +
+        "the merge order")
+    require(distinct == total,
+      s"merge ranks: ${total - distinct} duplicates in '$rankCol' - " +
+        "duplicate ranks make the merge order nondeterministic")
     val rows = merges.select(col(leftCol).cast("string"),
         col(rightCol).cast("string"), col(rankCol).cast("long"))
       .orderBy(col(rankCol))

@@ -423,7 +423,8 @@ object Similarity {
    *    corpus.
    */
   def buildIvfIndex(df: DataFrame, idCol: String, vecCol: String,
-                    labelCol: String, path: String, dims: Int = 64): Unit = {
+                    labelCol: String, path: String, dims: Int = 64,
+                    deterministic: Boolean = false): Unit = {
     TopKAgg.requireIntegralId(df, idCol, "buildIvfIndex")
     val mark = stageTrace("ivf-build")
     // an IN-PLACE rebuild over an existing index is a mutation like any
@@ -433,6 +434,50 @@ object Similarity {
     // next monotone append would fold onto fold state that does not
     // cover the lists — silently wrong centers, stamped valid)
     deleteCsumsMarker(df.sparkSession, path)
+    val listsFrame = df.select(col(idCol), col(vecCol), col(labelCol),
+      norm(col(vecCol)).as("__cn"),
+      col(labelCol).cast("string").as("__cellkey"))
+    if (deterministic) {
+      // DETERMINISTIC OPT-IN (round-15 verdict): the default path below
+      // exists for non-deterministic frames (a sample, an uncheckpointed
+      // limit) — it evaluates df exactly once (the lists write) and
+      // derives csums/centers/maxId from a READ-BACK of what landed, so
+      // the marker can never stamp valid over mismatched state. That
+      // read-back serializes lists-write → read-back → csums-fold before
+      // the three derived writes can start. A caller who KNOWS df
+      // re-evaluates to the same row set (parquet scans, checkpointed
+      // labels — every contract build) opts in here: csums/maxId derive
+      // from the frame directly, so the lists write, the maxId/label
+      // scan, and the fold→derived-writes chain all run concurrently —
+      // one corpus-pass of wall clock instead of two, same bits by the
+      // determinism premise (Round16OpsSpec pins lists/centers/csums/
+      // marker identity against the default path). The width gate still
+      // strictly precedes the centers/csums writes; a ragged corpus may
+      // race the lists landing, but the marker is absent either way —
+      // the ordinary crashed-build shape every repair converges from.
+      val landed = df.select(col(idCol), col(vecCol), col(labelCol))
+      var maxIdLanded: Option[Long] = None
+      inParallel(
+        () => listsFrame.write.mode("overwrite").partitionBy("__cellkey")
+          .parquet(s"$path/lists"),
+        () => { maxIdLanded = maxIdOf(landed, idCol, labelCol,
+          "buildIvfIndex") },
+        () => {
+          val cs = csumsOf(landed, labelCol, idCol, vecCol, dims)
+            .localCheckpoint()
+          mark("csums-fold")
+          requireFixedWidth(cs, dims, "buildIvfIndex")
+          inParallel(
+            () => centersFromCsums(cs, labelCol).repartition(1)
+              .write.mode("overwrite").parquet(s"$path/centers"),
+            () => writeCsums(cs, labelCol, s"$path/csums"))
+        })
+      mark("derived-writes")
+      writeCsumsMarker(df.sparkSession, path,
+        maxIdLanded.getOrElse(Long.MinValue), dims)
+      mark("marker")
+      return
+    }
     // ONE evaluation of the caller's frame — the lists write — and every
     // derived table (csums, centers, marker) computed from what LANDED:
     // a non-deterministic df (a sample, an uncheckpointed limit) would
@@ -441,9 +486,7 @@ object Similarity {
     // mismatched state. The ingest epoch uses the same
     // read-back-what-landed device; checkpointing the whole corpus
     // instead would double its storage footprint at build time.
-    df.select(col(idCol), col(vecCol), col(labelCol),
-        norm(col(vecCol)).as("__cn"),
-        col(labelCol).cast("string").as("__cellkey"))
+    listsFrame
       .write.mode("overwrite").partitionBy("__cellkey")
       .parquet(s"$path/lists")
     mark("lists-write")
@@ -2578,10 +2621,51 @@ object Similarity {
       .collect().map(_.getString(0)).toSet
     val fresh = batchCells.filterNot(have)
     if (fresh.isEmpty) return
+    // LEGACY-SIDECAR guard (round-15 advice): a post-snapshot cell that
+    // ALREADY holds codes in the sidecar was encoded by the pre-fix
+    // RAW-vector fallback (no snapshot center → raw codes, probe scores
+    // them with a zero center-dot). Freezing its center now would flip
+    // the probe's decode for the WHOLE cell to residual — adding __cdot
+    // on top of codes that already reflect the raw vector, double-
+    // counting the center and misranking those rows under a finite
+    // rerank budget. Such cells stay raw-fallback (consistent on both
+    // sides, merely coarser); only cells with NO codes yet — truly born
+    // by this batch — get their first-seen center frozen. Upgrading a
+    // legacy sidecar wholesale = re-run addPqToIvfIndex.
+    val freshNoCodes = fresh.filterNot(cellsWithPqCodes(spark, path, fresh))
+    if (freshNoCodes.isEmpty) return
     spark.read.parquet(s"$path/centers")
-      .filter(col("__cell").cast("string").isin(fresh.toIndexedSeq: _*))
+      .filter(col("__cell").cast("string")
+        .isin(freshNoCodes.toIndexedSeq: _*))
       .repartition(1)
       .write.mode("append").parquet(snapDir)
+  }
+
+  /** Which of `cells` already hold codes in the PQ sidecar — a
+    * metadata-only FS listing over both layouts (flat
+    * `pq/codes/__cellkey=…`, streaming `pq/codes/__batch=N/__cellkey=…`),
+    * matched on ESCAPED dir names (the csumsCellDirs rule, so a
+    * special-charactered label can't read as absent). */
+  private def cellsWithPqCodes(spark: SparkSession, path: String,
+                               cells: Seq[String]): Set[String] = {
+    val root = new org.apache.hadoop.fs.Path(s"$path/pq/codes")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (cells.isEmpty || !fs.exists(root)) return Set.empty
+    val onDisk = scala.collection.mutable.Set[String]()
+    fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory) {
+        if (n.startsWith("__cellkey=")) onDisk += n
+        else if (n.startsWith("__batch="))
+          fs.listStatus(st.getPath).foreach { st2 =>
+            val n2 = st2.getPath.getName
+            if (st2.isDirectory && n2.startsWith("__cellkey=")) onDisk += n2
+          }
+      }
+    }
+    cells.filter(c => onDisk.contains("__cellkey=" +
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(c))).toSet
   }
 
   private[graft] def residualizedRows(rows: DataFrame,

@@ -1252,9 +1252,13 @@ object StreamOps {
         // single-writer fence, BEFORE the epoch write (the
         // phashIngestTo device): the fold state is a function of the
         // row SET, so the csums marker stays valid across the rewrite
-        // and a crash-replayed epoch overwrites its own fresh dir
-        if (compactEvery > 0 && batchId > 0 &&
-            batchId % compactEvery == 0)
+        // and a crash-replayed epoch overwrites its own fresh dir —
+        // UNLESS this epoch already landed (then this invocation is a
+        // replay and the first attempt's compaction already folded the
+        // earlier epochs; shouldCompactAt skips to avoid folding the
+        // crashed attempt's own rows into -1 before they re-land)
+        if (shouldCompactAt(batch.sparkSession, indexPath, batchId,
+            compactEvery))
           compactIvfIngestState(batch.sparkSession, indexPath)
         ivfIngestEpoch(batch, batchId, indexPath, idCol, vecCol, labelCol,
           dims)
@@ -1569,13 +1573,14 @@ object StreamOps {
     val writer = vectors.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // periodic LISTS consolidation (see ivfIngestTo): the codes
-        // sidecar keeps its per-epoch dirs (they ARE its replay
-        // device) and the pq marker stays valid — the fold state, and
-        // hence the csums marker it mirrors, is a function of the row
-        // set the rewrite preserves
-        if (compactEvery > 0 && batchId > 0 &&
-            batchId % compactEvery == 0)
+        // periodic LISTS consolidation (see ivfIngestTo, including the
+        // shouldCompactAt replay skip): the codes sidecar keeps its
+        // per-epoch dirs (they ARE its replay device) and the pq
+        // marker stays valid — the fold state, and hence the csums
+        // marker it mirrors, is a function of the row set the rewrite
+        // preserves
+        if (shouldCompactAt(batch.sparkSession, indexPath, batchId,
+            compactEvery))
           compactIvfIngestState(batch.sparkSession, indexPath)
         ivfPqIngestEpoch(batch, batchId, indexPath, idCol, vecCol,
           labelCol, dims)
@@ -1653,6 +1658,43 @@ object StreamOps {
    * pruning. Run OFFLINE (single-writer, like the batch appends). Centers
    * are unchanged (same rows, same fold). Returns the lists row count.
    */
+  /** Periodic-compaction gate for the streaming ingests: compact at
+    * every `compactEvery`-th epoch EXCEPT when that epoch's partition is
+    * already on disk. Inside the foreachBatch single-writer fence an
+    * existing `__batch=<batchId>` dir means this invocation is a crash
+    * REPLAY (or an epoch-id reuse, which the epoch writers reconcile
+    * themselves) — and the first attempt's compaction already ran.
+    * Running it again would fold the crashed attempt's own `__batch=N`
+    * rows into the consolidated `__batch=-1` right before the epoch
+    * write re-lands the same rows under `__batch=N`, duplicating every
+    * row of the epoch: duplicate ids surfacing in IVF probe top-k,
+    * silent index inflation for the phash family (round-15 advice — the
+    * "crash-replayed epoch overwrites its own fresh dir" idempotence
+    * argument does not hold once compaction has folded that dir away).
+    * Skipping merely defers consolidation to the next boundary; it never
+    * loses data. `nested` selects the layout probe: the phash indexes
+    * nest epoch dirs INSIDE their `pb=` dirs, IVF lists keep them at
+    * `lists/` top level. Metadata-only FS listing, no data scan. */
+  private[graft] def shouldCompactAt(spark: org.apache.spark.sql.SparkSession,
+                                     indexPath: String, batchId: Long,
+                                     compactEvery: Int,
+                                     nested: Boolean = false): Boolean = {
+    if (compactEvery <= 0 || batchId <= 0 || batchId % compactEvery != 0)
+      return false
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val replayed =
+      if (!nested)
+        fs.exists(new org.apache.hadoop.fs.Path(
+          s"$indexPath/lists/__batch=$batchId"))
+      else fs.exists(root) && fs.listStatus(root).exists { st =>
+        st.isDirectory && st.getPath.getName.startsWith("pb=") &&
+          fs.exists(new org.apache.hadoop.fs.Path(st.getPath,
+            s"__batch=$batchId"))
+      }
+    !replayed
+  }
+
   def compactIvfIngestState(spark: org.apache.spark.sql.SparkSession,
                             indexPath: String): Long = {
     // the per-epoch centers copies key on the exact epoch layout this
@@ -1927,8 +1969,12 @@ object StreamOps {
         // BEFORE this epoch's write, so a crash-replayed epoch
         // overwrites its own fresh dir instead of duplicating rows the
         // compaction just consolidated. Probe results are bit-identical
-        // across compactions (Round14OpsSpec).
-        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+        // across compactions (Round14OpsSpec). shouldCompactAt skips
+        // the pass when this epoch already landed: a replayed boundary
+        // epoch must not fold its own crashed rows into -1 before
+        // re-landing them (round-15 advice).
+        if (shouldCompactAt(batch.sparkSession, indexPath, batchId,
+            compactEvery, nested = true))
           graft.functions.Multimodal.compactPhashIndex(
             batch.sparkSession, indexPath)
         phashIngestEpoch(batch, batchId, indexPath)
@@ -1978,8 +2024,9 @@ object StreamOps {
     val writer = media.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // periodic consolidation, see phashIngestTo
-        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+        // periodic consolidation, see phashIngestTo (incl. replay skip)
+        if (shouldCompactAt(batch.sparkSession, indexPath, batchId,
+            compactEvery, nested = true))
           graft.functions.Multimodal.compactVideoPhashIndex(
             batch.sparkSession, indexPath)
         videoPhashIngestEpoch(batch, batchId, indexPath, maxFrames)
@@ -2025,8 +2072,9 @@ object StreamOps {
     val writer = media.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // periodic consolidation, see phashIngestTo
-        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+        // periodic consolidation, see phashIngestTo (incl. replay skip)
+        if (shouldCompactAt(batch.sparkSession, indexPath, batchId,
+            compactEvery, nested = true))
           graft.functions.Multimodal.compactAudioPhashIndex(
             batch.sparkSession, indexPath)
         audioPhashIngestEpoch(batch, batchId, indexPath)

@@ -424,6 +424,27 @@ def main():
             fails.append(
                 f"streaming ingest epoch grew with the corpus: "
                 f"{ibig:.2f}s at 100x vs {ibase:.2f}s at 1x")
+        # maintained-epoch cost (round-16): the maintainEvery boundary
+        # epoch pays a drift-metrics pass (+ retrain on breach) on top
+        # of the plain epoch — recorded since round 15 but ungated, so
+        # a maintenance-cost regression (e.g. the metrics pass going
+        # corpus-proportional) would land silently. Bound it to a
+        # constant factor of the plain ingest epoch at 100x, where a
+        # corpus-proportional term would blow through: committed
+        # capture reads 11.2s vs 1.9s (5.8x) with a no-breach check +
+        # retrain amortized over maintainEvery epochs. ABSENCE fails
+        # like the other required rows.
+        mbig = doc100.get("ivf_ingest_epoch200_maintained_sec")
+        if not isinstance(mbig, (int, float)):
+            fails.append("100x artifact lacks "
+                         "ivf_ingest_epoch200_maintained_sec - the "
+                         "maintenance-cost claim is unsubstantiated")
+        elif isinstance(ibig, (int, float)) and \
+                mbig > max(10.0 * ibig, ibig + 15.0):
+            fails.append(
+                f"maintained ingest epoch at 100x ({mbig:.2f}s) far "
+                f"exceeds the plain epoch ({ibig:.2f}s) - maintenance "
+                "cost regressed (cap max(10x, +15s))")
         # phash probe (round 13+): candidate dirs + pushed bvals keep a
         # fixed probe batch's bytes bounded by the batch — the probe must
         # not grow with the corpus (when both artifacts measured it)
@@ -451,8 +472,14 @@ def main():
         # is "recall holds when rerank scales with the corpus", which
         # is what a production caller sizes. Artifacts predating the
         # scaled field fall back to the fixed point (old behavior).
-        rbig = doc100.get("pq_recall5_scaled",
-                          doc100.get("pq_recall5"))
+        # The failure message names the field the gate actually bound
+        # on (round-15 advice: it used to claim "scaled rerank" even on
+        # the fallback path).
+        r_scaled = doc100.get("pq_recall5_scaled")
+        r_fixed = doc100.get("pq_recall5")
+        have_scaled = isinstance(r_scaled, (int, float))
+        rbig = r_scaled if have_scaled else r_fixed
+        rbig_field = "pq_recall5_scaled" if have_scaled else "pq_recall5"
         if not all(isinstance(x, (int, float))
                    for x in (qbig, ebig, rbig)):
             fails.append("100x artifact lacks pq_probe200_sec/"
@@ -465,8 +492,26 @@ def main():
                     f"the exact scan ({ebig:.2f}s) - the compression "
                     "claim fails where it binds")
             if rbig < 0.7:
-                fails.append(f"pq recall@5 at 100x ({rbig}, scaled "
-                             "rerank) below the 0.7 floor")
+                fails.append(f"pq recall@5 at 100x ({rbig}, gated on "
+                             f"{rbig_field}) below the 0.7 floor")
+            # FIXED-rerank recall stays gated even when the scaled point
+            # carries the headline claim (round-15 advice): a finalist-
+            # selection bug that collapses fixed-budget recall would
+            # otherwise pass as long as the corpus-proportional rerank
+            # papers over it. Floor calibrated to honest dilution at
+            # genuine 100x (the committed capture reads 0.609 BY
+            # DESIGN); a collapse well below it is a bug, not dilution.
+            if have_scaled:
+                if not isinstance(r_fixed, (int, float)):
+                    fails.append("100x artifact records pq_recall5_scaled"
+                                 " but not pq_recall5 - the fixed-rerank"
+                                 " floor cannot bind")
+                elif r_fixed < 0.5:
+                    fails.append(
+                        f"fixed-rerank pq recall@5 at 100x ({r_fixed}) "
+                        "below the 0.5 dilution-calibrated floor - a "
+                        "scaled rerank must not paper over a finalist-"
+                        "selection collapse")
             # the scaled-rerank probe must still undercut the exact
             # scan — recall is not allowed to be bought back by
             # degenerating into the float scan

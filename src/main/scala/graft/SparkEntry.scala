@@ -774,12 +774,18 @@ object SparkEntry {
     "mm_phash_against" -> ((s, dir) => {
       val ids = documents(s, dir).select(col("doc_id"))
         .filter(col("doc_id") < 600)
-      val corpus = Multimodal.phashFixtureMedia(s, ids, groups = 25)
       val probes = Multimodal.phashFixtureMedia(s,
         ids.select((col("doc_id") + 10000L).as("doc_id")), groups = 25)
-      val path = java.nio.file.Files.createTempDirectory(
-        java.nio.file.Paths.get(idxRoot), "phash_").toString
-      Multimodal.buildPhashIndex(s, corpus, path)
+      // frozenIndex memo (round-15 verdict): the fixture index content
+      // is deterministic per sf dir, so the steady-state probe rows
+      // build it ONCE per JVM and every bench rep after the first
+      // times the probe alone — the production build-once/probe-many
+      // shape. Build cost stays visible per modality in the _appended
+      // twin, which still constructs its index inside the timed query.
+      val path = frozenIndex("phashidx", dir) { p =>
+        Multimodal.buildPhashIndex(s,
+          Multimodal.phashFixtureMedia(s, ids, groups = 25), p)
+      }
       Multimodal.phashDedupAgainst(s, path, probes, maxHamming = 3)
     }),
 
@@ -810,12 +816,14 @@ object SparkEntry {
     "mm_video_phash_against" -> ((s, dir) => {
       val ids = documents(s, dir).select(col("doc_id"))
         .filter(col("doc_id") < 600)
-      val corpus = Multimodal.videoPhashFixtureMedia(s, ids, groups = 25)
       val probes = Multimodal.videoPhashFixtureMedia(s,
         ids.select((col("doc_id") + 10000L).as("doc_id")), groups = 25)
-      val path = java.nio.file.Files.createTempDirectory(
-        java.nio.file.Paths.get(idxRoot), "vphash_").toString
-      Multimodal.buildVideoPhashIndex(s, corpus, path)
+      // frozenIndex memo — see mm_phash_against (_appended keeps the
+      // per-rep build anchor for the video modality)
+      val path = frozenIndex("vphashidx", dir) { p =>
+        Multimodal.buildVideoPhashIndex(s,
+          Multimodal.videoPhashFixtureMedia(s, ids, groups = 25), p)
+      }
       Multimodal.videoPhashDedupAgainst(s, path, probes, maxHamming = 3)
     }),
 
@@ -857,15 +865,28 @@ object SparkEntry {
     // geometry carries over); the probe batch (shifted-id fixtures)
     // reads only its candidate dirs + pushed bvals. The oracle derives
     // BOTH sides' envelope hashes from the fixture arithmetic.
+    // Audio near-dup CLUSTERS — parity with the image cluster row
+    // (round-15 verdict task 5): connected components over the same
+    // hamming ≤ 3 envelope pair graph, singletons label themselves,
+    // truncated (% 11) rows fail the RIFF walk and emit nothing
+    "mm_audio_phash_clusters" -> ((s, dir) => {
+      val ids = documents(s, dir).select(col("doc_id"))
+        .filter(col("doc_id") < 600)
+      val media = Multimodal.audioPhashFixtureMedia(s, ids, groups = 25)
+      Multimodal.audioPhashClusters(s, media, maxHamming = 3)
+    }),
+
     "mm_audio_phash_against" -> ((s, dir) => {
       val ids = documents(s, dir).select(col("doc_id"))
         .filter(col("doc_id") < 600)
-      val corpus = Multimodal.audioPhashFixtureMedia(s, ids, groups = 25)
       val probes = Multimodal.audioPhashFixtureMedia(s,
         ids.select((col("doc_id") + 10000L).as("doc_id")), groups = 25)
-      val path = java.nio.file.Files.createTempDirectory(
-        java.nio.file.Paths.get(idxRoot), "aphash_").toString
-      Multimodal.buildAudioPhashIndex(s, corpus, path)
+      // frozenIndex memo — see mm_phash_against (_appended keeps the
+      // per-rep build anchor for the audio modality)
+      val path = frozenIndex("aphashidx", dir) { p =>
+        Multimodal.buildAudioPhashIndex(s,
+          Multimodal.audioPhashFixtureMedia(s, ids, groups = 25), p)
+      }
       Multimodal.audioPhashDedupAgainst(s, path, probes, maxHamming = 3)
     }),
 
@@ -951,6 +972,37 @@ object SparkEntry {
         .withColumn("quality", TextFns.qualityScore(col("text")))
         .withColumn("n_tokens",
           Subword.tokenCount(lower(col("text"))).cast("long"))
+        .drop("text")
+      Sampling.selectByBudget(d, col("doc_id"), col("quality"),
+        col("n_tokens"), budget = 10000L)
+        .withColumnRenamed("__cum_before", "cum_before")
+    }),
+
+    // Budget selection with a vocab loaded FROM A TABLE (round-15
+    // verdict task 4 — piecesFrom existed with property tests but no
+    // contract row drove a table-loaded vocab end-to-end): the vocab is
+    // DERIVED FROM DATA — fixed single-character pieces plus the
+    // corpus's 40 most frequent words (the same splitter + 256-word cap
+    // the walk uses; ties break on the word) — landed as a one-column
+    // table, loaded via Subword.piecesFrom, and driven through the same
+    // greedy prefix-sum selection. The oracle derives the identical
+    // vocab from the identical table in SQL.
+    "select_budget_vocab_table" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      import s.implicits._
+      val words = regexp_extract_all(
+        coalesce(lower(col("text")), lit("")),
+        lit("[a-z0-9]+|[^a-z0-9 \\t\\n\\r\\f]"), lit(0))
+      val vocabTable = vocabSinglePieces.toDF("piece").unionByName(
+        docs.select(explode(slice(words, 1, 256)).as("piece"))
+          .groupBy("piece").agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("piece")).limit(40)
+          .select("piece"))
+      val pieces = Subword.piecesFrom(vocabTable)
+      val d = docs.select(col("doc_id"), col("text"))
+        .withColumn("quality", TextFns.qualityScore(col("text")))
+        .withColumn("n_tokens",
+          Subword.tokenCount(lower(col("text")), pieces).cast("long"))
         .drop("text")
       Sampling.selectByBudget(d, col("doc_id"), col("quality"),
         col("n_tokens"), budget = 10000L)
@@ -1493,8 +1545,15 @@ object SparkEntry {
         .select(col("vec_id").as("probe_id"), col("embedding").as("__pv"))
       val path = s"$idxRoot/ivf_" +
         java.lang.Integer.toHexString(dir.hashCode)
+      // deterministic = true on every contract build: the inputs are
+      // parquet scans (or joins against checkpointed k-means labels),
+      // which re-evaluate to the same row set — so the build derives
+      // csums/maxId from the frame directly and overlaps the lists
+      // write with the fold instead of paying lists-write → read-back
+      // → fold serially (bit-identity with the default path pinned by
+      // Round16OpsSpec)
       Similarity.buildIvfIndex(emb, "vec_id", "embedding", "label", path,
-        dims = 64)
+        dims = 64, deterministic = true)
       // superProbe pinned to flat: the oracle mirrors the flat cell
       // ranking, and the auto rule must never flip the CONTRACT query's
       // plan at a larger corpus (the lshBitsFor lesson — pin the contract,
@@ -1519,7 +1578,7 @@ object SparkEntry {
       val path = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get(idxRoot), "ivf_pq_").toString
       Similarity.buildIvfIndex(emb, "vec_id", "embedding", "label", path,
-        dims = 64)
+        dims = 64, deterministic = true)
       Similarity.addPqToIvfIndex(s, path, "vec_id", "embedding", "label",
         m = 8, ksub = 16, iters = 2, trainMod = 1)
       Similarity.ivfPqKnnJoinIndexed(s, path, probes, "vec_id",
@@ -1544,7 +1603,7 @@ object SparkEntry {
       val path = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get(idxRoot), "ivf_pqr_").toString
       Similarity.buildIvfIndex(emb, "vec_id", "embedding", "label", path,
-        dims = 64)
+        dims = 64, deterministic = true)
       Similarity.addPqToIvfIndex(s, path, "vec_id", "embedding", "label",
         m = 8, ksub = 16, iters = 2, trainMod = 1, residual = true)
       Similarity.ivfPqKnnJoinIndexed(s, path, probes, "vec_id",
@@ -1565,7 +1624,8 @@ object SparkEntry {
       val path = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get(idxRoot), "ivf_app_").toString
       Similarity.buildIvfIndex(emb.filter(col("vec_id") % 2 === 0),
-        "vec_id", "embedding", "label", path, dims = 64)
+        "vec_id", "embedding", "label", path, dims = 64,
+        deterministic = true)
       Similarity.appendToIvfIndex(s, path,
         emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
         "label", dims = 64)
@@ -1589,7 +1649,8 @@ object SparkEntry {
       val path = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get(idxRoot), "ivf_mon_").toString
       Similarity.buildIvfIndex(emb.filter(col("vec_id") <= mid),
-        "vec_id", "embedding", "label", path, dims = 64)
+        "vec_id", "embedding", "label", path, dims = 64,
+        deterministic = true)
       require(Similarity.appendToIvfIndex(s, path,
         emb.filter(col("vec_id") > mid), "vec_id", "embedding",
         "label", dims = 64),
@@ -1615,7 +1676,7 @@ object SparkEntry {
       val path = s"$idxRoot/ivfkm_" +
         java.lang.Integer.toHexString(dir.hashCode)
       Similarity.buildIvfIndex(labeled, "vec_id", "embedding", "cell",
-        path, dims = 64)
+        path, dims = 64, deterministic = true)
       Similarity.ivfKnnJoinIndexed(s, path, probes, "vec_id", "embedding",
         "cell", k = 5, nProbe = 2, superProbe = 0)
     }),
@@ -1635,7 +1696,7 @@ object SparkEntry {
       val path = s"$idxRoot/ivfasn_" +
         java.lang.Integer.toHexString(dir.hashCode)
       Similarity.buildIvfIndex(labeled, "vec_id", "embedding", "cell",
-        path, dims = 64)
+        path, dims = 64, deterministic = true)
       Similarity.assignToCenters(s, path,
         Similarity.boundedHashSample(emb, "vec_id", 200),
         "vec_id", "embedding")
@@ -1660,7 +1721,7 @@ object SparkEntry {
           Similarity.kmeansLabels(emb, "vec_id", "embedding", k = 16,
             iters = 2), Seq("vec_id"))
         Similarity.buildIvfIndex(labeled, "vec_id", "embedding", "cell",
-          p, dims = 64)
+          p, dims = 64, deterministic = true)
       }
       val probes = emb.filter(
         pmod(Md5Prefix28(col("vec_id").cast("string")), lit(100L)) < 1)
@@ -1676,7 +1737,7 @@ object SparkEntry {
           Similarity.kmeansLabels(emb, "vec_id", "embedding", k = 16,
             iters = 2), Seq("vec_id"))
         Similarity.buildIvfIndex(labeled, "vec_id", "embedding", "cell",
-          p, dims = 64)
+          p, dims = 64, deterministic = true)
       }
       Similarity.assignToCenters(s, path,
         Similarity.boundedHashSample(emb, "vec_id", 200),
@@ -1687,7 +1748,8 @@ object SparkEntry {
       val emb = embeddings(s, dir)
       val path = frozenIndex("ivfapp", dir) { p =>
         Similarity.buildIvfIndex(emb.filter(col("vec_id") % 2 === 0),
-          "vec_id", "embedding", "label", p, dims = 64)
+          "vec_id", "embedding", "label", p, dims = 64,
+          deterministic = true)
         Similarity.appendToIvfIndex(s, p,
           emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
           "label", dims = 64)
@@ -1709,7 +1771,7 @@ object SparkEntry {
       val emb = embeddings(s, dir)
       val path = frozenIndex("ivfpq", dir) { p =>
         Similarity.buildIvfIndex(emb, "vec_id", "embedding", "label", p,
-          dims = 64)
+          dims = 64, deterministic = true)
         Similarity.addPqToIvfIndex(s, p, "vec_id", "embedding", "label",
           m = 8, ksub = 16, iters = 2, trainMod = 1)
       }
@@ -1725,7 +1787,7 @@ object SparkEntry {
       val emb = embeddings(s, dir)
       val path = frozenIndex("ivfpqr", dir) { p =>
         Similarity.buildIvfIndex(emb, "vec_id", "embedding", "label", p,
-          dims = 64)
+          dims = 64, deterministic = true)
         Similarity.addPqToIvfIndex(s, p, "vec_id", "embedding", "label",
           m = 8, ksub = 16, iters = 2, trainMod = 1, residual = true)
       }
@@ -2157,9 +2219,36 @@ object SparkEntry {
   // reconstruction) or no piece matches (whole word → [UNK] — WordPiece
   // semantics). Words > 50 code points are [UNK] outright. The
   // whitespace class is the EXPLICIT one the expression uses.
-  private def subwordCte: String =
-    "WITH RECURSIVE vocab(piece) AS (VALUES " +
-      Subword.vocabValuesSql() + "), " +
+  private def subwordCte: String = subwordCteWith(
+    "vocab(piece) AS (VALUES " + Subword.vocabValuesSql() + ")")
+
+  /** The fixed character tier of the select_budget_vocab_table row's
+    * DERIVED vocab: single chars as start + continuation pieces. The
+    * data tier (the corpus's top-40 words) is derived from the
+    * documents table on BOTH sides. */
+  private val vocabSinglePieces: Seq[String] = {
+    val singles = (('a' to 'z') ++ ('0' to '9')).map(_.toString)
+    singles ++ singles.map("##" + _)
+  }
+
+  /** Derivation CTEs for the data tier — word frequencies over the SAME
+    * splitter + 256-word cap the subword walk uses; ties break on the
+    * word so the top-40 set is deterministic. Emitted BEFORE the vocab
+    * CTE (definition order). */
+  private def vocabTableCtes: String =
+    "vd AS (SELECT regexp_extract_all(coalesce(lower(text), ''), " +
+      "'[a-z0-9]+|[^a-z0-9 \\t\\n\\r\\f]') AS ws FROM documents), " +
+      "vw AS (SELECT ws[i] AS word FROM vd, " +
+      "(SELECT unnest(range(1, 257)) AS i) ix WHERE i <= len(ws)), " +
+      "vtop AS (SELECT word, count(*) AS c FROM vw GROUP BY word " +
+      "ORDER BY c DESC, word LIMIT 40), "
+
+  /** The WordPiece walk chain over an ARBITRARY `vocab(piece)` CTE —
+    * factored so the vocab-as-data row can swap in a data-derived vocab
+    * (`pre` = its derivation CTEs, emitted before `vocab` so every
+    * reference resolves in definition order). */
+  private def subwordCteWith(vocabCte: String, pre: String = ""): String =
+    "WITH RECURSIVE " + pre + vocabCte + ", " +
       "v AS (SELECT CASE WHEN piece LIKE '##%' THEN piece[3:] " +
       "ELSE piece END AS vr, (piece LIKE '##%') AS cont FROM vocab), " +
       "d AS (SELECT doc_id, regexp_extract_all(coalesce(lower(text), ''), " +
@@ -3168,6 +3257,30 @@ object SparkEntry {
         "SELECT doc_id, quality, n_tokens, cum_before FROM c " +
         "WHERE cum_before < 10000 ORDER BY doc_id"),
 
+    "select_budget_vocab_table" ->
+      // the select_budget_subword window, but the vocab CTE derives
+      // from the documents table (single chars + top-40 words by
+      // frequency, ties on word) instead of the fixture VALUES — the
+      // SAME derivation the Spark side lands as a table and loads via
+      // piecesFrom
+      (subwordCteWith(
+        "vocab(piece) AS (SELECT * FROM (VALUES " +
+          Subword.vocabValuesSql(vocabSinglePieces) + ") t(piece) " +
+          "UNION ALL SELECT word FROM vtop)",
+        pre = vocabTableCtes) +
+        ", d0 AS (SELECT doc_id, " + qualitySql +
+        " AS quality FROM documents), " +
+        "dd AS (SELECT d0.doc_id, d0.quality, " +
+        "CAST(coalesce(t.n, 0) AS BIGINT) AS n_tokens FROM d0 " +
+        "LEFT JOIN doctok t ON d0.doc_id = t.doc_id " +
+        "WHERE d0.quality IS NOT NULL), " +
+        "c AS (SELECT doc_id, quality, n_tokens, " +
+        "CAST(coalesce(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) " +
+        "AS cum_before FROM dd) " +
+        "SELECT doc_id, quality, n_tokens, cum_before FROM c " +
+        "WHERE cum_before < 10000 ORDER BY doc_id"),
+
     "select_budget_by_lang" ->
       // per-lang greedy windows; NULL exclusion mirrored as in
       // select_budget
@@ -3981,6 +4094,20 @@ object SparkEntry {
 
     "mm_audio_phash_against" -> audioAgainstOracle,
     "mm_audio_phash_against_appended" -> audioAgainstOracle,
+
+    "mm_audio_phash_clusters" ->
+      // the mm_phash_clusters min-label closure over the audio envelope
+      // hashes (the shared audioHashCteFor derivation)
+      ("WITH RECURSIVE " + audioHashCteFor("", "doc_id") + ", " +
+        "pr AS (SELECT a.doc_id AS da, b.doc_id AS db FROM ahashes a " +
+        "JOIN ahashes b ON a.doc_id < b.doc_id " +
+        "WHERE bit_count(xor(a.h, b.h)) <= 3), " +
+        "edges AS (SELECT da AS a, db AS b FROM pr " +
+        "UNION ALL SELECT db, da FROM pr), " +
+        "cc AS (SELECT doc_id AS node, doc_id AS label FROM ahashes " +
+        "UNION SELECT e.a, cc.label FROM edges e JOIN cc ON cc.node = e.b) " +
+        "SELECT node AS doc_id, min(label) AS cluster_id FROM cc " +
+        "GROUP BY node ORDER BY doc_id"),
 
     "mm_phash_clusters" ->
       // connected components over the same hamming ≤ 3 pair graph (the

@@ -1567,6 +1567,23 @@ object Multimodal {
     Dedup.hammingNearPairs(audioPhashSignatures(spark, media),
       "doc_id", "ehash", maxHamming, bits = 64)
 
+  /** Near-dup CLUSTERS over the audio envelope hashes — the
+    * keeper-selection form ([[phashClusters]] for the audio modality):
+    * connected components over the hamming-bounded pair graph, every
+    * decodable clip labeled (singletons label themselves), undecodable
+    * clips emit nothing. */
+  def audioPhashClusters(spark: SparkSession, media: DataFrame,
+                         maxHamming: Int = 3): DataFrame = {
+    val sig = audioPhashSignatures(spark, media).localCheckpoint(false)
+    val pairs = Dedup.hammingNearPairs(sig, "doc_id", "ehash",
+      maxHamming, bits = 64).select(col("doc_a"), col("doc_b"))
+    val labels = Dedup.connectedComponents(pairs)
+    sig.select(col("doc_id"))
+      .join(labels, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+  }
+
   /**
    * Construction-predicting audio fixture (the [[phashFixtureMedia]]
    * device in one dimension): per doc v = doc_id % 3,

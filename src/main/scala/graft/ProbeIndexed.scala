@@ -41,8 +41,13 @@ object ProbeIndexed {
 
     val emb = Tables.load(spark, sfDir, "embeddings")
     val ivfPath = s"$tmp/ivf"
+    // deterministic = true throughout: every probe build's frame is a
+    // parquet scan or a join against checkpointed k-means labels (the
+    // contract-row premise), so the build overlaps the lists write with
+    // the fold instead of paying a read-back pass
     val buildIvf = time(Similarity.buildIvfIndex(
-      emb, "vec_id", "embedding", "label", ivfPath, dims = 64))
+      emb, "vec_id", "embedding", "label", ivfPath, dims = 64,
+      deterministic = true))
     // fixed 200-probe batch — does NOT scale with the corpus
     val probes = emb.orderBy(col("vec_id")).limit(200)
       .select(col("vec_id").as("probe_id"), col("embedding").as("__pv"))
@@ -121,7 +126,7 @@ object ProbeIndexed {
         Similarity.kmeansLabels(emb, "vec_id", "embedding", k = kCells,
           iters = 2, trainMod = trainMod, superAssign = -1), Seq("vec_id"))
       Similarity.buildIvfIndex(labeled, "vec_id", "embedding", "cell",
-        kmPath, dims = 64)
+        kmPath, dims = 64, deterministic = true)
     }
     val recallKm = recall(Similarity.ivfKnnJoinIndexed(spark, kmPath,
       probes, "vec_id", "embedding", "cell", k = 5, nProbe = 2))
@@ -288,7 +293,7 @@ object ProbeIndexed {
           (agingBase.count() / (50L * ageK)).toInt), superAssign = -1),
       Seq("vec_id"))
     Similarity.buildIvfIndex(ageLabeled, "vec_id", "embedding", "cell",
-      agePath, dims = 64)
+      agePath, dims = 64, deterministic = true)
     val driftFresh = Similarity.ivfDriftStats(spark, agePath, "vec_id",
       "embedding", "cell", dims = 64)
     Similarity.appendToIvfIndexAssigned(spark, agePath, shiftedBatch,
@@ -438,6 +443,30 @@ object ProbeIndexed {
       }
       require(route == 0,
         s"probe maintained epoch took path $route, not the incremental fold")
+      b.unpersist(); t
+    }.min
+
+    // the SAMPLED-DRIFT fast path (round 16): the same no-breach check
+    // with the residual sample's scan pruned to ~1/8 of the cell dirs
+    // (cellMod — a partition-pruning predicate on the cell-key hash) —
+    // the cost lever when maintainEvery must be small. rows/cells/skew
+    // stay exact (csums-derived); only the residual estimate samples.
+    val ingestMaintainSampledSec = (1 to reps).map { r =>
+      val b = emb.orderBy(col("vec_id").desc).limit(200)
+        .select((col("vec_id") + 120000000L + r * 1000000L).as("vec_id"),
+          col("embedding"), col("label"))
+        .localCheckpoint()
+      var route = -1
+      val t = time {
+        Similarity.maintainIvfIndex(spark, ingestIdx, "vec_id",
+          "embedding", "label", dims = 64,
+          residualThreshold = Double.MaxValue, epochLayout = true,
+          cellMod = 8)
+        route = StreamOps.ivfIngestEpoch(b, 300L + r, ingestIdx,
+          "vec_id", "embedding", "label", dims = 64)
+      }
+      require(route == 0,
+        s"sampled maintained epoch took path $route, not the fold")
       b.unpersist(); t
     }.min
 
@@ -700,6 +729,7 @@ object ProbeIndexed {
       s""""ivf_ingest_bootstrap_sec":$ingestBootstrap,""" +
       s""""ivf_ingest_epoch200_sec":$ingestEpochSec,""" +
       s""""ivf_ingest_epoch200_maintained_sec":$ingestMaintainSec,""" +
+      s""""ivf_ingest_epoch200_maintained_sampled_sec":$ingestMaintainSampledSec,""" +
       s""""pq_train_sec":$pqTrainSec,""" +
       s""""pq_encode_sec":$pqEncodeSec,""" +
       s""""pq_probe200_sec":$pqProbeSec,""" +

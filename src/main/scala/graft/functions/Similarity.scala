@@ -1308,7 +1308,8 @@ object Similarity {
 
   def ivfDriftStats(spark: SparkSession, path: String, idCol: String,
                     vecCol: String, labelCol: String, dims: Int = 64,
-                    sampleN: Int = 1000): IvfDriftStats = {
+                    sampleN: Int = 1000,
+                    cellMod: Int = 1): IvfDriftStats = {
     require(hasCsumsData(spark, path),
       s"ivfDriftStats needs the csums fold state under $path " +
         "(run rebuildIvfCsums on a legacy index first)")
@@ -1323,9 +1324,28 @@ object Similarity {
       return IvfDriftStats(0L, 0L, 0.0, 0.0)
     val (cells, rows) = (sizes.getLong(0), sizes.getLong(1))
     val skew = if (cells == 0) 0.0 else sizes.getLong(2) / sizes.getDouble(3)
+    // cellMod > 1: the SAMPLED-DRIFT fast path — the residual sample's
+    // id-hash filter still had to SCAN every cell partition (a
+    // column-pruned corpus pass per maintenance check; 11.2 s/epoch at
+    // 100x). Pre-filtering on a hash of the `__cellkey` PARTITION
+    // column prunes ~ (cellMod-1)/cellMod of the cell dirs at file
+    // listing (both the flat and the __batch epoch layouts — the
+    // partition predicate is evaluated against dir values, no data
+    // read), so the check's scan cost drops by the same factor. Cells
+    // are chosen by md5 of the key — independent of drift, so a
+    // shifted stream's funnel cells are sampled at the same rate as
+    // any others; rows/cells/skew stay EXACT (csums-derived — they
+    // feed the K ∝ n resize and must remain corpus-accurate). 1 =
+    // exact (every cell scanned), the default.
+    val lists = spark.read.parquet(s"$path/lists")
+    val sampledLists =
+      if (cellMod <= 1) lists
+      else lists.filter(
+        pmod(Md5Prefix28(col("__cellkey").cast("string")),
+          lit(cellMod.toLong)) === 0)
     val sample = boundedHashSample(
-      spark.read.parquet(s"$path/lists")
-        .select(col(idCol), col(vecCol), col(labelCol)), idCol, sampleN)
+      sampledLists.select(col(idCol), col(vecCol), col(labelCol)),
+      idCol, sampleN)
     val centers = spark.read.parquet(s"$path/centers")
     val res = sample
       .join(centers, sample(labelCol) === centers("__cell"))
@@ -1475,9 +1495,10 @@ object Similarity {
                        targetRowsPerCell: Int = -1,
                        iters: Int = 4, sampleN: Int = 1000,
                        superAssign: Int = -1,
-                       epochLayout: Boolean = false): IvfMaintenance = {
+                       epochLayout: Boolean = false,
+                       cellMod: Int = 1): IvfMaintenance = {
     val stats = ivfDriftStats(spark, path, idCol, vecCol, labelCol, dims,
-      sampleN)
+      sampleN, cellMod)
     val breach = stats.rows > 0 &&
       (stats.meanResidual > residualThreshold ||
         stats.occupancySkew > skewThreshold)

@@ -1301,7 +1301,8 @@ object StreamOps {
                           skewThreshold: Double = Double.MaxValue,
                           targetRowsPerCell: Int = -1,
                           maintainIters: Int = 4,
-                          superAssign: Int = -1): StreamingQuery = {
+                          superAssign: Int = -1,
+                          maintainCellMod: Int = 1): StreamingQuery = {
     val writer = vectors.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -1318,7 +1319,9 @@ object StreamOps {
         // Residual hazard, documented: a replay whose re-measured
         // drift STILL breaches retrains again and re-duplicates one
         // epoch — bounded by a crash × persistent-breach coincidence.
-        // The no-breach path is one bounded metrics pass per K epochs.
+        // The no-breach path is one bounded metrics pass per K epochs
+        // (maintainCellMod > 1 prunes it to ~1/cellMod of the cell
+        // dirs — the sampled-drift fast path for small K).
         if (maintainEvery > 0 && batchId > 0 &&
             batchId % maintainEvery == 0)
           Similarity.maintainIvfIndex(batch.sparkSession, indexPath,
@@ -1326,7 +1329,8 @@ object StreamOps {
             residualThreshold = residualThreshold,
             skewThreshold = skewThreshold,
             targetRowsPerCell = targetRowsPerCell, iters = maintainIters,
-            superAssign = superAssign, epochLayout = true)
+            superAssign = superAssign, epochLayout = true,
+            cellMod = maintainCellMod)
         ivfIngestAssignedEpoch(batch, batchId, indexPath, idCol, vecCol,
           dims)
         ()

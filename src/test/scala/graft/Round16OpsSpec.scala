@@ -210,6 +210,36 @@ class Round16OpsSpec extends AnyFunSuite {
         "deterministic-built index")
   }
 
+  // ---- sampled-drift fast path -------------------------------------
+
+  test("ivfDriftStats cellMod: cell-pruned residual sample reads fewer " +
+    "files; csums-derived stats stay exact") {
+    val path = Files.createTempDirectory("graft-drift").toString + "/idx"
+    Similarity.buildIvfIndex(corpus(400, cells = 20), "vec_id",
+      "embedding", "label", path)
+    val exact = Similarity.ivfDriftStats(spark, path, "vec_id",
+      "embedding", "label")
+    val sampled = Similarity.ivfDriftStats(spark, path, "vec_id",
+      "embedding", "label", cellMod = 4)
+    // rows/cells/skew feed the K ∝ n resize — they derive from csums
+    // (metadata scale) and must stay corpus-exact under sampling
+    assert(sampled.cells == exact.cells && sampled.rows == exact.rows &&
+      sampled.occupancySkew == exact.occupancySkew)
+    // the sampled residual estimates the same quantity
+    assert(sampled.meanResidual > 0.0)
+    assert(math.abs(sampled.meanResidual - exact.meanResidual) < 0.08)
+    // and the fast path actually prunes the scan: the cell-hash filter
+    // on the PARTITION column must resolve to strictly fewer files read
+    val lists = spark.read.parquet(s"$path/lists")
+    def filesRead(df: DataFrame): Long =
+      df.select(input_file_name()).distinct().count()
+    val pruned = lists.filter(
+      pmod(graft.functions.Md5Prefix28(col("__cellkey").cast("string")),
+        lit(4L)) === 0)
+    assert(filesRead(pruned) > 0 && filesRead(pruned) < filesRead(lists),
+      "partition pruning on the cell-hash predicate must cut files read")
+  }
+
   // ---- Bpe.mergesFrom rank validation (ADVICE low) -----------------
 
   test("mergesFrom: null, non-numeric, and duplicate ranks are refused; " +

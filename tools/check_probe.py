@@ -445,6 +445,17 @@ def main():
                 f"maintained ingest epoch at 100x ({mbig:.2f}s) far "
                 f"exceeds the plain epoch ({ibig:.2f}s) - maintenance "
                 "cost regressed (cap max(10x, +15s))")
+        # sampled-drift fast path (round 16, optional - gated only when
+        # the artifact records it): the cell-pruned check must never
+        # cost more than the exact one; at 100x it should be the cheap
+        # lever for small maintainEvery
+        smbig = doc100.get("ivf_ingest_epoch200_maintained_sampled_sec")
+        if isinstance(smbig, (int, float)) and \
+                isinstance(mbig, (int, float)) and smbig > mbig + 0.3:
+            fails.append(
+                f"sampled-drift maintained epoch at 100x ({smbig:.2f}s) "
+                f"costs more than the exact check ({mbig:.2f}s) - the "
+                "cell pruning is not biting")
         # phash probe (round 13+): candidate dirs + pushed bvals keep a
         # fixed probe batch's bytes bounded by the batch — the probe must
         # not grow with the corpus (when both artifacts measured it)

@@ -654,10 +654,19 @@ object Dedup {
   def buildDedupIndex(corpus: DataFrame, idCol: String, textCol: String,
                       path: String): Unit = {
     TopKAgg.requireIntegralId(corpus, idCol, "buildDedupIndex")
-    val cSets = shingleSets(corpus, idCol, textCol).localCheckpoint(false)
-    cSets.write.mode("overwrite").parquet(s"$path/sets")
-    bandKeysFromSets(cSets, idCol)
-      .write.mode("overwrite").parquet(s"$path/keys")
+    // EAGER checkpoint: shingling (the corpus-sized cost) runs exactly
+    // once, and the two table writes below — independent reads of the
+    // materialized sets — overlap instead of serializing (the
+    // buildIvfIndex inParallel device; a lazy checkpoint would let the
+    // concurrent first actions race its materialization). Crash shape
+    // is unchanged: no marker gates the batch build, a half-landed
+    // index was inconsistent under either write order, and a re-run
+    // overwrites both tables.
+    val cSets = shingleSets(corpus, idCol, textCol).localCheckpoint(true)
+    Similarity.inParallel(
+      () => cSets.write.mode("overwrite").parquet(s"$path/sets"),
+      () => bandKeysFromSets(cSets, idCol)
+        .write.mode("overwrite").parquet(s"$path/keys"))
     // a flat rebuild over a formerly-partitioned path must also retire
     // the layout marker (else every later probe takes the wrong path),
     // any append deltas, and the schema memo the new shape invalidates
@@ -709,13 +718,25 @@ object Dedup {
   private[graft] def bandedSets(sets: DataFrame, idCol: String,
                                 setBuckets: Int): DataFrame =
     sets.withColumn("ib", idBucket(col(idCol), setBuckets))
-      .repartition(setBuckets, col("ib"))
+      .repartition(writeTasks(sets, setBuckets), col("ib"))
 
   /** The banded keys-table twin (band-prefix dirs). */
   private[graft] def bandedKeys(keys: DataFrame,
                                 bpChars: Int = 2): DataFrame =
     keys.withColumn("bp", bandPrefix(col("bkey"), bpChars))
-      .repartition(1 << (4 * bpChars), col("bp"))
+      .repartition(writeTasks(keys, 1 << (4 * bpChars)), col("bp"))
+
+  /** Shuffle-task count for a dir-partitioned index write: one task per
+    * dir where the cluster has the cores (`dirs`, the layout's natural
+    * width), the core count where it does not. Keying the hash
+    * repartition wider than the cluster only queues task-commit waves
+    * (a fixed 256 on a 32-core box is ~8 commit waves of pure latency),
+    * while fewer tasks write the SAME one file per touched dir through
+    * the sorted dynamic-partition writer. Dir COUNT and dir VALUES are
+    * the partition column's alone — probe pruning is unaffected. */
+  private[graft] def writeTasks(df: DataFrame, dirs: Int): Int =
+    math.max(1, math.min(dirs,
+      df.sparkSession.sparkContext.defaultParallelism))
 
   private[graft] def layoutMarkerPath(path: String) =
     new org.apache.hadoop.fs.Path(s"$path/_graft_dedup_layout")
@@ -803,7 +824,9 @@ object Dedup {
     TopKAgg.requireIntegralId(corpus, idCol, "buildDedupIndexPartitioned")
     require(setBuckets > 0, s"setBuckets must be positive: $setBuckets")
     val spark = corpus.sparkSession
-    val cSets = shingleSets(corpus, idCol, textCol).localCheckpoint(false)
+    // EAGER checkpoint — see buildDedupIndex: one shingling pass, then
+    // the two independent partitioned writes overlap
+    val cSets = shingleSets(corpus, idCol, textCol).localCheckpoint(true)
     // band-prefix width: explicit, or scale-adaptive from the corpus
     // size (the count is one cheap job over the checkpointed sets)
     val layout = BandedLayout(setBuckets,
@@ -812,10 +835,11 @@ object Dedup {
     // routing in one shared definition (each dir written by exactly the
     // tasks owning its key — no file-per-task-per-key explosion, no
     // empty shuffle tasks beyond the bucket count)
-    bandedSets(cSets, idCol, setBuckets)
-      .write.mode("overwrite").partitionBy("ib").parquet(s"$path/sets")
-    bandedKeys(bandKeysFromSets(cSets, idCol), layout.bpChars)
-      .write.mode("overwrite").partitionBy("bp").parquet(s"$path/keys")
+    Similarity.inParallel(
+      () => bandedSets(cSets, idCol, setBuckets)
+        .write.mode("overwrite").partitionBy("ib").parquet(s"$path/sets"),
+      () => bandedKeys(bandKeysFromSets(cSets, idCol), layout.bpChars)
+        .write.mode("overwrite").partitionBy("bp").parquet(s"$path/keys"))
     // a rebuild over an append-grown path must also retire the deltas
     // (their rows are re-derived from the new corpus or gone for good)
     // and the schema memo (a formerly-flat path gains partition columns)

@@ -1163,13 +1163,25 @@ object Multimodal {
   def buildPhashIndex(spark: SparkSession, media: DataFrame,
                       path: String): Unit =
     phashBlocks(phashSignatures(spark, media))
-      .repartition(256, col("pb"))
+      .repartition(pbWriteTasks(spark), col("pb"))
       // bval-sorted row groups: the probe pushes its candidate values as
       // a bval filter, and parquet min/max stats skip the row groups a
       // sorted layout keeps tight — the id-sorted-row-groups device from
       // the dedup state verify
       .sortWithinPartitions(col("pb"), col("bval"))
       .write.mode("overwrite").partitionBy("pb").parquet(path)
+
+  /** Shuffle-task count for a `pb`-partitioned index write: one task
+    * per pb dir where the cluster has the cores (the 256-dir layout's
+    * natural width), the core count where it does not — a hash
+    * repartition on `pb` keyed wider than the cluster only queues
+    * task-commit waves (a fixed 256 cost local 32-core builds ~1 s of
+    * pure per-task commit latency), while fewer-than-256 tasks write
+    * the SAME one file per touched dir through the sorted dynamic-
+    * partition writer (`sortWithinPartitions(pb, …)` keeps a single
+    * writer open). Scale-adaptive, never a local-only constant. */
+  private def pbWriteTasks(spark: SparkSession): Int =
+    math.max(1, math.min(256, spark.sparkContext.defaultParallelism))
 
   /** Append a media batch's signatures into the index's layout — one
     * dynamic-partition append, ≤ 1 new file per touched dir (bounded by
@@ -1308,7 +1320,7 @@ object Multimodal {
   def buildVideoPhashIndex(spark: SparkSession, media: DataFrame,
                            path: String, maxFrames: Int = 8): Unit =
     videoSigBlocks(videoSigRows(spark, media, maxFrames))
-      .repartition(256, col("pb"))
+      .repartition(pbWriteTasks(spark), col("pb"))
       .sortWithinPartitions(col("pb"), col("bval"))
       .write.mode("overwrite").partitionBy("pb").parquet(path)
 
@@ -1427,7 +1439,7 @@ object Multimodal {
   def buildAudioPhashIndex(spark: SparkSession, media: DataFrame,
                            path: String): Unit =
     audioSigBlocks(audioPhashSignatures(spark, media))
-      .repartition(256, col("pb"))
+      .repartition(pbWriteTasks(spark), col("pb"))
       .sortWithinPartitions(col("pb"), col("bval"))
       .write.mode("overwrite").partitionBy("pb").parquet(path)
 

@@ -999,7 +999,7 @@ object Similarity {
     * rebuild. Both sides are awaited even when one fails (a torn
     * concurrent write must not outlive the caller's error handling);
     * the first failure then propagates. */
-  private def inParallel(sides: (() => Unit)*): Unit = {
+  private[graft] def inParallel(sides: (() => Unit)*): Unit = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -2375,11 +2375,22 @@ object Similarity {
       lit(0.0), (acc, x) => acc + x)
 
   /** Nearest code for subvector `sv` under codebook `cbFlat`, sub `j`:
-    * argmin over the ksub candidates via array_min of (d2, code) structs
-    * — lexicographic struct order = (distance ASC, code ASC), the same
-    * tie-break every quantizer here uses. Pure expression, no shuffle. */
+    * argmin over the ksub candidates — (distance ASC, code ASC), the
+    * same tie-break every quantizer here uses. Pure expression, no
+    * shuffle. Evaluated by the native [[PqNearestCode]] expression
+    * (bit-identical to the HOF array_min-of-(d2, code)-structs
+    * formulation it replaced — [[pqNearestCodeHof]] keeps that form as
+    * the spec the parity test pins against): the HOF form ran
+    * ksub × sd interpreted lambda ops per call, m calls per encoded
+    * row — the PQ family's dominant per-row cost. */
   private def pqNearestCode(sv: Column, cbFlat: Column, j: Column,
                             ksub: Int, sd: Int): Column =
+    PqNearestCode(sv, cbFlat, j, ksub, sd)
+
+  /** The pre-native HOF formulation of [[pqNearestCode]] — retained as
+    * the executable spec for the bit-parity test only. */
+  private[graft] def pqNearestCodeHof(sv: Column, cbFlat: Column, j: Column,
+                                      ksub: Int, sd: Int): Column =
     array_min(transform(sequence(lit(0), lit(ksub - 1)), c =>
       struct(pqD2(sv, cbFlat, j, c, ksub, sd).as("d"),
         c.as("code")))).getField("code")
@@ -2759,6 +2770,7 @@ object Similarity {
                       ksub: Int = 256, iters: Int = 2, dims: Int = 64,
                       trainMod: Int = 0,
                       residual: Boolean = false): Unit = {
+    val mark = stageTrace("pq-add")
     deletePqMarker(spark, path)
     require(hasParquetData(spark, s"$path/lists"),
       s"addPqToIvfIndex: no lists data under $path")
@@ -2772,6 +2784,12 @@ object Similarity {
     // codes must decode against the geometry they were encoded with —
     // the snapshot freezes it, and quantizer geometry thereafter moves
     // only via retrain (which drops the whole sidecar)
+    // residual snapshot: the source `centers` table is already LANDED
+    // state (one tiny file), so a checkpointed read of it IS the
+    // snapshot's content — residualization trains/encodes against that
+    // checkpoint while the snapshot file copy lands concurrently below
+    // (crash before it lands leaves no pq marker; re-run converges)
+    var snapWrite: Option[() => Unit] = None
     val trainRows =
       if (!residual) {
         // a previous RESIDUAL sidecar on this path left a centers
@@ -2783,24 +2801,36 @@ object Similarity {
         lists
       }
       else {
-        spark.read.parquet(s"$path/centers")
-          .write.mode("overwrite").parquet(s"$path/pq/centers")
-        residualizedRows(lists,
-          spark.read.parquet(s"$path/pq/centers"), vecCol, labelCol)
+        val snapSrc = spark.read.parquet(s"$path/centers")
+          .localCheckpoint(true)
+        snapWrite = Some(() => snapSrc.write.mode("overwrite")
+          .parquet(s"$path/pq/centers"))
+        residualizedRows(lists, snapSrc, vecCol, labelCol)
       }
+    mark("residualize")
+    // codebooks are CHECKPOINTED before anything consumes them: the
+    // training lineage runs exactly once, and the write below and the
+    // encode read the same materialized bits — the same
+    // landed-equivalence the old write → read-back device bought, minus
+    // the serialization (the three sidecar writes — centers snapshot,
+    // codebooks, codes — are independent of each other and overlap; the
+    // pq marker still lands strictly last, after all of them)
     val cb = pqTrain(trainRows, idCol, vecCol, m, ksub, iters, dims, tm)
-    cb.write.mode("overwrite").parquet(s"$path/pq/codebooks")
-    // encode from what LANDED (the buildIvfIndex device); a streaming
-    // index's lists carry the __batch epoch partition — the codes tree
-    // mirrors it (epoch outer, cell inner) so the layouts never mix
-    val cbLanded = spark.read.parquet(s"$path/pq/codebooks")
+      .localCheckpoint(true)
+    mark("train")
     val epoched = lists.columns.contains("__batch")
     val extra = if (epoched) Seq("__batch") else Nil
-    pqEncodeCells(trainRows, cbLanded, idCol, vecCol, labelCol, m, ksub,
-      dims, extra)
-      .write.mode("overwrite")
-      .partitionBy((extra :+ "__cellkey"): _*)
-      .parquet(s"$path/pq/codes")
+    inParallel((snapWrite.toSeq ++ Seq(
+      () => cb.write.mode("overwrite").parquet(s"$path/pq/codebooks"),
+      // a streaming index's lists carry the __batch epoch partition —
+      // the codes tree mirrors it (epoch outer, cell inner) so the
+      // layouts never mix
+      () => pqEncodeCells(trainRows, cb, idCol, vecCol, labelCol, m,
+        ksub, dims, extra)
+        .write.mode("overwrite")
+        .partitionBy((extra :+ "__cellkey"): _*)
+        .parquet(s"$path/pq/codes"))): _*)
+    mark("sidecar-writes")
     // max id: the csums marker when valid (no scan), else one ids scan
     val maxId = readCsumsMarker(spark, path).map(_._1).getOrElse(
       maxIdOf(lists, idCol, labelCol, "addPqToIvfIndex")

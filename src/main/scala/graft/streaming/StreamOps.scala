@@ -482,7 +482,7 @@ object StreamOps {
         // (the default shuffle width would run ~3x empty tasks per
         // epoch on this hot path), so each dir gets one file
         anti(repSets).withColumn("ib", idBucket(col(idCol), b))
-          .repartition(b, col("ib"))
+          .repartition(Dedup.writeTasks(repSets, b), col("ib"))
           .write.mode("overwrite").partitionBy("ib")
           .parquet(s"$setsPath/batch=$batchId")
       case None =>
@@ -1131,7 +1131,7 @@ object StreamOps {
               .parquet(srcSets: _*).drop("batch")
             val idc = grp.columns
               .filterNot(c => c == "sset" || c == "ib").head
-            grp.repartition(b, col("ib"))
+            grp.repartition(Dedup.writeTasks(grp, b), col("ib"))
               // id-sorted row groups, as the bootstrap writes them — the
               // verify's candidate-range pushdown survives compaction
               .sortWithinPartitions(col("ib"), col(idc))
@@ -1192,7 +1192,8 @@ object StreamOps {
       stateLayoutPath(statePath), "ibsets|", "dedup-state")
     def stageSets(df: DataFrame, stageDir: String): Unit = banded match {
       case Some(b) =>
-        df.repartition(b, col("ib")).write.partitionBy("ib").parquet(stageDir)
+        df.repartition(Dedup.writeTasks(df, b), col("ib"))
+          .write.partitionBy("ib").parquet(stageDir)
       case None => df.coalesce(8).write.parquet(stageDir)
     }
     // the per-epoch band-key summaries describe the epoch layout this
@@ -2253,12 +2254,16 @@ object StreamOps {
       case Some(layout) => Map(
         "sets" -> consolidateEpochs(spark, s"$indexPath/sets") {
           (df, stageDir) =>
-            df.repartition(layout.setBuckets, col("ib"))
+            df.repartition(
+                graft.functions.Dedup.writeTasks(df, layout.setBuckets),
+                col("ib"))
               .write.partitionBy("ib").parquet(stageDir)
         }.getOrElse(0L),
         "keys" -> consolidateEpochs(spark, s"$indexPath/keys") {
           (df, stageDir) =>
-            df.repartition(layout.bpDirs, col("bp"))
+            df.repartition(
+                graft.functions.Dedup.writeTasks(df, layout.bpDirs),
+                col("bp"))
               .write.partitionBy("bp").parquet(stageDir)
         }.getOrElse(0L))
       case None =>

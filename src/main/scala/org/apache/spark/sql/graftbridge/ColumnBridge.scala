@@ -39,4 +39,9 @@ object TypesBridge {
     Seq(TypeCollection(ArrayType(DoubleType), ArrayType(FloatType)),
       TypeCollection(ArrayType(DoubleType), ArrayType(FloatType)))
   }
+
+  /** [[vectorVectorInputTypes]] plus an integer third argument (the
+    * sub-quantizer index of [[graft.functions.PqNearestCode]]). */
+  def vectorVectorIntInputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    vectorVectorInputTypes :+ org.apache.spark.sql.types.IntegerType
 }

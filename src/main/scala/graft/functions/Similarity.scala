@@ -953,25 +953,31 @@ object Similarity {
   private val emptyKvs: Column =
     array().cast("array<struct<__k:bigint,__v:array<double>>>")
 
-  /** csums → (__cell, __center): posexplode the per-chunk partial sums
-    * and run the IDENTICAL chunk-ordered outer fold + array assembly the
-    * inline [[centroidComponents]]/[[cellCenters]] pipeline runs, so a
-    * centers table derived from csums is bit-identical to one computed
-    * inline over the same row set. */
+  /** csums → (__cell, __center): per label, fold the per-chunk partial-
+    * sums ARRAYS in chunk-ASC order and divide by the total count —
+    * per position this runs the IDENTICAL chunk-ordered outer fold
+    * (`acc + p` from 0.0, then `/ n` with the same long→double cast)
+    * the inline [[centroidComponents]]/[[cellCenters]] pipeline runs,
+    * so a centers table derived from csums is bit-identical to one
+    * computed inline over the same row set (Round12OpsSpec pins it;
+    * CentroidParitySpec pins the array-vs-scalar forms directly). The
+    * array shape moves 1/dims the rows through the shuffle+aggregate
+    * machinery that the former posexplode form paid — at bench scale
+    * that machinery, not the arithmetic, was the cost. */
   private def centersFromCsums(csums: DataFrame,
                                labelCol: String): DataFrame =
-    centersFromComponents(
-      csums
-        .select(col(labelCol), col("__chunk"), col("__n"),
-          posexplode(col("__psums")).as(Seq("pos", "__psum")))
-        .groupBy(col(labelCol), col("pos"))
-        .agg(sort_array(collect_list(struct(col("__chunk").as("c"),
-            col("__psum").as("p")))).as("ps"),
-          sum(col("__n")).as("n"))
-        .select(col(labelCol), col("pos"),
-          (aggregate(col("ps"), lit(0.0),
-            (acc, e) => acc + e.getField("p")) / col("n")).as("dim_avg")),
-      labelCol)
+    csums
+      .groupBy(col(labelCol))
+      .agg(sort_array(collect_list(struct(col("__chunk").as("c"),
+          col("__psums").as("p")))).as("ps"),
+        sum(col("__n")).as("n"))
+      .select(col(labelCol).as("__cell"),
+        transform(
+          aggregate(col("ps"),
+            array_repeat(lit(0.0),
+              size(element_at(col("ps"), 1).getField("p"))),
+            (acc, e) => zip_with(acc, e.getField("p"), (a, b) => a + b)),
+          x => x / col("n")).as("__center"))
 
   /** The IVF index's fixed-width contract, enforced loudly: the csums
     * array fold requires every vector to carry ≥ dims elements (a short
@@ -1838,6 +1844,25 @@ object Similarity {
     centersFromComponents(
       centroidComponents(df, labelCol, idCol, vecCol, dims), labelCol)
 
+  /** [[cellCenters]] for FIXED-WIDTH vector frames, computed through the
+    * csums array fold ([[csumsOf]] → [[centersFromCsums]]) — bit-
+    * identical per position (same id-ordered inner fold, same chunk-
+    * ordered outer fold, same division; csumsOf's doc + Round12OpsSpec
+    * pin the parity, CentroidParitySpec pins this form against the
+    * scalar pipeline directly) while moving 1/dims the rows through the
+    * two aggregate shuffles: the scalar form posexplodes every vector
+    * into dims rows BEFORE the first groupBy, and at k-means/PQ-train
+    * scale the per-row aggregate machinery, not the additions, is the
+    * measured cost. FIXED-WIDTH premise (the IVF index contract): a
+    * vector shorter than `dims` null-poisons its cell here, where the
+    * scalar form would tolerate it with per-position counts — callers
+    * whose frames are not width-guaranteed ([[semDedupByCell]]'s user
+    * frames) stay on [[cellCenters]]. */
+  private def cellCentersFixedWidth(df: DataFrame, labelCol: String,
+                                    idCol: String, vecCol: String,
+                                    dims: Int): DataFrame =
+    centersFromCsums(csumsOf(df, labelCol, idCol, vecCol, dims), labelCol)
+
   /** Stage 3 of the centroid pipeline: (label, pos, dim_avg) components →
     * (__cell, __center) ordered arrays. Factored out so the incremental
     * csums refresh feeds the IDENTICAL array assembly as the full
@@ -2109,8 +2134,11 @@ object Similarity {
       .select(col("__cell"), col(vecCol).as("__center"))
     for (_ <- 1 until iters) {
       val lab = assignCells(train, centers, idCol, vecCol)
-      centers = cellCenters(train.join(lab, Seq(idCol)), "__cell",
-        idCol, vecCol, dims)
+      // fixed-width premise: kmeansLabels feeds the IVF index contract
+      // (vectors >= dims wide) — the array-fold update is bit-identical
+      // to the scalar one there and 1/dims the aggregate rows
+      centers = cellCentersFixedWidth(train.join(lab, Seq(idCol)),
+        "__cell", idCol, vecCol, dims)
     }
     // final round assigns the FULL corpus (the consumer recomputes the
     // final centers from these labels — ivfKnnJoin/cellCenters).
@@ -2433,12 +2461,14 @@ object Similarity {
     require(ksub >= 1 && iters >= 1 && trainMod >= 1,
       s"ksub=$ksub iters=$iters trainMod=$trainMod")
     val sd = dims / m
+    val tmark = stageTrace("pq-train")
     val base = spread(df.select(col(idCol), col(vecCol)))
       .localCheckpoint(false)
     val train =
       if (trainMod <= 1) base
       else base.filter(pmod(Md5Prefix28(col(idCol).cast("string")),
         lit(trainMod.toLong)) === 0).localCheckpoint(false)
+    tmark("setup")
     // (id, sub, sv) rows: the per-subvector training corpus
     val subRows = train
       .select(col(idCol), explode(sequence(lit(0), lit(m - 1))).as("__sub"),
@@ -2463,9 +2493,10 @@ object Similarity {
           (col("__sub") * ksub +
             pqNearestCode(col("__sv"), col("__cb"), col("__sub"), ksub, sd))
             .as("__pcell"))
-      val updated = centersFromComponents(
-        centroidComponents(labeled, "__pcell", idCol, "__sv", sd),
-        "__pcell")
+      // fixed-width premise: __sv is pqSub's exact sd-wide slice of an
+      // index-contract vector — the array-fold update applies
+      val updated = cellCentersFixedWidth(labeled, "__pcell", idCol,
+        "__sv", sd)
         .select((col("__cell") / ksub).cast("int").as("sub"),
           pmod(col("__cell"), lit(ksub)).cast("int").as("code"),
           col("__center").as("__new"))
@@ -2477,6 +2508,7 @@ object Similarity {
         .select(col("sub"), col("code"),
           coalesce(col("__new"), col("center")).as("center"))
     }
+    tmark("rounds-built(lazy)")
     cb
   }
 

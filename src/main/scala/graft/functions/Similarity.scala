@@ -2134,11 +2134,16 @@ object Similarity {
       .select(col("__cell"), col(vecCol).as("__center"))
     for (_ <- 1 until iters) {
       val lab = assignCells(train, centers, idCol, vecCol)
-      // fixed-width premise: kmeansLabels feeds the IVF index contract
-      // (vectors >= dims wide) — the array-fold update is bit-identical
-      // to the scalar one there and 1/dims the aggregate rows
-      centers = cellCentersFixedWidth(train.join(lab, Seq(idCol)),
-        "__cell", idCol, vecCol, dims)
+      // the SCALAR update, deliberately: the array-fold form
+      // ([[cellCentersFixedWidth]]) was measured 40% SLOWER here at the
+      // production shape (K = 1000, trainMod 4 at 100×: 17–29 s scalar
+      // vs 24–38 s array) — with ~1 training vector per (cell, chunk)
+      // the array path pays a 64-double buffer copy + a fresh array
+      // allocation per singleton group where the scalar path streams
+      // primitive rows; the array fold wins only where chunks hold many
+      // rows (small K — the PQ trainer's shape, which keeps it)
+      centers = cellCenters(train.join(lab, Seq(idCol)), "__cell",
+        idCol, vecCol, dims)
     }
     // final round assigns the FULL corpus (the consumer recomputes the
     // final centers from these labels — ivfKnnJoin/cellCenters).

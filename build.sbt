@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify mains print one-line JSON artifacts on stdout that the
+// round driver parses PER LINE. sbt's default output strategy for forked
+// runs (LoggedOutput) prefixes every line with "[info] ", which has made
+// the bench line unparseable in the driver's captured tail since round 1
+// (BENCH_r01..r16 all have parsed: null). StdoutOutput pipes the forked
+// process's stdout/stderr straight through, so the JSON lines arrive bare.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
